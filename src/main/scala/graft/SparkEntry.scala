@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Catalog
+import graft.queries.{Catalog, Extensions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in [[graft.queries.Catalog]] (reference-parity core) and
-  * the extension modules (dedup / similarity / text / multimodal). */
+  * [[graft.queries.Extensions]] (dedup / similarity / text / multimodal
+  * / streaming twin). */
 object SparkEntry {
 
-  private def registry: Seq[Catalog.Q] = Catalog.core
+  private def registry: Seq[Catalog.Q] = Catalog.core ++ Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Word count — the reference's canonical workload. */

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines,
+  * built entirely from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs — SURVEY §7.3 "functions, not UDFs"): every expression
+  * stays inside whole-stage codegen, so the hot path over a 100 TB
+  * `documents` table is a single scan with no serialization fence.
+  *
+  * The reference's only text machinery is `\r\n`/space tokenization
+  * inside its reduce (`MapReduceUtil.cpp:114-135`) and string↔int
+  * conversion (`MapReduceUtil.cpp:168-214`); everything here is the
+  * north-star extension surface (SURVEY §7.2 M4).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped — the reference's space-split
+    * record format (`Callbacks.h:49-53`) generalized. */
+  def words(c: Column): Column =
+    filter(split(c, " "), w => w =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(words(c)).cast("long")
+
+  /** BPE-ish subword proxy: runs of alphanumerics count 1 each, every
+    * other non-space char counts alone (ASCII classes only, so the
+    * regex means the same thing in any engine's dialect). */
+  val BpeTokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** Mean word length in characters (0 for empty docs). */
+  def meanWordLen(c: Column): Column = {
+    val w = words(c)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(w))
+  }
+
+  /** Punctuation chars / total chars (quality signal). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0)))
+        .cast("double") / length(c))
+
+  /** English stopword tokens / total tokens. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+  def stopwordRatio(c: Column): Column = {
+    val w = words(c)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      size(filter(w, x => x.isin(Stopwords: _*))).cast("double") / size(w))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, some
+    * stopwords (fluent prose), light punctuation. Weights are fixed,
+    * documented constants so the score is reproducible anywhere. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 400.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(c) * 4.0, lit(1.0))
+    round(lenScore * 0.5 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.1, 6)
+  }
+
+  /** Function-word inventories for the n-gram/stopword language-ID
+    * heuristic. Distinct-match counts, deterministic tie-break by the
+    * declaration order below. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por", "para"))
+
+  /** Language-ID: CJK codepoints → zh, else arg-max of function-word
+    * hits ('und' = undetermined when nothing matches). Pure CASE +
+    * array_intersect — identical semantics in ANSI SQL for the oracle. */
+  def langId(c: Column): Column = {
+    val w = array_distinct(words(c))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> size(array_intersect(w, array(ms.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), el) =>
+      when(s === best, lang).otherwise(el)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .otherwise(when(best === 0, "und").otherwise(pick))
+  }
+
+  /** Word n-grams (space-joined), distinct. Empty array when the doc
+    * has fewer than n words — guards `sequence`'s negative range. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val w = words(c)
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(w) - lit(n)),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+  }
+
+  /** Document fingerprint: the minimum md5 over word trigrams — a
+    * 1-permutation MinHash usable as a cheap near-dup bucket key (the
+    * rolling-hash winnowing idea with md5 as the mixer; md5 is chosen
+    * because every SQL engine computes the identical hex digest). Falls
+    * back to md5 of the whole text for very short docs. */
+  def fingerprint(c: Column, n: Int = 3): Column = {
+    val g = wordNgrams(c, n)
+    when(size(g) === 0, md5(c))
+      .otherwise(array_min(transform(g, x => md5(x))))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines (SURVEY §7.2 M4):
+  * image/audio/video payloads travel as opaque `binary` columns next
+  * to a typed metadata struct, and decode/feature steps run as
+  * partition-batched typed transforms.
+  *
+  * The Spark-side plumbing here — schema, encoders, `mapPartitions`
+  * batch shape, partition sizing — is real and tested. The actual
+  * codec call is STUBBED (this container has no image/audio codecs):
+  * [[MediaCodec.decodeStub]] derives deterministic pseudo-features
+  * from the bytes, and is the single function to swap for a real
+  * JNI/javacv decoder. Batch-iterator semantics are the JVM analog of
+  * the Arrow-batched UDF pattern: one codec context per partition,
+  * amortized across rows, never per-row setup.
+  *
+  * 100 TB posture: media rows are large, so the operators below never
+  * shuffle payload bytes — features are extracted in place (narrow
+  * dependency), and only the small feature/metadata projection ever
+  * reaches a join or aggregation.
+  */
+object Multimodal {
+
+  /** Typed media metadata carried beside the payload. */
+  case class MediaMeta(
+      mediaType: String, // "image" | "audio" | "video"
+      width: Int,
+      height: Int,
+      sampleRateHz: Int,
+      durationMs: Long)
+
+  case class MediaRecord(id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  /** Extracted features: cheap scalars + a fixed-width embedding. */
+  case class MediaFeatures(
+      id: Long,
+      mediaType: String,
+      nBytes: Long,
+      checksum: Long,
+      embedding: Array[Float])
+
+  /** The codec seam. Everything in here is a deterministic fake —
+    * swap for real decoders; the pipeline around it is unchanged. */
+  object MediaCodec {
+    val EmbeddingDim = 16
+
+    /** STUB decode: "decodes" a payload into a byte-histogram-derived
+      * embedding — deterministic, schema-true, obviously not a real
+      * codec. */
+    def decodeStub(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](EmbeddingDim)
+      var i = 0
+      while (i < payload.length) {
+        hist((payload(i) & 0xff) % EmbeddingDim) += 1f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      hist.map(_ / n)
+    }
+
+    /** CRC-ish rolling checksum (polynomial 31 hash over bytes) —
+      * the integrity stamp a real pipeline would compute at ingest. */
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      h
+    }
+
+    /** STUB frame sampler: n evenly spaced frame timestamps (ms). A
+      * real implementation seeks the container; offsets are identical. */
+    def sampleFrameOffsets(durationMs: Long, n: Int): Seq[Long] =
+      if (n <= 0 || durationMs <= 0) Seq.empty
+      else (0 until n).map(i => i * durationMs / n)
+  }
+
+  /** Decode + feature-extract, batched per partition: the codec
+    * "context" (here a counter standing in for a decoder handle) is
+    * created once per partition and reused — the batch shape that
+    * matters when each decode carries JNI/model-load cost. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec context goes here (real impl: decoder init)
+      it.map { rec =>
+        MediaFeatures(
+          id = rec.id,
+          mediaType = rec.meta.mediaType,
+          nBytes = rec.payload.length.toLong,
+          checksum = MediaCodec.checksum(rec.payload),
+          embedding = MediaCodec.decodeStub(rec.payload))
+      }
+    }
+  }
+
+  /** Video → sampled frame rows (id, frameIdx, offsetMs): the fan-out
+    * step before per-frame feature extraction. flatMap = narrow, so
+    * a 100 TB video table fans out without any shuffle. */
+  def sampleFrames(
+      media: Dataset[MediaRecord], framesPerVideo: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "video")
+      .flatMap { rec =>
+        MediaCodec.sampleFrameOffsets(rec.meta.durationMs, framesPerVideo)
+          .zipWithIndex
+          .map { case (off, i) => (rec.id, i, off) }
+      }
+      .toDF("id", "frame_idx", "offset_ms")
+  }
+
+  /** Fixture adapter: manufacture a deterministic media table from the
+    * `documents` fixture (payload = UTF-8 bytes of the text; metadata
+    * derived from doc fields). Lets every multimodal code path run and
+    * be oracle-checked without binary fixtures. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      struct(
+        // deterministic 3-way type split by id
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("mediaType"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sampleRateHz"),
+        (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.2 "Streaming"): the
+  * reference has no stream semantics at all — its nearest analogs are
+  * infrastructure timers (`EventLoop.cpp:152-166`) and incremental
+  * chunked file reads (`MapReduceUtil.cpp:77-111`). These operators
+  * are the extension surface over the `events` fixture schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Each transform takes a DataFrame that may be streaming
+  * (`readStream`) or batch — identical logical plan either way, which
+  * is what the specs exploit: run the same transform on a MemoryStream
+  * and on the batch table and require equal results.
+  */
+object Streams {
+
+  /** Tumbling-window count/sum per event_type with a watermark for
+    * state eviction: at 100 TB/day the watermark bounds the state
+    * store to (window + lateness) worth of keys. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        // decimal accumulation: exact under any partial-agg order, so
+        // batch, streaming, and the DuckDB oracle all agree bitwise
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(nEvents: Long, lastTs: Long)
+
+  case class Session(
+      user_id: Long, n_events: Long, started_ms: Long, ended_ms: Long)
+
+  /** Sessionization via flatMapGroupsWithState: one state record per
+    * live user, a session closes after `gapMs` of event-time
+    * inactivity. Event-time timeouts (driven by the watermark) keep
+    * the operator deterministic and replayable — a processing-time
+    * timeout would tie results to wall-clock and, under the default
+    * 0 ms trigger, schedule continuous timer-check micro-batches.
+    * The custom-state path of the streaming surface — the analog the
+    * reference entirely lacks. State per key is one bounded list of
+    * timestamps of the open session only; closed sessions leave state
+    * immediately, so state size tracks live users, not history. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            val ts = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, ts.length, ts.min, ts.max))
+          } else {
+            val incoming = it.map(_.ts.getTime).toList
+            val all = state.getOption.getOrElse(Nil) ++ incoming
+            // close any complete session on a gap inside the batch;
+            // keep the trailing open session in state
+            val sorted = all.sorted
+            val (closed, open) = splitOnGaps(sorted, gapMs)
+            state.update(open)
+            // fire when the watermark passes the open session's gap
+            // (clamped: Spark rejects timeouts at/behind the watermark,
+            // which late data could otherwise produce)
+            state.setTimeoutTimestamp(
+              math.max(open.max + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator.map(s =>
+              Session(userId, s.length, s.min, s.max))
+          }
+      }
+  }
+
+  /** Splits a sorted timestamp run into closed sessions (followed by a
+    * gap) and the still-open tail. */
+  private[streaming] def splitOnGaps(
+      sorted: List[Long], gapMs: Long): (List[List[Long]], List[Long]) = {
+    if (sorted.isEmpty) return (Nil, Nil)
+    val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+      case (cur :: done, t) =>
+        if (t - cur.head <= gapMs) (t :: cur) :: done
+        else List(t) :: cur :: done
+      case (Nil, t) => List(List(t))
+    }
+    (sessions.tail.reverse.map(_.reverse), sessions.head.reverse)
+  }
+
+  /** File-source entry: tail a directory of parquet event files as a
+    * stream — the deployment shape for the fixture schema. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+  test("exactDedup keeps exactly one row per content, minimum id") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "unique"),
+      (7L, "hello world")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((1L, 3L), (3L, 1L)))
+  }
+
+  test("minHashLshPairs == exact ngramJaccardPairs on the fixture") {
+    // exact pairs are the oracle-verified ground truth; LSH at b=32,
+    // r=4 must not lose any planted (J>=0.9) pair
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simHash: identical texts collide, near-dups land close") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "totally different words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq.contains((1L, 2L, 0L)))
+  }
+
+  test("simHashPairs banding == exhaustive Hamming join (exact recall)") {
+    // the pigeonhole banding must find EXACTLY the pairs within the
+    // radius — compare against a brute-force cross join on fingerprints
+    val fp = docs.select(col("doc_id").as("id"),
+      Dedup.simHash(col("text")).as("fp"))
+    for (d <- Seq(3, 7)) {
+      val brute = fp.as("l").join(fp.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          Dedup.hamming64(col("l.fp"), col("r.fp")).as("h"))
+        .filter(col("h") <= d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val banded = Dedup.simHashPairs(docs, "doc_id", "text", d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"radius $d")
+    }
+  }
+
+  test("simHash recall on planted near-dups (statistical, informational)") {
+    // simhash measures tf-vector angle, not set Jaccard — false
+    // positives/negatives vs the Jaccard ground truth are inherent;
+    // candidates get exact-verified in a real pipeline. Measure recall
+    // at two radii and require the wider radius to catch most.
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planted.nonEmpty)
+    val sim7 = Dedup.simHashPairs(docs, "doc_id", "text", 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = planted.intersect(sim7).size.toDouble / planted.size
+    info(f"simhash recall@hamming<=7 on planted near-dups: $recall%.2f")
+    assert(recall >= 0.6, f"simhash recall degraded: $recall%.2f")
+  }
+
+  test("ngramJaccardPairs maxDf cap drops high-frequency shingles") {
+    // with a df cap of 1 no shingle is shared, so no pairs survive
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      maxDf = Some(1))
+    assert(capped.count() == 0)
+  }
+
+  test("embeddingCosinePairs is symmetric-free (id_a < id_b) and bounded") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b); assert(c >= 0.3 && c <= 1.0)
+    }
+  }
+}

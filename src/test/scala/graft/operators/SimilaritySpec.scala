@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+
+  test("cosine kernel on hand vectors") {
+    val df = Seq(
+      (1L, Array(1f, 0f), Array(1f, 0f)),   // parallel -> 1
+      (2L, Array(1f, 0f), Array(0f, 1f)),   // orthogonal -> 0
+      (3L, Array(1f, 0f), Array(-1f, 0f)),  // opposite -> -1
+      (4L, Array(0f, 0f), Array(1f, 1f))    // zero vector -> 0
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      Similarity.cosine(col("a"), col("b")).as("c"))
+      .orderBy("id").as[(Long, Double)].collect().map(_._2)
+    assert(got.toSeq == Seq(1.0, 0.0, -1.0, 0.0))
+  }
+
+  test("bruteForceTopK: self excluded, ranks contiguous, scores descend") {
+    val q = emb.filter(col("vec_id") < 3)
+    val res = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "rank", "nn_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(res.length == 3 * 5)
+    res.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).toSeq == (1L to 5L))
+      assert(g.map(_._4).toSeq == g.map(_._4).toSeq.sorted.reverse)
+      g.foreach { case (qid, _, nn, _) => assert(nn != qid) }
+    }
+  }
+
+  test("annTopK scores are exact where reported; recall is usable") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding", k)
+      .select("query_id", "nn_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteCos = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    val ann = Similarity.annTopK(
+      emb, "vec_id", "embedding", k, tables = 16, bits = 6)
+      .select("query_id", "nn_id", "cos").as[(Long, Long, Double)].collect()
+    // every reported (q, nn) cosine equals the exact kernel value
+    ann.foreach { case (q, n, c) =>
+      bruteCos.get((q, n)).foreach(exact => assert(math.abs(exact - c) < 1e-12))
+    }
+    // recall@k vs brute force: random 64-dim data is ANN-hostile, but
+    // 8 tables x 8 bits must still recover a usable fraction
+    val annTop = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteTop.map { case (q, t) =>
+      annTop.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@$k = $mean%.3f over ${recalls.size} queries")
+    assert(mean > 0.25, f"mean recall@$k degraded: $mean%.3f")
+  }
+
+  test("annCandidates emits ordered distinct pairs") {
+    val cand = Similarity.annCandidates(emb, "vec_id", "embedding",
+      tables = 4, bits = 8)
+      .as[(Long, Long)].collect()
+    assert(cand.distinct.length == cand.length)
+    cand.foreach { case (a, b) => assert(a < b) }
+  }
+}

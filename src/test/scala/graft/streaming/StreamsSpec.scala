@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.Streams._
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("splitOnGaps: closed sessions vs open tail") {
+    assert(splitOnGaps(Nil, 10) == (Nil, Nil))
+    assert(splitOnGaps(List(1L, 2L, 3L), 10) == (Nil, List(1L, 2L, 3L)))
+    assert(splitOnGaps(List(1L, 2L, 50L, 51L), 10) ==
+      (List(List(1L, 2L)), List(50L, 51L)))
+    assert(splitOnGaps(List(1L, 50L, 100L), 10) ==
+      (List(List(1L), List(50L)), List(100L)))
+  }
+
+  test("windowedTypeCounts: streaming == batch on the events fixture") {
+    import spark.implicits._
+    val batch = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+      .select("ts", "event_type", "value")
+    val rows = batch.as[(Timestamp, String, Double)].collect().toSeq
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val query = windowedTypeCounts(streamDf, "1 hour", "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      mem.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val expected = windowedTypeCounts(batch, "1 hour", "2 hours")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == expected)
+    } finally query.stop()
+  }
+
+  test("sessionize closes sessions on in-batch gaps and watermark timeouts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = sessionize(mem.toDS(), gapMs = 1000L)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // base offset keeps event times away from epoch 0 — rows at the
+      // initial watermark value would be dropped as late data
+      val T = 1000000L
+      def ev(id: Long, user: Long, ms: Long) =
+        Event(id, new Timestamp(T + ms), user, "click", 1.0)
+      // batch 1 — user 1: burst 0..500, gap, lone event 10_000 (open);
+      //           user 2: event 0 (gap-closed), event 99_000 (open)
+      mem.addData(ev(1, 1, 0), ev(2, 1, 200), ev(3, 1, 500),
+        ev(4, 1, 10000), ev(5, 2, 0), ev(6, 2, 99000))
+      query.processAllAvailable()
+      // batch 2 — watermark is now 99_000: fires user 1's timeout
+      mem.addData(ev(7, 3, 200000))
+      query.processAllAvailable()
+      // batch 3 — watermark 200_000: fires user 2's timeout; user 3's
+      // 200_000 session gap-closes against the new 300_000 event
+      mem.addData(ev(8, 3, 300000))
+      query.processAllAvailable()
+      val closed = spark.table("sessions")
+        .as[Session].collect().sortBy(s => (s.user_id, s.started_ms))
+      assert(closed.toSeq == Seq(
+        Session(1L, 3L, T, T + 500L),
+        Session(1L, 1L, T + 10000L, T + 10000L),
+        Session(2L, 1L, T, T),
+        Session(2L, 1L, T + 99000L, T + 99000L),
+        Session(3L, 1L, T + 200000L, T + 200000L)))
+    } finally query.stop()
+  }
+
+  test("readEventStream schema matches the fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ss = readEventStream(spark, dir)
+    assert(ss.isStreaming)
+    assert(ss.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+}
