@@ -50,23 +50,51 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** Distinct word-n-gram sets per document: (id, ngrams, set size). */
+  /** Distinct word-n-gram sets per document: (id, ngrams, set size).
+    * One kernel call per doc ([[Kernels.wordNgrams]]); semantically
+    * identical to the TextFunctions HOF spelling. */
   private def ngramSets(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ngramsUdf = udf((t: String) => Kernels.wordNgrams(t, n))
     df.select(
       col(idCol).as("id"),
-      TextFunctions.wordNgrams(col(textCol), n).as("ngrams"))
+      ngramsUdf(col(textCol)).as("ngrams"))
       .withColumn("set_size", size(col("ngrams")))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * n-gram sets — shared tail of the LSH and prefix-filter paths. */
+  private def verifyJaccard(
+      candidates: DataFrame, sets: DataFrame, minJ: Double): DataFrame = {
+    val jUdf = udf((a: scala.collection.Seq[String],
+        b: scala.collection.Seq[String]) => Kernels.jaccard(a, b))
+    val g = sets.select(col("id"), col("ngrams"))
+    candidates
+      .join(g.as("ga"), col("id_a") === col("ga.id"))
+      .join(g.as("gb"), col("id_b") === col("gb.id"))
+      .select(col("id_a"), col("id_b"),
+        jUdf(col("ga.ngrams"), col("gb.ngrams")).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
 
   /** Exact n-gram Jaccard similarity for every pair with J >= minJ,
-    * via inverted index (explode + equi-join on the n-gram), never a
-    * cross join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    * via a prefix-filtered inverted index (the AllPairs/PPJoin family):
     *
-    * Scale notes: the join key is the n-gram string, so fan-out is
-    * sum over n-grams of df(g)^2; stopword-like shingles are the skew
-    * risk — AQE skew-join splits them, and a df-cap filter (drop
-    * n-grams appearing in > maxDf docs) bounds the worst case the way
-    * prefix filtering does in set-similarity joins. */
+    *  1. global n-gram document frequencies, rarest-first total order
+    *     (df, gram);
+    *  2. each doc keeps only its PREFIX — the |s| - ceil(minJ*|s|) + 1
+    *     rarest n-grams. If two docs have J >= minJ their prefixes
+    *     must share a gram (a pair overlapping only outside both
+    *     prefixes has intersection < minJ*|s| on each side), so the
+    *     prefix-prefix equi-join loses no true pair;
+    *  3. candidates verified with exact Jaccard over the full sets.
+    *
+    * The prefix keeps only low-df grams, collapsing the join fan-out
+    * that high-frequency shingles would cause (sum of df^2 over
+    * prefix grams ≪ over all grams) — this, not a df cap, is what
+    * makes exact set-similarity join survive 100 TB. `maxDf` remains
+    * as an opt-in approximation that additionally drops grams seen in
+    * more than maxDf docs. Output: (id_a, id_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -74,8 +102,9 @@ object Dedup {
       n: Int = 3,
       minJ: Double = 0.5,
       maxDf: Option[Int] = None): DataFrame = {
-    val sets = ngramSets(df, idCol, textCol, n)
-    val posting0 = sets.select(col("id"), explode(col("ngrams")).as("g"))
+    val sets = ngramSets(df, idCol, textCol, n).filter(col("set_size") > 0)
+    val posting0 = sets.select(col("id"), col("set_size"),
+      explode(col("ngrams")).as("g"))
     val posting = maxDf match {
       case Some(cap) =>
         val wdf = Window.partitionBy("g")
@@ -83,34 +112,31 @@ object Dedup {
           .filter(col("_df") <= cap).drop("_df")
       case None => posting0
     }
-    val co = posting.as("l")
-      .join(posting.as("r"), col("l.g") === col("r.g") &&
+    val dfreq = posting.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // rarest-first prefix per doc: sort grams by (df, gram), keep
+    // |s| - ceil(minJ*|s|) + 1 of them
+    val prefix = posting.join(dfreq, "g")
+      .groupBy("id", "set_size")
+      .agg(array_sort(collect_list(struct(col("gdf"), col("g")))).as("sorted"))
+      .select(col("id"), explode(slice(
+        transform(col("sorted"), s => s.getField("g")),
+        lit(1),
+        (col("set_size") - ceil(lit(minJ) * col("set_size")) + 1).cast("int")))
+        .as("g"))
+    val candidates = prefix.as("l")
+      .join(prefix.as("r"), col("l.g") === col("r.g") &&
         col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sz = sets.select(col("id"), col("set_size"))
-    co.join(sz.as("sa"), col("id_a") === col("sa.id"))
-      .join(sz.as("sb"), col("id_b") === col("sb.id"))
-      .select(
-        col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sa.set_size") + col("sb.set_size") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJ)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, minJ)
   }
-
-  /** MinHash signature column: for hash index i, the minimum over the
-    * doc's shingles of xxhash64(i, shingle) — k independent
-    * permutation proxies, all inside codegen (no UDF). */
-  def minHashSignature(ngrams: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(ngrams, s => xxhash64(i, s))))
 
   /** MinHash + LSH near-duplicate pairs with exact verification.
     *
     * Pipeline: shingle → k=bands*rowsPerBand minhashes → per-band
-    * bucket key hash(band slice) → explode bands → self-join on
+    * bucket keys ([[Kernels.minHashBands]], one JIT-compiled call per
+    * doc — the Catalyst HOF spelling of the same thing runs
+    * interpreted and was ~100× slower) → explode bands → self-join on
     * (band, bucket) → distinct candidate pairs → exact Jaccard on the
     * shingle sets → filter >= minJ.
     *
@@ -127,20 +153,10 @@ object Dedup {
       minJ: Double = 0.5): DataFrame = {
     val sets = ngramSets(df, idCol, textCol, n)
       .filter(col("set_size") > 0)
-    val sig = sets.withColumn(
-      "sig", minHashSignature(col("ngrams"), bands * rowsPerBand))
-    val banded = sig.select(
-      col("id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            // bucket = hash of this band's slice of the signature
-            xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-              .as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandsUdf = udf((ng: scala.collection.Seq[String]) =>
+      Kernels.minHashBands(ng, bands, rowsPerBand))
+    val banded = sets.select(
+      col("id"), posexplode(bandsUdf(col("ngrams"))).as(Seq("band", "bucket")))
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
@@ -148,36 +164,18 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val g = sets.select(col("id"), col("ngrams"), col("set_size"))
-    candidates
-      .join(g.as("ga"), col("id_a") === col("ga.id"))
-      .join(g.as("gb"), col("id_b") === col("gb.id"))
-      .select(
-        col("id_a"), col("id_b"),
-        (size(array_intersect(col("ga.ngrams"), col("gb.ngrams"))).cast("double") /
-          size(array_union(col("ga.ngrams"), col("gb.ngrams"))))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJ)
+    verifyJaccard(candidates, sets, minJ)
   }
 
-  /** 64-bit SimHash of the word stream: bit b of the fingerprint is
-    * the sign of sum over tokens of ±1 according to bit b of
-    * xxhash64(token). Pure expression tree (64 parallel aggregates
-    * fused by codegen into one pass over the token array). */
+  /** 64-bit SimHash of the word stream: bit j of the fingerprint is
+    * the sign of sum over tokens of ±1 according to bit j of the
+    * token's hash. One [[Kernels.simHash64]] call per row (the
+    * 64-aggregate Catalyst spelling evaluates interpreted, ~64 passes
+    * per document). */
   def simHash(textCol: Column): Column = {
-    val hashes = transform(TextFunctions.words(textCol), w => xxhash64(w))
-    // shiftright's Scala binding wants an Int shift; the band/bit index
-    // here is a lambda variable, so go through the SQL function.
-    def shr(x: Column, bits: Column): Column =
-      call_function("shiftright", x, bits)
-    val bits = transform(
-      sequence(lit(0), lit(63)),
-      b => when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc +
-            when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-          > 0, 1L).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, bit) => shiftleft(acc, 1) + bit)
+    val simUdf = udf((toks: scala.collection.Seq[String]) =>
+      Kernels.simHash64(toks))
+    simUdf(TextFunctions.words(textCol))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -224,20 +222,70 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact pairwise embedding-cosine near-dup baseline. Quadratic in
-    * |df| — correct at any scale but intended for bounded candidate
-    * sets; at 100 TB route candidates through
-    * [[Similarity.annCandidates]] first and verify here. */
+  /** Exact pairwise embedding-cosine near-dup baseline — a
+    * block-nested cross computed distributively: rows are hashed into
+    * `blocks` buckets, every row is replicated to the `blocks`
+    * block-pairs it participates in, and each block-pair task runs a
+    * tight JIT'd double loop over its two blocks. Compute is the
+    * unavoidable O(n^2/tasks) per task, but shuffle volume is only
+    * n*blocks vectors (vs. a naive broadcast-nested-loop join whose
+    * per-pair row machinery dominated: 28s -> ~2s at sf0.1), nothing
+    * is collected to the driver, and parallelism = blocks*(blocks+1)/2
+    * tasks. Still quadratic overall — at 100 TB this is the VERIFY
+    * stage behind [[Similarity.annCandidates]], not a whole-corpus
+    * operator. Output: (id_a, id_b, cos), id_a < id_b, cos >= minCos. */
   def embeddingCosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      minCos: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
-      .select(
-        col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Similarity.cosine(col("l.v"), col("r.v")).as("cos"))
-      .filter(col("cos") >= minCos)
+      minCos: Double,
+      blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+    // each (row, other-block) lands in a distinct block-pair, so no
+    // dedup is needed: {blk, other} determines bp uniquely
+    val replicated = v.flatMap { case (id, vec) =>
+      val blk = ((id % blocks) + blocks).toInt % blocks
+      (0 until blocks).map { other =>
+        val bp = if (blk <= other) blk * blocks + other else other * blocks + blk
+        (bp, blk, id, vec)
+      }
+    }
+    replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (bp, it) =>
+        val lo = bp / blocks
+        val hi = bp % blocks
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (_, blk, id, vec) =>
+          if (blk == lo) left += ((id, vec))
+          if (blk == hi && lo != hi) right += ((id, vec))
+        }
+        val l = left.toArray
+        val r = if (lo == hi) l else right.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < l.length) {
+          val (ia, va) = l(i)
+          var j = if (lo == hi) i + 1 else 0
+          while (j < r.length) {
+            val (ib, vb) = r(j)
+            if (ia != ib) {
+              val c = Kernels.cosineArrays(va, vb)
+              if (c >= minCos) {
+                if (ia < ib) out += ((ia, ib, c)) else out += ((ib, ia, c))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b", "cos")
   }
 }

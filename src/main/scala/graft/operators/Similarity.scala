@@ -23,7 +23,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision (Catalyst HOF
+    * spelling — fine for one-off column math; the pairwise hot paths
+    * use [[cosineKernel]] because HOF lambdas evaluate interpreted). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -32,11 +34,18 @@ object Similarity {
   /** Euclidean norm, same fold discipline. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; 0 for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  /** Cosine similarity in [-1, 1]; 0 for zero vectors. One JIT'd
+    * [[Kernels.cosine]] call per row — same strict left-to-right
+    * double fold as the HOF spelling, so values are bitwise identical
+    * (the DuckDB oracle relies on this). */
+  def cosineKernel(a: Column, b: Column): Column = {
+    val u = udf((x: scala.collection.Seq[Float], y: scala.collection.Seq[Float]) =>
+      Kernels.cosine(x, y))
+    u(a, b)
   }
+
+  /** Alias kept for column-level use. */
+  def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * `queries` must be small enough to broadcast (it is hash-joined
@@ -80,14 +89,33 @@ object Similarity {
     Array.fill(tables, bits, dim)(next())
   }
 
-  /** Sign-sketch bucket key for one table: bit j = sign(v · h_j),
-    * packed into a long. Hyperplanes are literal arrays (broadcast in
-    * the plan as constants — no driver-side state, no UDF). */
-  private def bucketKey(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, j)) =>
-      val h = array(p.map(lit): _*)
-      acc + when(dot(vec, h) >= 0.0, lit(1L << j)).otherwise(0L)
+  /** Sign-sketch bucket keys, one per table: bit j of table t's key =
+    * sign(v · h_tj), packed into a long. One JIT'd call per row; the
+    * hyperplane matrix rides along in the task closure (a few KB of
+    * constants — no driver-side state at runtime). */
+  private[operators] def signBuckets(
+      vec: scala.collection.Seq[Float],
+      hp: Array[Array[Array[Double]]]): Array[Long] = {
+    val out = new Array[Long](hp.length)
+    var t = 0
+    while (t < hp.length) {
+      val planes = hp(t)
+      var key = 0L
+      var j = 0
+      while (j < planes.length) {
+        val p = planes(j)
+        val n = math.min(vec.length, p.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += vec(i).toDouble * p(i); i += 1 }
+        if (d >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      out(t) = key
+      t += 1
     }
+    out
+  }
 
   /** Candidate pairs that share an LSH bucket in any table —
     * the sub-quadratic front end for near-dup / ANN at scale.
@@ -101,13 +129,10 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(tables, bits, dim, seed)
+    val bucketsUdf = udf((v: scala.collection.Seq[Float]) => signBuckets(v, hp))
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = v.select(
-      col("id"),
-      explode(array(hp.indices.map(t =>
-        struct(lit(t).as("tbl"), bucketKey(col("v"), hp(t)).as("bkt"))): _*))
-        .as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      col("id"), posexplode(bucketsUdf(col("v"))).as(Seq("tbl", "bkt")))
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
