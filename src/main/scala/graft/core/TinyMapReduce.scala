@@ -196,7 +196,12 @@ final class MRResult[K, V](val rdd: RDD[(K, V)])(
     * TextOutputFormat.h:25-31, SURVEY §4.3). One file per partition,
     * sorted by key within each, like `disk_merge_<i>.txt`. */
   def saveAsKVText(path: String): Unit =
-    rdd.map { case (k, v) => s"$k $v" }.saveAsTextFile(path)
+    saveAsText(path)((k, v) => s"$k $v")
+
+  /** Custom OutputFormat hook (the analog of subclassing
+    * OutputFormat.h:6-17): caller supplies the record serializer. */
+  def saveAsText(path: String)(format: (K, V) => String): Unit =
+    rdd.map { case (k, v) => format(k, v) }.saveAsTextFile(path)
 
   def collectSorted()(implicit ord: Ordering[K]): Seq[(K, V)] =
     rdd.collect().sortBy(_._1).toSeq

@@ -94,6 +94,36 @@ class TinyMapReduceSpec extends AnyFunSuite {
     assert(lines.toSeq == Seq("aaa 2", "bbb 1"))
   }
 
+  test("saveAsText custom OutputFormat hook") {
+    val dir = Files.createTempDirectory("graft-fmt")
+    val in = dir.resolve("in.txt")
+    Files.write(in, "aaa\nbbb\naaa\n".getBytes("UTF-8"))
+    val out = dir.resolve("out").toString
+    TinyMapReduce.text(spark, Seq(in.toString))
+      .mapKV((_, line) => (line, 1L))
+      .reduceByKeySorted(_ + _, numPartitions = 2)
+      .saveAsText(out)((k, v) => s"$k\t$v!")
+    val lines = spark.sparkContext.textFile(out).collect().sorted
+    assert(lines.toSeq == Seq("aaa\t2!", "bbb\t1!"))
+  }
+
+  test("ProgressListener reports Start/Process/Finish per stage") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = ProgressListener.attach(spark)(seen.add)
+    try {
+      spark.sparkContext.parallelize(1 to 100, 4).map(_ * 2).sum()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !seen.toArray.exists(_.toString.endsWith("Finish"))) Thread.sleep(50)
+      val msgs = seen.toArray.map(_.toString)
+      assert(msgs.exists(_.contains("Start")), msgs.mkString("; "))
+      assert(msgs.exists(_.contains("Process")), msgs.mkString("; "))
+      assert(msgs.exists(_.endsWith("Finish")), msgs.mkString("; "))
+      assert(msgs.exists(_.contains("100.00%")), msgs.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("property: facade word count == naive Map[String, Long]") {
     // raw ScalaCheck generation (scalatestplus bridge unavailable offline)
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "y1")
