@@ -61,13 +61,14 @@ object Similarity {
       queryVec: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(corpusId).as("nn_id"), col(corpusVec).as("cv"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
     val scored = joined.select(
       col("query_id"), col("nn_id"),
-      cosine(col("qv"), col("cv")).as("cos"))
+      call_function("graft_cosine", col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -153,6 +154,7 @@ object Similarity {
       bits: Int = 10,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
     val cand = annCandidates(df, idCol, vecCol, tables, bits, dim, seed)
     // candidates are undirected; score both directions for per-id top-k
     val sym = cand.select(col("id_a").as("query_id"), col("id_b").as("nn_id"))
@@ -162,7 +164,7 @@ object Similarity {
       .join(v.as("q"), col("query_id") === col("q.id"))
       .join(v.as("c"), col("nn_id") === col("c.id"))
       .select(col("query_id"), col("nn_id"),
-        cosine(col("q.v"), col("c.v")).as("cos"))
+        call_function("graft_cosine", col("q.v"), col("c.v")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,52 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Kernels, Similarity}
+
+class CosineSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_cosine registers and matches the kernel bitwise") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark) // idempotent
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val pairs = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        call_function("graft_cosine", col("a.embedding"), col("b.embedding"))
+          .as("native"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("kernel"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (n, k) => assert(n == k) } // bitwise equality
+  }
+
+  test("graft_cosine via SQL text and edge cases") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c1,
+                graft_cosine(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS c2,
+                graft_cosine(array(0.0F, 0.0F), array(1.0F, 1.0F)) AS c3,
+                graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS c4""")
+      .head()
+    assert(got.getDouble(0) == 1.0)
+    assert(got.getDouble(1) == 0.0)
+    assert(got.getDouble(2) == 0.0)
+    assert(got.isNullAt(3)) // null-safe like any binary expression
+  }
+
+  test("interpreted fallback matches generated code path") {
+    // force interpreted eval through the object helper on raw arrays
+    val a = Array(0.3f, -1.2f, 4.5f)
+    val b = Array(1.1f, 0.4f, -0.2f)
+    val viaKernel = Kernels.cosineArrays(a, b)
+    val viaExpr = CosineSimilarity.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
+    assert(viaExpr == viaKernel)
+  }
+}
