@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregation — the `Aggregator[IN, BUF, OUT]` face of
+  * the reference's user-reduce hook (`ReduceCallback`, Callbacks.h:18;
+  * SURVEY §7.3 "user map/reduce hooks"). Unlike a row-at-a-time UDAF,
+  * an Aggregator gets map-side partial aggregation for free: `reduce`
+  * runs pre-shuffle, `merge` combines partials — the two-phase shape
+  * the reference built by hand with its combiner + reduce-side merges.
+  */
+object TypedAggregators {
+
+  /** Exact top-k largest values per group with bounded state: the
+    * buffer is a sorted ascending array capped at k (the evict-min
+    * trick), so shuffle state per group is O(k) regardless of group
+    * size — the property that makes per-group top-k safe on a 100 TB
+    * table with billion-row groups. */
+  class TopKLongs(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0)
+
+    override def zero: Array[Long] = Array.empty
+
+    override def reduce(buf: Array[Long], v: Long): Array[Long] = insert(buf, v)
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(insert)
+
+    /** Descending order for presentation. */
+    override def finish(buf: Array[Long]): Array[Long] = buf.reverse
+
+    private def insert(buf: Array[Long], v: Long): Array[Long] = {
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        sortedInsert(buf, v, out)
+      } else if (v > buf(0)) {
+        val out = new Array[Long](k)
+        sortedInsert(buf.tail, v, out) // evict current min
+      } else buf
+    }
+
+    private def sortedInsert(
+        src: Array[Long], v: Long, out: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < src.length && src(i) < v) { out(i) = src(i); i += 1 }
+      out(i) = v
+      while (i < src.length) { out(i + 1) = src(i); i += 1 }
+      out
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Streaming mean with exact integer state (sum, count) — the
+    * simplest two-phase Aggregator; deterministic under any merge
+    * order. */
+  object LongMean extends Aggregator[Long, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), v: Long): (Long, Long) =
+      (b._1 + v, b._2 + 1)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) 0.0 else b._1.toDouble / b._2
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SCALING.md): when one group key carries a
+  * disproportionate share of rows (the classic hot-key problem at
+  * 100 TB), a single reducer partition becomes the straggler. Salting
+  * splits each hot key across `salt` sub-keys for a partial
+  * aggregation, then re-aggregates the (keys × salt) partials — two
+  * shuffles, but the first is uniform and the second tiny.
+  *
+  * AQE's skew-join splitting handles *joins* automatically; salting
+  * remains the tool for skewed *aggregations* whose partial state
+  * (e.g. collect_list, exact distinct) doesn't map-side-combine away.
+  * For algebraic aggregates Spark's partial aggregation already does
+  * the equivalent — this operator exists for the non-algebraic cases
+  * and as the documented pattern.
+  */
+object Skew {
+
+  /** Salted two-phase sum: numerically safe for decimal/integer
+    * aggregation (exact types ⇒ association order cannot change the
+    * result — which is also why the DuckDB oracle matches). */
+  def saltedSum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: Column,
+      resultName: String,
+      salt: Int = 16): DataFrame = {
+    val k = keyCols.map(col)
+    // deterministic salt: hash of the whole row's value column would
+    // collapse to one bucket for constant values; spread by a uniform
+    // row hash instead
+    val salted = df.withColumn("_salt",
+      pmod(hash(valueCol, monotonically_increasing_id()), lit(salt)))
+    val partial = salted
+      .groupBy((k :+ col("_salt")): _*)
+      .agg(sum(valueCol).as("_partial"))
+    partial
+      .groupBy(k: _*)
+      .agg(sum(col("_partial")).as(resultName))
+  }
+
+  /** Salted exact count-distinct: phase 1 dedups (key, value) pairs
+    * spread across salts, phase 2 counts — the hot key's dedup work is
+    * parallelized across `salt` partitions instead of one. */
+  def saltedCountDistinct(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: Column,
+      resultName: String,
+      salt: Int = 16): DataFrame = {
+    val k = keyCols.map(col)
+    val spread = df.withColumn("_salt", pmod(hash(valueCol), lit(salt)))
+    // same value always lands in the same salt bucket, so per-bucket
+    // distinct sets are disjoint and their counts add exactly
+    val perBucket = spread
+      .groupBy((k :+ col("_salt")): _*)
+      .agg(countDistinct(valueCol).as("_d"))
+    perBucket.groupBy(k: _*).agg(sum(col("_d")).cast("long").as(resultName))
+  }
+}

@@ -557,6 +557,22 @@ object Catalog {
       FROM documents ORDER BY doc_id""")
   )
 
+  private val q29_salted_agg = Q(
+    "q29_salted_agg",
+    // Skew-safe two-phase aggregation (graft.operators.Skew): salting
+    // must be invisible in the result — the oracle is the plain sum.
+    (s, dir) =>
+      graft.operators.Skew.saltedSum(
+        table(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        dec(col("l_quantity")), "total_qty", salt = 16)
+        .withColumn("total_qty", col("total_qty").cast("double"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** Core reference-parity queries. Extension operators (dedup,
     * similarity, text analysis, multimodal) register in their own
     * modules and are appended in [[graft.SparkEntry]]. */
@@ -567,5 +583,5 @@ object Catalog {
     q14_agg_stats, q15_string_funcs, q16_date_funcs, q17_window_rank,
     q18_window_running, q19_topk_per_group, q20_multi_join, q21_case_expr,
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
-    q28_array_funcs)
+    q28_array_funcs, q29_salted_agg)
 }
