@@ -108,6 +108,20 @@ object Streams {
     (sessions.tail.reverse.map(_.reverse), sessions.head.reverse)
   }
 
+  /** Streaming exact dedup: drop rows whose key columns were already
+    * seen, with state bounded by the watermark window
+    * (`dropDuplicatesWithinWatermark`) — the streaming face of
+    * [[graft.operators.Dedup.exactDedup]]. At 100 TB/day the
+    * watermark is what keeps the dedup state store finite: a key is
+    * only remembered while a duplicate could still legally arrive. */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File-source entry: tail a directory of parquet event files as a
     * stream — the deployment shape for the fixture schema. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -88,6 +88,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dedupStream drops in-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val deduped = dedupStream(
+      mem.toDF(), Seq("event_id"), watermarkDelay = "1 hour")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val T = 10000000L
+      def ev(id: Long, ms: Long) =
+        Event(id, new Timestamp(T + ms), 1L, "click", 1.0)
+      mem.addData(ev(1, 0), ev(1, 10), ev(2, 20)) // in-batch dup of 1
+      query.processAllAvailable()
+      mem.addData(ev(2, 30), ev(3, 40)) // cross-batch dup of 2
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("readEventStream schema matches the fixture") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ss = readEventStream(spark, dir)
