@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sampling for training-data curation (mix rebalancing, eval-split
+  * carving). Everything is hash-deterministic: the same row always
+  * makes the same decision regardless of partitioning, executor
+  * count, or retries — a property plain `rand()`-based sampling does
+  * not have under task re-execution, and the one that matters when a
+  * 100 TB job's stage gets retried halfway through. */
+object Sampling {
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * hash(key, salt) mod 1e6 < fraction*1e6. Same key ⇒ same decision
+    * (also the right tool for stable train/eval splits). */
+  def deterministicSample(
+      df: DataFrame, keyCol: Column, fraction: Double,
+      salt: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.filter(
+      pmod(xxhash64(keyCol, lit(salt)), lit(1000000L)) <
+        lit((fraction * 1000000L).toLong))
+  }
+
+  /** Stratified sampling with per-stratum fractions: each stratum
+    * (e.g. source) keeps its own rate — how pretraining mixes are
+    * rebalanced. Unlisted strata default to `defaultFraction`. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: Column,
+      keyCol: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: Long = 42L): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) => when(stratumCol === stratum, f).otherwise(acc)
+    }
+    df.filter(
+      pmod(xxhash64(keyCol, lit(salt)), lit(1000000L)).cast("double") <
+        frac * 1000000.0)
+  }
+
+  /** Exact per-group top-n by a deterministic hash order — a fixed-size
+    * "reservoir" per group without any RNG: one window, shuffle keyed
+    * by the group column. */
+  def perGroupSample(
+      df: DataFrame, groupCol: Column, keyCol: Column, n: Int,
+      salt: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(xxhash64(keyCol, lit(salt)), keyCol)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+}

@@ -317,10 +317,95 @@ object Extensions {
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
   )
 
+  private val q44_curation_pipeline = Q(
+    "q44_curation_pipeline",
+    // The realistic composition: language filter -> quality floor ->
+    // exact dedup (keep min doc_id per content) -> per-source counts.
+    // Each stage is one of the library's operators; the oracle
+    // recomputes the whole pipeline in SQL.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = docs
+        .filter(TextFunctions.langId(col("text")) === col("lang"))
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+      deduped.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("source")
+    },
+    Some {
+      val markers = TextFunctions.LangMarkers.map { case (l, ms) =>
+        l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      }
+      val scores = markers.map { case (l, arr) =>
+        s"len(list_intersect(list_distinct($W), $arr)) AS s_$l"
+      }.mkString(", ")
+      val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val pick = markers.map { case (l, _) =>
+        s"WHEN s_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+        SELECT doc_id, text, lang, source, $scores,
+          CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_extract_all(text,
+              '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END AS pr,
+          CASE WHEN len($W) = 0 THEN 0.0
+            ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
+              AS DOUBLE) / len($W) END AS sr
+        FROM documents),
+      pred AS (
+        SELECT *, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+            THEN 'zh' WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
+          round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+            + least(sr * 5.0, 1.0) * 0.4
+            + (1.0 - least(pr * 4.0, 1.0)) * 0.1, 6) AS quality
+        FROM scored),
+      kept AS (SELECT * FROM pred WHERE lang_pred = lang AND quality >= 0.5),
+      deduped AS (SELECT * FROM kept QUALIFY
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len($W)) AS BIGINT) AS n_tokens
+      FROM deduped GROUP BY source ORDER BY source"""
+    }
+  )
+
+  private val q45_source_audit = Q(
+    "q45_source_audit",
+    // Pretraining-data audit: per-source token/char/quality profile.
+    (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          min(TextFunctions.qualityScore(col("text"))).as("min_quality"),
+          max(TextFunctions.qualityScore(col("text"))).as("max_quality"))
+        .orderBy("source"),
+    Some(s"""WITH q AS (SELECT source, text, n_chars,
+        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+          + least((CASE WHEN len($W) = 0 THEN 0.0
+              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
+                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
+          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text,
+                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
+              * 4.0, 1.0)) * 0.1, 6) AS quality
+      FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len($W)) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        min(quality) AS min_quality, max(quality) AS max_quality
+      FROM q GROUP BY source ORDER BY source""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q41_multimodal_meta,
-    q42_multimodal_features, q43_stream_windowed)
+    q42_multimodal_features, q43_stream_windowed, q44_curation_pipeline,
+    q45_source_audit)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs =
+    spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+  test("deterministicSample: stable across runs and repartitioning") {
+    val a = Sampling.deterministicSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.deterministicSample(docs.repartition(13), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+    // rate in a loose band around the target
+    val rate = a.length.toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"rate $rate")
+    // monotone: a higher fraction keeps a superset
+    val bigger = Sampling.deterministicSample(docs, col("doc_id"), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.forall(bigger.contains))
+  }
+
+  test("stratifiedSample honors per-stratum fractions") {
+    val sampled = Sampling.stratifiedSample(
+      docs, col("lang"), col("doc_id"),
+      fractions = Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == total("de")) // fraction 1.0 keeps everything
+    assert(!byLang.contains("fr") && !byLang.contains("zh")) // default 0
+    val enRate = byLang("en").toDouble / total("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate $enRate")
+  }
+
+  test("perGroupSample: exactly n per group, deterministic") {
+    val s1 = Sampling.perGroupSample(docs, col("lang"), col("doc_id"), 5)
+    val counts = s1.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 5))
+    val s2 = Sampling.perGroupSample(docs.repartition(7), col("lang"),
+      col("doc_id"), 5)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
