@@ -63,11 +63,18 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against the full
-    * n-gram sets — shared tail of the LSH and prefix-filter paths. */
+    * n-gram sets — shared tail of the LSH and prefix-filter paths.
+    * Size-ratio upper bound (J <= min/max since inter <= min(|A|,|B|)
+    * and union >= max) skips the set build for hopeless pairs before
+    * any hashing happens. */
   private def verifyJaccard(
       candidates: DataFrame, sets: DataFrame, minJ: Double): DataFrame = {
     val jUdf = udf((a: scala.collection.Seq[String],
-        b: scala.collection.Seq[String]) => Kernels.jaccard(a, b))
+        b: scala.collection.Seq[String]) => {
+      val mn = math.min(a.length, b.length).toDouble
+      val mx = math.max(a.length, b.length).toDouble
+      if (mx > 0 && mn / mx < minJ) 0.0 else Kernels.jaccard(a, b)
+    })
     val g = sets.select(col("id"), col("ngrams"))
     candidates
       .join(g.as("ga"), col("id_a") === col("ga.id"))
