@@ -123,5 +123,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         (children: Seq[Expression]) =>
           CosineSimilarity(children.head, children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.NativeCosineRewrite)
   }
 }

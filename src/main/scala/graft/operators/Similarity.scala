@@ -37,10 +37,12 @@ object Similarity {
   /** Cosine similarity in [-1, 1]; 0 for zero vectors. One JIT'd
     * [[Kernels.cosine]] call per row — same strict left-to-right
     * double fold as the HOF spelling, so values are bitwise identical
-    * (the DuckDB oracle relies on this). */
+    * (the DuckDB oracle relies on this). Named so
+    * [[graft.plans.NativeCosineRewrite]] can upgrade it to the native
+    * codegen expression when the rule is injected. */
   def cosineKernel(a: Column, b: Column): Column = {
     val u = udf((x: scala.collection.Seq[Float], y: scala.collection.Seq[Float]) =>
-      Kernels.cosine(x, y))
+      Kernels.cosine(x, y)).withName("graft_cosine_kernel")
     u(a, b)
   }
 

@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Similarity
+
+class NativeCosineRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("rule rewrites the kernel UDF into the native expression, same results") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def q = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    val before = q.collect().map(_.getDouble(0)).sorted
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ NativeCosineRewrite
+    try {
+      val optimized = q
+      val plan = optimized.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_cosine") && !plan.contains("graft_cosine_kernel"),
+        plan.take(1200))
+      val after = optimized.collect().map(_.getDouble(0)).sorted
+      assert(after.toSeq == before.toSeq) // bitwise-identical math
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == NativeCosineRewrite)
+    }
+  }
+}
