@@ -144,6 +144,146 @@ object Similarity {
       .distinct()
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path next to LSH.
+  // -------------------------------------------------------------------
+
+  /** Normalize to unit L2 (zero vectors pass through). */
+  private def normalized(v: Array[Float]): Array[Float] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v
+    else {
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Spherical k-means over an in-memory sample: assign by dot product
+    * on unit vectors, recompute means, re-normalize. Deterministic —
+    * init takes the first `nlist` sample vectors (callers pass a
+    * hash-ordered sample). The sample is BOUNDED (config constant),
+    * so driver memory is O(sampleSize · dim) regardless of corpus
+    * size — this is how IVF training works at any scale. */
+  private[operators] def trainCentroids(
+      sample: Array[Array[Float]],
+      nlist: Int,
+      iters: Int): Array[Array[Float]] = {
+    val unit = sample.map(normalized)
+    val k = math.min(nlist, unit.length)
+    var cents = unit.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          val cent = cents(c)
+          while (i < dim) { d += v(i).toDouble * cent(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // keep empty cells stable
+        else normalized(Array.tabulate(cents(c).length)(i =>
+          (sums(c)(i) / counts(c)).toFloat))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Top-`nprobe` centroid ids by dot product (unit centroids ⇒ rank
+    * order equals cosine order). Tight loops, one call per row. */
+  private[operators] def probeCells(
+      vec: scala.collection.Seq[Float],
+      cents: Array[Array[Float]],
+      nprobe: Int): Array[Int] = {
+    val k = cents.length
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(vec.length, cent.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += vec(i).toDouble * cent(i); i += 1 }
+      dots(c) = d
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < m) {
+      var best = -1; var bestDot = Double.MinValue
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        c += 1
+      }
+      taken(best) = true; out(j) = best
+      j += 1
+    }
+    out
+  }
+
+  /** IVF approximate top-k self-search: train `nlist` centroids on a
+    * bounded hash-ordered sample, assign every corpus vector to its
+    * nearest cell (ONE map pass, no shuffle), then score each query
+    * only against the vectors in its `nprobe` closest cells. The
+    * cell join shuffles on the cell id — candidate volume is
+    * corpus/nlist · nprobe per query instead of the full corpus.
+    * Recall tunes with (nlist, nprobe); SimilaritySpec measures it
+    * against [[bruteForceTopK]]. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 256,
+      iters: Int = 5): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Deterministic bounded training sample: hash-order, take N. The
+    // collect is O(sampleSize · dim) — a constant, not corpus-scaled.
+    val sample = v.orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cents = trainCentroids(sample, nlist, iters)
+
+    val assignUdf = udf((x: scala.collection.Seq[Float]) => probeCells(x, cents, 1)(0))
+    val probesUdf = udf((x: scala.collection.Seq[Float]) => probeCells(x, cents, nprobe))
+    val corpus = v.withColumn("cell", assignUdf(col("v")))
+    val queries = v.select(col("id").as("query_id"), col("v").as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv"))))
+    val scored = queries.join(corpus, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("nn_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("cos"))
+      // a (query, candidate) pair can surface from several probed
+      // cells only if the corpus row moved cells — it cannot (single
+      // assignment), so no distinct needed before ranking.
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cos"))
+  }
+
   /** Approximate top-k: score only same-bucket candidates, then rank.
     * Recall is tunable via (tables, bits); a spec measures it against
     * [[bruteForceTopK]] on the fixture data. */

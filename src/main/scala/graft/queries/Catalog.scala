@@ -42,8 +42,11 @@ object Catalog {
     * values. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div`, not `/`: fractional division goes through DOUBLE, which
+    // cannot represent epoch nanos exactly and rounds the low µs digit
+    // — integer division truncates exactly like DuckDB's ns→µs read.
     table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast "long"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Exact-money view of a double column. */
@@ -573,6 +576,85 @@ object Catalog {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  private val q46_asof_join = Q(
+    "q46_asof_join",
+    // As-of join (graft.operators.Joins.asofJoin): every purchase gets
+    // the most recent prior click by the same user — union-tag + one
+    // shuffle + running-last window, vs DuckDB's native ASOF LEFT JOIN.
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.Joins.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"))
+        // inner-asof projection: the comparator can't hash null
+        // doubles/timestamps stably; left-outer rows are covered by
+        // JoinsSpec
+        .filter(col("matched_time").isNotNull)
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS matched_time,
+      c.event_id AS click_id, c.value AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""")
+  )
+
+  private val q47_range_join = Q(
+    "q47_range_join",
+    // Interval range join (graft.operators.Joins.rangeJoin): events
+    // following an error by the same user within 5 minutes. Bucketed
+    // equi-join + residual predicate — no nested-loop cross product.
+    // Lower bound 1 µs = strictly-after at the data's µs precision.
+    (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val others = ev.select(col("event_id").as("next_id"), col("user_id"),
+        col("ts").as("next_ts"), col("event_type").as("next_type"))
+      graft.operators.Joins.rangeJoin(
+        errors, others, Seq("user_id"), "err_ts", "next_ts",
+        lowerSec = 1e-6, upperSec = 300.0)
+        .select(col("err_id"), col("next_id"), col("next_type"),
+          (unix_micros(col("next_ts")) - unix_micros(col("err_ts")))
+            .cast("long").as("dt_us"))
+        .orderBy("err_id", "next_id")
+    },
+    Some("""SELECT a.event_id AS err_id, b.event_id AS next_id,
+      b.event_type AS next_type,
+      CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 300 SECONDS
+      WHERE a.event_type = 'error'
+      ORDER BY err_id, next_id""")
+  )
+
+  private val q49_pivot = Q(
+    "q49_pivot",
+    // Pivot = conditional aggregation with a fixed column list (never
+    // the implicit distinct-scan variant — that is a second job over
+    // the data at 100 TB). na.fill pins empty cells to 0 like the
+    // oracle's FILTER counts.
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS F,
+      CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** Core reference-parity queries. Extension operators (dedup,
     * similarity, text analysis, multimodal) register in their own
     * modules and are appended in [[graft.SparkEntry]]. */
@@ -583,5 +665,6 @@ object Catalog {
     q14_agg_stats, q15_string_funcs, q16_date_funcs, q17_window_rank,
     q18_window_running, q19_topk_per_group, q20_multi_join, q21_case_expr,
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
-    q28_array_funcs, q29_salted_agg)
+    q28_array_funcs, q29_salted_agg, q46_asof_join, q47_range_join,
+    q49_pivot)
 }

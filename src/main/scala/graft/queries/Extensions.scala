@@ -261,6 +261,20 @@ object Extensions {
     None
   )
 
+  private val q48_sim_ann_ivf = Q(
+    "q48_sim_ann_ivf",
+    // IVF scale path: bounded-sample spherical k-means centroids, one
+    // assignment pass, nprobe-cell candidate join. No oracle (JVM
+    // centroid training); SimilaritySpec measures recall vs brute
+    // force.
+    (s, dir) =>
+      Similarity.ivfTopK(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank"),
+    None
+  )
+
   // -------------------------------------------------------------------
   // Multimodal
   // -------------------------------------------------------------------
@@ -405,7 +419,8 @@ object Extensions {
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
-    q39_sim_bruteforce_topk, q40_sim_ann_lsh, q41_multimodal_meta,
+    q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
+    q41_multimodal_meta,
     q42_multimodal_features, q43_stream_windowed, q44_curation_pipeline,
     q45_source_audit)
 }

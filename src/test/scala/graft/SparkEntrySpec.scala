@@ -18,7 +18,8 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(q.forall(_.matches("[a-z0-9_]+")))
     // rows-only queries are the documented JVM-kernel ones
     assert(q.diff(o) == Set(
-      "q37_dedup_simhash", "q40_sim_ann_lsh", "q42_multimodal_features"))
+      "q37_dedup_simhash", "q40_sim_ann_lsh", "q42_multimodal_features",
+      "q48_sim_ann_ivf"))
   }
 
   test("all queries run at sf0.001 and return non-empty results") {

@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  // probes: (id, key, t); quotes: (key, t, px)
+  private lazy val probes = Seq(
+    (1L, "a", ts(10)), (2L, "a", ts(20)), (3L, "a", ts(30)),
+    (4L, "b", ts(15)), (5L, "c", ts(50))
+  ).toDF("id", "k", "t")
+
+  private lazy val quotes = Seq(
+    ("a", ts(5), 1.0), ("a", ts(20), 2.0), ("a", ts(25), 3.0),
+    ("b", ts(16), 4.0), ("d", ts(1), 9.0)
+  ).toDF("k", "qt", "px")
+
+  test("asofJoin: greatest right time <= left time, per key; null when none") {
+    val got = Joins.asofJoin(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"))
+      .orderBy("id")
+      .select("id", "matched_time", "px")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      (1L, Some(ts(5)), Some(1.0)),    // only the t=5 quote is <= 10
+      (2L, Some(ts(20)), Some(2.0)),   // tie at t=20 matches (<=)
+      (3L, Some(ts(25)), Some(3.0)),   // latest of the three
+      (4L, None, None),                // b's quote is at 16 > 15
+      (5L, None, None)))               // no c quotes at all
+  }
+
+  test("asofJoin strict: a tied right row is not visible") {
+    val got = Joins.asofJoin(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"), strict = true)
+      .orderBy("id").select("id", "px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(2L).contains(1.0)) // t=20 quote excluded, falls back to t=5
+    assert(got(3L).contains(3.0)) // 25 < 30 still fine
+  }
+
+  test("asofJoin tolerance: stale matches are nulled, not dropped") {
+    val got = Joins.asofJoin(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"),
+      tolerance = Some(6.0))
+      .orderBy("id").select("id", "px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got.size == 5)             // left-outer: every probe survives
+    assert(got(1L).contains(1.0))     // 10-5  = 5s <= 6s
+    assert(got(3L).contains(3.0))     // 30-25 = 5s <= 6s
+    assert(got(2L).contains(2.0))     // exact tie, staleness 0
+  }
+
+  test("asofJoin == naive per-row max on fixture events") {
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val got = Joins.asofJoin(
+      purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    val cs = clicks.as[(Long, Timestamp, Long)].collect()
+    val naive = purchases.as[(Long, Long, Timestamp)].collect().map {
+      case (eid, uid, t) =>
+        val cands = cs.filter(c => c._1 == uid && !c._2.after(t))
+        eid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got == naive)
+    assert(got.values.exists(_.isDefined)) // non-degenerate fixture
+  }
+
+  test("rangeJoin == naive theta join; bucketing width is invisible") {
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001).limit(400)
+    val l = ev.select(col("event_id").as("lid"), col("user_id"),
+      col("ts").as("lt"))
+    val r = ev.select(col("event_id").as("rid"), col("user_id"),
+      col("ts").as("rt"))
+    def pairs(widthSec: Option[Double]) = Joins.rangeJoin(
+      l, r, Seq("user_id"), "lt", "rt", lowerSec = 1e-6, upperSec = 600.0,
+      widthSec = widthSec)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+    val naive = l.as("l").join(r.as("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("rt") > col("lt") &&
+        unix_micros(col("rt")) - unix_micros(col("lt")) <= 600000000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+    val wide = pairs(None)
+    assert(wide == naive)
+    assert(wide.nonEmpty)
+    // a narrower bucket width duplicates rows into more cells but the
+    // residual predicate must make the result identical
+    assert(pairs(Some(150.0)) == naive)
+  }
+}

@@ -66,6 +66,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean > 0.25, f"mean recall@$k degraded: $mean%.3f")
   }
 
+  test("ivfTopK: exact scores, contiguous ranks, recall beats cell fraction") {
+    val k = 5
+    val brute = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding", k)
+      .select("query_id", "nn_id", "cos").as[(Long, Long, Double)]
+      .collect()
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteCos = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", k, nlist = 16, nprobe = 4)
+      .select("query_id", "rank", "nn_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    ivf.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).toSeq.sorted == (1L to g.length))
+      g.foreach { case (q, _, nn, _) => assert(nn != q) }
+    }
+    // reported scores are the exact kernel values
+    ivf.foreach { case (q, _, n, c) =>
+      bruteCos.get((q, n)).foreach(exact => assert(math.abs(exact - c) < 1e-12))
+    }
+    val ivfTop = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = bruteTop.map { case (q, t) =>
+      ivfTop.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@$k = $mean%.3f over ${recalls.size} queries")
+    // probing 4/16 cells scans ~25% of the corpus; recall must beat
+    // that scan fraction by a wide margin for the index to be useful
+    assert(mean > 0.4, f"IVF mean recall@$k degraded: $mean%.3f")
+  }
+
+  test("ivfTopK is deterministic across invocations") {
+    def run() = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+      .select("query_id", "rank", "nn_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run() == run())
+  }
+
   test("annCandidates emits ordered distinct pairs") {
     val cand = Similarity.annCandidates(emb, "vec_id", "embedding",
       tables = 4, bits = 8)
