@@ -655,6 +655,42 @@ object Catalog {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  private val q50_approx_distinct = Q(
+    "q50_approx_distinct",
+    // The scale path for COUNT DISTINCT: HyperLogLog++ partial
+    // aggregation — fixed-size sketches merge associatively, so the
+    // shuffle carries KBs instead of the distinct key set. No oracle
+    // (DuckDB's HLL differs); the spec pins relative error <2% vs
+    // exact, and the exact twin is q14's distinct_parts.
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", rsd = 0.01).as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag"),
+    None
+  )
+
+  private val q51_percentiles = Q(
+    "q51_percentiles",
+    // Exact percentiles with linear interpolation — Spark `percentile`
+    // and DuckDB `quantile_cont` share the definition; operands here
+    // are small integers so the interpolation arithmetic is exact.
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS p50,
+      quantile_cont(l_quantity, 0.95) AS p95,
+      quantile_cont(l_extendedprice, 0.99) AS p99_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** Core reference-parity queries. Extension operators (dedup,
     * similarity, text analysis, multimodal) register in their own
     * modules and are appended in [[graft.SparkEntry]]. */
@@ -666,5 +702,5 @@ object Catalog {
     q18_window_running, q19_topk_per_group, q20_multi_join, q21_case_expr,
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
     q28_array_funcs, q29_salted_agg, q46_asof_join, q47_range_join,
-    q49_pivot)
+    q49_pivot, q50_approx_distinct, q51_percentiles)
 }

@@ -331,6 +331,29 @@ object Extensions {
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
   )
 
+  private val q52_stream_join = Q(
+    "q52_stream_join",
+    // Batch twin of Streams.clickToPurchaseJoin (stream-stream interval
+    // join with watermark-bounded state); StreamsSpec proves the
+    // MemoryStream run returns these exact rows.
+    (s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.Streams.clickToPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowSec = 600L)
+        .orderBy("purchase_id", "click_id")
+    },
+    Some("""SELECT p.user_id, p.event_id AS purchase_id,
+      p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+      p.value
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 600 SECOND
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      ORDER BY purchase_id, click_id""")
+  )
+
   private val q44_curation_pipeline = Q(
     "q44_curation_pipeline",
     // The realistic composition: language filter -> quality floor ->
@@ -421,6 +444,6 @@ object Extensions {
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
     q41_multimodal_meta,
-    q42_multimodal_features, q43_stream_windowed, q44_curation_pipeline,
-    q45_source_audit)
+    q42_multimodal_features, q43_stream_windowed, q52_stream_join,
+    q44_curation_pipeline, q45_source_audit)
 }

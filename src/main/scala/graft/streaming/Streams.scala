@@ -122,6 +122,33 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each purchase joins the clicks of
+    * the same user within `windowSec` BEFORE it. Both sides carry
+    * watermarks and the join condition bounds the click's age, so
+    * Spark can evict buffered rows once the watermark passes — state
+    * stays proportional to `windowSec` of traffic, never the full
+    * stream. Works identically on batch inputs (the spec's twin). */
+  def clickToPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSec: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        c("click_ts") <= p("purchase_ts") &&
+        c("click_ts") >= p("purchase_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(p("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** File-source entry: tail a directory of parquet event files as a
     * stream — the deployment shape for the fixture schema. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

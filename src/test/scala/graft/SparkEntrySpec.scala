@@ -19,7 +19,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // rows-only queries are the documented JVM-kernel ones
     assert(q.diff(o) == Set(
       "q37_dedup_simhash", "q40_sim_ann_lsh", "q42_multimodal_features",
-      "q48_sim_ann_ivf"))
+      "q48_sim_ann_ivf", "q50_approx_distinct"))
   }
 
   test("all queries run at sf0.001 and return non-empty results") {

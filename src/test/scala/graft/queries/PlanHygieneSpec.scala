@@ -42,4 +42,35 @@ class PlanHygieneSpec extends AnyFunSuite {
     // partial_count marks the map-side combine the reference left dormant
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(1500))
   }
+
+  test("q46: as-of join is one key shuffle + window, not a join at all") {
+    val p = plan("q46_asof_join")
+    // the union-tag spelling must not degrade into any physical join;
+    // its only exchanges are the key hash partition (for the window)
+    // and the final output sort
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"as-of join shuffles $exchanges times:\n${p.take(2000)}")
+  }
+
+  test("q50: HLL sketch lands within 2% of the exact distinct count") {
+    val rows = SparkEntry.queries("q50_approx_distinct")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.02,
+        s"HLL error ${math.abs(approx - exact) / exact} for $r")
+    }
+  }
+
+  test("q47: range join is an equi-join on cells, never nested-loop") {
+    val p = plan("q47_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

@@ -112,6 +112,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("clickToPurchaseJoin: stream-stream join == batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val rows = ev.as[(Long, Long, Timestamp, String, Double)].collect().toSeq
+    def cols(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "ts", "event_type", "value")
+
+    val clicksMem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val purchasesMem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val joined = clickToPurchaseJoin(
+      cols(clicksMem.toDF()), cols(purchasesMem.toDF()), windowSec = 600L)
+    val query = joined.writeStream
+      .format("memory").queryName("cp_join")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      clicksMem.addData(rows.filter(_._4 == "click"))
+      purchasesMem.addData(rows.filter(_._4 == "purchase"))
+      query.processAllAvailable()
+      val streamed = spark.table("cp_join")
+        .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+      val expected = clickToPurchaseJoin(
+        cols(ev.filter($"event_type" === "click")),
+        cols(ev.filter($"event_type" === "purchase")), windowSec = 600L)
+        .orderBy("purchase_id", "click_id").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == expected)
+    } finally query.stop()
+  }
+
   test("readEventStream schema matches the fixture") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ss = readEventStream(spark, dir)
