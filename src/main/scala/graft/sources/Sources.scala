@@ -50,6 +50,18 @@ object Sources {
       spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * pruning/pushdown machinery as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(
+      df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
   /** Sinks: partitioned columnar write is the default at scale. */
   def writeParquet(
       df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {

@@ -48,4 +48,20 @@ class SourcesSpec extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(!scan.contains("tag=b"), scan.take(1000))
   }
+
+  test("orc round-trip preserves rows and pushes filters") {
+    val dir = Files.createTempDirectory("graft-src-orc").toString
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "tag", "v")
+    Sources.writeOrc(df, s"$dir/orc")
+    val back = Sources.orc(spark, s"$dir/orc")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    val filtered = back.filter(col("id") > 1L)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      scan.take(1000))
+    assert(filtered.count() == 2)
+  }
 }
