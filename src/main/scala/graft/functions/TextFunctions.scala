@@ -39,6 +39,15 @@ object TextFunctions {
         size(w))
   }
 
+  /** Repeated-token fraction: 1 − distinct/total words (0 for empty
+    * docs). High values flag boilerplate/spam — a standard pretraining
+    * quality filter next to [[punctRatio]]/[[stopwordRatio]]. */
+  def repetitionRatio(c: Column): Column = {
+    val w = words(c)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+  }
+
   /** Punctuation chars / total chars (quality signal). */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0)).otherwise(

@@ -53,6 +53,16 @@ object Joins {
       strict: Boolean = false,
       tolerance: Option[Double] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(keys.nonEmpty,
+      "asofJoin needs at least one equi-key: a keyless as-of is a " +
+        "single global sort — repartition-hostile at scale")
+    val reserved = Set("__t", "__side", "__payload", "__match",
+      "__matchTime", "__ok", "matched_time")
+    require(!(rightPayload ++ leftCols).exists(reserved.contains),
+      s"column names ${reserved.mkString(", ")} are reserved by asofJoin")
+    require(rightPayload.forall(p => !leftCols.contains(p)),
+      s"right payload columns ${rightPayload.filter(leftCols.contains)} " +
+        "collide with left columns — rename one side first")
     // Tag sides and align schemas: left keeps its columns, carries a
     // null payload struct; right contributes only keys + time + the
     // payload struct. At equal times the right row must sort BEFORE
@@ -68,6 +78,11 @@ object Joins {
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
     val rTagged = right
+      // equi-join semantics: a NULL key matches nothing — window
+      // partitionBy would otherwise group NULL keys together and
+      // match them against each other (DuckDB ASOF ON l.k = r.k
+      // drops them, so must we)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__payload", payloadStruct)
       .select((keys.map(col) :+ col(rightTime).as("__t") :+ col("__payload")): _*)
       .withColumn("__side", lit(rightSide))
@@ -125,6 +140,9 @@ object Joins {
       upperSec: Double,
       widthSec: Option[Double] = None): DataFrame = {
     require(upperSec >= lowerSec, "upperSec must be >= lowerSec")
+    require(!left.columns.contains(rightTime),
+      s"right time column '$rightTime' collides with a left column — " +
+        "rename one side first (the residual predicate needs both)")
     val loMicros = math.round(lowerSec * 1e6)
     val hiMicros = math.round(upperSec * 1e6)
     val wMicros = widthSec.map(w => math.max((w * 1e6).toLong, 1L))
@@ -137,14 +155,20 @@ object Joins {
       explode(sequence(
         cellOf(unix_micros(col(leftTime)) + loMicros),
         cellOf(unix_micros(col(leftTime)) + hiMicros))))
-    val r = right.withColumn("__cell", cellOf(unix_micros(col(rightTime))))
-
-    val joinCond = (keys.map(k => l(k) === r(k)) :+ (l("__cell") === r("__cell")))
-      .reduce(_ && _)
-    val dtMicros = unix_micros(r(rightTime)) - unix_micros(l(leftTime))
+    // rename the right side's join columns to private names: the join
+    // condition is then unambiguous even when both sides derive from
+    // the SAME DataFrame (self-join) — no reliance on dataset-id
+    // disambiguation, no "trivially true predicate" fragility
+    val r = keys.foldLeft(
+      right.withColumn("__rcell", cellOf(unix_micros(col(rightTime))))) {
+      case (d, k) => d.withColumnRenamed(k, s"__rk_$k")
+    }
+    val joinCond = (keys.map(k => col(k) === col(s"__rk_$k")) :+
+      (col("__cell") === col("__rcell"))).reduce(_ && _)
+    val dtMicros = unix_micros(col(rightTime)) - unix_micros(col(leftTime))
+    val dropCols = Seq("__cell", "__rcell") ++ keys.map(k => s"__rk_$k")
     l.join(r, joinCond)
       .filter(dtMicros >= loMicros && dtMicros <= hiMicros)
-      .drop(l("__cell")).drop(r("__cell"))
-      .drop(keys.map(r(_)).head, keys.map(r(_)).tail: _*)
+      .drop(dropCols: _*)
   }
 }

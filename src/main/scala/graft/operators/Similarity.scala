@@ -227,10 +227,15 @@ object Similarity {
     val taken = new Array[Boolean](k)
     var j = 0
     while (j < m) {
-      var best = -1; var bestDot = Double.MinValue
+      var best = -1; var bestDot = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        // `best < 0` guard: NaN dots (NaN components in the vector)
+        // fail every comparison — still pick some untaken cell rather
+        // than index -1
+        if (!taken(c) && (best < 0 || dots(c) > bestDot)) {
+          bestDot = dots(c); best = c
+        }
         c += 1
       }
       taken(best) = true; out(j) = best
@@ -263,6 +268,18 @@ object Similarity {
     val sample = v.orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
       .select("v").collect()
       .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) {
+      // empty corpus: return an empty result with the right schema,
+      // like bruteForceTopK/annTopK do
+      import org.apache.spark.sql.types._
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", df.schema(idCol).dataType),
+          StructField("rank", LongType),
+          StructField("nn_id", df.schema(idCol).dataType),
+          StructField("cos", DoubleType))))
+    }
     val cents = trainCentroids(sample, nlist, iters)
 
     val assignUdf = udf((x: scala.collection.Seq[Float]) => probeCells(x, cents, 1)(0))

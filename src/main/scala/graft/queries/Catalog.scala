@@ -655,18 +655,39 @@ object Catalog {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  private val q54_cube = Q(
+    "q54_cube",
+    // Full grouping-set lattice (CUBE) — rollup's sibling; NULLS FIRST
+    // pinned on both sides like q24.
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("price"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  )
+
   private val q50_approx_distinct = Q(
     "q50_approx_distinct",
     // The scale path for COUNT DISTINCT: HyperLogLog++ partial
     // aggregation — fixed-size sketches merge associatively, so the
-    // shuffle carries KBs instead of the distinct key set. No oracle
-    // (DuckDB's HLL differs); the spec pins relative error <2% vs
-    // exact, and the exact twin is q14's distinct_parts.
+    // shuffle carries KBs instead of the distinct key set. Pure HLL
+    // shape: the exact twin lives in the spec (and q14), never in
+    // this plan — including it here would re-pay the exact-distinct
+    // expand this query exists to avoid. No oracle (DuckDB's sketch
+    // differs); the spec pins relative error <2% vs exact.
     (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", rsd = 0.01).as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
+        .agg(approx_count_distinct("l_partkey", rsd = 0.01).as("approx_parts"))
         .orderBy("l_returnflag"),
     None
   )
@@ -702,5 +723,5 @@ object Catalog {
     q18_window_running, q19_topk_per_group, q20_multi_join, q21_case_expr,
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
     q28_array_funcs, q29_salted_agg, q46_asof_join, q47_range_join,
-    q49_pivot, q50_approx_distinct, q51_percentiles)
+    q49_pivot, q50_approx_distinct, q51_percentiles, q54_cube)
 }

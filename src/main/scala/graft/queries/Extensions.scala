@@ -138,6 +138,23 @@ object Extensions {
       FROM t ORDER BY doc_id""")
   )
 
+  private val q53_text_repetition = Q(
+    "q53_text_repetition",
+    // Repeated-token boilerplate signal; exact integer-ratio arithmetic
+    // so the double division matches DuckDB bitwise.
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      CASE WHEN len($W) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct($W)) AS DOUBLE) / len($W)
+      END AS rep_ratio
+      FROM documents ORDER BY doc_id""")
+  )
+
   // -------------------------------------------------------------------
   // Deduplication
   // -------------------------------------------------------------------
@@ -440,7 +457,8 @@ object Extensions {
 
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
-    q33_text_fingerprint, q34_dedup_exact, q35_dedup_ngram_jaccard,
+    q33_text_fingerprint, q53_text_repetition,
+    q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
     q41_multimodal_meta,

@@ -133,19 +133,23 @@ object Streams {
       purchases: DataFrame,
       windowSec: Long,
       watermarkDelay: String = "1 hour"): DataFrame = {
+    // distinct column names on the click side: the join condition is
+    // unambiguous even when both inputs derive from one stream (no
+    // dataset-id disambiguation, no trivially-true-predicate hazard)
     val c = clicks
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermarkDelay)
     val p = purchases
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", watermarkDelay)
     p.join(c,
-      p("user_id") === c("user_id") &&
-        c("click_ts") <= p("purchase_ts") &&
-        c("click_ts") >= p("purchase_ts") - expr(s"INTERVAL $windowSec SECONDS"))
-      .select(p("user_id"), col("purchase_id"), col("purchase_ts"),
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("value"))
   }
 

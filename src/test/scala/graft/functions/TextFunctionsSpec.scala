@@ -24,6 +24,12 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one("", TextFunctions.meanWordLen(col("text"))) == 0.0)
   }
 
+  test("repetitionRatio: repeated-token fraction") {
+    assert(one("a b c d", TextFunctions.repetitionRatio(col("text"))) == 0.0)
+    assert(one("a a a a", TextFunctions.repetitionRatio(col("text"))) == 0.75)
+    assert(one("", TextFunctions.repetitionRatio(col("text"))) == 0.0)
+  }
+
   test("stopwordRatio counts occurrences, not distinct") {
     assert(one("the cat the dog", TextFunctions.stopwordRatio(col("text"))) == 0.5)
   }

@@ -59,6 +59,26 @@ class JoinsSpec extends AnyFunSuite {
     assert(got(2L).contains(2.0))     // exact tie, staleness 0
   }
 
+  test("asofJoin: NULL keys match nothing (equi-join semantics)") {
+    val p = Seq((1L, Option("a"), ts(10)), (2L, Option.empty[String], ts(10)))
+      .toDF("id", "k", "t")
+    val q = Seq((Option("a"), ts(5), 1.0), (Option.empty[String], ts(5), 2.0))
+      .toDF("k", "qt", "px")
+    val got = Joins.asofJoin(p, q, Seq("k"), "t", "qt", Seq("px"))
+      .orderBy("id").select("id", "px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).isEmpty) // NULL never equals NULL
+  }
+
+  test("asofJoin rejects payload/reserved column collisions") {
+    val err = intercept[IllegalArgumentException] {
+      Joins.asofJoin(probes, quotes.withColumnRenamed("px", "t"),
+        Seq("k"), "t", "qt", Seq("t"))
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
   test("asofJoin == naive per-row max on fixture events") {
     val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
     val purchases = ev.filter(col("event_type") === "purchase")

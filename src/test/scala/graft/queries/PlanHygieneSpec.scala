@@ -55,15 +55,27 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("q50: HLL sketch lands within 2% of the exact distinct count") {
-    val rows = SparkEntry.queries("q50_approx_distinct")(spark, TestSpark.sf0001)
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.02,
-        s"HLL error ${math.abs(approx - exact) / exact} for $r")
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q50_approx_distinct")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
+    assert(approx.nonEmpty)
+    // exact twin computed here, NOT in the catalog query — q50's plan
+    // must stay the pure sketch shape
+    val exact = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_parts"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("exact_parts")).toMap
+    approx.foreach { case (flag, a) =>
+      val e = exact(flag).toDouble
+      assert(math.abs(a - e) / e < 0.02,
+        s"HLL error ${math.abs(a - e) / e} for $flag")
     }
+  }
+
+  test("q50: the plan contains no exact-distinct expansion") {
+    val p = plan("q50_approx_distinct")
+    assert(p.contains("approx_count_distinct"), p.take(1500))
+    assert(!p.contains("Expand"), p.take(1500))
   }
 
   test("q47: range join is an equi-join on cells, never nested-loop") {
