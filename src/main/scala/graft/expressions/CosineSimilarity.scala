@@ -124,5 +124,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) =>
           CosineSimilarity(children.head, children(1))))
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -122,6 +122,52 @@ object Joins {
       rightPayload.map(col): _*)
   }
 
+  /** Native as-of join through the whole-operator Catalyst path
+    * ([[graft.plans.AsofJoinPlan]] → [[graft.plans.AsofJoinStrategy]]
+    * → [[graft.plans.AsofJoinExec]]): same semantics and output shape
+    * as [[asofJoin]] (spec-checked equal), but executed as ONE
+    * streaming merge per partition with O(1) state instead of a
+    * window over the unioned sides. Use when the as-of is the hot
+    * operator; the composed spelling needs no session extension. */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoinNative needs at least one equi-key")
+    val spark = left.sparkSession
+    // idempotent strategy injection for sessions built without
+    // GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
+    // rename ALL right columns: disjoint names AND fresh expr ids, so
+    // a self-as-of is unambiguous without analyzer dedup help
+    val r2 = right.columns.foldLeft(right) {
+      case (d, c) => d.withColumnRenamed(c, s"__r_$c")
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name'"))
+    val node = graft.plans.AsofJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
+      attr(lPlan, leftTime), attr(rPlan, s"__r_$rightTime"),
+      strict)
+    val joinedDf = org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark, node)
+    joinedDf.select(
+      (left.columns.toSeq.map(col) :+
+        col(s"__r_$rightTime").as("matched_time")) ++
+        rightPayload.map(p => col(s"__r_$p").as(p)): _*)
+  }
+
   /** Interval range join: pairs (l, r) matching on `keys` with
     * `rightTime` in `[leftTime + lowerSec, leftTime + upperSec]`
     * (seconds, inclusive). Implemented as a bucketed equi-join: left

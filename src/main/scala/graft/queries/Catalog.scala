@@ -636,6 +636,33 @@ object Catalog {
       ORDER BY err_id, next_id""")
   )
 
+  private val q55_asof_native = Q(
+    "q55_asof_native",
+    // The SAME as-of join as q46 through the whole-operator Catalyst
+    // path (AsofJoinPlan/Strategy/Exec): one streaming merge per
+    // partition, O(1) state — proven against the identical DuckDB
+    // ASOF JOIN oracle.
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.Joins.asofJoinNative(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"))
+        .filter(col("matched_time").isNotNull)
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS matched_time,
+      c.event_id AS click_id, c.value AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""")
+  )
+
   private val q49_pivot = Q(
     "q49_pivot",
     // Pivot = conditional aggregation with a fixed column list (never
@@ -723,5 +750,6 @@ object Catalog {
     q18_window_running, q19_topk_per_group, q20_multi_join, q21_case_expr,
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
     q28_array_funcs, q29_salted_agg, q46_asof_join, q47_range_join,
-    q49_pivot, q50_approx_distinct, q51_percentiles, q54_cube)
+    q49_pivot, q50_approx_distinct, q51_percentiles, q54_cube,
+    q55_asof_native)
 }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge to `private[sql]` constructors the custom-operator path
+  * needs — the standard shim pattern third-party Spark libraries use
+  * to build a DataFrame from a hand-constructed LogicalPlan (the only
+  * missing public surface for whole-operator extensions; strategies
+  * and rules themselves inject through the public
+  * SparkSessionExtensions / experimental APIs). */
+object GraftSqlShim {
+
+  /** Public face of `classic.Dataset.ofRows`. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

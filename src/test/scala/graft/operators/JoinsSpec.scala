@@ -101,6 +101,61 @@ class JoinsSpec extends AnyFunSuite {
     assert(got.values.exists(_.isDefined)) // non-degenerate fixture
   }
 
+  test("asofJoinNative == composed asofJoin on fixture events") {
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect().map(_.toSeq).toSeq
+    val composed = Joins.asofJoin(
+      purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"))
+    val native = Joins.asofJoinNative(
+      purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_id", "click_value"))
+    assert(rows(native) == rows(composed))
+    assert(rows(native).nonEmpty)
+    // strict variant agrees too
+    assert(rows(Joins.asofJoinNative(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id", "click_value"), strict = true)) ==
+      rows(Joins.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id", "click_value"), strict = true)))
+  }
+
+  test("asofJoinNative: hand cases incl. NULL keys and self-as-of") {
+    val p = Seq((1L, Option("a"), ts(10)), (2L, Option("a"), ts(30)),
+      (3L, Option.empty[String], ts(10)), (4L, Option("c"), ts(50)))
+      .toDF("id", "k", "t")
+    val q = Seq((Option("a"), ts(5), 1.0), (Option("a"), ts(20), 2.0),
+      (Option.empty[String], ts(5), 9.0))
+      .toDF("k", "qt", "px")
+    val got = Joins.asofJoinNative(p, q, Seq("k"), "t", "qt", Seq("px"))
+      .orderBy("id").select("id", "px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+    // self-as-of: both sides from ONE DataFrame — fresh right expr ids
+    val self = Joins.asofJoinNative(
+      probes, probes.select(col("k"), col("t"), col("id").as("pid")),
+      Seq("k"), "t", "t", Seq("pid"))
+    assert(self.count() == probes.count()) // every probe matches itself
+  }
+
+  test("asofJoinNative plan: AsofJoin node, exchanges only for the keys") {
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val df = Joins.asofJoinNative(
+      purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("rangeJoin == naive theta join; bucketing width is invisible") {
     val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001).limit(400)
     val l = ev.select(col("event_id").as("lid"), col("user_id"),
