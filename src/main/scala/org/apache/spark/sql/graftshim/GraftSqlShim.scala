@@ -15,4 +15,15 @@ object GraftSqlShim {
   /** Public face of `classic.Dataset.ofRows`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test-only views of what an extensions class registered. */
+  def plannerStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession) =
+    ext.buildPlannerStrategies(spark)
+
+  def optimizerRules(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession) =
+    ext.buildOptimizerRules(spark)
 }

@@ -31,4 +31,17 @@ class NativeCosineRewriteSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ == NativeCosineRewrite)
     }
   }
+
+  test("GraftExtensions registers the rule and the as-of strategy") {
+    // getOrCreate would hand back the shared test session and ignore
+    // spark.sql.extensions, so inspect the extensions object directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expressions.GraftExtensions().apply(ext)
+    val strategies =
+      org.apache.spark.sql.graftshim.GraftSqlShim.plannerStrategies(ext, spark)
+    assert(strategies.contains(AsofJoinStrategy))
+    val rules =
+      org.apache.spark.sql.graftshim.GraftSqlShim.optimizerRules(ext, spark)
+    assert(rules.contains(NativeCosineRewrite))
+  }
 }
