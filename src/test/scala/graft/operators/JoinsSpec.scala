@@ -156,6 +156,46 @@ class JoinsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("asofJoin property: composed == native == naive on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.oneOf("a", "b", "c", "d")
+    // coarse times force ties and duplicate (key, time) collisions on
+    // the left; right times are offset so exact-tie (<=) paths fire
+    val pairGen: Gen[(String, Long)] = Gen.zip(keyGen, Gen.choose(0L, 30L))
+    (0 until 5).foreach { i =>
+      val lRaw: List[(String, Long)] = Gen.listOfN(60, pairGen)
+        .apply(Gen.Parameters.default, Seed(7L + i)).get
+      val rRaw: List[(String, Long)] = Gen.listOfN(40, pairGen)
+        .apply(Gen.Parameters.default, Seed(1000L + i)).get
+      val lRows = lRaw.zipWithIndex.map { case ((k, t), id) =>
+        (id.toLong, k, ts(t))
+      }
+      // dedupe right (key, time) — payload would be nondeterministic
+      // under ties, which is a data-contract precondition, not a bug
+      val rRows = rRaw.distinct.zipWithIndex.map { case ((k, t), id) =>
+        (k, ts(t), id.toDouble)
+      }
+      val l = lRows.toDF("id", "k", "t")
+      val r = rRows.toDF("k", "qt", "px")
+      def result(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "matched_time", "px")
+          .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+      val composed = result(Joins.asofJoin(l, r, Seq("k"), "t", "qt", Seq("px")))
+      val native = result(Joins.asofJoinNative(l, r, Seq("k"), "t", "qt", Seq("px")))
+      val naive = lRows.map { case (id, k, t) =>
+        val cands = rRows.filter(c => c._1 == k && !c._2.after(t))
+        if (cands.isEmpty) (id, None, None)
+        else {
+          val best = cands.maxBy(_._2.getTime)
+          (id, Some(best._2), Some(best._3))
+        }
+      }.toSet
+      assert(composed == naive, s"composed != naive at seed ${7 + i}")
+      assert(native == naive, s"native != naive at seed ${7 + i}")
+    }
+  }
+
   test("rangeJoin == naive theta join; bucketing width is invisible") {
     val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001).limit(400)
     val l = ev.select(col("event_id").as("lid"), col("user_id"),
