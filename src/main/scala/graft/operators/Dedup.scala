@@ -120,16 +120,17 @@ object Dedup {
       case None => posting0
     }
     val dfreq = posting.groupBy("g").agg(count(lit(1)).as("gdf"))
-    // rarest-first prefix per doc: sort grams by (df, gram), keep
-    // |s| - ceil(minJ*|s|) + 1 of them
+    // rarest-first prefix per doc: rank grams by (df, gram) within
+    // each doc, keep the first |s| - ceil(minJ*|s|) + 1. A window
+    // row_number is one sort-shuffle entirely inside codegen; the
+    // collect_list + array_sort spelling it replaces built a 400-
+    // element struct array per doc and sorted it interpreted.
+    val wDoc = Window.partitionBy("id").orderBy("gdf", "g")
     val prefix = posting.join(dfreq, "g")
-      .groupBy("id", "set_size")
-      .agg(array_sort(collect_list(struct(col("gdf"), col("g")))).as("sorted"))
-      .select(col("id"), explode(slice(
-        transform(col("sorted"), s => s.getField("g")),
-        lit(1),
-        (col("set_size") - ceil(lit(minJ) * col("set_size")) + 1).cast("int")))
-        .as("g"))
+      .withColumn("_rk", row_number().over(wDoc))
+      .filter(col("_rk") <=
+        (col("set_size") - ceil(lit(minJ) * col("set_size")) + 1).cast("int"))
+      .select("id", "g")
     val candidates = prefix.as("l")
       .join(prefix.as("r"), col("l.g") === col("r.g") &&
         col("l.id") < col("r.id"))
