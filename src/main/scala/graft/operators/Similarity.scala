@@ -244,6 +244,30 @@ object Similarity {
     out
   }
 
+  /** Rank scored (query_id, nn_id, cos) rows to per-query top-k with
+    * the bounded-state [[graft.functions.TypedAggregators.TopKScored]]
+    * aggregator: map-side partial heaps mean the shuffle moves at most
+    * k entries per query per partition — the 100 TB replacement for a
+    * window over every candidate score. Same total order as the
+    * window spelling (cos DESC, nn_id ASC), so results are identical.
+    * Requires long ids (both ANN self-search paths have them). */
+  private[operators] def topKScored(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored
+      .select(col("query_id").cast("long"), col("nn_id").cast("long"),
+        col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TypedAggregators.TopKScored(k).toColumn)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case ((c, n), i) =>
+          (q, (i + 1).toLong, n, c)
+        }
+      }
+      .toDF("query_id", "rank", "nn_id", "cos")
+  }
+
   /** IVF approximate top-k self-search: train `nlist` centroids on a
     * bounded hash-ordered sample, assign every corpus vector to its
     * nearest cell (ONE map pass, no shuffle), then score each query
@@ -294,11 +318,7 @@ object Similarity {
       // a (query, candidate) pair can surface from several probed
       // cells only if the corpus row moved cells — it cannot (single
       // assignment), so no distinct needed before ranking.
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nn_id"), col("cos"))
+    topKScored(scored, k)
   }
 
   /** Approximate top-k: score only same-bucket candidates, then rank.
@@ -324,10 +344,6 @@ object Similarity {
       .join(v.as("c"), col("nn_id") === col("c.id"))
       .select(col("query_id"), col("nn_id"),
         call_function("graft_cosine", col("q.v"), col("c.v")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nn_id"), col("cos"))
+    topKScored(scored, k)
   }
 }

@@ -105,6 +105,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("topKScored aggregator == window ranking, incl. score ties") {
+    import org.apache.spark.sql.expressions.Window
+    // ties on cos force the nn_id tiebreak through both paths
+    val scored = (0L until 40L).flatMap { q =>
+      (0L until 25L).map(n => (q, n, (n % 7).toDouble / 7.0))
+    }.toDF("query_id", "nn_id", "cos")
+    val viaAgg = Similarity.topKScored(scored, 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "nn_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 40 * 5)
+  }
+
   test("annCandidates emits ordered distinct pairs") {
     val cand = Similarity.annCandidates(emb, "vec_id", "embedding",
       tables = 4, bits = 8)
