@@ -98,9 +98,10 @@ object GraftFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
 
-  private val cosineBuilder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, "graft_cosine takes exactly 2 arguments")
-    CosineSimilarity(children.head, children(1))
+  private[expressions] val cosineBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 2, "graft_cosine takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
   }
 
   /** Idempotent; safe to call from any operator that has a session. */
@@ -118,11 +119,13 @@ object GraftFunctions {
   * library-call path. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // reuse the registry builder so both registration paths share the
+    // 2-argument arity check (a clear analysis error, not an opaque
+    // IndexOutOfBounds at plan time)
     ext.injectFunction(
       (GraftFunctions.CosineIdent,
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-        (children: Seq[Expression]) =>
-          CosineSimilarity(children.head, children(1))))
+        GraftFunctions.cosineBuilder))
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -55,7 +55,10 @@ object Dedup {
     * identical to the TextFunctions HOF spelling. */
   private def ngramSets(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val ngramsUdf = udf((t: String) => Kernels.wordNgrams(t, n))
+    // null text -> empty set (filtered by the set_size > 0 guard every
+    // caller applies), instead of an NPE inside the kernel
+    val ngramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
     df.select(
       col(idCol).as("id"),
       ngramsUdf(col(textCol)).as("ngrams"))

@@ -156,6 +156,32 @@ object Joins {
         name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column '$name'"))
+    // Type validation up front: AsofJoinExec compares right-side key
+    // rows with a RowOrdering built from the LEFT key types (silently
+    // wrong matches on mismatch), and evals time columns as Long
+    // micros (ClassCastException on e.g. INT). Fail with a clear
+    // message instead.
+    keys.foreach { kName =>
+      val lt = attr(lPlan, kName).dataType
+      val rt = attr(rPlan, s"__r_$kName").dataType
+      require(lt == rt,
+        s"asofJoinNative key '$kName' has mismatched types: left " +
+          s"${lt.catalogString} vs right ${rt.catalogString} — cast one side first")
+    }
+    Seq(attr(lPlan, leftTime).dataType -> leftTime,
+      attr(rPlan, s"__r_$rightTime").dataType -> rightTime).foreach {
+      case (t, name) =>
+        require(
+          t == org.apache.spark.sql.types.TimestampType ||
+            t == org.apache.spark.sql.types.LongType,
+          s"asofJoinNative time column '$name' must be TIMESTAMP or BIGINT, " +
+            s"got ${t.catalogString}")
+    }
+    require(
+      attr(lPlan, leftTime).dataType == attr(rPlan, s"__r_$rightTime").dataType,
+      s"asofJoinNative time columns must have the same type: " +
+        s"'$leftTime' is ${attr(lPlan, leftTime).dataType.catalogString}, " +
+        s"'$rightTime' is ${attr(rPlan, s"__r_$rightTime").dataType.catalogString}")
     val node = graft.plans.AsofJoinPlan(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),

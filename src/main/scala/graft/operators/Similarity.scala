@@ -41,8 +41,13 @@ object Similarity {
     * [[graft.plans.NativeCosineRewrite]] can upgrade it to the native
     * codegen expression when the rule is injected. */
   def cosineKernel(a: Column, b: Column): Column = {
+    // null-tolerant like the native CosineSimilarity expression (whose
+    // nullSafeEval returns NULL on null input) — the query must behave
+    // the same whether or not NativeCosineRewrite upgrades this UDF
     val u = udf((x: scala.collection.Seq[Float], y: scala.collection.Seq[Float]) =>
-      Kernels.cosine(x, y)).withName("graft_cosine_kernel")
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(Kernels.cosine(x, y)))
+      .withName("graft_cosine_kernel")
     u(a, b)
   }
 
@@ -293,15 +298,16 @@ object Similarity {
       .select("v").collect()
       .map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty) {
-      // empty corpus: return an empty result with the right schema,
-      // like bruteForceTopK/annTopK do
+      // empty corpus: empty result whose schema matches the non-empty
+      // path — topKScored always casts ids to LONG, so use LongType
+      // here too (not the source id type)
       import org.apache.spark.sql.types._
       return df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
-          StructField("query_id", df.schema(idCol).dataType),
+          StructField("query_id", LongType),
           StructField("rank", LongType),
-          StructField("nn_id", df.schema(idCol).dataType),
+          StructField("nn_id", LongType),
           StructField("cos", DoubleType))))
     }
     val cents = trainCentroids(sample, nlist, iters)

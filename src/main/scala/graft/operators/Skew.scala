@@ -29,11 +29,16 @@ object Skew {
       resultName: String,
       salt: Int = 16): DataFrame = {
     val k = keyCols.map(col)
-    // deterministic salt: hash of the whole row's value column would
-    // collapse to one bucket for constant values; spread by a uniform
-    // row hash instead
+    // The salt MUST be a pure function of row content: any
+    // partition-order-dependent expression (monotonically_increasing_id,
+    // spark_partition_id, rand) re-buckets rows when a stage retry or
+    // AQE re-plan reorders the scan, silently corrupting the partial
+    // sums a partially-fetched shuffle already consumed. Hashing every
+    // column spreads all but fully-duplicate rows uniformly; exact
+    // duplicates share a bucket, which skews spread but never
+    // correctness.
     val salted = df.withColumn("_salt",
-      pmod(hash(valueCol, monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)))
     val partial = salted
       .groupBy((k :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_partial"))

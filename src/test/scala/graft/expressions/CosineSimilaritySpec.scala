@@ -39,6 +39,14 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(got.isNullAt(3)) // null-safe like any binary expression
   }
 
+  test("wrong arity is an analysis-time error via both registration paths") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0F))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 arguments"))
+  }
+
   test("interpreted fallback matches generated code path") {
     // force interpreted eval through the object helper on raw arrays
     val a = Array(0.3f, -1.2f, 4.5f)

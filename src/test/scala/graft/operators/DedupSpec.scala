@@ -12,6 +12,18 @@ class DedupSpec extends AnyFunSuite {
   private lazy val docs =
     spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
 
+  test("null text rows survive every dedup path without NPE") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // shingling paths: null -> empty set -> filtered, pairs unaffected
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, minJ = 0.5)
+      .count() == 1L)
+    assert(Dedup.minHashLshPairs(df, "doc_id", "text", n = 3).count() == 1L)
+  }
+
   test("exactDedup keeps exactly one row per content, minimum id") {
     val df = Seq(
       (1L, "hello world"), (2L, "hello world"), (3L, "unique"),

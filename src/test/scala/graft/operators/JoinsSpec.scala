@@ -196,6 +196,27 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinNative validates key and time column types up front") {
+    val l = Seq((1L, "a", ts(10))).toDF("id", "k", "t")
+    val rStrKey = Seq((1L, "a", ts(5), 1.0)).toDF("rid", "k", "t", "v")
+    // mismatched key types: left string vs right long
+    val rLongKey = rStrKey.withColumn("k", lit(7L))
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.asofJoinNative(l, rLongKey, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("mismatched types"))
+    // non-timestamp/long time column
+    val lIntTime = l.withColumn("t", lit(5))
+    val rIntTime = rStrKey.withColumn("t", lit(3))
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofJoinNative(lIntTime, rIntTime, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("must be TIMESTAMP or BIGINT"))
+    // well-typed call still works after the checks
+    assert(Joins.asofJoinNative(l, rStrKey, Seq("k"), "t", "t", Seq("v"))
+      .count() == 1L)
+  }
+
   test("rangeJoin == naive theta join; bucketing width is invisible") {
     val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001).limit(400)
     val l = ev.select(col("event_id").as("lid"), col("user_id"),

@@ -25,6 +25,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1.0, 0.0, -1.0, 0.0))
   }
 
+  test("cosine kernel UDF is null-tolerant like the native expression") {
+    // with and without NativeCosineRewrite the result on NULL vectors
+    // must be NULL, never an NPE-failed job
+    val df = Seq(
+      (1L, Option(Seq(1f, 0f)), Option(Seq(1f, 0f))),
+      (2L, Option.empty[Seq[Float]], Option(Seq(1f, 0f))),
+      (3L, Option(Seq(1f, 0f)), Option.empty[Seq[Float]])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      Similarity.cosineKernel(col("a"), col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) == 1.0)
+    assert(got(1).isNullAt(1))
+    assert(got(2).isNullAt(1))
+  }
+
   test("bruteForceTopK: self excluded, ranks contiguous, scores descend") {
     val q = emb.filter(col("vec_id") < 3)
     val res = Similarity.bruteForceTopK(

@@ -28,6 +28,52 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedSum is retry-deterministic: adversarial repartition cannot change it") {
+    // A partition-order-dependent salt (the old monotonically_increasing_id
+    // spelling) assigns different buckets when the scan order changes —
+    // the same hazard a stage retry or AQE re-plan triggers at scale.
+    // A content-derived salt must give identical results (not merely
+    // equal sums) under any physical row distribution.
+    val base = lineitem.select("l_returnflag", "l_quantity", "l_orderkey",
+      "l_linenumber")
+    val reference = Skew.saltedSum(
+      base, Seq("l_returnflag"),
+      col("l_quantity").cast(DecimalType(18, 2)), "q", salt = 16)
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDecimal(1)))
+    for (reshuffle <- Seq(
+        base.repartition(3),
+        base.repartition(17, col("l_orderkey")),
+        base.orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber")),
+        base.coalesce(1))) {
+      val got = Skew.saltedSum(
+        reshuffle, Seq("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)), "q", salt = 16)
+        .orderBy("l_returnflag")
+        .collect().map(r => (r.getString(0), r.getDecimal(1)))
+      assert(got.toSeq == reference.toSeq)
+    }
+  }
+
+  test("saltedSum salt buckets are content-determined and spread") {
+    // directly inspect the partial phase: same row content => same salt,
+    // and distinct rows occupy more than one bucket (the spread that
+    // makes the hot key parallel)
+    val salted = lineitem
+      .withColumn("_salt",
+        pmod(xxhash64(lineitem.columns.map(col): _*), lit(16L)))
+    val again = lineitem.repartition(7)
+      .withColumn("_salt",
+        pmod(xxhash64(lineitem.columns.map(col): _*), lit(16L)))
+    assert(salted.select("_salt").distinct().count() > 1)
+    // key: full row content; value: salt — identical across runs
+    val a = salted.select(md5(to_json(struct(lineitem.columns.map(col): _*)))
+      .as("k"), col("_salt")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = again.select(md5(to_json(struct(lineitem.columns.map(col): _*)))
+      .as("k"), col("_salt")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("saltedCountDistinct == plain countDistinct") {
     val plain = lineitem
       .groupBy("l_returnflag")
