@@ -161,17 +161,26 @@ object Dedup {
       n: Int = 3,
       bands: Int = 32,
       rowsPerBand: Int = 4,
-      minJ: Double = 0.5): DataFrame = {
+      minJ: Double = 0.5,
+      maxBucketSize: Int = 4096): DataFrame = {
     val sets = ngramSets(df, idCol, textCol, n)
       .filter(col("set_size") > 0)
     val bandsUdf = udf((ng: scala.collection.Seq[String]) =>
       Kernels.minHashBands(ng, bands, rowsPerBand))
     val banded = sets.select(
       col("id"), posexplode(bandsUdf(col("ngrams"))).as(Seq("band", "bucket")))
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
+    // A degenerate bucket (boilerplate corpus: thousands of
+    // near-identical docs hashing into one band bucket) would make one
+    // O(|bucket|²) straggler task; split it into capped sub-buckets
+    // ([[Buckets]]). Each band splits along different boundaries, so a
+    // pair separated in one band usually still collides in another of
+    // its ~bands·s^r expected collisions.
+    val capped = Buckets.capped(banded, Seq("band", "bucket"), "id", maxBucketSize)
+    val candidates = capped.as("l")
+      .join(capped.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
+          col("l._sub") === col("r._sub") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()

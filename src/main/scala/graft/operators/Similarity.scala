@@ -127,7 +127,15 @@ object Similarity {
 
   /** Candidate pairs that share an LSH bucket in any table —
     * the sub-quadratic front end for near-dup / ANN at scale.
-    * Output: (id_a, id_b) distinct, id_a < id_b. */
+    * Output: (id_a, id_b) distinct, id_a < id_b.
+    *
+    * `maxBucketSize` bounds the O(|bucket|²) pair fan-out of a
+    * degenerate bucket (near-identical embedding farms, zero vectors):
+    * oversized buckets are hash-SPLIT into ceil(n/cap) sub-buckets
+    * ([[Buckets.capped]]) so no task exceeds O(cap²) pair work; each
+    * table splits along different boundaries, so a pair separated in
+    * one table can still collide in another. Splits are observable
+    * via [[annBucketStats]], never silent. */
   def annCandidates(
       df: DataFrame,
       idCol: String,
@@ -135,19 +143,45 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 12,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(tables, bits, dim, seed)
-    val bucketsUdf = udf((v: scala.collection.Seq[Float]) => signBuckets(v, hp))
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = v.select(
-      col("id"), posexplode(bucketsUdf(col("v"))).as(Seq("tbl", "bkt")))
-    bucketed.as("l")
-      .join(bucketed.as("r"),
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val bucketed = signBucketed(df, idCol, vecCol, tables, bits, dim, seed)
+    val capped = Buckets.capped(bucketed, Seq("tbl", "bkt"), "id", maxBucketSize)
+    capped.as("l")
+      .join(capped.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+          col("l._sub") === col("r._sub") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
   }
+
+  /** (id, tbl, bkt) sign-sketch bucket assignments — shared by the
+    * candidate join and the bucket-stats probe. */
+  private def signBucketed(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bits: Int, dim: Int, seed: Long): DataFrame = {
+    val hp = hyperplanes(tables, bits, dim, seed)
+    val bucketsUdf = udf((v: scala.collection.Seq[Float]) => signBuckets(v, hp))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), posexplode(bucketsUdf(col("v"))).as(Seq("tbl", "bkt")))
+  }
+
+  /** Which LSH buckets exceed the cap, and into how many sub-buckets
+    * each is split: (tbl, bkt, bucket_n, n_splits). Run alongside
+    * [[annCandidates]] for skew monitoring. */
+  def annBucketStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int = 8,
+      bits: Int = 12,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame =
+    Buckets.oversized(
+      signBucketed(df, idCol, vecCol, tables, bits, dim, seed),
+      Seq("tbl", "bkt"), maxBucketSize)
 
   // -------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path next to LSH.

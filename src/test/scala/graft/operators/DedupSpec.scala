@@ -48,6 +48,29 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("minHashLshPairs caps degenerate buckets without losing the dup mass") {
+    // 200 identical documents: every band bucket holds all 200 — the
+    // boilerplate pathology that makes one O(n²) straggler task
+    val text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val dupes = (0L until 200L).map(i => (i, text))
+    val others = (200L until 210L).map(i =>
+      (i, s"completely different document number $i about topic $i"))
+    val df = (dupes ++ others).toDF("doc_id", "text")
+    val total = 200L * 199L / 2L
+    val uncapped = Dedup.minHashLshPairs(df, "doc_id", "text",
+      maxBucketSize = Int.MaxValue)
+    assert(uncapped.count() == total)
+    val capped = Dedup.minHashLshPairs(df, "doc_id", "text", maxBucketSize = 20)
+    val got = capped.select("id_a", "id_b", "jaccard").collect()
+    // every reported pair is still exact-verified
+    assert(got.forall(_.getDouble(2) == 1.0))
+    // fan-out bounded (each band splits into ~10 sub-buckets of ~20) but
+    // the 32 bands' independent split boundaries recover most pairs:
+    // P(pair shares a sub-bucket in >=1 of 32 bands) ≈ 1-(1-1/10)^32 ≈ 0.97
+    assert(got.length < total)
+    assert(got.length > (total * 8) / 10)
+  }
+
   test("simHash: identical texts collide, near-dups land close") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),

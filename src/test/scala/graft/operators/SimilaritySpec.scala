@@ -140,6 +140,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaAgg.size == 40 * 5)
   }
 
+  test("annCandidates caps degenerate buckets: bounded fan-out, dup mass kept") {
+    // 400 identical vectors — the embedding-farm pathology: one LSH
+    // bucket holds all of them in every table, C(400,2) pairs from a
+    // single task if uncapped
+    val farm = (0L until 400L).map(i => (i, Array(1f, 2f, 3f, 4f)))
+    val noise = (400L until 420L).map(i =>
+      (i, Array(i.toFloat, -1f, i.toFloat % 7, 0.5f)))
+    val df = (farm ++ noise).toDF("id", "v")
+    val uncapped = Similarity.annCandidates(
+      df, "id", "v", tables = 8, bits = 10, dim = 4,
+      maxBucketSize = Int.MaxValue)
+    val capped = Similarity.annCandidates(
+      df, "id", "v", tables = 8, bits = 10, dim = 4, maxBucketSize = 50)
+    val uncappedPairs = uncapped.as[(Long, Long)].collect().toSet
+    val cappedPairs = capped.as[(Long, Long)].collect().toSet
+    // capping only removes pairs, never invents them
+    assert(cappedPairs.subsetOf(uncappedPairs))
+    // per-TASK fan-out is bounded (each sub-bucket <= ~2*cap, pinned in
+    // BucketsSpec); the distinct-pair union shrinks less because the 8
+    // tables' independent split boundaries re-find many pairs — exactly
+    // the recall-preserving behavior we want. Expected kept fraction
+    // ~1-(1-1/8)^8 ≈ 0.66 of C(400,2).
+    assert(uncappedPairs.size >= 79800)
+    assert(cappedPairs.size < (uncappedPairs.size * 3) / 4)
+    // the duplicate mass is still found: most farm members keep at
+    // least one candidate partner (pairs survive within sub-buckets,
+    // and split boundaries differ per table)
+    val farmIdsSeen = cappedPairs.iterator
+      .flatMap(p => Seq(p._1, p._2)).filter(_ < 400L).toSet
+    assert(farmIdsSeen.size >= 390)
+    // observability: the stats probe reports the split
+    val stats = Similarity.annBucketStats(
+      df, "id", "v", tables = 8, bits = 10, dim = 4, maxBucketSize = 50)
+      .collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.getAs[Long]("bucket_n") > 50L))
+  }
+
+  test("annCandidates cap is inert on the fixture corpus (recall unchanged)") {
+    val a = Similarity.annCandidates(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    val b = Similarity.annCandidates(emb, "vec_id", "embedding",
+      maxBucketSize = Int.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("annCandidates emits ordered distinct pairs") {
     val cand = Similarity.annCandidates(emb, "vec_id", "embedding",
       tables = 4, bits = 8)
