@@ -192,9 +192,12 @@ object Dedup {
     * token's hash. One [[Kernels.simHash64]] call per row (the
     * 64-aggregate Catalyst spelling evaluates interpreted, ~64 passes
     * per document). */
-  def simHash(textCol: Column): Column = {
-    val simUdf = udf((toks: scala.collection.Seq[String]) =>
-      Kernels.simHash64(toks))
+  def simHash(textCol: Column, md5Tokens: Boolean = false): Column = {
+    val simUdf =
+      if (md5Tokens)
+        udf((toks: scala.collection.Seq[String]) => Kernels.simHash64Md5(toks))
+      else
+        udf((toks: scala.collection.Seq[String]) => Kernels.simHash64(toks))
     simUdf(TextFunctions.words(textCol))
   }
 
@@ -213,13 +216,15 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      md5Tokens: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16,
       "blocks of >= 4 bits needed to keep banding selective")
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks // tail bits beyond nBlocks*blockBits
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    val fp = df.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    val fp = df.select(col(idCol).as("id"),
+      simHash(col(textCol), md5Tokens).as("fp"))
     val blocks = fp.select(
       col("id"), col("fp"),
       explode(
@@ -240,6 +245,39 @@ object Dedup {
         hamming64(col("l.fp"), col("r.fp")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The 100 TB spelling of embedding near-dup: LSH candidate
+    * generation ([[Similarity.annCandidates]], sub-quadratic, bucket
+    * sizes capped) followed by exact cosine verification of the
+    * candidates only. Compute is O(candidates), never O(n²) — this
+    * composition, not [[embeddingCosinePairs]], is what runs
+    * whole-corpus at scale; the quadratic operator remains the
+    * bounded-set verify/baseline tool. Recall is the LSH collision
+    * probability at the chosen (tables × bits); at high thresholds
+    * (near-identical vectors) it is effectively exact — the catalog
+    * query q56 pins equality with the exact baseline on the fixtures.
+    * Output: (id_a, id_b, cos), id_a < id_b, cos >= minCos. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      tables: Int = 16,
+      bits: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val cand = Similarity.annCandidates(
+      df, idCol, vecCol, tables, bits, dim, seed, maxBucketSize)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(v.as("va"), col("id_a") === col("va.id"))
+      .join(v.as("vb"), col("id_b") === col("vb.id"))
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_cosine", col("va.v"), col("vb.v")).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** Exact pairwise embedding-cosine near-dup baseline — a

@@ -96,13 +96,43 @@ object Kernels extends Serializable {
       seed: Long = 42L): Array[Long] =
     bandBuckets(minHashSignature(shingles, bands * rowsPerBand, seed), bands, rowsPerBand)
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Low 64 bits of MD5(s) assembled little-endian from digest bytes
+    * 8..15 — bit-for-bit DuckDB's `md5_number_lower`, which is what
+    * makes [[simHash64Md5]] fingerprints reproducible across engines
+    * (the q37 oracle recomputes them in SQL). */
+  def md5Lower64(s: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
     * sum over tokens of ±1 per bit j of XXH64(token). */
-  def simHash64(tokens: scala.collection.Seq[String]): Long = {
+  def simHash64(tokens: scala.collection.Seq[String]): Long =
+    simHashImpl(tokens, md5Tokens = false)
+
+  /** SimHash with md5-derived token hashes ([[md5Lower64]]): slower
+    * than XXH64 but reproducible by any engine with an MD5 builtin —
+    * the cross-engine-verifiable fingerprint variant. */
+  def simHash64Md5(tokens: scala.collection.Seq[String]): Long =
+    simHashImpl(tokens, md5Tokens = true)
+
+  private def simHashImpl(
+      tokens: scala.collection.Seq[String], md5Tokens: Boolean): Long = {
     val acc = new Array[Int](64)
     val it = tokens.iterator
     while (it.hasNext) {
-      val h = hash64(it.next(), 42L)
+      val t = it.next()
+      val h = if (md5Tokens) md5Lower64(t) else hash64(t, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1

@@ -204,12 +204,39 @@ object Extensions {
 
   private val q37_dedup_simhash = Q(
     "q37_dedup_simhash",
-    // xxhash64-based fingerprint — no DuckDB twin; rows-only check +
-    // DedupSpec pins semantics (planted near-dups land within d<=3).
+    // SimHash with md5-derived token hashes: Kernels.md5Lower64 is
+    // bit-for-bit DuckDB's md5_number_lower, so the banded pigeonhole
+    // join gains a full independent oracle that recomputes every
+    // fingerprint in SQL (previously rows-only with xxhash64 tokens —
+    // the xxhash64 variant remains the fast production default and is
+    // spec-pinned in DedupSpec).
     (s, dir) =>
-      Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text")
+      Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, md5Tokens = true)
         .orderBy("id_a", "id_b"),
-    None
+    Some(s"""WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest($W) AS tok FROM documents),
+      th AS MATERIALIZED (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+      bits AS (
+        SELECT doc_id, j,
+          sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, range(64) t(j) GROUP BY doc_id, j),
+      fps AS (
+        SELECT doc_id,
+          sum(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS ufp
+        FROM bits GROUP BY doc_id),
+      fp AS (
+        SELECT d.doc_id,
+          CAST(CASE WHEN coalesce(f.ufp, 0) >= 9223372036854775808::HUGEINT
+            THEN coalesce(f.ufp, 0) - 18446744073709551616::HUGEINT
+            ELSE coalesce(f.ufp, 0) END AS BIGINT) AS fp
+        FROM documents d LEFT JOIN fps f USING (doc_id))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY id_a, id_b""")
   )
 
   private val q38_dedup_embedding = Q(
@@ -265,31 +292,132 @@ object Extensions {
       WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
+  /** Exact full self top-k, the recall reference for both ANN paths:
+    * every corpus vector queries the whole corpus. */
+  private def exactSelfTopK(
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int) = {
+    val e = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", e, "vec_id", "embedding", k)
+  }
+
+  /** The ANN queries' oracle strategy: the approximate result itself
+    * has no SQL twin (JVM-seeded hyperplanes / k-means training), so
+    * the query RUNS the ANN path, asserts its pair-level recall
+    * against the exact top-k inside the job (failing the whole query
+    * — and therefore the driver's correctness gate — if ANN quality
+    * regresses), and EMITS the exact top-k, which DuckDB recomputes
+    * independently. Both halves are thereby continuously verified:
+    * the emitted rows bitwise, the ANN candidates by the recall
+    * floor. */
+  private def recallGatedExact(
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
+      ann: org.apache.spark.sql.DataFrame, floor: Double,
+      what: String): org.apache.spark.sql.DataFrame = {
+    // persist both top-k results (corpus·k rows — tiny): the exact
+    // reference feeds three consumers (recall denominator, the semi
+    // join, the emitted rows) and would otherwise re-run its
+    // quadratic scoring for each action
+    val exact = exactSelfTopK(s, dir, k).persist()
+    val annPairs = ann.select("query_id", "nn_id").persist()
+    val total = exact.count()
+    val hits = exact.select("query_id", "nn_id")
+      .join(annPairs, Seq("query_id", "nn_id"), "left_semi")
+      .count()
+    val recall = if (total == 0L) 1.0 else hits.toDouble / total
+    System.err.println(f"[graft] $what pair recall@$k = $recall%.4f ($hits/$total)")
+    require(recall >= floor,
+      f"$what pair recall@$k = $recall%.4f below floor $floor — ANN regressed")
+    exact.orderBy("query_id", "rank")
+  }
+
+  private val exactSelfTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+      r AS (SELECT query_id, nn_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
+      SELECT query_id, rank, nn_id, cos FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private val q40_sim_ann_lsh = Q(
     "q40_sim_ann_lsh",
-    // Approximate path: random-hyperplane buckets, score bucket-mates
-    // only. No oracle (JVM-seeded hyperplanes); SimilaritySpec measures
-    // recall against the brute-force baseline.
+    // Hyperplane-LSH ANN, recall-gated against (and emitting) the
+    // exact top-10 — see recallGatedExact. Random 64-dim vectors are
+    // the ANN-hostile worst case (nearest neighbors sit at 60-75°, so
+    // per-hyperplane collision odds are barely better than chance);
+    // the catalog tunes SHORT sketches × MANY tables (the standard
+    // low-similarity regime trade) and floors recall at ~0.8x the
+    // measured fixture value. Real embedding manifolds cluster far
+    // better and would use longer sketches.
     (s, dir) =>
-      Similarity.annTopK(
-        table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 10, tables = 8, bits = 10)
-        .orderBy("query_id", "rank"),
-    None
+      recallGatedExact(s, dir, k = 10,
+        ann = Similarity.annTopK(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, tables = 16, bits = 6),
+        floor = 0.35, what = "ann-lsh"),
+    Some(exactSelfTopKSql)
   )
 
   private val q48_sim_ann_ivf = Q(
     "q48_sim_ann_ivf",
-    // IVF scale path: bounded-sample spherical k-means centroids, one
-    // assignment pass, nprobe-cell candidate join. No oracle (JVM
-    // centroid training); SimilaritySpec measures recall vs brute
-    // force.
+    // IVF ANN (bounded-sample k-means, nprobe cells), recall-gated
+    // against (and emitting) the exact top-10 — see recallGatedExact.
     (s, dir) =>
-      Similarity.ivfTopK(
-        table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 10, nlist = 16, nprobe = 4)
-        .orderBy("query_id", "rank"),
-    None
+      recallGatedExact(s, dir, k = 10,
+        ann = Similarity.ivfTopK(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4),
+        floor = 0.30, what = "ann-ivf"),
+    Some(exactSelfTopKSql)
+  )
+
+  private val q56_dedup_embedding_ann = Q(
+    "q56_dedup_embedding_ann",
+    // The 100 TB spelling of embedding near-dup, oracle-checked: LSH
+    // candidates -> exact cosine verify (Dedup.embeddingNearDupPairs),
+    // never the O(n²) pairwise operator q38 runs. The fixture's
+    // organic pairs top out at cos 0.513, so the query plants
+    // deterministic near-dups — a 0.5x-scaled copy of each vec_id<100
+    // vector (halving floats is exact, so DuckDB rebuilds the same
+    // corpus bitwise; same direction => identical sign buckets =>
+    // LSH recall is structurally 1.0 at this threshold). The oracle
+    // recomputes the EXACT pairs >= 0.99 over the augmented corpus:
+    // equality proves the composed path loses nothing.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      val corpus = e.unionByName(planted)
+      Dedup.embeddingNearDupPairs(
+        corpus, "vec_id", "embedding", minCos = 0.99,
+        tables = 8, bits = 12)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+      planted AS (SELECT vec_id + 10000 AS vec_id,
+        list_transform(embedding, x -> CAST(x * 0.5::REAL AS REAL)) AS embedding
+        FROM e0 WHERE vec_id < 100),
+      e AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS d,
+        sqrt(list_aggregate(list_transform(a.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+        sqrt(list_aggregate(list_transform(b.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, d / (na * nb) AS cos FROM p
+      WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
   )
 
   // -------------------------------------------------------------------
@@ -320,9 +448,13 @@ object Extensions {
 
   private val q42_multimodal_features = Q(
     "q42_multimodal_features",
-    // Full decode-stub feature extraction (mapPartitions batch path) —
-    // JVM-side checksum/embedding, so rows-only check; MultimodalSpec
-    // pins the values.
+    // Full decode-stub feature extraction (mapPartitions batch path).
+    // The stub features are pure byte math over the UTF-8 payload, so
+    // DuckDB recomputes them independently: payload bytes via
+    // hex-string decoding, the poly-31 rolling checksum via a HUGEINT
+    // list_reduce with mod-2^64 wraparound, and the histogram feature
+    // e0 as a REAL ratio — a true second-engine oracle for the whole
+    // decode pipeline (schema, batching, and feature values).
     (s, dir) => {
       val media = Multimodal.mediaFromDocuments(s, table(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
@@ -332,7 +464,48 @@ object Extensions {
           round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
         .orderBy("id")
     },
-    None
+    Some("""WITH b AS MATERIALIZED (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      byt AS MATERIALIZED (
+        SELECT doc_id, list_transform(range(length(hx)//2),
+          i -> (strpos('0123456789ABCDEF', hx[2*i+1:2*i+1])-1)*16
+             + (strpos('0123456789ABCDEF', hx[2*i+2:2*i+2])-1)) AS bs
+        FROM b),
+      cs AS (
+        SELECT doc_id, bs,
+          list_reduce(list_prepend(1125899906842597::HUGEINT, bs),
+            (h, x) -> (31*h + x) % 18446744073709551616::HUGEINT) AS ucs
+        FROM byt)
+      SELECT doc_id AS id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+          ELSE 'video' END AS media_type,
+        CAST(len(bs) AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN ucs >= 9223372036854775808::HUGEINT
+          THEN ucs - 18446744073709551616::HUGEINT ELSE ucs END AS BIGINT)
+          AS checksum,
+        CASE WHEN len(bs) = 0 THEN 0.0
+          ELSE round(CAST(CAST(len(list_filter(bs, x -> x % 16 = 0)) AS REAL)
+            / CAST(len(bs) AS REAL) AS DOUBLE), 6) END AS e0
+      FROM cs ORDER BY id""")
+  )
+
+  private val q57_multimodal_frames = Q(
+    "q57_multimodal_frames",
+    // Video frame sampling: narrow flatMap fan-out (no payload
+    // shuffle); offsets are pure integer math, recomputed by the
+    // oracle from the metadata derivation.
+    (s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, table(s, dir, "documents"))
+      Multimodal.sampleFrames(media, framesPerVideo = 4)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("offset_ms"))
+        .orderBy("id", "frame_idx")
+    },
+    Some("""SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
+      CAST(i * (n_chars * 10) // 4 AS BIGINT) AS offset_ms
+      FROM documents, range(4) t(i)
+      WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
+      ORDER BY id, frame_idx""")
   )
 
   private val q43_stream_windowed = Q(
@@ -369,6 +542,66 @@ object Extensions {
           AND c.ts >= p.ts - INTERVAL 600 SECOND
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       ORDER BY purchase_id, click_id""")
+  )
+
+  private val q58_sessionize = Q(
+    "q58_sessionize",
+    // Batch twin of Streams.sessionize (flatMapGroupsWithState):
+    // identical 30-minute-gap session definition as one declarative
+    // window pipeline; StreamsSpec pins stream == batch, the oracle
+    // pins batch == SQL.
+    (s, dir) =>
+      graft.streaming.Streams.sessionizeBatch(events(s, dir), gapMs = 1800000L)
+        .orderBy("user_id", "started_ms"),
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+      m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+          THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+        ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        min(t) AS started_ms, max(t) AS ended_ms
+      FROM s GROUP BY user_id, sid ORDER BY user_id, started_ms""")
+  )
+
+  private val q59_stream_dedup = Q(
+    "q59_stream_dedup",
+    // Batch twin of Streams.dedupStream (dropDuplicatesWithinWatermark)
+    // on the same key set; StreamsSpec pins stream == batch.
+    (s, dir) =>
+      graft.streaming.Streams.dedupBatch(
+        events(s, dir), Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type"),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")
+  )
+
+  private val q60_topk_aggregator = Q(
+    "q60_topk_aggregator",
+    // The bounded-state TopKLongs Aggregator as a catalog query:
+    // per-type top-8 event ids with O(k) state per group (map-side
+    // partial heaps), vs the oracle's window-rank spelling.
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select(col("event_type"), col("event_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.TypedAggregators.TopKLongs(8).toColumn)
+        .flatMap { case (t, ids) =>
+          ids.iterator.zipWithIndex.map { case (id, i) =>
+            (t, (i + 1).toLong, id)
+          }
+        }
+        .toDF("event_type", "rank", "event_id")
+        .orderBy("event_type", "rank")
+    },
+    Some("""SELECT event_type,
+      CAST(row_number() OVER (PARTITION BY event_type
+        ORDER BY event_id DESC) AS BIGINT) AS rank, event_id
+      FROM events QUALIFY rank <= 8 ORDER BY event_type, rank""")
   )
 
   private val q44_curation_pipeline = Q(
@@ -460,8 +693,11 @@ object Extensions {
     q33_text_fingerprint, q53_text_repetition,
     q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
+    q56_dedup_embedding_ann,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
     q41_multimodal_meta,
-    q42_multimodal_features, q43_stream_windowed, q52_stream_join,
+    q42_multimodal_features, q57_multimodal_frames,
+    q43_stream_windowed, q52_stream_join,
+    q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
     q44_curation_pipeline, q45_source_audit)
 }

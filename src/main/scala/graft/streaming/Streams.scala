@@ -94,6 +94,33 @@ object Streams {
       }
   }
 
+  /** Batch twin of [[sessionize]]: the identical session definition
+    * (a session breaks where the gap to the previous event exceeds
+    * `gapMs`) as one declarative window pipeline — lag → break flag →
+    * running sum as session id → aggregate. One shuffle on user_id;
+    * whole-stage codegen throughout; this is also the SQL-expressible
+    * spelling the DuckDB oracle recomputes (q58). The streaming
+    * version emits exactly these rows once the watermark closes every
+    * session — StreamsSpec pins stream == batch. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t")
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+      .withColumn("_prev", lag(col("t"), 1).over(byUser))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("t") - col("_prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "_sid")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("t")).as("started_ms"),
+        max(col("t")).as("ended_ms"))
+      .select("user_id", "n_events", "started_ms", "ended_ms")
+  }
+
   /** Splits a sorted timestamp run into closed sessions (followed by a
     * gap) and the still-open tail. */
   private[streaming] def splitOnGaps(
@@ -121,6 +148,13 @@ object Streams {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Batch face of [[dedupStream]]: the same key-distinct semantics
+    * over a bounded input (projected to the keys so the kept-row
+    * choice cannot be nondeterministic). StreamsSpec pins
+    * stream == batch on a replayed fixture. */
+  def dedupBatch(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.select(keyCols.map(col): _*).dropDuplicates(keyCols)
 
   /** Stream-stream interval join: each purchase joins the clicks of
     * the same user within `windowSec` BEFORE it. Both sides carry

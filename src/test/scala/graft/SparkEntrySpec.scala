@@ -16,10 +16,12 @@ class SparkEntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
-    // rows-only queries are the documented JVM-kernel ones
-    assert(q.diff(o) == Set(
-      "q37_dedup_simhash", "q40_sim_ann_lsh", "q42_multimodal_features",
-      "q48_sim_ann_ivf", "q50_approx_distinct"))
+    // the single rows-only query left: HLL sketches have no DuckDB
+    // twin (different sketch family). Everything else carries an
+    // oracle — incl. SimHash (md5-token variant), ANN (recall-gated
+    // exact emission), and the multimodal stub features (byte math
+    // recomputed in SQL).
+    assert(q.diff(o) == Set("q50_approx_distinct"))
   }
 
   test("all queries run at sf0.001 and return non-empty results") {

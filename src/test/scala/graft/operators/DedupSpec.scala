@@ -119,6 +119,29 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("embeddingNearDupPairs (ANN + verify) == exact quadratic at high threshold") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant same-direction near-dups: 0.5x-scaled copies (exact in
+    // float, so cosine == ~1.0 deterministically)
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(0.5f)).cast("float"))
+          .as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val composed = Dedup.embeddingNearDupPairs(
+      corpus, "vec_id", "embedding", minCos = 0.99, tables = 8, bits = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingCosinePairs(
+      corpus, "vec_id", "embedding", minCos = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 50)
+    // the composed scale path loses nothing at near-dup thresholds:
+    // same-direction vectors share every LSH bucket structurally
+    assert(composed == exact)
+  }
+
   test("embeddingCosinePairs is symmetric-free (id_a < id_b) and bounded") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.3)

@@ -66,4 +66,22 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.simHash64(Seq("w1", "w2", "zzz")) != a)
     assert(Kernels.simHash64(Seq.empty) == 0L)
   }
+
+  test("md5Lower64 == DuckDB md5_number_lower (cross-engine contract)") {
+    // pinned against duckdb: SELECT md5_number_lower('hello') etc.,
+    // converted to signed two's-complement
+    def signed(u: BigInt): Long =
+      (if (u >= (BigInt(1) << 63)) u - (BigInt(1) << 64) else u).toLong
+    assert(Kernels.md5Lower64("hello") == signed(BigInt("10575884659879408057")))
+    assert(Kernels.md5Lower64("a") == signed(BigInt("7000413967451013937")))
+    assert(Kernels.md5Lower64("") == signed(BigInt("9098107892288553193")))
+  }
+
+  test("simHash64Md5 shares simHash64's semantics on a different hash") {
+    val a = Kernels.simHash64Md5(Seq("w1", "w2", "w3"))
+    assert(Kernels.simHash64Md5(Seq("w3", "w1", "w2")) == a)
+    assert(Kernels.simHash64Md5(Seq("w1", "w2", "zzz")) != a)
+    assert(Kernels.simHash64Md5(Seq.empty) == 0L)
+    assert(a != Kernels.simHash64(Seq("w1", "w2", "w3")))
+  }
 }

@@ -112,6 +112,69 @@ class StreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionize streaming == sessionizeBatch on replayed fixture events") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val rows = ev.collect()
+    val gapMs = 1800000L
+    val mem = MemoryStream[Event]
+    val query = sessionize(mem.toDS(), gapMs).writeStream
+      .format("memory").queryName("sessions_twin")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(rows.toIndexedSeq)
+      query.processAllAvailable()
+      // two far-future flush events push the watermark past every open
+      // session's timeout; the second batch fires timeouts set by the first
+      val flushT = rows.map(_.ts.getTime).max + 100L * gapMs
+      mem.addData(Event(-1L, new Timestamp(flushT), -1L, "flush", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(-2L, new Timestamp(flushT + 100L * gapMs), -1L, "flush", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_twin")
+        .filter(org.apache.spark.sql.functions.col("user_id") >= 0L)
+        .select("user_id", "n_events", "started_ms", "ended_ms")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val batch = sessionizeBatch(
+        graft.queries.Catalog.events(spark, TestSpark.sf0001), gapMs)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("dedupStream == dedupBatch key sets on replayed fixture events") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val mem = MemoryStream[Event]
+    val deduped = dedupStream(
+      mem.toDF(), Seq("user_id", "event_type"), watermarkDelay = "10 days")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_twin")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(ev.collect().toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("dedup_twin")
+        .select("user_id", "event_type")
+        .as[(Long, String)].collect().sorted.toSeq
+      val batch = dedupBatch(
+        graft.queries.Catalog.events(spark, TestSpark.sf0001),
+        Seq("user_id", "event_type"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("clickToPurchaseJoin: stream-stream join == batch twin") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
