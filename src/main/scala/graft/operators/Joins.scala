@@ -136,7 +136,8 @@ object Joins {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      tolerance: Option[Double] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoinNative needs at least one equi-key")
     val spark = left.sparkSession
     // idempotent strategy injection for sessions built without
@@ -186,7 +187,10 @@ object Joins {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, leftTime), attr(rPlan, s"__r_$rightTime"),
-      strict)
+      strict,
+      // integer-microsecond staleness bound, same unit discipline as
+      // the composed spelling (no float drift at epoch scale)
+      tolerance.map(secs => (secs * 1e6).toLong))
     val joinedDf = org.apache.spark.sql.graftshim.GraftSqlShim.ofRows(spark, node)
     joinedDf.select(
       (left.columns.toSeq.map(col) :+

@@ -37,7 +37,8 @@ case class AsofJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +50,8 @@ case class AsofJoinPlan(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, strict) =>
-      AsofJoinExec(lk, rk, lt, rt, strict, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, strict, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, strict, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +62,7 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -94,6 +96,7 @@ case class AsofJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val strictLocal = strict
+    val tolLocal = toleranceMicros
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -109,9 +112,14 @@ case class AsofJoinExec(
       val rBuf = rIter.buffered
 
       // O(1) merge state: the last right row whose (key, time) was
-      // admissible for the current left key
+      // admissible for the current left key. Tolerance does not change
+      // the advance discipline — the best candidate is always the
+      // greatest rightTime <= leftTime regardless of staleness — so it
+      // is applied per EMISSION (lt varies per left row against the
+      // same candidate), never at admission.
       var lastRight: InternalRow = null
       var lastRightKey: InternalRow = null
+      var lastRightTime: Long = Long.MinValue
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -139,12 +147,15 @@ case class AsofJoinExec(
                   if (if (strictLocal) rt < lt else rt <= lt) {
                     lastRight = rBuf.next().copy()
                     lastRightKey = lKey.copy()
+                    lastRightTime = rt
                   } else advancing = false
                 }
               } else advancing = false
             }
           }
-          resultProj(joined(lRow, if (lastRight != null) lastRight else nullRight))
+          val matched = lastRight != null &&
+            tolLocal.forall(tol => lt - lastRightTime <= tol)
+          resultProj(joined(lRow, if (matched) lastRight else nullRight))
         }
       }
     }

@@ -196,6 +196,79 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin property matrix: strict × tolerance × partitions, composed == native == naive") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.oneOf("a", "b", "c", "d")
+    // left times extend past every right time (45 > 30): the merge's
+    // right-side-exhausted tail path runs on every key
+    val lGen: Gen[(String, Long)] = Gen.zip(keyGen, Gen.choose(0L, 45L))
+    val rGen: Gen[(String, Long)] = Gen.zip(keyGen, Gen.choose(0L, 30L))
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for {
+        i <- 0 until 3
+        parts <- Seq("2", "32") // 2 forces multi-key partitions and
+                                // cross-partition key boundaries
+        strict <- Seq(false, true)
+        tol <- Seq(None, Some(7.0))
+      } {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val lRows = Gen.listOfN(60, lGen)
+          .apply(Gen.Parameters.default, Seed(21L + i)).get
+          .zipWithIndex.map { case ((k, t), id) => (id.toLong, k, ts(t)) }
+        val rRows = Gen.listOfN(40, rGen)
+          .apply(Gen.Parameters.default, Seed(4000L + i)).get
+          .distinct.zipWithIndex.map { case ((k, t), id) => (k, ts(t), id.toDouble) }
+        val l = lRows.toDF("id", "k", "t")
+        val r = rRows.toDF("k", "qt", "px")
+        def result(df: org.apache.spark.sql.DataFrame) =
+          df.select("id", "matched_time", "px")
+            .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+        val composed = result(Joins.asofJoin(
+          l, r, Seq("k"), "t", "qt", Seq("px"), strict, tol))
+        val native = result(Joins.asofJoinNative(
+          l, r, Seq("k"), "t", "qt", Seq("px"), strict, tol))
+        val naive = lRows.map { case (id, k, t) =>
+          val cands = rRows.filter(c => c._1 == k &&
+            (if (strict) c._2.before(t) else !c._2.after(t)))
+          val fresh = cands.filter(c => tol.forall(s =>
+            (t.getTime - c._2.getTime) <= (s * 1000).toLong))
+          if (cands.isEmpty || fresh.isEmpty) (id, None, None)
+          else {
+            // best candidate ignores tolerance; staleness nulls it
+            val best = cands.maxBy(_._2.getTime)
+            if (tol.forall(s => (t.getTime - best._2.getTime) <= (s * 1000).toLong))
+              (id, Some(best._2), Some(best._3))
+            else (id, None, None)
+          }
+        }.toSet
+        val ctx = s"seed=${21 + i} parts=$parts strict=$strict tol=$tol"
+        assert(composed == naive, s"composed != naive [$ctx]")
+        assert(native == naive, s"native != naive [$ctx]")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  test("as-of duplicate (key,time) right rows: deterministic when payloads agree") {
+    // the data contract says right (key,time) should be unique for a
+    // deterministic payload; when duplicates DO occur with equal
+    // payloads, both paths must still agree and pick that payload
+    val l = Seq((1L, "a", ts(10)), (2L, "a", ts(30))).toDF("id", "k", "t")
+    val r = Seq(
+      ("a", ts(5), 1.0), ("a", ts(5), 1.0), ("a", ts(5), 1.0),
+      ("a", ts(20), 2.0), ("a", ts(20), 2.0)
+    ).toDF("k", "qt", "px")
+    def result(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "matched_time", "px")
+        .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    val expected = Set(
+      (1L, Some(ts(5)), Some(1.0)),
+      (2L, Some(ts(20)), Some(2.0)))
+    assert(result(Joins.asofJoin(l, r, Seq("k"), "t", "qt", Seq("px"))) == expected)
+    assert(result(Joins.asofJoinNative(l, r, Seq("k"), "t", "qt", Seq("px"))) == expected)
+  }
+
   test("asofJoinNative validates key and time column types up front") {
     val l = Seq((1L, "a", ts(10))).toDF("id", "k", "t")
     val rStrKey = Seq((1L, "a", ts(5), 1.0)).toDF("rid", "k", "t", "v")
