@@ -119,4 +119,48 @@ object TextFunctions {
     when(size(g) === 0, md5(c))
       .otherwise(array_min(transform(g, x => md5(x))))
   }
+
+  // -------------------------------------------------------------------
+  // PII scrubbing — the redaction pass every pretraining pipeline runs
+  // before anything else touches the text. Patterns are deliberately
+  // kept inside the Java-regex ∩ RE2 common subset (no backreferences,
+  // no lookaround) so the SAME pattern strings drive Spark's codegen'd
+  // regexp_replace and any RE2-based engine (DuckDB oracle, CC-style
+  // scrub jobs) with identical match semantics.
+  // -------------------------------------------------------------------
+
+  /** `https?://` up to the next whitespace. */
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Pragmatic RFC-lite email shape. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4, word-bounded. */
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactUrls(c: Column): Column =
+    regexp_replace(c, UrlPattern, "<URL>")
+
+  def redactEmails(c: Column): Column =
+    regexp_replace(c, EmailPattern, "<EMAIL>")
+
+  def redactIps(c: Column): Column =
+    regexp_replace(c, Ipv4Pattern, "<IP>")
+
+  /** Full scrub pass, URL first (emails/IPs may appear inside URLs —
+    * redacting the URL swallows them whole rather than leaving a
+    * half-redacted token). One scan, all codegen'd. */
+  def scrubPii(c: Column): Column =
+    redactIps(redactEmails(redactUrls(c)))
+
+  /** Match counts for audit metrics (idx=0: whole match — the
+    * patterns carry no capture groups). */
+  def urlCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(UrlPattern), lit(0))).cast("long")
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0))).cast("long")
+
+  def ipCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0))).cast("long")
 }

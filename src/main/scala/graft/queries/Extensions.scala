@@ -155,6 +155,58 @@ object Extensions {
       FROM documents ORDER BY doc_id""")
   )
 
+  private val q61_text_scrub = Q(
+    "q61_text_scrub",
+    // PII scrub pass (URL -> email -> IPv4 redaction) + audit counts.
+    // The fixture text is synthetic word salad with no PII, so the
+    // query plants deterministic doc_id-derived addresses first (same
+    // string algebra in the oracle); patterns live in the Java-regex ∩
+    // RE2 common subset so both engines match identically.
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val doctored = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), id, lit("@example.com via https://site"),
+          id, lit(".example/p?q=1 from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" cc admin"), id, lit("@corp.example.org")))
+            .otherwise(lit("")),
+          lit(" end")).as("text"))
+      doctored.select(
+        col("doc_id"),
+        md5(TextFunctions.scrubPii(col("text"))).as("clean_md5"),
+        TextFunctions.urlCount(col("text")).as("n_urls"),
+        TextFunctions.emailCount(col("text")).as("n_emails"),
+        TextFunctions.ipCount(col("text")).as("n_ips"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com via https://site'
+          || doc_id || '.example/p?q=1 from 10.0.' || (doc_id % 256) || '.'
+          || (doc_id % 100)
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END
+          || ' end' AS text2
+        FROM documents)
+      SELECT doc_id,
+        md5(regexp_replace(regexp_replace(regexp_replace(text2,
+          'https?://[^ ]+', '<URL>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS clean_md5,
+        CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS BIGINT)
+          AS n_urls,
+        CAST(len(regexp_extract_all(text2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(text2,
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+      FROM t ORDER BY doc_id""")
+  )
+
   // -------------------------------------------------------------------
   // Deduplication
   // -------------------------------------------------------------------
@@ -690,7 +742,7 @@ object Extensions {
 
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
-    q33_text_fingerprint, q53_text_repetition,
+    q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
     q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
     q56_dedup_embedding_ann,

@@ -60,6 +60,38 @@ class TextFunctionsSpec extends AnyFunSuite {
       one("a b", md5(col("text"))))
   }
 
+  test("scrubPii redacts URLs, emails, IPv4s; counts agree with matches") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail bob@x.org and https://a.b/c?d=1 and 10.0.0.1 done",
+        "mail <EMAIL> and <URL> and <IP> done", 1L, 1L, 1L),
+      // scrub: email/IP inside a URL are swallowed whole by the URL
+      // redaction (URL runs first); audit counts run on the RAW text,
+      // so they still see the embedded email and quad
+      ("see https://u:p@host.com/10.0.0.1/x rest",
+        "see <URL> rest", 1L, 1L, 1L),
+      ("no pii here at all", "no pii here at all", 0L, 0L, 0L),
+      ("two mails a@b.cc c@d.ee and 192.168.1.255",
+        "two mails <EMAIL> <EMAIL> and <IP>", 0L, 2L, 1L)
+    ).toDF("text", "want", "wantUrls", "wantEmails", "wantIps")
+    val got = rows.select(
+      TextFunctions.scrubPii(col("text")).as("clean"),
+      col("want"), TextFunctions.urlCount(col("text")).as("u"),
+      col("wantUrls"), TextFunctions.emailCount(col("text")).as("e"),
+      col("wantEmails"), TextFunctions.ipCount(col("text")).as("i"),
+      col("wantIps")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(1), r.getString(1))
+      assert(r.getLong(2) == r.getLong(3), "urls")
+      assert(r.getLong(4) == r.getLong(5), "emails")
+      assert(r.getLong(6) == r.getLong(7), "ips")
+    }
+    // null-safe like every other column function
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.scrubPii(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("qualityScore in [0,1] over the fixture") {
     val bad = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
       .select(TextFunctions.qualityScore(col("text")).as("q"))

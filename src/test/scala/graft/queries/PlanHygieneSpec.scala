@@ -85,4 +85,33 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q56: composed embedding dedup has no cartesian/nested-loop stage") {
+    // the at-scale near-dup spelling must stay candidates -> verify:
+    // every join equi-keyed (bucket join + two id-lookups), never a
+    // pairwise product
+    val p = plan("q56_dedup_embedding_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q58: sessionize is one key shuffle feeding both windows + agg") {
+    // lag, the running session-id sum, and the per-session aggregate
+    // all share the user_id hash partitioning — exactly one exchange
+    // before the final presentation sort
+    val p = plan("q58_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"sessionize shuffles $exchanges times:\n${p.take(2500)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("q60: TopKLongs aggregates partially before the shuffle (O(k) state)") {
+    // the bounded-state aggregator must run map-side: the exchange
+    // carries partial top-k buffers, not raw rows
+    val p = plan("q60_topk_aggregator")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_topklongs") ||
+      p.linesIterator.exists(l => l.contains("ObjectHashAggregate") &&
+        l.contains("partial")), p.take(2500))
+  }
 }
