@@ -472,6 +472,43 @@ object Extensions {
       WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
   )
 
+  private val q62_embedding_quantize = Q(
+    "q62_embedding_quantize",
+    // Int8 embedding quantization (the 4x-shuffle-weight reduction for
+    // ANN at scale): per-vector scale + exact integer aggregates over
+    // the codes. Every step (max|x|/127, floor(x/scale + 0.5) clamp,
+    // integer sums) is IEEE-double/integer math both engines compute
+    // identically, so the oracle recomputes the exact codes in SQL.
+    (s, dir) => {
+      val q = table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.operators.Quantize.int8(col("embedding")).as("qv"))
+      q.select(
+        col("vec_id"),
+        col("qv.scale").as("scale"),
+        aggregate(col("qv.q"), lit(0L),
+          (acc, v) => acc + v.cast("long")).as("qsum"),
+        aggregate(col("qv.q"), lit(0L),
+          (acc, v) => acc + v.cast("long") * v.cast("long")).as("qnorm2"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH s AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings),
+      q AS (SELECT vec_id, scale,
+        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding, x ->
+            CAST(greatest(-127.0, least(127.0,
+              floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)) END AS qv
+        FROM s)
+      SELECT vec_id, scale,
+        CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+        CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum') AS BIGINT)
+          AS qnorm2
+      FROM q ORDER BY vec_id""")
+  )
+
   // -------------------------------------------------------------------
   // Multimodal
   // -------------------------------------------------------------------
@@ -747,6 +784,7 @@ object Extensions {
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
     q56_dedup_embedding_ann,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
+    q62_embedding_quantize,
     q41_multimodal_meta,
     q42_multimodal_features, q57_multimodal_frames,
     q43_stream_windowed, q52_stream_join,

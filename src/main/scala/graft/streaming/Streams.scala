@@ -194,4 +194,24 @@ object Streams {
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** File-sink exit: append the stream to a parquet directory with
+    * exactly-once semantics — the `_spark_metadata` commit manifest
+    * records which files belong to each committed batch, so a crashed
+    * and restarted query (same checkpoint) never double-writes and
+    * readers never see partial batches. `Trigger.AvailableNow`
+    * processes the backlog then stops: the batch-job-over-a-stream
+    * shape used for incremental 100 TB backfills (each run picks up
+    * exactly where the checkpoint left off). */
+  def writeEventStream(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }
