@@ -361,6 +361,52 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** [[annTopK]] with int8 candidate scoring — the shuffle-weight
+    * composition for 100 TB: LSH buckets come from the float vectors
+    * (sign sketches are scale-invariant), but the candidate join
+    * moves QUANTIZED codes (4x fewer bytes) and scores them with the
+    * pure-integer kernel; only the top `rerank` survivors per query
+    * are re-scored against float vectors for the exact final ranking.
+    * With rerank ≥ ~4k the int8 ordering noise (cosine error < 0.02)
+    * almost never evicts a true top-k member before the float pass —
+    * QuantizeSpec/SimilaritySpec measure the agreement. */
+  def annTopKInt8(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0, // 0 => 4k
+      tables: Int = 8,
+      bits: Int = 10,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val r = if (rerank <= 0) 4 * k else math.max(rerank, k)
+    val cand = annCandidates(df, idCol, vecCol, tables, bits, dim, seed,
+      maxBucketSize)
+    val sym = cand.select(col("id_a").as("query_id"), col("id_b").as("nn_id"))
+      .unionAll(cand.select(col("id_b").as("query_id"), col("id_a").as("nn_id")))
+    val q = df.select(col(idCol).as("id"),
+      Quantize.int8(col(vecCol)).as("qv"))
+    // stage 1: integer scoring over codes, keep `rerank` per query
+    val coarse = topKScored(
+      sym.join(q.as("a"), col("query_id") === col("a.id"))
+        .join(q.as("b"), col("nn_id") === col("b.id"))
+        .select(col("query_id"), col("nn_id"),
+          Quantize.cosineInt8(col("a.qv"), col("b.qv")).as("cos")),
+      r)
+    // stage 2: float re-score of the shortlist only, exact final rank
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    topKScored(
+      coarse.select("query_id", "nn_id")
+        .join(v.as("qf"), col("query_id") === col("qf.id"))
+        .join(v.as("cf"), col("nn_id") === col("cf.id"))
+        .select(col("query_id"), col("nn_id"),
+          call_function("graft_cosine", col("qf.v"), col("cf.v")).as("cos")),
+      k)
+  }
+
   /** Approximate top-k: score only same-bucket candidates, then rank.
     * Recall is tunable via (tables, bits); a spec measures it against
     * [[bruteForceTopK]] on the fixture data. */

@@ -472,6 +472,22 @@ object Extensions {
       WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
   )
 
+  private val q63_sim_ann_int8 = Q(
+    "q63_sim_ann_int8",
+    // The quantized-shuffle ANN composition: LSH candidates scored on
+    // int8 codes (4x lighter candidate join), float re-rank of the
+    // shortlist. Recall-gated + exact-emitting like q40/q48; the
+    // int8-vs-float agreement itself is spec-pinned at 1.0 on the
+    // fixture (SimilaritySpec).
+    (s, dir) =>
+      recallGatedExact(s, dir, k = 10,
+        ann = Similarity.annTopKInt8(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, tables = 16, bits = 6),
+        floor = 0.35, what = "ann-int8"),
+    Some(exactSelfTopKSql)
+  )
+
   private val q62_embedding_quantize = Q(
     "q62_embedding_quantize",
     // Int8 embedding quantization (the 4x-shuffle-weight reduction for
@@ -784,7 +800,7 @@ object Extensions {
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
     q56_dedup_embedding_ann,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
-    q62_embedding_quantize,
+    q62_embedding_quantize, q63_sim_ann_int8,
     q41_multimodal_meta,
     q42_multimodal_features, q57_multimodal_frames,
     q43_stream_windowed, q52_stream_join,

@@ -187,6 +187,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("annTopKInt8: float-exact final scores, near-total agreement with float ANN") {
+    val k = 10
+    val int8Res = Similarity.annTopKInt8(emb, "vec_id", "embedding", k)
+      .as[(Long, Long, Long, Double)].collect()
+    val floatRes = Similarity.annTopK(emb, "vec_id", "embedding", k)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(int8Res.nonEmpty)
+    // final scores are float-exact: spot-check against the kernel
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    int8Res.take(200).foreach { case (q, _, nn, cos) =>
+      assert(cos == Kernels.cosineArrays(vecs(q), vecs(nn)))
+    }
+    // same candidates, so the only divergence is int8 ordering noise
+    // truncated at the rerank stage — with rerank=4k it is marginal
+    val a = int8Res.map(r => (r._1, r._3)).toSet
+    val b = floatRes.map(r => (r._1, r._3)).toSet
+    val overlap = a.intersect(b).size.toDouble / math.max(b.size, 1)
+    info(f"int8-vs-float ANN pair agreement = $overlap%.4f")
+    assert(overlap >= 0.97, f"agreement $overlap%.4f")
+  }
+
   test("annCandidates emits ordered distinct pairs") {
     val cand = Similarity.annCandidates(emb, "vec_id", "embedding",
       tables = 4, bits = 8)
