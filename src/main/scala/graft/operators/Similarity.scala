@@ -339,10 +339,10 @@ object Similarity {
       return df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
-          StructField("query_id", LongType),
-          StructField("rank", LongType),
-          StructField("nn_id", LongType),
-          StructField("cos", DoubleType))))
+          StructField("query_id", LongType, nullable = false),
+          StructField("rank", LongType, nullable = false),
+          StructField("nn_id", LongType, nullable = false),
+          StructField("cos", DoubleType, nullable = false))))
     }
     val cents = trainCentroids(sample, nlist, iters)
 
