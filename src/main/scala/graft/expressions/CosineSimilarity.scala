@@ -111,6 +111,35 @@ object GraftFunctions {
       reg.registerFunction(CosineIdent, cosineInfo, cosineBuilder)
     }
   }
+
+  /** The full named-function surface — the analog of the reference's
+    * RPC function registry (register a function by name, call it by
+    * name from any client): the native codegen'd cosine plus the
+    * kernel-backed helpers, all callable from SQL text. UDF
+    * registration replaces idempotently. */
+  def registerAll(spark: SparkSession): Unit = {
+    register(spark)
+    import graft.operators.Kernels
+    spark.udf.register("graft_jaccard",
+      (a: scala.collection.Seq[String], b: scala.collection.Seq[String]) =>
+        if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(Kernels.jaccard(a, b)))
+    spark.udf.register("graft_simhash64",
+      (toks: scala.collection.Seq[String]) =>
+        if (toks == null) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(Kernels.simHash64(toks)))
+    spark.udf.register("graft_word_ngrams",
+      (t: String, n: Int) =>
+        if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    spark.udf.register("graft_int8_cosine",
+      (a: scala.collection.Seq[Byte], b: scala.collection.Seq[Byte]) =>
+        if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(Kernels.int8Cosine(a, b)))
+    spark.udf.register("graft_md5_lower64",
+      (s: String) =>
+        if (s == null) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(Kernels.md5Lower64(s)))
+  }
 }
 
 /** `spark.sql.extensions=graft.expressions.GraftExtensions` injects

@@ -709,6 +709,36 @@ object Extensions {
       FROM events QUALIFY rank <= 8 ORDER BY event_type, rank""")
   )
 
+  private val q64_sql_text = Q(
+    "q64_sql_text",
+    // The spark.sql(...) face end-to-end: temp view + ANSI SQL text
+    // through the parser/analyzer, landing on the same physical plan
+    // family as the DataFrame spelling — the oracle is nearly the
+    // same text, which is the point (a reference user can bring
+    // plain SQL).
+    (s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
+        FROM graft_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
   private val q44_curation_pipeline = Q(
     "q44_curation_pipeline",
     // The realistic composition: language filter -> quality floor ->
@@ -805,5 +835,5 @@ object Extensions {
     q42_multimodal_features, q57_multimodal_frames,
     q43_stream_windowed, q52_stream_join,
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
-    q44_curation_pipeline, q45_source_audit)
+    q64_sql_text, q44_curation_pipeline, q45_source_audit)
 }

@@ -47,6 +47,26 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 2 arguments"))
   }
 
+  test("registerAll: every kernel function callable by name from SQL text") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("""SELECT
+        graft_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+        graft_simhash64(array('w1','w2')) AS sh,
+        graft_word_ngrams('a b c d', 3) AS ng,
+        graft_int8_cosine(array(CAST(127 AS TINYINT), CAST(0 AS TINYINT)),
+          array(CAST(127 AS TINYINT), CAST(0 AS TINYINT))) AS c8,
+        graft_md5_lower64('hello') AS m""").head()
+    assert(r.getDouble(0) == 0.5) // |{b,c}| / |{a,b,c,d}|
+    assert(r.getLong(1) == Kernels.simHash64(Seq("w1", "w2")))
+    assert(r.getSeq[String](2).toSeq == Seq("a b c", "b c d"))
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == Kernels.md5Lower64("hello"))
+    // null-tolerant through the SQL face
+    val n = spark.sql(
+      "SELECT graft_jaccard(CAST(NULL AS ARRAY<STRING>), array('x'))").head()
+    assert(n.isNullAt(0))
+  }
+
   test("interpreted fallback matches generated code path") {
     // force interpreted eval through the object helper on raw arrays
     val a = Array(0.3f, -1.2f, 4.5f)
