@@ -280,6 +280,67 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * candidate pair graph, labeling every id with the MINIMUM id
+    * reachable from it (the cluster representative). This is the step
+    * that turns pair lists (LSH/SimHash/Jaccard output) into an
+    * actionable "keep one per cluster" decision.
+    *
+    * Algorithm: iterative min-label propagation — each round joins
+    * edges to current labels and takes the per-vertex min; converges
+    * in O(graph diameter) rounds. Near-dup graphs are short-diameter
+    * (clusters are stars/cliques around a representative), so this
+    * beats the alternating-star machinery in practice; rounds are
+    * driver-coordinated like every iterative Spark graph algorithm.
+    * Each round's labels are `localCheckpoint`ed: without plan
+    * truncation the self-referential join DOUBLES the logical plan
+    * every round (exponential analysis cost — it OOMs the driver
+    * before the data is ever large). On a real cluster swap in
+    * reliable `checkpoint` (localCheckpoint does not survive executor
+    * loss). For adversarially long chains raise `maxIter` (the
+    * require makes non-convergence loud, never silent).
+    *
+    * Output: (id, cluster_id), one row per input id; singletons label
+    * themselves. */
+  def duplicateClusters(
+      ids: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val idName = ids.columns.head
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idName).cast("long").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id").as("ncomp"))
+        .groupBy("id").agg(min("ncomp").as("ncomp"))
+      val updated = labels.as("l")
+        .join(neighborMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("ncomp"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
+        .filter(col("cluster_id") =!= col("old"))
+        .count()
+      labels = updated
+      it += 1
+    }
+    require(changed == 0L,
+      s"duplicateClusters did not converge in $maxIter rounds — " +
+        "pathologically long chain; raise maxIter")
+    labels
+  }
+
   /** Exact pairwise embedding-cosine near-dup baseline — a
     * block-nested cross computed distributively: rows are hashed into
     * `blocks` buckets, every row is replicated to the `blocks`

@@ -291,6 +291,38 @@ object Extensions {
       ORDER BY id_a, id_b""")
   )
 
+  private val q65_dedup_clusters = Q(
+    "q65_dedup_clusters",
+    // Pair list -> duplicate clusters: minHashLshPairs (== exact
+    // Jaccard pairs on the fixture, proven by q36) resolved into
+    // connected components by min-label propagation. The oracle
+    // recomputes components from the exact pair graph with a
+    // recursive transitive-closure CTE.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      SELECT src AS doc_id, min(dst) AS cluster_id
+      FROM reach GROUP BY src ORDER BY doc_id""")
+  )
+
   private val q38_dedup_embedding = Q(
     "q38_dedup_embedding",
     // Exact pairwise cosine >= 0.4 (59 pairs at sf0.01). The kernel
@@ -828,7 +860,7 @@ object Extensions {
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
     q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
-    q56_dedup_embedding_ann,
+    q56_dedup_embedding_ann, q65_dedup_clusters,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
     q62_embedding_quantize, q63_sim_ann_int8,
     q41_multimodal_meta,

@@ -119,6 +119,60 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("duplicateClusters: hand graphs — chain, star, clique, singletons") {
+    import spark.implicits._
+    val ids = (0L to 9L).toDF("id")
+    // chain 0-1-2, star 3<-{4,5}, clique {6,7,8}, singleton 9
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L),
+      (3L, 4L), (3L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L,
+      9L -> 9L))
+  }
+
+  test("duplicateClusters property: equals BFS components on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    (0 until 3).foreach { i =>
+      val n = 40
+      val edgeGen = Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L))
+      val raw = Gen.listOfN(30, edgeGen)
+        .apply(Gen.Parameters.default, Seed(99L + i)).get
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .distinct
+      val got = Dedup.duplicateClusters(
+        (0L until n).toDF("id"), raw.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: union-find in plain Scala
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map { v =>
+        val root = find(v)
+        // representative = min member of the component
+        val members = (0 until n.toInt).filter(u => find(u) == root)
+        v.toLong -> members.min.toLong
+      }.toMap
+      assert(got == expected, s"seed ${99 + i}")
+    }
+  }
+
   test("embeddingNearDupPairs (ANN + verify) == exact quadratic at high threshold") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
