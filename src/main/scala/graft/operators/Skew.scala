@@ -38,7 +38,7 @@ object Skew {
     // duplicates share a bucket, which skews spread but never
     // correctness.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt.toLong)))
     val partial = salted
       .groupBy((k :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_partial"))
