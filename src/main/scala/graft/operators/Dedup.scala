@@ -50,6 +50,28 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Incremental exact dedup — the production shape at 100 TB: a new
+    * batch is deduped within itself (keep min id per content) and then
+    * anti-joined against the ALREADY-PROCESSED corpus's digest set, so
+    * the existing data is never rescanned — only its (tiny) digest
+    * index is read. `knownDigests` is one `content_hash` column, the
+    * running index a pipeline maintains by unioning each batch's
+    * [[exactGroups]] output. Both joins key on the digest: uniform,
+    * skew-free, and the anti side carries 16 bytes per known doc. */
+  def exactDedupIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      knownDigests: DataFrame): DataFrame = {
+    val withinBatch = exactDedup(newDocs, idCol, textCol)
+    val known = knownDigests
+      .select(col(knownDigests.columns.head).as("content_hash"))
+      .distinct()
+    withinBatch
+      .join(known,
+        md5(withinBatch(textCol)) === known("content_hash"), "left_anti")
+  }
+
   /** Distinct word-n-gram sets per document: (id, ngrams, set size).
     * One kernel call per doc ([[Kernels.wordNgrams]]); semantically
     * identical to the TextFunctions HOF spelling. */

@@ -291,6 +291,31 @@ object Extensions {
       ORDER BY id_a, id_b""")
   )
 
+  private val q66_dedup_incremental = Q(
+    "q66_dedup_incremental",
+    // Incremental dedup: the second half of the corpus arrives as a
+    // new batch and is deduped within itself and against the first
+    // half's digest index — the existing corpus is never rescanned.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val known = Dedup.exactGroups(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .select("content_hash")
+      Dedup.exactDedupIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", known)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""WITH known AS (SELECT DISTINCT md5(text) AS h
+        FROM documents WHERE doc_id < 250),
+      batch AS (SELECT * FROM documents WHERE doc_id >= 250),
+      kept AS (SELECT * FROM batch QUALIFY
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+      SELECT doc_id, source, lang FROM kept
+      WHERE md5(text) NOT IN (SELECT h FROM known)
+      ORDER BY doc_id""")
+  )
+
   private val q65_dedup_clusters = Q(
     "q65_dedup_clusters",
     // Pair list -> duplicate clusters: minHashLshPairs (== exact
@@ -860,7 +885,7 @@ object Extensions {
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
     q34_dedup_exact, q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
-    q56_dedup_embedding_ann, q65_dedup_clusters,
+    q56_dedup_embedding_ann, q65_dedup_clusters, q66_dedup_incremental,
     q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
     q62_embedding_quantize, q63_sim_ann_int8,
     q41_multimodal_meta,

@@ -119,6 +119,21 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("exactDedupIncremental: batch-internal dups AND known content dropped") {
+    val known = Seq((100L, "already seen"), (101L, "also known"))
+      .toDF("doc_id", "text")
+    val knownDigests = Dedup.exactGroups(known, "doc_id", "text")
+      .select("content_hash")
+    val batch = Seq(
+      (1L, "brand new"), (2L, "brand new"),      // in-batch dup: keep 1
+      (3L, "already seen"),                      // known: drop
+      (4L, "another new one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedupIncremental(batch, "doc_id", "text", knownDigests)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 4L))
+  }
+
   test("duplicateClusters: hand graphs — chain, star, clique, singletons") {
     import spark.implicits._
     val ids = (0L to 9L).toDF("id")
