@@ -83,6 +83,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cos"))
   }
 
+  /** Exact self top-k with bounded-state ranking: same rows as
+    * `bruteForceTopK(df, df, ...)` (spec-pinned equal), but the
+    * ranking runs through [[topKScored]]'s native imperative
+    * aggregate — map-side partial heaps mean the shuffle after
+    * scoring carries at most k entries per query per partition
+    * instead of every n² score. Measured at sf0.1 (4M scored rows,
+    * local[32]): parity with the window spelling while it fits in
+    * memory, and strictly better once the window sort would spill —
+    * the earlier typed-Aggregator spelling of the same idea was 2x
+    * SLOWER than the window purely from its per-row object-encoding
+    * fence, which is why topKScored is a TypedImperativeAggregate.
+    * Requires long ids. */
+  def exactSelfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val c = df.select(col(idCol).as("nn_id"), col(vecCol).as("cv"))
+    val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        call_function("graft_cosine", col("qv"), col("cv")).as("cos"))
+    topKScored(scored, k)
+  }
+
   /** Deterministic random hyperplanes: `tables` sketch tables of
     * `bits` hyperplanes each, components from a fixed-seed LCG
     * (reproducible across runs/JVMs — no global RNG). */
@@ -284,27 +310,31 @@ object Similarity {
   }
 
   /** Rank scored (query_id, nn_id, cos) rows to per-query top-k with
-    * the bounded-state [[graft.functions.TypedAggregators.TopKScored]]
-    * aggregator: map-side partial heaps mean the shuffle moves at most
-    * k entries per query per partition — the 100 TB replacement for a
-    * window over every candidate score. Same total order as the
-    * window spelling (cos DESC, nn_id ASC), so results are identical.
-    * Requires long ids (both ANN self-search paths have them). */
+    * the native bounded-state aggregate
+    * [[graft.expressions.TopKScoredAgg]]: map-side partial heaps mean
+    * the shuffle moves at most k entries per query per partition — the
+    * 100 TB replacement for a window over every candidate score — and
+    * the `TypedImperativeAggregate` form reads primitives straight off
+    * InternalRows (no per-row object-encoding fence like the typed
+    * `Aggregator` spelling, which measured 2x slower than the window
+    * at sf0.1). Same total order as the window spelling (cos DESC,
+    * nn_id ASC), so results are identical. Requires long ids (both
+    * ANN self-search paths have them). */
   private[operators] def topKScored(scored: DataFrame, k: Int): DataFrame = {
-    val s = scored.sparkSession
-    import s.implicits._
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val aggCol = GraftSqlShim.column(
+      graft.expressions.TopKScoredAgg(
+        GraftSqlShim.expression(col("cos")),
+        GraftSqlShim.expression(col("nn_id")),
+        k).toAggregateExpression())
     scored
-      .select(col("query_id").cast("long"), col("nn_id").cast("long"),
-        col("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .agg(new graft.functions.TypedAggregators.TopKScored(k).toColumn)
-      .flatMap { case (q, top) =>
-        top.iterator.zipWithIndex.map { case ((c, n), i) =>
-          (q, (i + 1).toLong, n, c)
-        }
-      }
-      .toDF("query_id", "rank", "nn_id", "cos")
+      .select(col("query_id").cast("long").as("query_id"),
+        col("nn_id").cast("long").as("nn_id"), col("cos"))
+      .groupBy("query_id")
+      .agg(aggCol.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("s.nn_id").as("nn_id"), col("s.cos").as("cos"))
   }
 
   /** IVF approximate top-k self-search: train `nlist` centroids on a

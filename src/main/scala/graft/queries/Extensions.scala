@@ -401,14 +401,15 @@ object Extensions {
       WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
-  /** Exact full self top-k, the recall reference for both ANN paths:
-    * every corpus vector queries the whole corpus. */
+  /** Exact full self top-k, the recall reference for the ANN paths:
+    * every corpus vector queries the whole corpus, ranked through the
+    * native bounded-state aggregate (TopKScoredAgg) — the n² scores
+    * are reduced map-side to k entries per query per partition and
+    * never hit a window sort. */
   private def exactSelfTopK(
-      s: org.apache.spark.sql.SparkSession, dir: String, k: Int) = {
-    val e = table(s, dir, "embeddings")
-    Similarity.bruteForceTopK(
-      e, "vec_id", "embedding", e, "vec_id", "embedding", k)
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int) =
+    Similarity.exactSelfTopK(table(s, dir, "embeddings"),
+      "vec_id", "embedding", k)
 
   /** The ANN queries' oracle strategy: the approximate result itself
     * has no SQL twin (JVM-seeded hyperplanes / k-means training), so

@@ -187,6 +187,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("exactSelfTopK (aggregator ranking) == bruteForceTopK (window ranking)") {
+    val a = Similarity.exactSelfTopK(emb, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
   test("annTopKInt8: float-exact final scores, near-total agreement with float ANN") {
     val k = 10
     val int8Res = Similarity.annTopKInt8(emb, "vec_id", "embedding", k)
