@@ -61,7 +61,15 @@ object TypedAggregators {
     * heaps run map-side (ObjectHashAggregate partial mode), so the
     * exchange carries at most k (score, id) entries per group per
     * partition instead of every candidate score. Input rows are
-    * (group, id, score); the group key comes from groupByKey. */
+    * (group, id, score); the group key comes from groupByKey.
+    *
+    * NOTE: the hot ANN paths use the native
+    * [[graft.expressions.TopKScoredAgg]] instead — same semantics,
+    * but as a `TypedImperativeAggregate` it skips the per-row
+    * object-encoding fence this typed Aggregator pays (measured 2x
+    * at millions of rows per group set). This class remains the
+    * typed-API face and the reference implementation the native
+    * aggregate is spec-checked against. */
   class TopKScored(k: Int)
       extends Aggregator[(Long, Long, Double),
         Array[(Double, Long)], Array[(Double, Long)]] {
