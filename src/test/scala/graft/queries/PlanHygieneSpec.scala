@@ -105,6 +105,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("q40: native top-k aggregate runs partial map-side (bounded shuffle)") {
+    // TopKScoredAgg's entire point is that the exchange carries <=k
+    // entries per query per partition — which requires the partial
+    // aggregation to actually plan map-side
+    val p = plan("q40_sim_ann_lsh")
+    assert(p.contains("graft_topk_scored"), p.take(2500))
+    assert(p.contains("ObjectHashAggregate"), p.take(2500))
+    assert(p.contains("partial_graft_topk_scored") ||
+      p.linesIterator.exists(l => l.contains("ObjectHashAggregate") &&
+        l.contains("partial")), p.take(3000))
+  }
+
   test("q60: TopKLongs aggregates partially before the shuffle (O(k) state)") {
     // the bounded-state aggregator must run map-side: the exchange
     // carries partial top-k buffers, not raw rows
