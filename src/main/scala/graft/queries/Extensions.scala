@@ -767,6 +767,40 @@ object Extensions {
       FROM events QUALIFY rank <= 8 ORDER BY event_type, rank""")
   )
 
+  private val q67_profile = Q(
+    "q67_profile",
+    // One-scan dataset profile (exact mode for the oracle; production
+    // default swaps distinct counts for HLL sketches).
+    (s, dir) =>
+      graft.operators.Profile.profile(
+        table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
+        exact = true)
+        .orderBy("column"),
+    Some("""WITH m AS (SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS nu1,
+        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1,
+        CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS nu2,
+        CAST(count(DISTINCT l_quantity) AS BIGINT) AS d2,
+        CAST(min(l_quantity) AS VARCHAR) AS mn2, CAST(max(l_quantity) AS VARCHAR) AS mx2,
+        CAST(count(*) FILTER (l_returnflag IS NULL) AS BIGINT) AS nu3,
+        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d3,
+        min(l_returnflag) AS mn3, max(l_returnflag) AS mx3,
+        CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS nu4,
+        CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d4,
+        CAST(min(l_shipdate) AS VARCHAR) AS mn4,
+        CAST(max(l_shipdate) AS VARCHAR) AS mx4
+      FROM lineitem)
+      SELECT 'l_orderkey' AS "column", n AS n_rows, nu1 AS n_nulls,
+        d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM m
+      UNION ALL SELECT 'l_quantity', n, nu2, d2, mn2, mx2 FROM m
+      UNION ALL SELECT 'l_returnflag', n, nu3, d3, mn3, mx3 FROM m
+      UNION ALL SELECT 'l_shipdate', n, nu4, d4, mn4, mx4 FROM m
+      ORDER BY "column"""")
+  )
+
   private val q64_sql_text = Q(
     "q64_sql_text",
     // The spark.sql(...) face end-to-end: temp view + ANSI SQL text
@@ -893,5 +927,5 @@ object Extensions {
     q42_multimodal_features, q57_multimodal_frames,
     q43_stream_windowed, q52_stream_join,
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
-    q64_sql_text, q44_curation_pipeline, q45_source_audit)
+    q64_sql_text, q67_profile, q44_curation_pipeline, q45_source_audit)
 }
