@@ -363,6 +363,22 @@ object Dedup {
     labels
   }
 
+  /** Apply cluster labels back to the data: keep exactly the rows
+    * whose id IS its cluster's representative (the min id). The
+    * "delete the duplicates" end of the pair→cluster pipeline:
+    * pairs = any candidate generator, clusters = [[duplicateClusters]],
+    * and the final semi join keys on the id — one shuffle of ids, row
+    * bodies move once. */
+  def resolveDuplicates(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val clusters = duplicateClusters(df.select(idCol), pairs, maxIter)
+    val keep = clusters.filter(col("id") === col("cluster_id")).select("id")
+    df.join(keep, df(idCol) === keep("id"), "left_semi")
+  }
+
   /** Exact pairwise embedding-cosine near-dup baseline — a
     * block-nested cross computed distributively: rows are hashed into
     * `blocks` buckets, every row is replicated to the `blocks`

@@ -152,6 +152,18 @@ class DedupSpec extends AnyFunSuite {
       9L -> 9L))
   }
 
+  test("resolveDuplicates keeps exactly one representative per cluster") {
+    val df = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"),   // cluster {1,2,3} -> keep 1
+      (4L, "y"), (5L, "y"),              // cluster {4,5}   -> keep 4
+      (6L, "z")                          // singleton       -> keep 6
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolveDuplicates(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 6L))
+  }
+
   test("duplicateClusters property: equals BFS components on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
