@@ -42,6 +42,41 @@ object Sampling {
         frac * 1000000.0)
   }
 
+  /** Cross-engine deterministic Bernoulli: keep a row iff the low 64
+    * bits of md5(key ++ ":" ++ salt), read as UNSIGNED, fall below
+    * fraction·2⁶⁴. Any engine with an md5 builtin reproduces the
+    * exact decision set (DuckDB: `md5_number_lower(x) < T::UBIGINT`)
+    * — the contract to reach for when a split must be carved
+    * identically by non-Spark systems. Slower per row than the
+    * xxhash64 variants above; prefer those when only Spark replays
+    * the decision. */
+  def crossEngineSample(
+      df: DataFrame, keyCol: Column, fraction: Double,
+      salt: String = "graft"): DataFrame = {
+    df.filter(crossEngineKeep(keyCol, fraction, salt))
+  }
+
+  /** The keep-decision column behind [[crossEngineSample]], exposed
+    * so stratified variants can switch fractions per stratum. */
+  def crossEngineKeep(
+      keyCol: Column, fraction: Double, salt: String): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    if (fraction == 1.0) return keyCol.isNotNull
+    val threshold = unsignedThreshold(fraction)
+    val saltLocal = salt
+    val u = udf((k: String) =>
+      k != null && java.lang.Long.compareUnsigned(
+        Kernels.md5Lower64(k + ":" + saltLocal), threshold) < 0)
+    u(keyCol.cast("string"))
+  }
+
+  /** fraction·2⁶⁴ as the unsigned-bits long (fraction = 1.0 is
+    * special-cased to keep-all before this is called — 2⁶⁴ itself
+    * does not fit). */
+  private[graft] def unsignedThreshold(fraction: Double): Long =
+    (BigDecimal(fraction) * BigDecimal(BigInt(1) << 64))
+      .toBigInt.longValue
+
   /** Exact per-group top-n by a deterministic hash order — a fixed-size
     * "reservoir" per group without any RNG: one window, shuffle keyed
     * by the group column. */

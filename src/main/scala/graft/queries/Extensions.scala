@@ -767,6 +767,57 @@ object Extensions {
       FROM events QUALIFY rank <= 8 ORDER BY event_type, rank""")
   )
 
+  private val q68_sample_crossengine = Q(
+    "q68_sample_crossengine",
+    // Cross-engine deterministic sampling: the md5-threshold decision
+    // is recomputed bit-for-bit by DuckDB (md5_number_lower), so the
+    // sampled ROW SET itself is the oracle — the property that lets a
+    // non-Spark system carve the identical split.
+    (s, dir) =>
+      graft.operators.Sampling.crossEngineSample(
+        table(s, dir, "documents"), col("doc_id"), fraction = 0.25,
+        salt = "graft")
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+    Some {
+      val t = java.lang.Long.toUnsignedString(
+        graft.operators.Sampling.unsignedThreshold(0.25))
+      s"""SELECT doc_id, source FROM documents
+      WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':graft')
+        < CAST('$t' AS UBIGINT)
+      ORDER BY doc_id"""
+    }
+  )
+
+  private val q69_token_budget = Q(
+    "q69_token_budget",
+    // Quality-first token-budget cut: keep the best-quality prefix
+    // that fits 20k tokens. Ordering key is the (oracle-matched)
+    // quality score with doc_id tiebreak — a total order, so the
+    // window cumsum is deterministic in both engines.
+    (s, dir) =>
+      graft.operators.Curation.tokenBudgetSelect(
+        table(s, dir, "documents"), "doc_id", "text", budget = 20000L,
+        quality = TextFunctions.qualityScore(col("text")))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+    Some(s"""WITH scored AS (SELECT doc_id, source, lang,
+        CAST(len($W) AS BIGINT) AS toks,
+        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+          + least((CASE WHEN len($W) = 0 THEN 0.0
+              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
+                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
+          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text,
+                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
+              * 4.0, 1.0)) * 0.1, 6) AS quality
+      FROM documents)
+      SELECT doc_id, source, lang FROM scored
+      QUALIFY sum(toks) OVER (ORDER BY quality DESC, doc_id
+        ROWS UNBOUNDED PRECEDING) <= 20000
+      ORDER BY doc_id""")
+  )
+
   private val q67_profile = Q(
     "q67_profile",
     // One-scan dataset profile (exact mode for the oracle; production
@@ -927,5 +978,6 @@ object Extensions {
     q42_multimodal_features, q57_multimodal_frames,
     q43_stream_windowed, q52_stream_join,
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
-    q64_sql_text, q67_profile, q44_curation_pipeline, q45_source_audit)
+    q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
+    q44_curation_pipeline, q45_source_audit)
 }

@@ -40,6 +40,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(enRate > 0.35 && enRate < 0.65, s"en rate $enRate")
   }
 
+  test("crossEngineSample: deterministic, rate-accurate, salt-sensitive, edge fractions") {
+    val s1 = Sampling.crossEngineSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Sampling.crossEngineSample(docs.repartition(9), col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2) // partitioning-independent
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.3) < 0.08) // md5 is uniform
+    // a different salt carves a different (deterministic) split
+    val other = Sampling.crossEngineSample(docs, col("doc_id"), 0.3, "other")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != s1)
+    // a larger fraction strictly grows the kept set (threshold nesting)
+    val bigger = Sampling.crossEngineSample(docs, col("doc_id"), 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.toSet.subsetOf(bigger))
+    assert(Sampling.crossEngineSample(docs, col("doc_id"), 0.0).count() == 0)
+    assert(Sampling.crossEngineSample(docs, col("doc_id"), 1.0).count() == n.toLong)
+  }
+
+  test("tokenBudgetSelect: maximal quality-first prefix within budget") {
+    import graft.functions.TextFunctions
+    val budget = 5000L
+    val kept = Curation.tokenBudgetSelect(
+      docs, "doc_id", "text", budget,
+      TextFunctions.qualityScore(col("text")))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // selected docs fit the budget…
+    val total = docs
+      .filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .select(TextFunctions.tokenCount(col("text")).as("t"))
+      .agg(org.apache.spark.sql.functions.sum("t")).head().getLong(0)
+    assert(total <= budget)
+    // …and the cut is quality-maximal: every kept doc has quality >=
+    // every dropped doc (up to the id tiebreak at the boundary value)
+    val q = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minKept = keptIds.map(q).min
+    val droppedAbove = q.filter { case (id, v) =>
+      !keptIds.contains(id) && v > minKept }
+    assert(droppedAbove.isEmpty, s"dropped higher-quality docs: $droppedAbove")
+  }
+
   test("perGroupSample: exactly n per group, deterministic") {
     val s1 = Sampling.perGroupSample(docs, col("lang"), col("doc_id"), 5)
     val counts = s1.groupBy("lang").count().collect().map(_.getLong(1))
