@@ -32,37 +32,49 @@ object Bench {
     // plan is genuinely exchange-free below the join (else -1). These
     // x_ entries ride in the queries map for side-by-side comparison
     // but stay out of `total` (they duplicate q11's work).
-    val bucketEntries: Seq[(String, Double)] = try {
-      import org.apache.spark.sql.functions._
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val o = spark.read.parquet(s"$sfDir/orders.parquet")
-      def shape(j: org.apache.spark.sql.DataFrame) =
-        j.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-      val shuffled = shape(li.join(o, col("l_orderkey") === col("o_orderkey")))
-      shuffled.count() // warm
-      val t0 = System.nanoTime(); shuffled.count()
-      val tShuffled = (System.nanoTime() - t0) / 1e9
-      li.write.mode("overwrite").bucketBy(16, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("bench_li_bucketed")
-      o.write.mode("overwrite").bucketBy(16, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("bench_o_bucketed")
-      val bucketed = shape(spark.table("bench_li_bucketed")
-        .join(spark.table("bench_o_bucketed"),
-          col("l_orderkey") === col("o_orderkey")))
-      bucketed.count() // warm
-      val plan = bucketed.queryExecution.executedPlan.toString
-      val exchangesBelowJoin = plan.linesIterator
-        .dropWhile(!_.contains("SortMergeJoin"))
-        .count(_.contains("Exchange hashpartitioning"))
-      val t1 = System.nanoTime(); bucketed.count()
-      val tBucketed = (System.nanoTime() - t1) / 1e9
-      spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS bench_o_bucketed")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      Seq("x_join_shuffled" -> tShuffled,
-        "x_join_bucketed" -> (if (exchangesBelowJoin == 0) tBucketed else -1.0))
-    } catch { case _: Throwable => Seq.empty }
+    val bucketEntries: Seq[(String, Double)] = {
+      val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        def shape(j: org.apache.spark.sql.DataFrame) =
+          j.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        val shuffled = shape(li.join(o, col("l_orderkey") === col("o_orderkey")))
+        shuffled.count() // warm
+        val t0 = System.nanoTime(); shuffled.count()
+        val tShuffled = (System.nanoTime() - t0) / 1e9
+        // one file per bucket (repartition on the bucket key before the
+        // write): multi-file buckets force a sort below the join and
+        // read with bucket-count tasks regardless of file count
+        li.repartition(col("l_orderkey"))
+          .write.mode("overwrite").bucketBy(32, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable("bench_li_bucketed")
+        o.repartition(col("o_orderkey"))
+          .write.mode("overwrite").bucketBy(32, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable("bench_o_bucketed")
+        val bucketed = shape(spark.table("bench_li_bucketed")
+          .join(spark.table("bench_o_bucketed"),
+            col("l_orderkey") === col("o_orderkey")))
+        bucketed.count() // warm
+        val plan = bucketed.queryExecution.executedPlan.toString
+        val exchangesBelowJoin = plan.linesIterator
+          .dropWhile(!_.contains("SortMergeJoin"))
+          .count(_.contains("Exchange hashpartitioning"))
+        val t1 = System.nanoTime(); bucketed.count()
+        val tBucketed = (System.nanoTime() - t1) / 1e9
+        Seq("x_join_shuffled" -> tShuffled,
+          "x_join_bucketed" -> (if (exchangesBelowJoin == 0) tBucketed else -1.0))
+      } catch { case _: Throwable => Seq.empty }
+      finally {
+        try {
+          spark.sql("DROP TABLE IF EXISTS bench_li_bucketed")
+          spark.sql("DROP TABLE IF EXISTS bench_o_bucketed")
+        } catch { case _: Throwable => () }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
+      }
+    }
     val qs = (results ++ bucketEntries)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

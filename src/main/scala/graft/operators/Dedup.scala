@@ -354,6 +354,10 @@ object Dedup {
         .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
         .filter(col("cluster_id") =!= col("old"))
         .count()
+      // the convergence count above was the last reader of the previous
+      // round's checkpoint — release its blocks before the next round
+      // caches a new set (else up to maxIter label sets pile up)
+      labels.unpersist()
       labels = updated
       it += 1
     }

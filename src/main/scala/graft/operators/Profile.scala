@@ -24,20 +24,26 @@ object Profile {
       cols: Seq[String],
       exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val measures = cols.flatMap { c =>
+    // generated measure names are positional (__m0_, __m1_, ...), never
+    // derived from user column text: a source column named "a.b" or
+    // "x-y z" can't break (or silently re-resolve inside) the stack()
+    // expression below. The label row still carries the real name via
+    // a quoted literal.
+    val measures = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        count(lit(1)).as(s"__n_$i"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$i"),
         (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+         else approx_count_distinct(col(c))).as(s"__dist_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val wide = df.agg(measures.head, measures.tail: _*)
     // unpivot the single wide row into one row per column — stack is
     // a Generate over one row, not a per-column job
-    val stackArgs = cols.map { c =>
-      s"'$c', __n_$c, __nulls_$c, __dist_$c, __min_$c, __max_$c"
+    val stackArgs = cols.indices.map { i =>
+      val label = cols(i).replace("\\", "\\\\").replace("'", "\\'")
+      s"'$label', __n_$i, __nulls_$i, __dist_$i, __min_$i, __max_$i"
     }.mkString(", ")
     wide.select(expr(
       s"stack(${cols.length}, $stackArgs) AS " +
