@@ -94,12 +94,27 @@ object Similarity {
     * the earlier typed-Aggregator spelling of the same idea was 2x
     * SLOWER than the window purely from its per-row object-encoding
     * fence, which is why topKScored is a TypedImperativeAggregate.
-    * Requires long ids. */
+    * Requires long ids.
+    *
+    * BOUNDED-CORPUS CONTRACT: this broadcasts the ENTIRE corpus as the
+    * query side and scores all n² pairs — it is the ground-truth /
+    * recall-reference operator for fixtures and evaluation harnesses,
+    * NOT a scale path. `maxBroadcastRows` (guarded with one cheap
+    * count) fails fast before a caller ships an unbounded corpus to
+    * every executor; the at-scale spelling of the same question is
+    * [[annTopK]] / [[ivfTopK]] (sub-quadratic candidates), with THIS
+    * operator run on a sampled query subset to measure their recall. */
   def exactSelfTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxBroadcastRows,
+      s"exactSelfTopK is the bounded-corpus ground-truth operator: corpus has " +
+        s"$n rows > maxBroadcastRows=$maxBroadcastRows. Use annTopK/ivfTopK " +
+        "at scale (with a sampled exact reference for recall).")
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val c = df.select(col(idCol).as("nn_id"), col(vecCol).as("cv"))
     val q = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -107,6 +122,97 @@ object Similarity {
       .select(col("query_id"), col("nn_id"),
         call_function("graft_cosine", col("qv"), col("cv")).as("cos"))
     topKScored(scored, k)
+  }
+
+  /** Exact self top-k, blocked: the same rows as [[exactSelfTopK]]
+    * (spec-pinned bitwise equal) at a fraction of the cost. Rows are
+    * hashed into `blocks` buckets and replicated to their block-pairs
+    * exactly like [[Dedup.embeddingCosinePairs]]; each block-pair task
+    * runs a tight JIT'd dot-product loop (per-vector norms hoisted —
+    * sqrt(Σx²) over the same left-to-right fold, so cos = dot/(na·nb)
+    * is bit-identical to [[Kernels.cosine]]) and maintains a bounded
+    * [[graft.expressions.TopKBuffer]] PER ROW — the n² scores
+    * collapse to k partials per row per block before anything leaves
+    * the task. The only shuffles are the block replication (n·blocks
+    * vectors) and the final merge (n·blocks·k 24-byte rows through
+    * [[topKScored]]). Compute is still O(n²·dim/tasks) — the
+    * ground-truth operator for evaluation harnesses, not a scale path
+    * (that's [[annTopK]]/[[ivfTopK]]); at 100 TB run it on a sampled
+    * query subset. Requires long ids. */
+  def exactSelfTopKBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kk = k
+    val nb = blocks
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+    val replicated = v.flatMap { case (id, vec) =>
+      val blk = ((id % nb) + nb).toInt % nb
+      (0 until nb).map { other =>
+        val bp = if (blk <= other) blk * nb + other else other * nb + blk
+        (bp, blk, id, vec)
+      }
+    }
+    val partial = replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (bp, it) =>
+        val lo = bp / nb
+        val hi = bp % nb
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (_, blk, id, vec) =>
+          if (blk == lo) left += ((id, vec))
+          if (blk == hi && lo != hi) right += ((id, vec))
+        }
+        val l = left.toArray
+        val r = if (lo == hi) l else right.toArray
+        // norms hoisted out of the pair loop: sqrt of the same strict
+        // left-to-right Σx² fold Kernels.cosine runs, so the division
+        // below reproduces its result bit-for-bit
+        def norms(rows: Array[(Long, Array[Float])]): Array[Double] =
+          rows.map { case (_, a) =>
+            var ss = 0.0; var i = 0
+            while (i < a.length) { val x = a(i).toDouble; ss += x * x; i += 1 }
+            math.sqrt(ss)
+          }
+        val ln = norms(l)
+        val rn = if (lo == hi) ln else norms(r)
+        val lBuf = Array.fill(l.length)(new graft.expressions.TopKBuffer(kk))
+        val rBuf = if (lo == hi) lBuf
+          else Array.fill(r.length)(new graft.expressions.TopKBuffer(kk))
+        var i = 0
+        while (i < l.length) {
+          val va = l(i)._2
+          var j = if (lo == hi) i + 1 else 0
+          while (j < r.length) {
+            val vb = r(j)._2
+            val n = math.min(va.length, vb.length)
+            var dot = 0.0; var d = 0
+            while (d < n) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+            val den = ln(i) * rn(j)
+            val cos = if (den == 0.0) 0.0 else dot / den
+            lBuf(i).insert(cos, r(j)._1)
+            rBuf(j).insert(cos, l(i)._1)
+            j += 1
+          }
+          i += 1
+        }
+        def emit(rows: Array[(Long, Array[Float])],
+                 bufs: Array[graft.expressions.TopKBuffer]) =
+          rows.iterator.zip(bufs.iterator).flatMap { case ((id, _), b) =>
+            (0 until b.size).iterator.map(x => (id, b.ids(x), b.scores(x)))
+          }
+        if (lo == hi) emit(l, lBuf)
+        else emit(l, lBuf) ++ emit(r, rBuf)
+      }
+      .toDF("query_id", "nn_id", "cos")
+    topKScored(partial, k)
   }
 
   /** Deterministic random hyperplanes: `tables` sketch tables of

@@ -402,13 +402,14 @@ object Extensions {
   )
 
   /** Exact full self top-k, the recall reference for the ANN paths:
-    * every corpus vector queries the whole corpus, ranked through the
-    * native bounded-state aggregate (TopKScoredAgg) — the n² scores
-    * are reduced map-side to k entries per query per partition and
-    * never hit a window sort. */
+    * every corpus vector queries the whole corpus through the BLOCKED
+    * kernel (block-pair tasks, per-row bounded heaps, hoisted norms —
+    * spec-pinned bitwise equal to the broadcast-join spelling) — the
+    * n² scores collapse to k partials per row per block inside each
+    * task and never hit a join row or a window sort. */
   private def exactSelfTopK(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int) =
-    Similarity.exactSelfTopK(table(s, dir, "embeddings"),
+    Similarity.exactSelfTopKBlocked(table(s, dir, "embeddings"),
       "vec_id", "embedding", k)
 
   /** The ANN queries' oracle strategy: the approximate result itself

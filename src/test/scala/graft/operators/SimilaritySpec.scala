@@ -197,6 +197,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("exactSelfTopKBlocked == exactSelfTopK bitwise, across block counts") {
+    val ref = Similarity.exactSelfTopK(emb, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(ref.nonEmpty)
+    // doubles compared with ==: the blocked kernel's hoisted-norm
+    // division must reproduce Kernels.cosine bit-for-bit
+    for (blocks <- Seq(1, 3, 16)) {
+      val blk = Similarity.exactSelfTopKBlocked(
+        emb, "vec_id", "embedding", k = 7, blocks = blocks)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(blk == ref, s"blocked($blocks) diverged from broadcast exact")
+    }
+  }
+
   test("annTopKInt8: float-exact final scores, near-total agreement with float ANN") {
     val k = 10
     val int8Res = Similarity.annTopKInt8(emb, "vec_id", "embedding", k)
