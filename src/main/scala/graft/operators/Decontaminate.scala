@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Test-set decontamination — the step every serious training-data
+  * pipeline runs before a model ever sees the corpus: find (and drop)
+  * training documents that overlap a held-out evaluation set, so
+  * benchmark numbers measure generalization rather than memorization.
+  * Reference method: n-gram collision (as published for GPT-2/GPT-3
+  * and the standard since) — a training document is contaminated if
+  * any of its word n-grams appears in any evaluation document.
+  *
+  * Scale shape: the evaluation side is ALWAYS tiny relative to the
+  * corpus (benchmarks are KBs–MBs; the corpus is the 100 TB side), so
+  * the distinct test-gram set broadcasts, the train side streams one
+  * n-gram explode through a broadcast semi-join, and the per-doc hit
+  * count is a partial-aggregated groupBy on the (already filtered,
+  * usually near-empty) collision stream. The corpus is never
+  * shuffled; row bodies move only in the final keep/drop semi-join
+  * keyed on the id. */
+object Decontaminate {
+
+  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int) = {
+    val ngramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    df.select(col(idCol).as("id"), explode(ngramsUdf(col(textCol))).as("g"))
+  }
+
+  /** Per-training-document contamination report:
+    * (id, n_shared, contaminated) — n_shared counts the DISTINCT
+    * train-doc n-grams that also occur anywhere in the evaluation
+    * set; every training row appears exactly once (n_shared 0 when
+    * clean, including docs shorter than n words). */
+  def contaminationReport(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      test: DataFrame,
+      testText: String,
+      n: Int = 8): DataFrame = {
+    val testGrams = grams(test, testText, testText, n).select("g").distinct()
+    val hits = grams(train, trainId, trainText, n)
+      .join(broadcast(testGrams), Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    train.select(col(trainId).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** The enforcement end: keep only clean training rows. One
+    * broadcast-semi-join gram pass to find contaminated ids, one
+    * anti join keyed on the id to drop them — document bodies are
+    * read once and never shuffled. */
+  def removeContaminated(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      test: DataFrame,
+      testText: String,
+      n: Int = 8): DataFrame = {
+    val testGrams = grams(test, testText, testText, n).select("g").distinct()
+    val dirty = grams(train, trainId, trainText, n)
+      .join(broadcast(testGrams), Seq("g"), "left_semi")
+      .select("id").distinct()
+    train.join(dirty, train(trainId) === dirty("id"), "left_anti")
+  }
+}
