@@ -49,21 +49,28 @@ object Buckets {
 
   /** Adds a `_sub` split column: 0 for rows of within-cap buckets,
     * hash(bucket key, id) mod n_splits for oversized ones. Join on
-    * (bucketCols..., _sub) instead of bucketCols alone. The join with
-    * the (tiny) oversized set is left AQE to broadcast. */
+    * (bucketCols..., _sub) instead of bucketCols alone.
+    *
+    * Spelled as ONE window count over the bucket key — a single
+    * shuffle of the assignments, no second aggregate branch and no
+    * join back (the groupBy+join spelling re-evaluated the bucketed
+    * input once per branch). The window partition per bucket is a
+    * linear count, so even the degenerate bucket this helper exists
+    * for costs O(|bucket|) here, never O(|bucket|²). */
   def capped(
       bucketed: DataFrame,
       bucketCols: Seq[String],
       idCol: String,
       maxBucketSize: Int): DataFrame = {
-    val over = oversized(bucketed, bucketCols, maxBucketSize)
-      .select((bucketCols.map(col) :+ col("n_splits")): _*)
-    bucketed.join(over, bucketCols, "left")
-      .withColumn("_sub",
-        when(col("n_splits").isNull, lit(0L))
-          .otherwise(pmod(
-            xxhash64((bucketCols.map(col) :+ col(idCol)): _*),
-            col("n_splits"))))
-      .drop("n_splits")
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val nSplits = ceil(
+      count(lit(1)).over(w).cast("double") / maxBucketSize).cast("long")
+    bucketed.withColumn("_sub",
+      when(nSplits <= 1L, lit(0L))
+        .otherwise(pmod(
+          xxhash64((bucketCols.map(col) :+ col(idCol)): _*),
+          nSplits)))
   }
 }

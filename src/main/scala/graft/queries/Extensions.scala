@@ -431,10 +431,17 @@ object Extensions {
     // quadratic scoring for each action
     val exact = exactSelfTopK(s, dir, k).persist()
     val annPairs = ann.select("query_id", "nn_id").persist()
-    val total = exact.count()
-    val hits = exact.select("query_id", "nn_id")
-      .join(annPairs, Seq("query_id", "nn_id"), "left_semi")
-      .count()
+    // total + hits in ONE action (left join + conditional count)
+    // instead of two separate counts — at fixture scale the per-action
+    // scheduling overhead is what the bench sees
+    val stats = exact.select("query_id", "nn_id")
+      .join(annPairs.withColumn("_hit", lit(1)),
+        Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)).as("total"), count(col("_hit")).as("hits"))
+      .head()
+    val total = stats.getLong(0)
+    val hits = stats.getLong(1)
+    annPairs.unpersist(blocking = false)
     val recall = if (total == 0L) 1.0 else hits.toDouble / total
     System.err.println(f"[graft] $what pair recall@$k = $recall%.4f ($hits/$total)")
     require(recall >= floor,
@@ -967,6 +974,62 @@ object Extensions {
       FROM q GROUP BY source ORDER BY source""")
   )
 
+  private val q70_decontaminate = Q(
+    "q70_decontaminate",
+    // Test-set decontamination (the GPT-2/3-style n-gram collision
+    // check): every 10th document plays the held-out benchmark, the
+    // rest are the training corpus; each training doc reports how many
+    // of its distinct 3-grams occur anywhere in the benchmark set. The
+    // fixture's planted duplicates guarantee real collisions. The
+    // test-gram set broadcasts; the corpus is never shuffled.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationReport(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shared"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tr AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents WHERE doc_id % 10 <> 0),
+      te AS (SELECT DISTINCT unnest(${ngrams3(W)}) AS g
+        FROM documents WHERE doc_id % 10 = 0),
+      tg AS (SELECT doc_id, unnest(s) AS g FROM tr),
+      hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tg JOIN te USING (g) GROUP BY tg.doc_id)
+      SELECT t.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
+  )
+
+  private val q71_tfidf = Q(
+    "q71_tfidf",
+    // Corpus TF-IDF keywords: top-3 terms per document by
+    // tf · n_docs/df (reciprocal-df idf — IEEE division is identically
+    // rounded everywhere, libm log is not, so scores AND rankings are
+    // bitwise cross-engine; see TfIdf scaladoc), ties broken by term.
+    (s, dir) =>
+      graft.operators.TfIdf.topTerms(
+        table(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank"),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($W) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY term),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        CAST(tf.tf AS DOUBLE) * n.n_docs / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, tf, df, score,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS BIGINT) AS rank FROM s)
+      SELECT doc_id, rank, term, tf, df, score FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -980,5 +1043,6 @@ object Extensions {
     q43_stream_windowed, q52_stream_join,
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
     q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
+    q70_decontaminate, q71_tfidf,
     q44_curation_pipeline, q45_source_audit)
 }
