@@ -134,6 +134,11 @@ object Dedup {
       n: Int = 3,
       minJ: Double = 0.5,
       maxDf: Option[Int] = None): DataFrame = {
+    // NOT cached: the n-gram sets feed three plan branches (posting
+    // list + both sides of the verify join), but measured at sf0.1 the
+    // columnar cache build/decode of 1.5M-string array rows costs ~3x
+    // more than re-running the shingle kernel per branch — string-
+    // array caching is the rare case where recompute wins.
     val sets = ngramSets(df, idCol, textCol, n).filter(col("set_size") > 0)
     val posting0 = sets.select(col("id"), col("set_size"),
       explode(col("ngrams")).as("g"))
@@ -185,8 +190,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       minJ: Double = 0.5,
       maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // sets feed the banding pass + both sides of the verify join;
+    // capped feeds both sides of the candidate self-join — persist or
+    // the shingle/minhash UDFs re-run per branch (same reasoning and
+    // storage level as ngramJaccardPairs / annCandidates).
     val sets = ngramSets(df, idCol, textCol, n)
       .filter(col("set_size") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsUdf = udf((ng: scala.collection.Seq[String]) =>
       Kernels.minHashBands(ng, bands, rowsPerBand))
     val banded = sets.select(
@@ -198,6 +209,7 @@ object Dedup {
     // pair separated in one band usually still collides in another of
     // its ~bands·s^r expected collisions.
     val capped = Buckets.capped(banded, Seq("band", "bucket"), "id", maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = capped.as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") &&
@@ -206,7 +218,12 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, sets, minJ)
+    val verified = verifyJaccard(candidates, sets, minJ)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    capped.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    verified
   }
 
   /** 64-bit SimHash of the word stream: bit j of the fingerprint is
@@ -314,29 +331,44 @@ object Dedup {
     * (clusters are stars/cliques around a representative), so this
     * beats the alternating-star machinery in practice; rounds are
     * driver-coordinated like every iterative Spark graph algorithm.
-    * Each round's labels are `localCheckpoint`ed: without plan
-    * truncation the self-referential join DOUBLES the logical plan
-    * every round (exponential analysis cost — it OOMs the driver
-    * before the data is ever large). On a real cluster swap in
-    * reliable `checkpoint` (localCheckpoint does not survive executor
-    * loss). For adversarially long chains raise `maxIter` (the
-    * require makes non-convergence loud, never silent).
+    * Each round's labels are checkpointed: without plan truncation
+    * the self-referential join DOUBLES the logical plan every round
+    * (exponential analysis cost — it OOMs the driver before the data
+    * is ever large). `checkpointDir = None` uses `localCheckpoint`
+    * (zero-setup, right for local/fixture runs); on a real cluster
+    * pass a durable dir — reliable checkpoints survive executor
+    * loss, localCheckpoint blocks do not. For adversarially long
+    * chains raise `maxIter` (the require makes non-convergence loud,
+    * never silent).
     *
     * Output: (id, cluster_id), one row per input id; singletons label
     * themselves. */
   def duplicateClusters(
       ids: DataFrame,
       pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = ids.sparkSession
+    // iterative plans MUST be truncated each round (else the lineage
+    // and analysis cost grow per iteration). localCheckpoint is the
+    // zero-setup default for local/fixture runs; pass `checkpointDir`
+    // on a real cluster — reliable checkpoints go to the (HDFS/object
+    // store) dir and survive executor loss, which localCheckpoint
+    // blocks do not.
+    val save: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val idName = ids.columns.head
-    val edges = pairs
+    val edges = save(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = ids.select(col(idName).cast("long").as("id"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = save(ids.select(col(idName).cast("long").as("id"))
       .distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+      .withColumn("cluster_id", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -344,12 +376,11 @@ object Dedup {
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id").as("ncomp"))
         .groupBy("id").agg(min("ncomp").as("ncomp"))
-      val updated = labels.as("l")
+      val updated = save(labels.as("l")
         .join(neighborMin.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("ncomp"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+            .as("cluster_id")))
       changed = updated.as("u")
         .join(labels.select(col("id"), col("cluster_id").as("old")), Seq("id"))
         .filter(col("cluster_id") =!= col("old"))

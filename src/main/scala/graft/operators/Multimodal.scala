@@ -42,8 +42,51 @@ object Multimodal {
       checksum: Long,
       embedding: Array[Float])
 
-  /** The codec seam. Everything in here is a deterministic fake —
-    * swap for real decoders; the pipeline around it is unchanged. */
+  /** THE codec seam: implement this one trait to plug a real decoder
+    * (JNI/javacv/ffmpeg) into the pipeline — everything else
+    * (schema, encoders, partition batching, feature queries) is
+    * codec-agnostic. Implementations must be deterministic
+    * (retry-safe) and Serializable (they ride in task closures). Two
+    * independent stub implementations ship so the seam itself is
+    * provably load-bearing: MultimodalSpec swaps them and pins that
+    * only the embedding changes. */
+  trait Codec extends Serializable {
+    def name: String
+    def embeddingDim: Int
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Byte-histogram stub codec (the default; q42's oracle recomputes
+    * these features from the payload bytes in SQL). */
+  object HistogramCodec extends Codec {
+    val name = "stub-histogram"
+    val embeddingDim: Int = MediaCodec.EmbeddingDim
+    def decode(payload: Array[Byte]): Array[Float] =
+      MediaCodec.decodeStub(payload)
+  }
+
+  /** Second deterministic stub: per-stride byte means — different
+    * math, same seam, proving a codec swap touches zero plumbing. */
+  object StrideMeanCodec extends Codec {
+    val name = "stub-stride-mean"
+    val embeddingDim: Int = MediaCodec.EmbeddingDim
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val sums = new Array[Float](embeddingDim)
+      val counts = new Array[Int](embeddingDim)
+      var i = 0
+      while (i < payload.length) {
+        val s = i % embeddingDim
+        sums(s) += (payload(i) & 0xff).toFloat
+        counts(s) += 1
+        i += 1
+      }
+      Array.tabulate(embeddingDim)(s =>
+        if (counts(s) == 0) 0f else sums(s) / counts(s))
+    }
+  }
+
+  /** Deterministic fakes for the non-decode stamps + the default stub
+    * decode ([[HistogramCodec]] delegates here). */
   object MediaCodec {
     val EmbeddingDim = 16
 
@@ -78,10 +121,13 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, batched per partition: the codec
-    * "context" (here a counter standing in for a decoder handle) is
-    * created once per partition and reused — the batch shape that
-    * matters when each decode carries JNI/model-load cost. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    * "context" (real impl: decoder/JNI handle) is created once per
+    * partition and reused — the batch shape that matters when each
+    * decode carries JNI/model-load cost. `codec` is the seam; the
+    * default is the histogram stub. */
+  def extractFeatures(
+      media: Dataset[MediaRecord],
+      codec: Codec = HistogramCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec context goes here (real impl: decoder init)
@@ -91,7 +137,7 @@ object Multimodal {
           mediaType = rec.meta.mediaType,
           nBytes = rec.payload.length.toLong,
           checksum = MediaCodec.checksum(rec.payload),
-          embedding = MediaCodec.decodeStub(rec.payload))
+          embedding = codec.decode(rec.payload))
       }
     }
   }

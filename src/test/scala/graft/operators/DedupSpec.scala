@@ -152,6 +152,34 @@ class DedupSpec extends AnyFunSuite {
       9L -> 9L))
   }
 
+  test("duplicateClusters: reliable checkpointDir path matches localCheckpoint") {
+    import spark.implicits._
+    val ids = (0L to 9L).toDF("id")
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L)
+    ).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    try {
+      val viaReliable = Dedup.duplicateClusters(
+        ids, pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      val viaLocal = Dedup.duplicateClusters(ids, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaReliable == viaLocal)
+      // the reliable path really wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("resolveDuplicates keeps exactly one representative per cluster") {
     val df = Seq(
       (1L, "x"), (2L, "x"), (3L, "x"),   // cluster {1,2,3} -> keep 1

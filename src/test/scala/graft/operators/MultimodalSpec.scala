@@ -48,6 +48,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaDs.embedding.toSeq == MediaCodec.decodeStub(one.payload).toSeq)
   }
 
+  test("codec seam: swapping the codec changes only the embedding") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .limit(50)
+    val media = mediaFromDocuments(spark, docs)
+    val hist = extractFeatures(media, HistogramCodec).collect()
+      .map(f => f.id -> f).toMap
+    val stride = extractFeatures(media, StrideMeanCodec).collect()
+      .map(f => f.id -> f).toMap
+    assert(hist.keySet == stride.keySet)
+    hist.foreach { case (id, h) =>
+      val s = stride(id)
+      // plumbing identical: ids, types, byte counts, checksums
+      assert(h.mediaType == s.mediaType)
+      assert(h.nBytes == s.nBytes)
+      assert(h.checksum == s.checksum)
+      assert(h.embedding.length == s.embedding.length)
+    }
+    // the two stubs genuinely compute different features
+    assert(hist.exists { case (id, h) =>
+      h.embedding.toSeq != stride(id).embedding.toSeq })
+    // both deterministic
+    val strideAgain = extractFeatures(media, StrideMeanCodec).collect()
+      .map(f => f.id -> f.embedding.toSeq).toMap
+    stride.foreach { case (id, f) =>
+      assert(strideAgain(id) == f.embedding.toSeq) }
+  }
+
   test("sampleFrames fans out only videos, frame count as configured") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
