@@ -398,6 +398,37 @@ object Dedup {
     labels
   }
 
+  /** Leakage-free train/eval split assignment: every member of a
+    * near-duplicate cluster lands in the SAME split bucket, so a
+    * held-out fraction never contains a near-copy of a training row —
+    * splitting by per-document hash (the naive spelling) leaks every
+    * duplicated document across the boundary and inflates eval scores
+    * exactly like test-set contamination does.
+    *
+    * Output: (id, cluster_id, bucket), bucket in [0, nBuckets).
+    * `hashed = true` (production default) buckets by
+    * xxhash64(cluster_id) for uniformity independent of id
+    * distribution; `hashed = false` buckets by cluster_id % nBuckets —
+    * deterministic modulo arithmetic any SQL engine reproduces, which
+    * is what lets the q72 oracle recompute the full assignment from
+    * the recursive-CTE component labels. Cost on top of
+    * [[duplicateClusters]]: one narrow projection. */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      nBuckets: Int = 100,
+      hashed: Boolean = true,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val clusters = duplicateClusters(df.select(idCol), pairs, maxIter, checkpointDir)
+    val bucket =
+      if (hashed) pmod(xxhash64(col("cluster_id")), lit(nBuckets.toLong))
+      else pmod(col("cluster_id"), lit(nBuckets.toLong))
+    clusters.withColumn("bucket", bucket)
+  }
+
   /** Apply cluster labels back to the data: keep exactly the rows
     * whose id IS its cluster's representative (the min id). The
     * "delete the duplicates" end of the pair→cluster pipeline:

@@ -1030,6 +1030,68 @@ object Extensions {
       WHERE rank <= 3 ORDER BY doc_id, rank""")
   )
 
+  private val q72_cluster_split = Q(
+    "q72_cluster_split",
+    // Leakage-free split assignment: near-dup clusters (same LSH pair
+    // graph as q65) land wholly in one of 10 buckets. The modulo
+    // (hashed=false) spelling is what the oracle can recompute from
+    // the recursive-CTE component labels; production uses hashed=true
+    // for id-distribution-independent uniformity.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      Dedup.clusterAwareSplit(docs, "doc_id", pairs,
+        nBuckets = 10, hashed = false)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      SELECT src AS doc_id, min(dst) AS cluster_id,
+        min(dst) % 10 AS bucket
+      FROM reach GROUP BY src ORDER BY doc_id""")
+  )
+
+  private val q73_boilerplate = Q(
+    "q73_boilerplate",
+    // Corpus boilerplate report: distinct 3-grams in >= 2% of docs are
+    // "chrome"; per doc, what fraction of its grams is chrome. The
+    // fixture's planted duplicates push their shared grams over the
+    // threshold, so the report is non-trivial.
+    (s, dir) =>
+      graft.operators.Boilerplate.boilerplateScore(
+        table(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDocFrac = 0.02)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_boiler"), col("boiler_frac"))
+        .orderBy("doc_id"),
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
+      x AS (SELECT doc_id, unnest(s) AS g FROM g),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      dfq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM x GROUP BY g),
+      b AS (SELECT g FROM dfq, n WHERE CAST(df AS DOUBLE) >= 0.02 * n.n_docs),
+      hits AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        FROM x JOIN b USING (g) GROUP BY x.doc_id)
+      SELECT g.doc_id, CAST(len(g.s) AS BIGINT) AS n_grams,
+        CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+        CASE WHEN len(g.s) = 0 THEN 0.0
+          ELSE CAST(coalesce(h.n_boiler, 0) AS DOUBLE) /
+            CAST(len(g.s) AS DOUBLE) END AS boiler_frac
+      FROM g LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -1043,6 +1105,6 @@ object Extensions {
     q43_stream_windowed, q52_stream_join,
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
     q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
-    q70_decontaminate, q71_tfidf,
+    q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
     q44_curation_pipeline, q45_source_audit)
 }

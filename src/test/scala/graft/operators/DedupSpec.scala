@@ -192,6 +192,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L, 6L))
   }
 
+  test("clusterAwareSplit: clusters never straddle buckets; hashed ~uniform") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("id")
+    // 40 clusters of 5 consecutive ids
+    val pairs = (0L until 200L).filter(_ % 5 != 4)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    for (hashed <- Seq(true, false)) {
+      val got = Dedup.clusterAwareSplit(ids, "id", pairs,
+        nBuckets = 7, hashed = hashed)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == 200)
+      got.foreach { case (_, _, b) => assert(b >= 0 && b < 7) }
+      // every cluster maps to exactly one bucket
+      got.groupBy(_._2).values.foreach { members =>
+        assert(members.map(_._3).toSet.size == 1)
+      }
+    }
+    // hashed spread: 40 clusters over 7 buckets, none empty is too
+    // strong, but at least 4 distinct buckets must be hit
+    val hashedBuckets = Dedup.clusterAwareSplit(ids, "id", pairs,
+      nBuckets = 7, hashed = true)
+      .select("bucket").as[Long].collect().toSet
+    assert(hashedBuckets.size >= 4)
+  }
+
   test("duplicateClusters property: equals BFS components on random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
