@@ -187,6 +187,38 @@ object Streams {
         col("click_id"), col("click_ts"), col("value"))
   }
 
+  /** Streaming decontamination: a live document feed screened against
+    * a fixed held-out benchmark set. The decision is LOCAL to each
+    * document (does any of its n-grams hit the benchmark gram set?),
+    * so the streaming spelling is a pure per-row filter against a
+    * broadcast of the static side's distinct grams — ZERO streaming
+    * state, no watermark, no shuffle, no matter how long the stream
+    * runs. The collect of the gram set is bounded by the same
+    * contract as [[graft.operators.Decontaminate]]: benchmarks are
+    * KBs–MBs next to the corpus (the batch operator broadcasts the
+    * identical set through the join layer instead). Works identically
+    * on a batch input — StreamsSpec pins stream == batch ==
+    * Decontaminate.removeContaminated. */
+  def decontaminateStream(
+      docs: DataFrame,
+      textCol: String,
+      staticTest: DataFrame,
+      testTextCol: String,
+      n: Int = 8): DataFrame = {
+    import graft.operators.Kernels
+    val testGrams: Set[String] = staticTest
+      .select(col(testTextCol).as("t"))
+      .na.drop(Seq("t"))
+      .collect()
+      .iterator
+      .flatMap(r => Kernels.wordNgrams(r.getString(0), n))
+      .toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(testGrams)
+    val clean = udf((t: String) =>
+      t == null || !Kernels.wordNgrams(t, n).exists(bc.value.contains))
+    docs.filter(clean(col(textCol)))
+  }
+
   /** File-source entry: tail a directory of parquet event files as a
     * stream — the deployment shape for the fixture schema. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -73,4 +73,32 @@ class DeterminismSpec extends AnyFunSuite {
       Similarity.ivfTopK(d, "vec_id", "embedding", k = 5)
         .as[(Long, Long, Long, Double)].collect().toSet))
   }
+
+  test("contaminationReport is content-determined") {
+    val heldout = docs.filter(col("doc_id") % 10 === 0)
+    pinned("decontaminate", distributions(docs.filter(col("doc_id") % 10 =!= 0))
+      .map(d =>
+        Decontaminate.contaminationReport(d, "doc_id", "text", heldout, "text", n = 3)
+          .as[(Long, Long, Boolean)].collect().toSet))
+  }
+
+  test("TfIdf.topTerms is content-determined (score + term tiebreak total order)") {
+    pinned("tfidf", distributions(docs).map(d =>
+      TfIdf.topTerms(d, "doc_id", "text", k = 3)
+        .as[(Long, Long, String, Long, Long, Double)].collect().toSet))
+  }
+
+  test("boilerplateScore is content-determined") {
+    pinned("boilerplate", distributions(docs).map(d =>
+      Boilerplate.boilerplateScore(d, "doc_id", "text", n = 3, minDocFrac = 0.02)
+        .as[(Long, Long, Long, Double)].collect().toSet))
+  }
+
+  test("clusterAwareSplit (hashed) is content-determined") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b")
+    pinned("clusterSplit", distributions(docs.select("doc_id")).map(d =>
+      Dedup.clusterAwareSplit(d, "doc_id", pairs, nBuckets = 7)
+        .as[(Long, Long, Long)].collect().toSet))
+  }
 }

@@ -79,6 +79,40 @@ class EdgeCasesSpec extends AnyFunSuite {
       empty, Seq("user_id", "event_type")).count() == 0)
   }
 
+  test("decontamination/tfidf/boilerplate on empty and null-text corpora") {
+    val nullTexts = Seq((1L, Option.empty[String]), (2L, Option("x y")))
+      .toDF("doc_id", "text")
+    // empty train side: empty report, no throw
+    assert(Decontaminate.contaminationReport(
+      emptyDocs, "doc_id", "text", nullTexts, "text").count() == 0)
+    // empty TEST side: everything clean, all rows kept
+    val rep = Decontaminate.contaminationReport(
+      nullTexts, "doc_id", "text", emptyDocs, "text")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(rep == Set((1L, 0L, false), (2L, 0L, false)))
+    assert(Decontaminate.removeContaminated(
+      nullTexts, "doc_id", "text", emptyDocs, "text").count() == 2)
+    // tf-idf: empty corpus and null texts yield no term rows
+    assert(TfIdf.topTerms(emptyDocs, "doc_id", "text", 3).count() == 0)
+    assert(TfIdf.termScores(
+      Seq((1L, Option.empty[String])).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    // boilerplate: every doc still reported, zero fractions
+    val b = Boilerplate.boilerplateScore(nullTexts, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(b == Set((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0)))
+    assert(Boilerplate.boilerplateScore(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("clusterAwareSplit with no pairs: every id its own cluster, valid buckets") {
+    val ids = Seq(5L, 6L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.clusterAwareSplit(ids, "id", noPairs, nBuckets = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) == Set((5L, 5L), (6L, 6L)))
+    got.foreach { case (_, _, b) => assert(b >= 0 && b < 3) }
+  }
+
   test("scrub and text functions on empty strings") {
     val df = Seq("").toDF("text")
     val r = df.select(

@@ -126,4 +126,29 @@ class PlanHygieneSpec extends AnyFunSuite {
       p.linesIterator.exists(l => l.contains("ObjectHashAggregate") &&
         l.contains("partial")), p.take(2500))
   }
+
+  test("q70: decontamination joins the gram set by broadcast, corpus unshuffled") {
+    // the held-out gram set must broadcast (it is tiny next to the
+    // corpus); the training side streams through a broadcast semi-join
+    // — a shuffled gram-gram join would move the whole corpus explode
+    val p = plan("q70_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("q71: tf and df aggregates both run partial map-side") {
+    val p = plan("q71_tfidf")
+    val partials = p.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(partials >= 2, s"expected partial tf+df aggregates:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q73: boilerplate vocabulary joins by broadcast (bounded set)") {
+    val p = plan("q73_boilerplate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(2500))
+  }
 }

@@ -242,4 +242,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(ss.schema.fieldNames.toSeq ==
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
+
+  test("decontaminateStream: streaming == batch == removeContaminated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val heldout = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val expected = graft.operators.Decontaminate.removeContaminated(
+      train, "doc_id", "text", heldout, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // batch twin of the streaming spelling
+    val viaBatch = decontaminateStream(train, "text", heldout, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBatch == expected)
+    // streamed over two micro-batches; per-row decisions, zero state
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val query = decontaminateStream(streamDf, "text", heldout, "text", n = 3)
+      .writeStream
+      .format("memory")
+      .queryName("decon_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = train.as[(Long, String)].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toSeq)
+      query.processAllAvailable()
+      mem.addData(b.toSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("decon_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
 }
