@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing — the last step before a pretraining run: documents
+  * are concatenated in a deterministic order into one token stream per
+  * shard, and the stream is chunked at the model's context length.
+  * Each document's byte position in that virtual stream (start offset,
+  * first/last chunk index) is what the data loader needs to slice
+  * batches without ever materializing the concatenation.
+  *
+  * Scale shape: packing is inherently sequential WITHIN a shard, so
+  * the operator partitions by the shard column and runs one window
+  * cumsum per shard — shards pack in parallel, and a 100 TB corpus is
+  * packed by choosing shards (source, date, hash bucket) sized for one
+  * task each. A global (single-shard) packing of 100 TB would serialize
+  * on one partition — that is a property of the problem, not the
+  * implementation; callers choose the shard granularity.
+  *
+  * All arithmetic is integer offset math (cumsum, floor division), so
+  * the q74 oracle recomputes every value exactly in SQL. */
+object Pack {
+
+  /** Per-document packing report:
+    * (id, shard, toks, start_offset, first_chunk, last_chunk) —
+    * start_offset is the document's first token position in its
+    * shard's concatenated stream (docs ordered by `orderCol`),
+    * first/last_chunk the seqLen-sized chunks it spans. Zero-token
+    * documents occupy no tokens: they report the chunk they would
+    * start in, with last_chunk = first_chunk. */
+  def sequenceOffsets(
+      df: DataFrame,
+      idCol: String,
+      shardCol: String,
+      orderCol: String,
+      tokenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy("shard").orderBy("_ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(idCol).as("id"),
+      col(shardCol).as("shard"),
+      col(tokenCol).cast("long").as("toks"),
+      col(orderCol).as("_ord"))
+      .withColumn("start_offset",
+        sum(col("toks")).over(w) - col("toks"))
+      .withColumn("first_chunk", floor(col("start_offset") / seqLen))
+      .withColumn("last_chunk",
+        when(col("toks") === 0L, col("first_chunk"))
+          .otherwise(floor((col("start_offset") + col("toks") - 1L) / seqLen)))
+      .select("id", "shard", "toks", "start_offset", "first_chunk", "last_chunk")
+  }
+
+  /** Shard-level chunk accounting: how many full seqLen chunks each
+    * shard yields and how many tail tokens fall off the end —
+    * the "how much data do I actually have" number that drives
+    * epoch/token-budget planning. */
+  def chunkCounts(
+      df: DataFrame,
+      idCol: String,
+      shardCol: String,
+      orderCol: String,
+      tokenCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    df.groupBy(col(shardCol).as("shard"))
+      .agg(sum(col(tokenCol).cast("long")).as("total_toks"))
+      .select(
+        col("shard"),
+        col("total_toks"),
+        floor(col("total_toks") / seqLen).as("n_chunks"),
+        (col("total_toks") % seqLen).as("tail_toks"))
+  }
+}

@@ -1092,6 +1092,35 @@ object Extensions {
       FROM g LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  private val q74_pack_sequences = Q(
+    "q74_pack_sequences",
+    // Sequence packing: per-source token streams (docs concatenated in
+    // doc_id order) chunked at a 2048-token context length; each doc
+    // reports its start offset and chunk span — pure integer window
+    // math, recomputed exactly by the oracle.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("toks"))
+      graft.operators.Pack.sequenceOffsets(
+        docs, "doc_id", "source", "doc_id", "toks", seqLen = 2048L)
+        .select(col("id").as("doc_id"), col("shard").as("source"),
+          col("toks"), col("start_offset"),
+          col("first_chunk"), col("last_chunk"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      o AS (SELECT doc_id, source, toks,
+        CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_offset FROM t)
+      SELECT doc_id, source, toks, start_offset,
+        CAST(start_offset // 2048 AS BIGINT) AS first_chunk,
+        CAST(CASE WHEN toks = 0 THEN start_offset // 2048
+          ELSE (start_offset + toks - 1) // 2048 END AS BIGINT) AS last_chunk
+      FROM o ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -1106,5 +1135,6 @@ object Extensions {
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
     q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
     q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
+    q74_pack_sequences,
     q44_curation_pipeline, q45_source_audit)
 }
