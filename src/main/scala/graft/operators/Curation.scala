@@ -33,4 +33,32 @@ object Curation {
       .filter(col("_cum") <= budget)
       .drop("_toks", "_cum")
   }
+
+  /** Per-group quality-quantile selection (the FineWeb-style cut):
+    * within each group keep the best `frac` of rows by `scoreCol`,
+    * ties broken by id so the kept set is a total-order prefix —
+    * deterministic under retries and bitwise reproducible by any
+    * engine with window rank (the q75 oracle). Rank-based (count
+    * thresholds, ceil(frac·n) kept per group), NOT percent_rank —
+    * identical semantics, but integer math end to end.
+    *
+    * One shuffle on the group key; the window is a per-group sort.
+    * At 100 TB the same cutoff comes cheaper via per-group score
+    * histograms + a driver-side threshold (the tokenBudgetSelect
+    * two-phase note applies verbatim); semantics identical. */
+  def topQuantilePerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: Column,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(scoreCol.desc, col(idCol))
+    val wc = Window.partitionBy(groupCol)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .filter(col("_rk") <= ceil(lit(frac) * col("_n")).cast("long"))
+      .drop("_rk", "_n")
+  }
 }

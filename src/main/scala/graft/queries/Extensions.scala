@@ -1121,6 +1121,36 @@ object Extensions {
       FROM o ORDER BY doc_id""")
   )
 
+  private val q75_quality_quantile = Q(
+    "q75_quality_quantile",
+    // FineWeb-style per-source quality cut: keep the best 25% of each
+    // source by quality score (rank-based — integer math end to end,
+    // ties broken by doc_id so the kept set is a deterministic
+    // total-order prefix).
+    (s, dir) =>
+      graft.operators.Curation.topQuantilePerGroup(
+        table(s, dir, "documents"), "doc_id", "source",
+        TextFunctions.qualityScore(col("text")), frac = 0.25)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+    Some(s"""WITH q AS (SELECT doc_id, source, lang,
+        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+          + least((CASE WHEN len($W) = 0 THEN 0.0
+              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
+                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
+          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text,
+                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
+              * 4.0, 1.0)) * 0.1, 6) AS quality
+      FROM documents),
+      r AS (SELECT doc_id, source, lang,
+        row_number() OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id) AS rk,
+        count(*) OVER (PARTITION BY source) AS n FROM q)
+      SELECT doc_id, source, lang FROM r
+      WHERE rk <= ceil(0.25 * n) ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -1135,6 +1165,6 @@ object Extensions {
     q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
     q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
     q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
-    q74_pack_sequences,
+    q74_pack_sequences, q75_quality_quantile,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -84,6 +84,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(droppedAbove.isEmpty, s"dropped higher-quality docs: $droppedAbove")
   }
 
+  test("topQuantilePerGroup: exact per-group counts, quality-maximal, deterministic") {
+    import graft.functions.TextFunctions
+    val kept = Curation.topQuantilePerGroup(
+      docs, "doc_id", "source", TextFunctions.qualityScore(col("text")),
+      frac = 0.25)
+    // exactly ceil(0.25 * n) kept per source
+    val keptCounts = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allCounts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    allCounts.foreach { case (src, n) =>
+      assert(keptCounts(src) == math.ceil(0.25 * n).toLong, src)
+    }
+    // quality-maximal within each source (up to the boundary tiebreak)
+    val q = docs.select(col("doc_id"), col("source"),
+      TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    q.groupBy(_._2).foreach { case (src, rows) =>
+      val minKept = rows.filter(r => keptIds.contains(r._1)).map(_._3).min
+      val droppedAbove = rows.filter(r =>
+        !keptIds.contains(r._1) && r._3 > minKept)
+      assert(droppedAbove.isEmpty, s"$src dropped better docs: $droppedAbove")
+    }
+    // retry-deterministic: same rows under adversarial repartition
+    val again = Curation.topQuantilePerGroup(
+      docs.repartition(7), "doc_id", "source",
+      TextFunctions.qualityScore(col("text")), frac = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+    // frac = 1.0 keeps everything
+    assert(Curation.topQuantilePerGroup(docs, "doc_id", "source",
+      col("doc_id").cast("double"), 1.0).count() == docs.count())
+  }
+
   test("perGroupSample: exactly n per group, deterministic") {
     val s1 = Sampling.perGroupSample(docs, col("lang"), col("doc_id"), 5)
     val counts = s1.groupBy("lang").count().collect().map(_.getLong(1))
