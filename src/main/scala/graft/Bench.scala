@@ -22,6 +22,12 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = queries.map { case (name, fn) =>
+      // isolate queries from each other: eager operators persist small
+      // derived results and the CacheManager matches them by canonical
+      // plan, so without this a timed query can silently reuse (or GC-
+      // fight with) another invocation's blocks — attribution noise,
+      // not signal
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
