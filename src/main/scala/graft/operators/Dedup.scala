@@ -226,6 +226,69 @@ object Dedup {
     verified
   }
 
+  /** The persistent near-dup index for continuous ingestion: one row
+    * per document — (id, ngrams, bands) — carrying its shingle set and
+    * its LSH band-bucket keys. A pipeline computes this once per batch
+    * and persists it (parquet); future batches dedup against the index
+    * without ever re-reading, re-shingling or re-hashing the original
+    * corpus. Index size is O(docs · (grams + bands)), independent of
+    * text length once shingled. */
+  def minHashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sets = ngramSets(df, idCol, textCol, n).filter(col("set_size") > 0)
+    val bandsUdf = udf((ng: scala.collection.Seq[String]) =>
+      Kernels.minHashBands(ng, bands, rowsPerBand))
+    sets.select(col("id"), col("ngrams"), bandsUdf(col("ngrams")).as("bands"))
+  }
+
+  /** Incremental MinHash-LSH near-dup pairs: a NEW batch against
+    * itself and against an existing [[minHashIndex]] — old↔old pairs
+    * are never generated (they were found when the old batches were
+    * ingested), so per-batch cost tracks the batch's collisions, not
+    * the corpus's. Same banding/capping/exact-verify discipline as
+    * [[minHashLshPairs]]; DedupSpec pins incremental == full-corpus
+    * pairs restricted to pairs touching the new batch. Ids must be
+    * disjoint between index and batch. Output: (id_a, id_b, jaccard),
+    * id_a < id_b, at least one side new. */
+  def minHashLshIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      minJ: Double = 0.5,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val newIdx = minHashIndex(newDocs, idCol, textCol, n, bands, rowsPerBand)
+    val all = index.select(col("id"), col("ngrams"), col("bands"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newIdx.withColumn("is_new", lit(true)))
+    val banded = all.select(col("id"), col("is_new"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val capped = Buckets.capped(banded, Seq("band", "bucket"), "id", maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = capped.as("l")
+      .join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l._sub") === col("r._sub") &&
+          col("l.id") < col("r.id") &&
+          (col("l.is_new") || col("r.is_new")))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
+    capped.unpersist(blocking = false)
+    verifyJaccard(candidates, all.select("id", "ngrams"), minJ)
+  }
+
   /** 64-bit SimHash of the word stream: bit j of the fingerprint is
     * the sign of sum over tokens of ±1 according to bit j of the
     * token's hash. One [[Kernels.simHash64]] call per row (the

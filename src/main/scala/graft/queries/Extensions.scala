@@ -1151,6 +1151,34 @@ object Extensions {
       WHERE rk <= ceil(0.25 * n) ORDER BY doc_id""")
   )
 
+  private val q76_dedup_minhash_incremental = Q(
+    "q76_dedup_minhash_incremental",
+    // Continuous-ingestion near-dup: the second half of the corpus
+    // arrives as a new batch and is LSH-deduped within itself AND
+    // against the first half's persisted index — old<->old pairs are
+    // never regenerated, the original text never re-read. The oracle
+    // recomputes the exact Jaccard pairs that touch the new batch
+    // (LSH == exact on the fixture, as q36 pins for the full corpus).
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val idx = Dedup.minHashIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", n = 3,
+        bands = 32, rowsPerBand = 4)
+      Dedup.minHashLshIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", idx,
+        minJ = 0.5, n = 3, bands = 32, rowsPerBand = 4)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH gg AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE b.doc_id >= 250)
+      SELECT id_a, id_b, jaccard FROM p
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -1166,5 +1194,6 @@ object Extensions {
     q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
     q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
     q74_pack_sequences, q75_quality_quantile,
+    q76_dedup_minhash_incremental,
     q44_curation_pipeline, q45_source_audit)
 }

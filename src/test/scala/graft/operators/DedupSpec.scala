@@ -152,6 +152,27 @@ class DedupSpec extends AnyFunSuite {
       9L -> 9L))
   }
 
+  test("minHashLshIncremental == full-corpus pairs restricted to the new batch") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val cut = 250L
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val touchingNew = full.filter { case (a, b, _) => a >= cut || b >= cut }
+    val idx = Dedup.minHashIndex(
+      docs.filter(col("doc_id") < cut), "doc_id", "text")
+    val incremental = Dedup.minHashLshIncremental(
+      docs.filter(col("doc_id") >= cut), "doc_id", "text", idx)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incremental.nonEmpty)
+    assert(incremental == touchingNew)
+    // and no old-old pair ever surfaces
+    incremental.foreach { case (a, b, _) =>
+      assert(a >= cut || b >= cut)
+    }
+  }
+
   test("duplicateClusters: reliable checkpointDir path matches localCheckpoint") {
     import spark.implicits._
     val ids = (0L to 9L).toDF("id")
