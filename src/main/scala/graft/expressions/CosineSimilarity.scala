@@ -94,6 +94,7 @@ object CosineSimilarity {
 /** Per-session registration of graft's native functions. */
 object GraftFunctions {
   val CosineIdent: FunctionIdentifier = FunctionIdentifier("graft_cosine")
+  val Int8CosineIdent: FunctionIdentifier = FunctionIdentifier("graft_int8_cosine")
 
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
@@ -102,6 +103,12 @@ object GraftFunctions {
     children =>
       require(children.length == 2, "graft_cosine takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+  }
+
+  private[expressions] val int8CosineBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 2, "graft_int8_cosine takes exactly 2 arguments")
+      Int8Cosine(children.head, children(1))
   }
 
   /** Idempotent; safe to call from any operator that has a session. */
@@ -131,10 +138,14 @@ object GraftFunctions {
     spark.udf.register("graft_word_ngrams",
       (t: String, n: Int) =>
         if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
-    spark.udf.register("graft_int8_cosine",
-      (a: scala.collection.Seq[Byte], b: scala.collection.Seq[Byte]) =>
-        if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-        else java.lang.Double.valueOf(Kernels.int8Cosine(a, b)))
+    // native codegen expression (was a UDF) — same name, same
+    // semantics, no per-row Seq conversion
+    val int8Reg = spark.sessionState.functionRegistry
+    if (!int8Reg.functionExists(Int8CosineIdent)) {
+      int8Reg.registerFunction(Int8CosineIdent,
+        new ExpressionInfo(classOf[Int8Cosine].getName, "graft_int8_cosine"),
+        int8CosineBuilder)
+    }
     spark.udf.register("graft_md5_lower64",
       (s: String) =>
         if (s == null) null.asInstanceOf[java.lang.Long]
@@ -155,6 +166,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (GraftFunctions.CosineIdent,
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         GraftFunctions.cosineBuilder))
+    ext.injectFunction(
+      (GraftFunctions.Int8CosineIdent,
+        new ExpressionInfo(classOf[Int8Cosine].getName, "graft_int8_cosine"),
+        GraftFunctions.int8CosineBuilder))
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

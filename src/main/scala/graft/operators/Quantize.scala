@@ -45,13 +45,15 @@ object Quantize {
     u(qvec)
   }
 
-  /** Cosine between two quantized vectors — integer kernel, scales
-    * cancel. */
-  def cosineInt8(a: Column, b: Column): Column = {
-    val u = udf((x: Row, y: Row) =>
-      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
-      else java.lang.Double.valueOf(
-        Kernels.int8Cosine(x.getSeq[Byte](1), y.getSeq[Byte](1))))
-    u(a, b)
-  }
+  /** Cosine between two quantized vectors — scales cancel, so this is
+    * the native codegen'd [[graft.expressions.Int8Cosine]] over the
+    * code arrays: primitive byte reads and 64-bit integer accumulators
+    * inlined into whole-stage codegen (the UDF spelling paid
+    * Row-struct conversion per candidate pair). NULL structs yield
+    * NULL like the UDF did (getField propagates null). */
+  def cosineInt8(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.expressions.Int8Cosine(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(a.getField("q")),
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(b.getField("q"))))
 }

@@ -77,4 +77,37 @@ class CosineSimilaritySpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b))
     assert(viaExpr == viaKernel)
   }
+
+  test("native graft_int8_cosine == Kernels.int8Cosine on random codes + edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Seq[Byte] encodes as array<tinyint> (Array[Byte] would be BINARY)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Seq.fill(16)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(16)((rnd.nextInt(255) - 127).toByte))
+    } :+ ((200L, Seq.fill(16)(0.toByte), Seq.fill(16)(1.toByte))) // zero vec
+    val df = rows.toDF("id", "a", "b")
+    GraftFunctions.register(spark)
+    GraftFunctions.registerAll(spark)
+    val got = df.selectExpr("id", "graft_int8_cosine(a, b) AS c")
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == Kernels.int8Cosine(a, b), s"id $id")
+    }
+    // interpreted fallback == kernel too
+    val viaExpr = Int8Cosine.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.head._2.toArray),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.head._3.toArray))
+    assert(viaExpr == Kernels.int8Cosine(rows.head._2, rows.head._3))
+    // null propagation through the SQL face
+    val n = spark.sql(
+      "SELECT graft_int8_cosine(CAST(NULL AS ARRAY<TINYINT>), array(CAST(1 AS TINYINT)))").head()
+    assert(n.isNullAt(0))
+    // wrong type is an analysis error, not a runtime cast failure
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_int8_cosine(array(1.5), array(2.5))").collect()
+    }
+    assert(err.getMessage.contains("array<tinyint>"))
+  }
 }
