@@ -1179,6 +1179,68 @@ object Extensions {
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")
   )
 
+  private val q77_percentiles_approx = Q(
+    "q77_percentiles_approx",
+    // The sketch percentile path, continuously verified: run
+    // percentile_approx (GK summaries, the 100 TB spelling — bounded
+    // sketch per group instead of a full sort), measure its EMPIRICAL
+    // rank error against the data inside the job (one conditional-
+    // aggregate pass over the collected 6 approx values), fail the
+    // query if it exceeds the 1/accuracy guarantee (+ tie cushion),
+    // and emit the exact interpolated percentiles for the bitwise
+    // oracle — the q40 recall-gate pattern applied to sketches, so
+    // the approx operator has no rows-only gap.
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{percentile_approx => pApprox}
+      val acc = 1000
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(pApprox(col("l_quantity"),
+          array(lit(0.25), lit(0.9)), lit(acc)).as("ap"))
+        .collect()
+      val checks = approx.flatMap { r =>
+        val f = r.getString(0)
+        val ap = r.getSeq[Double](1)
+        Seq((f, 0.25, ap(0)), (f, 0.9, ap(1)))
+      }.toSeq
+      // a returned value's true rank is an INTERVAL under ties
+      // (count(<v), count(<=v)); the sketch passes if q falls in that
+      // interval widened by the rank-error tolerance
+      val aggExprs = checks.zipWithIndex.flatMap { case ((f, _, v), i) =>
+        Seq(
+          (sum(when(col("l_returnflag") === f && col("l_quantity") < v, 1)
+            .otherwise(0)).cast("double") /
+            sum(when(col("l_returnflag") === f, 1).otherwise(0)))
+            .as(s"_lt$i"),
+          (sum(when(col("l_returnflag") === f && col("l_quantity") <= v, 1)
+            .otherwise(0)).cast("double") /
+            sum(when(col("l_returnflag") === f, 1).otherwise(0)))
+            .as(s"_le$i"))
+      }
+      val ranks = li.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val tol = 5.0 / acc
+      checks.zipWithIndex.foreach { case ((f, q, v), i) =>
+        val lo = ranks.getDouble(2 * i) - tol
+        val hi = ranks.getDouble(2 * i + 1) + tol
+        require(q >= lo && q <= hi,
+          f"percentile_approx at ($f, $q) returned $v whose rank interval " +
+            f"[$lo%.5f, $hi%.5f] misses q — sketch regressed")
+      }
+      li.groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty,
+      quantile_cont(l_extendedprice, 0.5) AS p50_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -1194,6 +1256,6 @@ object Extensions {
     q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
     q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
     q74_pack_sequences, q75_quality_quantile,
-    q76_dedup_minhash_incremental,
+    q76_dedup_minhash_incremental, q77_percentiles_approx,
     q44_curation_pipeline, q45_source_audit)
 }

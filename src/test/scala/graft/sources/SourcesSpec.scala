@@ -64,4 +64,27 @@ class SourcesSpec extends AnyFunSuite {
       scan.take(1000))
     assert(filtered.count() == 2)
   }
+
+  test("parquet schema evolution: mergeSchema unifies old and new batches") {
+    // the 100 TB reality: a long-lived dataset grows columns across
+    // ingestion batches; readers must see the union schema with nulls
+    // where old files predate a column
+    val dir = Files.createTempDirectory("graft-src-evo").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/t/batch=1")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "name", "quality")
+      .write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "name", "quality", "batch"))
+    val rows = merged.orderBy("id")
+      .select("id", "quality")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows.toSeq == Seq(
+      1L -> None, 2L -> None, 3L -> Some(0.5), 4L -> Some(0.7)))
+    // column pruning still reaches the scan through the merged schema
+    val plan = merged.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan.take(800))
+  }
 }
