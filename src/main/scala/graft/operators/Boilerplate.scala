@@ -43,6 +43,31 @@ object Boilerplate {
         (col("df").cast("double") / col("n_docs")).as("doc_frac"))
   }
 
+  /** Inter-source overlap matrix — the provenance audit that catches
+    * mirrored/scraped-twice corpora before dedup wastes a full pass on
+    * them: for every pair of sources, how many distinct n-grams they
+    * share. Shape: distinct (source, gram) pairs (one partial-agg
+    * shuffle), then a gram-keyed self-join whose fan-out per gram is
+    * bounded by the number of SOURCES sharing it (sources², not
+    * docs²) — a gram shared by every source costs |sources|² rows,
+    * never |docs|². Output: (source_a, source_b, shared_grams),
+    * source_a < source_b. */
+  def sourceOverlap(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val ngramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    val sg = df.select(col(sourceCol).as("src"), col(textCol).as("t"))
+      .select(col("src"), explode(ngramsUdf(col("t"))).as("g"))
+      .distinct()
+    sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Per-document boilerplate report:
     * (id, n_grams, n_boiler, boiler_frac) — n_grams is the doc's
     * distinct n-gram count, n_boiler how many of those are in the

@@ -1241,6 +1241,23 @@ object Extensions {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  private val q78_source_overlap = Q(
+    "q78_source_overlap",
+    // Provenance audit: distinct 3-grams shared between every pair of
+    // sources — the mirrored-corpus detector. Join fan-out per gram is
+    // sources², never docs².
+    (s, dir) =>
+      graft.operators.Boilerplate.sourceOverlap(
+        table(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy("source_a", "source_b"),
+    Some(s"""WITH sg AS (SELECT DISTINCT source AS src, g
+        FROM (SELECT source, unnest(${ngrams3(W)}) AS g FROM documents)),
+      p AS (SELECT a.src AS source_a, b.src AS source_b
+        FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src)
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_grams
+      FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -1257,5 +1274,6 @@ object Extensions {
     q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
     q74_pack_sequences, q75_quality_quantile,
     q76_dedup_minhash_incremental, q77_percentiles_approx,
+    q78_source_overlap,
     q44_curation_pipeline, q45_source_audit)
 }

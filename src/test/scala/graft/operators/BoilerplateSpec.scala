@@ -43,6 +43,22 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(got(5L) == ((0L, 0L, 0.0)))
   }
 
+  test("sourceOverlap: hand-checked shared-gram counts, ordered pairs only") {
+    val df = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s2", "alpha beta gamma other"),   // shares 2 grams with s1
+      (3L, "s3", "totally different text here"),
+      (4L, "s2", "alpha beta gamma delta")    // s2 dup of doc 1: +2 more
+    ).toDF("doc_id", "source", "text")
+    val got = Boilerplate.sourceOverlap(df, "source", "text", n = 3)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // s1 grams: {abg, bgd}; s2 grams: {abg, bgo, bgd (from doc 4)}
+    // shared s1-s2 = {alpha beta gamma, beta gamma delta} = 2
+    assert(got == Map(("s1", "s2") -> 2L))
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("boilerplate vocabulary is bounded by gramsPerDoc/minDocFrac on the fixture") {
     val fixture = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val vocab = Boilerplate.boilerplateNgrams(
