@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   * keyed on the id. */
 object Decontaminate {
 
-  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int) = {
-    val ngramsUdf = udf((t: String) =>
-      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
-    df.select(col(idCol).as("id"), explode(ngramsUdf(col(textCol))).as("g"))
-  }
+  private def ngramsUdf(n: Int) = udf((t: String) =>
+    if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+
+  private def grams(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("id"), explode(ngramsUdf(n)(col(textCol))).as("g"))
+
+  /** The benchmark side's distinct grams — no id column riding along. */
+  private def testGramSet(test: DataFrame, testTextCol: String, n: Int) =
+    test.select(explode(ngramsUdf(n)(col(testTextCol))).as("g")).distinct()
 
   /** Per-training-document contamination report:
     * (id, n_shared, contaminated) — n_shared counts the DISTINCT
@@ -39,7 +43,7 @@ object Decontaminate {
       test: DataFrame,
       testText: String,
       n: Int = 8): DataFrame = {
-    val testGrams = grams(test, testText, testText, n).select("g").distinct()
+    val testGrams = testGramSet(test, testText, n)
     val hits = grams(train, trainId, trainText, n)
       .join(broadcast(testGrams), Seq("g"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_shared"))
@@ -61,7 +65,7 @@ object Decontaminate {
       test: DataFrame,
       testText: String,
       n: Int = 8): DataFrame = {
-    val testGrams = grams(test, testText, testText, n).select("g").distinct()
+    val testGrams = testGramSet(test, testText, n)
     val dirty = grams(train, trainId, trainText, n)
       .join(broadcast(testGrams), Seq("g"), "left_semi")
       .select("id").distinct()

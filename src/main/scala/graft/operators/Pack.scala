@@ -43,7 +43,9 @@ object Pack {
     df.select(
       col(idCol).as("id"),
       col(shardCol).as("shard"),
-      col(tokenCol).cast("long").as("toks"),
+      // null token counts read as 0 (occupy no stream positions)
+      // instead of poisoning every downstream cumsum in the shard
+      coalesce(col(tokenCol).cast("long"), lit(0L)).as("toks"),
       col(orderCol).as("_ord"))
       .withColumn("start_offset",
         sum(col("toks")).over(w) - col("toks"))
@@ -67,7 +69,7 @@ object Pack {
       seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     df.groupBy(col(shardCol).as("shard"))
-      .agg(sum(col(tokenCol).cast("long")).as("total_toks"))
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("total_toks"))
       .select(
         col("shard"),
         col("total_toks"),

@@ -30,6 +30,22 @@ class PackSpec extends AnyFunSuite {
     assert(got(6L) == ((8L, 1L, 1L)))   // B: token 8 -> chunk 1
   }
 
+  test("null token counts read as 0 and never poison the shard cumsum") {
+    val withNull = Seq(
+      (1L, "A", Option(4L)), (2L, "A", Option.empty[Long]), (3L, "A", Option(5L))
+    ).toDF("doc_id", "source", "toks")
+    val got = Pack.sequenceOffsets(withNull, "doc_id", "source", "doc_id",
+      "toks", seqLen = 8L)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 0L)))
+    assert(got(2L) == ((0L, 4L))) // null -> 0 tokens at offset 4
+    assert(got(3L) == ((5L, 4L)))
+    val counts = Pack.chunkCounts(withNull, "doc_id", "source", "doc_id",
+      "toks", seqLen = 8L).as[(String, Long, Long, Long)].head()
+    assert(counts == (("A", 9L, 1L, 1L)))
+  }
+
   test("chunkCounts agrees with per-doc offsets") {
     val counts = Pack.chunkCounts(docs, "doc_id", "source", "doc_id",
       "toks", seqLen = 8L)
