@@ -12,26 +12,94 @@ object Curation {
 
   /** Quality-first token-budget selection: order documents by
     * (quality DESC, id ASC — a total order), keep the maximal prefix
-    * whose cumulative token count stays within `budget`. The window
-    * spelling is exact and is what the DuckDB oracle recomputes; its
-    * cost is one global sort. At 100 TB scale the same result comes
-    * cheaper in two phases — histogram the per-quality-bucket token
-    * counts, binary-search the quality cutoff on the driver, then one
-    * parallel filter plus an exact window only over the boundary
-    * bucket — the documented scale path; semantics identical. */
+    * whose cumulative token count stays within `budget`.
+    *
+    * TWO-PHASE PLAN (the 100 TB spelling — a naive global cumulative
+    * window moves the whole corpus to ONE partition; this never
+    * sorts more than one bucket):
+    *
+    *   1. Bucket the quality range into `numBuckets` equal-width
+    *      slices (bucketing is monotone: higher quality ⇒ lower
+    *      bucket id; EQUAL quality ⇒ SAME bucket, so no tie group is
+    *      ever split across the boundary). One aggregate pass yields
+    *      the per-bucket token totals — ≤ numBuckets+2 rows to the
+    *      driver.
+    *   2. The driver prefix-sums the totals in bucket order and
+    *      finds the BOUNDARY bucket — the first whose cumulative
+    *      total exceeds the budget. Everything before it fits
+    *      entirely; everything after it is entirely out.
+    *   3. One parallel filter keeps the earlier buckets verbatim;
+    *      the exact cumulative window runs over the boundary bucket
+    *      ONLY (expected corpus/numBuckets rows) with the budget
+    *      reduced by the tokens already consumed.
+    *
+    * Null qualities sort after everything (the `quality.desc` window
+    * order is desc_nulls_last) and get the sentinel bucket past the
+    * end. Semantics are identical to the one-window spelling —
+    * CurationSpec pins equality against an independently computed
+    * reference on random corpora including tie-heavy ones — and the
+    * DuckDB oracle (q69) recomputes the same prefix with its own
+    * global window. */
   def tokenBudgetSelect(
       df: DataFrame,
       idCol: String,
       textCol: String,
       budget: Long,
-      quality: Column): DataFrame = {
-    val w = Window
-      .orderBy(quality.desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_toks", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("_cum", sum(col("_toks")).over(w))
-      .filter(col("_cum") <= budget)
-      .drop("_toks", "_cum")
+      quality: Column,
+      numBuckets: Int = 256): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val toks = df
+      .withColumn("_toks", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("_q", quality.cast("double"))
+    // phase 1: quality range (one tiny aggregate; min/max ignore
+    // nulls — all-null quality degenerates to the sentinel bucket)
+    val mm = toks.agg(min(col("_q")), max(col("_q"))).head()
+    val (qmin, qmax) =
+      if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
+    val width = (qmax - qmin) / numBuckets
+    val nullBkt = numBuckets.toLong // sentinel: after every real bucket
+    val bkt =
+      when(col("_q").isNull, lit(nullBkt))
+        .otherwise(
+          if (width == 0.0) lit(0L) // all qualities equal
+          else least(
+            floor((lit(qmax) - col("_q")) / lit(width)).cast("long"),
+            lit(numBuckets - 1L)))
+    val bucketed = toks.withColumn("_bkt", bkt)
+    val hist = bucketed.groupBy("_bkt")
+      .agg(sum(col("_toks")).as("_btoks"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    // phase 2: driver-side prefix scan for the boundary bucket
+    var consumed = 0L
+    var boundary = -1L
+    var boundaryOffset = 0L
+    val it = hist.iterator
+    while (boundary < 0 && it.hasNext) {
+      val (b, t) = it.next()
+      if (consumed + t > budget) { boundary = b; boundaryOffset = consumed }
+      else consumed += t
+    }
+    val out =
+      if (boundary < 0) bucketed // the whole corpus fits
+      else {
+        // phase 3: earlier buckets pass verbatim; the exact window
+        // runs over the boundary bucket only (its rows already share
+        // one _bkt value, so partitionBy keeps Spark off the
+        // single-partition global-window path for the rest)
+        val w = Window.partitionBy("_bkt")
+          .orderBy(col("_q").desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = bucketed.filter(col("_bkt") < boundary)
+        val edge = bucketed.filter(col("_bkt") === boundary)
+          .withColumn("_cum", sum(col("_toks")).over(w))
+          .filter(col("_cum") <= budget - boundaryOffset)
+          .drop("_cum")
+        whole.unionByName(edge)
+      }
+    out.drop("_toks", "_q", "_bkt")
   }
 
   /** Per-group quality-quantile selection (the FineWeb-style cut):

@@ -461,6 +461,63 @@ object Dedup {
     labels
   }
 
+  /** Incremental cluster maintenance — the label-side twin of
+    * [[minHashLshIncremental]]: a NEW batch's duplicate pairs are
+    * merged into EXISTING cluster labels without re-reading (or even
+    * re-listing) the old pair set. The old corpus participates only
+    * through its label column; the iterative CC runs over the LABEL
+    * graph projected from the new edges — at most 2·|newPairs| nodes,
+    * the touched components only — never over the full corpus, so
+    * per-batch cost tracks the batch's collisions exactly like q76's
+    * pair finder. Labels stay canonical (min id in the merged
+    * component): existing labels are already component-minima, new
+    * ids enter labeled by themselves, and min-label propagation over
+    * the label graph yields the min across every merged part —
+    * DedupSpec pins incremental == batch on random graphs.
+    *
+    * `existing`: (id, cluster_id) from a prior [[duplicateClusters]]
+    * run. `newIds`: the new batch's ids (first column; singletons get
+    * self-labels). `newPairs`: (id_a, id_b) — pairs touching the new
+    * batch, e.g. from [[minHashLshIncremental]].
+    *
+    * Output: (id, cluster_id) for old ∪ new ids — same shape as
+    * [[duplicateClusters]], directly usable as next round's
+    * `existing`. */
+  def duplicateClustersIncremental(
+      existing: DataFrame,
+      newIds: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ex = existing.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val newIdName = newIds.columns.head
+    val fresh = newIds.select(col(newIdName).cast("long").as("id")).distinct()
+      .join(ex, Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    val base = ex.unionByName(fresh)
+    // project the new edges onto the label graph: each endpoint is
+    // replaced by its current label, same-label edges vanish
+    val lbl = base.select(col("id"), col("cluster_id").as("lbl"))
+    val lblEdges = newPairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(lbl.select(col("id").as("id_a"), col("lbl").as("la")), Seq("id_a"))
+      .join(lbl.select(col("id").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val touched = lblEdges.select(col("id_a").as("l"))
+      .unionAll(lblEdges.select(col("id_b").as("l"))).distinct()
+    // CC over the touched labels only; the remap is the label-level
+    // min of each merged group = the min id over the merged clusters
+    val remap = duplicateClusters(touched, lblEdges, maxIter, checkpointDir)
+      .select(col("id").as("_old"), col("cluster_id").as("_new"))
+      .filter(col("_old") =!= col("_new"))
+    base.join(remap, base("cluster_id") === remap("_old"), "left")
+      .select(col("id"),
+        coalesce(col("_new"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** Leakage-free train/eval split assignment: every member of a
     * near-duplicate cluster lands in the SAME split bucket, so a
     * held-out fraction never contains a near-copy of a training row —

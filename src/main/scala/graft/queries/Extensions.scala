@@ -401,55 +401,47 @@ object Extensions {
       WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
-  /** Exact full self top-k, the recall reference for the ANN paths:
-    * every corpus vector queries the whole corpus through the BLOCKED
-    * kernel (block-pair tasks, per-row bounded heaps, hoisted norms —
-    * spec-pinned bitwise equal to the broadcast-join spelling) — the
-    * n² scores collapse to k partials per row per block inside each
-    * task and never hit a join row or a window sort. */
-  private def exactSelfTopK(
-      s: org.apache.spark.sql.SparkSession, dir: String, k: Int) =
-    Similarity.exactSelfTopKBlocked(table(s, dir, "embeddings"),
-      "vec_id", "embedding", k)
-
-  /** The ANN queries' oracle strategy: the approximate result itself
-    * has no SQL twin (JVM-seeded hyperplanes / k-means training), so
-    * the query RUNS the ANN path, asserts its pair-level recall
-    * against the exact top-k inside the job (failing the whole query
-    * — and therefore the driver's correctness gate — if ANN quality
-    * regresses), and EMITS the exact top-k, which DuckDB recomputes
-    * independently. Both halves are thereby continuously verified:
-    * the emitted rows bitwise, the ANN candidates by the recall
-    * floor. */
-  private def recallGatedExact(
+  /** The ANN queries' oracle strategy, in its 100 TB spelling: the
+    * approximate result itself has no SQL twin (JVM-seeded
+    * hyperplanes / k-means training), so each query RUNS the ANN path
+    * over the full corpus, then gates its quality on a DETERMINISTIC
+    * SAMPLED query subset (vec_id % sampleMod == 0). The exact top-k
+    * for the sample costs ONE corpus scan (the sample broadcast-joins
+    * against the corpus — O(n·|sample|), linear in corpus size), not
+    * the O(n²) full self-join a cluster run could never afford as a
+    * per-query gate. [[graft.operators.Gates.pairRecall]] asserts the
+    * ANN result's pair recall over the sampled queries inside the job
+    * (failing the whole query — and therefore the driver's
+    * correctness gate — if ANN quality regresses), and the sampled
+    * exact top-k is EMITTED for DuckDB to recompute independently.
+    * Both halves stay continuously verified: the emitted rows
+    * bitwise, the ANN candidates by the recall floor. The exact rows
+    * are collected once (|sample|·k rows — bounded by construction)
+    * and rebuilt as a local relation, so nothing is persisted and no
+    * cached blocks outlive the query. */
+  private def recallGatedSampled(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
       ann: org.apache.spark.sql.DataFrame, floor: Double,
-      what: String): org.apache.spark.sql.DataFrame = {
-    // persist both top-k results (corpus·k rows — tiny): the exact
-    // reference feeds three consumers (recall denominator, the semi
-    // join, the emitted rows) and would otherwise re-run its
-    // quadratic scoring for each action
-    val exact = exactSelfTopK(s, dir, k).persist()
-    val annPairs = ann.select("query_id", "nn_id").persist()
-    // total + hits in ONE action (left join + conditional count)
-    // instead of two separate counts — at fixture scale the per-action
-    // scheduling overhead is what the bench sees
-    val stats = exact.select("query_id", "nn_id")
-      .join(annPairs.withColumn("_hit", lit(1)),
-        Seq("query_id", "nn_id"), "left")
-      .agg(count(lit(1)).as("total"), count(col("_hit")).as("hits"))
-      .head()
-    val total = stats.getLong(0)
-    val hits = stats.getLong(1)
-    annPairs.unpersist(blocking = false)
-    val recall = if (total == 0L) 1.0 else hits.toDouble / total
-    System.err.println(f"[graft] $what pair recall@$k = $recall%.4f ($hits/$total)")
-    require(recall >= floor,
-      f"$what pair recall@$k = $recall%.4f below floor $floor — ANN regressed")
-    exact.orderBy("query_id", "rank")
+      what: String,
+      sampleMod: Long = 10L): org.apache.spark.sql.DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val exactRows = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") % sampleMod === 0), "vec_id", "embedding", k)
+      .orderBy("query_id", "rank")
+    val collected = exactRows.collect()
+    val emitted = s.createDataFrame(
+      java.util.Arrays.asList(collected: _*), exactRows.schema)
+    val recall = graft.operators.Gates.pairRecall(
+      ann.filter(col("query_id") % sampleMod === 0), emitted)
+    graft.operators.Gates.requireFloor(recall, floor,
+      s"$what sampled pair recall@$k (every ${sampleMod}th query)")
+    emitted.orderBy("query_id", "rank")
   }
 
-  private val exactSelfTopKSql: String =
+  /** Oracle twin of the emitted gate fixture: exact top-10 for every
+    * 10th vector — the sampled reference, not the full self-join. */
+  private val sampledExactTopKSql: String =
     """WITH e AS (SELECT vec_id, embedding FROM embeddings),
       s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
         list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
@@ -458,7 +450,7 @@ object Extensions {
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
          sqrt(list_aggregate(list_transform(c.embedding,
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+        FROM e q JOIN e c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
       r AS (SELECT query_id, nn_id, cos,
         CAST(row_number() OVER (PARTITION BY query_id
           ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
@@ -468,7 +460,7 @@ object Extensions {
   private val q40_sim_ann_lsh = Q(
     "q40_sim_ann_lsh",
     // Hyperplane-LSH ANN, recall-gated against (and emitting) the
-    // exact top-10 — see recallGatedExact. Random 64-dim vectors are
+    // exact top-10 — see recallGatedSampled. Random 64-dim vectors are
     // the ANN-hostile worst case (nearest neighbors sit at 60-75°, so
     // per-hyperplane collision odds are barely better than chance);
     // the catalog tunes SHORT sketches × MANY tables (the standard
@@ -476,25 +468,25 @@ object Extensions {
     // measured fixture value. Real embedding manifolds cluster far
     // better and would use longer sketches.
     (s, dir) =>
-      recallGatedExact(s, dir, k = 10,
+      recallGatedSampled(s, dir, k = 10,
         ann = Similarity.annTopK(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           k = 10, tables = 16, bits = 6),
         floor = 0.35, what = "ann-lsh"),
-    Some(exactSelfTopKSql)
+    Some(sampledExactTopKSql)
   )
 
   private val q48_sim_ann_ivf = Q(
     "q48_sim_ann_ivf",
     // IVF ANN (bounded-sample k-means, nprobe cells), recall-gated
-    // against (and emitting) the exact top-10 — see recallGatedExact.
+    // against (and emitting) the exact top-10 — see recallGatedSampled.
     (s, dir) =>
-      recallGatedExact(s, dir, k = 10,
+      recallGatedSampled(s, dir, k = 10,
         ann = Similarity.ivfTopK(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           k = 10, nlist = 16, nprobe = 4),
         floor = 0.30, what = "ann-ivf"),
-    Some(exactSelfTopKSql)
+    Some(sampledExactTopKSql)
   )
 
   private val q56_dedup_embedding_ann = Q(
@@ -546,12 +538,12 @@ object Extensions {
     // int8-vs-float agreement itself is spec-pinned at 1.0 on the
     // fixture (SimilaritySpec).
     (s, dir) =>
-      recallGatedExact(s, dir, k = 10,
+      recallGatedSampled(s, dir, k = 10,
         ann = Similarity.annTopKInt8(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           k = 10, tables = 16, bits = 6),
         floor = 0.35, what = "ann-int8"),
-    Some(exactSelfTopKSql)
+    Some(sampledExactTopKSql)
   )
 
   private val q62_embedding_quantize = Q(
@@ -1179,54 +1171,68 @@ object Extensions {
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")
   )
 
+  private val q79_dedup_clusters_incremental = Q(
+    "q79_dedup_clusters_incremental",
+    // Continuous-ingestion clustering, end to end: the old half's
+    // labels come from the batch CC (q65's operator), the new half's
+    // pairs from the incremental LSH index probe (q76's operator),
+    // and duplicateClustersIncremental merges them by running CC over
+    // the TOUCHED LABELS ONLY — the old pair set is never re-read,
+    // the old corpus never re-clustered. The oracle recomputes the
+    // components from scratch over the full exact pair graph with the
+    // recursive transitive-closure CTE (old∪new pairs == all pairs,
+    // since LSH == exact on the fixture, pinned by q36/q76), so
+    // equality proves incremental == batch.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+      val oldPairs = Dedup.minHashLshPairs(
+        old, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      val existing = Dedup.duplicateClusters(old.select("doc_id"), oldPairs)
+      val idx = Dedup.minHashIndex(old, "doc_id", "text", n = 3,
+        bands = 32, rowsPerBand = 4)
+      val newPairs = Dedup.minHashLshIncremental(
+        fresh, "doc_id", "text", idx, minJ = 0.5, n = 3,
+        bands = 32, rowsPerBand = 4)
+      Dedup.duplicateClustersIncremental(
+        existing, fresh.select("doc_id"), newPairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      SELECT src AS doc_id, min(dst) AS cluster_id
+      FROM reach GROUP BY src ORDER BY doc_id""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
     // percentile_approx (GK summaries, the 100 TB spelling — bounded
-    // sketch per group instead of a full sort), measure its EMPIRICAL
-    // rank error against the data inside the job (one conditional-
-    // aggregate pass over the collected 6 approx values), fail the
-    // query if it exceeds the 1/accuracy guarantee (+ tie cushion),
-    // and emit the exact interpolated percentiles for the bitwise
-    // oracle — the q40 recall-gate pattern applied to sketches, so
-    // the approx operator has no rows-only gap.
+    // sketch per group instead of a full sort) through
+    // Gates.rankErrorGate — its empirical rank error is measured
+    // against the data inside the job (one conditional-aggregate
+    // pass), the query fails if it exceeds the 1/accuracy guarantee
+    // (+ tie cushion) — and emit the exact interpolated percentiles
+    // for the bitwise oracle. The q40 recall-gate pattern applied to
+    // sketches, so the approx operator has no rows-only gap.
     (s, dir) => {
-      import org.apache.spark.sql.functions.{percentile_approx => pApprox}
-      val acc = 1000
       val li = table(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      val approx = li.groupBy("l_returnflag")
-        .agg(pApprox(col("l_quantity"),
-          array(lit(0.25), lit(0.9)), lit(acc)).as("ap"))
-        .collect()
-      val checks = approx.flatMap { r =>
-        val f = r.getString(0)
-        val ap = r.getSeq[Double](1)
-        Seq((f, 0.25, ap(0)), (f, 0.9, ap(1)))
-      }.toSeq
-      // a returned value's true rank is an INTERVAL under ties
-      // (count(<v), count(<=v)); the sketch passes if q falls in that
-      // interval widened by the rank-error tolerance
-      val aggExprs = checks.zipWithIndex.flatMap { case ((f, _, v), i) =>
-        Seq(
-          (sum(when(col("l_returnflag") === f && col("l_quantity") < v, 1)
-            .otherwise(0)).cast("double") /
-            sum(when(col("l_returnflag") === f, 1).otherwise(0)))
-            .as(s"_lt$i"),
-          (sum(when(col("l_returnflag") === f && col("l_quantity") <= v, 1)
-            .otherwise(0)).cast("double") /
-            sum(when(col("l_returnflag") === f, 1).otherwise(0)))
-            .as(s"_le$i"))
-      }
-      val ranks = li.agg(aggExprs.head, aggExprs.tail: _*).head()
-      val tol = 5.0 / acc
-      checks.zipWithIndex.foreach { case ((f, q, v), i) =>
-        val lo = ranks.getDouble(2 * i) - tol
-        val hi = ranks.getDouble(2 * i + 1) + tol
-        require(q >= lo && q <= hi,
-          f"percentile_approx at ($f, $q) returned $v whose rank interval " +
-            f"[$lo%.5f, $hi%.5f] misses q — sketch regressed")
-      }
+      graft.operators.Gates.rankErrorGate(
+        li, "l_returnflag", "l_quantity", Seq(0.25, 0.9), accuracy = 1000)
       li.groupBy("l_returnflag")
         .agg(
           expr("percentile(l_quantity, 0.25)").as("p25_qty"),
@@ -1239,6 +1245,32 @@ object Extensions {
       quantile_cont(l_quantity, 0.9) AS p90_qty,
       quantile_cont(l_extendedprice, 0.5) AS p50_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  private val q80_percentiles_tokens = Q(
+    "q80_percentiles_tokens",
+    // Gates.rankErrorGate reused on a second sketch workload — the
+    // per-source token-length distribution every curation run reads
+    // (sequence-length budgeting, outlier cuts). Same contract as
+    // q77: the GK sketch is rank-error-gated in-job, the exact
+    // interpolated percentiles are emitted for the bitwise oracle.
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("toks"))
+      graft.operators.Gates.rankErrorGate(
+        d, "source", "toks", Seq(0.5, 0.99), accuracy = 500)
+      d.groupBy("source")
+        .agg(
+          expr("percentile(toks, 0.5)").as("p50_toks"),
+          expr("percentile(toks, 0.99)").as("p99_toks"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source,
+        CAST(len($W) AS DOUBLE) AS toks FROM documents)
+      SELECT source, quantile_cont(toks, 0.5) AS p50_toks,
+        quantile_cont(toks, 0.99) AS p99_toks
+      FROM t GROUP BY source ORDER BY source""")
   )
 
   private val q78_source_overlap = Q(
@@ -1274,6 +1306,7 @@ object Extensions {
     q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
     q74_pack_sequences, q75_quality_quantile,
     q76_dedup_minhash_incremental, q77_percentiles_approx,
-    q78_source_overlap,
+    q78_source_overlap, q79_dedup_clusters_incremental,
+    q80_percentiles_tokens,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -204,7 +204,8 @@ object Streams {
       textCol: String,
       staticTest: DataFrame,
       testTextCol: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      maxTestGrams: Int = 10000000): DataFrame = {
     import graft.operators.Kernels
     val testGrams: Set[String] = staticTest
       .select(col(testTextCol).as("t"))
@@ -213,6 +214,17 @@ object Streams {
       .iterator
       .flatMap(r => Kernels.wordNgrams(r.getString(0), n))
       .toSet
+    // the bounded-benchmark contract, made LOUD (the exactSelfTopK
+    // guard discipline): the gram set rides the driver and every
+    // executor, so a caller feeding a corpus-sized "test set" must
+    // fail fast — and the actual size is always visible in the log
+    System.err.println(
+      s"[graft] decontaminateStream broadcasting ${testGrams.size} test grams")
+    require(testGrams.size <= maxTestGrams,
+      s"decontaminateStream collected ${testGrams.size} test n-grams > " +
+        s"maxTestGrams=$maxTestGrams — the test set must be benchmark-sized " +
+        "(KBs-MBs); for corpus-vs-corpus overlap use Decontaminate/" +
+        "Boilerplate.sourceOverlap instead")
     val bc = docs.sparkSession.sparkContext.broadcast(testGrams)
     val clean = udf((t: String) =>
       t == null || !Kernels.wordNgrams(t, n).exists(bc.value.contains))

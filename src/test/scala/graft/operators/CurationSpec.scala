@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the two-phase tokenBudgetSelect (bucket histogram → driver
+  * cutoff → boundary-bucket window) to an INDEPENDENT reference: the
+  * prefix computed in plain Scala from collected rows (sort by
+  * quality desc nulls-last, id asc; cumulative token filter). The
+  * reference deliberately avoids Spark's window machinery so the spec
+  * can't share a bug with either spelling — and the suite never runs
+  * a global single-partition window. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** (id, text with exactly `toks` tokens, quality or null). */
+  private def corpus(rows: Seq[(Long, Int, Option[Double])]) = {
+    import spark.implicits._
+    rows.map { case (id, toks, q) =>
+      (id, Seq.fill(toks)("w").mkString(" "), q)
+    }.toDF("doc_id", "text", "q")
+  }
+
+  /** The definition, computed off-Spark: maximal (quality desc, id)
+    * prefix whose token sum stays within budget. */
+  private def reference(
+      rows: Seq[(Long, Int, Option[Double])], budget: Long): Set[Long] = {
+    val sorted = rows.sortBy { case (id, _, q) =>
+      (q.isEmpty, q.map(-_).getOrElse(0.0), id)
+    }
+    var cum = 0L
+    val kept = Seq.newBuilder[Long]
+    sorted.foreach { case (id, toks, _) =>
+      cum += toks
+      if (cum <= budget) kept += id
+    }
+    kept.result().toSet
+  }
+
+  private def run(
+      rows: Seq[(Long, Int, Option[Double])], budget: Long,
+      numBuckets: Int): Set[Long] =
+    Curation.tokenBudgetSelect(
+      corpus(rows), "doc_id", "text", budget, col("q"),
+      numBuckets = numBuckets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("two-phase == reference on a random tie-heavy corpus, all bucket counts") {
+    val rnd = new scala.util.Random(7)
+    // qualities rounded to one decimal => heavy tie buckets; ~10% null
+    val rows = (0L until 400L).map { id =>
+      val q = if (rnd.nextInt(10) == 0) None
+        else Some(math.floor(rnd.nextDouble() * 10.0) / 10.0)
+      (id, rnd.nextInt(40), q)
+    }
+    val totalToks = rows.map(_._2.toLong).sum
+    for (budget <- Seq(0L, 17L, totalToks / 10, totalToks / 2, totalToks, totalToks + 1);
+         buckets <- Seq(1, 7, 256)) {
+      assert(run(rows, budget, buckets) == reference(rows, budget),
+        s"budget=$budget buckets=$buckets")
+    }
+  }
+
+  test("all qualities equal: id-order prefix, exact boundary") {
+    val rows = (0L until 50L).map(id => (id, 10, Some(0.5)))
+    // budget lands exactly between docs: ids 0..19 fit 200 tokens
+    assert(run(rows, 200L, 16) == (0L until 20L).toSet)
+    // mid-doc budget keeps only the full docs before it
+    assert(run(rows, 205L, 16) == (0L until 20L).toSet)
+  }
+
+  test("all qualities null: id-order prefix through the sentinel bucket") {
+    val rows = (0L until 30L).map(id => (id, 5, None: Option[Double]))
+    assert(run(rows, 26L, 8) == (0L until 5L).toSet)
+  }
+
+  test("empty input and zero-token docs") {
+    assert(run(Seq.empty, 100L, 8) == Set.empty[Long])
+    // zero-token docs ride along for free wherever the prefix reaches
+    val rows = Seq((0L, 0, Some(0.9)), (1L, 10, Some(0.5)), (2L, 0, Some(0.1)))
+    assert(run(rows, 10L, 8) == Set(0L, 1L, 2L))
+    assert(run(rows, 9L, 8) == Set(0L))
+  }
+}

@@ -305,4 +305,45 @@ class DedupSpec extends AnyFunSuite {
       assert(a < b); assert(c >= 0.3 && c <= 1.0)
     }
   }
+
+  test("duplicateClustersIncremental == batch on random graphs (incl. old-old merges)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    (0 until 3).foreach { i =>
+      val n = 40L
+      val cut = 25L
+      val edgeGen = Gen.zip(Gen.choose(0L, n - 1), Gen.choose(0L, n - 1))
+      val raw = Gen.listOfN(45, edgeGen)
+        .apply(Gen.Parameters.default, Seed(17L + i)).get
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .distinct
+      // the old batch indexed only SOME of its internal edges; the
+      // rest arrive later alongside the new batch's pairs — a new
+      // edge may therefore merge two PREVIOUSLY SEPARATE old clusters
+      val (oldPairs, newPairs) = raw.partition { case (a, b) =>
+        a < cut && b < cut && (a + b) % 3 != 0
+      }
+      val existing = Dedup.duplicateClusters(
+        (0L until cut).toDF("id"), oldPairs.toDF("id_a", "id_b"))
+      val got = Dedup.duplicateClustersIncremental(
+        existing, (cut until n).toDF("id"), newPairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val batch = Dedup.duplicateClusters(
+        (0L until n).toDF("id"), raw.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == batch, s"seed ${17 + i}")
+    }
+  }
+
+  test("duplicateClustersIncremental: empty new pair set self-labels the batch") {
+    import spark.implicits._
+    val existing = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("id", "cluster_id")
+    val got = Dedup.duplicateClustersIncremental(
+      existing, Seq(5L, 6L).toDF("id"),
+      spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 5L -> 5L, 6L -> 6L))
+  }
 }

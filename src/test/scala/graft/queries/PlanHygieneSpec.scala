@@ -105,11 +105,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
-  test("q40: native top-k aggregate runs partial map-side (bounded shuffle)") {
+  test("annTopK (q40's measured path): native top-k aggregate runs partial map-side") {
     // TopKScoredAgg's entire point is that the exchange carries <=k
     // entries per query per partition — which requires the partial
-    // aggregation to actually plan map-side
-    val p = plan("q40_sim_ann_lsh")
+    // aggregation to actually plan map-side. q40 itself now EMITS the
+    // sampled exact fixture (a local relation by design), so the pin
+    // targets the ANN pipeline the query runs and gates.
+    val p = graft.operators.Similarity.annTopK(
+      spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet"),
+      "vec_id", "embedding", k = 10, tables = 16, bits = 6)
+      .queryExecution.executedPlan.toString
     assert(p.contains("graft_topk_scored"), p.take(2500))
     assert(p.contains("ObjectHashAggregate"), p.take(2500))
     assert(p.contains("partial_graft_topk_scored") ||

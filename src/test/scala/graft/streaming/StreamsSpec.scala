@@ -281,4 +281,19 @@ class StreamsSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally query.stop()
   }
+
+  test("decontaminateStream: gram-set broadcast bound is loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val heldout = Seq("one two three four", "five six seven eight")
+      .toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      decontaminateStream(docs, "text", heldout, "text", n = 2,
+        maxTestGrams = 3)
+    }
+    assert(e.getMessage.contains("maxTestGrams"))
+    // at the default bound the same call goes through
+    assert(decontaminateStream(docs, "text", heldout, "text", n = 2)
+      .count() == 1L)
+  }
 }
