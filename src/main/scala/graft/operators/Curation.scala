@@ -85,19 +85,23 @@ object Curation {
     val out =
       if (boundary < 0) bucketed // the whole corpus fits
       else {
-        // phase 3: earlier buckets pass verbatim; the exact window
-        // runs over the boundary bucket only (its rows already share
-        // one _bkt value, so partitionBy keeps Spark off the
-        // single-partition global-window path for the rest)
+        // phase 3, ONE scan: drop the buckets past the boundary, run
+        // the per-bucket cumulative window (each bucket is its own
+        // partition — parallel and bounded, never the global
+        // single-partition window), and keep pre-boundary buckets
+        // unconditionally + the boundary bucket's in-budget prefix.
+        // The window sum over the pre-boundary buckets is redundant
+        // work, but it is cheaper than a second scan re-evaluating
+        // the caller's quality expression for a separate
+        // "whole buckets" branch.
         val w = Window.partitionBy("_bkt")
           .orderBy(col("_q").desc, col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val whole = bucketed.filter(col("_bkt") < boundary)
-        val edge = bucketed.filter(col("_bkt") === boundary)
+        bucketed.filter(col("_bkt") <= boundary)
           .withColumn("_cum", sum(col("_toks")).over(w))
-          .filter(col("_cum") <= budget - boundaryOffset)
+          .filter(col("_bkt") < boundary ||
+            col("_cum") <= budget - boundaryOffset)
           .drop("_cum")
-        whole.unionByName(edge)
       }
     out.drop("_toks", "_q", "_bkt")
   }
