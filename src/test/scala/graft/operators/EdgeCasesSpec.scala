@@ -123,4 +123,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L)
     assert(r.getString(2).length == 32) // md5 fallback
   }
+
+  test("tokenBudgetSelect: zero/negative budget keeps only zero-token prefix rows") {
+    val docs = Seq((1L, "three tokens here", 0.9), (2L, "", 0.8))
+      .toDF("doc_id", "text", "q")
+    // budget 0: doc 1 (3 tokens) overflows; doc 2 rides free only if
+    // it precedes the overflow — it doesn't (lower quality), so empty
+    assert(Curation.tokenBudgetSelect(docs, "doc_id", "text", 0L, col("q"))
+      .count() == 0)
+    val flipped = Seq((1L, "three tokens here", 0.8), (2L, "", 0.9))
+      .toDF("doc_id", "text", "q")
+    assert(Curation.tokenBudgetSelect(flipped, "doc_id", "text", 0L, col("q"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("duplicateClustersIncremental: pairs with unknown endpoints are ignored") {
+    val existing = Seq((0L, 0L), (1L, 0L)).toDF("id", "cluster_id")
+    // 99 appears in a pair but is neither an existing id nor in the
+    // new batch — the edge is dropped (inner join on the label lookup),
+    // known labels stay intact
+    val got = Dedup.duplicateClustersIncremental(
+      existing, Seq(5L).toDF("id"),
+      Seq((5L, 99L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 5L -> 5L))
+  }
+
+  test("pairRecall casts and tolerates int ids; empty approx scores zero") {
+    val exact = Seq((1, 10), (1, 11)).toDF("query_id", "nn_id")
+    val approx = Seq((1, 10)).toDF("query_id", "nn_id")
+    assert(Gates.pairRecall(approx, exact) == 0.5)
+    assert(Gates.pairRecall(approx.limit(0), exact) == 0.0)
+  }
 }

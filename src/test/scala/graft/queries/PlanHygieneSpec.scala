@@ -156,4 +156,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       p.take(2500))
   }
+
+  test("q69: token budget never plans an unpartitioned window") {
+    // the two-phase cut's entire point: the cumulative window is
+    // partitioned by the quality bucket (parallel, bounded partitions)
+    // — a Window node without _bkt in its partition spec would be the
+    // single-partition global sort creeping back in
+    val p = plan("q69_token_budget")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"expected the boundary-bucket window:\n${p.take(2000)}")
+    windowLines.foreach { l =>
+      assert(l.contains("_bkt"), s"unpartitioned window:\n$l")
+    }
+  }
 }
