@@ -46,26 +46,36 @@ object Curation {
       textCol: String,
       budget: Long,
       quality: Column,
-      numBuckets: Int = 256): DataFrame = {
+      numBuckets: Int = 256,
+      qualityRange: Option[(Double, Double)] = None): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
     val toks = df
       .withColumn("_toks", TextFunctions.tokenCount(col(textCol)))
       .withColumn("_q", quality.cast("double"))
-    // phase 1: quality range (one tiny aggregate; min/max ignore
-    // nulls — all-null quality degenerates to the sentinel bucket)
-    val mm = toks.agg(min(col("_q")), max(col("_q"))).head()
-    val (qmin, qmax) =
-      if (mm.isNullAt(0)) (0.0, 0.0)
-      else (mm.getDouble(0), mm.getDouble(1))
+    // phase 1: quality range. When the caller KNOWS the score's range
+    // (bounded scores like qualityScore's [0,1] usually do), pass it
+    // and this scan is skipped — out-of-range values clamp into the
+    // end buckets, which keeps bucketing monotone, just lopsided.
+    // Otherwise one tiny aggregate finds it (min/max ignore nulls;
+    // all-null quality degenerates to the sentinel bucket).
+    val (qmin, qmax) = qualityRange match {
+      case Some((lo, hi)) =>
+        require(lo <= hi, s"qualityRange lo $lo > hi $hi")
+        (lo, hi)
+      case None =>
+        val mm = toks.agg(min(col("_q")), max(col("_q"))).head()
+        if (mm.isNullAt(0)) (0.0, 0.0)
+        else (mm.getDouble(0), mm.getDouble(1))
+    }
     val width = (qmax - qmin) / numBuckets
     val nullBkt = numBuckets.toLong // sentinel: after every real bucket
     val bkt =
       when(col("_q").isNull, lit(nullBkt))
         .otherwise(
           if (width == 0.0) lit(0L) // all qualities equal
-          else least(
+          else greatest(lit(0L), least(
             floor((lit(qmax) - col("_q")) / lit(width)).cast("long"),
-            lit(numBuckets - 1L)))
+            lit(numBuckets - 1L))))
     val bucketed = toks.withColumn("_bkt", bkt)
     val hist = bucketed.groupBy("_bkt")
       .agg(sum(col("_toks")).as("_btoks"))
@@ -115,9 +125,11 @@ object Curation {
     * identical semantics, but integer math end to end.
     *
     * One shuffle on the group key; the window is a per-group sort.
-    * At 100 TB the same cutoff comes cheaper via per-group score
-    * histograms + a driver-side threshold (the tokenBudgetSelect
-    * two-phase note applies verbatim); semantics identical. */
+    * Unlike the global cumulative window [[tokenBudgetSelect]]
+    * replaced, this window already partitions by the group key — the
+    * sorts are parallel and bounded by group size at any corpus
+    * scale, so per-group score histograms + a driver threshold would
+    * be an optimization here, not a survival requirement. */
   def topQuantilePerGroup(
       df: DataFrame,
       idCol: String,

@@ -58,7 +58,11 @@ object Similarity {
     * `queries` must be small enough to broadcast (it is hash-joined
     * against every corpus row); the corpus side streams — one scan,
     * no shuffle of corpus vectors. Ties broken by corpus id so rank
-    * is total and deterministic. */
+    * is total and deterministic. This is also the SAMPLED recall
+    * reference for the ANN paths: a deterministic query subset run
+    * through here costs O(n·|sample|) — the gate that stays
+    * affordable at any corpus size (see the q40/q48/q63 catalog
+    * entries and [[Gates.pairRecall]]). */
   def bruteForceTopK(
       corpus: DataFrame,
       corpusId: String,

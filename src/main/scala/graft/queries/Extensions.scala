@@ -416,9 +416,13 @@ object Extensions {
     * exact top-k is EMITTED for DuckDB to recompute independently.
     * Both halves stay continuously verified: the emitted rows
     * bitwise, the ANN candidates by the recall floor. The exact rows
-    * are collected once (|sample|·k rows — bounded by construction)
-    * and rebuilt as a local relation, so nothing is persisted and no
-    * cached blocks outlive the query. */
+    * are collected once to become the emitted local relation, so
+    * nothing is persisted and no cached blocks outlive the query —
+    * `sampleMod` is the size knob (every 10th vector is
+    * fixture-sized; a 100 TB run picks sampleMod ≈ n / 10k so the
+    * sample stays a constant few thousand queries), and the collect
+    * is guarded loudly rather than trusted. The distributed gate
+    * itself ([[graft.operators.Gates.pairRecall]]) never collects. */
   private def recallGatedSampled(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
       ann: org.apache.spark.sql.DataFrame, floor: Double,
@@ -430,6 +434,9 @@ object Extensions {
       e.filter(col("vec_id") % sampleMod === 0), "vec_id", "embedding", k)
       .orderBy("query_id", "rank")
     val collected = exactRows.collect()
+    require(collected.length <= 1000000,
+      s"sampled exact reference has ${collected.length} rows — raise " +
+        "sampleMod so the gate fixture stays driver-sized")
     val emitted = s.createDataFrame(
       java.util.Arrays.asList(collected: _*), exactRows.schema)
     val recall = graft.operators.Gates.pairRecall(
@@ -798,7 +805,10 @@ object Extensions {
     (s, dir) =>
       graft.operators.Curation.tokenBudgetSelect(
         table(s, dir, "documents"), "doc_id", "text", budget = 20000L,
-        quality = TextFunctions.qualityScore(col("text")))
+        quality = TextFunctions.qualityScore(col("text")),
+        // qualityScore is a [0,1] convex blend by construction, so the
+        // range scan is skippable — two passes total
+        qualityRange = Some((0.0, 1.0)))
         .select("doc_id", "source", "lang")
         .orderBy("doc_id"),
     Some(s"""WITH scored AS (SELECT doc_id, source, lang,

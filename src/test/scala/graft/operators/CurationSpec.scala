@@ -41,10 +41,11 @@ class CurationSpec extends AnyFunSuite {
 
   private def run(
       rows: Seq[(Long, Int, Option[Double])], budget: Long,
-      numBuckets: Int): Set[Long] =
+      numBuckets: Int,
+      range: Option[(Double, Double)] = None): Set[Long] =
     Curation.tokenBudgetSelect(
       corpus(rows), "doc_id", "text", budget, col("q"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, qualityRange = range)
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
   test("two-phase == reference on a random tie-heavy corpus, all bucket counts") {
@@ -60,6 +61,14 @@ class CurationSpec extends AnyFunSuite {
          buckets <- Seq(1, 7, 256)) {
       assert(run(rows, budget, buckets) == reference(rows, budget),
         s"budget=$budget buckets=$buckets")
+    }
+    // caller-supplied range (skips the min/max scan) — including a
+    // deliberately NARROW range: out-of-range values clamp into the
+    // end buckets, bucketing stays monotone, result unchanged
+    for (range <- Seq(Some((0.0, 1.0)), Some((0.3, 0.6)))) {
+      val budget = totalToks / 3
+      assert(run(rows, budget, 64, range) == reference(rows, budget),
+        s"range=$range")
     }
   }
 
