@@ -37,14 +37,15 @@ object Gates {
       exact: DataFrame,
       queryCol: String = "query_id",
       nnCol: String = "nn_id"): Double = {
-    // distinct: a duplicated approx pair would otherwise multiply its
-    // exact row through the join and corrupt BOTH counts
+    // distinct BOTH sides: a duplicated pair would otherwise multiply
+    // rows through the join and corrupt the counts (top-k outputs are
+    // pair-unique, but the gate shouldn't trust its callers on that)
     val a = approx.select(
       col(queryCol).cast("long").as("query_id"),
       col(nnCol).cast("long").as("nn_id")).distinct()
     val stats = exact
       .select(col(queryCol).cast("long").as("query_id"),
-        col(nnCol).cast("long").as("nn_id"))
+        col(nnCol).cast("long").as("nn_id")).distinct()
       .join(a.withColumn("_hit", lit(1)), Seq("query_id", "nn_id"), "left")
       .agg(count(lit(1)).as("total"), count(col("_hit")).as("hits"))
       .head()

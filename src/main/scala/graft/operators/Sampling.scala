@@ -89,4 +89,61 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Exact-count mixture balancing — cut a corpus to a target source
+    * mix ("50% web, 30% books, 20% code"), the pretraining-mix
+    * counterpart to [[stratifiedSample]]'s rate-based cut: fractions
+    * give BINOMIAL per-group counts, this gives EXACT ones. Two
+    * phases: (1) one aggregate pass counts each group's available
+    * rows (≤ |weights| rows to the driver — loudly bounded); the
+    * driver turns normalized weights into integer targets,
+    * floor(wᵍ/Σw · total) capped at availability (shortfalls are
+    * logged, never silently rebalanced — a mix that can't be met
+    * should be a visible decision, not a surprise); (2) one per-group
+    * window ranks rows by md5(key ++ ":" ++ salt) and keeps each
+    * group's first targetᵍ. The md5 hex order makes the EXACT kept
+    * set reproducible by any engine (DuckDB: same md5, same
+    * row_number — the q81 oracle), and hash-order ranking means the
+    * kept subset is stable under retries, repartitioning, and — like
+    * [[crossEngineSample]]'s thresholds — nested across totals.
+    * Groups without a weight are dropped (weight 0).
+    *
+    * Scale shape: the count aggregate is fully partial; the window
+    * shuffles once on the group key with per-group parallel sorts —
+    * the q75 per-group-window pattern. For few huge groups, pre-cut
+    * each group with [[crossEngineKeep]] at a fraction comfortably
+    * above targetᵍ/availᵍ before ranking (two-phase again: threshold
+    * prune, exact rank on the survivors). */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: Column,
+      weights: Map[String, Double],
+      total: Long,
+      salt: String = "graft"): DataFrame = {
+    require(total >= 0L, "total must be non-negative")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val wsum = weights.values.sum
+    require(wsum > 0.0, "at least one weight must be positive")
+    val inMix = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+    val avail = inMix.groupBy(groupCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = weights.map { case (g, w) =>
+      val want = math.floor(w / wsum * total).toLong
+      val have = avail.getOrElse(g, 0L)
+      if (have < want)
+        System.err.println(s"[graft] mixtureSample: group '$g' wants " +
+          s"$want rows but has $have — mix will run short")
+      g -> math.min(want, have)
+    }
+    val targetCol = targets.foldLeft(lit(0L)) {
+      case (acc, (g, t)) => when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(concat(keyCol.cast("string"), lit(":" + salt))), keyCol)
+    inMix.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= targetCol)
+      .drop("_rn")
+  }
 }

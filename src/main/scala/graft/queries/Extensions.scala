@@ -1257,6 +1257,31 @@ object Extensions {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  private val q81_mixture_sample = Q(
+    "q81_mixture_sample",
+    // Exact-count pretraining-mix cut: 50/30/20 across three sources,
+    // 60 rows total. src0's floor(0.5·60)=30 exceeds its sf0.01
+    // availability (25), exercising the capped-shortfall path in both
+    // engines (the oracle's least(target, n)). The md5 hex rank order
+    // is engine-identical, so the EXACT kept set is recomputed by
+    // DuckDB — not just the counts.
+    (s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+        table(s, dir, "documents"), "source", col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), total = 60L)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, source, lang,
+        row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rk,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+      SELECT doc_id, source, lang FROM r
+      WHERE rk <= least(CASE source WHEN 'src0' THEN 30
+        WHEN 'src1' THEN 18 WHEN 'src2' THEN 12 END, n)
+      ORDER BY doc_id""")
+  )
+
   private val q80_percentiles_tokens = Q(
     "q80_percentiles_tokens",
     // Gates.rankErrorGate reused on a second sketch workload — the
@@ -1317,6 +1342,6 @@ object Extensions {
     q74_pack_sequences, q75_quality_quantile,
     q76_dedup_minhash_incremental, q77_percentiles_approx,
     q78_source_overlap, q79_dedup_clusters_incremental,
-    q80_percentiles_tokens,
+    q80_percentiles_tokens, q81_mixture_sample,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -60,6 +60,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.crossEngineSample(docs, col("doc_id"), 1.0).count() == n.toLong)
   }
 
+  test("mixtureSample: exact capped counts, repartition-stable, nested totals, unlisted dropped") {
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val got = Sampling.mixtureSample(docs, "source", col("doc_id"), weights, 60L)
+    val counts = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact floor(w·total) targets, capped at availability
+    assert(counts == Map(
+      "src0" -> math.min(30L, avail("src0")),
+      "src1" -> math.min(18L, avail("src1")),
+      "src2" -> math.min(12L, avail("src2"))))
+    // only weighted groups survive
+    assert(got.select("source").distinct().count() == 3)
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(
+      docs.repartition(13), "source", col("doc_id"), weights, 60L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a larger total keeps a superset (hash-rank order is fixed)
+    val smaller = Sampling.mixtureSample(docs, "source", col("doc_id"), weights, 40L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(again))
+  }
+
   test("tokenBudgetSelect: maximal quality-first prefix within budget") {
     import graft.functions.TextFunctions
     val budget = 5000L
