@@ -98,7 +98,9 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // the stdout line is the contract
+    catch { // the stdout line is the contract; the file is best-effort
+      case scala.util.control.NonFatal(_) => ()
+    }
     spark.stop()
   }
 }

@@ -49,8 +49,14 @@ object Curation {
       numBuckets: Int = 256,
       qualityRange: Option[(Double, Double)] = None): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
+    // null text counts 0 tokens and rides free — WITHOUT the coalesce
+    // a NULL count would poison the histogram and the cumulative sum
+    // differently (kept in a pre-boundary bucket, dropped by the
+    // NULL-valued cum filter in the boundary bucket), making survival
+    // depend on where the cutoff lands
     val toks = df
-      .withColumn("_toks", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("_toks",
+        coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)))
       .withColumn("_q", quality.cast("double"))
     // phase 1: quality range. When the caller KNOWS the score's range
     // (bounded scores like qualityScore's [0,1] usually do), pass it

@@ -92,6 +92,13 @@ object Gates {
       .agg(percentile_approx(vcol,
         array(quantiles.map(lit): _*), lit(accuracy)).as("ap"))
       .collect()
+    if (approx.isEmpty) {
+      // no non-null values anywhere: nothing the sketch could have
+      // gotten wrong — vacuous pass, said out loud
+      System.err.println(
+        s"[graft] rankErrorGate($valueCol): empty input, vacuous pass")
+      return
+    }
     require(approx.length * quantiles.length <= maxChecks,
       s"rankErrorGate collected ${approx.length} groups x " +
         s"${quantiles.length} quantiles > maxChecks=$maxChecks — " +

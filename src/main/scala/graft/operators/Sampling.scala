@@ -95,18 +95,23 @@ object Sampling {
     * counterpart to [[stratifiedSample]]'s rate-based cut: fractions
     * give BINOMIAL per-group counts, this gives EXACT ones. Two
     * phases: (1) one aggregate pass counts each group's available
-    * rows (≤ |weights| rows to the driver — loudly bounded); the
-    * driver turns normalized weights into integer targets,
-    * floor(wᵍ/Σw · total) capped at availability (shortfalls are
-    * logged, never silently rebalanced — a mix that can't be met
-    * should be a visible decision, not a surprise); (2) one per-group
-    * window ranks rows by md5(key ++ ":" ++ salt) and keeps each
-    * group's first targetᵍ. The md5 hex order makes the EXACT kept
-    * set reproducible by any engine (DuckDB: same md5, same
-    * row_number — the q81 oracle), and hash-order ranking means the
-    * kept subset is stable under retries, repartitioning, and — like
-    * [[crossEngineSample]]'s thresholds — nested across totals.
-    * Groups without a weight are dropped (weight 0).
+    * rows (≤ |weights| rows to the driver — bounded by construction);
+    * the driver apportions `total` into integer targets by largest
+    * remainder (floor(wᵍ/Σw · total) + the leftover rows to the
+    * largest fractional parts, group name breaking ties — so the
+    * targets SUM TO `total` exactly, not total−|weights|+1 as plain
+    * floors would), then caps each target at availability (capped
+    * shortfalls are logged, never silently rebalanced — a mix that
+    * can't be met should be a visible decision, not a surprise);
+    * (2) one per-group window ranks rows by md5(key ++ ":" ++ salt)
+    * and keeps each group's first targetᵍ. The md5 hex order makes
+    * the EXACT kept set reproducible by any engine (DuckDB: same md5,
+    * same row_number — the q81 oracle), and hash-order ranking means
+    * the kept subset is stable under retries and repartitioning, and
+    * nested across totals within a group (per-GROUP targets are
+    * monotone in `total` up to the ±1 largest-remainder wobble).
+    * Groups without a weight are dropped (weight 0); the group column
+    * is compared as STRING (weights are string-keyed).
     *
     * Scale shape: the count aggregate is fully partial; the window
     * shuffles once on the group key with per-group parallel sorts —
@@ -126,11 +131,24 @@ object Sampling {
     require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
     val wsum = weights.values.sum
     require(wsum > 0.0, "at least one weight must be positive")
-    val inMix = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
-    val avail = inMix.groupBy(groupCol).count().collect()
+    val grp = col(groupCol).cast("string")
+    val inMix = df.filter(grp.isin(weights.keys.toSeq: _*))
+    val avail = inMix.groupBy(grp.as("_g")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val targets = weights.map { case (g, w) =>
-      val want = math.floor(w / wsum * total).toLong
+    // largest-remainder apportionment: floors first, then the leftover
+    // total - Σfloor rows go to the largest fractional parts (group
+    // name breaks ties) so Σtargets == total exactly
+    val exactShares = weights.toSeq.sortBy(_._1)
+      .map { case (g, w) => g -> w / wsum * total }
+    val floors = exactShares.map { case (g, x) => g -> math.floor(x).toLong }
+    var leftover = total - floors.map(_._2).sum
+    val order = exactShares.zip(floors)
+      .sortBy { case ((g, x), (_, f)) => (-(x - f), g) }
+    val wants = scala.collection.mutable.Map(floors: _*)
+    order.foreach { case ((g, _), _) =>
+      if (leftover > 0L) { wants(g) += 1L; leftover -= 1L }
+    }
+    val targets = wants.toMap.map { case (g, want) =>
       val have = avail.getOrElse(g, 0L)
       if (have < want)
         System.err.println(s"[graft] mixtureSample: group '$g' wants " +
@@ -138,9 +156,9 @@ object Sampling {
       g -> math.min(want, have)
     }
     val targetCol = targets.foldLeft(lit(0L)) {
-      case (acc, (g, t)) => when(col(groupCol) === g, lit(t)).otherwise(acc)
+      case (acc, (g, t)) => when(grp === g, lit(t)).otherwise(acc)
     }
-    val w = Window.partitionBy(groupCol)
+    val w = Window.partitionBy(grp)
       .orderBy(md5(concat(keyCol.cast("string"), lit(":" + salt))), keyCol)
     inMix.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= targetCol)

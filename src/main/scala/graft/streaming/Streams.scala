@@ -207,6 +207,22 @@ object Streams {
       n: Int = 8,
       maxTestGrams: Int = 10000000): DataFrame = {
     import graft.operators.Kernels
+    // the bounded-benchmark contract, made LOUD (the exactSelfTopK
+    // guard discipline) — and checked DISTRIBUTED, BEFORE anything is
+    // collected: a guard that fires only after a corpus-sized gram
+    // set already landed on the driver would arrive as the OOM it
+    // exists to prevent. One extra pass over the (tiny by contract)
+    // test set buys the fail-fast.
+    val gramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    val nGrams = staticTest
+      .select(explode(gramsUdf(col(testTextCol))).as("g"))
+      .distinct().count()
+    require(nGrams <= maxTestGrams,
+      s"decontaminateStream: test set has $nGrams distinct n-grams > " +
+        s"maxTestGrams=$maxTestGrams — the test set must be benchmark-sized " +
+        "(KBs-MBs); for corpus-vs-corpus overlap use Decontaminate/" +
+        "Boilerplate.sourceOverlap instead")
     val testGrams: Set[String] = staticTest
       .select(col(testTextCol).as("t"))
       .na.drop(Seq("t"))
@@ -214,17 +230,8 @@ object Streams {
       .iterator
       .flatMap(r => Kernels.wordNgrams(r.getString(0), n))
       .toSet
-    // the bounded-benchmark contract, made LOUD (the exactSelfTopK
-    // guard discipline): the gram set rides the driver and every
-    // executor, so a caller feeding a corpus-sized "test set" must
-    // fail fast — and the actual size is always visible in the log
     System.err.println(
       s"[graft] decontaminateStream broadcasting ${testGrams.size} test grams")
-    require(testGrams.size <= maxTestGrams,
-      s"decontaminateStream collected ${testGrams.size} test n-grams > " +
-        s"maxTestGrams=$maxTestGrams — the test set must be benchmark-sized " +
-        "(KBs-MBs); for corpus-vs-corpus overlap use Decontaminate/" +
-        "Boilerplate.sourceOverlap instead")
     val bc = docs.sparkSession.sparkContext.broadcast(testGrams)
     val clean = udf((t: String) =>
       t == null || !Kernels.wordNgrams(t, n).exists(bc.value.contains))

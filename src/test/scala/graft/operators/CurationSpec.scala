@@ -92,4 +92,19 @@ class CurationSpec extends AnyFunSuite {
     assert(run(rows, 10L, 8) == Set(0L, 1L, 2L))
     assert(run(rows, 9L, 8) == Set(0L))
   }
+
+  test("null text counts 0 tokens — consistent wherever the cutoff lands") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Some("three tokens here"), 0.9),
+      (1L, None: Option[String], 0.7), // null text, mid-order
+      (2L, Some("two tokens"), 0.5)
+    ).toDF("doc_id", "text", "q")
+    def kept(budget: Long) = Curation.tokenBudgetSelect(
+      docs, "doc_id", "text", budget, col("q"), numBuckets = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(5L) == Set(0L, 1L, 2L)) // 3 + 0 + 2 tokens
+    assert(kept(4L) == Set(0L, 1L))     // null doc rides free
+    assert(kept(2L) == Set.empty[Long]) // first doc already overflows
+  }
 }

@@ -74,4 +74,12 @@ class GatesSpec extends AnyFunSuite {
     ).toDF("g", "v")
     Gates.rankErrorGate(withNulls, "g", "v", Seq(0.5), accuracy = 100)
   }
+
+  test("rankErrorGate: empty / all-null input passes vacuously, not NoSuchElement") {
+    import spark.implicits._
+    Gates.rankErrorGate(
+      Seq.empty[(String, Option[Double])].toDF("g", "v"), "g", "v", Seq(0.5))
+    Gates.rankErrorGate(
+      Seq(("a", None: Option[Double])).toDF("g", "v"), "g", "v", Seq(0.5))
+  }
 }

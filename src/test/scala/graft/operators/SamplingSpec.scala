@@ -86,6 +86,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(smaller.subsetOf(again))
   }
 
+  test("mixtureSample: largest-remainder apportionment sums exactly to total") {
+    // equal thirds of 70 can't floor to 70 (3x23=69): the leftover row
+    // goes to the lexicographically first of the tied remainders
+    val got = Sampling.mixtureSample(
+      docs, "source", col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0), 70L)
+    val counts = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("src0" -> 24L, "src1" -> 23L, "src2" -> 23L))
+    assert(counts.values.sum == 70L)
+  }
+
   test("tokenBudgetSelect: maximal quality-first prefix within budget") {
     import graft.functions.TextFunctions
     val budget = 5000L
