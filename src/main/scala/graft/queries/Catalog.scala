@@ -706,17 +706,39 @@ object Catalog {
     "q50_approx_distinct",
     // The scale path for COUNT DISTINCT: HyperLogLog++ partial
     // aggregation — fixed-size sketches merge associatively, so the
-    // shuffle carries KBs instead of the distinct key set. Pure HLL
-    // shape: the exact twin lives in the spec (and q14), never in
-    // this plan — including it here would re-pay the exact-distinct
-    // expand this query exists to avoid. No oracle (DuckDB's sketch
-    // differs); the spec pins relative error <2% vs exact.
-    (s, dir) =>
-      table(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // shuffle carries KBs instead of the distinct key set. The sketch
+    // runs as its own PURE-HLL job (that plan shape is pinned in
+    // PlanHygieneSpec: no exact-distinct Expand anywhere near it),
+    // its per-group error is gated in-job against the exact counts
+    // (<2%, the rsd=1% contract), and the EXACT counts are emitted
+    // for the bitwise oracle — the q40/q77 gate pattern applied to
+    // HLL, so even the sketch family DuckDB lacks gets a full
+    // correctness check instead of a rows-only pass.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val sketch = li.groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey", rsd = 0.01).as("approx_parts"))
-        .orderBy("l_returnflag"),
-    None
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactDf = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+      val exactRows = exactDf.collect()
+      exactRows.foreach { r =>
+        val flag = r.getString(0)
+        val e = r.getLong(1)
+        val a = sketch.getOrElse(flag, 0L)
+        val err = if (e == 0L) math.abs(a).toDouble else
+          math.abs(a - e).toDouble / e
+        require(err < 0.02,
+          f"HLL estimate $a for '$flag' is $err%.4f off exact $e — sketch regressed")
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(exactRows: _*), exactDf.schema)
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
   private val q51_percentiles = Q(

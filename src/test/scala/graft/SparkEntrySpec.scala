@@ -16,12 +16,11 @@ class SparkEntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
     assert(q.forall(_.matches("[a-z0-9_]+")))
-    // the single rows-only query left: HLL sketches have no DuckDB
-    // twin (different sketch family). Everything else carries an
-    // oracle — incl. SimHash (md5-token variant), ANN (recall-gated
-    // exact emission), and the multimodal stub features (byte math
-    // recomputed in SQL).
-    assert(q.diff(o) == Set("q50_approx_distinct"))
+    // EVERY query carries an oracle — incl. SimHash (md5-token
+    // variant), ANN (recall-gated exact emission), HLL (error-gated
+    // in-job, exact counts emitted), and the multimodal stub
+    // features (byte math recomputed in SQL).
+    assert(q.diff(o) == Set.empty[String])
   }
 
   test("all queries run at sf0.001 and return non-empty results") {
