@@ -246,6 +246,41 @@ object Dedup {
     sets.select(col("id"), col("ngrams"), bandsUdf(col("ngrams")).as("bands"))
   }
 
+  /** Within-index MinHash-LSH near-dup pairs: the same result as
+    * [[minHashLshPairs]] (spec-pinned equal) computed FROM an
+    * existing [[minHashIndex]] — text is never re-read or
+    * re-shingled, so a pipeline that already built its per-batch
+    * index (it should: the index is also what future batches probe
+    * via [[minHashLshIncremental]]) gets its within-batch pairs for
+    * just the band self-join + verify. Callers reusing the index
+    * across several consumers should persist it once (parquet-backed
+    * indexes already are). */
+  def minHashLshPairsFromIndex(
+      index: DataFrame,
+      minJ: Double = 0.5,
+      maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val idx = index.select(col("id"), col("ngrams"), col("bands"))
+    val banded = idx.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val capped = Buckets.capped(banded, Seq("band", "bucket"), "id",
+      maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = capped.as("l")
+      .join(capped.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l._sub") === col("r._sub") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val verified = verifyJaccard(candidates, idx.select("id", "ngrams"), minJ)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    capped.unpersist(blocking = false)
+    verified
+  }
+
   /** Incremental MinHash-LSH near-dup pairs: a NEW batch against
     * itself and against an existing [[minHashIndex]] — old↔old pairs
     * are never generated (they were found when the old batches were
@@ -488,7 +523,10 @@ object Dedup {
       newIds: DataFrame,
       newPairs: DataFrame,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxDriverEdges: Long = 1L << 20): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
     val ex = existing.select(col("id").cast("long").as("id"),
       col("cluster_id").cast("long").as("cluster_id"))
     val newIdName = newIds.columns.head
@@ -506,13 +544,41 @@ object Dedup {
       .join(lbl.select(col("id").as("id_b"), col("lbl").as("lb")), Seq("id_b"))
       .select(col("la").as("id_a"), col("lb").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val touched = lblEdges.select(col("id_a").as("l"))
-      .unionAll(lblEdges.select(col("id_b").as("l"))).distinct()
-    // CC over the touched labels only; the remap is the label-level
-    // min of each merged group = the min id over the merged clusters
-    val remap = duplicateClusters(touched, lblEdges, maxIter, checkpointDir)
-      .select(col("id").as("_old"), col("cluster_id").as("_new"))
-      .filter(col("_old") =!= col("_new"))
+    // The label graph has at most 2·|newPairs| nodes — usually TINY
+    // next to the corpus, so the remap is computed by driver-side
+    // union-find when it fits (one collect, zero iterative jobs; the
+    // size is CHECKED first, never assumed) and falls back to the
+    // distributed min-label loop when a batch's collision graph is
+    // genuinely large. Both paths yield the identical min-label remap
+    // (DedupSpec runs the equality property through each).
+    val nEdges = lblEdges.count()
+    val remap: DataFrame =
+      if (nEdges <= maxDriverEdges) {
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent(c); parent(c) = r; c = next
+          }
+          r
+        }
+        lblEdges.as[(Long, Long)].collect().foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.toSeq
+          .map(l => l -> find(l))
+          .filter { case (old, root) => old != root }
+          .toDF("_old", "_new")
+      } else {
+        val touched = lblEdges.select(col("id_a").as("l"))
+          .unionAll(lblEdges.select(col("id_b").as("l"))).distinct()
+        duplicateClusters(touched, lblEdges, maxIter, checkpointDir)
+          .select(col("id").as("_old"), col("cluster_id").as("_new"))
+          .filter(col("_old") =!= col("_new"))
+      }
     base.join(remap, base("cluster_id") === remap("_old"), "left")
       .select(col("id"),
         coalesce(col("_new"), col("cluster_id")).as("cluster_id"))

@@ -1197,19 +1197,27 @@ object Extensions {
       val docs = table(s, dir, "documents")
       val old = docs.filter(col("doc_id") < 250)
       val fresh = docs.filter(col("doc_id") >= 250)
-      val oldPairs = Dedup.minHashLshPairs(
-        old, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
-        minJ = 0.5)
-      val existing = Dedup.duplicateClusters(old.select("doc_id"), oldPairs)
+      // the index is built ONCE per batch (the deployment shape) and
+      // feeds both its own within-batch pairs and the new batch's
+      // probe — text is shingled exactly once
       val idx = Dedup.minHashIndex(old, "doc_id", "text", n = 3,
         bands = 32, rowsPerBand = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oldPairs = Dedup.minHashLshPairsFromIndex(idx, minJ = 0.5)
+      val existing = Dedup.duplicateClusters(old.select("doc_id"), oldPairs)
       val newPairs = Dedup.minHashLshIncremental(
         fresh, "doc_id", "text", idx, minJ = 0.5, n = 3,
         bands = 32, rowsPerBand = 4)
-      Dedup.duplicateClustersIncremental(
+      val out = Dedup.duplicateClustersIncremental(
         existing, fresh.select("doc_id"), newPairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
+        // newPairs' verify stage still holds the index in its lineage:
+        // truncate it (labels are small) so the index cache can be
+        // released now rather than riding every downstream action
+        .localCheckpoint(true)
+      idx.unpersist(blocking = false)
+      out
     },
     Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
         FROM documents),

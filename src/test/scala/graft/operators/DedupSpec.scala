@@ -327,14 +327,30 @@ class DedupSpec extends AnyFunSuite {
       }
       val existing = Dedup.duplicateClusters(
         (0L until cut).toDF("id"), oldPairs.toDF("id_a", "id_b"))
-      val got = Dedup.duplicateClustersIncremental(
-        existing, (cut until n).toDF("id"), newPairs.toDF("id_a", "id_b"))
-        .as[(Long, Long)].collect().toMap
       val batch = Dedup.duplicateClusters(
         (0L until n).toDF("id"), raw.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
-      assert(got == batch, s"seed ${17 + i}")
+      // both remap paths: driver union-find (default) and the
+      // distributed min-label loop (maxDriverEdges = 0 forces it)
+      for (maxDriverEdges <- Seq(1L << 20, 0L)) {
+        val got = Dedup.duplicateClustersIncremental(
+          existing, (cut until n).toDF("id"), newPairs.toDF("id_a", "id_b"),
+          maxDriverEdges = maxDriverEdges)
+          .as[(Long, Long)].collect().toMap
+        assert(got == batch, s"seed ${17 + i} maxDriverEdges=$maxDriverEdges")
+      }
     }
+  }
+
+  test("minHashLshPairsFromIndex == minHashLshPairs on the same corpus") {
+    import spark.implicits._
+    val fromIndex = Dedup.minHashLshPairsFromIndex(
+      Dedup.minHashIndex(docs, "doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == direct)
   }
 
   test("duplicateClustersIncremental: empty new pair set self-labels the batch") {
