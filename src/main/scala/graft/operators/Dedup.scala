@@ -697,4 +697,86 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "cos")
   }
+
+  /** Substring-level duplicate detection: the maximal token spans
+    * whose every length-`n` word gram appears in >= `minDocs` DISTINCT
+    * documents. Document-level dedup (exact / MinHash / SimHash above)
+    * misses long VERBATIM passages embedded in otherwise-distinct
+    * documents — licenses, boilerplate templates, quoted chains — the
+    * duplication mode the published substring-dedup work (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022) removes with a single-node suffix array. The Spark-shaped
+    * equivalent for a fixed gram length is GRAM POSTINGS:
+    *
+    *   1. fingerprint every positional n-gram ([[Kernels
+    *      .gramMd5Positions]] — one JIT pass per doc, 64-bit keys so
+    *      the postings shuffle carries (id, pos, long), never gram
+    *      text);
+    *   2. one aggregate keyed by fingerprint marks grams seen in >=
+    *      `minDocs` distinct docs (partial aggregation applies — the
+    *      distinct-doc count is two map-side-combined phases);
+    *   3. postings join back on the fingerprint (co-partitioned with
+    *      the aggregate's output partitioning — one exchange for the
+    *      probe side, fan-out = occurrence count, never quadratic);
+    *   4. per-doc gaps-and-islands window merges overlapping/adjacent
+    *      duplicated gram starts into MAXIMAL spans (bounded by doc
+    *      length — the window key is the doc id, so a 100 TB corpus
+    *      sorts millions of tiny partitions in parallel, no global
+    *      sort anywhere);
+    *   5. one doc-keyed join rehydrates span text from the original
+    *      column.
+    *
+    * Fingerprint collisions (~occurrences²/2⁶⁵) could merge two
+    * distinct grams; at any realistic corpus size the expected count
+    * is << 1, and the q82 oracle computes the SAME fingerprints
+    * (`md5_number_lower`), so both engines agree bit-for-bit
+    * regardless. Output: (doc_id, span_start, n_tokens, span_text),
+    * positions 1-based over the space-split token list. */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    require(minDocs >= 2,
+      s"minDocs < 2 would mark every gram duplicated, got $minDocs")
+    val gramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[Long] else Kernels.gramMd5Positions(t, n))
+    val postings = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(gramsUdf(col(textCol))).as(Seq("_p0", "_gh")))
+      .select(col("doc_id"), (col("_p0") + 1).cast("long").as("pos"),
+        col("_gh"))
+    val dup = postings.groupBy("_gh")
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_gh")
+    val hits = postings.join(dup, "_gh").select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // islands: a duplicated gram at pos covers tokens [pos, pos+n-1];
+    // it extends the running span iff pos <= prev_pos + n (overlap or
+    // adjacency). First row's lag is null -> coalesce to a sentinel
+    // that always breaks.
+    val spans = hits
+      .withColumn("_brk",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(wDoc), lit(-2L * n)) + n, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      filter(split(coalesce(col(textCol), lit("")), " "),
+        w => w =!= "").as("_w"))
+    spans.join(toks, "doc_id")
+      .select(col("doc_id"), col("span_start"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"),
+        array_join(
+          slice(col("_w"), col("span_start").cast("int"),
+            (col("span_end") - col("span_start") + 1L).cast("int")),
+          " ").as("span_text"))
+  }
 }

@@ -243,6 +243,88 @@ object Kernels extends Serializable {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** POSITIONAL md5 fingerprints of every word n-gram: element `i` is
+    * [[md5Lower64]] of the space-joined gram starting at token `i+1`
+    * (1-based), duplicates kept — the ordered companion to
+    * [[wordNgrams]]'s distinct set, for span-level duplicate detection
+    * where the START POSITION of each gram is the payload. Tokenizes
+    * exactly like [[wordNgrams]] (space runs collapse, no empties), so
+    * positions index the same token list DuckDB's
+    * `list_filter(str_split(text,' '), x -> x <> '')` produces, and
+    * the fingerprint is bit-for-bit `md5_number_lower(gram)` — both
+    * halves of the cross-engine contract in one pass. */
+  def gramMd5Positions(text: String, n: Int): Array[Long] = {
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && text.charAt(i) != ' ') i += 1
+      if (i > start) words += text.substring(start, i)
+    }
+    if (words.length < n) return Array.empty
+    val out = new Array[Long](words.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(j + k))
+        k += 1
+      }
+      out(j) = md5Lower64(sb.toString)
+      j += 1
+    }
+    out
+  }
+
+  /** One overlapping window over a document's token list: 1-based
+    * start, token count, and the chunk text itself. */
+  final case class Chunk(start_tok: Long, n_tokens: Long, chunk_text: String)
+
+  /** Overlapping-window chunks in one pass: chunk `i` covers tokens
+    * [i·stride + 1, i·stride + chunkSize] of the space-split token
+    * list (runs of spaces collapse, same tokenization as
+    * [[wordNgrams]]); starts advance until a chunk reaches the last
+    * token, so every token lands in >= 1 chunk and only the final
+    * chunk may be short. Empty/blank text yields no chunks. */
+  def chunkOverlap(text: String, chunkSize: Int, stride: Int): Array[Chunk] = {
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && text.charAt(i) != ' ') i += 1
+      if (i > start) words += text.substring(start, i)
+    }
+    val n = words.length
+    if (n == 0) return Array.empty
+    val nChunks =
+      if (n <= chunkSize) 1
+      else 1 + ((n - chunkSize + stride - 1) / stride)
+    val out = new Array[Chunk](nChunks)
+    val sb = new java.lang.StringBuilder()
+    var c = 0
+    while (c < nChunks) {
+      val from = c * stride // 0-based
+      val until = math.min(from + chunkSize, n)
+      sb.setLength(0)
+      var k = from
+      while (k < until) {
+        if (k > from) sb.append(' ')
+        sb.append(words(k))
+        k += 1
+      }
+      out(c) = Chunk(from + 1L, (until - from).toLong, sb.toString)
+      c += 1
+    }
+    out
+  }
+
   /** Exact Jaccard of two string sets: |A∩B| / (|A|+|B|-|A∩B|). Same
     * integer counts as array_intersect/array_union, so the double
     * division is bitwise identical to the SQL oracle's. Inputs are

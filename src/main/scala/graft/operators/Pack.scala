@@ -56,6 +56,48 @@ object Pack {
       .select("id", "shard", "toks", "start_offset", "first_chunk", "last_chunk")
   }
 
+  /** Overlapping-window chunking WITHIN each document — the
+    * retrieval/embedding-side counterpart to the packing report above
+    * (packing concatenates docs into a training stream; RAG-style
+    * indexing slices each doc into windows short enough to embed,
+    * overlapping so no phrase is ever split across a boundary without
+    * also appearing whole in a neighbor). Chunk `i` covers tokens
+    * [i·stride + 1, i·stride + chunkSize] (1-based, space-split like
+    * the text operators); starts advance until the previous chunk has
+    * reached the end, so every token lands in >= 1 chunk, consecutive
+    * chunks overlap by chunkSize − stride tokens, and only the final
+    * chunk may be shorter. Docs with no tokens yield no chunks.
+    *
+    * Scale shape: pure per-row compute — tokenize, one posexplode of
+    * ceil((toks−chunkSize)/stride)+1 slices, no shuffle, no window,
+    * no state; Catalyst prunes to (id, text) at the scan. Output:
+    * (id, chunk_id 0-based, start_tok, n_tokens, chunk_text). */
+  def chunkWithOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    // one JIT kernel call per doc builds the chunk structs; posexplode
+    // then emits rows that carry ONLY their own chunk — the explode-
+    // then-slice spelling would copy the whole token array into every
+    // output row, and the transform() HOF spelling runs interpreted
+    val chunksUdf = udf((t: String) =>
+      Kernels.chunkOverlap(if (t == null) "" else t, chunkSize, stride))
+    df.select(col(idCol).as("id"),
+        posexplode(chunksUdf(col(textCol)))
+          .as(Seq("chunk_id", "_c")))
+      .select(
+        col("id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("_c.start_tok").as("start_tok"),
+        col("_c.n_tokens").as("n_tokens"),
+        col("_c.chunk_text").as("chunk_text"))
+  }
+
   /** Shard-level chunk accounting: how many full seqLen chunks each
     * shard yields and how many tail tokens fall off the end —
     * the "how much data do I actually have" number that drives

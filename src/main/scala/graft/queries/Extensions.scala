@@ -1235,6 +1235,71 @@ object Extensions {
       FROM reach GROUP BY src ORDER BY doc_id""")
   )
 
+  private val q82_duplicated_spans = Q(
+    "q82_duplicated_spans",
+    // Substring-level dedup (the Lee-et-al duplicated-passage mode,
+    // Spark-shaped as 64-bit gram postings instead of a single-node
+    // suffix array): maximal token spans whose every 8-gram appears in
+    // >= 2 distinct documents. The fixture's planted near-dup docs
+    // share long verbatim runs, so the output is organic, not planted.
+    // The oracle recomputes the identical md5_number_lower gram
+    // fingerprints, the same gaps-and-islands merge, and the same
+    // 1-based token slicing — exact strings, exact positions.
+    (s, dir) =>
+      Dedup.duplicatedSpans(
+        table(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start"),
+    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+      g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+          md5_number_lower(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+        FROM toks CROSS JOIN unnest(range(1, len(w) - 6)) AS u(i)),
+      dup AS (SELECT gh FROM g GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+      m AS (SELECT doc_id, pos, CASE WHEN pos >
+          coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+            -16) + 8 THEN 1 ELSE 0 END AS brk FROM d),
+      isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g_id FROM m),
+      sp AS (SELECT doc_id, min(pos) AS span_start,
+          max(pos) + 7 AS span_end FROM isl GROUP BY doc_id, g_id)
+      SELECT sp.doc_id, CAST(span_start AS BIGINT) AS span_start,
+        CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens,
+        array_to_string(w[span_start:span_end], ' ') AS span_text
+      FROM sp JOIN toks ON sp.doc_id = toks.doc_id
+      ORDER BY sp.doc_id, span_start""")
+  )
+
+  private val q83_chunk_overlap = Q(
+    "q83_chunk_overlap",
+    // Overlapping-window chunking (retrieval/embedding indexing): every
+    // doc sliced into 32-token windows at stride 8 — 24-token overlap,
+    // every token covered, only the last chunk short. Pure per-row
+    // compute (one kernel call + posexplode, no shuffle); the oracle
+    // recomputes every window's exact start/length/text with integer
+    // math and list slicing.
+    (s, dir) =>
+      graft.operators.Pack.chunkWithOverlap(
+        table(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+      n AS (SELECT doc_id, w, len(w) AS nt,
+          CASE WHEN len(w) = 0 THEN 0
+               WHEN len(w) <= 32 THEN 1
+               ELSE 1 + (len(w) - 32 + 7) // 8 END AS nchunks
+        FROM toks),
+      c AS (SELECT doc_id, w, nt, CAST(u.i AS BIGINT) AS chunk_id
+        FROM n CROSS JOIN unnest(range(0, nchunks)) AS u(i))
+      SELECT doc_id, chunk_id,
+        chunk_id * 8 + 1 AS start_tok,
+        least(32, nt - chunk_id * 8) AS n_tokens,
+        array_to_string(w[chunk_id * 8 + 1 :
+          least(chunk_id * 8 + 32, nt)], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
@@ -1350,6 +1415,7 @@ object Extensions {
     q74_pack_sequences, q75_quality_quantile,
     q76_dedup_minhash_incremental, q77_percentiles_approx,
     q78_source_overlap, q79_dedup_clusters_incremental,
-    q80_percentiles_tokens, q81_mixture_sample,
+    q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
+    q83_chunk_overlap,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -362,4 +362,82 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 5L -> 5L, 6L -> 6L))
   }
+
+  test("duplicatedSpans: hand fixture — shared run, positions, maximal merge") {
+    import spark.implicits._
+    // B embeds A's tokens 1..8 at positions 3..10; nothing else shared.
+    val fx = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y a b c d e f g h q"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(fx, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 8L, "a b c d e f g h"),
+      (2L, 3L, 8L, "a b c d e f g h")))
+  }
+
+  test("duplicatedSpans: overlapping duplicated grams merge into ONE maximal span") {
+    import spark.implicits._
+    // 9 shared tokens -> grams at starts 1 and 2 -> single span of 9.
+    val fx = Seq(
+      (1L, "a b c d e f g h i x1 x2"),
+      (2L, "a b c d e f g h i y1 y2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(fx, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 9L, "a b c d e f g h i"),
+      (2L, 1L, 9L, "a b c d e f g h i")))
+  }
+
+  test("duplicatedSpans: disjoint shared runs stay separate islands") {
+    import spark.implicits._
+    // two 8-token shared runs separated by unshared middles
+    val fx = Seq(
+      (1L, "a b c d e f g h M1 M2 M3 p q r s t u v w"),
+      (2L, "a b c d e f g h N1 N2 N3 N4 p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(fx, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 8L, "a b c d e f g h"),
+      (1L, 12L, 8L, "p q r s t u v w"),
+      (2L, 1L, 8L, "a b c d e f g h"),
+      (2L, 13L, 8L, "p q r s t u v w")))
+  }
+
+  test("duplicatedSpans: within-doc repetition alone is NOT duplication") {
+    import spark.implicits._
+    // doc 1 repeats its own 8-gram twice; no other doc shares it
+    val fx = Seq(
+      (1L, "a b c d e f g h a b c d e f g h"),
+      (2L, "totally unrelated text that goes on for quite a while longer")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(fx, "doc_id", "text", n = 8).isEmpty)
+  }
+
+  test("duplicatedSpans: short docs, null text, space runs") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "too short"),
+      (2L, null),
+      (3L, "a  b   c d e f g h tail1"), // space runs collapse
+      (4L, "a b c d e f g h tail2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(fx, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (3L, 1L, 8L, "a b c d e f g h"),
+      (4L, 1L, 8L, "a b c d e f g h")))
+  }
+
+  test("gramMd5Positions: positional fingerprints match md5Lower64 of each gram") {
+    val text = "w1 w2 w3 w4 w5"
+    val got = Kernels.gramMd5Positions(text, 3)
+    val grams = Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5")
+    assert(got.toSeq == grams.map(Kernels.md5Lower64))
+    assert(Kernels.gramMd5Positions("w1 w2", 3).isEmpty)
+  }
 }

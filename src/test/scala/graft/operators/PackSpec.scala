@@ -81,4 +81,70 @@ class PackSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkWithOverlap: hand fixture — exact windows, short tail") {
+    import spark.implicits._
+    // 7 tokens, chunkSize 4, stride 2 -> starts 1,3,5 (last short)
+    val fx = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val got = Pack.chunkWithOverlap(fx, "doc_id", "text", 4, 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 5L, 3L, "t5 t6 t7")))
+  }
+
+  test("chunkWithOverlap: exact-fit stream has no phantom tail chunk") {
+    import spark.implicits._
+    // 8 tokens, chunkSize 4, stride 2 -> starts 1,3,5 and STOP (start 7
+    // would add nothing: token 8 is already covered by start 5's chunk)
+    val fx = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val got = Pack.chunkWithOverlap(fx, "doc_id", "text", 4, 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(1L, 3L, 5L))
+    assert(got.last._5 == "t5 t6 t7 t8")
+  }
+
+  test("chunkWithOverlap: every token covered, overlap == chunkSize - stride") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val chunks = Pack.chunkWithOverlap(docs, "doc_id", "text", 32, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // full coverage: first starts at 1, last ends at n, and each
+      // consecutive pair overlaps by exactly chunkSize - stride (or
+      // the short tail, never a gap)
+      assert(sorted.head._3 == 1L)
+      assert(sorted.last._3 + sorted.last._4 - 1 == toks(id), s"doc $id")
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(y._3 == x._3 + 8, s"stride broken at doc $id")
+          assert(y._3 <= x._3 + x._4, s"gap at doc $id")
+        case _ =>
+      }
+    }
+    // short docs (<= chunkSize tokens) yield exactly one chunk
+    toks.filter(_._2 <= 32).keys.foreach { id =>
+      assert(chunks.count(_._1 == id) == 1, s"doc $id")
+    }
+  }
+
+  test("chunkWithOverlap: empty/null text and degenerate params") {
+    import spark.implicits._
+    val fx = Seq((1L, ""), (2L, null), (3L, "only three tokens"))
+      .toDF("doc_id", "text")
+    val got = Pack.chunkWithOverlap(fx, "doc_id", "text", 4, 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq((3L, 0L, 1L, 3L, "only three tokens")))
+    intercept[IllegalArgumentException] {
+      Pack.chunkWithOverlap(fx, "doc_id", "text", 4, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.chunkWithOverlap(fx, "doc_id", "text", 0, 1)
+    }
+  }
 }
