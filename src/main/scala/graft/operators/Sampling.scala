@@ -164,4 +164,63 @@ object Sampling {
       .filter(col("_rn") <= targetCol)
       .drop("_rn")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    * the A-ES scheme): every row draws u ∈ (0,1) from its key's md5
+    * (u = (md5_lower_64 >>> 11 + 0.5) / 2⁵³ — exact integer-and-IEEE
+    * math any engine reproduces bit-for-bit), takes priority
+    * ln(u)/weight, and the k LARGEST priorities win. Inclusion odds
+    * are proportional to weight at each of the k draws, the decision
+    * is retry/partitioning-stable like everything else in this file,
+    * and the whole operator is ONE TakeOrdered over a narrow priority
+    * column + one filter scan — no window, no global sort, bounded
+    * driver state (k+1 doubles, loudly required <= maxDriverK).
+    *
+    * Cross-engine contract: every step except ln() is IEEE basic ops
+    * (correctly rounded, engine-identical); ln differs by ≤ ~1 ulp
+    * across libms, which can only flip the kept SET if the k-th and
+    * (k+1)-th priorities are within that ulp — so the operator GATES
+    * the boundary gap in-job (relative gap >= relTol or fail loudly,
+    * the [[graft.operators.Gates]] discipline applied to determinism
+    * itself). Rows with null/zero/negative weight are excluded (the
+    * A-ES weight→0 limit: never sampled).
+    *
+    * Output: the k winners with original columns, no priority column
+    * (ln values are the one thing the oracle can't rebuild bitwise). */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: Column,
+      weightCol: Column,
+      k: Int,
+      salt: String = "graft",
+      relTol: Double = 1e-9,
+      maxDriverK: Int = 1000000): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    require(k <= maxDriverK,
+      s"k=$k exceeds maxDriverK=$maxDriverK — TakeOrdered returns k+1 " +
+        "priorities to the driver; raise the bound explicitly if intended")
+    if (k == 0) return df.filter(lit(false))
+    val saltLocal = salt
+    val pri = udf((key: String, w: Double) => {
+      val m = Kernels.md5Lower64(key + ":" + saltLocal) >>> 11
+      math.log((m.toDouble + 0.5) / 9007199254740992.0) / w
+    })
+    val eligible = df.filter(weightCol.isNotNull && weightCol > 0.0)
+    val withPri = eligible.withColumn("_pri",
+      pri(keyCol.cast("string"), weightCol.cast("double")))
+    // narrow top-(k+1): only the priority doubles travel to the driver
+    val top = withPri.select(col("_pri"))
+      .orderBy(col("_pri").desc).limit(k + 1).collect().map(_.getDouble(0))
+    if (top.length <= k) return eligible // fewer rows than k: keep all
+    val pk = top(k - 1); val pk1 = top(k)
+    val gap = (pk - pk1) / math.max(math.abs(pk1), java.lang.Double.MIN_NORMAL)
+    System.err.println(
+      f"[graft] weightedSample boundary gap = $gap%.3e (tol $relTol%.1e)")
+    require(gap >= relTol,
+      f"weightedSample k=$k boundary priorities $pk%.17g / $pk1%.17g are " +
+        f"within relTol=$relTol%.1e — a 1-ulp ln() disagreement could flip " +
+        "the kept set; change salt or k")
+    withPri.filter(col("_pri") >= pk).drop("_pri")
+  }
 }

@@ -65,4 +65,40 @@ object Skew {
       .agg(countDistinct(valueCol).as("_d"))
     perBucket.groupBy(k: _*).agg(sum(col("_d")).cast("long").as(resultName))
   }
+
+  /** Salted equi-join for a skewed BIG side against a side that is too
+    * big to broadcast but small enough to replicate `salt`× through
+    * the shuffle: the big side's hot key is spread across `salt`
+    * sub-keys (content-derived, retry-safe — same discipline as
+    * [[saltedSum]]), the right side is exploded once per salt value,
+    * and the join runs on (key, salt) so no single reducer partition
+    * owns a hot key alone. Result == plain `big.join(right, keys,
+    * joinType)` row-for-row; only the partitioning changes.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join splitting already
+    * handles most sort-merge skew at runtime — this operator is for
+    * the cases AQE can't re-plan (skew INSIDE one shuffle block, e.g.
+    * a single key bigger than one split; or a deterministic
+    * pre-partitioned layout that must not be re-planned). Join types:
+    * inner/left — types that would need a right-side row to survive
+    * having NO left match (right/full/anti) are rejected, since
+    * replicated right rows would then surface `salt` times. */
+  def saltedJoin(
+      big: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salt: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter").contains(jt),
+      s"saltedJoin supports inner/left joins, got '$joinType' — " +
+        "right/full/anti semantics break under right-side replication")
+    val leftCols = big.columns.toIndexedSeq
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(leftCols.map(col): _*), lit(salt.toLong)).cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -1300,6 +1300,57 @@ object Extensions {
       FROM c ORDER BY doc_id, chunk_id""")
   )
 
+  private val q84_weighted_sample = Q(
+    "q84_weighted_sample",
+    // A-ES weighted sampling without replacement: 100 docs, odds
+    // proportional to n_chars. u is exact cross-engine integer/IEEE
+    // math; the one libm step (ln) is covered by the operator's
+    // in-job boundary-gap gate, so the oracle recomputes the same
+    // priorities with ITS ln and must select the identical set.
+    (s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        table(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 100)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""WITH p AS (SELECT doc_id, source, n_chars,
+        ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':graft')
+             >> 11 AS DOUBLE) + 0.5) / 9007199254740992.0)
+          / CAST(n_chars AS DOUBLE) AS pri
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      t AS (SELECT doc_id, source, n_chars FROM p ORDER BY pri DESC
+        LIMIT 100)
+      SELECT doc_id, source, n_chars FROM t ORDER BY doc_id""")
+  )
+
+  private val q85_salted_join = Q(
+    "q85_salted_join",
+    // Salted equi-join under maximal key skew: lineitem's 3-value
+    // l_returnflag means a plain shuffle join lands ~1/3 of the fact
+    // table on ONE reducer partition each. Skew.saltedJoin spreads
+    // every flag across 16 content-derived sub-keys and replicates the
+    // (tiny here, "too big to broadcast" in the real case) dim 16x.
+    // The oracle is the PLAIN join — equality proves salting changes
+    // partitioning only, never semantics.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      val dim = s.createDataFrame(Seq(
+        ("A", "returned"), ("N", "in_transit"), ("R", "refunded")))
+        .toDF("l_returnflag", "flag_label")
+      graft.operators.Skew.saltedJoin(li, dim, Seq("l_returnflag"), salt = 16)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("flag_label")
+    },
+    Some("""WITH dim(l_returnflag, flag_label) AS (VALUES
+        ('A', 'returned'), ('N', 'in_transit'), ('R', 'refunded'))
+      SELECT flag_label, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN dim USING (l_returnflag)
+      GROUP BY flag_label ORDER BY flag_label""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
@@ -1416,6 +1467,6 @@ object Extensions {
     q76_dedup_minhash_incremental, q77_percentiles_approx,
     q78_source_overlap, q79_dedup_clusters_incremental,
     q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
-    q83_chunk_overlap,
+    q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
     q44_curation_pipeline, q45_source_audit)
 }

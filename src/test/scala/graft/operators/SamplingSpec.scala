@@ -11,6 +11,63 @@ class SamplingSpec extends AnyFunSuite {
   private lazy val docs =
     spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
 
+  private def aesPriority(key: String, w: Double, salt: String = "graft"): Double = {
+    val m = Kernels.md5Lower64(key + ":" + salt) >>> 11
+    math.log((m.toDouble + 0.5) / 9007199254740992.0) / w
+  }
+
+  test("weightedSample == local A-ES reference; repartition-stable") {
+    val rows = docs.select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = rows
+      .map { case (id, w) => (id, aesPriority(id.toString, w.toDouble)) }
+      .sortBy(-_._2).take(20).map(_._1).toSet
+    val got = Sampling.weightedSample(
+      docs, col("doc_id"), col("n_chars"), k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    val shuffled = Sampling.weightedSample(
+      docs.repartition(13), col("doc_id"), col("n_chars"), k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shuffled == expect)
+  }
+
+  test("weightedSample: weight dominance, eligibility, small-n paths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0), (2L, 2.0), (3L, 5.0),
+      (4L, 1e12),            // astronomically heavy: priority ~ 0-
+      (5L, 0.0), (6L, -3.0)  // ineligible: never sampled
+    ).toDF("id", "w")
+    val one = Sampling.weightedSample(df, col("id"), col("w"), k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(4L)) // ln(u)/1e12 beats every normal-weight draw
+    // k >= eligible rows: all eligible kept, ineligible still excluded
+    val all = Sampling.weightedSample(df, col("id"), col("w"), k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+    assert(Sampling.weightedSample(df, col("id"), col("w"), k = 0).isEmpty)
+  }
+
+  test("weightedSample: boundary tie trips the determinism gate") {
+    import spark.implicits._
+    // two rows with the SAME key and weight draw identical priorities;
+    // place the boundary between them and the gate must refuse
+    val df = Seq(
+      ("dup", 10.0, 1L), ("dup", 10.0, 2L),
+      ("other1", 1.0, 3L), ("other2", 1.0, 4L))
+      .toDF("key", "w", "row_id")
+    val pris = Seq("dup" -> 10.0, "dup" -> 10.0, "other1" -> 1.0,
+      "other2" -> 1.0).map { case (k, w) => aesPriority(k, w) }.sorted.reverse
+    // find an adjacent equal pair and set k to split it
+    val k = pris.sliding(2).indexWhere { case Seq(a, b) => a == b } + 1
+    assert(k >= 1, "fixture must produce an adjacent tie")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, col("key"), col("w"), k = k).count()
+    }
+    assert(ex.getMessage.contains("boundary"))
+  }
+
   test("deterministicSample: stable across runs and repartitioning") {
     val a = Sampling.deterministicSample(docs, col("doc_id"), 0.3)
       .select("doc_id").collect().map(_.getLong(0)).sorted

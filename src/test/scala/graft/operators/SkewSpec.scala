@@ -86,4 +86,43 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == plain.toSeq)
   }
+
+  test("saltedJoin == plain join (inner and left), row-for-row") {
+    import spark.implicits._
+    val dim = Seq(("A", "returned"), ("N", "in_transit"))
+      .toDF("l_returnflag", "label") // no 'R' row: left-join nulls exercised
+    val li = lineitem.select("l_orderkey", "l_linenumber", "l_returnflag")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))
+    for (jt <- Seq("inner", "left")) {
+      val plain = li.join(dim, Seq("l_returnflag"), jt)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "label")
+        .collect().map(key).sortBy(_.toString)
+      val salted = Skew.saltedJoin(li, dim, Seq("l_returnflag"), 8, jt)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "label")
+        .collect().map(key).sortBy(_.toString)
+      assert(salted.toSeq == plain.toSeq, s"join type $jt")
+    }
+  }
+
+  test("saltedJoin spreads a hot key across salts; rejects right/full") {
+    import spark.implicits._
+    val hot = (1 to 400).map(i => ("hot", i)).toDF("k", "v")
+    val dim = Seq(("hot", 1L)).toDF("k", "dim_v")
+    // the hot key must actually occupy > 1 salt bucket or nothing was
+    // gained — content-derived salt over distinct rows spreads
+    val spread = hot
+      .withColumn("_salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(spread > 4, s"only $spread salt buckets used")
+    assert(Skew.saltedJoin(hot, dim, Seq("k"), 8).count() == 400L)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(hot, dim, Seq("k"), 8, "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(hot, dim, Seq("k"), 8, "full_outer")
+    }
+  }
 }
