@@ -324,6 +324,45 @@ object Dedup {
     verifyJaccard(candidates, all.select("id", "ngrams"), minJ)
   }
 
+  /** Compact a persisted [[minHashIndex]] lineage: union any number
+    * of per-batch index deltas, resolve docs re-ingested in a later
+    * delta to their LATEST rows (last-writer-wins by delta position —
+    * re-crawled pages, edited docs), and drop tombstoned ids
+    * (takedowns, retention). The maintenance half of the incremental
+    * story: [[minHashLshIncremental]] keeps ingestion O(batch), this
+    * keeps the index itself from accreting stale/duplicate entries —
+    * without it every probe pays for dead rows and a re-ingested doc
+    * collides with its own ghost.
+    *
+    * Scale shape: one row_number window keyed by id (the LWW resolve
+    * — per-id partitions, parallel), one left-anti join against the
+    * tombstone set (broadcast when small). Deltas are parquet-backed
+    * DataFrames in production; nothing is collected. Output: the same
+    * (id, ngrams, bands) schema [[minHashIndex]] emits, so compacted
+    * indexes feed [[minHashLshPairsFromIndex]] / incremental probes
+    * unchanged. */
+  def compactIndex(
+      deltas: Seq[DataFrame],
+      tombstones: Option[DataFrame] = None,
+      tombstoneIdCol: String = "id"): DataFrame = {
+    require(deltas.nonEmpty, "compactIndex needs at least one delta")
+    val tagged = deltas.zipWithIndex.map { case (d, i) =>
+      d.select(col("id"), col("ngrams"), col("bands"))
+        .withColumn("_delta", lit(i))
+    }.reduce(_ unionByName _)
+    val lww = tagged
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("_delta").desc)))
+      .filter(col("_rk") === 1)
+      .select("id", "ngrams", "bands")
+    tombstones match {
+      case Some(t) =>
+        lww.join(t.select(col(tombstoneIdCol).as("id")).distinct(),
+          Seq("id"), "left_anti")
+      case None => lww
+    }
+  }
+
   /** 64-bit SimHash of the word stream: bit j of the fingerprint is
     * the sign of sum over tokens of ±1 according to bit j of the
     * token's hash. One [[Kernels.simHash64]] call per row (the

@@ -1351,6 +1351,70 @@ object Extensions {
       GROUP BY flag_label ORDER BY flag_label""")
   )
 
+  private val q86_index_compaction = Q(
+    "q86_index_compaction",
+    // Index maintenance end-to-end: two overlapping per-batch index
+    // deltas (docs 250-299 re-ingested in delta 2 — last-writer-wins)
+    // + takedown tombstones (doc_id % 10 == 0), compacted, then pairs
+    // recomputed FROM THE COMPACTED INDEX ONLY. The oracle recomputes
+    // exact Jaccard pairs over the surviving corpus from scratch —
+    // equality proves compaction lost nothing, kept no ghosts, and
+    // the compacted index is a drop-in for the probe operators.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val delta1 = Dedup.minHashIndex(
+        docs.filter(col("doc_id") < 300), "doc_id", "text")
+      val delta2 = Dedup.minHashIndex(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      val tombs = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      val compacted = Dedup.compactIndex(
+        Seq(delta1, delta2), Some(tombs), "doc_id")
+      Dedup.minHashLshPairsFromIndex(compacted, minJ = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents
+        WHERE doc_id % 10 <> 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      ORDER BY id_a, id_b""")
+  )
+
+  private val q87_route_quality = Q(
+    "q87_route_quality",
+    // The quality router's batch face: per-(route, source) volumes —
+    // the triage report a curation run reads before deciding
+    // thresholds. Streams.routeByQuality is the SAME projection the
+    // streaming sink partitions by (StreamsSpec pins stream == batch);
+    // the oracle recomputes the 6-decimal quality score and the CASE
+    // thresholds bitwise, q31-style.
+    (s, dir) =>
+      graft.streaming.Streams.routeByQuality(
+        table(s, dir, "documents"), "text")
+        .groupBy("route", "source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("route", "source"),
+    Some(s"""WITH t AS (SELECT source, text,
+        CASE WHEN length(text) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text,
+            '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END AS pr,
+        CASE WHEN len($W) = 0 THEN 0.0
+          ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
+            AS DOUBLE) / len($W) END AS sr
+      FROM documents),
+      q AS (SELECT source,
+        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+          + least(sr * 5.0, 1.0) * 0.4
+          + (1.0 - least(pr * 4.0, 1.0)) * 0.1, 6) AS quality FROM t)
+      SELECT CASE WHEN quality >= 0.75 THEN 'keep'
+          WHEN quality >= 0.5 THEN 'review' ELSE 'reject' END AS route,
+        source, CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2 ORDER BY route, source""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
@@ -1468,5 +1532,6 @@ object Extensions {
     q78_source_overlap, q79_dedup_clusters_incremental,
     q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
     q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
+    q86_index_compaction, q87_route_quality,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -238,6 +238,52 @@ object Streams {
     docs.filter(clean(col(textCol)))
   }
 
+  /** Quality routing decision: `keep` / `review` / `reject` from the
+    * [[graft.functions.TextFunctions.qualityScore]] heuristic. A pure
+    * per-row projection — STATELESS on a stream (no watermark, no
+    * shuffle), identical on a batch frame, which is what makes the
+    * stream==batch equivalence pinnable. Thresholds compare the
+    * 6-decimal-rounded score, so the decision is engine-exact (the
+    * q31 oracle recomputes the same score bitwise). */
+  def routeByQuality(
+      docs: DataFrame,
+      textCol: String,
+      keepMin: Double = 0.75,
+      reviewMin: Double = 0.5): DataFrame = {
+    require(keepMin >= reviewMin,
+      s"keepMin ($keepMin) must be >= reviewMin ($reviewMin)")
+    val q = graft.functions.TextFunctions.qualityScore(col(textCol))
+    docs.withColumn("route",
+      when(q >= keepMin, "keep")
+        .when(q >= reviewMin, "review")
+        .otherwise("reject"))
+  }
+
+  /** One-stream quality router: a single scan of the feed, routed to a
+    * parquet sink PARTITIONED BY the decision — `route=keep/...`
+    * directories downstream consumers read independently. One
+    * partitioned exactly-once sink (the `_spark_metadata` manifest
+    * covers all three routes atomically) is the 100 TB shape: the
+    * alternative — three filtered streams over the same feed — scans
+    * the source three times and can commit one route's batch without
+    * the others'. AvailableNow drains the backlog then stops (the
+    * incremental-backfill trigger, same as [[writeEventStream]]). */
+  def writeRoutedStream(
+      docs: DataFrame,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      keepMin: Double = 0.75,
+      reviewMin: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    routeByQuality(docs, textCol, keepMin, reviewMin).writeStream
+      .format("parquet")
+      .partitionBy("route")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-source entry: tail a directory of parquet event files as a
     * stream — the deployment shape for the fixture schema. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

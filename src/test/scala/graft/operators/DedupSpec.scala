@@ -363,6 +363,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 5L -> 5L, 6L -> 6L))
   }
 
+  test("compactIndex: last-writer-wins, tombstones dropped, equals fresh rebuild") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "doomed document that will be tombstoned away")
+    ).toDF("doc_id", "text")
+    // doc 2 re-ingested with DIFFERENT content in a later delta
+    val v2 = Seq(
+      (2L, "completely rewritten second document body here")
+    ).toDF("doc_id", "text")
+    val d1 = Dedup.minHashIndex(v1, "doc_id", "text")
+    val d2 = Dedup.minHashIndex(v2, "doc_id", "text")
+    val tombs = Seq(3L).toDF("doc_id")
+    val compacted = Dedup.compactIndex(Seq(d1, d2), Some(tombs), "doc_id")
+    // final corpus truth: doc 1 v1, doc 2 v2, doc 3 gone
+    val finalCorpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely rewritten second document body here")
+    ).toDF("doc_id", "text")
+    val fresh = Dedup.minHashIndex(finalCorpus, "doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[String], Seq[Long])].collect()
+        .map { case (id, ng, b) => (id, ng.toList, b.toList) }
+        .sortBy(_._1).toList
+    assert(snap(compacted) == snap(fresh))
+    // single delta, no tombstones: identity (modulo duplicate rows)
+    assert(snap(Dedup.compactIndex(Seq(d1))) == snap(d1))
+  }
+
   test("duplicatedSpans: hand fixture — shared run, positions, maximal merge") {
     import spark.implicits._
     // B embeds A's tokens 1..8 at positions 3..10; nothing else shared.

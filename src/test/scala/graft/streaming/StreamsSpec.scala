@@ -235,6 +235,59 @@ class StreamsSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("writeRoutedStream: stream == batch routes, partitioned exactly-once sink") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val rows = docs.select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val base = java.nio.file.Files.createTempDirectory("graft_route_").toString
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val mem = MemoryStream[(Long, String)]
+    // run 1 drains half the backlog, run 2 restarts from the same
+    // checkpoint for the rest — routing decisions must be identical
+    // to the batch projection either way
+    mem.addData(rows.take(25).toIndexedSeq)
+    val q1 = writeRoutedStream(
+      mem.toDF().toDF("doc_id", "text"), "text", outDir, ckpt)
+    q1.awaitTermination()
+    mem.addData(rows.drop(25).toIndexedSeq)
+    val q2 = writeRoutedStream(
+      mem.toDF().toDF("doc_id", "text"), "text", outDir, ckpt)
+    q2.awaitTermination()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "route").as[(Long, String)].collect().toSet
+    val batch = routeByQuality(docs, "text")
+      .select("doc_id", "route").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    // the sink is genuinely partitioned by decision: every observed
+    // route surfaces as its own route=<r> directory
+    val dirs = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val routes = batch.map(_._2).map(r => s"route=$r")
+    assert(routes.subsetOf(dirs), s"dirs $dirs missing some of $routes")
+    assert(batch.map(_._2).size >= 2, "fixture should exercise >1 route")
+  }
+
+  test("routeByQuality: thresholds honored and total partition preserved") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val routed = routeByQuality(docs, "text", keepMin = 0.75, reviewMin = 0.5)
+    val q = graft.functions.TextFunctions.qualityScore(
+      org.apache.spark.sql.functions.col("text"))
+    assert(routed.filter(org.apache.spark.sql.functions.col("route") === "keep")
+      .filter(q < 0.75).count() == 0)
+    assert(routed.filter(org.apache.spark.sql.functions.col("route") === "review")
+      .filter(q >= 0.75 || q < 0.5).count() == 0)
+    assert(routed.filter(org.apache.spark.sql.functions.col("route") === "reject")
+      .filter(q >= 0.5).count() == 0)
+    assert(routed.count() == docs.count())
+    intercept[IllegalArgumentException] {
+      routeByQuality(docs, "text", keepMin = 0.4, reviewMin = 0.5)
+    }
+  }
+
   test("readEventStream schema matches the fixture") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val ss = readEventStream(spark, dir)
