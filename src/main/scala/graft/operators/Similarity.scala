@@ -545,7 +545,11 @@ object Similarity {
       .unionAll(cand.select(col("id_b").as("query_id"), col("id_a").as("nn_id")))
     val q = df.select(col(idCol).as("id"),
       Quantize.int8(col(vecCol)).as("qv"))
-    // stage 1: integer scoring over codes, keep `rerank` per query
+    // stage 1: integer scoring over codes, keep `rerank` per query.
+    // (Unlike annTopK, scoring the pre-symmetrized set is the right
+    // call here: int8 codes make the join 4x lighter and the kernel
+    // integer-cheap, so the materialization pass a score-once-then-
+    // mirror spelling needs costs more than it saves — measured.)
     val coarse = topKScored(
       sym.join(q.as("a"), col("query_id") === col("a.id"))
         .join(q.as("b"), col("nn_id") === col("b.id"))
@@ -577,15 +581,26 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val cand = annCandidates(df, idCol, vecCol, tables, bits, dim, seed)
-    // candidates are undirected; score both directions for per-id top-k
-    val sym = cand.select(col("id_a").as("query_id"), col("id_b").as("nn_id"))
-      .unionAll(cand.select(col("id_b").as("query_id"), col("id_a").as("nn_id")))
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val scored = sym
-      .join(v.as("q"), col("query_id") === col("q.id"))
-      .join(v.as("c"), col("nn_id") === col("c.id"))
-      .select(col("query_id"), col("nn_id"),
-        call_function("graft_cosine", col("q.v"), col("c.v")).as("cos"))
-    topKScored(scored, k)
+    // score each UNDIRECTED pair once — graft_cosine folds the dot
+    // left-to-right with commutative IEEE multiplies, so cos(a,b) is
+    // bitwise cos(b,a) — then mirror the narrow (id, id, cos) rows for
+    // per-id ranking: halves the vector-join shuffle weight and the
+    // kernel evaluations vs scoring a pre-symmetrized pair set
+    val scoredPairs = cand
+      .join(v.as("a"), col("id_a") === col("a.id"))
+      .join(v.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_cosine", col("a.v"), col("b.v")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoredPairs.count()
+    // the raw pair cache is dead once the scored set exists — swap them
+    cand.unpersist(blocking = false)
+    topKScored(
+      scoredPairs.select(col("id_a").as("query_id"),
+          col("id_b").as("nn_id"), col("cos"))
+        .unionAll(scoredPairs.select(col("id_b").as("query_id"),
+          col("id_a").as("nn_id"), col("cos"))),
+      k)
   }
 }
