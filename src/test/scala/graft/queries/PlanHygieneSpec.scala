@@ -159,4 +159,38 @@ class PlanHygieneSpec extends AnyFunSuite {
       assert(l.contains("_bkt"), s"unpartitioned window:\n$l")
     }
   }
+
+  test("q82: span windows partition by doc, dup-gram agg runs partial") {
+    val p = plan("q82_duplicated_spans")
+    // the gaps-and-islands merge must never be a global window
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, p.take(2000))
+    windowLines.foreach { l =>
+      assert(l.contains("doc_id"), s"window not keyed by doc:\n$l")
+    }
+    // distinct-doc counting is two-phase, and nothing goes cartesian
+    assert(p.contains("partial_count"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q83: chunking plans ZERO exchanges (pure per-row compute)") {
+    val p = SparkEntry.queries("q83_chunk_overlap")(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    // the orderBy is the query's presentation sort; everything before
+    // it must be exchange-free — so exactly the one final range
+    // exchange is allowed
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunking shuffles $exchanges times:\n${p.take(2000)}")
+    assert(!p.contains("Window ["), p.take(2000))
+  }
+
+  test("q85: salted join keys include the salt column") {
+    val p = plan("q85_salted_join")
+    // the whole point: the physical join must key on (l_returnflag,
+    // _salt), never l_returnflag alone
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("l_returnflag"))
+    assert(joinLine.exists(_.contains("_salt")),
+      s"join not salted:\n${joinLine.getOrElse(p.take(2000))}")
+  }
 }
