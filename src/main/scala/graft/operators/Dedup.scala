@@ -478,14 +478,57 @@ object Dedup {
     * chains raise `maxIter` (the require makes non-convergence loud,
     * never silent).
     *
+    * Small graphs short-circuit to driver-side union-find — same
+    * design as [[duplicateClustersIncremental]]'s remap, but sized by
+    * a BOUNDED fetch rather than a separate count: `limit(max+1)`
+    * collects at most maxDriverEdges+1 narrow rows in ONE job; if
+    * everything arrived, those ARE the edges (zero iterative jobs),
+    * else the distributed min-label loop runs as before. Near-dup
+    * pair sets are tiny next to their corpora, so at fixture AND
+    * production scale the common case is the short-circuit, and the
+    * fallback is the one that must exist, loudly bounded, for the
+    * genuinely huge collision graphs. DedupSpec runs the equality
+    * property through both paths.
+    *
     * Output: (id, cluster_id), one row per input id; singletons label
     * themselves. */
   def duplicateClusters(
       ids: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxDriverEdges: Int = 1 << 20): DataFrame = {
     val spark = ids.sparkSession
+    import spark.implicits._
+    val edgePairs = pairs.select(col("id_a").cast("long"),
+      col("id_b").cast("long")).as[(Long, Long)]
+    val fetched = edgePairs.limit(maxDriverEdges + 1).collect()
+    if (fetched.length <= maxDriverEdges) {
+      val idName0 = ids.columns.head
+      val base = ids.select(col(idName0).cast("long").as("id")).distinct()
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent(c); parent(c) = r; c = next
+        }
+        r
+      }
+      // union-by-min keeps every root the component minimum — the same
+      // canonical labels the min-label loop converges to
+      fetched.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val remap = parent.keys.toSeq
+        .map(l => l -> find(l))
+        .filter { case (id, root) => id != root }
+        .toDF("_old", "_new")
+      return base.join(remap, base("id") === remap("_old"), "left")
+        .select(col("id"), coalesce(col("_new"), col("id")).as("cluster_id"))
+    }
     // iterative plans MUST be truncated each round (else the lineage
     // and analysis cost grow per iteration). localCheckpoint is the
     // zero-setup default for local/fixture runs; pass `checkpointDir`

@@ -183,10 +183,14 @@ class DedupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ckpt").toString
     try {
+      // maxDriverEdges = 0 forces the distributed loop — the path
+      // whose checkpointing behavior this test pins (the union-find
+      // short-circuit never checkpoints)
       val viaReliable = Dedup.duplicateClusters(
-        ids, pairs, checkpointDir = Some(dir))
+        ids, pairs, checkpointDir = Some(dir), maxDriverEdges = 0)
         .as[(Long, Long)].collect().toMap
-      val viaLocal = Dedup.duplicateClusters(ids, pairs)
+      val viaLocal = Dedup.duplicateClusters(
+        ids, pairs, maxDriverEdges = 0)
         .as[(Long, Long)].collect().toMap
       assert(viaReliable == viaLocal)
       // the reliable path really wrote checkpoint data
@@ -250,8 +254,16 @@ class DedupSpec extends AnyFunSuite {
         .filter { case (a, b) => a != b }
         .map { case (a, b) => if (a < b) (a, b) else (b, a) }
         .distinct
+      // run BOTH implementations: maxDriverEdges=0 forces the
+      // distributed min-label loop, the default takes the driver
+      // union-find short-circuit — they must agree with each other
+      // and with the plain-Scala reference
       val got = Dedup.duplicateClusters(
         (0L until n).toDF("id"), raw.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val gotLoop = Dedup.duplicateClusters(
+        (0L until n).toDF("id"), raw.toDF("id_a", "id_b"),
+        maxDriverEdges = 0)
         .as[(Long, Long)].collect().toMap
       // reference: union-find in plain Scala
       val parent = Array.tabulate(n.toInt)(identity)
@@ -271,6 +283,7 @@ class DedupSpec extends AnyFunSuite {
         v.toLong -> members.min.toLong
       }.toMap
       assert(got == expected, s"seed ${99 + i}")
+      assert(gotLoop == expected, s"loop path, seed ${99 + i}")
     }
   }
 
