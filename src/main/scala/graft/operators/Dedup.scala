@@ -628,14 +628,18 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
     // The label graph has at most 2·|newPairs| nodes — usually TINY
     // next to the corpus, so the remap is computed by driver-side
-    // union-find when it fits (one collect, zero iterative jobs; the
-    // size is CHECKED first, never assumed) and falls back to the
-    // distributed min-label loop when a batch's collision graph is
-    // genuinely large. Both paths yield the identical min-label remap
-    // (DedupSpec runs the equality property through each).
-    val nEdges = lblEdges.count()
+    // union-find when it fits, and falls back to the distributed
+    // min-label loop when a batch's collision graph is genuinely
+    // large. Sizing uses the duplicateClusters bounded-fetch pattern:
+    // limit(max+1) collects at most maxDriverEdges+1 narrow rows in
+    // ONE job (checked, never assumed — and no separate count pass);
+    // if everything arrived, those ARE the edges. Both paths yield
+    // the identical min-label remap (DedupSpec runs the equality
+    // property through each).
+    val boundInt = math.min(maxDriverEdges, (Int.MaxValue - 1).toLong).toInt
+    val fetched = lblEdges.as[(Long, Long)].limit(boundInt + 1).collect()
     val remap: DataFrame =
-      if (nEdges <= maxDriverEdges) {
+      if (fetched.length <= boundInt) {
         val parent = new scala.collection.mutable.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -646,7 +650,7 @@ object Dedup {
           }
           r
         }
-        lblEdges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        fetched.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }

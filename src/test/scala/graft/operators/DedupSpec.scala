@@ -476,6 +476,50 @@ class DedupSpec extends AnyFunSuite {
       (4L, 1L, 8L, "a b c d e f g h")))
   }
 
+  test("duplicatedSpans property: equals plain-Scala reference on random corpora") {
+    // tiny vocabulary => heavy organic cross-doc gram collisions, the
+    // stress the hand fixtures can't produce
+    val n = 3
+    (0 until 3).foreach { round =>
+      val rnd = new scala.util.Random(7 + round)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val corpus = (0L until 12L).map { id =>
+        val len = 2 + rnd.nextInt(28) // some docs shorter than n
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: gram postings + interval merge in plain Scala
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector
+      }.toMap
+      val occ = for {
+        (id, w) <- toks.toSeq
+        p <- 1 to (w.length - n + 1)
+      } yield (w.slice(p - 1, p - 1 + n).mkString(" "), id, p)
+      val dupGrams = occ.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = occ.filter(o => dupGrams(o._1))
+        .groupBy(_._2)
+        .flatMap { case (id, os) =>
+          val starts = os.map(_._3).sorted
+          val islands = starts.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) => acc match {
+              case (h :: t) :: rest if p <= h + n => (p :: h :: t) :: rest
+              case _ => List(p) :: acc
+            }
+          }
+          islands.map { isl =>
+            val (start, end) = (isl.min, isl.max + n - 1)
+            (id, start.toLong, (end - start + 1).toLong,
+              toks(id).slice(start - 1, end).mkString(" "))
+          }
+        }.toSet
+      val got = Dedup.duplicatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n = n)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected, s"round $round")
+    }
+  }
+
   test("gramMd5Positions: positional fingerprints match md5Lower64 of each gram") {
     val text = "w1 w2 w3 w4 w5"
     val got = Kernels.gramMd5Positions(text, 3)
