@@ -150,6 +150,16 @@ object GraftFunctions {
       (s: String) =>
         if (s == null) null.asInstanceOf[java.lang.Long]
         else java.lang.Long.valueOf(Kernels.md5Lower64(s)))
+    // round-4 kernels: positional gram fingerprints (substring-level
+    // dedup) and overlapping chunk windows (retrieval indexing), so a
+    // SQL-text client can run both pipelines without the Scala API
+    spark.udf.register("graft_gram_md5s",
+      (t: String, n: Int) =>
+        if (t == null) Array.empty[Long] else Kernels.gramMd5Positions(t, n))
+    spark.udf.register("graft_chunks",
+      (t: String, chunkSize: Int, stride: Int) =>
+        if (t == null) Array.empty[Kernels.Chunk]
+        else Kernels.chunkOverlap(t, chunkSize, stride))
   }
 }
 

@@ -61,6 +61,14 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.getSeq[String](2).toSeq == Seq("a b c", "b c d"))
     assert(r.getDouble(3) == 1.0)
     assert(r.getLong(4) == Kernels.md5Lower64("hello"))
+    val r4 = spark.sql("""SELECT
+        graft_gram_md5s('a b c d', 3) AS gm,
+        graft_chunks('t1 t2 t3 t4 t5', 3, 2) AS ch""").head()
+    assert(r4.getSeq[Long](0).toSeq ==
+      Seq(Kernels.md5Lower64("a b c"), Kernels.md5Lower64("b c d")))
+    val chunks = r4.getSeq[org.apache.spark.sql.Row](1)
+    assert(chunks.map(c => (c.getLong(0), c.getLong(1), c.getString(2))) ==
+      Seq((1L, 3L, "t1 t2 t3"), (3L, 3L, "t3 t4 t5")))
     // null-tolerant through the SQL face
     val n = spark.sql(
       "SELECT graft_jaccard(CAST(NULL AS ARRAY<STRING>), array('x'))").head()
