@@ -30,14 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Backward as-of join: for every left row, attach the single right
-    * row with the greatest `rightTime <= leftTime` (strictly earlier
-    * with `strict = true`), matching on `keys`. Right payload columns
-    * come back null when no prior right row exists (left-outer
-    * semantics, like DuckDB's ASOF LEFT JOIN).
+  /** As-of join: for every left row, attach the single `keys`-matching
+    * right row selected by `direction` (pandas merge_asof semantics):
     *
-    * `tolerance`: optional max staleness in seconds — matches older
-    * than `leftTime - tolerance` are nulled out.
+    *   - `"backward"` (default) — greatest `rightTime <= leftTime`
+    *     (strictly earlier with `strict = true`), like DuckDB's
+    *     ASOF LEFT JOIN;
+    *   - `"forward"` — smallest `rightTime >= leftTime` (strictly
+    *     later with `strict = true`);
+    *   - `"nearest"` — whichever of the two sits closer in time;
+    *     exact ties take the backward match. `strict` excludes
+    *     equal-time rows from both sides.
+    *
+    * Right payload columns come back null when no match exists
+    * (left-outer semantics).
+    *
+    * `tolerance`: optional max distance in seconds — matches farther
+    * than that (staleness for backward, lead for forward, either for
+    * nearest) are nulled out.
+    *
+    * All three directions ride the SAME single exchange: the window
+    * partitioning is the equi-keys either way, forward is just the
+    * descending in-partition sort, and nearest evaluates both window
+    * frames over one shuffle (two in-partition sorts, zero extra
+    * exchanges — never a self-join, which would need a unique left id
+    * and a second shuffle).
     *
     * Requirements: `keys` column names exist on both sides; time
     * columns are timestamps; right (key, time) pairs should be unique
@@ -51,13 +68,17 @@ object Joins {
       rightTime: String,
       rightPayload: Seq[String],
       strict: Boolean = false,
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      direction: String = "backward"): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward/forward/nearest, got '$direction'")
     require(keys.nonEmpty,
       "asofJoin needs at least one equi-key: a keyless as-of is a " +
         "single global sort — repartition-hostile at scale")
     val reserved = Set("__t", "__side", "__payload", "__match",
-      "__matchTime", "__ok", "matched_time")
+      "__matchTime", "__ok", "matched_time",
+      "__matchB", "__matchTimeB", "__matchF", "__matchTimeF")
     require(!(rightPayload ++ leftCols).exists(reserved.contains),
       s"column names ${reserved.mkString(", ")} are reserved by asofJoin")
     require(rightPayload.forall(p => !leftCols.contains(p)),
@@ -96,22 +117,60 @@ object Joins {
             else lit(null).cast(left.schema(c).dataType).as(c)) ++
             Seq(col("__t"), col("__side"), col("__payload"))): _*))
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+    // at equal (__t, direction-order) the side column decides right-row
+    // visibility in BOTH sort orders: ascending for backward, descending
+    // for forward — the running last(ignoreNulls) is "the match so far"
+    // either way
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = union
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-      .withColumn("__matchTime", last(
-        when(col("__side") === rightSide, col("__t")), ignoreNulls = true).over(w))
-      .filter(col("__side") === leftSide)
-
-    val withinTol = tolerance match {
-      case Some(secs) =>
-        matched.withColumn("__ok",
-          col("__matchTime").isNotNull &&
-            (unix_micros(col("__t")) - unix_micros(col("__matchTime"))) <=
-              (secs * 1e6).toLong)
-      case None => matched.withColumn("__ok", col("__matchTime").isNotNull)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def matchOver(w: org.apache.spark.sql.expressions.WindowSpec) = (
+      last(col("__payload"), ignoreNulls = true).over(w),
+      last(when(col("__side") === rightSide, col("__t")),
+        ignoreNulls = true).over(w))
+    val tolMicros = tolerance.map(secs => (secs * 1e6).toLong)
+    def ok(matchTime: Column, forward: Boolean): Column = tolMicros match {
+      case Some(m) =>
+        val delta =
+          if (forward) unix_micros(matchTime) - unix_micros(col("__t"))
+          else unix_micros(col("__t")) - unix_micros(matchTime)
+        matchTime.isNotNull && delta <= m
+      case None => matchTime.isNotNull
+    }
+    val withinTol = direction match {
+      case "backward" =>
+        val (m, mt) = matchOver(wB)
+        union.withColumn("__match", m).withColumn("__matchTime", mt)
+          .filter(col("__side") === leftSide)
+          .withColumn("__ok", ok(col("__matchTime"), forward = false))
+      case "forward" =>
+        val (m, mt) = matchOver(wF)
+        union.withColumn("__match", m).withColumn("__matchTime", mt)
+          .filter(col("__side") === leftSide)
+          .withColumn("__ok", ok(col("__matchTime"), forward = true))
+      case "nearest" =>
+        val (mb, mtb) = matchOver(wB)
+        val (mf, mtf) = matchOver(wF)
+        val both = union
+          .withColumn("__matchB", mb).withColumn("__matchTimeB", mtb)
+          .withColumn("__matchF", mf).withColumn("__matchTimeF", mtf)
+          .filter(col("__side") === leftSide)
+        val okB = ok(col("__matchTimeB"), forward = false)
+        val okF = ok(col("__matchTimeF"), forward = true)
+        // forward wins only when STRICTLY closer — an exact-distance
+        // tie (incl. the equal-time row both frames see) is backward
+        val takeF = okF && (!okB ||
+          (unix_micros(col("__matchTimeF")) - unix_micros(col("__t"))) <
+            (unix_micros(col("__t")) - unix_micros(col("__matchTimeB"))))
+        both
+          .withColumn("__match",
+            when(takeF, col("__matchF")).otherwise(col("__matchB")))
+          .withColumn("__matchTime",
+            when(takeF, col("__matchTimeF")).otherwise(col("__matchTimeB")))
+          .withColumn("__ok", okB || okF)
     }
     val out = rightPayload.foldLeft(
       withinTol.withColumn("matched_time",

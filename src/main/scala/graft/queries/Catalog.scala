@@ -605,6 +605,76 @@ object Catalog {
       ORDER BY p.event_id""")
   )
 
+  private val q88_asof_forward = Q(
+    "q88_asof_forward",
+    // Forward as-of (pandas merge_asof direction='forward'): every
+    // click gets the NEXT purchase by the same user — same union-tag +
+    // one-shuffle window plan as q46, descending in-partition sort.
+    // Oracle: DuckDB ASOF with the ordering inequality flipped.
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.Joins.asofJoin(
+        clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "purchase_value"), direction = "forward")
+        .filter(col("matched_time").isNotNull)
+        .orderBy("event_id")
+    },
+    Some("""SELECT c.event_id, c.user_id, c.ts, p.ts AS matched_time,
+      p.event_id AS purchase_id, p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.event_id""")
+  )
+
+  private val q89_asof_nearest = Q(
+    "q89_asof_nearest",
+    // Nearest as-of (pandas merge_asof direction='nearest', ties take
+    // the backward match): every purchase gets the click CLOSEST in
+    // time either way. Both window frames ride the q46 shuffle — two
+    // in-partition sorts, zero extra exchanges, never a self-join.
+    // Oracle composes DuckDB's backward + forward ASOF and picks the
+    // strictly-closer side.
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.Joins.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_value"), direction = "nearest")
+        .filter(col("matched_time").isNotNull)
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM events WHERE event_type = 'click'),
+      b AS (SELECT p.event_id, c.ts AS bt, c.event_id AS bid,
+          c.value AS bval
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts),
+      f AS (SELECT p.event_id, c.ts AS ft, c.event_id AS fid,
+          c.value AS fval
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts)
+      SELECT p.event_id, p.user_id, p.ts,
+        CASE WHEN ft IS NOT NULL AND (bt IS NULL OR (ft - p.ts) < (p.ts - bt))
+          THEN ft ELSE bt END AS matched_time,
+        CASE WHEN ft IS NOT NULL AND (bt IS NULL OR (ft - p.ts) < (p.ts - bt))
+          THEN fid ELSE bid END AS click_id,
+        CASE WHEN ft IS NOT NULL AND (bt IS NULL OR (ft - p.ts) < (p.ts - bt))
+          THEN fval ELSE bval END AS click_value
+      FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      WHERE bt IS NOT NULL OR ft IS NOT NULL
+      ORDER BY p.event_id""")
+  )
+
   private val q47_range_join = Q(
     "q47_range_join",
     // Interval range join (graft.operators.Joins.rangeJoin): events
@@ -773,5 +843,5 @@ object Catalog {
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
     q28_array_funcs, q29_salted_agg, q46_asof_join, q47_range_join,
     q49_pivot, q50_approx_distinct, q51_percentiles, q54_cube,
-    q55_asof_native)
+    q55_asof_native, q88_asof_forward, q89_asof_nearest)
 }

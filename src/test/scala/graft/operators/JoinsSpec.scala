@@ -290,6 +290,94 @@ class JoinsSpec extends AnyFunSuite {
       .count() == 1L)
   }
 
+  test("asofJoin forward: smallest right time >= left time; strict and tolerance") {
+    val got = Joins.asofJoin(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"), direction = "forward")
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    // a@10 -> qt20 (2.0); a@20 -> qt20 inclusive (2.0); a@30 -> none;
+    // b@15 -> qt16 (4.0); c@50 -> none
+    assert(got == Seq((1L, Some(2.0)), (2L, Some(2.0)), (3L, None),
+      (4L, Some(4.0)), (5L, None)))
+    val strict = Joins.asofJoin(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"),
+      strict = true, direction = "forward")
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    // a@20's tied quote is hidden -> next is qt25 (3.0)
+    assert(strict.head == ((1L, Some(2.0))))
+    assert(strict(1) == ((2L, Some(3.0))))
+    val tol = Joins.asofJoin(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"),
+      tolerance = Some(1.0), direction = "forward")
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    // a@10 -> qt20 is 10s ahead > 1s tolerance -> nulled; b@15 -> qt16 ok
+    assert(tol == Seq((1L, None), (2L, Some(2.0)), (3L, None),
+      (4L, Some(4.0)), (5L, None)))
+  }
+
+  test("asofJoin nearest: strictly closer side wins, exact tie takes backward") {
+    // key x: probe@20 sits exactly between quotes at 10 and 30 -> tie
+    // -> backward (1.0); probe@24 is closer to 30 -> forward (2.0);
+    // probe@11 closer to 10 -> backward (1.0)
+    val l = Seq((1L, "x", ts(20)), (2L, "x", ts(24)), (3L, "x", ts(11)),
+      (4L, "y", ts(5)))
+      .toDF("id", "k", "t")
+    val r = Seq(("x", ts(10), 1.0), ("x", ts(30), 2.0), ("y", ts(50), 7.0))
+      .toDF("k", "qt", "px")
+    val got = Joins.asofJoin(
+      l, r, Seq("k"), "t", "qt", Seq("px"), direction = "nearest")
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(1.0)),
+      (4L, Some(7.0)))) // y@5: only a future quote exists -> forward
+    // tolerance cuts the far side: y@5 -> qt50 is 45s away > 10s -> null
+    val tol = Joins.asofJoin(
+      l, r, Seq("k"), "t", "qt", Seq("px"),
+      tolerance = Some(10.0), direction = "nearest")
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(tol == Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(1.0)),
+      (4L, None)))
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(l, r, Seq("k"), "t", "qt", Seq("px"),
+        direction = "sideways")
+    }
+  }
+
+  test("asofJoin nearest property: == per-row min-distance reference on fixture") {
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val got = Joins.asofJoin(
+      purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+      direction = "nearest")
+      .select("event_id", "click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val cs = clicks.as[(Long, Timestamp, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(c => (c._2.getTime, c._3))).toMap
+    purchases.as[(Long, Long, Timestamp)].collect().foreach {
+      case (eid, uid, t) =>
+        val expect = cs.get(uid).flatMap { quotes =>
+          val past = quotes.filter(_._1 <= t.getTime)
+          val future = quotes.filter(_._1 >= t.getTime)
+          val b = if (past.isEmpty) None else Some(past.maxBy(q => (q._1, q._2)))
+          val f = if (future.isEmpty) None
+            else Some(future.minBy(q => (q._1, -q._2)))
+          (b, f) match {
+            case (Some(pb), Some(pf)) =>
+              if (pf._1 - t.getTime < t.getTime - pb._1) Some(pf._2)
+              else Some(pb._2)
+            case (x, y) => x.orElse(y).map(_._2)
+          }
+        }
+        assert(got(eid) == expect, s"purchase $eid")
+    }
+  }
+
   test("rangeJoin == naive theta join; bucketing width is invisible") {
     val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001).limit(400)
     val l = ev.select(col("event_id").as("lid"), col("user_id"),

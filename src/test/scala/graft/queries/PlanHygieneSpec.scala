@@ -160,6 +160,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("q89: nearest as-of is one key shuffle + two sorted window groups, no join") {
+    val p = plan("q89_asof_nearest")
+    // both direction frames must ride the single union shuffle — a
+    // self-join spelling would need a second exchange and a Join node
+    assert(!p.contains("Join"), p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"nearest as-of shuffles $exchanges times:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("q82: span windows partition by doc, dup-gram agg runs partial") {
     val p = plan("q82_duplicated_spans")
     // the gaps-and-islands merge must never be a global window
