@@ -325,6 +325,27 @@ object Kernels extends Serializable {
     out
   }
 
+  /** Element-wise mean of float vectors accumulated IN INPUT ORDER
+    * (float→double per element, strictly sequential adds, one final
+    * division per dimension) — the ordered fold that makes the
+    * centroid bitwise-reproducible by any engine that sums the same
+    * sequence (the [[cosine]] contract applied to aggregation).
+    * Callers fix the order (sort by id) before folding. */
+  def centroid(vs: scala.collection.Seq[scala.collection.Seq[Float]]): Array[Double] = {
+    require(vs.nonEmpty, "centroid of an empty group")
+    val d = vs.head.length
+    val acc = new Array[Double](d)
+    vs.foreach { v =>
+      require(v.length == d, s"ragged vectors: ${v.length} vs $d")
+      var i = 0
+      while (i < d) { acc(i) += v(i).toDouble; i += 1 }
+    }
+    val n = vs.length
+    var i = 0
+    while (i < d) { acc(i) /= n; i += 1 }
+    acc
+  }
+
   /** Exact Jaccard of two string sets: |A∩B| / (|A|+|B|-|A∩B|). Same
     * integer counts as array_intersect/array_union, so the double
     * division is bitwise identical to the SQL oracle's. Inputs are

@@ -603,4 +603,63 @@ object Similarity {
           col("id_a").as("nn_id"), col("cos"))),
       k)
   }
+
+  /** Per-group centroids (class prototypes): mean embedding per
+    * `groupCol`, folded IN ID ORDER so the double accumulation is
+    * bitwise-reproducible (the [[Kernels.cosine]] sequential-fold
+    * contract applied to aggregation — a plain distributed SUM of
+    * doubles is order-nondeterministic and would never hash-match an
+    * oracle). One shuffle keyed by the group; each group's vectors
+    * are collected INTO that group's task (bounded by group size —
+    * fine for class/label/source cardinalities; a group too big for
+    * one task should be pre-sampled, and the at-scale relaxation is
+    * two-phase partial sums with an explicit error gate, not a silent
+    * reorder). Output: (group, n, dim, c) — one row per dimension,
+    * 1-based, so the emitted values stay scalar. */
+  def groupCentroids(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val centroidUdf = udf(
+      (vs: scala.collection.Seq[scala.collection.Seq[Float]]) =>
+        Kernels.centroid(vs))
+    df.select(col(groupCol).as("group"),
+        struct(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("v")).as("s"))
+      .groupBy("group")
+      .agg(sort_array(collect_list(col("s"))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("group"), col("n"),
+        posexplode(centroidUdf(transform(col("vs"), s => s.getField("v"))))
+          .as(Seq("_d0", "c")))
+      .select(col("group"), col("n"),
+        (col("_d0") + 1).cast("long").as("dim"), col("c"))
+  }
+
+  /** Centroid-distance outliers: each vector's cosine to ITS OWN
+    * group's centroid, lowest k emitted — the mislabeled/junk-vector
+    * screen a curation run applies per class or per source. The
+    * centroid is cast to float (correctly rounded, engine-identical)
+    * so the scoring reuses the bitwise [[Kernels.cosine]] kernel; the
+    * ranking is one narrow TakeOrdered, never a global sort. */
+  def centroidOutliers(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val cents = groupCentroids(df, groupCol, idCol, vecCol)
+      .groupBy("group")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c").cast("float")).as("centroid"))
+    df.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as("group"), col(vecCol).as("v"))
+      .join(cents, "group")
+      .select(col("id"), col("group"),
+        call_function("graft_cosine", col("v"), col("centroid")).as("cos"))
+      .orderBy(col("cos").asc, col("id").asc)
+      .limit(k)
+  }
 }

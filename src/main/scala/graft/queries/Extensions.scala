@@ -1415,6 +1415,60 @@ object Extensions {
       FROM q GROUP BY 1, 2 ORDER BY route, source""")
   )
 
+  private val q90_label_centroids = Q(
+    "q90_label_centroids",
+    // Per-class prototype embeddings: mean vector per label, folded IN
+    // VEC_ID ORDER so the double accumulation is bitwise (a plain
+    // distributed sum of doubles is order-nondeterministic and could
+    // never hash-match). The oracle runs the identical sequential fold
+    // (list ORDER BY vec_id -> list_aggregate 'sum', the q39
+    // contract) per dimension. One row per (label, dim) keeps every
+    // emitted value scalar.
+    (s, dir) =>
+      graft.operators.Similarity.groupCentroids(
+        table(s, dir, "embeddings"), "label", "vec_id", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy("label", "dim"),
+    Some("""WITH g AS (SELECT label, count(*) AS n,
+        list(embedding ORDER BY vec_id) AS vs
+      FROM embeddings GROUP BY label)
+      SELECT label, CAST(n AS BIGINT) AS n, CAST(u.i AS BIGINT) AS dim,
+        list_aggregate(list_transform(vs,
+          v -> CAST(v[u.i] AS DOUBLE)), 'sum') / n AS c
+      FROM g CROSS JOIN unnest(range(1, len(vs[1]) + 1)) AS u(i)
+      ORDER BY label, dim""")
+  )
+
+  private val q91_centroid_outliers = Q(
+    "q91_centroid_outliers",
+    // Mislabeled/junk-vector screen: each embedding's cosine to ITS
+    // OWN label's centroid, 20 lowest emitted (one narrow TakeOrdered,
+    // never a global sort). The centroid is cast to float (correctly
+    // rounded, engine-identical) so the scoring is the bitwise
+    // graft_cosine kernel; the oracle rebuilds centroid, cast, and
+    // cosine with the same sequential folds.
+    (s, dir) =>
+      graft.operators.Similarity.centroidOutliers(
+        table(s, dir, "embeddings"), "label", "vec_id", "embedding", k = 20)
+        .withColumnRenamed("group", "label"),
+    Some("""WITH g AS (SELECT label, count(*) AS n,
+        list(embedding ORDER BY vec_id) AS vs
+      FROM embeddings GROUP BY label),
+      cent AS (SELECT label, list_transform(range(1, len(vs[1]) + 1),
+        i -> CAST(list_aggregate(list_transform(vs,
+          v -> CAST(v[i] AS DOUBLE)), 'sum') / n AS REAL)) AS cf
+      FROM g),
+      s AS (SELECT e.vec_id AS id, e.label,
+        list_aggregate(list_transform(list_zip(e.embedding, cent.cf),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(cent.cf,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+      FROM embeddings e JOIN cent ON e.label = cent.label)
+      SELECT id, label, cos FROM s ORDER BY cos ASC, id LIMIT 20""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
@@ -1532,6 +1586,7 @@ object Extensions {
     q78_source_overlap, q79_dedup_clusters_incremental,
     q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
     q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
-    q86_index_compaction, q87_route_quality,
+    q86_index_compaction, q87_route_quality, q90_label_centroids,
+    q91_centroid_outliers,
     q44_curation_pipeline, q45_source_audit)
 }

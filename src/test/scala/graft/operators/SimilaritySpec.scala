@@ -240,4 +240,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cand.distinct.length == cand.length)
     cand.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("groupCentroids: hand means, ordered-fold determinism under repartition") {
+    import org.apache.spark.sql.functions.col
+    val fx = Seq(
+      (1L, "g1", Array(1.0f, 0.0f)), (2L, "g1", Array(3.0f, 2.0f)),
+      (3L, "g2", Array(-2.0f, 4.0f))
+    ).toDF("id", "grp", "v")
+    val got = Similarity.groupCentroids(fx, "grp", "id", "v")
+      .orderBy("group", "dim")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g1", 2L, 1L, 2.0), ("g1", 2L, 2L, 1.0),
+      ("g2", 1L, 1L, -2.0), ("g2", 1L, 2L, 4.0)))
+    // the fold order is pinned by id, not partitioning: bitwise equal
+    // on the fixture embeddings however the input is repartitioned
+    val a = Similarity.groupCentroids(emb, "label", "vec_id", "embedding")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    val b = Similarity.groupCentroids(
+      emb.repartition(17), "label", "vec_id", "embedding")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("centroidOutliers: a planted anti-centroid vector surfaces first") {
+    import org.apache.spark.sql.functions.col
+    // group of near-identical vectors + one pointing the opposite way
+    val members = (1L to 9L).map(i => (i, "g", Array(1.0f, 0.1f * i)))
+    val outlier = (100L, "g", Array(-1.0f, -0.5f))
+    val fx = (members :+ outlier).toDF("id", "grp", "v")
+    val worst = Similarity.centroidOutliers(fx, "grp", "id", "v", k = 1)
+      .as[(Long, String, Double)].collect()
+    assert(worst.length == 1)
+    assert(worst.head._1 == 100L, s"got ${worst.head}")
+    assert(worst.head._3 < 0.0) // genuinely anti-aligned, not just low
+  }
 }
