@@ -200,6 +200,8 @@ object Sampling {
     require(k <= maxDriverK,
       s"k=$k exceeds maxDriverK=$maxDriverK — TakeOrdered returns k+1 " +
         "priorities to the driver; raise the bound explicitly if intended")
+    require(!df.columns.contains("_pri"),
+      "column name _pri is reserved by weightedSample")
     if (k == 0) return df.filter(lit(false))
     val saltLocal = salt
     val pri = udf((key: String, w: Double) => {

@@ -604,6 +604,79 @@ object Similarity {
       k)
   }
 
+  /** Persisted IVF index — the ANN counterpart of
+    * [[Dedup.minHashIndex]]'s continuous-ingestion story: train the
+    * cell centroids ONCE over a bounded hash-ordered sample, assign
+    * every corpus vector to its nearest cell, and hand back BOTH
+    * halves as DataFrames so the whole index round-trips through
+    * parquet — `assignments` (id, v, cell; the big half, partitioned
+    * by cell at write time in production) and `centroids`
+    * (cell, centroid; nlist rows, driver-small by construction).
+    * Future query batches go through [[ivfProbe]] without re-training
+    * or re-scanning the corpus. */
+  def ivfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      sampleSize: Int = 256,
+      iters: Int = 5): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sample = v.orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfIndex over an empty corpus")
+    val cents = trainCentroids(sample, nlist, iters)
+    val assignUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, 1)(0))
+    val assignments = v.withColumn("cell", assignUdf(col("v")))
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    (assignments, centroids)
+  }
+
+  /** Probe a persisted [[ivfIndex]] with a NEW query batch —
+    * cross-corpus ANN (queries need not be index members): each query
+    * routes to its `nprobe` nearest cells (the centroid table is
+    * nlist rows — collected with a loud bound, broadcast into the
+    * probe kernel), scores only those cells' vectors, and ranks
+    * through the bounded-state top-k aggregate. The corpus is never
+    * re-trained or re-scanned beyond the probed cells; per-batch cost
+    * tracks |queries| · corpus/nlist · nprobe. */
+  def ivfProbe(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      assignments: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    val centRows = centroids.select(col("cell"), col("centroid"))
+      .collect()
+    require(centRows.nonEmpty && centRows.length <= 65536,
+      s"ivfProbe centroid table has ${centRows.length} rows — an IVF " +
+        "index is nlist cells by construction; this is not the corpus")
+    val cents = new Array[Array[Float]](centRows.map(_.getInt(0)).max + 1)
+    centRows.foreach { r =>
+      cents(r.getInt(0)) = r.getSeq[Float](1).toArray
+    }
+    val probesUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, nprobe))
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv"))))
+    val scored = q.join(assignments, Seq("cell"))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("id").as("nn_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("cos"))
+    topKScored(scored, k)
+  }
+
   /** Per-group centroids (class prototypes): mean embedding per
     * `groupCol`, folded IN ID ORDER so the double accumulation is
     * bitwise-reproducible (the [[Kernels.cosine]] sequential-fold

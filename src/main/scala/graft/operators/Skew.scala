@@ -90,6 +90,8 @@ object Skew {
       salt: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(!big.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "column name _salt is reserved by saltedJoin")
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter").contains(jt),
       s"saltedJoin supports inner/left joins, got '$joinType' — " +

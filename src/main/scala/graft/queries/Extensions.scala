@@ -1415,6 +1415,59 @@ object Extensions {
       FROM q GROUP BY 1, 2 ORDER BY route, source""")
   )
 
+  private val q92_ivf_index_probe = Q(
+    "q92_ivf_index_probe",
+    // The ANN index story end-to-end, cross-corpus: build a persisted
+    // IVF index over the EVEN vectors, probe it with the ODD vectors
+    // (a new batch — never trained on, never indexed), recall-gate on
+    // a deterministic sampled query subset and emit that sample's
+    // exact top-k for the bitwise oracle — the q40/q48 contract
+    // applied to the parquet-shaped index + probe pair that a
+    // continuously-ingesting vector pipeline actually deploys.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      val (assignments, centroids) = graft.operators.Similarity.ivfIndex(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val ann = graft.operators.Similarity.ivfProbe(
+        batch, "vec_id", "embedding", assignments, centroids,
+        k = 10, nprobe = 4)
+      val sampleQ = batch.filter(col("vec_id") % 10 === 1)
+      val exactRows = graft.operators.Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", sampleQ, "vec_id", "embedding",
+        k = 10).orderBy("query_id", "rank")
+      val collected = exactRows.collect()
+      require(collected.length <= 1000000,
+        s"sampled exact reference has ${collected.length} rows — " +
+          "shrink the sample so the gate fixture stays driver-sized")
+      val emitted = s.createDataFrame(
+        java.util.Arrays.asList(collected: _*), exactRows.schema)
+      val recall = graft.operators.Gates.pairRecall(
+        ann.filter(col("query_id") % 10 === 1), emitted)
+      graft.operators.Gates.requireFloor(recall, 0.30,
+        "ivf-index-probe sampled pair recall@10 (every 10th odd query)")
+      emitted.orderBy("query_id", "rank")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 0),
+      q AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 1),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM q JOIN c ON true),
+      r AS (SELECT query_id, nn_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
+      SELECT query_id, rank, nn_id, cos FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
   private val q90_label_centroids = Q(
     "q90_label_centroids",
     // Per-class prototype embeddings: mean vector per label, folded IN
@@ -1587,6 +1640,6 @@ object Extensions {
     q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
     q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
     q86_index_compaction, q87_route_quality, q90_label_centroids,
-    q91_centroid_outliers,
+    q91_centroid_outliers, q92_ivf_index_probe,
     q44_curation_pipeline, q45_source_audit)
 }

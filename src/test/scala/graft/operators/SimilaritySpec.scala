@@ -241,6 +241,42 @@ class SimilaritySpec extends AnyFunSuite {
     cand.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("ivfIndex/ivfProbe: parquet round-trip identical, recall above floor") {
+    import org.apache.spark.sql.functions.col
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val (assignments, centroids) = Similarity.ivfIndex(
+      corpus, "vec_id", "embedding", nlist = 16)
+    def run(a: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbe(batch, "vec_id", "embedding", a, c,
+        k = 10, nprobe = 4)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val direct = run(assignments, centroids)
+    assert(direct.nonEmpty)
+    // the index is parquet-shaped: write both halves, read back, probe
+    // — identical results (the deployment path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    assignments.write.parquet(s"$dir/assignments")
+    centroids.write.parquet(s"$dir/centroids")
+    val viaDisk = run(
+      spark.read.parquet(s"$dir/assignments"),
+      spark.read.parquet(s"$dir/centroids"))
+    assert(viaDisk == direct)
+    // cross-corpus: results only ever name indexed (even) vectors, and
+    // recall vs brute force clears the ANN floor
+    direct.foreach { case (q, _, nn, _) =>
+      assert(q % 2 == 1 && nn % 2 == 0)
+    }
+    val exact = Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", batch, "vec_id", "embedding", 10)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val approx = direct.map(r => (r._1, r._3))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ivfProbe cross-corpus recall@10 = $recall%.3f")
+    assert(recall >= 0.30, f"recall $recall%.3f")
+  }
+
   test("groupCentroids: hand means, ordered-fold determinism under repartition") {
     import org.apache.spark.sql.functions.col
     val fx = Seq(
