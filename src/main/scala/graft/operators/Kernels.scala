@@ -325,6 +325,29 @@ object Kernels extends Serializable {
     out
   }
 
+  /** One adjacent token pair: its first token (the conditioning
+    * unigram) and the space-joined pair (the bigram key). */
+  final case class Bigram(a: String, ab: String)
+
+  /** Positional bigrams in one pass: element `i` pairs tokens i+1 and
+    * i+2 of the space-split token list (same tokenization as
+    * [[wordNgrams]]). Texts with < 2 tokens yield nothing. */
+  def bigrams(text: String): Array[Bigram] = {
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && text.charAt(i) != ' ') i += 1
+      if (i > start) words += text.substring(start, i)
+    }
+    if (words.length < 2) return Array.empty
+    Array.tabulate(words.length - 1) { j =>
+      Bigram(words(j), words(j) + " " + words(j + 1))
+    }
+  }
+
   /** Element-wise mean of float vectors accumulated IN INPUT ORDER
     * (float→double per element, strictly sequential adds, one final
     * division per dimension) — the ordered fold that makes the

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-statistics language modeling for curation: the vocabulary
+  * builder every tokenizer-training run starts from, and the n-gram
+  * surprisal score the published LM-based quality filters (CCNet-style)
+  * compute with a trained LM — here the corpus's own add-k-smoothed
+  * bigram model, which is public-knowledge machinery with an exact SQL
+  * twin (a trained KenLM would slot into the same shape but could
+  * never be oracle-verified).
+  */
+object LanguageModel {
+
+  private def words(textCol: String) =
+    filter(split(coalesce(col(textCol), lit("")), " "), w => w =!= "")
+
+  /** Token vocabulary with frequency-ranked ids: (token, cnt,
+    * token_id), id 1 = most frequent, ties broken by token text.
+    *
+    * The id assignment is a GLOBAL total order — the one thing a
+    * window cannot do at scale without a single-partition sort. This
+    * spelling stays parallel: range-partition the (vocab-bounded)
+    * count table by the rank key, sort within partitions, and let
+    * `zipWithIndex` stitch the global offsets (one extra count job
+    * over partition sizes — the standard two-phase global-rank
+    * pattern). The vocab is structurally ≪ corpus, but "vocab-sized"
+    * can still be 100M rows at 100 TB, which is exactly when the
+    * single-partition window dies and this doesn't. */
+  def vocab(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val spark = df.sparkSession
+    val counts = df.select(explode(words(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val ordered = counts
+      .repartitionByRange(col("cnt").desc, col("token").asc)
+      .sortWithinPartitions(col("cnt").desc, col("token").asc)
+    val schema = StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("token_id", LongType, nullable = false)))
+    spark.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getString(0), r.getLong(1), i + 1L)
+      },
+      schema)
+  }
+
+  /** Mean bigram surprisal per document (bits): for each adjacent
+    * token pair, −log₂ P(b|a) under the corpus's add-k bigram model
+    * P(b|a) = (c(ab)+k) / (c(a)+k·V), averaged over the document —
+    * high = unusual/garbled text under the corpus distribution, the
+    * LM-quality-filter signal. Documents with < 2 tokens emit
+    * nothing.
+    *
+    * Shape: one unigram aggregate, one bigram aggregate (both fully
+    * partial), two postings joins keyed by the gram, then a per-doc
+    * ordered fold — the per-position log terms are collected IN
+    * POSITION ORDER per doc (bounded by doc length) and summed
+    * sequentially so the double accumulation is bitwise-reproducible
+    * by the oracle's `list(lp ORDER BY pos)` fold; a distributed SUM
+    * would be order-nondeterministic. The one libm step per term
+    * (ln) is composed identically on both engines (ln(p)/ln 2) and
+    * the emitted mean is rounded to 6 decimals, orders of magnitude
+    * above the ulp noise. V (vocab size) is ONE driver scalar from a
+    * count job. Output: (id, n_bigrams, surprisal). */
+  def bigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0.0, s"add-k smoothing needs k > 0, got $addK")
+    val uni = df.select(explode(words(textCol)).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val vocabSize = uni.count()
+    // positional bigrams from one kernel pass per doc; the exploded
+    // rows carry only their own (a, ab) pair, never the token array
+    val bigramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[Kernels.Bigram] else Kernels.bigrams(t))
+    val pos = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(bigramsUdf(col(textCol))).as(Seq("_p0", "_bg")))
+      .select(col("id"), (col("_p0") + 1).as("pos"),
+        col("_bg.a").as("a"), col("_bg.ab").as("ab"))
+    val bi = pos.groupBy("ab").agg(count(lit(1)).as("cab"))
+    val terms = pos
+      .join(bi, "ab")
+      .join(uni, "a")
+      .select(col("id"), col("pos"),
+        (-(log((col("cab") + addK) / (col("ca") + addK * vocabSize)) /
+          lit(math.log(2.0)))).as("lp"))
+    val foldUdf = udf((lps: scala.collection.Seq[Double]) => {
+      var s = 0.0; lps.foreach(s += _); s
+    })
+    terms
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("ts"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("id"), col("n_bigrams"),
+        round(foldUdf(transform(col("ts"), t => t.getField("lp"))) /
+          col("n_bigrams"), 6).as("surprisal"))
+  }
+}

@@ -1415,6 +1415,60 @@ object Extensions {
       FROM q GROUP BY 1, 2 ORDER BY route, source""")
   )
 
+  private val q93_vocab = Q(
+    "q93_vocab",
+    // Tokenizer-prep vocabulary: frequency-ranked token ids over the
+    // corpus. The global rank is assigned by range-partition +
+    // zipWithIndex (the two-phase global-order spelling — parallel at
+    // any vocab size), never a single-partition window; the oracle's
+    // row_number() over the same (cnt DESC, token) order must agree
+    // exactly.
+    (s, dir) =>
+      graft.operators.LanguageModel.vocab(
+        table(s, dir, "documents"), "text", minCount = 5L)
+        .orderBy("token_id"),
+    Some(s"""WITH t AS (SELECT unnest($W) AS token FROM documents),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
+        GROUP BY token HAVING count(*) >= 5)
+      SELECT token, cnt,
+        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+          AS token_id
+      FROM c ORDER BY token_id""")
+  )
+
+  private val q94_bigram_surprisal = Q(
+    "q94_bigram_surprisal",
+    // LM-based quality scoring (the CCNet-style filter, with the
+    // corpus's own add-1 bigram model standing in for a trained LM so
+    // the oracle can rebuild it exactly): mean -log2 P(b|a) per doc.
+    // Every count and division is exact cross-engine; the per-doc sum
+    // folds in position order on both sides, ln is composed
+    // identically (ln(p)/ln 2), and the mean is rounded to 6
+    // decimals — orders of magnitude above libm ulp noise.
+    (s, dir) =>
+      graft.operators.LanguageModel.bigramSurprisal(
+        table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+      uni AS (SELECT a, count(*) AS ca FROM
+        (SELECT unnest(w) AS a FROM toks) GROUP BY a),
+      v AS (SELECT count(*) AS nv FROM uni),
+      pos AS (SELECT doc_id, CAST(u.i AS INT) AS pos, w[u.i] AS a,
+          w[u.i] || ' ' || w[u.i + 1] AS ab
+        FROM toks CROSS JOIN unnest(range(1, len(w))) AS u(i)),
+      bi AS (SELECT ab, count(*) AS cab FROM pos GROUP BY ab),
+      s AS (SELECT p.doc_id, p.pos,
+          -(ln((bi.cab + 1.0) / (uni.ca + 1.0 * v.nv)) / ln(2.0)) AS lp
+        FROM pos p JOIN bi USING (ab) JOIN uni ON p.a = uni.a
+        CROSS JOIN v),
+      d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          list_aggregate(list(lp ORDER BY pos), 'sum') AS t
+        FROM s GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, round(t / n_bigrams, 6) AS surprisal
+      FROM d ORDER BY doc_id""")
+  )
+
   private val q92_ivf_index_probe = Q(
     "q92_ivf_index_probe",
     // The ANN index story end-to-end, cross-corpus: build a persisted
@@ -1640,6 +1694,7 @@ object Extensions {
     q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
     q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
     q86_index_compaction, q87_route_quality, q90_label_centroids,
-    q91_centroid_outliers, q92_ivf_index_probe,
+    q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
+    q94_bigram_surprisal,
     q44_curation_pipeline, q45_source_audit)
 }
