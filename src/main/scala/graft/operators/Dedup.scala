@@ -865,4 +865,66 @@ object Dedup {
             (col("span_end") - col("span_start") + 1L).cast("int")),
           " ").as("span_text"))
   }
+
+  /** The cleaner behind [[duplicatedSpans]]: excise every duplicated
+    * span from every document and emit the rebuilt text — the
+    * "remove the verbatim passage wherever it recurs" action the
+    * substring-dedup literature applies after detection. Every doc
+    * comes back (docs without duplicated spans keep all their tokens;
+    * the rebuilt text is whitespace-normalized on both engines by
+    * construction), with the token accounting curation needs:
+    * (doc_id, clean_text, kept_tokens, removed_tokens).
+    *
+    * Cost on top of detection: one per-doc span collect (bounded by
+    * doc length), one doc-keyed left join, one kernel pass per doc —
+    * no new shuffle shape. */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n, minDocs)
+    val ranges = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("n_tokens")))).as("_rs"))
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      filter(split(coalesce(col(textCol), lit("")), " "),
+        w => w =!= "").as("_w"))
+    val exciseUdf = udf(
+      (w: scala.collection.Seq[String],
+       starts: scala.collection.Seq[Long],
+       lens: scala.collection.Seq[Long]) => {
+        val drop = new Array[Boolean](w.length)
+        if (starts != null && lens != null) {
+          var j = 0
+          while (j < starts.length) {
+            val start = starts(j).toInt; val len = lens(j).toInt
+            var p = start
+            while (p < start + len && p <= w.length) {
+              drop(p - 1) = true; p += 1
+            }
+            j += 1
+          }
+        }
+        val sb = new java.lang.StringBuilder()
+        var kept = 0L
+        var i = 0
+        while (i < w.length) {
+          if (!drop(i)) {
+            if (kept > 0L) sb.append(' ')
+            sb.append(w(i)); kept += 1L
+          }
+          i += 1
+        }
+        (sb.toString, kept, w.length - kept)
+      })
+    toks.join(ranges, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        exciseUdf(col("_w"),
+          transform(col("_rs"), r => r.getField("span_start")),
+          transform(col("_rs"), r => r.getField("n_tokens"))).as("_c"))
+      .select(col("doc_id"), col("_c._1").as("clean_text"),
+        col("_c._2").as("kept_tokens"), col("_c._3").as("removed_tokens"))
+  }
 }

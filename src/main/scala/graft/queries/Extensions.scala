@@ -1415,6 +1415,52 @@ object Extensions {
       FROM q GROUP BY 1, 2 ORDER BY route, source""")
   )
 
+  private val q95_remove_spans = Q(
+    "q95_remove_spans",
+    // Detection -> action: every duplicated 8-gram span excised from
+    // every document, cleaned text + token accounting emitted for ALL
+    // docs. The oracle reruns the q82 span logic, anti-joins the
+    // covered positions, and rebuilds each doc's kept-token stream in
+    // position order — exact strings, exact counts.
+    (s, dir) =>
+      Dedup.removeDuplicatedSpans(
+        table(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+      g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+          md5_number_lower(array_to_string(w[u.i:u.i+7], ' ')) AS gh
+        FROM toks CROSS JOIN unnest(range(1, len(w) - 6)) AS u(i)),
+      dup AS (SELECT gh FROM g GROUP BY gh
+        HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+      m AS (SELECT doc_id, pos, CASE WHEN pos >
+          coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+            -16) + 8 THEN 1 ELSE 0 END AS brk FROM d),
+      isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g_id FROM m),
+      sp AS (SELECT doc_id, min(pos) AS span_start,
+          max(pos) + 7 AS span_end FROM isl GROUP BY doc_id, g_id),
+      tokpos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[u.i] AS tok
+        FROM toks CROSS JOIN unnest(range(1, len(w) + 1)) AS u(i)),
+      dropped AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tokpos tp
+        JOIN sp ON tp.doc_id = sp.doc_id
+          AND tp.pos BETWEEN sp.span_start AND sp.span_end),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+        LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.pos = d.pos
+        WHERE d.pos IS NULL),
+      agg AS (SELECT doc_id,
+          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+          CAST(count(*) AS BIGINT) AS kept_tokens
+        FROM kept GROUP BY doc_id)
+      SELECT toks.doc_id,
+        coalesce(agg.clean_text, '') AS clean_text,
+        coalesce(agg.kept_tokens, 0) AS kept_tokens,
+        CAST(len(toks.w) AS BIGINT) - coalesce(agg.kept_tokens, 0)
+          AS removed_tokens
+      FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+      ORDER BY toks.doc_id""")
+  )
+
   private val q93_vocab = Q(
     "q93_vocab",
     // Tokenizer-prep vocabulary: frequency-ranked token ids over the
@@ -1695,6 +1741,6 @@ object Extensions {
     q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
     q86_index_compaction, q87_route_quality, q90_label_centroids,
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
-    q94_bigram_surprisal,
+    q94_bigram_surprisal, q95_remove_spans,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -476,6 +476,41 @@ class DedupSpec extends AnyFunSuite {
       (4L, 1L, 8L, "a b c d e f g h")))
   }
 
+  test("removeDuplicatedSpans: excises exactly the detected spans, everywhere") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "a b c d e f g h i j"),       // span at 1..8
+      (2L, "z y a b c d e f g h q"),     // span at 3..10
+      (3L, "unrelated words that are never shared with anything else"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "short one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(fx, "doc_id", "text", n = 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "i j", 2L, 8L),
+      (2L, "z y q", 3L, 8L),
+      (3L, "unrelated words that are never shared with anything else", 9L, 0L),
+      (4L, "", 0L, 0L),
+      (5L, "short one", 2L, 0L)))
+    // consistency with the detector: removed == sum of span lengths.
+    // (The final re-detection check is a fixture-level property, not an
+    // invariant — splicing excision boundaries can in principle mint
+    // new grams; on this corpus it converges in one pass.)
+    val cleaned = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 8)
+    val spanTotals = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .as[(Long, Long)].collect().toMap
+    cleaned.as[(Long, String, Long, Long)].collect().foreach {
+      case (id, _, _, removed) =>
+        assert(removed == spanTotals.getOrElse(id, 0L), s"doc $id")
+    }
+    assert(Dedup.duplicatedSpans(
+      cleaned.withColumnRenamed("clean_text", "text"),
+      "doc_id", "text", n = 8).isEmpty)
+  }
+
   test("duplicatedSpans property: equals plain-Scala reference on random corpora") {
     // tiny vocabulary => heavy organic cross-doc gram collisions, the
     // stress the hand fixtures can't produce
