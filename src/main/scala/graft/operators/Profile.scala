@@ -80,4 +80,51 @@ object Profile {
           col("n_distinct"), col("min_val"), col("max_val"))
     }
   }
+
+  /** Snapshot-to-snapshot drift report — the data-validation gate a
+    * continuously-ingesting pipeline runs before accepting a new
+    * batch: per-column null-rate jump, distinct-density ratio, and
+    * value-range movement between an `old` and `fresh` snapshot, each
+    * with an alert flag against the caller's tolerances. Built on two
+    * exact [[profile]] runs (one job each) + one tiny column-keyed
+    * join; every emitted number is integer counts and IEEE division,
+    * so the report is engine-exact. Flags, not filters: drift is a
+    * DECISION for the operator of the pipeline, so the report
+    * surfaces everything and alerts loudly rather than dropping data
+    * silently. */
+  def drift(
+      old: DataFrame,
+      fresh: DataFrame,
+      cols: Seq[String],
+      maxNullJump: Double = 0.05,
+      distinctBand: (Double, Double) = (0.5, 2.0)): DataFrame = {
+    require(distinctBand._1 > 0.0 && distinctBand._1 <= distinctBand._2,
+      s"distinctBand must be 0 < lo <= hi, got $distinctBand")
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols, exact = true).select(
+        col("column"),
+        col("n_rows").as(s"n_$tag"),
+        (col("n_nulls").cast("double") /
+          greatest(col("n_rows"), lit(1L))).as(s"null_rate_$tag"),
+        col("n_distinct").as(s"distinct_$tag"),
+        (col("n_distinct").cast("double") /
+          greatest(col("n_rows") - col("n_nulls"), lit(1L)))
+          .as(s"density_$tag"),
+        col("min_val").as(s"min_$tag"),
+        col("max_val").as(s"max_$tag"))
+    val joined = side(old, "old").join(side(fresh, "new"), "column")
+    joined.select(
+      col("column"), col("n_old"), col("n_new"),
+      col("null_rate_old"), col("null_rate_new"),
+      (col("null_rate_new") - col("null_rate_old")).as("null_jump"),
+      (col("null_rate_new") - col("null_rate_old") > maxNullJump)
+        .as("null_alert"),
+      col("distinct_old"), col("distinct_new"),
+      (col("density_new") / col("density_old")).as("density_ratio"),
+      (col("density_new") / col("density_old") < distinctBand._1 ||
+        col("density_new") / col("density_old") > distinctBand._2)
+        .as("distinct_alert"),
+      (col("min_new") =!= col("min_old") ||
+        col("max_new") =!= col("max_old")).as("range_changed"))
+  }
 }

@@ -1461,6 +1461,75 @@ object Extensions {
       ORDER BY toks.doc_id""")
   )
 
+  private val q96_profile_drift = Q(
+    "q96_profile_drift",
+    // Snapshot drift gate: old half vs new half of the corpus, with a
+    // planted anomaly (every 7th new doc loses its lang) that must
+    // trip the null-rate alert while the untouched columns stay
+    // quiet. Every number is integer counts + IEEE division — the
+    // oracle recomputes the whole report exactly.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 250)
+      val fresh = docs.filter(col("doc_id") >= 250)
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")))
+      graft.operators.Profile.drift(
+        old, fresh, Seq("lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+    Some("""WITH oldt AS (SELECT lang, source, n_chars FROM documents
+        WHERE doc_id < 250),
+      newt AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END
+          AS lang, source, n_chars FROM documents WHERE doc_id >= 250),
+      po AS (
+        SELECT 'lang' AS c, count(*) AS n,
+          count(*) FILTER (WHERE lang IS NULL) AS nn,
+          count(DISTINCT lang) AS nd,
+          CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+        FROM oldt
+        UNION ALL SELECT 'source', count(*),
+          count(*) FILTER (WHERE source IS NULL), count(DISTINCT source),
+          CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM oldt
+        UNION ALL SELECT 'n_chars', count(*),
+          count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars),
+          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM oldt),
+      pn AS (
+        SELECT 'lang' AS c, count(*) AS n,
+          count(*) FILTER (WHERE lang IS NULL) AS nn,
+          count(DISTINCT lang) AS nd,
+          CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+        FROM newt
+        UNION ALL SELECT 'source', count(*),
+          count(*) FILTER (WHERE source IS NULL), count(DISTINCT source),
+          CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM newt
+        UNION ALL SELECT 'n_chars', count(*),
+          count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars),
+          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM newt),
+      j AS (SELECT po.c, po.n AS n_old, pn.n AS n_new,
+          CAST(po.nn AS DOUBLE) / greatest(po.n, 1) AS nro,
+          CAST(pn.nn AS DOUBLE) / greatest(pn.n, 1) AS nrn,
+          po.nd AS d_old, pn.nd AS d_new,
+          (CAST(pn.nd AS DOUBLE) / greatest(pn.n - pn.nn, 1)) /
+            (CAST(po.nd AS DOUBLE) / greatest(po.n - po.nn, 1)) AS dr,
+          po.mn AS mno, po.mx AS mxo, pn.mn AS mnn, pn.mx AS mxn
+        FROM po JOIN pn ON po.c = pn.c)
+      SELECT c AS "column",
+        CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        nro AS null_rate_old, nrn AS null_rate_new,
+        nrn - nro AS null_jump, (nrn - nro) > 0.05 AS null_alert,
+        CAST(d_old AS BIGINT) AS distinct_old,
+        CAST(d_new AS BIGINT) AS distinct_new,
+        dr AS density_ratio, (dr < 0.5 OR dr > 2.0) AS distinct_alert,
+        (mnn <> mno OR mxn <> mxo) AS range_changed
+      FROM j ORDER BY "column"""")
+  )
+
   private val q93_vocab = Q(
     "q93_vocab",
     // Tokenizer-prep vocabulary: frequency-ranked token ids over the
@@ -1741,6 +1810,6 @@ object Extensions {
     q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
     q86_index_compaction, q87_route_quality, q90_label_centroids,
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
-    q94_bigram_surprisal, q95_remove_spans,
+    q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -39,5 +40,30 @@ class ProfileSpec extends AnyFunSuite {
     val approx = Profile.profile(df, Seq("l_partkey"))
       .select("n_distinct").as[Long].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  test("drift: planted null-rate anomaly alerts; quiet columns stay quiet") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+    val old = docs.filter(col("doc_id") < 25)
+    val fresh = docs.filter(col("doc_id") >= 25)
+      .withColumn("lang",
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+    val r = Profile.drift(old, fresh, Seq("lang", "source", "n_chars"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("lang").getBoolean(6), "lang null alert should fire")
+    assert(!r("source").getBoolean(6), "source must stay quiet")
+    assert(!r("n_chars").getBoolean(6))
+    // no drift at all: same snapshot twice is entirely quiet
+    val same = Profile.drift(old, old, Seq("lang", "source"))
+      .collect()
+    same.foreach { x =>
+      assert(!x.getBoolean(6) && !x.getBoolean(10) && !x.getBoolean(11),
+        s"false alert on ${x.getString(0)}")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.drift(old, fresh, Seq("lang"), distinctBand = (2.0, 0.5))
+    }
   }
 }
