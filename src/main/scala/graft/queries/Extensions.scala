@@ -1425,6 +1425,11 @@ object Extensions {
     (s, dir) =>
       Dedup.removeDuplicatedSpans(
         table(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        // always-true filter on a COMPUTED column: without it, a
+        // count()-shaped action lets Catalyst eliminate the unique-key
+        // left join and the whole detection subtree (bench would time
+        // a table scan, not the operator); the oracle is unaffected
+        .filter(col("kept_tokens") >= 0L)
         .orderBy("doc_id"),
     Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
       g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
