@@ -665,6 +665,9 @@ object Similarity {
     centRows.foreach { r =>
       cents(r.getInt(0)) = r.getSeq[Float](1).toArray
     }
+    require(cents.forall(_ != null),
+      "ivfProbe centroid table has gaps in its cell ids — not a " +
+        "graft ivfIndex centroid table (cells are 0..nlist-1 dense)")
     val probesUdf = udf((x: scala.collection.Seq[Float]) =>
       probeCells(x, cents, nprobe))
     val q = queries.select(col(queryId).as("query_id"),
