@@ -196,8 +196,35 @@ object Joins {
       rightTime: String,
       rightPayload: Seq[String],
       strict: Boolean = false,
-      tolerance: Option[Double] = None): DataFrame = {
+      tolerance: Option[Double] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoinNative needs at least one equi-key")
+    require(Set("backward", "forward").contains(direction),
+      s"asofJoinNative supports backward/forward, got '$direction' — " +
+        "nearest is the composed asofJoin's two-frame plan")
+    if (direction == "forward") {
+      // forward == backward on NEGATED time axes: smallest t >= T over
+      // micros m is greatest -m <= -T, and the streaming merge, strict
+      // tie handling, and tolerance bound all carry over unchanged.
+      // The negated columns ride along under a reserved name so the
+      // caller's originals come back untouched; matched_time is
+      // un-negated on the way out (null-safe: no match stays null).
+      val tmp = "__asof_negt"
+      require(!left.columns.contains(tmp) && !right.columns.contains(tmp),
+        s"column name $tmp is reserved by asofJoinNative")
+      import org.apache.spark.sql.types.TimestampType
+      def neg(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+        if (dt == TimestampType) timestamp_micros(-unix_micros(c)) else -c
+      val lt = left.schema(leftTime).dataType
+      val l2 = left.withColumn(tmp, neg(col(leftTime), lt))
+      val r2 = right.withColumn(tmp,
+        neg(col(rightTime), right.schema(rightTime).dataType))
+      return asofJoinNative(l2, r2, keys, tmp, tmp, rightPayload,
+          strict, tolerance, "backward")
+        .withColumn("matched_time", neg(col("matched_time"), lt))
+        .select((left.columns.toSeq.map(col) :+ col("matched_time")) ++
+          rightPayload.map(col): _*)
+    }
     val spark = left.sparkSession
     // idempotent strategy injection for sessions built without
     // GraftExtensions

@@ -346,6 +346,38 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinNative forward == composed forward (hand case, strict, tolerance, fixture)") {
+    // hand case mirrors the composed forward test
+    val got = Joins.asofJoinNative(
+      probes, quotes, Seq("k"), "t", "qt", Seq("px"), direction = "forward")
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some(2.0)), (2L, Some(2.0)), (3L, None),
+      (4L, Some(4.0)), (5L, None)))
+    // composed == native across strict x tolerance on fixture events
+    val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    for (strict <- Seq(false, true); tol <- Seq(None, Some(600.0))) {
+      def cols(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "matched_time", "click_id")
+          .collect().map(r => (r.getLong(0),
+            Option(r.getTimestamp(1)).map(_.getTime),
+            if (r.isNullAt(2)) -1L else r.getLong(2)))
+          .sortBy(_._1).toSeq
+      val composed = cols(Joins.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        strict, tol, "forward"))
+      val native = cols(Joins.asofJoinNative(
+        purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        strict, tol, "forward"))
+      assert(native == composed, s"strict=$strict tol=$tol")
+      assert(composed.exists(_._3 >= 0L)) // matches actually exist
+    }
+  }
+
   test("asofJoin nearest property: == per-row min-distance reference on fixture") {
     val ev = graft.queries.Catalog.events(spark, TestSpark.sf0001)
     val purchases = ev.filter(col("event_type") === "purchase")
