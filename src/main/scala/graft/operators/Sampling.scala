@@ -208,7 +208,12 @@ object Sampling {
       val m = Kernels.md5Lower64(key + ":" + saltLocal) >>> 11
       math.log((m.toDouble + 0.5) / 9007199254740992.0) / w
     })
-    val eligible = df.filter(weightCol.isNotNull && weightCol > 0.0)
+    // NaN is explicitly excluded: Spark SQL comparison semantics rank
+    // NaN ABOVE every number (so `NaN > 0` is true!), and a NaN weight
+    // yields a NaN priority that TakeOrdered would likewise sort first
+    // — a NaN-weight row would silently win a slot every time
+    val eligible = df.filter(weightCol.isNotNull &&
+      !isnan(weightCol.cast("double")) && weightCol > 0.0)
     val withPri = eligible.withColumn("_pri",
       pri(keyCol.cast("string"), weightCol.cast("double")))
     // narrow top-(k+1): only the priority doubles travel to the driver

@@ -49,6 +49,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.weightedSample(df, col("id"), col("w"), k = 0).isEmpty)
   }
 
+  test("weightedSample: NaN weights ineligible, reserved column rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0)).toDF("id", "w")
+    // NaN fails the w > 0 eligibility filter: never sampled
+    val all = Sampling.weightedSample(df, col("id"), col("w"), k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(
+        df.withColumnRenamed("w", "_pri"), col("id"), col("_pri"), k = 1)
+    }
+  }
+
   test("weightedSample: boundary tie trips the determinism gate") {
     import spark.implicits._
     // two rows with the SAME key and weight draw identical priorities;

@@ -106,6 +106,21 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin: composite keys match plain join") {
+    import spark.implicits._
+    val big = Seq(("a", 1, 10L), ("a", 2, 20L), ("b", 1, 30L),
+      ("a", 1, 40L), ("c", 9, 50L)).toDF("k1", "k2", "v")
+    val dim = Seq(("a", 1, "a1"), ("a", 2, "a2"), ("b", 1, "b1"))
+      .toDF("k1", "k2", "label")
+    val plain = big.join(dim, Seq("k1", "k2"))
+      .select("k1", "k2", "v", "label")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(big, dim, Seq("k1", "k2"), 4)
+      .select("k1", "k2", "v", "label")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && plain.length == 4)
+  }
+
   test("saltedJoin spreads a hot key across salts; rejects right/full") {
     import spark.implicits._
     val hot = (1 to 400).map(i => ("hot", i)).toDF("k", "v")

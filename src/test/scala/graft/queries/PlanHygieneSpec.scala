@@ -170,6 +170,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("q94: bigram-LM counts aggregate partially, postings joins never cartesian") {
+    val p = plan("q94_bigram_surprisal")
+    assert(p.contains("partial_count"), p.take(2500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2500))
+    // the per-doc fold groups by id — no global window anywhere
+    assert(!p.contains("Window ["), p.take(2500))
+  }
+
   test("q82: span windows partition by doc, dup-gram agg runs partial") {
     val p = plan("q82_duplicated_spans")
     // the gaps-and-islands merge must never be a global window
