@@ -133,6 +133,36 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkWithOverlap property: coverage/stride/tail invariants on random params") {
+    val rnd = new scala.util.Random(41)
+    (0 until 20).foreach { _ =>
+      val n = rnd.nextInt(60) // 0..59 tokens
+      val chunkSize = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(chunkSize)
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = Kernels.chunkOverlap(text, chunkSize, stride)
+      if (n == 0) assert(chunks.isEmpty)
+      else {
+        // starts advance by exactly stride; first at 1; last chunk
+        // reaches token n; no chunk overshoots; every chunk non-empty
+        assert(chunks.head.start_tok == 1L)
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          assert(c.start_tok == i * stride + 1L)
+          assert(c.n_tokens >= 1L && c.n_tokens <= chunkSize)
+          assert(c.start_tok + c.n_tokens - 1 <= n)
+          assert(c.chunk_text.split(" ").length == c.n_tokens)
+        }
+        assert(chunks.last.start_tok + chunks.last.n_tokens - 1 == n,
+          s"n=$n cs=$chunkSize st=$stride")
+        // no phantom chunk: the second-to-last (if any) does NOT reach n
+        if (chunks.length > 1) {
+          val p = chunks(chunks.length - 2)
+          assert(p.start_tok + p.n_tokens - 1 < n)
+        }
+      }
+    }
+  }
+
   test("chunkWithOverlap: empty/null text and degenerate params") {
     import spark.implicits._
     val fx = Seq((1L, ""), (2L, null), (3L, "only three tokens"))

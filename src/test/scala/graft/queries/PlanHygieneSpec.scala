@@ -170,6 +170,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("q92's measured path: IVF probe joins on the cell id, never cartesian/BNLJ") {
+    // q92 emits the gate's local relation, so pin the OPERATOR plan
+    // (the same construction the query's gate executes)
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val (assignments, centroids) = graft.operators.Similarity.ivfIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 16)
+    val p = graft.operators.Similarity.ivfProbe(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      assignments, centroids, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2500))
+    assert(p.contains("cell"), p.take(2500))
+  }
+
   test("q94: bigram-LM counts aggregate partially, postings joins never cartesian") {
     val p = plan("q94_bigram_surprisal")
     assert(p.contains("partial_count"), p.take(2500))
