@@ -350,9 +350,16 @@ object Dedup {
       d.select(col("id"), col("ngrams"), col("bands"))
         .withColumn("_delta", lit(i))
     }.reduce(_ unionByName _)
+    // minHashIndex deltas carry one row per id, but arbitrary caller
+    // DataFrames may not — a duplicate id WITHIN one delta must still
+    // resolve deterministically, so the LWW window tiebreaks on a
+    // content hash (identical-content ties are harmless by identity;
+    // differing-content rows order by their 64-bit hash, which is
+    // stable across runs and partitionings)
     val lww = tagged
       .withColumn("_rk", row_number().over(
-        Window.partitionBy("id").orderBy(col("_delta").desc)))
+        Window.partitionBy("id").orderBy(
+          col("_delta").desc, xxhash64(col("ngrams"), col("bands")).asc)))
       .filter(col("_rk") === 1)
       .select("id", "ngrams", "bands")
     tombstones match {
@@ -491,7 +498,13 @@ object Dedup {
     * property through both paths.
     *
     * Output: (id, cluster_id), one row per input id; singletons label
-    * themselves. */
+    * themselves. Pair endpoints absent from `ids` act as connectivity
+    * BRIDGES on both paths (a~x, x~b ⇒ a and b share a cluster, and
+    * the canonical label is the min id across the whole component,
+    * bridge ids included) but never appear as output rows — both the
+    * driver union-find and the distributed loop implement exactly
+    * this, so the label assignment is independent of which side of
+    * `maxDriverEdges` the graph lands (DedupSpec pins it). */
   def duplicateClusters(
       ids: DataFrame,
       pairs: DataFrame,
@@ -544,9 +557,22 @@ object Dedup {
     }
     val idName = ids.columns.head
     val edges = save(pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = save(ids.select(col(idName).cast("long").as("id"))
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst"))))
+    val baseIds = save(ids.select(col(idName).cast("long").as("id")).distinct())
+    // the label graph spans ids ∪ pair endpoints: an endpoint absent
+    // from `ids` is still a connectivity bridge (a~x, x~b ⇒ a~b), and
+    // the driver union-find above merges through such nodes — the
+    // distributed loop must propagate through them identically or the
+    // same logical input would cluster differently depending on which
+    // side of maxDriverEdges it lands. Bridge-only nodes participate
+    // in propagation (and, like the driver path, in the min-label
+    // canon) but are filtered from the output, which stays one row
+    // per requested id.
+    var labels = save(baseIds
+      .unionAll(edges.select(col("src").as("id")))
       .distinct()
       .withColumn("cluster_id", col("id")))
     var changed = 1L
@@ -575,7 +601,7 @@ object Dedup {
     require(changed == 0L,
       s"duplicateClusters did not converge in $maxIter rounds — " +
         "pathologically long chain; raise maxIter")
-    labels
+    labels.join(baseIds, Seq("id")).select("id", "cluster_id")
   }
 
   /** Incremental cluster maintenance — the label-side twin of

@@ -292,6 +292,14 @@ object Kernels extends Serializable {
     * token, so every token lands in >= 1 chunk and only the final
     * chunk may be short. Empty/blank text yields no chunks. */
   def chunkOverlap(text: String, chunkSize: Int, stride: Int): Array[Chunk] = {
+    // validated HERE, not only in Pack.chunkWithOverlap: the kernel is
+    // also the body of the registered graft_chunks SQL UDF, and a SQL
+    // caller must hit the same loud contract (stride=0 would otherwise
+    // divide by zero below; stride>chunkSize would silently skip
+    // tokens, violating the every-token-covered guarantee)
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
     val words = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val len = text.length

@@ -113,6 +113,16 @@ object Profile {
         col("min_val").as(s"min_$tag"),
         col("max_val").as(s"max_$tag"))
     val joined = side(old, "old").join(side(fresh, "new"), "column")
+    // An alerting report must not emit surprising NULLs/NaNs: when the
+    // old side has zero non-null rows its density is 0 (0 distinct /
+    // max(0,1)) and the ratio would be 0/0=NaN or x/0=Inf — emit a
+    // NULL ratio with a FORCED alert instead (an all-null column
+    // suddenly carrying data is drift by definition). range_changed
+    // uses null-safe equality so an all-null min/max on either side
+    // compares as a value (changed=true when only one side is null),
+    // never as a three-valued NULL.
+    val ratio = when(col("density_old") === 0.0, lit(null))
+      .otherwise(col("density_new") / col("density_old"))
     joined.select(
       col("column"), col("n_old"), col("n_new"),
       col("null_rate_old"), col("null_rate_new"),
@@ -120,11 +130,11 @@ object Profile {
       (col("null_rate_new") - col("null_rate_old") > maxNullJump)
         .as("null_alert"),
       col("distinct_old"), col("distinct_new"),
-      (col("density_new") / col("density_old")).as("density_ratio"),
-      (col("density_new") / col("density_old") < distinctBand._1 ||
-        col("density_new") / col("density_old") > distinctBand._2)
+      ratio.as("density_ratio"),
+      when(col("density_old") === 0.0, col("density_new") > 0.0)
+        .otherwise(ratio < distinctBand._1 || ratio > distinctBand._2)
         .as("distinct_alert"),
-      (col("min_new") =!= col("min_old") ||
-        col("max_new") =!= col("max_old")).as("range_changed"))
+      (not(col("min_new") <=> col("min_old")) ||
+        not(col("max_new") <=> col("max_old"))).as("range_changed"))
   }
 }

@@ -556,15 +556,21 @@ object Similarity {
         .select(col("query_id"), col("nn_id"),
           Quantize.cosineInt8(col("a.qv"), col("b.qv")).as("cos")),
       r)
-    // stage 2: float re-score of the shortlist only, exact final rank
+    // stage 2: float re-score of the shortlist only, exact final rank.
+    // Eagerly materialized (lineage-truncating localCheckpoint, not a
+    // cache-manager persist) so the candidate pair cache can be freed
+    // at the seam — the q63 path strands no cached blocks (GatesSpec).
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    topKScored(
+    val ranked = topKScored(
       coarse.select("query_id", "nn_id")
         .join(v.as("qf"), col("query_id") === col("qf.id"))
         .join(v.as("cf"), col("nn_id") === col("cf.id"))
         .select(col("query_id"), col("nn_id"),
           call_function("graft_cosine", col("qf.v"), col("cf.v")).as("cos")),
       k)
+      .localCheckpoint(true)
+    cand.unpersist(blocking = false)
+    ranked
   }
 
   /** Approximate top-k: score only same-bucket candidates, then rank.
@@ -596,12 +602,22 @@ object Similarity {
     scoredPairs.count()
     // the raw pair cache is dead once the scored set exists — swap them
     cand.unpersist(blocking = false)
-    topKScored(
+    // free-at-the-seam, all the way down: the k-bounded result is
+    // eagerly materialized (localCheckpoint — truncated lineage, small
+    // RDD blocks NOT registered with the cache manager), at which
+    // point the scored pair cache is dead too and is released — so
+    // repeated annTopK calls in a long session strand no cached
+    // blocks at all (GatesSpec pins the q40 path cache-clean end to
+    // end, same discipline as the sampled gates)
+    val ranked = topKScored(
       scoredPairs.select(col("id_a").as("query_id"),
           col("id_b").as("nn_id"), col("cos"))
         .unionAll(scoredPairs.select(col("id_b").as("query_id"),
           col("id_a").as("nn_id"), col("cos"))),
       k)
+      .localCheckpoint(true)
+    scoredPairs.unpersist(blocking = false)
+    ranked
   }
 
   /** Persisted IVF index — the ANN counterpart of
@@ -686,17 +702,37 @@ object Similarity {
     * contract applied to aggregation — a plain distributed SUM of
     * doubles is order-nondeterministic and would never hash-match an
     * oracle). One shuffle keyed by the group; each group's vectors
-    * are collected INTO that group's task (bounded by group size —
-    * fine for class/label/source cardinalities; a group too big for
-    * one task should be pre-sampled, and the at-scale relaxation is
-    * two-phase partial sums with an explicit error gate, not a silent
-    * reorder). Output: (group, n, dim, c) — one row per dimension,
-    * 1-based, so the emitted values stay scalar. */
+    * are collected INTO that group's task — bounded LOUDLY by
+    * `maxGroupSize` (one cheap narrow count pass over the group
+    * column before the collect; a billion-row label group must fail
+    * with this message, not OOM one executor silently). Fine for
+    * class/label/source cardinalities; a bigger group should be
+    * pre-sampled, or routed through [[groupCentroidsTwoPhase]] — the
+    * at-scale relaxation that trades the bitwise fold for partial
+    * sums with an explicit reordering-error bound asserted in-job.
+    * Output: (group, n, dim, c) — one row per dimension, 1-based, so
+    * the emitted values stay scalar. */
   def groupCentroids(
       df: DataFrame,
       groupCol: String,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      maxGroupSize: Long = 1L << 20): DataFrame = {
+    // the guard scans only the group column (columnar scan prunes the
+    // vectors) — one partial-agg count job, the price of failing fast
+    // BEFORE a whole group's vectors are built into one task's list
+    val oversized = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxGroupSize)
+      .limit(1).collect()
+    require(oversized.isEmpty, {
+      val r = oversized.head
+      s"groupCentroids collects each group into ONE task: group " +
+        s"'${r.get(0)}' has ${r.getLong(1)} rows > maxGroupSize=" +
+        s"$maxGroupSize. Pre-sample the group, raise the bound " +
+        "deliberately, or use groupCentroidsTwoPhase (partial-sum " +
+        "fold with an explicit reordering-error gate)."
+    })
     val centroidUdf = udf(
       (vs: scala.collection.Seq[scala.collection.Seq[Float]]) =>
         Kernels.centroid(vs))
@@ -711,6 +747,130 @@ object Similarity {
           .as(Seq("_d0", "c")))
       .select(col("group"), col("n"),
         (col("_d0") + 1).cast("long").as("dim"), col("c"))
+  }
+
+  /** The at-scale spelling of [[groupCentroids]]: two-phase partial
+    * sums instead of one whole-group task. Phase 1 folds each input
+    * partition's slice of every group IN ID ORDER into (n, Σx, Σ|x|)
+    * partials — pure map-side work, the vectors themselves never
+    * shuffle; phase 2 shuffles only the partials (input-partitions
+    * rows per group, each 2·dim doubles) and combines them IN
+    * PARTITION-ID ORDER, so the whole computation is deterministic
+    * for a fixed input partitioning. What the two-phase fold gives up
+    * is the single-sequence bitwise contract — combining partials
+    * reorders the IEEE adds — so, per the Gates discipline, the
+    * operator asserts IN-JOB that the worst-case reordering
+    * divergence from the single-task id-ordered fold is within
+    * `maxAbsError`: per dimension, both folds lie within
+    * eps·(n+P)·Σ|x| of the exact real sum (standard sequential-
+    * summation bound, P = partial count), so their centroids differ
+    * by at most `err_bound` = 2·eps·(n+P)·Σ|x|/n — computed from the
+    * carried Σ|x| and emitted per row; the job FAILS if any bound
+    * exceeds the tolerance (the caller then knows the data's
+    * magnitude/cardinality outgrew the relaxation, instead of
+    * silently drifting from the exact answer). SimilaritySpec proves
+    * |twoPhase − exact| ≤ err_bound on random data under adversarial
+    * repartition. Output: (group, n, dim, c, err_bound). */
+  def groupCentroidsTwoPhase(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      maxAbsError: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val sel = df.select(col(groupCol).as("group"),
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val groupType = sel.schema("group").dataType
+    val partialSchema = StructType(Seq(
+      StructField("group", groupType),
+      StructField("pid", IntegerType, nullable = false),
+      StructField("pn", LongType, nullable = false),
+      StructField("psum", ArrayType(DoubleType, containsNull = false)),
+      StructField("pabs", ArrayType(DoubleType, containsNull = false))))
+    // phase 1: genuine per-partition imperative fold (mapPartitions is
+    // the right tool here — there is no Catalyst spelling of "buffer,
+    // sort by id, fold sequentially" that avoids collecting the group)
+    val partialsRdd = sel.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val byGroup = scala.collection.mutable.LinkedHashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, scala.collection.Seq[Float])]]
+      it.foreach { r =>
+        val buf = byGroup.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer.empty)
+        buf += ((r.getLong(1), r.getSeq[Float](2)))
+      }
+      byGroup.iterator.map { case (g, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val dim = sorted.head._2.length
+        val sum = new Array[Double](dim)
+        val abs = new Array[Double](dim)
+        sorted.foreach { case (_, v) =>
+          require(v.length == dim, s"ragged vectors: ${v.length} vs $dim")
+          var i = 0
+          while (i < dim) {
+            val x = v(i).toDouble; sum(i) += x; abs(i) += math.abs(x); i += 1
+          }
+        }
+        Row(g, pid, rows.length.toLong, sum.toSeq, abs.toSeq)
+      }
+    }
+    val partials = spark.createDataFrame(partialsRdd, partialSchema)
+    // phase 2: deterministic pid-ordered combine of the tiny partials.
+    // sort_array on struct(pid, ...) orders by pid (first field), so
+    // the parallel field arrays handed to the UDF are pid-ordered —
+    // no Row-typed UDF input needed.
+    val eps = 2.220446049250313e-16 // IEEE double machine epsilon
+    val combineUdf = udf((
+        ns: scala.collection.Seq[Long],
+        sums: scala.collection.Seq[scala.collection.Seq[Double]],
+        abss: scala.collection.Seq[scala.collection.Seq[Double]]) => {
+      val dim = sums.head.length
+      val sum = new Array[Double](dim)
+      val abs = new Array[Double](dim)
+      var n = 0L
+      var p = 0
+      while (p < ns.length) {
+        n += ns(p)
+        val s = sums(p); val a = abss(p)
+        var i = 0
+        while (i < dim) { sum(i) += s(i); abs(i) += a(i); i += 1 }
+        p += 1
+      }
+      val nOps = (n + ns.length).toDouble
+      Array.tabulate(dim) { i =>
+        (sum(i) / n, 2.0 * eps * nOps * abs(i) / n)
+      }.toSeq
+    })
+    val res = partials
+      .groupBy("group")
+      .agg(sort_array(collect_list(struct(col("pid"), col("pn"),
+        col("psum"), col("pabs")))).as("ps"), sum(col("pn")).as("n"))
+      .select(col("group"), col("n"),
+        posexplode(combineUdf(
+          transform(col("ps"), s => s.getField("pn")),
+          transform(col("ps"), s => s.getField("psum")),
+          transform(col("ps"), s => s.getField("pabs")))).as(Seq("_d0", "cb")))
+      .select(col("group"), col("n"),
+        (col("_d0") + 1).cast("long").as("dim"),
+        col("cb._1").as("c"), col("cb._2").as("err_bound"))
+      // small result (groups × dim rows), eagerly materialized with
+      // truncated lineage so the gate below and the caller's reads
+      // never re-run the phase-1 scan — and nothing is registered
+      // with the cache manager (cache-clean, like the sampled gates)
+      .localCheckpoint(true)
+    // the in-job gate: loud failure the moment the relaxation's bound
+    // stops being negligible (same discipline as Gates.requireFloor)
+    val worst = res.agg(max(col("err_bound"))).first()
+    val worstBound = if (worst.isNullAt(0)) 0.0 else worst.getDouble(0)
+    require(worstBound <= maxAbsError,
+      f"groupCentroidsTwoPhase reordering-error bound $worstBound%.3e " +
+        f"exceeds maxAbsError=$maxAbsError%.3e — the partial-sum " +
+        "relaxation is no longer safely exact for this data; use " +
+        "groupCentroids (bitwise fold) or raise the tolerance " +
+        "deliberately")
+    res
   }
 
   /** Centroid-distance outliers: each vector's cosine to ITS OWN

@@ -152,6 +152,31 @@ class DedupSpec extends AnyFunSuite {
       9L -> 9L))
   }
 
+  test("duplicateClusters: unknown pair endpoints bridge identically on both paths") {
+    import spark.implicits._
+    // ids 5 and 7 are connected ONLY through node 1, which is absent
+    // from `ids`; 20 and 21 are a plain known-known pair; 30 is a
+    // singleton whose only pair partner (99) is unknown — the two
+    // execution paths (driver union-find vs distributed min-label
+    // loop) must produce the SAME labels, or the same logical input
+    // would cluster differently at different scales
+    val ids = Seq(5L, 7L, 20L, 21L, 30L).toDF("id")
+    val pairs = Seq((5L, 1L), (1L, 7L), (20L, 21L), (30L, 99L))
+      .toDF("id_a", "id_b")
+    val expected = Map(
+      5L -> 1L, 7L -> 1L, // bridged through unknown 1, min label = 1
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L) // unknown 99 > 30 cannot lower the label
+    val viaDriver = Dedup.duplicateClusters(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.duplicateClusters(ids, pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == expected)
+    assert(viaLoop == expected)
+    // output stays one row per REQUESTED id — bridge nodes never leak
+    assert(Dedup.duplicateClusters(ids, pairs, maxDriverEdges = 0).count() == 5)
+  }
+
   test("minHashLshIncremental == full-corpus pairs restricted to the new batch") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
@@ -404,6 +429,29 @@ class DedupSpec extends AnyFunSuite {
     assert(snap(compacted) == snap(fresh))
     // single delta, no tombstones: identity (modulo duplicate rows)
     assert(snap(Dedup.compactIndex(Seq(d1))) == snap(d1))
+  }
+
+  test("compactIndex: duplicate ids WITHIN one delta resolve deterministically") {
+    import spark.implicits._
+    // minHashIndex emits one row per id, but compactIndex accepts any
+    // caller DataFrame — a delta carrying the same id twice with
+    // different content must resolve to the same winner on every run
+    // and partitioning (content-hash tiebreak), never arbitrarily
+    val dupDelta = Seq(
+      (1L, "first version of the document body"),
+      (1L, "second different version of the body"),
+      (2L, "unique document two")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minHashIndex(dupDelta, "doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[String], Seq[Long])].collect()
+        .map { case (id, ng, b) => (id, ng.toList, b.toList) }
+        .sortBy(_._1).toList
+    val runs = (1 to 3).map { i =>
+      snap(Dedup.compactIndex(Seq(idx.repartition(i + 2))))
+    }
+    assert(runs.head.map(_._1) == List(1L, 2L)) // one row per id
+    assert(runs.distinct.size == 1, "intra-delta LWW was nondeterministic")
   }
 
   test("duplicatedSpans: hand fixture — shared run, positions, maximal merge") {

@@ -41,6 +41,20 @@ class GatesSpec extends AnyFunSuite {
       "the sampled gate must not strand cached blocks after the query")
   }
 
+  test("annTopK / annTopKInt8 queries leave no cached blocks (q40/q63 end to end)") {
+    // annCandidates hands its pair cache to the ANN operators, which
+    // must free it (and their own scored-pair cache) once the
+    // k-bounded result is materialized — the free-at-the-seam
+    // discipline, extended from the sampled gates to the ANN paths
+    for (q <- Seq("q40_sim_ann_lsh", "q63_sim_ann_int8")) {
+      spark.catalog.clearCache()
+      val df = graft.SparkEntry.queries(q)(spark, TestSpark.sf0001)
+      assert(df.count() > 0)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q stranded cached blocks after the query")
+    }
+  }
+
   test("rankErrorGate: real sketch passes on the lineitem fixture") {
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
     Gates.rankErrorGate(li, "l_returnflag", "l_quantity",

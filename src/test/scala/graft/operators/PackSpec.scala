@@ -177,4 +177,26 @@ class PackSpec extends AnyFunSuite {
       Pack.chunkWithOverlap(fx, "doc_id", "text", 0, 1)
     }
   }
+
+  test("graft_chunks SQL face enforces the kernel parameter contract") {
+    graft.expressions.GraftFunctions.registerAll(spark)
+    // valid SQL call still works
+    assert(spark.sql("SELECT graft_chunks('a b c d e', 2, 1) AS c")
+      .selectExpr("size(c)").head().getInt(0) == 4)
+    // stride=0 (was a divide-by-zero), stride>chunkSize (was a silent
+    // every-token-covered violation) and chunkSize=0 all fail loudly
+    // FROM THE KERNEL, so the SQL entry point is guarded identically
+    // to Pack.chunkWithOverlap
+    def rootIAE(t: Throwable): Boolean = t match {
+      case null => false
+      case _: IllegalArgumentException => true
+      case other => rootIAE(other.getCause)
+    }
+    for (bad <- Seq("graft_chunks('a b c', 2, 0)",
+        "graft_chunks('a b c', 2, 3)",
+        "graft_chunks('a b c', 0, 1)")) {
+      val e = intercept[Throwable] { spark.sql(s"SELECT $bad").collect() }
+      assert(rootIAE(e), s"$bad did not fail with the contract message: $e")
+    }
+  }
 }

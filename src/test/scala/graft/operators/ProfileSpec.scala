@@ -66,4 +66,31 @@ class ProfileSpec extends AnyFunSuite {
       Profile.drift(old, fresh, Seq("lang"), distinctBand = (2.0, 0.5))
     }
   }
+
+  test("drift: all-null columns never emit NULL/NaN/Inf in an alerting report") {
+    import spark.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, None))
+      .toDF("id", "c")
+    val fresh = Seq((3L, Option("x")), (4L, Option("y")))
+      .toDF("id", "c")
+    // all-null -> data: density_old is 0, so the ratio is NULL (not
+    // Inf) and the distinct alert is FORCED true; range_changed is a
+    // real boolean (null-safe compare), not three-valued NULL
+    val r1 = Profile.drift(old, fresh, Seq("c")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("density_ratio")))
+    assert(r1.getBoolean(r1.fieldIndex("distinct_alert")))
+    assert(!r1.isNullAt(r1.fieldIndex("range_changed")) &&
+      r1.getBoolean(r1.fieldIndex("range_changed")))
+    // all-null on BOTH sides: nothing moved, nothing alerts, and no
+    // NaN from the 0/0 density ratio
+    val r2 = Profile.drift(old, old, Seq("c")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("density_ratio")))
+    assert(!r2.getBoolean(r2.fieldIndex("distinct_alert")))
+    assert(!r2.getBoolean(r2.fieldIndex("range_changed")))
+    // data -> all-null: ratio is a real 0.0 (under the band), alert on
+    val r3 = Profile.drift(fresh, old, Seq("c")).collect().head
+    assert(r3.getDouble(r3.fieldIndex("density_ratio")) == 0.0)
+    assert(r3.getBoolean(r3.fieldIndex("distinct_alert")))
+    assert(r3.getBoolean(r3.fieldIndex("range_changed")))
+  }
 }

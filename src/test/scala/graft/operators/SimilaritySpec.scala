@@ -299,6 +299,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("groupCentroids: planted oversized group fails loudly, not silently") {
+    val fx = ((1L to 50L).map(i => (i, "big", Array(1.0f, 2.0f))) ++
+      Seq((100L, "ok", Array(0.5f, 0.5f)))).toDF("id", "grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.groupCentroids(fx, "grp", "id", "v", maxGroupSize = 10L)
+    }
+    assert(e.getMessage.contains("maxGroupSize") && e.getMessage.contains("big"))
+    // at or under the bound the exact fold still runs
+    assert(Similarity.groupCentroids(fx, "grp", "id", "v", maxGroupSize = 50L)
+      .count() == 2 * 2) // 2 groups x 2 dims
+  }
+
+  test("groupCentroidsTwoPhase: matches the exact fold within its emitted bound") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      (i, s"g${i % 7}",
+        Array.fill(16)(((rnd.nextDouble() * 2 - 1) * 10).toFloat))
+    }
+    // adversarial partitioning: groups scattered across 13 partitions,
+    // so phase 1 genuinely produces many partials per group
+    val fx = rows.toDF("id", "grp", "v").repartition(13)
+    val exact = Similarity.groupCentroids(fx, "grp", "id", "v")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    val two = Similarity.groupCentroidsTwoPhase(fx, "grp", "id", "v")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(two.length == exact.size && two.nonEmpty)
+    two.foreach { case (g, n, d, c, bound) =>
+      val (en, ec) = exact((g, d))
+      assert(n == en, s"count mismatch for ($g,$d)")
+      assert(math.abs(c - ec) <= bound,
+        s"($g,$d): |$c - $ec| = ${math.abs(c - ec)} > bound $bound")
+      assert(bound > 0.0 && bound < 1e-9,
+        s"bound $bound not in the negligible range expected at this scale")
+    }
+    // the gate fires when the tolerance is impossible — wiring check
+    val e = intercept[IllegalArgumentException] {
+      Similarity.groupCentroidsTwoPhase(fx, "grp", "id", "v",
+        maxAbsError = 1e-30)
+    }
+    assert(e.getMessage.contains("maxAbsError"))
+  }
+
   test("centroidOutliers: a planted anti-centroid vector surfaces first") {
     import org.apache.spark.sql.functions.col
     // group of near-identical vectors + one pointing the opposite way
