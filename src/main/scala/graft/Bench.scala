@@ -2,14 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line on stdout with per-query seconds.
-  * Two passes over the same sf dir: pass 1 warms the JVM (Catalyst
-  * analysis caches, codegen compilation, JIT) so one-time costs don't
-  * land on whichever query happens to run first; pass 2 is timed —
-  * steady-state numbers, which is what per-query comparison needs. */
+  * One warm-up pass over the whole suite (Catalyst analysis caches,
+  * codegen compilation, JIT) so one-time costs don't land on
+  * whichever query runs first, then N >= 3 timed runs per query
+  * (SPARK_GRAFT_BENCH_RUNS, default 3): `queries` reports the
+  * per-query MEDIAN and `runs` the full per-run times, so a
+  * run-to-run swing is a measurable spread instead of a narrative —
+  * a single-run bench cannot arbitrate "regression" vs "variance"
+  * (the r4 q63/q40 lesson). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,17 +27,26 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
-      // isolate queries from each other: eager operators persist small
-      // derived results and the CacheManager matches them by canonical
-      // plan, so without this a timed query can silently reuse (or GC-
-      // fight with) another invocation's blocks — attribution noise,
-      // not signal
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val perRun: Seq[(String, Seq[Double])] = queries.map { case (name, fn) =>
+      val times = (1 to nRuns).map { _ =>
+        // isolate runs from each other: eager operators persist small
+        // derived results and the CacheManager matches them by
+        // canonical plan, so without this a timed run can silently
+        // reuse (or GC-fight with) another invocation's blocks —
+        // attribution noise, not signal
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val results = perRun.map { case (name, ts) => name -> median(ts) }
     // Bucketed-join evidence (SCALING.md): the same big-big join shape
     // as q11, shuffled vs co-bucketed. Table writes are one-time layout
     // cost and untimed; the bucketed timing only counts if the executed
@@ -90,9 +105,16 @@ object Bench {
     val qs = (results ++ bucketEntries)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // full per-run times ride along so the median is auditable and
+    // "machine variance" is a quotable spread, not a claim
+    val runsJson = perRun
+      .map { case (k, ts) =>
+        s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":$nRuns,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(

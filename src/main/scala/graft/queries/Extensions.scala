@@ -418,20 +418,34 @@ object Extensions {
     * bitwise, the ANN candidates by the recall floor. The exact rows
     * are collected once to become the emitted local relation, so
     * nothing is persisted and no cached blocks outlive the query —
-    * `sampleMod` is the size knob (every 10th vector is
-    * fixture-sized; a 100 TB run picks sampleMod ≈ n / 10k so the
-    * sample stays a constant few thousand queries), and the collect
-    * is guarded loudly rather than trusted. The distributed gate
-    * itself ([[graft.operators.Gates.pairRecall]]) never collects. */
+    * `sampleMod` is the size knob's FLOOR: the effective modulus is
+    * max(sampleMod, corpusN / 5000), derived from one cheap count, so
+    * the sample stays a constant few thousand queries at ANY corpus
+    * size without relying on a caller to retune — at fixture SFs the
+    * derivation leaves the floor in charge, keeping the static oracle
+    * modulus aligned. The collect is guarded loudly rather than
+    * trusted. The distributed gate itself
+    * ([[graft.operators.Gates.pairRecall]]) never collects. */
   private def recallGatedSampled(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
       ann: org.apache.spark.sql.DataFrame, floor: Double,
       what: String,
       sampleMod: Long = 10L): org.apache.spark.sql.DataFrame = {
     val e = table(s, dir, "embeddings")
+    // the scale knob is ENFORCED, not just documented: the effective
+    // modulus grows with the corpus so the sampled query set stays a
+    // few thousand rows at ANY size (gate cost O(n·constant) — n from
+    // one cheap count of the id column). The caller's sampleMod is
+    // the FLOOR (never sample denser than 1/sampleMod); at every
+    // fixture SF corpusN/targetSample < sampleMod, so the effective
+    // modulus equals the floor and the static DuckDB oracle (which
+    // hardcodes the same modulus) stays bitwise-aligned.
+    val corpusN = e.count()
+    val targetSample = 5000L
+    val effMod = math.max(sampleMod, corpusN / targetSample)
     val exactRows = Similarity.bruteForceTopK(
       e, "vec_id", "embedding",
-      e.filter(col("vec_id") % sampleMod === 0), "vec_id", "embedding", k)
+      e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding", k)
       .orderBy("query_id", "rank")
     val collected = exactRows.collect()
     require(collected.length <= 1000000,
@@ -440,9 +454,9 @@ object Extensions {
     val emitted = s.createDataFrame(
       java.util.Arrays.asList(collected: _*), exactRows.schema)
     val recall = graft.operators.Gates.pairRecall(
-      ann.filter(col("query_id") % sampleMod === 0), emitted)
+      ann.filter(col("query_id") % effMod === 0), emitted)
     graft.operators.Gates.requireFloor(recall, floor,
-      s"$what sampled pair recall@$k (every ${sampleMod}th query)")
+      s"$what sampled pair recall@$k (every ${effMod}th query)")
     emitted.orderBy("query_id", "rank")
   }
 
@@ -1696,6 +1710,43 @@ object Extensions {
       SELECT id, label, cos FROM s ORDER BY cos ASC, id LIMIT 20""")
   )
 
+  private val q97_centroids_twophase = Q(
+    "q97_centroids_twophase",
+    // The at-scale centroid fold, continuously verified: run the
+    // two-phase partial-sum spelling (vectors never collected into
+    // one task; partials combined in partition-id order with an
+    // in-job reordering-error gate), assert inside the job that every
+    // dimension agrees with the bitwise single-task fold WITHIN the
+    // emitted bound, and emit the exact rows for the bitwise oracle —
+    // the q40/q77 gate pattern applied to floating-point reordering,
+    // so the scale path has no rows-only gap.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val exact = graft.operators.Similarity.groupCentroids(
+        e, "label", "vec_id", "embedding")
+      val two = graft.operators.Similarity.groupCentroidsTwoPhase(
+        e, "label", "vec_id", "embedding")
+      val disagree = exact.as("x")
+        .join(two.as("t"), Seq("group", "dim"))
+        .filter(abs(col("x.c") - col("t.c")) > col("t.err_bound"))
+        .count()
+      require(disagree == 0L,
+        s"two-phase centroid fold diverged beyond its error bound on " +
+          s"$disagree (group, dim) cells — the reordering-error gate " +
+          "is broken, not just loose")
+      exact.withColumnRenamed("group", "label").orderBy("label", "dim")
+    },
+    // the emitted rows are the exact fold — same oracle as q90
+    Some("""WITH g AS (SELECT label, count(*) AS n,
+        list(embedding ORDER BY vec_id) AS vs
+      FROM embeddings GROUP BY label)
+      SELECT label, CAST(n AS BIGINT) AS n, CAST(u.i AS BIGINT) AS dim,
+        list_aggregate(list_transform(vs,
+          v -> CAST(v[u.i] AS DOUBLE)), 'sum') / n AS c
+      FROM g CROSS JOIN unnest(range(1, len(vs[1]) + 1)) AS u(i)
+      ORDER BY label, dim""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
@@ -1816,5 +1867,6 @@ object Extensions {
     q86_index_compaction, q87_route_quality, q90_label_centroids,
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
+    q97_centroids_twophase,
     q44_curation_pipeline, q45_source_audit)
 }

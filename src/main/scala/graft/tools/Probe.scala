@@ -1,13 +1,30 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
 
-/** Ad-hoc component timing probe (dev tool, not part of the driver
-  * contract): times the pieces that make up the ANN queries so perf
-  * work targets the measured bottleneck, not the guessed one. */
+/** The one dev measurement harness (not part of the driver
+  * contract) — consolidates the former per-round Probe/Probe3..7
+  * mains into a single parameterized entry point. Numbers quoted in
+  * COVERAGE.md come from here.
+  *
+  * usage: runMain graft.tools.Probe <mode> [args]
+  *   queries [runs] [name...]  per-catalog-query isolated timing,
+  *                             median of `runs` (default 3) after one
+  *                             warm-up, cache cleared per run
+  *                             (default names: the ANN trio)
+  *   ann-stages [rounds]       stage breakdown of the q40/q63 ANN
+  *                             paths: candidates, full annTopK,
+  *                             annTopKInt8, sampled exact reference
+  *   components                operator-level timings (exact/blocked
+  *                             self top-k, LSH, IVF, int8, near-dup)
+  *   lsh-tune                  recall + wall time over a tables×bits
+  *                             grid for the q40 path
+  *
+  * env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,41 +36,148 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    emb.cache().count()
+    val mode = args.headOption.getOrElse("queries")
+    val rest = args.drop(1).toSeq
+    mode match {
+      case "queries" => queriesMode(spark, sfDir, rest)
+      case "ann-stages" => annStages(spark, sfDir, rest)
+      case "components" => components(spark, sfDir)
+      case "lsh-tune" => lshTune(spark, sfDir)
+      case other =>
+        System.err.println(s"unknown probe mode '$other' " +
+          "(queries | ann-stages | components | lsh-tune)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
 
+  private def t[A](what: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"$what%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); r
+  }
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Isolated per-query timing with the Bench discipline (clearCache
+    * per run, one warm-up, median + spread printed). */
+  private def queriesMode(
+      spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
+    val (runs, names0) = rest.headOption.flatMap(_.toIntOption) match {
+      case Some(n) => (math.max(1, n), rest.drop(1))
+      case None => (3, rest)
+    }
+    val names = if (names0.nonEmpty) names0
+      else Seq("q40_sim_ann_lsh", "q48_sim_ann_ivf", "q63_sim_ann_int8")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      fn(spark, sfDir).count() // warm
+      val ts = (1 to runs).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med =
+        if (ts.length % 2 == 1) ts(ts.length / 2)
+        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+      println(f"$name%-32s median ${med}%7.3f s  " +
+        ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
+    }
+  }
+
+  /** Stage breakdown of the ANN paths (the q63 regression autopsy). */
+  private def annStages(
+      spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
+    val rounds = rest.headOption.flatMap(_.toIntOption).getOrElse(2)
+    val e = emb(spark, sfDir)
+    println(s"embeddings: ${e.count()} rows")
+    (1 to rounds).foreach { round =>
+      spark.catalog.clearCache()
+      println(s"--- round $round ---")
+      t("annCandidates") {
+        val c = Similarity.annCandidates(
+          e, "vec_id", "embedding", tables = 16, bits = 6)
+        println(s"  pairs: ${c.count()}")
+        c.unpersist(blocking = false)
+      }
+      t("annTopK full") {
+        Similarity.annTopK(
+          e, "vec_id", "embedding", k = 10, tables = 16, bits = 6).count()
+      }
+      t("annTopKInt8 full") {
+        Similarity.annTopKInt8(
+          e, "vec_id", "embedding", k = 10, tables = 16, bits = 6).count()
+      }
+      t("sampled exact reference") {
+        Similarity.bruteForceTopK(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 10)
+          .count()
+      }
+    }
+  }
+
+  /** Operator-level component timings (each warmed once, then timed). */
+  private def components(spark: SparkSession, sfDir: String): Unit = {
+    val e = emb(spark, sfDir)
+    e.cache().count()
     def time(name: String)(f: => Long): Unit = {
       f // warm
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
     }
-
     time("exactSelfTopK(bcast)") {
-      Similarity.exactSelfTopK(emb, "vec_id", "embedding", 10).count()
+      Similarity.exactSelfTopK(e, "vec_id", "embedding", 10).count()
     }
     time("exactSelfTopKBlocked") {
-      Similarity.exactSelfTopKBlocked(emb, "vec_id", "embedding", 10).count()
+      Similarity.exactSelfTopKBlocked(e, "vec_id", "embedding", 10).count()
     }
     time("annCandidates") {
-      Similarity.annCandidates(emb, "vec_id", "embedding", tables = 16, bits = 6).count()
+      Similarity.annCandidates(e, "vec_id", "embedding",
+        tables = 16, bits = 6).count()
     }
     time("annTopK") {
-      Similarity.annTopK(emb, "vec_id", "embedding", 10, tables = 16, bits = 6).count()
+      Similarity.annTopK(e, "vec_id", "embedding", 10,
+        tables = 16, bits = 6).count()
     }
     time("ivfTopK") {
-      Similarity.ivfTopK(emb, "vec_id", "embedding", 10, nlist = 16, nprobe = 4).count()
+      Similarity.ivfTopK(e, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4).count()
     }
     time("annTopKInt8") {
-      Similarity.annTopKInt8(emb, "vec_id", "embedding", 10, tables = 16, bits = 6).count()
+      Similarity.annTopKInt8(e, "vec_id", "embedding", 10,
+        tables = 16, bits = 6).count()
     }
     time("nearDup(q56 shape)") {
-      val e = emb.select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") < 100)
+      val base = e.select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") < 100)
         .select((col("vec_id") + 10000).as("vec_id"),
-          transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
-      Dedup.embeddingNearDupPairs(e.unionByName(planted), "vec_id", "embedding",
-        minCos = 0.99, tables = 8, bits = 12).count()
+          transform(col("embedding"),
+            x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      Dedup.embeddingNearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", minCos = 0.99, tables = 8, bits = 12).count()
     }
-    spark.stop()
+  }
+
+  /** Recall + wall time for LSH parameter variants of the q40 path. */
+  private def lshTune(spark: SparkSession, sfDir: String): Unit = {
+    val e = emb(spark, sfDir)
+    val exactPairs = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding",
+      e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 10)
+      .select("query_id", "nn_id")
+    exactPairs.cache().count()
+    for (tables <- Seq(16, 12, 10); bits <- Seq(6, 7)) {
+      val t0 = System.nanoTime()
+      val ann = Similarity.annTopK(
+        e, "vec_id", "embedding", k = 10, tables = tables, bits = bits)
+      val recall = graft.operators.Gates.pairRecall(
+        ann.filter(col("query_id") % 10 === 0), exactPairs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"tables=$tables%2d bits=$bits  recall=$recall%.4f  $secs%7.3f s")
+    }
+    exactPairs.unpersist(blocking = false)
   }
 }
