@@ -584,7 +584,11 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 10,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      // eager=false returns the SAME dataflow lazily (no checkpoint,
+      // caches left to the caller) — for plan inspection/tests; the
+      // default materializes and frees caches at the seam
+      eager: Boolean = true): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     val cand = annCandidates(df, idCol, vecCol, tables, bits, dim, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -615,9 +619,10 @@ object Similarity {
         .unionAll(scoredPairs.select(col("id_b").as("query_id"),
           col("id_a").as("nn_id"), col("cos"))),
       k)
-      .localCheckpoint(true)
+    if (!eager) return ranked
+    val out = ranked.localCheckpoint(true)
     scoredPairs.unpersist(blocking = false)
-    ranked
+    out
   }
 
   /** Persisted IVF index — the ANN counterpart of

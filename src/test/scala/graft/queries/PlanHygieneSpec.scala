@@ -101,15 +101,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     // aggregation to actually plan map-side. q40 itself now EMITS the
     // sampled exact fixture (a local relation by design), so the pin
     // targets the ANN pipeline the query runs and gates.
+    // eager=false: the same dataflow the eager path checkpoints, kept
+    // lazy so the executed plan is inspectable (a checkpointed result
+    // planarizes to Scan ExistingRDD)
     val p = graft.operators.Similarity.annTopK(
       spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet"),
-      "vec_id", "embedding", k = 10, tables = 16, bits = 6)
+      "vec_id", "embedding", k = 10, tables = 16, bits = 6, eager = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("graft_topk_scored"), p.take(2500))
     assert(p.contains("ObjectHashAggregate"), p.take(2500))
     assert(p.contains("partial_graft_topk_scored") ||
       p.linesIterator.exists(l => l.contains("ObjectHashAggregate") &&
         l.contains("partial")), p.take(3000))
+    // the lazy path leaves the seam caches to the caller — that's us
+    spark.catalog.clearCache()
   }
 
   test("q60: TopKLongs aggregates partially before the shuffle (O(k) state)") {
