@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
   * partition-batched typed transforms.
   *
   * The Spark-side plumbing here — schema, encoders, `mapPartitions`
-  * batch shape, partition sizing — is real and tested. The actual
-  * codec call is STUBBED (this container has no image/audio codecs):
-  * [[MediaCodec.decodeStub]] derives deterministic pseudo-features
-  * from the bytes, and is the single function to swap for a real
-  * JNI/javacv decoder. Batch-iterator semantics are the JVM analog of
-  * the Arrow-batched UDF pattern: one codec context per partition,
-  * amortized across rows, never per-row setup.
+  * batch shape, partition sizing — is real and tested, and the codec
+  * seam now has REAL implementations next to the stubs:
+  * [[ImageIoCodec]] (JDK `javax.imageio` — actual PNG/BMP/GIF pixel
+  * decode) and [[WavPcmCodec]] (JDK `javax.sound.sampled` — actual
+  * WAV/PCM frame decode). The parquet FIXTURES carry text-derived
+  * payload bytes, so the oracle-backed queries (q41/q42/q57) run the
+  * deterministic [[HistogramCodec]] stub whose features DuckDB can
+  * recompute from the bytes; MultimodalSpec drives the real codecs on
+  * genuinely encoded images/audio it synthesizes in-test (PNG == BMP
+  * content equality — the property no byte-level stub can pass).
+  * Batch-iterator semantics are the JVM analog of the Arrow-batched
+  * UDF pattern: one codec context per partition, amortized across
+  * rows, never per-row setup.
   *
   * 100 TB posture: media rows are large, so the operators below never
   * shuffle payload bytes — features are extracted in place (narrow
@@ -82,6 +88,106 @@ object Multimodal {
       }
       Array.tabulate(embeddingDim)(s =>
         if (counts(s) == 0) 0f else sums(s) / counts(s))
+    }
+  }
+
+  /** REAL image codec through the seam — `javax.imageio` ships in
+    * every JDK (PNG/BMP/GIF/JPEG), so "this container has no codec
+    * library" stops being true for images: the payload is decoded to
+    * actual pixels and the embedding is a 4×4 grid of mean luminance
+    * (dim 16, matching [[MediaCodec.EmbeddingDim]]), each cell
+    * averaged over its pixels in row-major scan order (deterministic
+    * IEEE accumulation). Content, not bytes: MultimodalSpec pins that
+    * the SAME image encoded as PNG and as BMP produces the SAME
+    * embedding — a property no byte-level stub can have — while the
+    * stub codecs produce different vectors for the two encodings.
+    * Undecodable payloads fail LOUDLY (IllegalArgumentException), the
+    * repo's standard posture; a tolerant pipeline screens payloads
+    * first, it does not let a codec guess. */
+  object ImageIoCodec extends Codec {
+    val name = "imageio"
+    val embeddingDim: Int = MediaCodec.EmbeddingDim
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "ImageIoCodec: payload is not a decodable image " +
+          "(ImageIO found no reader for these bytes)")
+      val w = img.getWidth; val h = img.getHeight
+      val grid = 4 // 4x4 cells = 16 dims
+      val sums = new Array[Double](embeddingDim)
+      val counts = new Array[Long](embeddingDim)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * grid / w, grid - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val cell = cy * grid + cx
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(embeddingDim)(c =>
+        if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+    }
+  }
+
+  /** REAL audio codec through the same seam — `javax.sound.sampled`
+    * (also JDK-built-in) parses the WAV container and hands back PCM
+    * frames; the embedding is 16 per-segment RMS amplitudes of the
+    * first channel, normalized to [0, 1]. Same loud-failure posture
+    * as [[ImageIoCodec]]. */
+  object WavPcmCodec extends Codec {
+    val name = "wav-pcm"
+    val embeddingDim: Int = MediaCodec.EmbeddingDim
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "WavPcmCodec: payload is not a decodable audio stream", e)
+        }
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"WavPcmCodec handles 16-bit signed PCM, got $fmt")
+        val bytes = in.readAllBytes()
+        val channels = fmt.getChannels
+        val frameBytes = 2 * channels
+        val nFrames = bytes.length / frameBytes
+        val samples = new Array[Double](math.max(nFrames, 0))
+        var f = 0
+        while (f < nFrames) {
+          val o = f * frameBytes // first channel only
+          val s =
+            if (fmt.isBigEndian)
+              ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+            else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+          samples(f) = s.toDouble / 32768.0
+          f += 1
+        }
+        Array.tabulate(embeddingDim) { seg =>
+          val from = (seg.toLong * nFrames / embeddingDim).toInt
+          val until = ((seg + 1).toLong * nFrames / embeddingDim).toInt
+          if (until <= from) 0f
+          else {
+            var ss = 0.0
+            var i = from
+            while (i < until) { ss += samples(i) * samples(i); i += 1 }
+            math.sqrt(ss / (until - from)).toFloat
+          }
+        }
+      } finally in.close()
     }
   }
 

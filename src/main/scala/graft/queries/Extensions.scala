@@ -1747,6 +1747,52 @@ object Extensions {
       ORDER BY label, dim""")
   )
 
+  private val q98_multimodal_decode = Q(
+    "q98_multimodal_decode",
+    // REAL image decode, oracle-backed end to end: each doc id
+    // deterministically generates an 8x8 grayscale image
+    // (g(i) = (doc_id*31 + i*7) % 256, row-major), which is ENCODED to
+    // actual BMP bytes (javax.imageio) and DECODED back through the
+    // production ImageIoCodec — real container, real pixel read, the
+    // full codec seam. The emitted 4x4-grid luminance means are pure
+    // IEEE arithmetic on the recovered pixel values, so DuckDB
+    // recomputes them from the generating formula: equality proves
+    // the encode->decode round trip recovered every pixel exactly.
+    (s, dir) => {
+      val decodeUdf = udf((id: Long) => {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val g = ((id * 31 + i * 7) % 256).toInt
+          img.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        graft.operators.Multimodal.ImageIoCodec.decode(bos.toByteArray)
+      })
+      table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(decodeUdf(col("doc_id"))).as(Seq("_d0", "c")))
+        .select(col("doc_id"),
+          (col("_d0") + 1).cast("long").as("dim"), col("c"))
+        .orderBy("doc_id", "dim")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+      px AS (SELECT doc_id, u.i AS i,
+          CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE) AS g
+        FROM d CROSS JOIN unnest(range(0, 64)) AS u(i)),
+      cells AS (SELECT doc_id,
+          ((i // 8) // 2) * 4 + ((i % 8) // 2) AS cell,
+          list(0.299*g + 0.587*g + 0.114*g ORDER BY i) AS lums
+        FROM px GROUP BY doc_id, ((i // 8) // 2) * 4 + ((i % 8) // 2))
+      SELECT doc_id, CAST(cell + 1 AS BIGINT) AS dim,
+        CAST(list_aggregate(lums, 'sum') / 4 / 255.0 AS REAL) AS c
+      FROM cells ORDER BY doc_id, dim""")
+  )
+
   private val q77_percentiles_approx = Q(
     "q77_percentiles_approx",
     // The sketch percentile path, continuously verified: run
@@ -1867,6 +1913,6 @@ object Extensions {
     q86_index_compaction, q87_route_quality, q90_label_centroids,
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
-    q97_centroids_twophase,
+    q97_centroids_twophase, q98_multimodal_decode,
     q44_curation_pipeline, q45_source_audit)
 }

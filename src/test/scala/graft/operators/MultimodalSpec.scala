@@ -76,6 +76,104 @@ class MultimodalSpec extends AnyFunSuite {
       assert(strideAgain(id) == f.embedding.toSeq) }
   }
 
+  // ---- real codecs (JDK ImageIO / javax.sound) through the seam ----
+
+  /** Deterministic 32x24 test image: a luminance gradient with a
+    * bright square in one cell. */
+  private def testImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val v = (x * 255 / 31 + y * 255 / 23) / 2
+      val rgb =
+        if (x >= 24 && y < 6) 0xffffff // bright cell (0,3)
+        else (v << 16) | (v << 8) | v
+      img.setRGB(x, y, rgb)
+    }
+    img
+  }
+
+  private def encodeImage(
+      img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec: real pixel decode — PNG and BMP of the SAME image agree") {
+    val img = testImage()
+    val png = encodeImage(img, "png")
+    val bmp = encodeImage(img, "bmp")
+    assert(!png.sameElements(bmp)) // genuinely different byte streams
+    val fromPng = ImageIoCodec.decode(png)
+    val fromBmp = ImageIoCodec.decode(bmp)
+    // a real codec is a function of the IMAGE, not the bytes — the
+    // property no byte-level stub can pass (and, pinned below, the
+    // histogram stub indeed fails it)
+    assert(fromPng.toSeq == fromBmp.toSeq)
+    assert(MediaCodec.decodeStub(png).toSeq != MediaCodec.decodeStub(bmp).toSeq)
+    // hand-check the grid: the bright planted square fills grid cell
+    // (row 0, col 3) exactly, so dim 3 is the brightest ...
+    assert(fromPng.length == MediaCodec.EmbeddingDim)
+    assert(fromPng(3) > 0.99f, s"bright cell read ${fromPng(3)}")
+    assert(fromPng.zipWithIndex.forall { case (v, i) =>
+      i == 3 || v < fromPng(3) })
+    // ... and the gradient makes the bottom-right cell the brightest
+    // of the bottom row
+    assert(fromPng(15) > fromPng(12))
+    // garbage fails loudly, never a silent zero vector
+    val e = intercept[IllegalArgumentException] {
+      ImageIoCodec.decode("not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("WavPcmCodec: real WAV decode — segment RMS matches the synthesized signal") {
+    // 1600 frames of 16-bit mono PCM: first half silence, second half
+    // a full-scale square wave (RMS 1.0 by construction)
+    val nFrames = 1600
+    val pcm = new Array[Byte](nFrames * 2)
+    for (f <- nFrames / 2 until nFrames) {
+      val s: Short = if (f % 2 == 0) 32767 else -32767
+      pcm(2 * f) = (s & 0xff).toByte // little-endian
+      pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val emb = WavPcmCodec.decode(wav)
+    assert(emb.length == MediaCodec.EmbeddingDim)
+    // segments 0..7 silent, 8..15 full-scale (|sample| = 32767/32768)
+    (0 until 8).foreach(i => assert(emb(i) == 0f, s"segment $i"))
+    (8 until 16).foreach(i =>
+      assert(math.abs(emb(i) - 32767f / 32768f) < 1e-4f, s"segment $i"))
+    val e = intercept[IllegalArgumentException] {
+      WavPcmCodec.decode("not audio".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable audio"))
+  }
+
+  test("real codecs ride the SAME extractFeatures plumbing (seam untouched)") {
+    import spark.implicits._
+    val img = testImage()
+    val recs = Seq(
+      MediaRecord(1L,
+        MediaMeta("image", 32, 24, 0, 0L), encodeImage(img, "png")),
+      MediaRecord(2L,
+        MediaMeta("image", 32, 24, 0, 0L), encodeImage(img, "bmp")))
+    val ds = spark.createDataset(recs)
+    val feats = extractFeatures(ds, ImageIoCodec).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).embedding.toSeq == feats(2L).embedding.toSeq)
+    assert(feats(1L).checksum != feats(2L).checksum) // bytes differ
+    assert(feats(1L).embedding.toSeq ==
+      ImageIoCodec.decode(recs.head.payload).toSeq)
+  }
+
   test("sampleFrames fans out only videos, frame count as configured") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
