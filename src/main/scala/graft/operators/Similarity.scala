@@ -715,14 +715,17 @@ object Similarity {
     * pre-sampled, or routed through [[groupCentroidsTwoPhase]] — the
     * at-scale relaxation that trades the bitwise fold for partial
     * sums with an explicit reordering-error bound asserted in-job.
-    * Output: (group, n, dim, c) — one row per dimension, 1-based, so
-    * the emitted values stay scalar. */
+    * NULL vectors are EXCLUDED (both from the fold and from `n`) —
+    * explicitly, not via an NPE deep in a task; a group of only null
+    * vectors emits nothing. Output: (group, n, dim, c) — one row per
+    * dimension, 1-based, so the emitted values stay scalar. */
   def groupCentroids(
-      df: DataFrame,
+      df0: DataFrame,
       groupCol: String,
       idCol: String,
       vecCol: String,
       maxGroupSize: Long = 1L << 20): DataFrame = {
+    val df = df0.filter(col(vecCol).isNotNull)
     // the guard scans only the group column (columnar scan prunes the
     // vectors) — one partial-agg count job, the price of failing fast
     // BEFORE a whole group's vectors are built into one task's list
@@ -775,15 +778,17 @@ object Similarity {
     * magnitude/cardinality outgrew the relaxation, instead of
     * silently drifting from the exact answer). SimilaritySpec proves
     * |twoPhase − exact| ≤ err_bound on random data under adversarial
-    * repartition. Output: (group, n, dim, c, err_bound). */
+    * repartition. Null vectors are excluded like [[groupCentroids]].
+    * Output: (group, n, dim, c, err_bound). */
   def groupCentroidsTwoPhase(
-      df: DataFrame,
+      df0: DataFrame,
       groupCol: String,
       idCol: String,
       vecCol: String,
       maxAbsError: Double = 1e-6): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
+    val df = df0.filter(col(vecCol).isNotNull)
     val spark = df.sparkSession
     val sel = df.select(col(groupCol).as("group"),
       col(idCol).cast("long").as("id"),

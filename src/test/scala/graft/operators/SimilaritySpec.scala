@@ -342,6 +342,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxAbsError"))
   }
 
+  test("groupCentroids / twoPhase: null vectors excluded explicitly, not an NPE") {
+    val fx = Seq(
+      (1L, "g", Option(Seq(2.0f, 4.0f))),
+      (2L, "g", Option.empty[Seq[Float]]), // must not poison the fold
+      (3L, "g", Option(Seq(4.0f, 0.0f))),
+      (4L, "allnull", Option.empty[Seq[Float]])
+    ).toDF("id", "grp", "v")
+    val exact = Similarity.groupCentroids(fx, "grp", "id", "v")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // n counts only non-null vectors; the all-null group vanishes
+    assert(exact == Set(("g", 2L, 1L, 3.0), ("g", 2L, 2L, 2.0)))
+    val two = Similarity.groupCentroidsTwoPhase(fx, "grp", "id", "v")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(two.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+      Set(("g", 2L, 1L, 3.0), ("g", 2L, 2L, 2.0)))
+  }
+
   test("centroidOutliers: a planted anti-centroid vector surfaces first") {
     import org.apache.spark.sql.functions.col
     // group of near-identical vectors + one pointing the opposite way
