@@ -77,6 +77,50 @@ object Sampling {
     (BigDecimal(fraction) * BigDecimal(BigInt(1) << 64))
       .toBigInt.longValue
 
+  /** Deterministic corpus shuffle into shards — the "randomize 100 TB
+    * of training documents, reproducibly" step every pretraining run
+    * needs before sequence packing: a document's position must be a
+    * pure function of its key (stage retries, re-runs, and other
+    * engines must all agree), never of `rand()` or input order.
+    *
+    * Each row's md5(key ++ ":" ++ salt) low 64 bits (unsigned) give
+    * BOTH its shard (hash mod nShards) and its rank within the shard
+    * (unsigned hash order, key tiebreak on the astronomically-rare
+    * collision) — so the output reads as a hash-random permutation of
+    * the corpus, sharded. Cross-engine by the [[crossEngineSample]]
+    * contract: DuckDB reproduces shard AND position exactly
+    * (`md5_number_lower(k) % n`, `row_number() OVER (PARTITION BY …
+    * ORDER BY hv, key)`) — the q99 oracle pins it.
+    *
+    * Scale shape: one shuffle keyed by shard; each shard sorts within
+    * its own task — which is exactly the production write shape (one
+    * task streams one sorted shard file), so pick nShards to make a
+    * shard file-sized (100k+ shards at 100 TB), never a global sort.
+    * Null keys hash as "" (all land together, deterministically);
+    * shard is unsigned-correct for the full 64-bit hash range.
+    * Output: the input columns + (shard, pos), pos 1-based within
+    * shard. */
+  def shuffleShards(
+      df: DataFrame, keyCol: Column, nShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val saltLocal = salt
+    val n = nShards.toLong
+    val u = udf((k: String) => {
+      val h = Kernels.md5Lower64((if (k == null) "" else k) + ":" + saltLocal)
+      // signed order of (h ^ MIN_VALUE) == unsigned order of h — the
+      // flip makes Spark's signed long sort match DuckDB's UBIGINT
+      (java.lang.Long.remainderUnsigned(h, n), h ^ Long.MinValue)
+    })
+    val withKey = df.withColumn("_sk", u(keyCol.cast("string")))
+    val w = Window.partitionBy(col("_sk._1"))
+      .orderBy(col("_sk._2").asc, keyCol.asc)
+    withKey
+      .withColumn("shard", col("_sk._1"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_sk")
+  }
+
   /** Exact per-group top-n by a deterministic hash order — a fixed-size
     * "reservoir" per group without any RNG: one window, shuffle keyed
     * by the group column. */

@@ -810,6 +810,28 @@ object Extensions {
     }
   )
 
+  private val q99_shuffle_shards = Q(
+    "q99_shuffle_shards",
+    // Deterministic sharded corpus shuffle: shard AND in-shard
+    // position are pure functions of md5(doc_id:salt), so the entire
+    // permutation — not just a sampled property of it — is the
+    // oracle; DuckDB recomputes every (shard, pos) bit-for-bit. The
+    // pretraining ordering step with zero RNG and zero global sort.
+    (s, dir) =>
+      graft.operators.Sampling.shuffleShards(
+        table(s, dir, "documents"), col("doc_id"), nShards = 8,
+        salt = "graft")
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos"),
+    Some("""WITH h AS (SELECT doc_id,
+        md5_number_lower(CAST(doc_id AS VARCHAR) || ':graft') AS hv
+      FROM documents)
+      SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY hv % 8
+          ORDER BY hv, doc_id) AS BIGINT) AS pos
+      FROM h ORDER BY shard, pos""")
+  )
+
   private val q69_token_budget = Q(
     "q69_token_budget",
     // Quality-first token-budget cut: keep the best-quality prefix
@@ -1913,6 +1935,6 @@ object Extensions {
     q86_index_compaction, q87_route_quality, q90_label_centroids,
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
-    q97_centroids_twophase, q98_multimodal_decode,
+    q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -236,4 +236,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("shuffleShards: a permutation — every id once, contiguous positions, repartition-stable") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val n = docs.count()
+    val a = Sampling.shuffleShards(docs, col("doc_id"), nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    // a permutation: every input id exactly once
+    assert(a.length == n && a.map(_._1).distinct.length == n)
+    // shards in range; positions contiguous 1..|shard| within each
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // deterministic: same assignment under adversarial repartition
+    val b = Sampling.shuffleShards(
+      docs.repartition(17), col("doc_id"), nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // agrees with a direct kernel recompute (shard + unsigned order)
+    val hv = a.map { case (id, sh, pos) =>
+      val h = Kernels.md5Lower64(s"$id:graft")
+      assert(java.lang.Long.remainderUnsigned(h, 8) == sh, s"doc $id")
+      (sh, pos, h ^ Long.MinValue)
+    }
+    hv.groupBy(_._1).values.foreach { rows =>
+      val byPos = rows.sortBy(_._2).map(_._3)
+      assert(byPos.toSeq == byPos.sorted.toSeq, "pos order != hash order")
+    }
+    // salt changes the permutation
+    val c = Sampling.shuffleShards(docs, col("doc_id"), 8, salt = "other")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+  }
 }
