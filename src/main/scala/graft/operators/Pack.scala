@@ -56,6 +56,56 @@ object Pack {
       .select("id", "shard", "toks", "start_offset", "first_chunk", "last_chunk")
   }
 
+  /** Length-bucketed batch assignment — the padding-minimization step
+    * for runs that batch whole documents (SFT/eval) instead of
+    * packing a flat stream: batching arbitrary-length docs together
+    * pads every row to the batch max, so group docs of SIMILAR length
+    * (`bucket` = toks / bucketWidth) and fill fixed-size batches
+    * inside each bucket. Output is the per-batch REPORT the loader
+    * and the capacity planner consume: (bucket, shard, batch, n_docs,
+    * max_toks, sum_toks, padding) with padding = n·max − sum, the
+    * exact token waste the bucketing saved or left.
+    *
+    * Scale shape: a per-bucket contiguous numbering would sort each
+    * bucket in ONE task (a bucket holds an unbounded fraction of the
+    * corpus), so batches are assigned within (bucket, shard) cells —
+    * `shard` = id mod `shards`, deterministic and SQL-exact — and the
+    * window sorts one task-sized cell each, buckets × shards ways
+    * parallel. Batches never mix buckets, so the padding bound
+    * (bucketWidth − 1 per doc) holds regardless of shard count;
+    * callers size `shards` so a cell fits a task, exactly like
+    * [[sequenceOffsets]]'s shard contract. All integer math — the
+    * q100 oracle recomputes every row. */
+  def lengthBatches(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      bucketWidth: Long,
+      batchSize: Int,
+      shards: Int = 1): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val toks = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      toks.as("toks"),
+      floor(toks / bucketWidth).cast("long").as("bucket"),
+      pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy("bucket", "shard")
+      .orderBy(col("toks").asc, col("id").asc)
+    base
+      .withColumn("batch",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy("bucket", "shard", "batch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("sum_toks"))
+      .withColumn("padding",
+        col("n_docs") * col("max_toks") - col("sum_toks"))
+  }
+
   /** Overlapping-window chunking WITHIN each document — the
     * retrieval/embedding-side counterpart to the packing report above
     * (packing concatenates docs into a training stream; RAG-style

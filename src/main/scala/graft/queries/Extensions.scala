@@ -832,6 +832,37 @@ object Extensions {
       FROM h ORDER BY shard, pos""")
   )
 
+  private val q100_length_batches = Q(
+    "q100_length_batches",
+    // Length-bucketed batch assignment: docs grouped by similar token
+    // count (bucket = toks/50), fixed-size batches filled inside each
+    // (bucket, shard) cell — the padding-minimization report for runs
+    // that batch whole documents. Pure integer math; the oracle
+    // recomputes every batch's count/max/sum/padding.
+    (s, dir) => {
+      val t = table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("toks"))
+      graft.operators.Pack.lengthBatches(
+        t, "doc_id", "toks", bucketWidth = 50L, batchSize = 8, shards = 2)
+        .orderBy("bucket", "shard", "batch")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks, toks // 50 AS bucket,
+        doc_id % 2 AS shard FROM t),
+      r AS (SELECT *, (row_number() OVER (PARTITION BY bucket, shard
+        ORDER BY toks, doc_id) - 1) // 8 AS batch FROM b)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+        CAST(shard AS BIGINT) AS shard, CAST(batch AS BIGINT) AS batch,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(max(toks) AS BIGINT) AS max_toks,
+        CAST(sum(toks) AS BIGINT) AS sum_toks,
+        CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS padding
+      FROM r GROUP BY bucket, shard, batch
+      ORDER BY bucket, shard, batch""")
+  )
+
   private val q69_token_budget = Q(
     "q69_token_budget",
     // Quality-first token-budget cut: keep the best-quality prefix
@@ -1936,5 +1967,6 @@ object Extensions {
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
+    q100_length_batches,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -178,6 +178,49 @@ class PackSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBatches: buckets bound padding, batches sized, hand-checked report") {
+    import spark.implicits._
+    // toks: 3,7,12,18,21,55,60,120 with width 10, batch 2, one shard
+    val fx = Seq(
+      (1L, 3L), (2L, 7L), (3L, 12L), (4L, 18L),
+      (5L, 21L), (6L, 55L), (7L, 60L), (8L, 120L)
+    ).toDF("doc_id", "toks")
+    val got = Pack.lengthBatches(fx, "doc_id", "toks",
+      bucketWidth = 10L, batchSize = 2, shards = 1)
+      .orderBy("bucket", "batch")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0: toks 3,7 -> one batch (max 7, sum 10, padding 4);
+    // bucket 1: 12,18 -> (18,30,6); bucket 2: 21 alone; 5: 55; 6: 60; 12: 120
+    assert(got == Seq(
+      (0L, 0L, 0L, 2L, 7L, 10L, 4L),
+      (1L, 0L, 0L, 2L, 18L, 30L, 6L),
+      (2L, 0L, 0L, 1L, 21L, 21L, 0L),
+      (5L, 0L, 0L, 1L, 55L, 55L, 0L),
+      (6L, 0L, 0L, 1L, 60L, 60L, 0L),
+      (12L, 0L, 0L, 1L, 120L, 120L, 0L)))
+    // invariants on the fixture corpus: batches never exceed size,
+    // padding per doc < bucketWidth, assignment repartition-stable
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("toks"))
+    val a = Pack.lengthBatches(docs, "doc_id", "toks", 50L, 8, shards = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(a.nonEmpty)
+    a.foreach { case (_, sh, _, n, mx, sm, pad) =>
+      assert(n >= 1 && n <= 8 && (sh == 0L || sh == 1L))
+      assert(pad == n * mx - sm)
+      assert(pad < n * 50L, "bucketing must bound padding below width per doc")
+    }
+    assert(a.map(_._4).sum == docs.count()) // every doc in exactly one batch
+    val b = Pack.lengthBatches(docs.repartition(13), "doc_id", "toks", 50L, 8, 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(a.sortBy(r => (r._1, r._2, r._3)).toSeq ==
+      b.sortBy(r => (r._1, r._2, r._3)).toSeq)
+    intercept[IllegalArgumentException] {
+      Pack.lengthBatches(fx, "doc_id", "toks", 0L, 2)
+    }
+  }
+
   test("graft_chunks SQL face enforces the kernel parameter contract") {
     graft.expressions.GraftFunctions.registerAll(spark)
     // valid SQL call still works
