@@ -152,6 +152,23 @@ class PlanHygieneSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("q99/q100: shuffle + batching windows are partitioned, never global") {
+    // shuffleShards ranks within shard, lengthBatches within
+    // (bucket, shard) — a Window without the partition key would be
+    // the single-partition global sort these operators exist to avoid
+    // a Window node prints `Window [exprs], [partitionSpec], [orderSpec]`
+    // — an empty partition spec (`], [], [`) is the global-sort shape
+    for (q <- Seq("q99_shuffle_shards", "q100_length_batches")) {
+      val p = plan(q)
+      val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(ws.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
+      ws.foreach { l =>
+        assert(!l.replaceAll("\\s", "").contains("],[],["),
+          s"$q plans an UNPARTITIONED window:\n$l")
+      }
+    }
+  }
+
   test("q69: token budget never plans an unpartitioned window") {
     // the two-phase cut's entire point: the cumulative window is
     // partitioned by the quality bucket (parallel, bounded partitions)
