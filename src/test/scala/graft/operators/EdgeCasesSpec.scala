@@ -155,4 +155,42 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Gates.pairRecall(approx, exact) == 0.5)
     assert(Gates.pairRecall(approx.limit(0), exact) == 0.0)
   }
+
+  test("shuffleShards: empty corpus and null keys stay deterministic, never throw") {
+    assert(Sampling.shuffleShards(emptyDocs, col("doc_id"), 4).count() == 0)
+    // null keys hash as "" — they all land in the same shard slot,
+    // deterministically, with the id tiebreak keeping positions stable
+    val withNulls = Seq(
+      (Some(1L), "a"), (None, "b"), (None, "c"), (Some(2L), "d")
+    ).toDF("doc_id", "text")
+    val a = Sampling.shuffleShards(withNulls, col("doc_id"), 4)
+      .select("text", "shard", "pos").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = Sampling.shuffleShards(withNulls.repartition(5), col("doc_id"), 4)
+      .select("text", "shard", "pos").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b && a.length == 4)
+    assert(a.filter(r => r._1 == "b" || r._1 == "c")
+      .map(_._2).distinct.length == 1) // null keys co-shard
+  }
+
+  test("lengthBatches: empty input and zero-token docs") {
+    assert(Pack.lengthBatches(
+      Seq.empty[(Long, Long)].toDF("doc_id", "toks"),
+      "doc_id", "toks", 10L, 4).count() == 0)
+    // zero/null token counts land in bucket 0 with zero padding
+    val z = Pack.lengthBatches(
+      Seq((1L, Some(0L)), (2L, Option.empty[Long]), (3L, Some(2L)))
+        .toDF("doc_id", "toks"),
+      "doc_id", "toks", 10L, 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(z.length == 1)
+    val (bucket, _, _, n, mx, sm, pad) = z.head
+    assert(bucket == 0L && n == 3L && mx == 2L && sm == 2L && pad == 4L)
+  }
+
+  test("groupCentroidsTwoPhase: empty input passes the gate vacuously") {
+    val empty = Seq.empty[(Long, String, Array[Float])].toDF("id", "grp", "v")
+    assert(Similarity.groupCentroidsTwoPhase(empty, "grp", "id", "v").count() == 0)
+  }
 }
