@@ -254,6 +254,43 @@ object Extensions {
     Some(jaccardOracle)
   )
 
+  private val q101_stream_ingest_dedup = Q(
+    "q101_stream_ingest_dedup",
+    // Continuous near-dup ingestion, oracle-backed end to end: the
+    // corpus arrives as TWO file batches through ingestNearDupStream
+    // — batch 0 has no index and self-pairs; batch 1 probes batch 0's
+    // persisted index deltas (the old half is never re-shingled). The
+    // union of the per-batch pair outputs must equal the one-shot
+    // full-corpus LSH pair set, so the q36 exact-Jaccard oracle
+    // applies unchanged to the STREAMING path. Each run uses fresh
+    // temp dirs (checkpoint included), so the query is rerunnable.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q101_").toString
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val cut = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+      def run(): Unit = {
+        val q = graft.streaming.Streams.ingestNearDupStream(
+          s.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(s"$base/in"),
+          "doc_id", "text",
+          indexDir = s"$base/index", pairsDir = s"$base/pairs",
+          checkpointDir = s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      docs.filter(col("doc_id") <= cut)
+        .coalesce(1).write.parquet(s"$base/in")
+      run() // batch 0: first half, no index yet
+      docs.filter(col("doc_id") > cut)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      run() // batch 1: second half vs the persisted deltas
+      s.read.parquet(s"$base/pairs")
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+    Some(jaccardOracle)
+  )
+
   private val q37_dedup_simhash = Q(
     "q37_dedup_simhash",
     // SimHash with md5-derived token hashes: Kernels.md5Lower64 is
@@ -1967,6 +2004,6 @@ object Extensions {
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
-    q100_length_batches,
+    q100_length_batches, q101_stream_ingest_dedup,
     q44_curation_pipeline, q45_source_audit)
 }

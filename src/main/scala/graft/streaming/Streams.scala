@@ -311,4 +311,68 @@ object Streams {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Continuous near-dup ingestion — the streaming face of the
+    * incremental MinHash-LSH story ([[graft.operators.Dedup]]): each
+    * micro-batch of documents is probed against the PERSISTED index
+    * (new-vs-old and new-vs-new collisions, exact-Jaccard verified —
+    * `minHashLshIncremental`, so the old corpus is never re-shingled
+    * and per-batch cost tracks the batch), its near-dup pairs land in
+    * `pairsDir/batch=N`, and its index rows are appended as
+    * `indexDir/delta=N` — exactly the delta layout
+    * [[graft.operators.Dedup.compactIndex]] consumes for LWW +
+    * tombstone maintenance (the directory's partition column IS the
+    * compaction order).
+    *
+    * Exactly-once by idempotence: every batch's two writes go to
+    * batch-id-deterministic subdirectories with `overwrite`, so a
+    * recovery replay of an uncommitted batch rewrites byte-identical
+    * outputs instead of appending duplicates — the foreachBatch
+    * analog of the `_spark_metadata` manifest the plain sinks rely
+    * on. Micro-batches execute serially, so batch N's probe sees
+    * exactly deltas 0..N−1 (reading the index dir inside the batch is
+    * safe by construction). The first batch (no index yet) self-pairs
+    * via `minHashLshPairs`. StreamsSpec pins stream == batch: the
+    * union of all batches' pairs equals the full-corpus pair set, and
+    * the compacted delta index equals a fresh rebuild. */
+  def ingestNearDupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      minJ: Double = 0.5,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val hasIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
+            .exists(_.getPath.getName.startsWith("delta="))
+          val pairs =
+            if (hasIndex) {
+              val idx = spark.read.parquet(indexDir)
+                .select("id", "ngrams", "bands")
+              Dedup.minHashLshIncremental(b, idCol, textCol, idx,
+                minJ, n, bands, rowsPerBand)
+            } else {
+              Dedup.minHashLshPairs(b, idCol, textCol, n, bands,
+                rowsPerBand, minJ)
+            }
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          Dedup.minHashIndex(b, idCol, textCol, n, bands, rowsPerBand)
+            .write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
+        } finally b.unpersist(blocking = false)
+      }
+      .start()
+  }
 }

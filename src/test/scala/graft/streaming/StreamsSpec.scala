@@ -349,4 +349,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(decontaminateStream(docs, "text", heldout, "text", n = 2)
       .count() == 1L)
   }
+
+  test("ingestNearDupStream: streamed batches == one-shot batch pairs; delta index compacts to rebuild") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val cut = 250L
+    val half1 = docs.filter($"doc_id" < cut)
+      .as[(Long, String)].collect().toSeq
+    val half2 = docs.filter($"doc_id" >= cut)
+      .as[(Long, String)].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val mem = MemoryStream[(Long, String)]
+    val query = ingestNearDupStream(
+      mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text",
+      indexDir = s"$base/index", pairsDir = s"$base/pairs",
+      checkpointDir = s"$base/ckpt")
+    try {
+      // two genuine micro-batches: batch 0 has no index (self-pairs),
+      // batch 1 probes batch 0's persisted delta
+      mem.addData(half1); query.processAllAvailable()
+      mem.addData(half2); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == oneShot,
+      "union of per-batch pairs must equal the one-shot batch pair set")
+    // the delta layout is compactIndex's input format: compacting the
+    // stream's index deltas reproduces a fresh full-corpus index
+    val deltas = spark.read.parquet(s"$base/index")
+    assert(deltas.select("delta").distinct().count() == 2)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "ngrams", "bands")
+        .as[(Long, Seq[String], Seq[Long])].collect()
+        .map { case (id, ng, b) => (id, ng.toList, b.toList) }
+        .sortBy(_._1).toList
+    val compacted = graft.operators.Dedup.compactIndex(
+      Seq(deltas.filter($"delta" === 0), deltas.filter($"delta" === 1)))
+    assert(snap(compacted) ==
+      snap(graft.operators.Dedup.minHashIndex(docs, "doc_id", "text")))
+  }
 }
