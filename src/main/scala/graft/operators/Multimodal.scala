@@ -154,6 +154,12 @@ object Multimodal {
           case e: javax.sound.sampled.UnsupportedAudioFileException =>
             throw new IllegalArgumentException(
               "WavPcmCodec: payload is not a decodable audio stream", e)
+          // a recognized RIFF header with truncated/corrupt chunks
+          // throws IOException — same bad-data class, same loud
+          // contract (callers screen on IllegalArgumentException)
+          case e: java.io.IOException =>
+            throw new IllegalArgumentException(
+              "WavPcmCodec: payload is not a decodable audio stream", e)
         }
       try {
         val fmt = in.getFormat

@@ -98,8 +98,12 @@ object Sampling {
     * shard file-sized (100k+ shards at 100 TB), never a global sort.
     * Null keys hash as "" (all land together, deterministically);
     * shard is unsigned-correct for the full 64-bit hash range.
-    * Output: the input columns + (shard, pos), pos 1-based within
-    * shard. */
+    * DUPLICATE keys (including multiple nulls) cannot tiebreak on the
+    * key, so the order falls through to a hash of the WHOLE ROW —
+    * still a pure function of content, never of arrival order (rows
+    * that are fully identical are interchangeable, so any order is
+    * the same output). Output: the input columns + (shard, pos), pos
+    * 1-based within shard. */
   def shuffleShards(
       df: DataFrame, keyCol: Column, nShards: Int,
       salt: String = "graft"): DataFrame = {
@@ -114,7 +118,8 @@ object Sampling {
     })
     val withKey = df.withColumn("_sk", u(keyCol.cast("string")))
     val w = Window.partitionBy(col("_sk._1"))
-      .orderBy(col("_sk._2").asc, keyCol.asc)
+      .orderBy(col("_sk._2").asc, keyCol.asc,
+        xxhash64(df.columns.map(col): _*).asc)
     withKey
       .withColumn("shard", col("_sk._1"))
       .withColumn("pos", row_number().over(w).cast("long"))

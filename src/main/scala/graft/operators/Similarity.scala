@@ -844,6 +844,12 @@ object Similarity {
       while (p < ns.length) {
         n += ns(p)
         val s = sums(p); val a = abss(p)
+        // phase 1 catches ragged vectors WITHIN a partition; a group
+        // whose partitions disagree on dim (each internally
+        // consistent) must fail just as loudly here — same contract
+        // as Kernels.centroid, never a silent truncation
+        require(s.length == dim,
+          s"ragged vectors across partitions: ${s.length} vs $dim")
         var i = 0
         while (i < dim) { sum(i) += s(i); abs(i) += a(i); i += 1 }
         p += 1

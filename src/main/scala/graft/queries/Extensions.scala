@@ -284,9 +284,20 @@ object Extensions {
       docs.filter(col("doc_id") > cut)
         .coalesce(1).write.mode("append").parquet(s"$base/in")
       run() // batch 1: second half vs the persisted deltas
-      s.read.parquet(s"$base/pairs")
+      // near-dup pair sets are tiny next to their corpora (bounded
+      // loudly here) — collect them into a local relation so the
+      // whole scratch tree (corpus copy, index, checkpoint) can be
+      // deleted NOW instead of accreting one temp dir per run
+      val pairsDf = s.read.parquet(s"$base/pairs")
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+      val collected = pairsDf.collect()
+      require(collected.length <= 1000000,
+        s"q101 pair set has ${collected.length} rows — not fixture-sized")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(collected: _*), pairsDf.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      out.orderBy("id_a", "id_b")
     },
     Some(jaccardOracle)
   )
@@ -480,6 +491,16 @@ object Extensions {
     val corpusN = e.count()
     val targetSample = 5000L
     val effMod = math.max(sampleMod, corpusN / targetSample)
+    if (effMod != sampleMod)
+      // the static DuckDB oracles hardcode the floor modulus — the
+      // derivation changes the emitted fixture the moment a corpus
+      // outgrows floor·5000 rows, so say WHY the hash will mismatch
+      // instead of leaving a confusing diff (regenerate the oracle
+      // SQL with the new modulus when adding such a fixture)
+      System.err.println(
+        s"[graft] sampled-gate modulus derived as $effMod (corpus " +
+          s"$corpusN rows) != static oracle modulus $sampleMod — " +
+          "regenerate the oracle SQL for this corpus size")
     val exactRows = Similarity.bruteForceTopK(
       e, "vec_id", "embedding",
       e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding", k)
@@ -1812,8 +1833,11 @@ object Extensions {
     // so the scale path has no rows-only gap.
     (s, dir) => {
       val e = table(s, dir, "embeddings")
+      // exact is read twice (gate join + emit): truncate once so the
+      // group collect and its guard job run once, not per consumer
       val exact = graft.operators.Similarity.groupCentroids(
         e, "label", "vec_id", "embedding")
+        .localCheckpoint(true)
       val two = graft.operators.Similarity.groupCentroidsTwoPhase(
         e, "label", "vec_id", "embedding")
       val disagree = exact.as("x")

@@ -316,13 +316,17 @@ object Streams {
     * incremental MinHash-LSH story ([[graft.operators.Dedup]]): each
     * micro-batch of documents is probed against the PERSISTED index
     * (new-vs-old and new-vs-new collisions, exact-Jaccard verified —
-    * `minHashLshIncremental`, so the old corpus is never re-shingled
-    * and per-batch cost tracks the batch), its near-dup pairs land in
-    * `pairsDir/batch=N`, and its index rows are appended as
-    * `indexDir/delta=N` — exactly the delta layout
-    * [[graft.operators.Dedup.compactIndex]] consumes for LWW +
-    * tombstone maintenance (the directory's partition column IS the
-    * compaction order).
+    * `minHashLshIncremental`, so the old corpus is never RE-SHINGLED:
+    * shingling/minhashing cost tracks the batch, while the probe
+    * itself still SCANS the accumulated index deltas each batch — at
+    * production scale keep the index compacted
+    * ([[graft.operators.Dedup.compactIndex]]) and laid out for the
+    * band-bucket join, and batch latency is one index scan + the
+    * batch's own work, not a corpus re-computation). Near-dup pairs
+    * land in `pairsDir/batch=N`, and index rows are appended as
+    * `indexDir/delta=N` — exactly the delta layout `compactIndex`
+    * consumes for LWW + tombstone maintenance (the directory's
+    * partition column IS the compaction order).
     *
     * Exactly-once by idempotence: every batch's two writes go to
     * batch-id-deterministic subdirectories with `overwrite`, so a
@@ -356,11 +360,24 @@ object Streams {
         try {
           val idxPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+          // replay safety: a crash AFTER delta=N landed but BEFORE the
+          // checkpoint committed replays batch N — which must probe
+          // exactly the index state the original run saw, deltas
+          // 0..N-1 ONLY. Reading its own (already-written) delta
+          // would union every batch-N id into the index twice and
+          // double-emit its pairs; bounding the probe by batchId makes
+          // the replay byte-identical instead (and a replayed batch 0
+          // correctly takes the self-pair branch again).
           val hasIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
-            .exists(_.getPath.getName.startsWith("delta="))
+            .exists { st =>
+              val name = st.getPath.getName
+              name.startsWith("delta=") &&
+                name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
+            }
           val pairs =
             if (hasIndex) {
               val idx = spark.read.parquet(indexDir)
+                .filter(col("delta") < batchId)
                 .select("id", "ngrams", "bands")
               Dedup.minHashLshIncremental(b, idCol, textCol, idx,
                 minJ, n, bands, rowsPerBand)
