@@ -350,46 +350,64 @@ object Streams {
       n: Int = 3,
       bands: Int = 32,
       rowsPerBand: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.Dedup
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-          // replay safety: a crash AFTER delta=N landed but BEFORE the
-          // checkpoint committed replays batch N — which must probe
-          // exactly the index state the original run saw, deltas
-          // 0..N-1 ONLY. Reading its own (already-written) delta
-          // would union every batch-N id into the index twice and
-          // double-emit its pairs; bounding the probe by batchId makes
-          // the replay byte-identical instead (and a replayed batch 0
-          // correctly takes the self-pair branch again).
-          val hasIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
-            .exists { st =>
-              val name = st.getPath.getName
-              name.startsWith("delta=") &&
-                name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
-            }
-          val pairs =
-            if (hasIndex) {
-              val idx = spark.read.parquet(indexDir)
-                .filter(col("delta") < batchId)
-                .select("id", "ngrams", "bands")
-              Dedup.minHashLshIncremental(b, idCol, textCol, idx,
-                minJ, n, bands, rowsPerBand)
-            } else {
-              Dedup.minHashLshPairs(b, idCol, textCol, n, bands,
-                rowsPerBand, minJ)
-            }
-          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-          Dedup.minHashIndex(b, idCol, textCol, n, bands, rowsPerBand)
-            .write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
-        } finally b.unpersist(blocking = false)
+        ingestNearDupBatch(batch, batchId, idCol, textCol,
+          indexDir, pairsDir, minJ, n, bands, rowsPerBand)
       }
       .start()
+  }
+
+  /** One [[ingestNearDupStream]] micro-batch — factored out so the
+    * crash-replay contract is directly testable (StreamsSpec replays
+    * a committed batch and pins byte-identical outputs). */
+  private[streaming] def ingestNearDupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      pairsDir: String,
+      minJ: Double,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      // replay safety: a crash AFTER delta=N landed but BEFORE the
+      // checkpoint committed replays batch N — which must probe
+      // exactly the index state the original run saw, deltas
+      // 0..N-1 ONLY. Reading its own (already-written) delta
+      // would union every batch-N id into the index twice and
+      // double-emit its pairs; bounding the probe by batchId makes
+      // the replay byte-identical instead (and a replayed batch 0
+      // correctly takes the self-pair branch again).
+      val hasIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
+        .exists { st =>
+          val name = st.getPath.getName
+          name.startsWith("delta=") &&
+            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
+        }
+      val pairs =
+        if (hasIndex) {
+          val idx = spark.read.parquet(indexDir)
+            .filter(col("delta") < batchId)
+            .select("id", "ngrams", "bands")
+          Dedup.minHashLshIncremental(b, idCol, textCol, idx,
+            minJ, n, bands, rowsPerBand)
+        } else {
+          Dedup.minHashLshPairs(b, idCol, textCol, n, bands,
+            rowsPerBand, minJ)
+        }
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      Dedup.minHashIndex(b, idCol, textCol, n, bands, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
+    } finally b.unpersist(blocking = false)
   }
 }
