@@ -269,21 +269,25 @@ object Extensions {
         .createTempDirectory("graft_q101_").toString
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val cut = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
-      def run(): Unit = {
-        val q = graft.streaming.Streams.ingestNearDupStream(
-          s.readStream.schema("doc_id BIGINT, text STRING")
-            .parquet(s"$base/in"),
-          "doc_id", "text",
-          indexDir = s"$base/index", pairsDir = s"$base/pairs",
-          checkpointDir = s"$base/ckpt")
-        try q.processAllAvailable() finally q.stop()
-      }
+      // ONE streaming query carries both micro-batches (the file
+      // source picks up the second half's files on its next trigger)
+      // — functionally identical to two AvailableNow runs over the
+      // same checkpoint, at half the query-startup cost, which
+      // matters because the bench drives this query four times
       docs.filter(col("doc_id") <= cut)
         .coalesce(1).write.parquet(s"$base/in")
-      run() // batch 0: first half, no index yet
-      docs.filter(col("doc_id") > cut)
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      run() // batch 1: second half vs the persisted deltas
+      val q = graft.streaming.Streams.ingestNearDupStream(
+        s.readStream.schema("doc_id BIGINT, text STRING")
+          .parquet(s"$base/in"),
+        "doc_id", "text",
+        indexDir = s"$base/index", pairsDir = s"$base/pairs",
+        checkpointDir = s"$base/ckpt")
+      try {
+        q.processAllAvailable() // batch 0: first half, no index yet
+        docs.filter(col("doc_id") > cut)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+        q.processAllAvailable() // batch 1: second half vs the deltas
+      } finally q.stop()
       // near-dup pair sets are tiny next to their corpora (bounded
       // loudly here) — collect them into a local relation so the
       // whole scratch tree (corpus copy, index, checkpoint) can be
