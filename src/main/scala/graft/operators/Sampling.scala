@@ -117,9 +117,24 @@ object Sampling {
       (java.lang.Long.remainderUnsigned(h, n), h ^ Long.MinValue)
     })
     val withKey = df.withColumn("_sk", u(keyCol.cast("string")))
+    // the duplicate-key tiebreak hashes every HASHABLE column (maps
+    // are unordered and xxhash64 rejects them — a map-typed column
+    // must not break the operator; rows identical in all hashable
+    // columns are interchangeable for ordering purposes)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => false
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+    }
+    val tieCols = df.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val tie = if (tieCols.nonEmpty) xxhash64(tieCols: _*) else lit(0L)
     val w = Window.partitionBy(col("_sk._1"))
-      .orderBy(col("_sk._2").asc, keyCol.asc,
-        xxhash64(df.columns.map(col): _*).asc)
+      .orderBy(col("_sk._2").asc, keyCol.asc, tie.asc)
     withKey
       .withColumn("shard", col("_sk._1"))
       .withColumn("pos", row_number().over(w).cast("long"))

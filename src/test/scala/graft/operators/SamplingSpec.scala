@@ -271,5 +271,10 @@ class SamplingSpec extends AnyFunSuite {
     val c = Sampling.shuffleShards(docs, col("doc_id"), 8, salt = "other")
       .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
     assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+    // a map-typed column must not break the row-hash tiebreak (maps
+    // are unhashable; the tiebreak skips them)
+    val withMap = Seq((1L, Map("k" -> 1)), (2L, Map("k" -> 2)))
+      .toDF("doc_id", "m")
+    assert(Sampling.shuffleShards(withMap, col("doc_id"), 2).count() == 2)
   }
 }
