@@ -87,10 +87,11 @@ object Sampling {
     * BOTH its shard (hash mod nShards) and its rank within the shard
     * (unsigned hash order, key tiebreak on the astronomically-rare
     * collision) — so the output reads as a hash-random permutation of
-    * the corpus, sharded. Cross-engine by the [[crossEngineSample]]
-    * contract: DuckDB reproduces shard AND position exactly
-    * (`md5_number_lower(k) % n`, `row_number() OVER (PARTITION BY …
-    * ORDER BY hv, key)`) — the q99 oracle pins it.
+    * the corpus, sharded. With UNIQUE keys (the normal case — keys
+    * are ids) the permutation is cross-engine by the
+    * [[crossEngineSample]] contract: DuckDB reproduces shard AND
+    * position exactly (`md5_number_lower(k) % n`, `row_number() OVER
+    * (PARTITION BY … ORDER BY hv, key)`) — the q99 oracle pins it.
     *
     * Scale shape: one shuffle keyed by shard; each shard sorts within
     * its own task — which is exactly the production write shape (one
@@ -99,11 +100,14 @@ object Sampling {
     * Null keys hash as "" (all land together, deterministically);
     * shard is unsigned-correct for the full 64-bit hash range.
     * DUPLICATE keys (including multiple nulls) cannot tiebreak on the
-    * key, so the order falls through to a hash of the WHOLE ROW —
-    * still a pure function of content, never of arrival order (rows
-    * that are fully identical are interchangeable, so any order is
-    * the same output). Output: the input columns + (shard, pos), pos
-    * 1-based within shard. */
+    * key, so the order falls through to a hash of the row's HASHABLE
+    * columns — still a pure function of content, never of arrival
+    * order, but Spark-side only (a DuckDB oracle has no xxhash64, so
+    * cross-engine position parity requires unique keys), and rows
+    * that differ ONLY in an unhashable (map-typed) column remain
+    * order-tied — positions among exactly such rows are the one case
+    * this operator does not pin. Output: the input columns +
+    * (shard, pos), pos 1-based within shard. */
   def shuffleShards(
       df: DataFrame, keyCol: Column, nShards: Int,
       salt: String = "graft"): DataFrame = {
@@ -119,8 +123,8 @@ object Sampling {
     val withKey = df.withColumn("_sk", u(keyCol.cast("string")))
     // the duplicate-key tiebreak hashes every HASHABLE column (maps
     // are unordered and xxhash64 rejects them — a map-typed column
-    // must not break the operator; rows identical in all hashable
-    // columns are interchangeable for ordering purposes)
+    // must not break the operator; the residual tie between rows
+    // differing ONLY in map columns is documented above)
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
       import org.apache.spark.sql.types._
       dt match {

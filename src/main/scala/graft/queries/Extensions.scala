@@ -267,41 +267,43 @@ object Extensions {
     (s, dir) => {
       val base = java.nio.file.Files
         .createTempDirectory("graft_q101_").toString
-      val docs = table(s, dir, "documents").select("doc_id", "text")
-      val cut = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
-      // ONE streaming query carries both micro-batches (the file
-      // source picks up the second half's files on its next trigger)
-      // — functionally identical to two AvailableNow runs over the
-      // same checkpoint, at half the query-startup cost, which
-      // matters because the bench drives this query four times
-      docs.filter(col("doc_id") <= cut)
-        .coalesce(1).write.parquet(s"$base/in")
-      val q = graft.streaming.Streams.ingestNearDupStream(
-        s.readStream.schema("doc_id BIGINT, text STRING")
-          .parquet(s"$base/in"),
-        "doc_id", "text",
-        indexDir = s"$base/index", pairsDir = s"$base/pairs",
-        checkpointDir = s"$base/ckpt")
+      // the scratch tree (corpus copy, index, checkpoint) must die
+      // with the invocation on EVERY path — success or stream
+      // failure — so the cleanup wraps everything after the mkdir;
+      // the emitted rows live in a local relation by then
       try {
-        q.processAllAvailable() // batch 0: first half, no index yet
-        docs.filter(col("doc_id") > cut)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-        q.processAllAvailable() // batch 1: second half vs the deltas
-      } finally q.stop()
-      // near-dup pair sets are tiny next to their corpora (bounded
-      // loudly here) — collect them into a local relation so the
-      // whole scratch tree (corpus copy, index, checkpoint) can be
-      // deleted NOW instead of accreting one temp dir per run
-      val pairsDf = s.read.parquet(s"$base/pairs")
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-      val collected = pairsDf.collect()
-      require(collected.length <= 1000000,
-        s"q101 pair set has ${collected.length} rows — not fixture-sized")
-      val out = s.createDataFrame(
-        java.util.Arrays.asList(collected: _*), pairsDf.schema)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      out.orderBy("id_a", "id_b")
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val cut = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
+        // ONE streaming query carries both micro-batches (the file
+        // source picks up the second half's files on its next
+        // trigger) — functionally identical to two AvailableNow runs
+        // over the same checkpoint, at half the query-startup cost,
+        // which matters because the bench drives this query four times
+        docs.filter(col("doc_id") <= cut)
+          .coalesce(1).write.parquet(s"$base/in")
+        val q = graft.streaming.Streams.ingestNearDupStream(
+          s.readStream.schema("doc_id BIGINT, text STRING")
+            .parquet(s"$base/in"),
+          "doc_id", "text",
+          indexDir = s"$base/index", pairsDir = s"$base/pairs",
+          checkpointDir = s"$base/ckpt")
+        try {
+          q.processAllAvailable() // batch 0: first half, no index yet
+          docs.filter(col("doc_id") > cut)
+            .coalesce(1).write.mode("append").parquet(s"$base/in")
+          q.processAllAvailable() // batch 1: second half vs the deltas
+        } finally q.stop()
+        // near-dup pair sets are tiny next to their corpora: collect
+        // into a local relation (no sort needed before the collect —
+        // the emitted frame is ordered below)
+        collectToLocal(
+          s.read.parquet(s"$base/pairs")
+            .select("id_a", "id_b", "jaccard"),
+          "q101 pair set")
+          .orderBy("id_a", "id_b")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
     },
     Some(jaccardOracle)
   )
@@ -478,6 +480,20 @@ object Extensions {
     * modulus aligned. The collect is guarded loudly rather than
     * trusted. The distributed gate itself
     * ([[graft.operators.Gates.pairRecall]]) never collects. */
+  /** Collect a LOUDLY bounded result into a local relation — the
+    * emitted-fixture idiom shared by the sampled gates and q101: no
+    * files, caches, or lineage outlive the query once the (small by
+    * contract) rows live in the plan itself. */
+  private def collectToLocal(
+      df: org.apache.spark.sql.DataFrame, what: String,
+      limit: Int = 1000000): org.apache.spark.sql.DataFrame = {
+    val collected = df.collect()
+    require(collected.length <= limit,
+      s"$what has ${collected.length} rows — not driver-sized (limit $limit)")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(collected: _*), df.schema)
+  }
+
   private def recallGatedSampled(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
       ann: org.apache.spark.sql.DataFrame, floor: Double,
@@ -509,12 +525,8 @@ object Extensions {
       e, "vec_id", "embedding",
       e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding", k)
       .orderBy("query_id", "rank")
-    val collected = exactRows.collect()
-    require(collected.length <= 1000000,
-      s"sampled exact reference has ${collected.length} rows — raise " +
-        "sampleMod so the gate fixture stays driver-sized")
-    val emitted = s.createDataFrame(
-      java.util.Arrays.asList(collected: _*), exactRows.schema)
+    val emitted = collectToLocal(exactRows,
+      "sampled exact reference (raise sampleMod)")
     val recall = graft.operators.Gates.pairRecall(
       ann.filter(col("query_id") % effMod === 0), emitted)
     graft.operators.Gates.requireFloor(recall, floor,

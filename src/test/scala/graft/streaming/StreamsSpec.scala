@@ -396,17 +396,21 @@ class StreamsSpec extends AnyFunSuite {
       snap(graft.operators.Dedup.minHashIndex(docs, "doc_id", "text")))
     // crash-replay contract: re-running batch 1 AFTER its delta=1
     // already landed (crash between the writes and the checkpoint
-    // commit) must reproduce the identical pair set — the probe is
-    // bounded to deltas < batchId, so the batch never sees its own
-    // ghost in the index
-    val before = streamed
+    // commit) must reproduce byte-identical output. Compared as a
+    // sorted MULTISET, not a Set: the pre-fix failure mode (batch
+    // unioned with its own ghost delta) emits each pair as 2-4
+    // identical ROWS, which a Set comparison would silently collapse
+    // — row multiplicity is exactly the signal.
+    def pairRows() = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val before = pairRows()
     Streams.ingestNearDupBatch(
       half2.toDF("doc_id", "text"), batchId = 1L, "doc_id", "text",
       s"$base/index", s"$base/pairs", minJ = 0.5, n = 3,
       bands = 32, rowsPerBand = 4)
-    val after = spark.read.parquet(s"$base/pairs")
-      .select("id_a", "id_b", "jaccard")
-      .as[(Long, Long, Double)].collect().toSet
-    assert(after == before, "replayed batch changed the pair set")
+    val after = pairRows()
+    assert(after == before,
+      s"replayed batch changed the output (${before.length} -> ${after.length} rows)")
   }
 }
