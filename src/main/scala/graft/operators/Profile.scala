@@ -81,6 +81,60 @@ object Profile {
     }
   }
 
+  /** Row-level snapshot diff — the record-granularity complement to
+    * [[drift]]'s column-level gate: which keys were ADDED, REMOVED,
+    * or CHANGED between two snapshots of the same table (incremental
+    * crawl reconciliation, "what did this re-ingest actually touch").
+    * Change detection compares the listed `cols` via a cross-engine
+    * md5 of their null-tagged string concatenation (the [[Dedup]]
+    * exact-dup fingerprint discipline applied to row identity), so
+    * the whole report is recomputable by any engine with md5.
+    *
+    * Scale shape: ONE full outer join keyed by `keyCol` (sort-merge
+    * at scale, AQE-handled) over projections pruned to key + listed
+    * cols; no window, no collect, output one narrow row per key in
+    * either snapshot. `summaryOnly = true` collapses to the 4-row
+    * status count report. Duplicate keys within a snapshot are
+    * caller error and fail LOUDLY (one cheap count pass) — a diff
+    * keyed on a non-key would silently join-explode. */
+  def snapshotDiff(
+      old: DataFrame,
+      fresh: DataFrame,
+      keyCol: String,
+      cols: Seq[String],
+      summaryOnly: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "snapshotDiff needs at least one compared column")
+    def fingerprinted(df: DataFrame, tag: String) = {
+      val dups = df.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dups.isEmpty, {
+        s"snapshotDiff: $tag snapshot has duplicate key " +
+          s"'${dups.head.get(0)}' — $keyCol is not a key; a diff on a " +
+          "non-key would silently join-explode"
+      })
+      // null-tagged concat: NULL and the string "null" must not
+      // collide, and neither may ("ab","c") vs ("a","bc") — each
+      // value is length-prefixed
+      val parts = cols.map { c =>
+        val s = col(c).cast("string")
+        concat(when(s.isNull, lit("N:")).otherwise(
+          concat(lit("V"), length(s), lit(":"))), coalesce(s, lit("")))
+      }
+      df.select(col(keyCol).as("key"),
+        md5(concat(parts: _*)).as(s"_fp_$tag"))
+    }
+    val joined = fingerprinted(old, "old")
+      .join(fingerprinted(fresh, "new"), Seq("key"), "full_outer")
+    val status = when(col("_fp_old").isNull, "added")
+      .when(col("_fp_new").isNull, "removed")
+      .when(col("_fp_old") === col("_fp_new"), "unchanged")
+      .otherwise("changed")
+    val perKey = joined.select(col("key"), status.as("status"))
+    if (summaryOnly)
+      perKey.groupBy("status").agg(count(lit(1)).as("n"))
+    else perKey
+  }
+
   /** Snapshot-to-snapshot drift report — the data-validation gate a
     * continuously-ingesting pipeline runs before accepting a new
     * batch: per-column null-rate jump, distinct-density ratio, and

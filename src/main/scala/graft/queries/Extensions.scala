@@ -1837,6 +1837,43 @@ object Extensions {
       SELECT id, label, cos FROM s ORDER BY cos ASC, id LIMIT 20""")
   )
 
+  private val q102_snapshot_diff = Q(
+    "q102_snapshot_diff",
+    // Row-level snapshot reconciliation: which keys a re-ingest
+    // added/removed/changed. The planted diff: old = doc_id < 450,
+    // new = doc_id >= 50 with lang rewritten on multiples of 10 — so
+    // every status class is exercised. The oracle recomputes statuses
+    // INDEPENDENTLY (direct IS DISTINCT FROM column comparison, not
+    // the md5 fingerprint), so equality also cross-checks the
+    // fingerprint construction itself.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      val old = docs.filter(col("doc_id") < 450)
+      val fresh = docs.filter(col("doc_id") >= 50)
+        .withColumn("lang",
+          when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang")))
+      graft.operators.Profile.snapshotDiff(
+        old, fresh, "doc_id", Seq("lang", "source", "n_chars"))
+        .orderBy("key")
+    },
+    Some("""WITH o AS (SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE doc_id < 450),
+      n AS (SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+          source, n_chars
+        FROM documents WHERE doc_id >= 50)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN (o.lang IS DISTINCT FROM n.lang)
+               OR (o.source IS DISTINCT FROM n.source)
+               OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ORDER BY key""")
+  )
+
   private val q97_centroids_twophase = Q(
     "q97_centroids_twophase",
     // The at-scale centroid fold, continuously verified: run the
@@ -2044,6 +2081,6 @@ object Extensions {
     q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
-    q100_length_batches, q101_stream_ingest_dedup,
+    q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -67,6 +67,42 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: statuses, null/ambiguity safety, loud duplicate keys, summary") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Option("a"), Option("b")),   // unchanged
+      (2L, Option("x"), Option("y")),   // changed
+      (3L, Option("z"), Option("z")),   // removed
+      (4L, Option.empty[String], None), // unchanged (both null)
+      (5L, Option.empty[String], None), // null -> "null": MUST be changed
+      (6L, Option("ab"), Option("c"))   // ("ab","c") vs ("a","bc"): changed
+    ).toDF("id", "c1", "c2")
+    val fresh = Seq(
+      (1L, Option("a"), Option("b")),
+      (2L, Option("x"), Option("Y")),
+      (4L, Option.empty[String], None),
+      (5L, Option("null"), None),
+      (6L, Option("a"), Option("bc")),
+      (7L, Option("new"), None)         // added
+    ).toDF("id", "c1", "c2")
+    val got = Profile.snapshotDiff(old, fresh, "id", Seq("c1", "c2"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "changed",
+      7L -> "added"))
+    val summary = Profile.snapshotDiff(old, fresh, "id", Seq("c1", "c2"),
+      summaryOnly = true).as[(String, Long)].collect().toMap
+    assert(summary == Map(
+      "unchanged" -> 2L, "changed" -> 3L, "removed" -> 1L, "added" -> 1L))
+    // a duplicate key in either snapshot fails loudly, never explodes
+    val dup = old.unionAll(old.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      Profile.snapshotDiff(dup, fresh, "id", Seq("c1"))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
   test("drift: all-null columns never emit NULL/NaN/Inf in an alerting report") {
     import spark.implicits._
     val old = Seq((1L, Option.empty[String]), (2L, None))
