@@ -1874,6 +1874,45 @@ object Extensions {
       ORDER BY key""")
   )
 
+  private val q103_schema_evolution = Q(
+    "q103_schema_evolution",
+    // Schema evolution across file generations, oracle-backed: gen 1
+    // wrote (doc_id, lang), gen 2 added `source`; the evolved read
+    // (mergeSchema + alignTo a declared target that ALSO contains a
+    // column neither generation has) must surface one stable schema —
+    // gen-1 rows carry NULL source, everyone carries the typed NULL
+    // quality column — which the oracle rebuilds with CASE/NULL
+    // projections over the base table. Scratch tree deleted on every
+    // path; emitted rows live in a local relation.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q103_").toString
+      try {
+        val docs = table(s, dir, "documents")
+        docs.filter(col("doc_id") < 250).select("doc_id", "lang")
+          .write.parquet(s"$base/gen=1")
+        docs.filter(col("doc_id") >= 250).select("doc_id", "lang", "source")
+          .write.parquet(s"$base/gen=2")
+        import org.apache.spark.sql.types._
+        val target = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("quality", DoubleType)))
+        collectToLocal(
+          graft.sources.Sources.parquetEvolved(s, base, target),
+          "q103 evolved read")
+          .orderBy("doc_id")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    },
+    Some("""SELECT doc_id, lang,
+        CASE WHEN doc_id >= 250 THEN source ELSE NULL END AS source,
+        CAST(NULL AS DOUBLE) AS quality
+      FROM documents ORDER BY doc_id""")
+  )
+
   private val q97_centroids_twophase = Q(
     "q97_centroids_twophase",
     // The at-scale centroid fold, continuously verified: run the
@@ -2082,5 +2121,6 @@ object Extensions {
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
+    q103_schema_evolution,
     q44_curation_pipeline, q45_source_audit)
 }

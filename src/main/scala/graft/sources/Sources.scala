@@ -72,4 +72,36 @@ object Sources {
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Align a frame to a target schema — the schema-evolution read
+    * contract: columns MISSING from the data surface as typed NULLs,
+    * present columns are cast to the target type, extra columns are
+    * dropped, order is the target's. Pure projection (no shuffle);
+    * a column present with an incompatible type fails at analysis,
+    * loudly, rather than silently nulling. */
+  def alignTo(
+      df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Parquet scan across FILE GENERATIONS with evolved schemas — the
+    * "this corpus was written over two years and the columns grew"
+    * read: `mergeSchema` unions every footer's schema (a one-time
+    * footer pass, not a data pass), then [[alignTo]] pins the result
+    * to the caller's target so downstream code sees ONE stable
+    * schema regardless of which generation a row came from. At scale
+    * prefer declaring the target schema over pure mergeSchema — the
+    * footer union is O(files) on the driver and a target makes the
+    * read self-documenting; this helper does both. */
+  def parquetEvolved(
+      spark: SparkSession,
+      path: String,
+      target: org.apache.spark.sql.types.StructType): DataFrame =
+    alignTo(spark.read.option("mergeSchema", "true").parquet(path), target)
 }

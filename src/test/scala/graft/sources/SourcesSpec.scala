@@ -86,5 +86,29 @@ class SourcesSpec extends AnyFunSuite {
     // column pruning still reaches the scan through the merged schema
     val plan = merged.select("id").queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema: struct<id:bigint>"), plan.take(800))
+
+    // parquetEvolved pins ONE stable schema: declared target with a
+    // column no generation has (typed NULL), extra partition-discovery
+    // column dropped, order the target's
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("quality", DoubleType),
+      StructField("lang", StringType)))
+    val evolved = Sources.parquetEvolved(spark, s"$dir/t", target)
+    assert(evolved.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    val er = evolved.orderBy("id")
+      .as[(Long, String, Option[Double], Option[String])].collect().toSeq
+    assert(er == Seq(
+      (1L, "a", None, None), (2L, "b", None, None),
+      (3L, "c", Some(0.5), None), (4L, "d", Some(0.7), None)))
+    // alignTo casts present columns to the target type
+    val cast = Sources.alignTo(
+      Seq((1, "x")).toDF("id", "name"),
+      StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType))))
+    assert(cast.schema("id").dataType == LongType)
   }
 }
