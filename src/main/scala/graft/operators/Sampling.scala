@@ -103,15 +103,27 @@ object Sampling {
     * key, so the order falls through to a hash of the row's HASHABLE
     * columns — still a pure function of content, never of arrival
     * order, but Spark-side only (a DuckDB oracle has no xxhash64, so
-    * cross-engine position parity requires unique keys), and rows
-    * that differ ONLY in an unhashable (map-typed) column remain
-    * order-tied — positions among exactly such rows are the one case
-    * this operator does not pin. Output: the input columns +
-    * (shard, pos), pos 1-based within shard. */
+    * cross-engine position parity requires unique keys). Rows that
+    * differ ONLY in an unhashable (map-typed) column cannot tiebreak
+    * at all (maps are unordered; xxhash64 rejects them), so map-typed
+    * input is REJECTED loudly by default — positions among such rows
+    * would be the one thing this operator couldn't pin; pass
+    * `allowMapTies = true` to accept the residual order-tie
+    * deliberately (safe when the shuffle key is unique, where the
+    * tiebreak never fires). Output: the input columns + (shard, pos),
+    * pos 1-based within shard; `shard`/`pos` (and the internal `_sk`)
+    * are reserved — input frames already carrying them are rejected
+    * rather than silently overwritten. */
   def shuffleShards(
       df: DataFrame, keyCol: Column, nShards: Int,
-      salt: String = "graft"): DataFrame = {
+      salt: String = "graft", allowMapTies: Boolean = false): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    val reserved = Seq("shard", "pos", "_sk").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"shuffleShards emits 'shard'/'pos' and uses '_sk' internally; " +
+        s"the input already has ${reserved.mkString(", ")} — rename " +
+        "before shuffling (silent overwrite would corrupt the caller's " +
+        "columns)")
     val saltLocal = salt
     val n = nShards.toLong
     val u = udf((k: String) => {
@@ -134,6 +146,14 @@ object Sampling {
         case _ => true
       }
     }
+    val mapCols = df.schema.fields.filterNot(f => hashable(f.dataType))
+    require(mapCols.isEmpty || allowMapTies,
+      s"shuffleShards input has map-typed column(s) " +
+        s"${mapCols.map(_.name).mkString(", ")} — rows differing only " +
+        "there cannot tiebreak (maps are unordered, xxhash64 rejects " +
+        "them) and would stay order-tied. Drop/serialize the column, " +
+        "or pass allowMapTies = true to accept the residual tie " +
+        "deliberately (safe when the shuffle key is unique).")
     val tieCols = df.schema.fields
       .filter(f => hashable(f.dataType)).map(f => col(f.name))
     val tie = if (tieCols.nonEmpty) xxhash64(tieCols: _*) else lit(0L)

@@ -525,7 +525,14 @@ object Similarity {
     * are re-scored against float vectors for the exact final ranking.
     * With rerank ≥ ~4k the int8 ordering noise (cosine error < 0.02)
     * almost never evicts a true top-k member before the float pass —
-    * QuantizeSpec/SimilaritySpec measure the agreement. */
+    * QuantizeSpec/SimilaritySpec measure the agreement.
+    *
+    * The returned frame is eagerly materialized via localCheckpoint
+    * (lineage truncated so the candidate caches can be freed at the
+    * seam) — its blocks live in executor storage and do NOT survive
+    * executor loss; on a real cluster persist the (k-bounded, small)
+    * result to storage promptly rather than holding it across a long
+    * job. */
   def annTopKInt8(
       df: DataFrame,
       idCol: String,
@@ -575,7 +582,14 @@ object Similarity {
 
   /** Approximate top-k: score only same-bucket candidates, then rank.
     * Recall is tunable via (tables, bits); a spec measures it against
-    * [[bruteForceTopK]] on the fixture data. */
+    * [[bruteForceTopK]] on the fixture data.
+    *
+    * With `eager = true` (default) the result is materialized via
+    * localCheckpoint so the candidate/score caches can be freed at
+    * the seam — localCheckpoint blocks live in executor storage and
+    * do NOT survive executor loss, so on a real cluster persist the
+    * (k-bounded, small) result to storage promptly, or run with
+    * `eager = false` and manage lineage/caching yourself. */
   def annTopK(
       df: DataFrame,
       idCol: String,
@@ -779,13 +793,26 @@ object Similarity {
     * silently drifting from the exact answer). SimilaritySpec proves
     * |twoPhase − exact| ≤ err_bound on random data under adversarial
     * repartition. Null vectors are excluded like [[groupCentroids]].
+    *
+    * MEMORY CONTRACT: phase 1 buffers each input PARTITION's rows
+    * in-heap (to sort by id before folding), so partition size — not
+    * group size — is the bound that matters here; it is enforced
+    * LOUDLY via `maxPartitionRows` (a skewed/oversized partition must
+    * fail with this message, not OOM an executor silently — the same
+    * posture as [[groupCentroids]]' maxGroupSize). Repartition the
+    * input finer, or raise the bound deliberately for fat executors.
+    * The small result is eagerly materialized via localCheckpoint —
+    * its blocks live in executor storage and do NOT survive executor
+    * loss; on a real cluster write it to storage promptly (it is
+    * groups × dim rows — trivially small next to the input).
     * Output: (group, n, dim, c, err_bound). */
   def groupCentroidsTwoPhase(
       df0: DataFrame,
       groupCol: String,
       idCol: String,
       vecCol: String,
-      maxAbsError: Double = 1e-6): DataFrame = {
+      maxAbsError: Double = 1e-6,
+      maxPartitionRows: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val df = df0.filter(col(vecCol).isNotNull)
@@ -803,10 +830,18 @@ object Similarity {
     // phase 1: genuine per-partition imperative fold (mapPartitions is
     // the right tool here — there is no Catalyst spelling of "buffer,
     // sort by id, fold sequentially" that avoids collecting the group)
+    val maxPart = maxPartitionRows
     val partialsRdd = sel.rdd.mapPartitionsWithIndex { (pid, it) =>
       val byGroup = scala.collection.mutable.LinkedHashMap
         .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, scala.collection.Seq[Float])]]
+      var buffered = 0L
       it.foreach { r =>
+        buffered += 1
+        require(buffered <= maxPart,
+          s"groupCentroidsTwoPhase buffers each partition in-heap for " +
+            s"the id-ordered phase-1 fold: partition $pid exceeds " +
+            s"maxPartitionRows=$maxPart. Repartition the input into " +
+            "more partitions, or raise the bound deliberately.")
         val buf = byGroup.getOrElseUpdate(r.get(0),
           scala.collection.mutable.ArrayBuffer.empty)
         buf += ((r.getLong(1), r.getSeq[Float](2)))

@@ -76,13 +76,32 @@ object Sources {
   /** Align a frame to a target schema — the schema-evolution read
     * contract: columns MISSING from the data surface as typed NULLs,
     * present columns are cast to the target type, extra columns are
-    * dropped, order is the target's. Pure projection (no shuffle);
-    * a column present with an incompatible type fails at analysis,
-    * loudly, rather than silently nulling. */
+    * dropped, order is the target's. Pure projection (no shuffle).
+    * Cast DIRECTION is validated HERE, eagerly: a present column must
+    * either match the target type or upcast losslessly
+    * (`Cast.canUpCast` — the int→long / float→double widenings schema
+    * evolution actually produces). Anything lossy or value-dependent
+    * (long→int, string→long) throws immediately with the column
+    * named — such casts would otherwise truncate or null INVALID
+    * VALUES at runtime depending on `spark.sql.ansi.enabled`, neither
+    * of which a schema-evolution read may do silently. A caller that
+    * genuinely wants a lossy cast should spell it out with
+    * `select(col.cast(...))` where reviewers can see it. */
   def alignTo(
       df: DataFrame,
       target: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val srcTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    target.fields.foreach { f =>
+      srcTypes.get(f.name).foreach { src =>
+        require(src == f.dataType || Cast.canUpCast(src, f.dataType),
+          s"alignTo: column '${f.name}' is $src in the data but " +
+            s"${f.dataType} in the target — not a lossless upcast. " +
+            "Declare the wider type in the target, or make the lossy " +
+            "cast explicit in a select outside the evolved read.")
+      }
+    }
     val present = df.columns.toSet
     df.select(target.fields.toSeq.map { f =>
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

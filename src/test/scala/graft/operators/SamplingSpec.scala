@@ -271,10 +271,32 @@ class SamplingSpec extends AnyFunSuite {
     val c = Sampling.shuffleShards(docs, col("doc_id"), 8, salt = "other")
       .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
     assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
-    // a map-typed column must not break the row-hash tiebreak (maps
-    // are unhashable; the tiebreak skips them)
+    // a map-typed column fails LOUDLY by default (rows differing only
+    // there could never tiebreak — the residual order-tie must be an
+    // explicit decision, not a scaladoc footnote)
     val withMap = Seq((1L, Map("k" -> 1)), (2L, Map("k" -> 2)))
       .toDF("doc_id", "m")
-    assert(Sampling.shuffleShards(withMap, col("doc_id"), 2).count() == 2)
+    val mapErr = intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(withMap, col("doc_id"), 2)
+    }
+    assert(mapErr.getMessage.contains("allowMapTies"))
+    // ... and the opt-in keeps the old behavior: the tiebreak skips
+    // the unhashable column, nothing breaks
+    assert(Sampling.shuffleShards(withMap, col("doc_id"), 2,
+      allowMapTies = true).count() == 2)
+  }
+
+  test("shuffleShards: reserved output/internal column names are rejected loudly") {
+    import spark.implicits._
+    val withShard = Seq((1L, 9L), (2L, 8L)).toDF("doc_id", "shard")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(withShard, col("doc_id"), 2)
+    }
+    assert(e1.getMessage.contains("shard"))
+    val withSk = Seq((1L, "x")).toDF("doc_id", "_sk")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(withSk, col("doc_id"), 2)
+    }
+    assert(e2.getMessage.contains("_sk"))
   }
 }

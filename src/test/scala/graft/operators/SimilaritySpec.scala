@@ -340,6 +340,16 @@ class SimilaritySpec extends AnyFunSuite {
         maxAbsError = 1e-30)
     }
     assert(e.getMessage.contains("maxAbsError"))
+    // the phase-1 in-heap buffer is bounded LOUDLY: an oversized input
+    // partition fails with an actionable message, never a silent OOM
+    val oom = intercept[org.apache.spark.SparkException] {
+      Similarity.groupCentroidsTwoPhase(fx.coalesce(1), "grp", "id", "v",
+        maxPartitionRows = 100L).count()
+    }
+    assert(oom.getMessage.contains("maxPartitionRows"))
+    // at or over the partition size the fold still runs
+    assert(Similarity.groupCentroidsTwoPhase(fx.coalesce(1), "grp", "id",
+      "v", maxPartitionRows = 400L).count() == 7 * 16)
   }
 
   test("groupCentroids / twoPhase: null vectors excluded explicitly, not an NPE") {

@@ -110,5 +110,23 @@ class SourcesSpec extends AnyFunSuite {
       StructType(Seq(StructField("id", LongType),
         StructField("name", StringType))))
     assert(cast.schema("id").dataType == LongType)
+
+    // ... but ONLY lossless upcasts: a lossy (long->int) or
+    // value-dependent (string->long) direction fails eagerly with the
+    // column named — at runtime those would truncate or null invalid
+    // values depending on ANSI mode, which an evolved read must never
+    // do silently
+    val lossy = intercept[IllegalArgumentException] {
+      Sources.alignTo(Seq((1L, "x")).toDF("id", "name"),
+        StructType(Seq(StructField("id", IntegerType),
+          StructField("name", StringType))))
+    }
+    assert(lossy.getMessage.contains("'id'"))
+    val parsing = intercept[IllegalArgumentException] {
+      Sources.alignTo(Seq((1L, "x")).toDF("id", "name"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("name", LongType))))
+    }
+    assert(parsing.getMessage.contains("'name'"))
   }
 }
