@@ -691,18 +691,7 @@ object Similarity {
       nprobe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     graft.expressions.GraftFunctions.register(queries.sparkSession)
-    val centRows = centroids.select(col("cell"), col("centroid"))
-      .collect()
-    require(centRows.nonEmpty && centRows.length <= 65536,
-      s"ivfProbe centroid table has ${centRows.length} rows — an IVF " +
-        "index is nlist cells by construction; this is not the corpus")
-    val cents = new Array[Array[Float]](centRows.map(_.getInt(0)).max + 1)
-    centRows.foreach { r =>
-      cents(r.getInt(0)) = r.getSeq[Float](1).toArray
-    }
-    require(cents.forall(_ != null),
-      "ivfProbe centroid table has gaps in its cell ids — not a " +
-        "graft ivfIndex centroid table (cells are 0..nlist-1 dense)")
+    val cents = collectCentroids(centroids, "ivfProbe")
     val probesUdf = udf((x: scala.collection.Seq[Float]) =>
       probeCells(x, cents, nprobe))
     val q = queries.select(col(queryId).as("query_id"),
@@ -713,6 +702,132 @@ object Similarity {
       .select(col("query_id"), col("id").as("nn_id"),
         call_function("graft_cosine", col("qv"), col("v")).as("cos"))
     topKScored(scored, k)
+  }
+
+  /** Collect a (cell, centroid) table into a dense array with loud
+    * bounds — shared by [[ivfProbe]] and [[ivfAssign]]. An IVF
+    * centroid table is nlist rows by construction; anything bigger is
+    * a caller error (the corpus passed in the wrong slot), never a
+    * silent driver OOM. */
+  private def collectCentroids(
+      centroids: DataFrame, what: String): Array[Array[Float]] = {
+    val centRows = centroids.select(col("cell"), col("centroid"))
+      .collect()
+    require(centRows.nonEmpty && centRows.length <= 65536,
+      s"$what centroid table has ${centRows.length} rows — an IVF " +
+        "index is nlist cells by construction; this is not the corpus")
+    val cents = new Array[Array[Float]](centRows.map(_.getInt(0)).max + 1)
+    centRows.foreach { r =>
+      cents(r.getInt(0)) = r.getSeq[Float](1).toArray
+    }
+    require(cents.forall(_ != null),
+      s"$what centroid table has gaps in its cell ids — not a " +
+        "graft ivfIndex centroid table (cells are 0..nlist-1 dense)")
+    cents
+  }
+
+  /** Assign a NEW vector batch to an existing [[ivfIndex]]'s cells —
+    * the APPEND path of the index lifecycle: centroids are NOT
+    * retrained (that is exactly what keeps appends O(batch) — the
+    * corpus is never re-scanned), each batch vector simply routes to
+    * its nearest existing cell in one map pass. Output is a schema
+    * drop-in for the index's `assignments` half (id, v, cell), written
+    * as `indexDir/delta=N` in production — the layout [[ivfCompact]]
+    * consumes. As deltas accumulate the centroids go STALE (the data
+    * distribution drifts from what they were trained on); gate every
+    * maintenance cycle with [[ivfStalenessGate]] and retrain
+    * deliberately — loudly — when it fires. */
+  def ivfAssign(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids, "ivfAssign")
+    val assignUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, 1)(0))
+    batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", assignUdf(col("v")))
+  }
+
+  /** Compact an [[ivfIndex]] assignment lineage — the ANN twin of
+    * [[Dedup.compactIndex]]: union any number of per-batch assignment
+    * deltas ([[ivfIndex]]'s base + [[ivfAssign]] appends), resolve
+    * vec ids re-ingested in a later delta to their LATEST rows
+    * (last-writer-wins by delta position — re-embedded docs, model
+    * upgrades, re-crawls), and drop tombstoned ids (takedowns,
+    * retention). The maintenance half of the ANN index story: without
+    * it every probe pays for dead rows and a re-embedded vector
+    * collides with its own ghost.
+    *
+    * Scale shape: one row_number window keyed by id (per-id
+    * partitions, parallel) + one left-anti join against the tombstone
+    * set (broadcast when small). Deltas are parquet-backed DataFrames
+    * in production; nothing is collected. A duplicate id WITHIN one
+    * delta resolves deterministically via a content-hash tiebreak
+    * (same contract as [[Dedup.compactIndex]]). Output: the same
+    * (id, v, cell) schema — a drop-in for [[ivfProbe]] and
+    * [[ivfStalenessGate]]. */
+  def ivfCompact(
+      deltas: Seq[DataFrame],
+      tombstones: Option[DataFrame] = None,
+      tombstoneIdCol: String = "id"): DataFrame = {
+    require(deltas.nonEmpty, "ivfCompact needs at least one delta")
+    val tagged = deltas.zipWithIndex.map { case (d, i) =>
+      d.select(col("id"), col("v"), col("cell"))
+        .withColumn("_delta", lit(i))
+    }.reduce(_ unionByName _)
+    val lww = tagged
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("id").orderBy(
+          col("_delta").desc, xxhash64(col("v"), col("cell")).asc)))
+      .filter(col("_rk") === 1)
+      .select("id", "v", "cell")
+    tombstones match {
+      case Some(t) =>
+        lww.join(t.select(col(tombstoneIdCol).as("id")).distinct(),
+          Seq("id"), "left_anti")
+      case None => lww
+    }
+  }
+
+  /** Centroid-staleness gate — the recall-drift alarm for a
+    * continuously-ingested IVF index: as [[ivfAssign]] deltas
+    * accumulate, the centroids (trained once, long ago) stop
+    * representing the corpus and probe recall decays SILENTLY — this
+    * gate makes that decay loud. It probes the index with a
+    * deterministic sampled query subset drawn from the index itself
+    * (ids ≡ sampleResidue mod sampleMod), computes the exact sampled
+    * reference in ONE corpus scan (O(n·|sample|) — the affordable
+    * shape at any corpus size, never the O(n²) self-join), and FAILS
+    * the job below `floor` — the signal to retrain centroids and
+    * rebuild, as a visible decision. Returns (recall, exact sampled
+    * reference); the reference is eagerly materialized (small by
+    * construction: |sample|·k rows) so callers can emit or audit it
+    * without re-running the scan. */
+  def ivfStalenessGate(
+      assignments: DataFrame,
+      centroids: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4,
+      floor: Double = 0.3,
+      sampleMod: Long = 10L,
+      sampleResidue: Long = 0L,
+      what: String = "ivf-staleness"): (Double, DataFrame) = {
+    val corpus = assignments.select(col("id"), col("v"))
+    val queries = corpus
+      .filter(pmod(col("id"), lit(sampleMod)) === lit(sampleResidue))
+    val ann = ivfProbe(queries, "id", "v", assignments, centroids,
+      k, nprobe)
+    // localCheckpoint: the reference is read twice (gate join + the
+    // caller's emit) — truncate once so the brute-force scan runs
+    // once, registering nothing with the cache manager; executor-loss
+    // caveat as elsewhere (gate fixtures are transient by nature)
+    val exact = bruteForceTopK(corpus, "id", "v", queries, "id", "v", k)
+      .localCheckpoint(true)
+    val recall = Gates.pairRecall(ann, exact)
+    Gates.requireFloor(recall, floor,
+      s"$what sampled pair recall@$k (ids = $sampleResidue mod $sampleMod)")
+    (recall, exact)
   }
 
   /** Per-group centroids (class prototypes): mean embedding per

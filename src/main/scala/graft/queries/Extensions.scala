@@ -1794,6 +1794,70 @@ object Extensions {
       WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
+  private val q104_ivf_compaction = Q(
+    "q104_ivf_compaction",
+    // The IVF index LIFECYCLE end-to-end — the maintenance story the
+    // MinHash-LSH index already has (q86), applied to the ANN side:
+    // base index over the even vectors, an APPEND delta of the odd
+    // vectors (ivfAssign — assigned to the existing centroids, never
+    // retrained), a RE-INGESTION delta re-embedding every 8th vector
+    // (negated — LWW must keep the new rows and drop the ghosts),
+    // takedown tombstones (every 10th id), compacted with ivfCompact,
+    // then the compacted index passes the centroid-STALENESS gate
+    // (probe recall on a sampled query subset vs the exact sampled
+    // reference must hold — the retrain-now alarm) and the exact
+    // reference over the SURVIVING corpus is emitted for the bitwise
+    // oracle. The oracle rebuilds that corpus independently (negation
+    // for re-ingested ids, tombstones dropped) — a kept ghost, a lost
+    // row, or a stale embedding would shift the exact top-k and
+    // hash-mismatch. SimilaritySpec additionally pins compacted ==
+    // fresh-rebuild equality.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val (assign0, cents) = graft.operators.Similarity.ivfIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nlist = 16)
+      val delta1 = graft.operators.Similarity.ivfAssign(
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", cents)
+      // re-embedding: negating floats is exact, so DuckDB rebuilds the
+      // same corpus bitwise (the q56 planted-copy trick, applied to
+      // the model-upgrade story)
+      val reEmbedded = e.filter(col("vec_id") % 8 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float"))
+            .as("embedding"))
+      val delta2 = graft.operators.Similarity.ivfAssign(
+        reEmbedded, "vec_id", "embedding", cents)
+      val tombs = e.filter(col("vec_id") % 10 === 0).select("vec_id")
+      val compacted = graft.operators.Similarity.ivfCompact(
+        Seq(assign0, delta1, delta2), Some(tombs), "vec_id")
+      val (_, exact) = graft.operators.Similarity.ivfStalenessGate(
+        compacted, cents, k = 10, nprobe = 4, floor = 0.3,
+        sampleMod = 10L, sampleResidue = 1L, what = "ivf-compaction")
+      collectToLocal(exact, "q104 sampled exact reference")
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        CASE WHEN vec_id % 8 = 0
+          THEN list_transform(embedding, x -> CAST(-x AS REAL))
+          ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 10 <> 0),
+      q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 = 1),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM q JOIN e c ON c.vec_id <> q.vec_id),
+      r AS (SELECT query_id, nn_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
+      SELECT query_id, rank, nn_id, cos FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
   private val q90_label_centroids = Q(
     "q90_label_centroids",
     // Per-class prototype embeddings: mean vector per label, folded IN
@@ -2132,6 +2196,6 @@ object Extensions {
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
-    q103_schema_evolution,
+    q103_schema_evolution, q104_ivf_compaction,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -369,6 +369,67 @@ class SimilaritySpec extends AnyFunSuite {
       Set(("g", 2L, 1L, 3.0), ("g", 2L, 2L, 2.0)))
   }
 
+  test("ivfCompact: LWW + tombstones == fresh rebuild from the surviving latest rows") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (assign0, cents) = Similarity.ivfIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8)
+    val delta1 = Similarity.ivfAssign(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", cents)
+    val reEmbedded = e.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (-x).cast("float")).as("embedding"))
+    val delta2 = Similarity.ivfAssign(reEmbedded, "vec_id", "embedding", cents)
+    val tombs = e.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val compacted = Similarity.ivfCompact(
+      Seq(assign0, delta1, delta2), Some(tombs), "vec_id")
+    // the fresh rebuild: assign the surviving LATEST rows directly
+    val survivingLatest = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 8 === 0,
+          transform(col("embedding"), x => (-x).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+    val fresh = Similarity.ivfAssign(
+      survivingLatest, "vec_id", "embedding", cents)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("v"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+        .toSet
+    val c = key(compacted)
+    assert(c == key(fresh), "compacted index != fresh rebuild")
+    // LWW genuinely kept the re-embedded rows, tombstones the removals
+    assert(!c.exists(_._1 % 10 == 0), "tombstoned id survived")
+    val re = c.filter(t => t._1 % 8 == 0)
+    assert(re.nonEmpty && re.forall(_._2.exists(_ != 0.0f)))
+    // compaction is idempotent: compacting the compacted index alone
+    // changes nothing
+    assert(key(Similarity.ivfCompact(Seq(compacted))) == c)
+  }
+
+  test("ivfStalenessGate: fresh index passes; a planted centroid/corpus mismatch fails loudly") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 (2000 vectors): 200 sampled queries — enough statistics
+    // that the fresh/stale gap is structural, not noise. nprobe=1 is
+    // the sharpest contrast: fresh probes each query's own cell
+    // (where its neighbors cluster); stale probes the most-OPPOSITE
+    // cell (negated centroids), where they almost never are.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (assignments, cents) = Similarity.ivfIndex(
+      e, "vec_id", "embedding", nlist = 16)
+    val (recall, exact) = Similarity.ivfStalenessGate(
+      assignments, cents, k = 5, nprobe = 1, floor = 0.2)
+    assert(recall >= 0.2 && exact.count() > 0)
+    val stale = cents.select(col("cell"),
+      transform(col("centroid"), x => (-x).cast("float")).as("centroid"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfStalenessGate(assignments, stale, k = 5, nprobe = 1,
+        floor = 0.2)
+    }
+    assert(err.getMessage.contains("recall"))
+  }
+
   test("centroidOutliers: a planted anti-centroid vector surfaces first") {
     import org.apache.spark.sql.functions.col
     // group of near-identical vectors + one pointing the opposite way
