@@ -830,6 +830,61 @@ object Similarity {
     (recall, exact)
   }
 
+  /** Embedding near-dup pairs from a probed IVF index — the candidate
+    * rule a continuously-ingesting pipeline can replay EXACTLY: each
+    * query vector probes its `nprobe` nearest cells and pairs with
+    * every INDEXED vector of SMALLER id found there (the
+    * ingestion-order rule — ids monotone with arrival means "the
+    * newer vector probes the older corpus", which is precisely what
+    * [[graft.streaming.Streams.ingestVectorStream]] does per batch,
+    * so streamed union == one-shot is an equality, not an
+    * approximation). Candidates are exact-verified with the bitwise
+    * cosine kernel against `minCos`; a vector is assigned exactly one
+    * cell and probe cells are distinct, so no pair surfaces twice.
+    * Output: (id_a, id_b, cos), id_a < id_b.
+    *
+    * Capture contract (same shape as the LSH near-dup story): a pair
+    * at cosine ≈ 1 shares its probe ranking, so the smaller id's
+    * assigned cell IS the larger id's first probe — planted/true
+    * near-dups are captured structurally; recall for moderate-cosine
+    * pairs tunes with nprobe. */
+  def ivfNearDupPairsAgainst(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      index: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int = 4,
+      minCos: Double = 0.99): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    val cents = collectCentroids(centroids, "ivfNearDupPairsAgainst")
+    val probesUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, nprobe))
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv"))))
+    q.join(index.select(col("id"), col("v"), col("cell")), Seq("cell"))
+      .filter(col("id") < col("query_id"))
+      .select(col("id").as("id_a"), col("query_id").as("id_b"),
+        call_function("graft_cosine", col("v"), col("qv")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** One-shot spelling of [[ivfNearDupPairsAgainst]] over a whole
+    * corpus: assign everything to the given centroids, then let every
+    * vector probe for smaller-id neighbors. The batch twin the
+    * streaming ingestion's union is spec-pinned equal to. */
+  def ivfNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nprobe: Int = 4,
+      minCos: Double = 0.99): DataFrame =
+    ivfNearDupPairsAgainst(
+      df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      ivfAssign(df, idCol, vecCol, centroids), centroids, nprobe, minCos)
+
   /** Per-group centroids (class prototypes): mean embedding per
     * `groupCol`, folded IN ID ORDER so the double accumulation is
     * bitwise-reproducible (the [[Kernels.cosine]] sequential-fold

@@ -308,6 +308,83 @@ object Extensions {
     Some(jaccardOracle)
   )
 
+  private val q105_stream_ingest_ann = Q(
+    "q105_stream_ingest_ann",
+    // Continuous EMBEDDING ingestion, oracle-backed end to end — the
+    // ANN twin of q101: the corpus (augmented with q56's planted
+    // 0.5x-scaled near-dups, so DuckDB rebuilds it bitwise) arrives
+    // as TWO micro-batches through ingestVectorStream — batch 0
+    // trains the IVF centroids (deterministically) and self-probes;
+    // batch 1 is ASSIGNED to the persisted centroids (never
+    // retrained) and probes batch 0's assignment deltas plus itself
+    // under the ingestion-order candidate rule (newer id probes
+    // older). The union of per-batch pair outputs equals the one-shot
+    // ivfNearDupPairs set (StreamsSpec pins the equality), and
+    // planted same-direction pairs are captured structurally (the
+    // partner's cell IS the prober's first probe), so the q56 exact
+    // >= 0.99 oracle applies unchanged to the STREAMING path. The
+    // batches arrive via MemoryStream — no corpus-copy scaffolding;
+    // the scratch tree (index deltas, centroids, checkpoint) is fresh
+    // per run and dies with the invocation on every path.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q105_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"),
+              x => (x * lit(0.5f)).cast("float")).as("embedding"))
+        val corpus = e.unionByName(planted)
+        val cut = e.agg(max(col("vec_id"))).first().getLong(0) / 2
+        def half(pred: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+          corpus.filter(pred).as[(Long, Seq[Float])].collect().toSeq
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.Streams.ingestVectorStream(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          indexDir = s"$base/index", pairsDir = s"$base/pairs",
+          centroidsDir = s"$base/cents", checkpointDir = s"$base/ckpt",
+          minCos = 0.99, nlist = 16, nprobe = 4)
+        try {
+          // batch 0: first half (original ids only — planted copies
+          // all sit above the cut, so every planted pair is a
+          // new-vs-old probe or a batch-1 self pair)
+          mem.addData(half(col("vec_id") <= cut))
+          q.processAllAvailable()
+          mem.addData(half(col("vec_id") > cut))
+          q.processAllAvailable()
+        } finally q.stop()
+        collectToLocal(
+          s.read.parquet(s"$base/pairs").select("id_a", "id_b", "cos"),
+          "q105 pair set")
+          .orderBy("id_a", "id_b")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    },
+    // same exact-pair oracle as q56: the streaming path must lose
+    // nothing against the full >= 0.99 pair set over the augmented
+    // corpus
+    Some("""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+      planted AS (SELECT vec_id + 10000 AS vec_id,
+        list_transform(embedding, x -> CAST(x * 0.5::REAL AS REAL)) AS embedding
+        FROM e0 WHERE vec_id < 100),
+      e AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS d,
+        sqrt(list_aggregate(list_transform(a.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+        sqrt(list_aggregate(list_transform(b.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, d / (na * nb) AS cos FROM p
+      WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
+  )
+
   private val q37_dedup_simhash = Q(
     "q37_dedup_simhash",
     // SimHash with md5-derived token hashes: Kernels.md5Lower64 is
@@ -2196,6 +2273,6 @@ object Extensions {
     q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
-    q103_schema_evolution, q104_ivf_compaction,
+    q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q44_curation_pipeline, q45_source_audit)
 }

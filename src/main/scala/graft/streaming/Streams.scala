@@ -410,4 +410,113 @@ object Streams {
         .write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
     } finally b.unpersist(blocking = false)
   }
+
+  /** Continuous EMBEDDING ingestion — the ANN twin of
+    * [[ingestNearDupStream]]: each micro-batch of vectors is assigned
+    * to the persisted IVF centroids ([[graft.operators.Similarity
+    * .ivfAssign]] — O(batch), the corpus is never re-embedded or
+    * re-trained) and probes the accumulated assignment deltas plus
+    * itself for smaller-id near-neighbors above `minCos`
+    * ([[graft.operators.Similarity.ivfNearDupPairsAgainst]]'s
+    * ingestion-order candidate rule, which is what makes the union of
+    * streamed pair sets EQUAL the one-shot probe, not approximate it —
+    * StreamsSpec pins it). Pairs land in `pairsDir/batch=N`; the
+    * batch's assignments append as `indexDir/delta=N` — exactly the
+    * delta layout [[graft.operators.Similarity.ivfCompact]] consumes
+    * for LWW + tombstone maintenance, with
+    * [[graft.operators.Similarity.ivfStalenessGate]] as the
+    * retrain-now alarm as deltas accumulate.
+    *
+    * Centroids are trained ONCE, on batch 0's vectors (bounded
+    * hash-ordered sample), and written to `centroidsDir`; training is
+    * deterministic, so a crash-replay of batch 0 rewrites them
+    * byte-identically. Replay safety for every batch follows
+    * [[ingestNearDupStream]]'s contract: the probe is bounded to
+    * deltas strictly below the replayed batchId and both writes go to
+    * batch-id-deterministic subdirectories with `overwrite` —
+    * exactly-once by idempotence. */
+  def ingestVectorStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      pairsDir: String,
+      centroidsDir: String,
+      checkpointDir: String,
+      minCos: Double = 0.99,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestVectorBatch(batch, batchId, idCol, vecCol,
+          indexDir, pairsDir, centroidsDir, minCos, nlist, nprobe,
+          sampleSize)
+      }
+      .start()
+  }
+
+  /** One [[ingestVectorStream]] micro-batch — factored out so the
+    * crash-replay contract is directly testable (StreamsSpec replays
+    * committed batches, including the centroid-training batch 0, and
+    * pins byte-identical outputs). */
+  private[streaming] def ingestVectorBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      pairsDir: String,
+      centroidsDir: String,
+      minCos: Double,
+      nlist: Int,
+      nprobe: Int,
+      sampleSize: Int): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // batch 0 trains; every later batch reads. The rule keys on
+      // batchId, NOT on whether centroidsDir exists — a replayed
+      // batch 0 (crash after the centroid write, before the
+      // checkpoint commit) must RETRAIN over the same rows, which is
+      // deterministic (hash-ordered bounded sample, fixed-seed
+      // k-means) and therefore byte-identical, never half-trusted
+      // partial state.
+      val cents: org.apache.spark.sql.DataFrame =
+        if (batchId == 0L) {
+          val (_, c) = Similarity.ivfIndex(
+            b, idCol, vecCol, nlist, sampleSize)
+          c.write.mode("overwrite").parquet(centroidsDir)
+          spark.read.parquet(centroidsDir)
+        } else spark.read.parquet(centroidsDir)
+      val own = Similarity.ivfAssign(b, idCol, vecCol, cents)
+      // replay safety: probe exactly the index state the original run
+      // saw — deltas 0..N-1 — plus the batch's own assignments (the
+      // same-batch pairs); reading its own already-written delta
+      // would double its rows into the probe.
+      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasPrior = fs.exists(idxPath) && fs.listStatus(idxPath)
+        .exists { st =>
+          val name = st.getPath.getName
+          name.startsWith("delta=") &&
+            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
+        }
+      val index =
+        if (hasPrior)
+          spark.read.parquet(indexDir)
+            .filter(col("delta") < batchId)
+            .select("id", "v", "cell")
+            .unionByName(own)
+        else own
+      val pairs = Similarity.ivfNearDupPairsAgainst(
+        b.select(col(idCol), col(vecCol)), idCol, vecCol,
+        index, cents, nprobe, minCos)
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      own.write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
+    } finally b.unpersist(blocking = false)
+  }
 }

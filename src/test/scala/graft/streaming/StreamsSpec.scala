@@ -413,4 +413,83 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == before,
       s"replayed batch changed the output (${before.length} -> ${after.length} rows)")
   }
+
+  test("ingestVectorStream: streamed batches == one-shot IVF pairs; replay (incl. batch-0 retrain) is identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // planted same-direction near-dups (the q56 construction) so the
+    // >= 0.99 pair set is nonempty and capture is structural
+    val planted = e.filter($"vec_id" < 100)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float"))
+          .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val cut = e.agg(max($"vec_id")).first().getLong(0) / 2
+    def half(p: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+      corpus.filter(p).as[(Long, Seq[Float])].collect().toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vecingest_").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val query = ingestVectorStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      indexDir = s"$base/index", pairsDir = s"$base/pairs",
+      centroidsDir = s"$base/cents", checkpointDir = s"$base/ckpt")
+    try {
+      mem.addData(half($"vec_id" <= cut)); query.processAllAvailable()
+      mem.addData(half($"vec_id" > cut)); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val cents = spark.read.parquet(s"$base/cents")
+    val oneShot = graft.operators.Similarity.ivfNearDupPairs(
+      corpus, "vec_id", "embedding", cents)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == oneShot,
+      "union of per-batch pairs must equal the one-shot IVF pair set")
+    // every planted pair captured, scores bitwise-1.0-ish (exact verify)
+    assert(streamed.map(p => (p._1, p._2)) ==
+      e.filter($"vec_id" < 100).select("vec_id")
+        .as[Long].collect().map(i => (i, i + 10000L)).toSet)
+    // the delta layout is ivfCompact's input format: compacting the
+    // stream's deltas reproduces a fresh full-corpus assignment
+    val deltas = spark.read.parquet(s"$base/index")
+    assert(deltas.select("delta").distinct().count() == 2)
+    def snapAssign(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val compacted = graft.operators.Similarity.ivfCompact(
+      Seq(deltas.filter($"delta" === 0).select("id", "v", "cell"),
+        deltas.filter($"delta" === 1).select("id", "v", "cell")))
+    assert(snapAssign(compacted) == snapAssign(
+      graft.operators.Similarity.ivfAssign(
+        corpus, "vec_id", "embedding", cents)))
+    // crash-replay: re-running a committed batch rewrites identical
+    // output (multiset compare — duplicated rows are the failure mode)
+    def pairRows() = spark.read.parquet(s"$base/pairs")
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val before = pairRows()
+    Streams.ingestVectorBatch(
+      half($"vec_id" > cut).toDF("vec_id", "embedding"), 1L,
+      "vec_id", "embedding", s"$base/index", s"$base/pairs",
+      s"$base/cents", 0.99, 16, 4, 256)
+    assert(pairRows() == before, "batch-1 replay changed the pair set")
+    // batch-0 replay RETRAINS the centroids — deterministically, so
+    // they and the batch-0 pairs come back identical
+    val centsBefore = cents.as[(Int, Seq[Float])].collect()
+      .map { case (c, v) => (c, v.toList) }.sortBy(_._1).toSeq
+    Streams.ingestVectorBatch(
+      half($"vec_id" <= cut).toDF("vec_id", "embedding"), 0L,
+      "vec_id", "embedding", s"$base/index", s"$base/pairs",
+      s"$base/cents", 0.99, 16, 4, 256)
+    val centsAfter = spark.read.parquet(s"$base/cents")
+      .as[(Int, Seq[Float])].collect()
+      .map { case (c, v) => (c, v.toList) }.sortBy(_._1).toSeq
+    assert(centsAfter == centsBefore, "batch-0 replay retrained differently")
+    assert(pairRows() == before, "batch-0 replay changed the pair set")
+  }
 }
