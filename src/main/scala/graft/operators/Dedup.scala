@@ -299,9 +299,23 @@ object Dedup {
       n: Int = 3,
       bands: Int = 32,
       rowsPerBand: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame =
+    minHashLshIncrementalFromIndex(
+      minHashIndex(newDocs, idCol, textCol, n, bands, rowsPerBand),
+      index, minJ, maxBucketSize)
+
+  /** [[minHashLshIncremental]] with the new batch's index PREBUILT —
+    * for pipelines that need the batch index anyway (they all do: it
+    * is also what gets persisted as the next delta), so the batch is
+    * shingled and minhashed exactly once per ingestion cycle, not
+    * once per consumer ([[graft.streaming.Streams.ingestNearDupBatch]]
+    * persists it across the probe and the delta write). */
+  def minHashLshIncrementalFromIndex(
+      newIdx: DataFrame,
+      index: DataFrame,
+      minJ: Double = 0.5,
       maxBucketSize: Int = 4096): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val newIdx = minHashIndex(newDocs, idCol, textCol, n, bands, rowsPerBand)
     val all = index.select(col("id"), col("ngrams"), col("bands"))
       .withColumn("is_new", lit(false))
       .unionByName(newIdx.withColumn("is_new", lit(true)))
