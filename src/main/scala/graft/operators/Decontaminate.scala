@@ -71,4 +71,69 @@ object Decontaminate {
       .select("id").distinct()
     train.join(dirty, train(trainId) === dirty("id"), "left_anti")
   }
+
+  /** Bloom-prefiltered contamination candidates + the exact verify
+    * join — shared plumbing for the *Bloom variants. Returns per-doc
+    * hit counts (id, n_shared) over EXACTLY the true collisions. */
+  private def bloomHits(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testText: String, n: Int, fpp: Double): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val testGrams = testGramSet(test, testText, n)
+    val nGrams = testGrams.count()
+    val bf = testGrams.stat.bloomFilter("g", math.max(nGrams, 1L), fpp)
+    val bfB = train.sparkSession.sparkContext.broadcast(bf)
+    val mightUdf = udf((g: String) => bfB.value.mightContainString(g))
+    // the corpus gram stream collapses to true hits + ~fpp noise
+    // BEFORE any join — so the exact verify below joins a near-empty
+    // stream and need not broadcast the full gram set
+    val candidates = grams(train, trainId, trainText, n)
+      .filter(mightUdf(col("g")))
+    candidates.join(testGrams, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[contaminationReport]] with a Bloom-filter pre-pass — the
+    * BIG-benchmark-set spelling: when the held-out side has millions
+    * of distinct grams, broadcasting them as strings is GBs per
+    * executor, but a Bloom filter at `fpp` is ~1.2 bytes/gram — the
+    * corpus gram stream tests membership against the broadcast sketch
+    * first, collapsing to true hits plus an fpp-fraction of noise,
+    * and only that near-empty stream reaches the EXACT verify join
+    * (which Catalyst is free to shuffle — its stream side is tiny
+    * now, so the full gram set never needs to broadcast). The verify
+    * keeps the output bitwise EQUAL to [[contaminationReport]] —
+    * Bloom filters have no false negatives, and the false positives
+    * die in the verify — DecontaminateSpec pins the equality, and
+    * q106 runs this path against q70's exact oracle. */
+  def contaminationReportBloom(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      test: DataFrame,
+      testText: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val hits = bloomHits(train, trainId, trainText, test, testText, n, fpp)
+    train.select(col(trainId).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** [[removeContaminated]] through the same Bloom pre-pass; output
+    * rows identical (spec-pinned). */
+  def removeContaminatedBloom(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      test: DataFrame,
+      testText: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val dirty = bloomHits(train, trainId, trainText, test, testText, n, fpp)
+      .select("id").distinct()
+    train.join(dirty, train(trainId) === dirty("id"), "left_anti")
+  }
 }

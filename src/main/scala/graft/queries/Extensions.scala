@@ -1258,6 +1258,38 @@ object Extensions {
       FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  private val q106_decontaminate_bloom = Q(
+    "q106_decontaminate_bloom",
+    // The BIG-benchmark-set decontamination spelling: a Bloom sketch
+    // of the held-out gram set broadcasts (~1.2 bytes/gram instead of
+    // the strings), the corpus gram stream collapses against it to
+    // true hits + an fpp-fraction of noise, and only that near-empty
+    // stream reaches the exact verify join — so the full gram set
+    // never needs to broadcast at 100 TB. No false negatives + exact
+    // verify of the false positives == bitwise the q70 report, so the
+    // SAME DuckDB oracle gates this path; the fpp knob only moves the
+    // candidate volume, never the answer (spec-pinned across fpp).
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationReportBloom(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
+        fpp = 0.01)
+        .select(col("id").as("doc_id"), col("n_shared"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tr AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents WHERE doc_id % 10 <> 0),
+      te AS (SELECT DISTINCT unnest(${ngrams3(W)}) AS g
+        FROM documents WHERE doc_id % 10 = 0),
+      tg AS (SELECT doc_id, unnest(s) AS g FROM tr),
+      hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM tg JOIN te USING (g) GROUP BY tg.doc_id)
+      SELECT t.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2299,5 +2331,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
+    q106_decontaminate_bloom,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -58,4 +58,29 @@ class DecontaminateSpec extends AnyFunSuite {
     // fixture plants exact duplicates, so contamination is nonempty
     assert(kept.size < tr.count())
   }
+
+  test("bloom pre-pass is bitwise the exact path, at any fpp") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val tr = docs.filter(col("doc_id") % 10 =!= 0)
+    val te = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Decontaminate.contaminationReport(
+      tr, "doc_id", "text", te, "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // fpp only moves the candidate volume between the sketch and the
+    // verify join — never the answer (no false negatives; false
+    // positives die in the verify)
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Decontaminate.contaminationReportBloom(
+        tr, "doc_id", "text", te, "text", n = 3, fpp = fpp)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(bloom == exact, s"bloom(fpp=$fpp) diverged from exact")
+    }
+    val keptExact = Decontaminate.removeContaminated(
+      tr, "doc_id", "text", te, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val keptBloom = Decontaminate.removeContaminatedBloom(
+      tr, "doc_id", "text", te, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBloom == keptExact)
+  }
 }
