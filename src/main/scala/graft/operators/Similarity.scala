@@ -704,6 +704,57 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** [[ivfProbe]] with int8 candidate scoring — the shuffle-weight
+    * composition ([[annTopKInt8]]'s two-stage ladder) applied to the
+    * persisted-index path: the cell join moves QUANTIZED codes (4x
+    * fewer bytes through the probe's only shuffle — at 100 TB the
+    * index stores the codes next to the floats and ships only codes
+    * to the probe), candidates are scored with the pure-integer
+    * kernel, and only the top `rerank` survivors per query re-score
+    * against float vectors for the exact final ranking. Same
+    * (query_id, rank, nn_id, cos) schema as [[ivfProbe]]; agreement
+    * at rerank ≥ ~4k is the measured annTopKInt8 contract
+    * (SimilaritySpec pins it for this path too). */
+  def ivfProbeInt8(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      assignments: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 0, // 0 => 4k
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    val r = if (rerank <= 0) 4 * k else math.max(rerank, k)
+    val cents = collectCentroids(centroids, "ivfProbeInt8")
+    val probesUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, nprobe))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv"))))
+      .withColumn("q8", Quantize.int8(col("qv")))
+    // stage 1: integer scoring over codes through the cell join — the
+    // float corpus vectors never move here
+    val codes = assignments.select(col("id"), col("cell"),
+      Quantize.int8(col("v")).as("c8"))
+    val coarse = topKScored(
+      q.join(codes, Seq("cell"))
+        .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+        .select(col("query_id"), col("id").as("nn_id"),
+          Quantize.cosineInt8(col("q8"), col("c8")).as("cos")),
+      r)
+    // stage 2: float re-score of the shortlist only — exact final rank
+    val qf = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+    val vf = assignments.select(col("id"), col("v"))
+    topKScored(
+      coarse.select("query_id", "nn_id")
+        .join(qf, Seq("query_id"))
+        .join(vf, col("nn_id") === col("id"))
+        .select(col("query_id"), col("nn_id"),
+          call_function("graft_cosine", col("qv"), col("v")).as("cos")),
+      k)
+  }
+
   /** Collect a (cell, centroid) table into a dense array with loud
     * bounds — shared by [[ivfProbe]] and [[ivfAssign]]. An IVF
     * centroid table is nlist rows by construction; anything bigger is

@@ -1992,6 +1992,54 @@ object Extensions {
       WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
+  private val q107_ivf_probe_int8 = Q(
+    "q107_ivf_probe_int8",
+    // The quantized-shuffle composition applied to the PERSISTED-index
+    // path (q92 x q63): the probe's cell join moves int8 codes (4x
+    // lighter), integer-scores candidates, float-reranks the
+    // shortlist. Same fixture split and sampled-exact contract as q92
+    // — the oracle is identical (the emitted rows are the exact
+    // sampled reference; the int8 path's quality is the in-job gate).
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      val (assignments, centroids) = graft.operators.Similarity.ivfIndex(
+        corpus, "vec_id", "embedding", nlist = 16)
+      val ann = graft.operators.Similarity.ivfProbeInt8(
+        batch, "vec_id", "embedding", assignments, centroids,
+        k = 10, nprobe = 4)
+      val sampleQ = batch.filter(col("vec_id") % 10 === 1)
+      val exactRows = graft.operators.Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", sampleQ, "vec_id", "embedding",
+        k = 10).orderBy("query_id", "rank")
+      val emitted = collectToLocal(exactRows,
+        "sampled exact reference (q107)")
+      val recall = graft.operators.Gates.pairRecall(
+        ann.filter(col("query_id") % 10 === 1), emitted)
+      graft.operators.Gates.requireFloor(recall, 0.30,
+        "ivf-probe-int8 sampled pair recall@10 (every 10th odd query)")
+      emitted.orderBy("query_id", "rank")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 0),
+      q AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 1),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM q JOIN c ON true),
+      r AS (SELECT query_id, nn_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
+      SELECT query_id, rank, nn_id, cos FROM r
+      WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
   private val q90_label_centroids = Q(
     "q90_label_centroids",
     // Per-class prototype embeddings: mean vector per label, folded IN
@@ -2331,6 +2379,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom,
+    q106_decontaminate_bloom, q107_ivf_probe_int8,
     q44_curation_pipeline, q45_source_audit)
 }

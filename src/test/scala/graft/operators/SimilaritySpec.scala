@@ -430,6 +430,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("recall"))
   }
 
+  test("ivfProbeInt8: exhaustive rerank == float probe bitwise; default rerank recall holds") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    val (assignments, cents) = Similarity.ivfIndex(
+      corpus, "vec_id", "embedding", nlist = 8)
+    val float = Similarity.ivfProbe(
+      batch, "vec_id", "embedding", assignments, cents, k = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // with the rerank bound above the candidate count, stage 1 keeps
+    // every candidate and stage 2's float ranking IS the float probe
+    val exhaustive = Similarity.ivfProbeInt8(
+      batch, "vec_id", "embedding", assignments, cents, k = 5,
+      nprobe = 4, rerank = 1000000)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(exhaustive == float,
+      "exhaustive-rerank int8 probe must equal the float probe bitwise")
+    // default rerank (4k): the int8 coarse pass may only reorder the
+    // shortlist tail — pair recall vs the float probe stays high
+    val deflt = Similarity.ivfProbeInt8(
+      batch, "vec_id", "embedding", assignments, cents, k = 5, nprobe = 4)
+    val agree = graft.operators.Gates.pairRecall(
+      deflt, Similarity.ivfProbe(
+        batch, "vec_id", "embedding", assignments, cents, k = 5, nprobe = 4))
+    assert(agree >= 0.95, f"int8-vs-float probe agreement $agree%.3f < 0.95")
+  }
+
+  test("round-6 IVF lifecycle edges: empty deltas, empty gate sample, bad centroid tables") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (assignments, cents) = Similarity.ivfIndex(
+      e, "vec_id", "embedding", nlist = 8)
+    // ivfCompact refuses an empty lineage loudly
+    val none = intercept[IllegalArgumentException] {
+      Similarity.ivfCompact(Seq.empty)
+    }
+    assert(none.getMessage.contains("at least one delta"))
+    // a gate over a residue with no ids passes vacuously (recall 1.0),
+    // it does not divide by zero or throw
+    val (vacuous, exact) = Similarity.ivfStalenessGate(
+      assignments, cents, k = 3, nprobe = 2,
+      sampleMod = 1000000L, sampleResidue = 999999L)
+    assert(vacuous == 1.0 && exact.count() == 0)
+    // a centroid table with holes (not a graft ivfIndex product) is
+    // rejected loudly, never silently probed around
+    val wrong = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(e, "vec_id", "embedding",
+        cents.filter(col("cell") % 2 === 0))
+    }
+    assert(wrong.getMessage.contains("gaps"))
+  }
+
   test("centroidOutliers: a planted anti-centroid vector surfaces first") {
     import org.apache.spark.sql.functions.col
     // group of near-identical vectors + one pointing the opposite way
