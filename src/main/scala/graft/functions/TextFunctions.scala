@@ -109,6 +109,17 @@ object TextFunctions {
         i => concat_ws(" ", slice(w, i + 1, lit(n))))))
   }
 
+  /** Word n-grams with multiplicity (no dedup) — the frequency-
+    * weighted face wordNgrams' distinct set hides; heavy-hitter
+    * phrase mining needs every occurrence to count. */
+  def wordNgramsAll(c: Column, n: Int): Column = {
+    val w = words(c)
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(w) - lit(n)),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
   /** Document fingerprint: the minimum md5 over word trigrams — a
     * 1-permutation MinHash usable as a cheap near-dup bucket key (the
     * rolling-hash winnowing idea with md5 as the mixer; md5 is chosen

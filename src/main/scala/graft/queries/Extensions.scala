@@ -1290,6 +1290,28 @@ object Extensions {
       FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  private val q108_heavy_hitters = Q(
+    "q108_heavy_hitters",
+    // Exact heavy hitters at bounded memory: Misra-Gries summaries
+    // per partition tree-merged into a provably-complete candidate
+    // set (every token with count > N/k survives the merge), then an
+    // In-pruned exact verify pass — bitwise the full-shuffle GROUP BY
+    // answer without ever shuffling the token stream. The fixture's
+    // near-flat 31-token vocab makes the sketch trivially exact here
+    // (k=64 > |vocab|); HeavyHittersSpec is where the decrement and
+    // merge paths earn their keep, on skewed streams cut across
+    // adversarial partitionings.
+    (s, dir) =>
+      graft.operators.HeavyHitters.heavyTokens(
+        table(s, dir, "documents"), "text", k = 64),
+    Some(s"""WITH toks AS (SELECT unnest($W) AS token FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY token)
+      SELECT token, cnt FROM c, n WHERE cnt * 64 > n.n
+      ORDER BY cnt DESC, token""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2379,6 +2401,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters,
     q44_curation_pipeline, q45_source_audit)
 }
