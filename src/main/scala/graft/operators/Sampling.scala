@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.TextFunctions
+
 /** Sampling for training-data curation (mix rebalancing, eval-split
   * carving). Everything is hash-deterministic: the same row always
   * makes the same decision regardless of partitioning, executor
@@ -317,5 +319,122 @@ object Sampling {
         f"within relTol=$relTol%.1e — a 1-ulp ln() disagreement could flip " +
         "the kept set; change salt or k")
     withPri.filter(col("_pri") >= pk).drop("_pri")
+  }
+
+  /** Mixture EPOCHING — materialize a training mix as (doc, epoch)
+    * rows from per-source weights and a global token budget, the way
+    * LLM pretraining mixes are actually scheduled: a source whose
+    * token share falls short of its target weight is REPEATED
+    * (multiple epochs), a source that overshoots is SUBSAMPLED
+    * (a fractional epoch), and the whole assignment is deterministic
+    * so a retried 100 TB job rebuilds the identical mix.
+    *
+    * Per source g: target_g = floor(budget · w_g/Σw) tokens;
+    * e_g = target_g div T_g full epochs (T_g the source's exact token
+    * count); the remaining r_g = target_g − e_g·T_g tokens come from
+    * a fractional epoch that keeps docs in md5(salt|id) hash order
+    * while the running token total stays ≤ r_g — the same
+    * cumulative-prefix contract as [[Curation.tokenBudgetSelect]]
+    * (zero-token docs ride free at the front of the order). Every doc
+    * emits rows (id, group, epoch) for epoch 0..e_g−1, plus e_g if it
+    * made the fractional cut.
+    *
+    * Scale shape: the cumulative sum is NEVER a per-source global
+    * window (a source can be most of the corpus). Docs bucket by
+    * their md5's first byte — fixed-width lowercase hex compares
+    * lexicographically as its numeric value, so the 256 buckets are
+    * order-consistent prefix ranges of the hash order — and one tiny
+    * (source × 256) token-sum aggregate lets the driver place each
+    * source's boundary bucket and in-bucket cutoff exactly, as
+    * integer math. One more scan runs the per-(source, bucket)
+    * window (bounded, parallel) and explodes epochs map-side. Two
+    * scans, one narrow shuffle, broadcast metadata; bitwise the
+    * single-window answer by prefix-sum decomposition.
+    *
+    * Sources absent from the input or with zero tokens are skipped
+    * with a stderr warning (a mix spec naming a missing source is a
+    * data bug worth hearing about, not a crash). `maxEpochs` bounds
+    * the repeat factor loudly — a 3-doc source with a 10% weight
+    * would otherwise explode the output silently.
+    *
+    * Reference analog: the chained-job composition pattern
+    * (Imagine_MapReduce README §chained jobs) — counts feed a second
+    * pass that rewrites the dataset; here phases 1/2 are the counts,
+    * phase 3 the rewrite. */
+  def epochMixture(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      weights: Map[String, Double],
+      budgetTokens: Long,
+      salt: String = "graft",
+      maxEpochs: Long = 1000L): DataFrame = {
+    require(budgetTokens >= 0L, "budgetTokens must be non-negative")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val wsum = weights.values.sum
+    require(wsum > 0.0, "at least one weight must be positive")
+    val grp = col(groupCol).cast("string")
+    val base = df.filter(grp.isin(weights.keys.toSeq: _*))
+      .select(col(idCol).as("_id"), grp.as("_grp"),
+        coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)).as("_toks"))
+      .withColumn("_h",
+        md5(concat_ws("|", lit(salt), col("_id").cast("string"))))
+      .withColumn("_bkt", conv(substring(col("_h"), 1, 2), 16, 10).cast("long"))
+    // phase 1: one partial-aggregated scan -> (source × ≤256) cells
+    val cells = base.groupBy("_grp", "_bkt").agg(sum("_toks").as("_btoks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totals = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // phase 2: driver integer math — epochs, boundary bucket, cutoff
+    val metas = weights.toSeq.sortBy(_._1).flatMap { case (g, wgt) =>
+      totals.get(g).filter(_ > 0L) match {
+        case None =>
+          System.err.println(s"[graft] epochMixture: source '$g' has no " +
+            "tokens in the input — skipped, mix will run short")
+          None
+        case Some(t) =>
+          val target = math.floor(budgetTokens * (wgt / wsum)).toLong
+          val e = target / t
+          require(e <= maxEpochs,
+            s"epochMixture: source '$g' needs $e epochs " +
+              s"(target $target tokens over $t available) — exceeds " +
+              s"maxEpochs=$maxEpochs; raise the bound explicitly if a " +
+              s"${e}x repetition of this source is really intended")
+          val r = target - e * t
+          val bs = cells.filter(_._1 == g).map(c => c._2 -> c._3).sortBy(_._1)
+          var consumed = 0L; var boundary = -1L; var offset = 0L
+          val it = bs.iterator
+          while (boundary < 0 && it.hasNext) {
+            val (b, bt) = it.next()
+            if (consumed + bt > r) { boundary = b; offset = consumed }
+            else consumed += bt
+          }
+          // r < t always (e is the floor), so some bucket overflows r
+          Some((g, e, boundary, r - offset))
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (metas.isEmpty)
+      return base.filter(lit(false))
+        .select(col("_id").as(idCol), col("_grp").as(groupCol),
+          lit(0L).as("epoch"))
+    val metaDf = metas.toDF("_grp", "_e", "_boundary", "_cutoff")
+    // phase 3: one scan — bounded per-(source, bucket) windows, then
+    // map-side epoch explode
+    val w = Window.partitionBy("_grp", "_bkt")
+      .orderBy(col("_h"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(metaDf), Seq("_grp"))
+      .withColumn("_cum", sum(col("_toks")).over(w))
+      .withColumn("_sel",
+        col("_bkt") < col("_boundary") ||
+          (col("_bkt") === col("_boundary") &&
+            col("_cum") <= col("_cutoff")))
+      .withColumn("_reps", col("_e") + when(col("_sel"), 1L).otherwise(0L))
+      .filter(col("_reps") > 0L)
+      .select(col("_id").as(idCol), col("_grp").as(groupCol),
+        explode(sequence(lit(0L), col("_reps") - 1L)).as("epoch"))
   }
 }

@@ -1312,6 +1312,46 @@ object Extensions {
       ORDER BY cnt DESC, token""")
   )
 
+  private val q109_epoch_mixture = Q(
+    "q109_epoch_mixture",
+    // Mixture epoching: weights {src0 .5, src1 .25, src2/src3 .125}
+    // over a 10k-token budget make src0 repeat 3 full epochs + a
+    // fractional one, src1 one epoch + fraction, src2/src3 pure
+    // subsamples — the three regimes of a real pretraining mix in one
+    // fixture. Binary-exact weights keep floor(budget·w/Σw) identical
+    // IEEE math on both engines; everything downstream is integer.
+    // The oracle spells the fractional cut as ONE per-source
+    // cumulative window; the operator's bucketed two-phase must be
+    // bitwise that by prefix-sum decomposition.
+    (s, dir) =>
+      graft.operators.Sampling.epochMixture(
+        table(s, dir, "documents"), "source", "doc_id", "text",
+        weights = Map(
+          "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+        budgetTokens = 10000L)
+        .orderBy("doc_id", "epoch"),
+    Some(s"""WITH base AS (SELECT doc_id, source,
+        CAST(len($W) AS BIGINT) AS toks,
+        md5('graft|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE source IN ('src0','src1','src2','src3')),
+      tot AS (SELECT source, CAST(sum(toks) AS BIGINT) AS t
+        FROM base GROUP BY source HAVING sum(toks) > 0),
+      tgt AS (SELECT source, t, CAST(floor(10000 * (CASE source
+          WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+          ELSE 0.125 END / 1.0)) AS BIGINT) AS target FROM tot),
+      eg AS (SELECT source, t, target, target // t AS e,
+        target - (target // t) * t AS r FROM tgt),
+      cum AS (SELECT b.doc_id, b.source, b.toks,
+        CAST(sum(b.toks) OVER (PARTITION BY b.source ORDER BY b.h, b.doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM base b JOIN eg USING (source)),
+      reps AS (SELECT cum.doc_id, cum.source,
+        CAST(e + CASE WHEN c <= r THEN 1 ELSE 0 END AS BIGINT) AS reps
+        FROM cum JOIN eg USING (source))
+      SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+      FROM reps WHERE reps > 0 ORDER BY doc_id, epoch""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2401,6 +2441,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture,
     q44_curation_pipeline, q45_source_audit)
 }
