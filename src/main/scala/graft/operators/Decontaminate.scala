@@ -136,4 +136,168 @@ object Decontaminate {
       .select("id").distinct()
     train.join(dirty, train(trainId) === dirty("id"), "left_anti")
   }
+
+  // -------------------------------------------------------------------
+  // SEMANTIC decontamination — the embedding-space twin of the n-gram
+  // screen: a training item whose embedding sits within cosine tau of
+  // any benchmark embedding is a paraphrase-level leak the n-gram
+  // collision test cannot see. The published playbook (e.g. the
+  // phi-series "seen during training" analyses and every
+  // embedding-dedup paper since SemDeDup) is exactly this predicate;
+  // the hard part at 100 TB is doing it EXACTLY without |X|·|B| flops
+  // per row. ANN indexes (LSH / IVF probes) are the wrong tool here —
+  // they have false NEGATIVES, and a decontamination screen that
+  // silently misses leaks is worse than none. This one is exact.
+  // -------------------------------------------------------------------
+
+  /** Shared plumbing: the PRUNED (corpus row × benchmark member)
+    * candidate stream, provably a superset of all true matches.
+    *
+    * Geometry: for unit vectors, cos(x,b) ≥ τ ⟺ ‖x̂−b̂‖ ≤ d_τ =
+    * √(2−2τ). Cluster the BENCHMARK side into ≤ nlist spherical
+    * cells (bounded hash-ordered training sample, the ivfIndex
+    * discipline) and record each cell's radius r_c = max_b ‖b̂−c‖.
+    * Triangle inequality: ‖x̂−b̂‖ ≥ ‖x̂−c‖ − r_c, so a corpus row
+    * can only match inside cells with ‖x̂−c‖ ≤ r_c + d_τ — every
+    * other cell is pruned EXACTLY, no recall loss. The `eps` slack
+    * absorbs float→double rounding between the prune arithmetic and
+    * the verify kernel (the bound is geometric-exact in reals; eps
+    * covers the ~1e-7 representation noise, spec-pinned against
+    * brute force). Requires τ > 0 — a zero-norm corpus vector scores
+    * cosine 0 by [[Kernels.cosine]]'s convention and can then never
+    * match, so its pruning is trivially sound.
+    *
+    * Scale shape: the corpus is scanned once and never shuffled —
+    * per row O(nlist·dim) centroid math plus only the surviving
+    * cells' members through a broadcast join. The benchmark side
+    * broadcasts (it is the small side by the same argument as the
+    * n-gram screen — loud `maxBench` guard via a narrow count).
+    * Centroid training reads a BOUNDED sample; radii are one tiny
+    * nlist-row aggregate. */
+  private def semanticCandidates(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      bench: DataFrame, benchId: String, benchVec: String,
+      tau: Double, nlist: Int, sampleSize: Int, iters: Int,
+      eps: Double, maxBench: Long): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(eps >= 0.0, "eps must be non-negative")
+    val b = bench.select(col(benchId).as("bid"), col(benchVec).as("bv"))
+      .filter(col("bv").isNotNull)
+    val nb = b.count() // narrow: ids+vectors don't move for the guard
+    require(nb <= maxBench,
+      s"semantic decontamination benchmark side has $nb rows — exceeds " +
+        s"maxBench=$maxBench; the benchmark set must broadcast. Raise " +
+        "the bound explicitly if this is really the small side")
+    val sample = b.orderBy(xxhash64(col("bid")), col("bid"))
+      .limit(sampleSize).select("bv").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dTau = math.sqrt(math.max(0.0, 2.0 - 2.0 * tau))
+    if (sample.isEmpty)
+      return corpus.select(col(corpusId).as("id"),
+        col(corpusVec).as("cv")).filter(lit(false))
+        .withColumn("bv", col("cv"))
+    val cents = Similarity.trainCentroids(sample, nlist, iters)
+    val assignUdf = udf((v: scala.collection.Seq[Float]) => {
+      val vn = Similarity.normalized(v.toArray)
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0; var i = 0
+        val n = math.min(vn.length, cent.length)
+        while (i < n) { d += vn(i).toDouble * cent(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      (best, math.sqrt(math.max(0.0, 2.0 - 2.0 * bestDot)))
+    })
+    val assigned = b
+      .withColumn("_a", assignUdf(col("bv")))
+      .select(col("bv"), col("_a._1").as("cell"), col("_a._2").as("dist"))
+    val radii = assigned.groupBy("cell").agg(max("dist").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val cellIds = radii.keys.toArray.sorted
+    val radiiArr = cellIds.map(radii)
+    val surviveUdf = udf((v: scala.collection.Seq[Float]) => {
+      val vn = Similarity.normalized(v.toArray)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var j = 0
+      while (j < cellIds.length) {
+        val cent = cents(cellIds(j))
+        var d = 0.0; var i = 0
+        val n = math.min(vn.length, cent.length)
+        while (i < n) { d += vn(i).toDouble * cent(i); i += 1 }
+        val dist = math.sqrt(math.max(0.0, 2.0 - 2.0 * d))
+        if (dist <= radiiArr(j) + dTau + eps) out += cellIds(j)
+        j += 1
+      }
+      out.toArray
+    })
+    corpus.select(col(corpusId).as("id"), col(corpusVec).as("cv"))
+      .filter(col("cv").isNotNull)
+      .withColumn("cell", explode(surviveUdf(col("cv"))))
+      .join(broadcast(assigned.select("cell", "bv")), Seq("cell"))
+      .select(col("id"), col("cv"), col("bv"))
+  }
+
+  /** Per-corpus-row semantic contamination report:
+    * (id, n_matches, contaminated) — n_matches the EXACT number of
+    * benchmark embeddings within cosine ≥ τ, every corpus row
+    * present (null-vector rows report 0). Bitwise the brute-force
+    * |X|·|B| answer: pruning only drops provably-unmatchable cells,
+    * and the survivors go through the same [[Similarity.cosineKernel]]
+    * fold the q38 oracle reproduces. */
+  def semanticReport(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      bench: DataFrame, benchId: String, benchVec: String,
+      tau: Double,
+      nlist: Int = 16,
+      sampleSize: Int = 256,
+      iters: Int = 5,
+      eps: Double = 1e-4,
+      maxBench: Long = 1000000L): DataFrame = {
+    val cand = semanticCandidates(corpus, corpusId, corpusVec,
+      bench, benchId, benchVec, tau, nlist, sampleSize, iters, eps, maxBench)
+    val hits = cand
+      .filter(Similarity.cosineKernel(col("cv"), col("bv")) >= tau)
+      .groupBy("id").agg(count(lit(1)).as("n_matches"))
+    corpus.select(col(corpusId).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("contaminated", col("n_matches") > 0)
+  }
+
+  /** The enforcement end: drop every corpus row within cosine ≥ τ of
+    * any benchmark embedding. Same anti-join discipline as
+    * [[removeContaminated]]. */
+  def removeSemantic(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      bench: DataFrame, benchId: String, benchVec: String,
+      tau: Double,
+      nlist: Int = 16,
+      sampleSize: Int = 256,
+      iters: Int = 5,
+      eps: Double = 1e-4,
+      maxBench: Long = 1000000L): DataFrame = {
+    val cand = semanticCandidates(corpus, corpusId, corpusVec,
+      bench, benchId, benchVec, tau, nlist, sampleSize, iters, eps, maxBench)
+    val dirty = cand
+      .filter(Similarity.cosineKernel(col("cv"), col("bv")) >= tau)
+      .select("id").distinct()
+    corpus.join(dirty, corpus(corpusId) === dirty("id"), "left_anti")
+  }
+
+  /** Spec hook: candidate-pair count after pruning (the spec asserts
+    * it undercuts |X|·|B| on clustered data while the report stays
+    * bitwise-exact). */
+  private[operators] def semanticCandidateCount(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      bench: DataFrame, benchId: String, benchVec: String,
+      tau: Double, nlist: Int = 16, sampleSize: Int = 256,
+      iters: Int = 5, eps: Double = 1e-4,
+      maxBench: Long = 1000000L): Long =
+    semanticCandidates(corpus, corpusId, corpusVec,
+      bench, benchId, benchVec, tau, nlist, sampleSize, iters, eps,
+      maxBench).count()
 }

@@ -340,7 +340,7 @@ object Similarity {
   // -------------------------------------------------------------------
 
   /** Normalize to unit L2 (zero vectors pass through). */
-  private def normalized(v: Array[Float]): Array[Float] = {
+  private[operators] def normalized(v: Array[Float]): Array[Float] = {
     var ss = 0.0; var i = 0
     while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
     val n = math.sqrt(ss)

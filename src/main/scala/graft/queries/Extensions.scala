@@ -1352,6 +1352,43 @@ object Extensions {
       FROM reps WHERE reps > 0 ORDER BY doc_id, epoch""")
   )
 
+  private val q110_decontaminate_semantic = Q(
+    "q110_decontaminate_semantic",
+    // SEMANTIC decontamination, EXACT: corpus embeddings (vec_id%10
+    // != 0) screened against the benchmark split (vec_id%10 == 0) at
+    // cosine tau=0.4. The operator prunes via benchmark-side centroid
+    // cells + triangle inequality (no recall loss — only provably-
+    // unmatchable cells drop) and exact-verifies survivors with the
+    // q38 cosine fold; the oracle is the brute-force cross join. 14
+    // of 450 corpus vectors are contaminated at sf0.01.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticReport(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        tau = 0.4)
+        .select(col("id").as("vec_id"), col("n_matches"), col("contaminated"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 <> 0),
+      b AS (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 0),
+      p AS (SELECT c.vec_id,
+        list_aggregate(list_transform(list_zip(c.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(b.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM c CROSS JOIN b),
+      hits AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches
+        FROM p WHERE cos >= 0.4 GROUP BY vec_id)
+      SELECT c.vec_id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+        coalesce(h.n_matches, 0) > 0 AS contaminated
+      FROM c LEFT JOIN hits h USING (vec_id) ORDER BY vec_id""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2441,6 +2478,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic,
     q44_curation_pipeline, q45_source_audit)
 }
