@@ -57,4 +57,76 @@ object TfIdf {
       .filter(col("rank") <= k)
       .select("id", "rank", "term", "tf", "df", "score")
   }
+
+  /** BM25 ranked retrieval — score every document against a bag-of-
+    * words query and return the top k: the search primitive that
+    * turns the wordcount/TF-IDF family into an engine a user can
+    * actually ASK things ("find the docs about X in this 100 TB
+    * corpus"). Okapi BM25 with the standard k1/b saturation and
+    * length normalization, except the idf factor is the RATIONAL
+    * Robertson–Spärck-Jones form (N − df + 0.5)/(df + 0.5) WITHOUT
+    * the ln() — the same rounding-portability dodge as [[termScores]]
+    * (IEEE division is identically rounded everywhere, libm log is
+    * not), so scores and rankings are bitwise cross-engine. Same
+    * monotone-in-1/df shape; the saturation and length terms are
+    * untouched. Documented, deliberate deviation from textbook BM25.
+    *
+    * Determinism: each doc's score folds its per-term contributions
+    * in SORTED TERM ORDER (collect_list order is partitioning
+    * noise; the array_sort fixes it), matching an ORDER BY term
+    * list-sum on any SQL engine. Ties in score break by doc id.
+    *
+    * Scale shape: query terms are a handful — the token explode
+    * collapses against an In filter BEFORE any shuffle, so tf
+    * aggregates a near-empty stream on (id, term), df on ≤|query|
+    * keys; corpus length stats ride as one broadcast aggregate row.
+    * The final rank is orderBy(score).limit(k) — a TakeOrdered, no
+    * global sort — and the row_number window runs on the already-
+    * k-row result. One corpus scan end to end.
+    *
+    * Reference analog: the grep/wordcount query family
+    * (Imagine_MapReduce WordCount*, README §usage) upgraded to
+    * ranked retrieval. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.distinct.sorted
+    val docs = df.select(col(idCol).as("id"),
+      TextFunctions.tokenCount(col(textCol)).as("dl"),
+      TextFunctions.words(col(textCol)).as("w"))
+    val stats = docs.agg(sum("dl").as("tot"), count(lit(1)).as("n"))
+    val tf = docs.select(col("id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val totD = col("tot").cast("double")
+    val contrib =
+      ((nD - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+        ((tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / (totD / nD)))))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(docs.select("id", "dl"), "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"), contrib.as("contrib"))
+      .groupBy("id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0), (acc, s) => acc + s.getField("contrib")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("score"))
+  }
 }

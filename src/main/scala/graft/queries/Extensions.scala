@@ -1389,6 +1389,43 @@ object Extensions {
       FROM c LEFT JOIN hits h USING (vec_id) ORDER BY vec_id""")
   )
 
+  private val q111_bm25_search = Q(
+    "q111_bm25_search",
+    // BM25 ranked retrieval over the corpus for a 3-term query —
+    // rational-idf form (no ln, same portability dodge as q71), so
+    // scores are bitwise cross-engine; per-doc contributions fold in
+    // sorted term order on both sides.
+    (s, dir) =>
+      graft.operators.TfIdf.bm25TopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "hash", "scan"), k = 10)
+        .select(col("rank"), col("id").as("doc_id"), col("score"))
+        .orderBy("rank"),
+    Some(s"""WITH docs AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
+        $W AS w FROM documents),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+        CAST(count(*) AS BIGINT) AS n FROM docs),
+      toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+      c AS (SELECT tf.doc_id, tf.term,
+        ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) *
+        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 *
+          ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) /
+            (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
+        FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id)
+        CROSS JOIN stats),
+      s AS (SELECT doc_id,
+        list_aggregate(list(contrib ORDER BY term), 'sum') AS score
+        FROM c GROUP BY doc_id)
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        AS BIGINT) AS rank, doc_id, score
+      FROM s ORDER BY score DESC, doc_id LIMIT 10""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2478,6 +2515,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -50,4 +50,78 @@ class TfIdfSpec extends AnyFunSuite {
       .as[(Long, Long, String, Long, Long, Double)].collect().toSet
     assert(run() == run())
   }
+
+  // ----- BM25 -----
+
+  /** Driver-side BM25 reference with the same rational idf and
+    * sorted-term fold. */
+  private def bm25Ref(
+      rows: Seq[(Long, String)], terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Long, Double)] = {
+    val toks = rows.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq
+    }
+    val n = toks.size.toLong
+    val tot = toks.map(_._2.size.toLong).sum
+    val avgdl = tot.toDouble / n.toDouble
+    val dfm = terms.distinct.map { t =>
+      t -> toks.count(_._2.contains(t)).toLong
+    }.toMap
+    val scored = toks.flatMap { case (id, ws) =>
+      val contribs = terms.distinct.sorted.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0L) None
+        else {
+          val df = dfm(t).toDouble
+          val idf = (n.toDouble - df + 0.5) / (df + 0.5)
+          Some(idf * ((tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * ((1.0 - b) + b * (ws.size.toDouble / avgdl)))))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> contribs.foldLeft(0.0)(_ + _))
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+  }
+
+  private val searchDocs = Seq(
+    (1L, "spark query engine"),                      // 1x query, short
+    (2L, "query query query query engine planner"),  // saturated tf
+    (3L, "query"),                                   // shortest doc
+    (4L, "a long document about nothing relevant at all with many words"),
+    (5L, "engine room"),
+    (6L, "query engine query engine")                // both terms twice
+  )
+
+  test("bm25TopK == driver reference, exact doubles") {
+    val got = TfIdf.bm25TopK(searchDocs.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("query", "engine"), k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == bm25Ref(searchDocs, Seq("query", "engine"), 4))
+    assert(got.size == 4)
+    // doc 6 (both terms, twice, short) must outrank doc 4 (no terms:
+    // absent) and doc 3 (one term once)
+    val rankOf = got.map(r => r._2 -> r._1).toMap
+    assert(rankOf.contains(6L) && !rankOf.contains(4L))
+  }
+
+  test("bm25 tf saturation: 4x tf scores less than 4x the 1x score") {
+    val two = Seq((1L, "query pad pad pad"), (2L, "query query query query"))
+    val got = TfIdf.bm25TopK(two.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("query"), k = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    assert(got(2L) > got(1L))
+    assert(got(2L) < 4.0 * got(1L), "k1 saturation must bend the curve")
+  }
+
+  test("bm25 invariant under repartitioning; duplicate query terms collapse") {
+    val df = searchDocs.toDF("doc_id", "text")
+    val base = TfIdf.bm25TopK(df, "doc_id", "text",
+      Seq("query", "engine"), 6).as[(Long, Long, Double)].collect().toSeq
+    val re = TfIdf.bm25TopK(df.repartition(7), "doc_id", "text",
+      Seq("engine", "query", "query"), 6)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(re == base)
+  }
 }
