@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding TOKENIZER TRAINING over a corpus — the step
+  * that turns 100 TB of text into the merge table a trainer's
+  * tokenizer ships with (Sennrich et al., "Neural Machine Translation
+  * of Rare Words with Subword Units", ACL 2016 — the algorithm behind
+  * GPT-2/RoBERTa vocabularies).
+  *
+  * The at-scale shape is the whole point: BPE statistics NEVER run
+  * over raw text. The corpus collapses to its (word, freq) table
+  * first — one wordcount shuffle, output bounded by vocabulary size,
+  * not corpus size — and every merge iteration after that is pair
+  * counting + re-segmentation over that collapsed table, each
+  * iteration one narrow shuffle on pair keys. A 100× corpus grows
+  * the wordcount input but not the iteration state.
+  *
+  * Merges never cross word boundaries (pairs are adjacent symbols
+  * within a word), so no end-of-word marker is needed for the
+  * counting math; production vocabularies add one to distinguish
+  * suffixes — a caller-side `word || "</w>"` preprocessing choice
+  * this operator deliberately leaves out of the kernel.
+  *
+  * Reference analog: the chained wordcount job family
+  * (Imagine_MapReduce WordCount*, README §chained jobs) — BPE
+  * training IS a chain of weighted pair-wordcounts.
+  */
+object Bpe {
+
+  /** The corpus collapsed to (word, freq) — phase 0 of everything. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent character-pair statistics over the collapsed word
+    * table, weighted by word frequency — the exact input to BPE's
+    * first argmax, and the q112 oracle surface: (rank, left, right,
+    * cnt), rank 1 the pair the first merge would pick, ties broken
+    * by (left, right). Pairs come straight off substrings of the
+    * word (no symbol arrays yet), so the whole thing is plain
+    * codegen'd SQL any engine reproduces. */
+  def pairStats(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val wf = wordFreq(df, textCol)
+    val pairs = wf
+      .filter(length(col("word")) >= 2) // 1-char words emit no pairs;
+      // the filter also keeps sequence() ascending (sequence(1,0)
+      // would DESCEND and fabricate pairs)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - lit(1)),
+          i => struct(
+            col("word").substr(i, lit(1)).as("left"),
+            col("word").substr(i + lit(1), lit(1)).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("freq")).as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("left"), col("right"))
+      .limit(topN)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("left"), col("right"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "left", "right", "cnt")
+  }
+
+  private val charsUdf = udf((w: String) =>
+    if (w == null) Array.empty[String]
+    else w.toCharArray.map(_.toString))
+
+  private def mergeUdf(l: String, r: String) =
+    udf((s: scala.collection.Seq[String]) => {
+      // greedy leftmost non-overlapping replace — the BPE rule
+      // ("aaa" + (a,a) merges positions 1-2, NOT 2-3)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    })
+
+  /** Train `numMerges` BPE merges: (rank, left, right, freq) — rank
+    * the merge order, freq the weighted adjacent-pair count at the
+    * moment the pair was chosen. Deterministic: argmax ties break by
+    * (left, right); stops early when no pair remains (every word one
+    * symbol).
+    *
+    * Driver loop over a VOCAB-sized frame: each iteration one pair
+    * explode + partial-agg shuffle and a 1-row TakeOrdered; the
+    * re-segmented table is localCheckpoint'd to keep lineage flat
+    * across iterations (blocks do not survive executor loss — on a
+    * real cluster checkpoint the segments to reliable storage every
+    * few dozen merges; the frame is vocab-sized, so that write is
+    * cheap). BpeSpec pins the canonical hand example, the
+    * concat(syms) == word reconstruction invariant, and partition
+    * invariance. */
+  def bpeTrain(
+      df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var segs = wordFreq(df, textCol)
+      .withColumn("syms", charsUdf(col("word")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      val best = segs
+        .filter(size(col("syms")) >= 2) // same ascending-sequence guard
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(col("syms")) - lit(2)),
+            i => struct(
+              element_at(col("syms"), i + lit(1)).as("l"),
+              element_at(col("syms"), i + lit(2)).as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it + 1L, l, r, cnt))
+        val next = segs.withColumn("syms", mergeUdf(l, r)(col("syms")))
+          .localCheckpoint(true) // flat lineage; frees the parent plan
+        segs.unpersist()
+        segs = next
+        it += 1
+      }
+    }
+    segs.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+}

@@ -1426,6 +1426,32 @@ object Extensions {
       FROM s ORDER BY score DESC, doc_id LIMIT 10""")
   )
 
+  private val q112_bpe_pair_stats = Q(
+    "q112_bpe_pair_stats",
+    // BPE tokenizer-training statistics: the corpus collapses to its
+    // (word, freq) table (vocab-sized, the at-scale move), then
+    // frequency-weighted adjacent character pairs rank toward the
+    // first merge argmax. Top-20 with (left, right) tiebreaks; rank 1
+    // is the pair bpeTrain's first iteration picks (BpeSpec pins the
+    // iterative path against a hand reference — its driver loop is
+    // not SQL-expressible, the stats kernel is).
+    (s, dir) =>
+      graft.operators.Bpe.pairStats(table(s, dir, "documents"), "text", 20)
+        .orderBy("rank"),
+    Some(s"""WITH toks AS (SELECT unnest($W) AS word FROM documents),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY word),
+      pr AS (SELECT freq, unnest(list_transform(range(length(word) - 1),
+          i -> substr(word, CAST(i AS INTEGER) + 1, 2))) AS pair
+        FROM wf WHERE length(word) >= 2),
+      c AS (SELECT substr(pair, 1, 1) AS "left",
+        substr(pair, 2, 1) AS "right", CAST(sum(freq) AS BIGINT) AS cnt
+        FROM pr GROUP BY 1, 2)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, "left", "right")
+        AS BIGINT) AS rank, "left", "right", cnt
+      FROM c ORDER BY cnt DESC, "left", "right" LIMIT 20""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2515,6 +2541,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats,
     q44_curation_pipeline, q45_source_audit)
 }
