@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream — "how many users
+  * VIEWED, then CLICKED after viewing, then PURCHASED after
+  * clicking" — the event-analytics query family (conversion funnels,
+  * activation flows) built from the cascading-first-timestamp
+  * pattern: step k's frame is the users whose earliest step-k event
+  * STRICTLY FOLLOWS their step-(k−1) entry time. min() cascades make
+  * the semantics order-exact without sorting whole user histories —
+  * no window over a user's full event list, no sessionization
+  * required.
+  *
+  * Scale shape: each step is filter(type) → per-user partial-agg min
+  * → equi-join on user_id with the previous (already user-keyed,
+  * strictly shrinking) frame. The event table is scanned once per
+  * step with the type filter pushed to parquet; every shuffle is a
+  * per-user aggregate that map-side-combines to one row per user per
+  * partition. Funnels are short (a handful of steps); for unusually
+  * deep ones persist the intermediate level frames — each is one
+  * narrow (user, ts) row per surviving user.
+  *
+  * `maxGap` (microseconds) optionally bounds each step transition:
+  * step k must land within gap of step k−1's entry. Strict `>`
+  * ordering either way — simultaneous events do not advance a
+  * funnel (deterministic, and the conservative reading of "then").
+  *
+  * Reference analog: chained filter+aggregate jobs
+  * (Imagine_MapReduce README §chained jobs). */
+object Funnel {
+
+  /** Per-user entry times, one column per reached step:
+    * (user, ts_1, ..., ts_k) — rows only for users who completed
+    * step 1; later columns null once the user falls out. Mostly a
+    * spec surface; [[funnelCounts]] is the reporting face. */
+  def funnelUsers(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val e = events.select(col(userCol).as("user"),
+      col(typeCol).as("typ"), col(tsCol).as("ts"))
+    var acc = e.filter(col("typ") === steps.head)
+      .groupBy("user").agg(min("ts").as("ts_1"))
+    var k = 2
+    steps.tail.foreach { step =>
+      val prevTs = col(s"ts_${k - 1}")
+      val within: Column = maxGap match {
+        case Some(g) =>
+          col("ts") > prevTs &&
+            col("ts") <= prevTs + expr(s"INTERVAL $g MICROSECOND")
+        case None => col("ts") > prevTs
+      }
+      val next = e.filter(col("typ") === step)
+        .join(acc, Seq("user"))
+        .filter(within)
+        .groupBy("user").agg(min(col("ts")).as(s"ts_$k"))
+        .select(col("user"), col(s"ts_$k"))
+      acc = acc.join(next, Seq("user"), "left")
+      k += 1
+    }
+    acc
+  }
+
+  /** The funnel report: (step, event_type, users) — users counts how
+    * many completed steps 1..k in order. Monotonically non-increasing
+    * by construction. ONE pass over the level frame: count(ts_k)
+    * skips nulls, so every step's survivor count comes out of a
+    * single aggregate row, unpivoted to rows map-side. */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
+    val levels = funnelUsers(events, userCol, typeCol, tsCol, steps, maxGap)
+    val one = levels.agg(
+      count(col("ts_1")).as("c_1"),
+      steps.indices.tail.map(i => count(col(s"ts_${i + 1}")).as(s"c_${i + 1}")): _*)
+    one.select(explode(array(steps.zipWithIndex.map { case (name, i) =>
+      struct(lit(i + 1L).as("step"), lit(name).as("event_type"),
+        col(s"c_${i + 1}").as("users"))
+    }: _*)).as("r"))
+      .select("r.*").orderBy("step")
+  }
+}

@@ -1452,6 +1452,32 @@ object Extensions {
       FROM c ORDER BY cnt DESC, "left", "right" LIMIT 20""")
   )
 
+  private val q113_funnel = Q(
+    "q113_funnel",
+    // Ordered conversion funnel view -> click -> purchase: cascading
+    // first-timestamp joins (step k's earliest event strictly after
+    // the step k-1 entry), one aggregate row unpivoted to the
+    // 3-step report. Strict > on timestamps both engines.
+    (s, dir) =>
+      graft.operators.Funnel.funnelCounts(
+        events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+    Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
+      a AS (SELECT user_id, min(ts) AS ta FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      b AS (SELECT e.user_id, min(e.ts) AS tb FROM e
+        JOIN a ON e.user_id = a.user_id AND e.ts > a.ta
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS tc FROM e
+        JOIN b ON e.user_id = b.user_id AND e.ts > b.tb
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        (SELECT CAST(count(*) AS BIGINT) FROM a) AS users
+      UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM b)
+      UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM c)
+      ORDER BY step""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2541,6 +2567,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel,
     q44_curation_pipeline, q45_source_audit)
 }
