@@ -1478,6 +1478,37 @@ object Extensions {
       ORDER BY step""")
   )
 
+  private val q114_random_projection = Q(
+    "q114_random_projection",
+    // Achlioptas sparse random projection 64 -> 8 dims: the
+    // JL-transform compression axis (fewer dimensions through every
+    // downstream shuffle, vs int8's fewer bytes per dimension). The
+    // sign matrix derives from md5("graft|i|j") bands, so DuckDB
+    // rebuilds the identical matrix and every projected double is
+    // bitwise (ascending-i product fold, one final scale multiply).
+    // Flat (vec_id, j, y) rows keep the compare scalar.
+    (s, dir) =>
+      graft.operators.Quantize.randomProject(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+        .select(col("id").as("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("y"))
+        .orderBy("vec_id", "j"),
+    Some("""WITH dims AS (SELECT unnest(range(8)) AS j),
+      p AS (SELECT vec_id, j,
+        list_aggregate(list_transform(range(len(embedding)),
+          i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * (CASE
+            WHEN substr(md5('graft|' || CAST(i AS VARCHAR) || '|' ||
+              CAST(j AS VARCHAR)), 1, 2) < '2b' THEN 1.0
+            WHEN substr(md5('graft|' || CAST(i AS VARCHAR) || '|' ||
+              CAST(j AS VARCHAR)), 1, 2) < '56' THEN -1.0
+            ELSE 0.0 END)), 'sum') * sqrt(3.0 / 8.0) AS y
+        FROM embeddings CROSS JOIN dims)
+      SELECT vec_id, CAST(j AS BIGINT) AS j, y FROM p
+      ORDER BY vec_id, j""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2567,6 +2598,6 @@ object Extensions {
     q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel,
+    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q44_curation_pipeline, q45_source_audit)
 }
