@@ -151,4 +151,54 @@ object Curation {
       .filter(col("_rk") <= ceil(lit(frac) * col("_n")).cast("long"))
       .drop("_rk", "_n")
   }
+
+  /** Per-group row capping — the Common-Crawl-style DOMAIN CAP: no
+    * source/domain/template may contribute more than `cap` rows,
+    * selection deterministic in md5(salt|id) hash order so retries
+    * and engines agree on the kept set.
+    *
+    * Built for UNBOUNDED group cardinality (domains number in the
+    * millions at crawl scale), so unlike [[Sampling.epochMixture]]'s
+    * driver prefix scan there is NO driver state: rows bucket by
+    * their md5's first byte (256 order-consistent prefix ranges of
+    * the hash order), per-(group, bucket) counts aggregate
+    * distributedly, and each bucket learns its group-prefix offset
+    * from a window over AT MOST 256 rows per group. Rows whose whole
+    * bucket starts at or past the cap are dropped BEFORE the
+    * per-(group, bucket) rank window, so only ~cap rows per group
+    * ever reach a sort — a 10-million-row domain costs what a
+    * cap-row domain costs, plus one count pass. Bitwise the naive
+    * per-group global window by prefix-sum decomposition. */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cap: Int,
+      salt: String = "graft"): DataFrame = {
+    require(cap >= 0, s"cap must be non-negative, got $cap")
+    Seq("_h", "_bkt", "_off", "_rk").foreach { r =>
+      require(!df.columns.contains(r),
+        s"column name $r is reserved by capPerGroup")
+    }
+    if (cap == 0) return df.filter(lit(false))
+    val base = df
+      .withColumn("_h",
+        md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+      .withColumn("_bkt",
+        conv(substring(col("_h"), 1, 2), 16, 10).cast("long"))
+    val cells = base.groupBy(col(groupCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(groupCol).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .drop("_c")
+    val wIn = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(col("_h"), col(idCol))
+    base.join(offs, Seq(groupCol, "_bkt"))
+      .filter(col("_off") < cap) // whole-bucket prune before any sort
+      .withColumn("_rk", row_number().over(wIn).cast("long") + col("_off"))
+      .filter(col("_rk") <= cap)
+      .drop("_h", "_bkt", "_off", "_rk")
+  }
 }

@@ -93,13 +93,11 @@ object Quantize {
     * silently truncate them); shorter ones project by their own
     * length (missing dims contribute nothing, matching the oracle's
     * range(len) fold). */
-  def randomProject(
-      df: org.apache.spark.sql.DataFrame,
-      idCol: String,
-      vecCol: String,
-      inDim: Int,
-      outDim: Int,
-      salt: String = "graft"): org.apache.spark.sql.DataFrame = {
+  /** The projection as a reusable Column function — composition
+    * surface for operators that project INLINE (no id-join) before
+    * shuffling, e.g. [[Similarity.ivfTopKProjected]]. */
+  def randomProjector(
+      inDim: Int, outDim: Int, salt: String = "graft"): Column => Column = {
     require(inDim >= 1, s"inDim must be >= 1, got $inDim")
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     val signs: Array[Array[Double]] = Array.tabulate(outDim, inDim) {
@@ -124,6 +122,17 @@ object Quantize {
           acc * scale
         }
       })
-    df.select(col(idCol).as("id"), u(col(vecCol)).as("proj"))
+    (c: Column) => u(c)
+  }
+
+  def randomProject(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      salt: String = "graft"): org.apache.spark.sql.DataFrame = {
+    val proj = randomProjector(inDim, outDim, salt)
+    df.select(col(idCol).as("id"), proj(col(vecCol)).as("proj"))
   }
 }

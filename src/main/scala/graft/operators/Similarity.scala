@@ -517,6 +517,79 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** [[ivfTopK]] with the candidate stage run in a RANDOM-PROJECTED
+    * space — the JL composition: [[Quantize.randomProjector]] shrinks
+    * every vector inDim→projDim map-side, centroids train and cells
+    * route on the projected vectors, and the cell join (the probe's
+    * only shuffle) moves projDim floats per row instead of inDim.
+    * Coarse candidates rank by projected cosine (JL preserves inner
+    * products approximately); only the top `rerank` survivors per
+    * query re-score against the RAW vectors for the exact final
+    * ranking — the [[annTopKInt8]] two-stage ladder with dimensions,
+    * not bytes-per-dimension, as the compressed axis. The two
+    * compose at 100 TB (project, then quantize the projection);
+    * this operator keeps one axis per stage so each is gated
+    * separately. Recall is measured, not assumed — q115 runs the
+    * sampled-exact recall gate like every ANN path here. */
+  def ivfTopKProjected(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      inDim: Int,
+      projDim: Int = 16,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 256,
+      iters: Int = 5,
+      rerank: Int = 0, // 0 => 4k
+      salt: String = "graft"): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val r = if (rerank <= 0) 4 * k else math.max(rerank, k)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val projCol = Quantize.randomProjector(inDim, projDim, salt)
+    // projected copy rides the SAME rows — no id-join to attach it
+    val base = v.withColumn("p", projCol(col("v")).cast("array<float>"))
+    val sample = base.orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize).select("p").collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) {
+      import org.apache.spark.sql.types._
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType, nullable = false),
+          StructField("rank", LongType, nullable = false),
+          StructField("nn_id", LongType, nullable = false),
+          StructField("cos", DoubleType, nullable = false))))
+    }
+    val cents = trainCentroids(sample, nlist, iters)
+    val assignUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, 1)(0))
+    val probesUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, nprobe))
+    val corpus = base.select(col("id"), col("p"))
+      .withColumn("cell", assignUdf(col("p")))
+    val queries = base.select(col("id").as("query_id"), col("p").as("qp"))
+      .withColumn("cell", explode(probesUdf(col("qp"))))
+    // stage 1: coarse scoring entirely in the projected space
+    val coarse = topKScored(
+      queries.join(corpus, Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("nn_id"),
+          call_function("graft_cosine", col("qp"), col("p")).as("cos")),
+      r)
+    // stage 2: exact re-score of the shortlist against raw vectors
+    topKScored(
+      coarse.select("query_id", "nn_id")
+        .join(v.select(col("id").as("query_id"), col("v").as("qv")),
+          Seq("query_id"))
+        .join(v.select(col("id"), col("v")), col("nn_id") === col("id"))
+        .select(col("query_id"), col("nn_id"),
+          call_function("graft_cosine", col("qv"), col("v")).as("cos")),
+      k)
+  }
+
   /** [[annTopK]] with int8 candidate scoring — the shuffle-weight
     * composition for 100 TB: LSH buckets come from the float vectors
     * (sign sketches are scale-invariant), but the candidate join

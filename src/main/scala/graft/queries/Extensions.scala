@@ -1509,6 +1509,41 @@ object Extensions {
       ORDER BY vec_id, j""")
   )
 
+  private val q115_sim_ann_projected = Q(
+    "q115_sim_ann_projected",
+    // The JL-composed ANN path: candidates generated and coarse-
+    // scored entirely in a 64->16 random-projected space (the cell
+    // join moves 16 floats per row), exact float rerank on the raw
+    // vectors — recall-gated against (and emitting) the sampled
+    // exact reference like q40/q48/q63.
+    (s, dir) =>
+      recallGatedSampled(s, dir, k = 10,
+        ann = Similarity.ivfTopKProjected(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 10, inDim = 64, projDim = 16, nlist = 16, nprobe = 4),
+        floor = 0.25, what = "ann-projected"),
+    Some(sampledExactTopKSql)
+  )
+
+  private val q116_domain_cap = Q(
+    "q116_domain_cap",
+    // Per-source row cap (the Common-Crawl domain cap) at 20 docs per
+    // source in md5 hash order. The operator's bucketed spelling —
+    // distributed (source, md5-prefix-bucket) counts, ≤256-row offset
+    // windows, whole-bucket prune before any sort, NO driver state —
+    // must be bitwise this oracle's naive per-source global window.
+    (s, dir) =>
+      graft.operators.Curation.capPerGroup(
+        table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", cap = 20)
+        .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+          ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id""")
+  )
+
   private val q71_tfidf = Q(
     "q71_tfidf",
     // Corpus TF-IDF keywords: top-3 terms per document by
@@ -2599,5 +2634,6 @@ object Extensions {
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
+    q115_sim_ann_projected, q116_domain_cap,
     q44_curation_pipeline, q45_source_audit)
 }

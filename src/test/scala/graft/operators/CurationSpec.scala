@@ -107,4 +107,50 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(4L) == Set(0L, 1L))     // null doc rides free
     assert(kept(2L) == Set.empty[Long]) // first doc already overflows
   }
+
+  // ----- capPerGroup -----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The definition: per-group md5(salt|id) hash-order prefix of
+    * length cap. */
+  private def capRef(
+      rows: Seq[(Long, String)], cap: Int): Set[Long] =
+    rows.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy { case (id, _) => (md5hex(s"graft|$id"), id) }
+        .take(cap).map(_._1)
+    }.toSet
+
+  test("capPerGroup == naive per-group window reference; skewed groups") {
+    import spark.implicits._
+    // one giant group (200), one exactly-at-cap (5), one tiny (2)
+    val rows = (0 until 200).map(i => (i.toLong, "big")) ++
+      (300 until 305).map(i => (i.toLong, "atcap")) ++
+      (400 until 402).map(i => (i.toLong, "tiny"))
+    val df = rows.toDF("doc_id", "source")
+    for (parts <- Seq(1, 8)) {
+      val kept = Curation.capPerGroup(
+        df.repartition(parts), "doc_id", "source", cap = 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == capRef(rows, 5), s"parts=$parts")
+    }
+    // group sizes after the cap
+    val counts = Curation.capPerGroup(df, "doc_id", "source", 5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 5L, "atcap" -> 5L, "tiny" -> 2L))
+  }
+
+  test("capPerGroup edges: cap 0, cap >= all, reserved columns") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    assert(Curation.capPerGroup(df, "doc_id", "source", 0).count() == 0L)
+    assert(Curation.capPerGroup(df, "doc_id", "source", 99).count() == 3L)
+    val clash = df.withColumn("_rk", org.apache.spark.sql.functions.lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Curation.capPerGroup(clash, "doc_id", "source", 1)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

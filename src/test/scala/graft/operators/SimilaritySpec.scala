@@ -497,4 +497,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(worst.head._1 == 100L, s"got ${worst.head}")
     assert(worst.head._3 < 0.0) // genuinely anti-aligned, not just low
   }
+
+  test("ivfTopKProjected: exact final scores, high recall on clustered data") {
+    // 4 tight clusters in 32 dims: the projected coarse stage must
+    // keep same-cluster neighbors, the float rerank must emit EXACT
+    // raw-space cosines (bitwise vs the exact reference)
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 120).map { i =>
+      val v = new Array[Float](32)
+      val c = i % 4
+      (0 until 8).foreach(j => v(8 * c + j) = 1f + rnd.nextFloat() * 0.1f)
+      v(i % 32) += rnd.nextFloat() * 0.05f
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopKProjected(
+      df, "vec_id", "embedding", k = 3, inDim = 32, projDim = 8,
+      nlist = 8, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = Similarity.exactSelfTopK(df, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val exactByQ = exact.groupBy(_._1)
+    // exact scores: every emitted (query, nn) pair's cosine must equal
+    // the raw-space cosine the exact path computed for that pair
+    val exactScore = exact.map(r => (r._1, r._3) -> r._4).toMap
+    got.foreach { case (q, _, nn, cos) =>
+      exactScore.get((q, nn)).foreach(e => assert(e == cos, s"($q,$nn)"))
+    }
+    // recall@3 on clustered data should be near-perfect
+    val gotByQ = got.groupBy(_._1)
+    val hits = exactByQ.map { case (q, ex) =>
+      val g = gotByQ.getOrElse(q, Array.empty).map(_._3).toSet
+      ex.map(_._3).count(g.contains)
+    }.sum
+    val recall = hits.toDouble / exact.length
+    assert(recall > 0.9, s"clustered recall@3 = $recall")
+  }
+
+  test("ivfTopKProjected on the fixture corpus: sane schema, k rows per query") {
+    val got = Similarity.ivfTopKProjected(
+      emb, "vec_id", "embedding", k = 5, inDim = 64, projDim = 16)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"q=$q")
+    }
+  }
 }
