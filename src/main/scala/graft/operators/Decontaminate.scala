@@ -288,6 +288,116 @@ object Decontaminate {
     corpus.join(dirty, corpus(corpusId) === dirty("id"), "left_anti")
   }
 
+  // -------------------------------------------------------------------
+  // FUZZY decontamination — the NEAR-duplicate screen between corpus
+  // and benchmark: the exact n-gram collision test above misses a
+  // training document that is a lightly-edited copy of a benchmark
+  // item once the edits break every shared n-gram run, and the
+  // semantic screen needs embeddings. The published middle ground
+  // (the Llama/Dolma-era "fuzzy decontamination") is MinHash-LSH at a
+  // Jaccard threshold — exactly the near-dup machinery the dedup
+  // family already runs, pointed ACROSS the corpus/benchmark split
+  // instead of within one corpus.
+  //
+  // Scale shape: the benchmark side is the small side (same argument
+  // as the n-gram screen, loud `maxBench` guard) — its banded keys
+  // and shingle sets broadcast; the corpus streams ONE shingle+band
+  // pass through a broadcast band-bucket join, so the corpus is never
+  // shuffled and only candidate rows' shingle arrays are ever paired
+  // for the exact verify. With bands=32, rows=4 a J>=0.9 pair is
+  // missed with p~1e-15 (the q36 argument), and the exact-Jaccard
+  // verify keeps false positives out — so on corpora whose
+  // cross-split near-dups are high-J the report is bitwise the
+  // brute-force cross-join answer (q117's oracle).
+  // -------------------------------------------------------------------
+
+  /** Shared plumbing: exact-verified fuzzy matches (id, bid, jaccard)
+    * with J >= minJ, one row per (corpus doc, benchmark doc) pair. */
+  private def fuzzyMatches(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testId: String, testText: String,
+      n: Int, bands: Int, rowsPerBand: Int, minJ: Double,
+      maxBench: Long): DataFrame = {
+    require(minJ > 0.0 && minJ <= 1.0, s"minJ must be in (0,1], got $minJ")
+    val shingleUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    val bandsUdf = udf((ng: scala.collection.Seq[String]) =>
+      Kernels.minHashBands(ng, bands, rowsPerBand))
+    val jUdf = udf((a: scala.collection.Seq[String],
+        b: scala.collection.Seq[String]) => {
+      val mn = math.min(a.length, b.length).toDouble
+      val mx = math.max(a.length, b.length).toDouble
+      if (mx > 0 && mn / mx < minJ) 0.0 else Kernels.jaccard(a, b)
+    })
+    val bench = test
+      .select(col(testId).as("bid"), shingleUdf(col(testText)).as("bngrams"))
+      .filter(size(col("bngrams")) > 0)
+    val nb = bench.select("bid").count() // narrow guard, bodies don't move
+    require(nb <= maxBench,
+      s"fuzzy decontamination benchmark side has $nb rows — exceeds " +
+        s"maxBench=$maxBench; the benchmark set must broadcast. Raise " +
+        "the bound explicitly if this is really the small side")
+    val benchBanded = bench.select(col("bid"),
+      posexplode(bandsUdf(col("bngrams"))).as(Seq("band", "bucket")))
+    // NOT cached: like ngramJaccardPairs, re-running the shingle
+    // kernel per branch beats caching string-array rows; the verify
+    // branch touches only candidate ids after the semi-join below.
+    val sets = train
+      .select(col(trainId).as("id"), shingleUdf(col(trainText)).as("ngrams"))
+      .filter(size(col("ngrams")) > 0)
+    val candidates = sets
+      .select(col("id"),
+        posexplode(bandsUdf(col("ngrams"))).as(Seq("band", "bucket")))
+      .join(broadcast(benchBanded), Seq("band", "bucket"))
+      .select("id", "bid").distinct()
+    candidates
+      .join(sets, Seq("id"))
+      .join(broadcast(bench), Seq("bid"))
+      .select(col("id"), col("bid"),
+        jUdf(col("ngrams"), col("bngrams")).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** Per-training-document fuzzy contamination report:
+    * (id, n_matches, contaminated) — n_matches the number of DISTINCT
+    * benchmark documents within n-gram Jaccard >= minJ; every
+    * training row appears exactly once (0 when clean, including docs
+    * shorter than n words). */
+  def fuzzyReport(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testId: String, testText: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      minJ: Double = 0.5,
+      maxBench: Long = 10000000L): DataFrame = {
+    val hits = fuzzyMatches(train, trainId, trainText,
+      test, testId, testText, n, bands, rowsPerBand, minJ, maxBench)
+      .groupBy("id").agg(count(lit(1)).as("n_matches"))
+    train.select(col(trainId).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("contaminated", col("n_matches") > 0)
+  }
+
+  /** The enforcement end: drop every training row within n-gram
+    * Jaccard >= minJ of any benchmark document. Same anti-join
+    * discipline as [[removeContaminated]]. */
+  def removeFuzzy(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testId: String, testText: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      minJ: Double = 0.5,
+      maxBench: Long = 10000000L): DataFrame = {
+    val dirty = fuzzyMatches(train, trainId, trainText,
+      test, testId, testText, n, bands, rowsPerBand, minJ, maxBench)
+      .select("id").distinct()
+    train.join(dirty, train(trainId) === dirty("id"), "left_anti")
+  }
+
   /** Spec hook: candidate-pair count after pruning (the spec asserts
     * it undercuts |X|·|B| on clustered data while the report stays
     * bitwise-exact). */

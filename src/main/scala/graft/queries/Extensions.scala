@@ -1290,6 +1290,40 @@ object Extensions {
       FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  private val q117_decontaminate_fuzzy = Q(
+    "q117_decontaminate_fuzzy",
+    // FUZZY decontamination (the Llama/Dolma-era near-dup screen):
+    // every 10th document plays the benchmark; each training doc
+    // reports how many benchmark docs sit within 3-gram Jaccard >=
+    // 0.5. MinHash-LSH candidates (benchmark side broadcast — the
+    // corpus is never shuffled) + exact-Jaccard verify; the fixture's
+    // planted near-dups are all J>=0.9, where 32x4 banding misses
+    // with p~1e-15, so the brute-force cross-join oracle holds.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Decontaminate.fuzzyReport(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5)
+        .select(col("id").as("doc_id"), col("n_matches"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tr AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents WHERE doc_id % 10 <> 0),
+      te AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents WHERE doc_id % 10 = 0),
+      p AS (SELECT tr.doc_id,
+        CAST(len(list_intersect(tr.s, te.s)) AS DOUBLE) /
+          (len(tr.s) + len(te.s) - len(list_intersect(tr.s, te.s))) AS j
+        FROM tr CROSS JOIN te
+        WHERE len(tr.s) > 0 AND len(te.s) > 0),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        FROM p WHERE j >= 0.5 GROUP BY doc_id)
+      SELECT t.doc_id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+        coalesce(h.n_matches, 0) > 0 AS contaminated
+      FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2634,6 +2668,6 @@ object Extensions {
     q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
-    q115_sim_ann_projected, q116_domain_cap,
+    q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
     q44_curation_pipeline, q45_source_audit)
 }

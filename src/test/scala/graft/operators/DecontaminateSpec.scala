@@ -83,4 +83,70 @@ class DecontaminateSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(keptBloom == keptExact)
   }
+
+  // ----- fuzzy (MinHash-LSH) decontamination -----
+
+  /** Brute-force reference: per train doc, benchmark docs within
+    * exact n-gram Jaccard >= minJ. */
+  private def fuzzyRef(
+      tr: Seq[(Long, String)], te: Seq[(Long, String)],
+      n: Int, minJ: Double): Map[Long, Long] = {
+    def sets(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => id -> Kernels.wordNgrams(t, n).toSeq }
+    val teSets = sets(te).filter(_._2.nonEmpty)
+    sets(tr).map { case (id, s) =>
+      id -> (if (s.isEmpty) 0L
+             else teSets.count(b => Kernels.jaccard(s, b._2) >= minJ).toLong)
+    }.toMap
+  }
+
+  test("fuzzyReport == brute-force cross-Jaccard on near-dup fixture") {
+    val te = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine ten"))
+    val tr = Seq(
+      // near-dup of 100: one word changed at the tail, J ~ 6/8... high
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "totally different text about something else entirely"),
+      // exact copy of 101
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "too short"))
+    val got = Decontaminate.fuzzyReport(
+      tr.toDF("doc_id", "text"), "doc_id", "text",
+      te.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, minJ = 0.5)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val ref = fuzzyRef(tr, te, 3, 0.5)
+    assert(got == ref)
+    assert(got(3L) == 1L && got(2L) == 0L && got(4L) == 0L)
+  }
+
+  test("fuzzy report/removal agree with brute force on the documents fixture") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val trRows = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val teRows = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val tr = docs.filter(col("doc_id") % 10 =!= 0)
+    val te = docs.filter(col("doc_id") % 10 === 0)
+    val got = Decontaminate.fuzzyReport(
+      tr, "doc_id", "text", te, "doc_id", "text", n = 3, minJ = 0.5)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == fuzzyRef(trRows, teRows, 3, 0.5))
+    val kept = Decontaminate.removeFuzzy(
+      tr, "doc_id", "text", te, "doc_id", "text", n = 3, minJ = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == got.filter(_._2 == 0L).keySet)
+  }
+
+  test("fuzzy maxBench guard fails loudly when the benchmark side is big") {
+    val tr = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val te = Seq((10L, "a b c d"), (11L, "e f g h")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyReport(
+        tr, "doc_id", "text", te, "doc_id", "text", maxBench = 1L)
+    }
+    assert(e.getMessage.contains("maxBench"))
+  }
 }
