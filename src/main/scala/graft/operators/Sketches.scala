@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches — the cardinality ledger a
+  * 100 TB pipeline keeps instead of re-counting: per-shard (per-day,
+  * per-ingest-batch) HyperLogLog sketches are computed ONCE when a
+  * shard lands, persisted as a binary column next to the data, and
+  * every later question — "distinct users this month", "did the
+  * crawl's URL cardinality drift" — is answered by UNIONING kilobyte
+  * sketches, never by re-scanning raw rows. The reference engine has
+  * no sketch story at all (its reduce is sum-by-key,
+  * `Imagine_MapReduce/ReduceTask.h`); this is the operation its
+  * users outgrow first when counts stop fitting a recount budget.
+  *
+  * Built on Spark's native Datasketches HLL functions
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate` —
+  * codegen'd aggregates, not UDFs), so sketches interoperate with
+  * anything else that speaks the Apache Datasketches wire format.
+  *
+  * What is and is NOT guaranteed — measured, not assumed:
+  *   - MERGEABILITY within a bound, not bitwise: the union's
+  *     register state is a pure max over coupons (order-free), but
+  *     Datasketches ESTIMATES are path-dependent — a one-pass
+  *     sketch reads its HIP accumulator (insertion-order-sensitive,
+  *     invalidated by union) while unions read the HLL_8 gadget's
+  *     composite estimator — so two shardings of the same data can
+  *     disagree by a fraction of the standard error (measured ≈±1.2%
+  *     at 700 distinct, lgK=12). [[gatedDistinctReport]] therefore
+  *     gates the ledger path against the one-pass sketch at
+  *     `mergeTol` RELATIVE drift, never asserts equality; the spec
+  *     pins every split variant inside the same band. The ledger's
+  *     contract is "bounded error without recount", not
+  *     reproducible registers.
+  *   - ERROR IS GATED, NOT ASSUMED: [[gatedDistinctReport]] measures
+  *     the estimate against the exact per-group count inside the job
+  *     and fails loudly past `relErr` (the [[Gates]] discipline —
+  *     lgK=12 carries ~1.6% standard error; the default gate is 5%).
+  */
+object Sketches {
+
+  private def grouped(df: DataFrame, groupCols: Seq[String]) = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    df.groupBy(groupCols.map(col): _*)
+  }
+
+  /** One HLL sketch per group over `valueCol`, one pass. */
+  def hllSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12): DataFrame =
+    grouped(df, groupCols)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** The ledger write: one sketch per (group, shard) — computed when
+    * the shard lands, persisted, raw rows never needed again. */
+  def hllShardSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      shardCol: String,
+      valueCol: String,
+      lgK: Int = 12): DataFrame =
+    grouped(df, groupCols :+ shardCol)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** The ledger read: union sketches down to one per group. Input is
+    * `(groupCols..., sketch)` rows from [[hllShardSketches]] — or a
+    * union of several persisted ledgers (the incremental path: old
+    * ledger parquet + this batch's sketches, old RAW data unread). */
+  def hllMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    grouped(sketches, groupCols)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  /** Estimate column from a sketch column. */
+  def estimate(c: Column): Column = hll_sketch_estimate(c)
+
+  /** Per-group exact distinct counts, with the WHOLE sketch path run
+    * and gated in the same job:
+    *
+    *   1. per-(group, shard) sketches (the ledger write),
+    *   2. shard sketches unioned per group (the ledger read),
+    *   3. gate A: |union est − one-pass est| / exact <= mergeTol —
+    *      the ledger path must not drift from the one-shot sketch
+    *      beyond the known HLL_4-vs-HLL_8 estimator wobble;
+    *   4. gate B: |estimate − exact| / exact <= relErr per group.
+    *
+    * Emits `(groupCols..., n_distinct)` — the exact counts, so the
+    * output is oracle-checkable cross-engine while the gates make the
+    * sketch path load-bearing: any estimator or merge regression
+    * fails the query, not a dashboard. One exact-distinct shuffle +
+    * two sketch aggregates, all partial-aggregated; gate joins move
+    * one row per group. */
+  def gatedDistinctReport(
+      df: DataFrame,
+      groupCols: Seq[String],
+      shardCol: String,
+      valueCol: String,
+      lgK: Int = 12,
+      relErr: Double = 0.05,
+      mergeTol: Double = 0.02): DataFrame = {
+    require(relErr > 0.0, s"relErr must be positive, got $relErr")
+    require(mergeTol >= 0.0, s"mergeTol must be non-negative, got $mergeTol")
+    val exact = grouped(df, groupCols)
+      .agg(count_distinct(col(valueCol)).as("n_distinct"))
+    val merged = hllMerge(
+      hllShardSketches(df, groupCols, shardCol, valueCol, lgK), groupCols)
+      .select(groupCols.map(col) :+ estimate(col("sketch")).as("_est"): _*)
+    val onePass = hllSketch(df, groupCols, valueCol, lgK)
+      .select(groupCols.map(col) :+ estimate(col("sketch")).as("_est1"): _*)
+    val checks = exact.join(merged, groupCols).join(onePass, groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        col("n_distinct"), col("_est"), col("_est1")): _*)
+      .collect() // one row per group — bounded by the report itself
+    checks.foreach { r =>
+      val g = groupCols.map(r.getAs[Any]).mkString(",")
+      val exactN = r.getAs[Long]("n_distinct")
+      val est = r.getAs[Long]("_est")
+      val est1 = r.getAs[Long]("_est1")
+      val denom = math.max(exactN, 1L).toDouble
+      val drift = math.abs(est - est1).toDouble / denom
+      require(drift <= mergeTol,
+        f"HLL merge drift at group ($g): shard-union estimate $est vs " +
+          f"one-pass estimate $est1 (drift $drift%.4f > $mergeTol) — " +
+          "merge path regressed")
+      val err =
+        if (exactN == 0L) math.abs(est).toDouble
+        else math.abs(est - exactN).toDouble / exactN
+      require(err <= relErr,
+        f"HLL estimate at group ($g): $est vs exact $exactN " +
+          f"(rel err $err%.4f > $relErr) — sketch regressed")
+    }
+    exact
+  }
+}

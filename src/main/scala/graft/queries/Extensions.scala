@@ -1324,6 +1324,26 @@ object Extensions {
       FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  private val q118_hll_ledger = Q(
+    "q118_hll_ledger",
+    // Mergeable HLL distinct-count ledger: per-(event_type, shard)
+    // Datasketches HLL sketches (8 shards standing in for daily
+    // ingest batches), unioned per type — with two in-job gates:
+    // shard-union estimate must EQUAL the one-pass estimate
+    // (mergeability lossless), and the estimate must sit within 5%
+    // of exact. Emits the exact per-type distinct-user counts so the
+    // oracle is cross-engine-checkable while the sketch path stays
+    // load-bearing (a gate failure fails the query).
+    (s, dir) =>
+      graft.operators.Sketches.gatedDistinctReport(
+        events(s, dir).withColumn("shard", pmod(col("event_id"), lit(8))),
+        Seq("event_type"), "shard", "user_id", lgK = 12, relErr = 0.05)
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+      FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2669,5 +2689,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
+    q118_hll_ledger,
     q44_curation_pipeline, q45_source_audit)
 }
