@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-interval time-series resampling with gap fill — the shape a
+  * metrics/telemetry corpus needs before any windowed model or drift
+  * monitor can consume it: raw events arrive at irregular
+  * timestamps; the consumer wants one row per (key, interval) with
+  * empty intervals PRESENT (count 0) and gauge values carried
+  * forward from the last observation. The reference engine's
+  * aggregation stops at sum-by-key over observed keys
+  * (`Imagine_MapReduce/ReduceTask.h`); materializing the holes is
+  * what resampling adds.
+  *
+  * Scale shape: one (key, bucket) partial-aggregated shuffle over
+  * the raw events; the dense grid is generated from the PER-KEY SPAN
+  * ROWS (one row per key — `sequence` + `explode`, never a cross
+  * join against a calendar table), so grid cost is output-sized, and
+  * a loud `maxBucketsPerKey` guard (narrow span aggregate) rejects a
+  * step so fine the grid would dwarf the data. The forward fill is a
+  * key-partitioned running `last(ignoreNulls)` window — never
+  * global. The gauge is `max` per bucket (order-free), so results
+  * are bitwise cross-engine; means over doubles would be
+  * summation-order-dependent. */
+object TimeSeries {
+
+  /** Resample `df` to `stepSec`-second buckets per `keyCols`:
+    * `(keyCols..., bucket_s, value, n_obs)` — one row per key per
+    * step from the key's first observed bucket to its last, `n_obs`
+    * the event count in that bucket (0 for gaps), `value` the max
+    * observed `valueCol` in the bucket, forward-filled across gaps
+    * (the first bucket of every key is observed by construction, so
+    * `value` is never null). */
+  def resampleFill(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      stepSec: Long,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    // every non-key input column is aliased or dropped by the
+    // explicit selects below (valueCol becomes `value`, tsCol becomes
+    // `bucket_s`), so only the KEY columns ride through by name and
+    // may not collide with the output/intermediate names
+    Seq("bucket_s", "value", "n_obs", "_b0", "_b1", "_v").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by resampleFill")
+    }
+    val keyC = keyCols.map(col)
+    // integer `div` all the way down: epoch micros -> seconds ->
+    // bucket floor. Fractional division would round-trip through
+    // double and lose the low digits cross-engine.
+    val bucket = (expr(
+      s"(unix_micros($tsCol) div 1000000) div $stepSec") * stepSec)
+      .as("bucket_s")
+    val obs = df
+      .select(keyC :+ bucket :+ col(valueCol).as("_v"): _*)
+      .groupBy(keyC :+ col("bucket_s"): _*)
+      .agg(max(col("_v")).as("_v"), count(lit(1)).as("n_obs"))
+    val span = obs.groupBy(keyC: _*)
+      .agg(min("bucket_s").as("_b0"), max("bucket_s").as("_b1"))
+    // loud guard before any grid row exists: the span frame is one
+    // row per key, so this aggregate is narrow
+    val worst = span
+      .agg(max(expr(s"(_b1 - _b0) div $stepSec")))
+      .head().getAs[Any](0)
+    worst match {
+      case n: Long => require(n < maxBucketsPerKey,
+        s"resampleFill at step=${stepSec}s would generate $n buckets " +
+          s"for one key — exceeds maxBucketsPerKey=$maxBucketsPerKey. " +
+          "Coarsen the step or raise the bound deliberately")
+      case _ => // empty input: nothing to guard
+    }
+    val grid = span.select(keyC :+ explode(
+      sequence(col("_b0"), col("_b1"), lit(stepSec))).as("bucket_s"): _*)
+    val fillW = Window.partitionBy(keyC: _*).orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, keyCols :+ "bucket_s", "left")
+      .select(keyC ++ Seq(
+        col("bucket_s"),
+        last(col("_v"), ignoreNulls = true).over(fillW).as("value"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs")): _*)
+  }
+}

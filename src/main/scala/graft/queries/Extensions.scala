@@ -1344,6 +1344,33 @@ object Extensions {
       FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  private val q119_resample_fill = Q(
+    "q119_resample_fill",
+    // Time-series resample + gap fill: events to hourly buckets per
+    // type — every hour of each type's span present (215 empty hours
+    // at sf0.01 carry n_obs=0), gauge = per-bucket max(value)
+    // forward-filled across gaps (order-free, so bitwise
+    // cross-engine; a mean would be summation-order-dependent). Grid
+    // generated from per-key span rows, fill window key-partitioned.
+    (s, dir) =>
+      graft.operators.TimeSeries.resampleFill(
+        events(s, dir), Seq("event_type"), "ts", "value", stepSec = 3600L)
+        .orderBy("event_type", "bucket_s"),
+    Some("""WITH o AS (SELECT event_type,
+        (epoch_us(ts)//1000000//3600)*3600 AS b,
+        max(value) AS v, CAST(count(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY 1, 2),
+      s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM o GROUP BY 1),
+      g AS (SELECT event_type, unnest(range(b0, b1 + 3600, 3600)) AS b FROM s),
+      j AS (SELECT g.event_type, g.b, o.v, coalesce(o.n_obs, 0) AS n_obs
+        FROM g LEFT JOIN o USING (event_type, b))
+      SELECT event_type, b AS bucket_s,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        CAST(n_obs AS BIGINT) AS n_obs
+      FROM j ORDER BY event_type, bucket_s""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2689,6 +2716,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger,
+    q118_hll_ledger, q119_resample_fill,
     q44_curation_pipeline, q45_source_audit)
 }
