@@ -129,4 +129,47 @@ object TfIdf {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("id"), col("score"))
   }
+
+  /** Exact phrase search via positional postings — the retrieval
+    * primitive [[bm25TopK]]'s bag-of-words scoring cannot express:
+    * find every document containing the words of `phrase`
+    * CONSECUTIVELY, and how often. The standard inverted-index
+    * spelling: each phrase-word occurrence at token position p
+    * proposes anchor p − i for every phrase slot i holding that word
+    * (repeated-word phrases propose several), and an anchor where
+    * all |phrase| slots check in is a match — one grouped count
+    * instead of a per-document regex scan.
+    *
+    * Scale shape: the token posexplode collapses against an In
+    * filter on the phrase's words BEFORE any shuffle, so only
+    * phrase-word postings (id, anchor, slot) ever move; the match
+    * test is a partial-aggregated groupBy on (id, anchor) counting
+    * distinct slots, and the per-doc totals aggregate the
+    * already-tiny match stream. Document bodies are read once,
+    * never shuffled. Output: (id, n_matches) for matching documents
+    * only, n_matches = number of distinct start positions. */
+  def phraseSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val slots: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).map { case (t, l) => t -> l.map(_._2) }
+    val words = phrase.distinct
+    val slotsUdf = udf((t: String) => slots(t).toArray)
+    val postings = df
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(words: _*))
+      .select(col("id"), col("pos"), explode(slotsUdf(col("term"))).as("slot"))
+      .select(col("id"), (col("pos") - col("slot")).as("anchor"), col("slot"))
+      .filter(col("anchor") >= 0)
+    postings
+      .groupBy("id", "anchor")
+      .agg(count_distinct(col("slot")).as("_k"))
+      .filter(col("_k") === phrase.length)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

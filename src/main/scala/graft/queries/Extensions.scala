@@ -1371,6 +1371,28 @@ object Extensions {
       FROM j ORDER BY event_type, bucket_s""")
   )
 
+  private val q120_phrase_search = Q(
+    "q120_phrase_search",
+    // Exact phrase search via positional postings: documents
+    // containing "slow hash batch" consecutively, with occurrence
+    // counts. The token explode collapses against the phrase-word In
+    // filter before any shuffle; the oracle re-checks every position
+    // window by direct list indexing.
+    (s, dir) =>
+      graft.operators.TfIdf.phraseSearch(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+        .select(col("id").as("doc_id"), col("n_matches"))
+        .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+      p AS (SELECT doc_id, ws,
+        unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      FROM p
+      WHERE ws[i+1] = 'slow' AND ws[i+2] = 'hash' AND ws[i+3] = 'batch'
+      GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2716,6 +2738,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search,
     q44_curation_pipeline, q45_source_audit)
 }

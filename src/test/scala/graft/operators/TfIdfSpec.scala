@@ -124,4 +124,47 @@ class TfIdfSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(re == base)
   }
+
+  // ----- phrase search -----
+
+  test("phraseSearch: consecutive-only matches, overlaps, counts") {
+    val docs = Seq(
+      (1L, "a b c a b c"),        // "a b c" twice
+      (2L, "a c b"),              // words present, never consecutive
+      (3L, "x a b c y"),          // once, mid-document
+      (4L, "a b"),                // too short
+      (5L, "c b a")               // reversed
+    ).toDF("doc_id", "text")
+    val got = TfIdf.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("phraseSearch: repeated-word phrases and self-overlap") {
+    val docs = Seq(
+      (1L, "go go go stop"),     // "go go" at anchors 0 and 1
+      (2L, "go stop go")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.phraseSearch(docs, "doc_id", "text", Seq("go", "go"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L))
+    // single-word phrase degenerates to term count
+    val one = TfIdf.phraseSearch(docs, "doc_id", "text", Seq("go"))
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("phraseSearch matches a scan reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val phrase = Seq("slow", "hash", "batch")
+    val got = TfIdf.phraseSearch(docs, "doc_id", "text", phrase)
+      .as[(Long, Long)].collect().toMap
+    val ref = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        id -> (0 to ws.length - phrase.length).count(
+          i => ws.slice(i, i + phrase.length).toSeq == phrase).toLong
+      }.filter(_._2 > 0).toMap
+    assert(got == ref)
+  }
 }
