@@ -136,4 +136,82 @@ object Bpe {
     segs.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
+
+  /** ENCODING — the other half of the tokenizer lifecycle: apply a
+    * trained merge table (the `merges.txt` a tokenizer ships) to
+    * text. Each word splits to characters, then every merge applies
+    * IN RANK ORDER with the same greedy leftmost non-overlapping
+    * rule as training ([[mergeUdf]]'s rule: "aaa" + (a,a) → [aa, a]).
+    *
+    * The at-scale shape mirrors training: text NEVER encodes row by
+    * row — the corpus collapses to its (word, freq) vocabulary
+    * first, each DISTINCT word encodes exactly once, and per-doc
+    * numbers come from a broadcast join of the vocab-sized
+    * (word → n_tokens) table back onto the token stream. A 100×
+    * corpus re-encodes nothing; it only grows the wordcount. */
+  private def encodeUdf(merges: Seq[(String, String)]) = {
+    val ms = merges.toArray
+    udf((w: String) => {
+      if (w == null) Array.empty[String]
+      else {
+        var syms: Array[String] = w.toCharArray.map(_.toString)
+        var m = 0
+        while (m < ms.length && syms.length >= 2) {
+          val (l, r) = ms(m)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+          m += 1
+        }
+        syms
+      }
+    })
+  }
+
+  /** The encoded vocabulary: one row per distinct corpus word —
+    * (word, freq, tokens). Everything else derives from this. */
+  def encodeVocab(
+      df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    wordFreq(df, textCol)
+      .withColumn("tokens", encodeUdf(merges)(col("word")))
+
+  /** Corpus token frequencies under the merge table, top `topN` by
+    * (cnt desc, token): (rank, token, cnt) — the vocabulary-usage
+    * report that tells a tokenizer owner how much compression the
+    * merges actually buy on this corpus. */
+  def tokenFreq(
+      df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val tok = encodeVocab(df, textCol, merges)
+      .select(col("freq"), explode(col("tokens")).as("token"))
+      .groupBy("token").agg(sum("freq").as("cnt"))
+    val top = tok.orderBy(col("cnt").desc, col("token")).limit(topN)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "token", "cnt")
+  }
+
+  /** Per-document token counts under the merge table:
+    * (id, n_words, n_tokens) — the sequence-length input the packing
+    * family (q74/q100) consumes. Distinct words encode once; docs
+    * join the vocab-sized (word → n_tokens) table broadcast. */
+  def encodeDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val perWord = encodeVocab(df, textCol, merges)
+      .select(col("word"), size(col("tokens")).cast("long").as("_nt"))
+    df.select(col(idCol).as("id"),
+      explode(TextFunctions.words(col(textCol))).as("word"))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("_nt").as("n_tokens"))
+  }
 }

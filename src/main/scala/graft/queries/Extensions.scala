@@ -1393,6 +1393,47 @@ object Extensions {
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** q121's fixed merge table — plays the `merges.txt` a tokenizer
+    * ships; cascading ranks build "table"/"hash"/"scan" from chars. */
+  private val bpeMerges = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "h" -> "a", "ha" -> "s", "has" -> "h",
+    "s" -> "c", "sc" -> "a", "sca" -> "n")
+
+  private val q121_bpe_encode = Q(
+    "q121_bpe_encode",
+    // BPE ENCODING under a fixed merge table (the deploy half of the
+    // q112 training story): corpus token frequencies after applying
+    // the 10 merges in rank order, greedy leftmost non-overlapping
+    // per word. Distinct words encode once (vocab-sized work); the
+    // oracle replays the same merges as a chain of separator-
+    // prefixed string replaces — SQL `replace` scans leftmost
+    // non-overlapping, which IS the BPE rule, and the chr(31) prefix
+    // keeps symbol boundaries unambiguous.
+    (s, dir) =>
+      graft.operators.Bpe.tokenFreq(
+        table(s, dir, "documents"), "text", bpeMerges, topN = 50)
+        .orderBy("rank"),
+    Some {
+      val enc = bpeMerges.foldLeft(
+        s"regexp_replace(word, '(.)', chr(31) || '\\1', 'g')") {
+        case (acc, (l, r)) =>
+          s"replace($acc, chr(31)||'$l'||chr(31)||'$r', chr(31)||'$l$r')"
+      }
+      s"""WITH toks AS (SELECT unnest($W) AS word FROM documents),
+      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY 1),
+      enc AS (SELECT freq, $enc AS s FROM wf),
+      tok AS (SELECT freq, unnest(list_filter(str_split(s, chr(31)),
+        x -> x <> '')) AS token FROM enc),
+      c AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+        AS BIGINT) AS rank, token, cnt
+      FROM c ORDER BY cnt DESC, token LIMIT 50"""
+    }
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2738,6 +2779,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -83,4 +83,46 @@ class BpeSpec extends AnyFunSuite {
     // merge 1: (a,b) cnt 2; merge 2: (c,d) cnt 1; then nothing left
     assert(merges == Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
   }
+
+  // ----- encoding -----
+
+  test("encodeVocab: greedy leftmost rule, cascading merges, reconstruction") {
+    val df = Seq((1L, "aaa table tables tab hash cat")).toDF("doc_id", "text")
+    val merges = Seq("a" -> "a", "t" -> "a", "ta" -> "b", "tab" -> "l",
+      "tabl" -> "e", "h" -> "a", "ha" -> "s", "has" -> "h")
+    val got = Bpe.encodeVocab(df, "text", merges)
+      .as[(String, Long, Seq[String])].collect()
+      .map(r => r._1 -> r._3.toSeq).toMap
+    assert(got("aaa") == Seq("aa", "a"))         // greedy leftmost, NOT (a,aa)
+    assert(got("table") == Seq("table"))         // full cascade
+    assert(got("tables") == Seq("table", "s"))
+    assert(got("tab") == Seq("tab"))             // partial cascade
+    assert(got("hash") == Seq("hash"))
+    assert(got("cat") == Seq("c", "a", "t"))     // "ta" needs t BEFORE a
+    // reconstruction invariant: concat(tokens) == word, always
+    got.foreach { case (w, ts) => assert(ts.mkString == w) }
+  }
+
+  test("merge order matters: applying ranks in order, not best-fit") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    // rank 1 consumes (b,c) first, so (a,b) never fires
+    assert(Bpe.encodeVocab(df, "text", Seq("b" -> "c", "a" -> "b"))
+      .as[(String, Long, Seq[String])].head()._3 == Seq("a", "bc"))
+    // reversed ranks: (a,b) fires, then (ab)(c) is not (b,c)
+    assert(Bpe.encodeVocab(df, "text", Seq("a" -> "b", "b" -> "c"))
+      .as[(String, Long, Seq[String])].head()._3 == Seq("ab", "c"))
+  }
+
+  test("tokenFreq and encodeDocs agree with a hand count") {
+    val df = Seq((1L, "table hash table"), (2L, "cat")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+      "h" -> "a", "ha" -> "s", "has" -> "h")
+    val freq = Bpe.tokenFreq(df, "text", merges, 10)
+      .as[(Long, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(freq == Map("table" -> 2L, "hash" -> 1L,
+      "c" -> 1L, "a" -> 1L, "t" -> 1L))
+    val docs = Bpe.encodeDocs(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(docs == Map(1L -> ((3L, 3L)), 2L -> ((1L, 3L))))
+  }
 }
