@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan pruning — the write-side operator
+  * that decides which 100 TB a reader gets to SKIP: interleave the
+  * bits of several columns' fixed-point ranks into one z-value
+  * (Morton order) and lay files out along it, so every clustered
+  * column's range predicate maps to a contiguous-ish z-range and
+  * parquet min/max footer stats prune files for ANY of the columns,
+  * not just the first sort key. Lexicographic sort gives perfect
+  * pruning on the leading column and none on the rest; z-order
+  * trades a little of the first column's locality for locality on
+  * all of them. The reference engine has no layout story (its
+  * OutputFormat writes round-robin splits, `MapReduceUtil.cpp`) —
+  * this is what replaces "scan everything" once data outlives a
+  * single job.
+  *
+  * Everything here is exact integer/IEEE arithmetic (scale bounds
+  * from one narrow min/max aggregate; bit interleave is unrolled
+  * shifts-and-masks, codegen'd end to end, no UDF), so z-values are
+  * bitwise reproducible cross-engine — q122's oracle rebuilds them
+  * in SQL. Cell ids come from the z-value's HIGH bits (fixed,
+  * data-independent boundaries) rather than a global sort rank, so
+  * assignment is one map-side pass: no global window, no sampled
+  * range boundaries, deterministic under any partitioning. */
+object Layout {
+
+  /** Fixed-point rank of `c` in [0, 2^bits): (c − min)/(max − min)
+    * scaled and floored. Constant columns (max == min) rank 0. */
+  private def scaled(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val top = (1L << bits) - 1L
+    when(mx <=> mn, lit(0L)).otherwise(
+      floor(((c.cast("double") - mn) / (mx - mn)) * lit(top.toDouble))
+        .cast("long"))
+  }
+
+  /** Bit-interleave `ranks` (each in [0, 2^bits)) into the Morton
+    * z-value: bit i of rank j lands at position i·n + j. */
+  private def morton(ranks: Seq[Column], bits: Int): Column = {
+    val n = ranks.length
+    val terms = for {
+      i <- 0 until bits
+      (r, j) <- ranks.zipWithIndex
+    } yield (shiftright(r, i).bitwiseAND(lit(1L))) *
+      lit(1L << (i * n + j))
+    terms.reduce(_ + _)
+  }
+
+  /** Z-value + cell assignment for every row: `(df.*, z, cell)` with
+    * `cell` = the z-value's top `cellBits` bits — 2^cellBits
+    * data-independent z-range cells standing in for output files.
+    * One narrow min/max aggregate (broadcast single row) + one
+    * map-side pass; null clustering values rank 0 (documented, so
+    * nulls cluster together at the origin cell). */
+  def zOrdered(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      cellBits: Int = 5): DataFrame = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits * cols must fit a long, got $bits x ${cols.size}")
+    require(cellBits >= 1 && cellBits <= bits * cols.size,
+      s"cellBits out of range: $cellBits")
+    Seq("z", "cell").foreach { r =>
+      require(!df.columns.contains(r),
+        s"column name $r is reserved by zOrdered")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"_mn_$c"),
+        max(col(c).cast("double")).as(s"_mx_$c"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val ranks = cols.map { c =>
+      scaled(coalesce(col(c).cast("double"), col(s"_mn_$c")),
+        col(s"_mn_$c"), col(s"_mx_$c"), bits)
+    }
+    val z = morton(ranks, bits)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("z", z)
+      .withColumn("cell",
+        shiftright(col("z"), bits * cols.size - cellBits))
+      .drop(cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
+  }
+
+  /** The layout write: range-partition on z and sort within
+    * partitions, so downstream parquet files carry tight min/max
+    * footer stats on every clustered column. Partition COUNT comes
+    * from Spark's range sampler; file CONTENT order is the
+    * deterministic z order. */
+  def zOrderWrite(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame =
+    zOrdered(df, cols, bits)
+      .repartitionByRange(col("z"))
+      .sortWithinPartitions("z")
+
+  /** Spec hook: mean span of distinct cells touched per narrow
+    * predicate on `probeCol` — the pruning-benefit measurement
+    * (z-order's reason to exist): how many of the 2^cellBits cells
+    * a reader must visit to answer a selective range query. */
+  private[operators] def cellsTouched(
+      laid: DataFrame, probeCol: String, lo: Double, hi: Double): Long =
+    laid.filter(col(probeCol).cast("double").between(lo, hi))
+      .select("cell").distinct().count()
+}

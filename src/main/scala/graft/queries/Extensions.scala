@@ -1434,6 +1434,42 @@ object Extensions {
     }
   )
 
+  private val q122_zorder = Q(
+    "q122_zorder",
+    // Z-order layout clustering on (user_id, value): 8-bit
+    // fixed-point ranks bit-interleaved into a Morton z-value, cell
+    // = top 4 bits (16 data-independent z-range cells standing in
+    // for output files). Pure integer/IEEE arithmetic end to end, so
+    // the oracle rebuilds every z bitwise; LayoutSpec measures the
+    // pruning benefit (narrow range on EITHER column touches few
+    // cells).
+    (s, dir) =>
+      graft.operators.Layout.zOrdered(
+        events(s, dir).select("event_id", "user_id", "value"),
+        Seq("user_id", "value"), bits = 8, cellBits = 4)
+        .select("event_id", "z", "cell")
+        .orderBy("event_id"),
+    Some {
+      def scaledSql(c: String, mn: String, mx: String) =
+        s"CASE WHEN $mx = $mn THEN 0 ELSE CAST(floor(((CAST($c AS DOUBLE)" +
+          s" - $mn) / ($mx - $mn)) * 255.0) AS BIGINT) END"
+      val terms = (for {
+        i <- 0 until 8
+        j <- 0 until 2
+      } yield s"((r$j >> $i) & 1) * ${1L << (i * 2 + j)}").mkString(" + ")
+      s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) AS mn0,
+          max(CAST(user_id AS DOUBLE)) AS mx0,
+          min(value) AS mn1, max(value) AS mx1 FROM events),
+        r AS (SELECT event_id,
+          ${scaledSql("user_id", "mn0", "mx0")} AS r0,
+          ${scaledSql("value", "mn1", "mx1")} AS r1
+          FROM events CROSS JOIN b),
+        z AS (SELECT event_id, $terms AS z FROM r)
+        SELECT event_id, z, z >> 12 AS cell
+        FROM z ORDER BY event_id"""
+    }
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2779,6 +2815,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder,
     q44_curation_pipeline, q45_source_audit)
 }

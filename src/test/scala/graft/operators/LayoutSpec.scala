@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a 64x64 grid: both coordinates uniform, so locality is testable
+  private lazy val grid = (for {
+    x <- 0 until 64; y <- 0 until 64
+  } yield (x.toLong * 64 + y, x.toDouble, y.toDouble))
+    .toDF("id", "x", "y")
+
+  test("z-value interleave matches a bit-level reference") {
+    val got = Layout.zOrdered(grid, Seq("x", "y"), bits = 6, cellBits = 4)
+      .select("id", "z").as[(Long, Long)].collect().toMap
+    def interleave(a: Long, b: Long): Long =
+      (0 until 6).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    // x,y in [0,63] scale to ranks floor(v/63*63) == v exactly
+    for (x <- Seq(0L, 1L, 31L, 63L); y <- Seq(0L, 17L, 63L)) {
+      assert(got(x * 64 + y) == interleave(x, y), s"($x,$y)")
+    }
+  }
+
+  test("pruning benefit: narrow ranges on EITHER column touch few cells") {
+    val laid = Layout.zOrdered(grid, Seq("x", "y"), bits = 6, cellBits = 4)
+    val total = 16L
+    // narrow band on x (1/8 of the domain) and on y
+    val cx = Layout.cellsTouched(laid, "x", 8.0, 15.0)
+    val cy = Layout.cellsTouched(laid, "y", 8.0, 15.0)
+    assert(cx <= total / 2, s"x-range touched $cx of $total cells")
+    assert(cy <= total / 2, s"y-range touched $cy of $total cells")
+    // lexicographic order by x would answer the y-probe by touching
+    // EVERY cell — that asymmetry is z-order's reason to exist
+    val lex = grid.withColumn("cell", floor(col("x") / lit(4.0)).cast("long"))
+    val lexY = lex.filter(col("y").between(8.0, 15.0))
+      .select("cell").distinct().count()
+    assert(lexY == 16L, "lex layout should not prune the second column")
+    assert(cy < lexY)
+  }
+
+  test("deterministic under repartition; constant and null columns rank 0") {
+    val a = Layout.zOrdered(grid.repartition(13), Seq("x", "y"), 6, 4)
+      .select("id", "z", "cell").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = Layout.zOrdered(grid, Seq("x", "y"), 6, 4)
+      .select("id", "z", "cell").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    val const = Seq((1L, 5.0, 2.0), (2L, 5.0, 3.0)).toDF("id", "x", "y")
+    val z = Layout.zOrdered(const, Seq("x", "y"), 6, 4)
+      .select("id", "z").as[(Long, Long)].collect().toMap
+    // x constant -> rank 0 contributes nothing; z from y alone
+    assert(z(1L) == 0L)
+    assert(z(2L) != 0L)
+  }
+
+  test("loud guards: reserved columns, bit budget, too few columns") {
+    val df = Seq((1L, 1.0, 2.0)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Layout.zOrdered(df.withColumn("z", lit(1)), Seq("x", "y"), 6, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrdered(df, Seq("x", "y"), bits = 32, cellBits = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrdered(df, Seq("x"), bits = 8, cellBits = 4)
+    }
+  }
+}
