@@ -85,4 +85,57 @@ object TimeSeries {
         last(col("_v"), ignoreNulls = true).over(fillW).as("value"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs")): _*)
   }
+
+  /** Changelog → SCD2 dimension history: collapse each key's
+    * attribute stream into validity PERIODS — one row per run of
+    * consecutive equal `attrCol` values, with `[valid_from_us,
+    * valid_to_us)` bounds, the event count inside the run, and an
+    * `is_current` flag on the open period. The classic
+    * slowly-changing-dimension type-2 build, and the temporal
+    * complement of [[Profile.snapshotDiff]]: diff reconciles two
+    * snapshots, this materializes the full history BETWEEN snapshots
+    * from the raw change stream.
+    *
+    * Gaps-and-islands by VALUE CHANGE (where sessionization cuts on
+    * time gaps): change flag = null-safe lag comparison, run id =
+    * running sum of flags, periods = one grouped aggregate, bounds =
+    * a lead over the per-key period rows. Every window is
+    * key-partitioned — never global — and the period frame the lead
+    * runs on is runs-sized, not events-sized. Ordering ties break by
+    * `tieCol` so the history is total and deterministic; timestamps
+    * emit as epoch micros (exact integers cross-engine). */
+  def changeHistory(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("value", "valid_from_us", "valid_to_us", "n_events", "is_current",
+      "_chg", "_run", "_ts") .foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by changeHistory")
+    }
+    val keyC = keyCols.map(col)
+    val runs = df
+      .select(keyC ++ Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+        col(attrCol).as("value")): _*)
+      .withColumn("_chg",
+        when(lag(col("value"), 1).over(
+          Window.partitionBy(keyC: _*).orderBy(col("_ts"), col("_tie")))
+          <=> col("value"), 0L).otherwise(1L))
+      .withColumn("_run", sum(col("_chg")).over(
+        Window.partitionBy(keyC: _*).orderBy(col("_ts"), col("_tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val periods = runs
+      .groupBy(keyC ++ Seq(col("_run"), col("value")): _*)
+      .agg(min(expr("unix_micros(_ts)")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val perKey = Window.partitionBy(keyC: _*).orderBy("valid_from_us")
+    periods
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(perKey))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(keyC ++ Seq(col("value"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current")): _*)
+  }
 }

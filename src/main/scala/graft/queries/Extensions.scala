@@ -1470,6 +1470,39 @@ object Extensions {
     }
   )
 
+  private val q123_scd2_history = Q(
+    "q123_scd2_history",
+    // Changelog -> SCD2 dimension history: each user's event_type
+    // stream collapses into validity periods (runs of consecutive
+    // equal values) with [valid_from_us, valid_to_us) bounds and an
+    // is_current open period. Gaps-and-islands by VALUE CHANGE —
+    // sessionize (q58) cuts on time gaps, this cuts on attribute
+    // transitions; all windows user-partitioned.
+    (s, dir) =>
+      graft.operators.TimeSeries.changeHistory(
+        events(s, dir), Seq("user_id"), "ts", "event_type", "event_id")
+        .orderBy("user_id", "valid_from_us"),
+    Some("""WITH l AS (SELECT user_id, event_type, ts, event_id,
+        CASE WHEN lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        FROM events),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+        FROM l),
+      g AS (SELECT user_id, run, event_type AS value,
+          min(epoch_us(ts)) AS valid_from_us,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2, 3)
+      SELECT user_id, value, valid_from_us,
+        lead(valid_from_us) OVER (PARTITION BY user_id
+          ORDER BY valid_from_us) AS valid_to_us,
+        n_events,
+        lead(valid_from_us) OVER (PARTITION BY user_id
+          ORDER BY valid_from_us) IS NULL AS is_current
+      FROM g ORDER BY user_id, valid_from_us""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2815,6 +2848,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history,
     q44_curation_pipeline, q45_source_audit)
 }

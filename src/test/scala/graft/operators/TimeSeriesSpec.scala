@@ -70,4 +70,60 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.resampleFill(
       df.filter(lit(false)), Seq("k"), "t", "v", 30L).count() == 0L)
   }
+
+  // ----- changeHistory (SCD2) -----
+
+  test("changeHistory: runs collapse, bounds chain, open period flagged") {
+    // user 1: A A B A  -> periods A[0,20) B[20,30) A[30,null)
+    // user 2: single event -> one open period
+    val df = Seq(
+      (1L, ts(0), "A", 10L), (1L, ts(10), "A", 11L),
+      (1L, ts(20), "B", 12L), (1L, ts(30), "A", 13L),
+      (2L, ts(5), "X", 14L)
+    ).toDF("user_id", "t", "attr", "eid")
+    val got = TimeSeries.changeHistory(df, Seq("user_id"), "t", "attr", "eid")
+      .as[(Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val us = 1000000L
+    assert(got == Seq(
+      (1L, "A", 0L, Some(20L * us), 2L, false),
+      (1L, "B", 20L * us, Some(30L * us), 1L, false),
+      (1L, "A", 30L * us, None, 1L, true),
+      (2L, "X", 5L * us, None, 1L, true)))
+  }
+
+  test("changeHistory: same-timestamp ties break by tie column; null attrs run") {
+    val df = Seq(
+      (1L, ts(0), "A", 1L), (1L, ts(0), "B", 2L), (1L, ts(0), "A", 3L),
+      (3L, ts(0), null, 1L), (3L, ts(10), null, 2L), (3L, ts(20), "C", 3L)
+    ).toDF("user_id", "t", "attr", "eid")
+    val got = TimeSeries.changeHistory(df, Seq("user_id"), "t", "attr", "eid")
+      .as[(Long, Option[String], Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    // user 1: three periods all at valid_from 0 (A, B, A by eid order)
+    assert(got.count(_._1 == 1L) == 3)
+    assert(got.filter(_._1 == 1L).count(_._6) == 1)
+    // user 3: null run collapses into ONE period, then C
+    val u3 = got.filter(_._1 == 3L)
+    assert(u3.map(r => (r._2, r._5)) == Seq((None, 2L), (Some("C"), 1L)))
+  }
+
+  test("changeHistory deterministic under repartition; period count == change count") {
+    val rows = (0 until 400).map { i =>
+      (i % 7L, ts(i * 13L), s"s${(i / 11) % 3}", i.toLong)
+    }
+    val df = rows.toDF("user_id", "t", "attr", "eid")
+    val a = TimeSeries.changeHistory(df.repartition(11), Seq("user_id"),
+      "t", "attr", "eid")
+      .as[(Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val b = TimeSeries.changeHistory(df, Seq("user_id"), "t", "attr", "eid")
+      .as[(Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(a == b)
+    // events are conserved: per-user n_events sums to the input count
+    assert(a.map(_._5).sum == 400L)
+    // exactly one open period per user
+    assert(a.count(_._6) == 7)
+  }
 }
