@@ -437,4 +437,59 @@ object Sampling {
       .select(col("_id").as(idCol), col("_grp").as(groupCol),
         explode(sequence(lit(0L), col("_reps") - 1L)).as("epoch"))
   }
+
+  /** Balanced mixture ORDER — the missing piece between
+    * [[shuffleShards]] (global random order, no balance guarantee)
+    * and [[epochMixture]] (per-source repeat counts, no order): a
+    * deterministic total order in which EVERY source is spread
+    * proportionally through the epoch, so a trainer consuming the
+    * first 10% of the order sees ~10% of every source rather than
+    * whichever sources hashed low. The classic stride trick: row at
+    * per-source hash-order rank r of n sorts by frac = (2r−1)/(2n) —
+    * source positions interleave like evenly-spaced ticks on [0, 1).
+    * Both integers are < 2^53, so the division is one IEEE op,
+    * identically rounded on every engine: fracs are bitwise
+    * cross-engine (q124's oracle recomputes them from naive
+    * windows).
+    *
+    * Ranks use the [[graft.operators.Curation.capPerGroup]]
+    * decomposition, not a per-source global window: rows bucket by
+    * their md5's first byte, per-(source, bucket) counts aggregate
+    * distributedly, each bucket learns its prefix offset from a
+    * ≤256-row window, and the within-bucket window is
+    * bucket-bounded — a billion-row source never meets a
+    * single-reducer sort, and there is NO driver state. Output: the
+    * (id, group) rows + (rank, n, frac); consumers sort by
+    * (frac, groupCol, id) for the total order. */
+  def interleaveOrder(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      salt: String = "graft"): DataFrame = {
+    Seq("_h", "_bkt", "_off", "_n", "rank", "n", "frac").foreach { r =>
+      require(!df.columns.contains(r),
+        s"column name $r is reserved by interleaveOrder")
+    }
+    val base = df.select(col(idCol), col(groupCol))
+      .withColumn("_h",
+        md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+      .withColumn("_bkt",
+        conv(substring(col("_h"), 1, 2), 16, 10).cast("long"))
+    val cells = base.groupBy(col(groupCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(groupCol).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("n",
+        sum(col("_c")).over(Window.partitionBy(groupCol)))
+      .drop("_c")
+    val wIn = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(col("_h"), col(idCol))
+    base.join(offs, Seq(groupCol, "_bkt"))
+      .withColumn("rank", row_number().over(wIn).cast("long") + col("_off"))
+      .withColumn("frac",
+        (lit(2.0) * col("rank") - lit(1.0)) / (lit(2.0) * col("n")))
+      .select(col(idCol), col(groupCol), col("rank"), col("n"), col("frac"))
+  }
 }

@@ -1503,6 +1503,30 @@ object Extensions {
       FROM g ORDER BY user_id, valid_from_us""")
   )
 
+  private val q124_interleave_order = Q(
+    "q124_interleave_order",
+    // Balanced mixture order: every source spread proportionally
+    // through the epoch via the stride trick — frac = (2r-1)/(2n)
+    // over per-source md5-hash-order ranks (one IEEE division,
+    // bitwise cross-engine). Ranks via the capPerGroup md5-bucket
+    // prefix-sum decomposition: no per-source global window, no
+    // driver state.
+    (s, dir) =>
+      graft.operators.Sampling.interleaveOrder(
+        table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source")
+        .orderBy("doc_id"),
+    Some("""WITH r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+          ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+        count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT doc_id, source, CAST(rank AS BIGINT) AS rank,
+        CAST(n AS BIGINT) AS n,
+        (2.0 * rank - 1.0) / (2.0 * n) AS frac
+      FROM r ORDER BY doc_id""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2848,6 +2872,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -299,4 +299,51 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("_sk"))
   }
+
+  // ----- interleaveOrder -----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("interleaveOrder == naive per-group window; skew-proof spelling") {
+    import spark.implicits._
+    // one big source (600), one small (30)
+    val rows = (0 until 600).map(i => (i.toLong, "big")) ++
+      (1000 until 1030).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val ref = rows.groupBy(_._2).flatMap { case (src, grp) =>
+      val sorted = grp.sortBy { case (id, _) => (md5hex(s"graft|$id"), id) }
+      val n = sorted.length
+      sorted.zipWithIndex.map { case ((id, _), i) =>
+        id -> ((i + 1L, n.toLong, (2.0 * (i + 1) - 1.0) / (2.0 * n)))
+      }
+    }.toMap
+    for (parts <- Seq(1, 16)) {
+      val got = Sampling.interleaveOrder(
+        df.repartition(parts), "doc_id", "source")
+        .as[(Long, String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      assert(got == ref, s"parts=$parts")
+    }
+  }
+
+  test("interleaveOrder balance: every prefix of the order is proportional") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i => (i.toLong, "big")) ++
+      (1000 until 1030).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val order = Sampling.interleaveOrder(df, "doc_id", "source")
+      .orderBy("frac", "source", "doc_id")
+      .select("source").as[String].collect()
+    // any prefix of length p holds ~p*n_g/N rows of each source,
+    // within one stride of each source (the evenly-spaced-ticks
+    // guarantee a random shuffle only gives in expectation)
+    val n = order.length.toDouble
+    for (p <- Seq(63, 210, 420)) {
+      val pre = order.take(p)
+      assert(math.abs(pre.count(_ == "big") - p * 600 / n) <= 2.0, s"p=$p")
+      assert(math.abs(pre.count(_ == "small") - p * 30 / n) <= 2.0, s"p=$p")
+    }
+  }
 }
