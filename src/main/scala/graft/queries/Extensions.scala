@@ -1374,22 +1374,23 @@ object Extensions {
   private val q120_phrase_search = Q(
     "q120_phrase_search",
     // Exact phrase search via positional postings: documents
-    // containing "slow hash batch" consecutively, with occurrence
-    // counts. The token explode collapses against the phrase-word In
-    // filter before any shuffle; the oracle re-checks every position
-    // window by direct list indexing.
+    // containing "part filter" consecutively, with occurrence counts
+    // (the phrase occurs at every fixture SF; TfIdfSpec covers
+    // 3-word and repeated-word phrases). The token explode collapses
+    // against the phrase-word In filter before any shuffle; the
+    // oracle re-checks every position window by direct list indexing.
     (s, dir) =>
       graft.operators.TfIdf.phraseSearch(
         table(s, dir, "documents"), "doc_id", "text",
-        Seq("slow", "hash", "batch"))
+        Seq("part", "filter"))
         .select(col("id").as("doc_id"), col("n_matches"))
         .orderBy("doc_id"),
     Some(s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
       p AS (SELECT doc_id, ws,
-        unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w)
+        unnest(range(greatest(len(ws) - 1, 0))) AS i FROM w)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
       FROM p
-      WHERE ws[i+1] = 'slow' AND ws[i+2] = 'hash' AND ws[i+3] = 'batch'
+      WHERE ws[i+1] = 'part' AND ws[i+2] = 'filter'
       GROUP BY doc_id ORDER BY doc_id""")
   )
 
