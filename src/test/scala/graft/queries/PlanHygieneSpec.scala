@@ -250,4 +250,49 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(joinLine.exists(_.contains("_salt")),
       s"join not salted:\n${joinLine.getOrElse(p.take(2000))}")
   }
+
+  test("round-6 session-3 windows are partitioned, never global") {
+    // capPerGroup/interleaveOrder rank within (group, md5-bucket) —
+    // the decomposition that replaces the per-group global window;
+    // resampleFill fills within the key; changeHistory runs within
+    // the key. An empty partition spec anywhere here would be the
+    // single-reducer sort these spellings exist to avoid.
+    for (q <- Seq("q116_domain_cap", "q119_resample_fill",
+        "q123_scd2_history", "q124_interleave_order")) {
+      val p = plan(q)
+      val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(ws.nonEmpty, s"$q: expected a window:\n${p.take(2000)}")
+      ws.foreach { l =>
+        assert(!l.replaceAll("\\s", "").contains("],[],["),
+          s"$q plans an UNPARTITIONED window:\n$l")
+      }
+    }
+  }
+
+  test("q117: fuzzy decontamination broadcasts the benchmark side, corpus unshuffled") {
+    val p = plan("q117_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast joins for the benchmark side:\n${p.take(2000)}")
+    assert(!p.toLowerCase.contains("cartesian"),
+      s"fuzzy decontamination planned a cartesian product:\n${p.take(2000)}")
+  }
+
+  test("q120: phrase postings filter before any exchange; no cartesian") {
+    val p = plan("q120_phrase_search")
+    assert(!p.toLowerCase.contains("cartesian"), p.take(2000))
+    // the phrase-word In filter must sit below the first exchange:
+    // the Generate (posexplode) feeds a Filter mentioning the terms
+    // before any shuffle of postings
+    val beforeExchange = p.split("Exchange").head
+    assert(beforeExchange.contains("part") || p.contains("term#"),
+      s"phrase filter not visible pre-exchange:\n${p.take(2000)}")
+  }
+
+  test("q122: z-order is one narrow aggregate + map-side math, no window at all") {
+    val p = plan("q122_zorder")
+    assert(!p.contains("Window ["),
+      s"z-order should need no window:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounds row should broadcast:\n${p.take(2000)}")
+  }
 }
