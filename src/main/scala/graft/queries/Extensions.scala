@@ -1750,15 +1750,20 @@ object Extensions {
   private val q115_sim_ann_projected = Q(
     "q115_sim_ann_projected",
     // The JL-composed ANN path: candidates generated and coarse-
-    // scored entirely in a 64->16 random-projected space (the cell
-    // join moves 16 floats per row), exact float rerank on the raw
-    // vectors — recall-gated against (and emitting) the sampled
-    // exact reference like q40/q48/q63.
+    // scored entirely in a 64->32 random-projected space (the cell
+    // join moves half the floats per row), exact float rerank on the
+    // raw vectors — recall-gated against (and emitting) the sampled
+    // exact reference like q40/q48/q63. projDim 32 / nprobe 6 /
+    // rerank 10k hold the floor at BOTH sf0.01 and the 4x corpus at
+    // sf0.1 (the 10x-scale oracle re-run caught projDim=16 sliding
+    // to 0.16 recall at 2000 vectors — JL error ~1/sqrt(projDim)
+    // must stay under the corpus's cosine spread).
     (s, dir) =>
       recallGatedSampled(s, dir, k = 10,
         ann = Similarity.ivfTopKProjected(
           table(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 10, inDim = 64, projDim = 16, nlist = 16, nprobe = 4),
+          k = 10, inDim = 64, projDim = 32, nlist = 16, nprobe = 6,
+          rerank = 100),
         floor = 0.25, what = "ann-projected"),
     Some(sampledExactTopKSql)
   )
