@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches — the cardinality ledger a
@@ -132,5 +133,137 @@ object Sketches {
           f"(rel err $err%.4f > $relErr) — sketch regressed")
     }
     exact
+  }
+
+  // -------------------------------------------------------------------
+  // KLL quantile ledger — the distribution twin of the HLL count
+  // ledger: per-shard KLL sketches (native Catalyst aggregates,
+  // [[graft.expressions.KllSketchAgg]]) persist as kilobyte binaries
+  // and union without re-reading raw rows; the single-sided
+  // normalized rank error bound survives ANY merge tree. KLL
+  // compaction flips random coins, so nothing sketch-derived is
+  // emitted to an oracle — exact quantiles are, and the sketch is
+  // rank-error-gated in the same job.
+  // -------------------------------------------------------------------
+
+  private def kllAgg(valueCol: String, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(graft.expressions.KllSketchAgg(
+      GraftSqlShim.expression(col(valueCol).cast("double")), k)
+      .toAggregateExpression())
+  }
+
+  private def kllMergeCol(sketchCol: String, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(graft.expressions.KllMergeAgg(
+      GraftSqlShim.expression(col(sketchCol)), k)
+      .toAggregateExpression())
+  }
+
+  /** The quantile-ledger write: one KLL sketch per (group, shard). */
+  def kllShardSketches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      shardCol: String,
+      valueCol: String,
+      k: Int = 200): DataFrame =
+    grouped(df, groupCols :+ shardCol)
+      .agg(kllAgg(valueCol, k).as("sketch"))
+
+  /** The quantile-ledger read: union sketches down to one per group —
+    * input may mix several persisted ledgers (old + delta batches). */
+  def kllMerge(
+      sketches: DataFrame, groupCols: Seq[String], k: Int = 200): DataFrame =
+    grouped(sketches, groupCols)
+      .agg(kllMergeCol("sketch", k).as("sketch"))
+
+  /** Quantile estimates from a sketch column (INCLUSIVE criterion). */
+  def kllQuantiles(ranks: Seq[Double]): Column => Column = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be in [0,1], got $ranks")
+    val rs = ranks.toArray
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b))
+        rs.map(sk.getQuantile)
+      })
+    (c: Column) => u(c)
+  }
+
+  /** Per-group EXACT quantiles (`value` at ascending rank
+    * floor((n−1)·q)+1 — the lower-interpolation definition any engine
+    * reproduces), with the whole KLL ledger path run and gated in the
+    * same job: per-shard sketches → union → for every (group, q) the
+    * merged sketch's estimate must have TRUE rank within
+    * q ± `rankTol` (checked in ONE conditional-aggregate pass over
+    * the data, the [[Gates.rankErrorGate]] discipline — default 3×
+    * the k=200 normalized error, so the gate only fires on a real
+    * regression, never on compaction coin flips). Emits
+    * `(groupCols..., q, value)` — exact, oracle-checkable; the
+    * sketch path is load-bearing through the gate. */
+  def gatedQuantileReport(
+      df: DataFrame,
+      groupCols: Seq[String],
+      shardCol: String,
+      valueCol: String,
+      quantiles: Seq[Double],
+      k: Int = 200,
+      rankTol: Double = 0.05,
+      maxChecks: Int = 1000): DataFrame = {
+    require(quantiles.nonEmpty, "at least one quantile required")
+    require(rankTol > 0.0, s"rankTol must be positive, got $rankTol")
+    val vcol = col(valueCol).cast("double")
+    val d = df.filter(vcol.isNotNull)
+    // the gate: merged-ledger estimates, checked against true ranks
+    val merged = kllMerge(
+      kllShardSketches(d, groupCols, shardCol, valueCol, k), groupCols)
+      .withColumn("_est", kllQuantiles(quantiles)(col("sketch")))
+      .select(groupCols.map(col) :+ col("_est"): _*)
+      .collect() // one row per group, bounded like rankErrorGate
+    require(merged.length * quantiles.length <= maxChecks,
+      s"gatedQuantileReport: ${merged.length} groups x " +
+        s"${quantiles.length} quantiles > maxChecks=$maxChecks")
+    if (merged.nonEmpty) {
+      val checks = merged.flatMap { r =>
+        val ests = r.getSeq[Double](groupCols.length)
+        quantiles.zipWithIndex.map { case (q, i) =>
+          (groupCols.indices.map(r.getAs[Any]), q, ests(i))
+        }
+      }.toSeq
+      val aggExprs = checks.zipWithIndex.flatMap { case ((g, _, v), i) =>
+        val inG: Column = groupCols.zipWithIndex
+          .map { case (c, j) => col(c) <=> lit(g(j)) }
+          .reduce(_ && _)
+        val n = sum(when(inG, 1).otherwise(0))
+        Seq(
+          (sum(when(inG && vcol < v, 1).otherwise(0)).cast("double") / n)
+            .as(s"_lt$i"),
+          (sum(when(inG && vcol <= v, 1).otherwise(0)).cast("double") / n)
+            .as(s"_le$i"))
+      }
+      val ranks = d.agg(aggExprs.head, aggExprs.tail: _*).head()
+      checks.zipWithIndex.foreach { case ((g, q, v), i) =>
+        val lo = ranks.getDouble(2 * i) - rankTol
+        val hi = ranks.getDouble(2 * i + 1) + rankTol
+        require(q >= lo && q <= hi,
+          f"KLL ledger at (${g.mkString(",")}, $q): estimate $v has true " +
+            f"rank outside [$lo%.4f, $hi%.4f] — sketch regressed")
+      }
+    }
+    // the emitted answer: exact lower-interpolation quantiles
+    val wRank = Window.partitionBy(groupCols.map(col): _*).orderBy(vcol)
+    val ranked = d
+      .withColumn("_rn", row_number().over(wRank).cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qDf = quantiles.toDF("q")
+    ranked.join(broadcast(qDf))
+      .filter(col("_rn") ===
+        (floor((col("_n") - 1) * col("q")) + lit(1)).cast("long"))
+      .select(groupCols.map(col) ++ Seq(col("q"), vcol.as("value")): _*)
   }
 }

@@ -1528,6 +1528,34 @@ object Extensions {
       FROM r ORDER BY doc_id""")
   )
 
+  private val q125_kll_ledger = Q(
+    "q125_kll_ledger",
+    // KLL quantile ledger (the distribution twin of q118's HLL count
+    // ledger, via custom native TypedImperativeAggregates over the
+    // Datasketches KLL library): per-(event_type, shard) sketches
+    // union per type, the merged estimate's TRUE rank is gated at
+    // q +- 0.05 in one conditional-aggregate pass, and the emitted
+    // answer is the EXACT lower-interpolation quantile (value at
+    // ascending rank floor((n-1)q)+1) — cross-engine exact while
+    // the sketch path stays load-bearing. KLL compaction flips
+    // random coins, so nothing sketch-derived reaches the oracle.
+    (s, dir) =>
+      graft.operators.Sketches.gatedQuantileReport(
+        events(s, dir).withColumn("shard", pmod(col("event_id"), lit(8))),
+        Seq("event_type"), "shard", "value",
+        quantiles = Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("event_type", "q"),
+    Some("""WITH r AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL),
+      qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+      SELECT event_type, q, value
+      FROM r CROSS JOIN qs
+      WHERE rn = CAST(floor((n - 1) * q) AS BIGINT) + 1
+      ORDER BY event_type, q""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2878,6 +2906,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -96,4 +96,68 @@ class SketchesSpec extends AnyFunSuite {
       rows.filter(lit(false)), Seq("event_type"), "shard", "user_id")
       .count() == 0L)
   }
+
+  // ----- KLL quantile ledger -----
+
+  // values 0..3999 scaled: group t_g holds {i*1.0 : i%3==g} — exact
+  // quantiles computable by hand
+  private lazy val vrows = (0 until 4000).map { i =>
+    (i.toLong, s"t${i % 3}", i.toDouble, i % 4)
+  }.toDF("event_id", "event_type", "value", "shard")
+
+  private def exactQ(g: Int, q: Double): Double = {
+    val vs = (0 until 4000).filter(_ % 3 == g).map(_.toDouble).sorted
+    vs((math.floor((vs.length - 1) * q)).toInt)
+  }
+
+  test("gatedQuantileReport: exact lower-interpolation quantiles, gates pass") {
+    val qs = Seq(0.25, 0.5, 0.9)
+    val got = Sketches.gatedQuantileReport(
+      vrows, Seq("event_type"), "shard", "value", qs)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (g <- 0 until 3; q <- qs) {
+      assert(got((s"t$g", q)) == exactQ(g, q), s"t$g q=$q")
+    }
+    assert(got.size == 9)
+  }
+
+  test("KLL ledger: shard sketches union within rank tolerance of truth") {
+    val merged = Sketches.kllMerge(
+      Sketches.kllShardSketches(vrows, Seq("event_type"), "shard", "value"),
+      Seq("event_type"))
+      .withColumn("est", Sketches.kllQuantiles(Seq(0.5))(col("sketch")))
+      .select(col("event_type"), element_at(col("est"), 1))
+      .as[(String, Double)].collect().toMap
+    for (g <- 0 until 3) {
+      val med = exactQ(g, 0.5)
+      // rank error <= ~1.65% at k=200 => value within a few percent
+      // of the median on this uniform data
+      assert(math.abs(merged(s"t$g") - med) / med < 0.1,
+        s"t$g est=${merged(s"t$g")} exact=$med")
+    }
+  }
+
+  test("KLL gate fails loudly at an unmeetable rank tolerance") {
+    val e = intercept[IllegalArgumentException] {
+      Sketches.gatedQuantileReport(
+        vrows, Seq("event_type"), "shard", "value", Seq(0.5),
+        rankTol = 1e-12)
+    }
+    assert(e.getMessage.contains("sketch regressed"))
+  }
+
+  test("KLL report: null values excluded, empty input empty") {
+    val withNulls = vrows
+      .withColumn("value", when(col("event_id") % 2 === 0, col("value")))
+    // nulls drop from both the ranks and the sketch — no NPE, exact
+    // quantiles over the surviving half
+    val got = Sketches.gatedQuantileReport(
+      withNulls, Seq("event_type"), "shard", "value", Seq(0.5))
+      .as[(String, Double, Double)].collect()
+    assert(got.length == 3)
+    assert(Sketches.gatedQuantileReport(
+      vrows.filter(lit(false)), Seq("event_type"), "shard", "value",
+      Seq(0.5)).count() == 0L)
+  }
 }
