@@ -89,4 +89,41 @@ object Funnel {
     }: _*)).as("r"))
       .select("r.*").orderBy("step")
   }
+
+  /** Retention cohort matrix — the OTHER event-analytics staple (the
+    * funnel asks "did they progress through steps"; retention asks
+    * "did they come back"): users bucket by the period of their FIRST
+    * event (the cohort), and cell (cohort, offset) counts the
+    * distinct cohort members active `offset` periods later. Period =
+    * `periodSec`-second buckets of epoch time (weeks = 604800), so
+    * boundaries are pure integer arithmetic any engine reproduces —
+    * no calendar functions, whose week-numbering conventions differ
+    * across engines.
+    *
+    * Scale shape: first-event times are one per-user partial-agg min
+    * (the q113 discipline); activity collapses to DISTINCT
+    * (user, period) BEFORE the cohort join, so the join input is
+    * bounded by users × active-periods, not events; the final count
+    * is a partial-agg groupBy on (cohort, offset). The event table
+    * is never shuffled whole. Output: (cohort_period, period_offset,
+    * n_users) with offset 0 = the cohort's size-at-birth row. */
+  def retentionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodSec: Long = 604800L): DataFrame = {
+    require(periodSec > 0, s"periodSec must be positive, got $periodSec")
+    val period = expr(
+      s"(unix_micros($tsCol) div 1000000) div $periodSec")
+    val firsts = events
+      .select(col(userCol).as("_u"), period.as("_p"))
+      .groupBy("_u").agg(min(col("_p")).as("_cohort"))
+    val active = events
+      .select(col(userCol).as("_u"), period.as("_p"))
+      .distinct()
+    active.join(firsts, Seq("_u"))
+      .groupBy(col("_cohort").as("cohort_period"),
+        (col("_p") - col("_cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1556,6 +1556,27 @@ object Extensions {
       ORDER BY event_type, q""")
   )
 
+  private val q126_retention = Q(
+    "q126_retention",
+    // Retention cohort matrix: users cohorted by first-event week
+    // (604800-second epoch buckets — pure integer arithmetic, no
+    // engine-specific week numbering), cell (cohort, offset) =
+    // distinct cohort members active offset weeks later. Activity
+    // collapses to distinct (user, week) before any join.
+    (s, dir) =>
+      graft.operators.Funnel.retentionMatrix(
+        events(s, dir), "user_id", "ts")
+        .orderBy("cohort_period", "period_offset"),
+    Some("""WITH p AS (SELECT user_id,
+        epoch_us(ts)//1000000//604800 AS w FROM events),
+      f AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, w FROM p)
+      SELECT f.cohort AS cohort_period, a.w - f.cohort AS period_offset,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2906,6 +2927,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention,
     q44_curation_pipeline, q45_source_audit)
 }

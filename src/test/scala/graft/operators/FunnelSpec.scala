@@ -76,4 +76,45 @@ class FunnelSpec extends AnyFunSuite {
       Seq("view", "refund")).as[(Long, String, Long)].collect().toSeq
     assert(ghost == Seq((1L, "view", 5L), (2L, "refund", 0L)))
   }
+
+  // ----- retention cohorts -----
+
+  test("retentionMatrix: cohort by first period, offsets count comebacks") {
+    import java.sql.Timestamp
+    def t(periods: Long, within: Long = 0L) =
+      new Timestamp((periods * 100L + within) * 1000L)
+    // period = 100s. u1 born p0, active p0/p1/p3 (twice in p1 — the
+    // distinct collapse); u2 born p0, only p0; u3 born p1, active p1/p2
+    val df = Seq(
+      (1L, t(0)), (1L, t(1)), (1L, t(1, 50)), (1L, t(3)),
+      (2L, t(0, 7)),
+      (3L, t(1)), (3L, t(2))
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionMatrix(df, "user_id", "ts", periodSec = 100L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // epoch p of t(k) = k (timestamps are k*100 s)
+    assert(got == Map(
+      (0L, 0L) -> 2L,  // u1+u2 at birth
+      (0L, 1L) -> 1L,  // u1 back in p1 (deduped)
+      (0L, 3L) -> 1L,  // u1 back in p3
+      (1L, 0L) -> 1L,  // u3 at birth
+      (1L, 1L) -> 1L)) // u3 back in p2
+  }
+
+  test("retentionMatrix: offset-0 row equals cohort size; conservation") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(40).toLong, new Timestamp(rnd.nextInt(100000) * 1000L))
+    }
+    val df = rows.toDF("user_id", "ts")
+    val got = Funnel.retentionMatrix(df, "user_id", "ts", periodSec = 7000L)
+      .as[(Long, Long, Long)].collect()
+    // every user appears in exactly one cohort's offset-0 cell
+    assert(got.filter(_._2 == 0L).map(_._3).sum ==
+      rows.map(_._1).distinct.size.toLong)
+    // offsets never negative (first event defines the cohort)
+    assert(got.forall(_._2 >= 0L))
+  }
 }
