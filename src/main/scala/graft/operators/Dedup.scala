@@ -757,6 +757,53 @@ object Dedup {
     df.join(keep, df(idCol) === keep("id"), "left_semi")
   }
 
+  /** [[resolveDuplicates]] with a QUALITY policy: keep each cluster's
+    * best row by `scoreCol` (ties by id — total, deterministic)
+    * rather than its min id. The curation-correct resolution — a
+    * near-dup cluster usually holds one clean original and N mangled
+    * copies, and min-id keeps whichever was crawled first, not
+    * whichever is best. Emits (id, cluster_id, score, keep) for
+    * EVERY row — the audit face; filter(keep) + semi-join is the
+    * enforcement end ([[keepBestDuplicates]]).
+    *
+    * Cost on top of [[duplicateClusters]]: one narrow (id, score)
+    * join and one max_by aggregate per cluster — partial-aggregated,
+    * no windows over cluster members, row bodies never move. */
+  def resolveDuplicatesBy(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val clusters = duplicateClusters(df.select(idCol), pairs, maxIter)
+    val scored = clusters.join(
+      df.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("score")), Seq("id"))
+    // argmax by (score, -id): max_by with a sortable struct — ties
+    // break toward the SMALLER id, so (score DESC, id ASC) total order
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col("id")).as("_negid")))
+        .as("_best"))
+      .select(col("cluster_id"),
+        (-col("_best._negid")).cast("long").as("_keep_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("score"),
+        (col("id") === col("_keep_id")).as("keep"))
+  }
+
+  /** The enforcement end of [[resolveDuplicatesBy]]: rows whose id is
+    * its cluster's quality representative, bodies moved once. */
+  def keepBestDuplicates(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val keep = resolveDuplicatesBy(df, idCol, scoreCol, pairs, maxIter)
+      .filter(col("keep")).select("id")
+    df.join(keep, df(idCol) === keep("id"), "left_semi")
+  }
+
   /** Exact pairwise embedding-cosine near-dup baseline — a
     * block-nested cross computed distributively: rows are hashed into
     * `blocks` buckets, every row is replicated to the `blocks`

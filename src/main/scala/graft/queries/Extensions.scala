@@ -1577,6 +1577,48 @@ object Extensions {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  private val q127_resolve_best = Q(
+    "q127_resolve_best",
+    // Quality-policy duplicate resolution: same LSH near-dup cluster
+    // graph as q65/q72, but each cluster keeps its BEST member by
+    // n_chars (ties to the smaller id) instead of its min id — the
+    // curation-correct choice when a cluster holds one clean original
+    // and N truncated copies. argmax via one partial-agg max over
+    // (score, -id) structs; no window over cluster members.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      Dedup.resolveDuplicatesBy(docs, "doc_id", "n_chars", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("score"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      c AS (SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      sc AS (SELECT c.id, c.cluster_id, CAST(d.n_chars AS DOUBLE) AS score
+        FROM c JOIN documents d ON c.id = d.doc_id),
+      b AS (SELECT cluster_id, id AS keep_id FROM (
+        SELECT cluster_id, id, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY score DESC, id) AS rk FROM sc) WHERE rk = 1)
+      SELECT sc.id AS doc_id, sc.cluster_id, sc.score,
+        sc.id = b.keep_id AS keep
+      FROM sc JOIN b USING (cluster_id) ORDER BY doc_id""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2927,6 +2969,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -242,6 +242,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L, 6L))
   }
 
+  test("resolveDuplicatesBy keeps the best-scored member, ties to smaller id") {
+    val df = Seq(
+      (1L, "x", 10.0), (2L, "x", 30.0), (3L, "x", 30.0), // tie 2/3 -> 2
+      (4L, "y", 5.0), (5L, "y", 50.0),                   // 5 wins over min-id 4
+      (6L, "z", 0.0)                                     // singleton keeps
+    ).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val rep = Dedup.resolveDuplicatesBy(df, "doc_id", "q", pairs)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(rep.length == 6) // audit face: every row present
+    assert(rep.filter(_._4).map(_._1).sorted.toSeq == Seq(2L, 5L, 6L))
+    val kept = Dedup.keepBestDuplicates(df, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 5L, 6L))
+    // negative scores: the (score, -id) struct order must still hold
+    val neg = df.withColumn("q", -col("q"))
+    val keptNeg = Dedup.keepBestDuplicates(neg, "doc_id", "q", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptNeg.toSeq == Seq(1L, 4L, 6L)) // best = least negative
+  }
+
   test("clusterAwareSplit: clusters never straddle buckets; hashed ~uniform") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("id")
