@@ -172,4 +172,45 @@ object TfIdf {
       .groupBy("id")
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Single-query n-gram Jaccard document search — the LOOKUP face of
+    * the dedup family's set-similarity machinery ("is this draft
+    * already in the corpus?", the dedup-as-a-service call): score
+    * every document's shingle set against ONE query text and return
+    * the top k by exact Jaccard. For a single query the right 100 TB
+    * shape is NOT an index probe — it is one corpus scan with the
+    * query's grams riding as an array literal: per-row
+    * `array_intersect` (codegen'd) + a TakeOrdered top-k, no shuffle
+    * of anything but k rows. Batch workloads (every doc vs every doc)
+    * belong to [[Dedup.minHashLshPairs]]; standing query streams to
+    * the persisted-index probes. Output: (rank, id, jaccard), ties by
+    * id; docs sharing no gram are not candidates. */
+  def jaccardTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int,
+      n: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qGrams: Array[String] = Kernels.wordNgrams(
+      if (query == null) "" else query, n)
+    require(qGrams.nonEmpty,
+      s"query shorter than n=$n words — no shingles to match")
+    val ngramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    val qArr = array(qGrams.map(lit).toIndexedSeq: _*)
+    val scored = df
+      .select(col(idCol).as("id"), ngramsUdf(col(textCol)).as("_g"))
+      .withColumn("_inter", size(array_intersect(col("_g"), qArr)))
+      .filter(col("_inter") > 0)
+      .select(col("id"),
+        (col("_inter").cast("double") /
+          (size(col("_g")) + lit(qGrams.length) - col("_inter"))
+            .cast("double")).as("jaccard"))
+    val top = scored.orderBy(col("jaccard").desc, col("id")).limit(k)
+    val w = Window.orderBy(col("jaccard").desc, col("id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "id", "jaccard")
+  }
 }

@@ -1619,6 +1619,38 @@ object Extensions {
       FROM sc JOIN b USING (cluster_id) ORDER BY doc_id""")
   )
 
+  private val q128_jaccard_search = Q(
+    "q128_jaccard_search",
+    // Single-query Jaccard document search (the dedup-as-a-service
+    // lookup): top-20 documents by exact 3-gram Jaccard against one
+    // query text — one corpus scan, the query's grams ride as an
+    // array literal through codegen'd array_intersect, top-k is a
+    // TakeOrdered. The oracle rebuilds the query's shingles from the
+    // same literal and re-scores every document.
+    (s, dir) =>
+      graft.operators.TfIdf.jaccardTopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        query = "part filter scan slow table key value hash batch row",
+        k = 20)
+        .select(col("rank"), col("id").as("doc_id"), col("jaccard"))
+        .orderBy("rank"),
+    Some {
+      val qw = "list_filter(str_split(" +
+        "'part filter scan slow table key value hash batch row', ' '), " +
+        "x -> x <> '')"
+      s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
+      q AS (SELECT ${ngrams3(qw)} AS qs),
+      j AS (SELECT doc_id,
+        CAST(len(list_intersect(s, qs)) AS DOUBLE) /
+          (len(s) + len(qs) - len(list_intersect(s, qs))) AS jaccard
+        FROM g CROSS JOIN q
+        WHERE len(list_intersect(s, qs)) > 0)
+      SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, doc_id)
+        AS BIGINT) AS rank, doc_id, jaccard
+      FROM j ORDER BY jaccard DESC, doc_id LIMIT 20"""
+    }
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -2969,6 +3001,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search,
     q44_curation_pipeline, q45_source_audit)
 }

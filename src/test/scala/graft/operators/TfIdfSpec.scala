@@ -154,6 +154,35 @@ class TfIdfSpec extends AnyFunSuite {
     assert(one == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("jaccardTopK == driver reference; zero-overlap docs excluded") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // shares grams with the query
+      (2L, "a b c x y"),
+      (3L, "p q r s t"),          // disjoint
+      (4L, "a b"),                // too short for 3-grams
+      (5L, "c d e f g")
+    ).toDF("doc_id", "text")
+    val query = "a b c d x"
+    val got = TfIdf.jaccardTopK(docs, "doc_id", "text", query, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val qg = Kernels.wordNgrams(query, 3).toSet
+    val ref = Seq(1L -> "a b c d e", 2L -> "a b c x y", 5L -> "c d e f g",
+      3L -> "p q r s t")
+      .map { case (id, t) =>
+        val g = Kernels.wordNgrams(t, 3).toSet
+        val i = (g & qg).size
+        id -> (if (g.isEmpty) 0.0
+               else i.toDouble / (g.size + qg.size - i))
+      }.filter(_._2 > 0)
+      .sortBy { case (id, j) => (-j, id) }
+      .zipWithIndex.map { case ((id, j), r) => (r + 1L, id, j) }
+    assert(got == ref)
+    assert(!got.exists(r => Set(3L, 4L).contains(r._2)))
+    intercept[IllegalArgumentException] {
+      TfIdf.jaccardTopK(docs, "doc_id", "text", "too short", k = 5)
+    }
+  }
+
   test("phraseSearch matches a scan reference on the fixture corpus") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val phrase = Seq("slow", "hash", "batch")
