@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the audit pass a training pipeline runs before
@@ -190,5 +191,59 @@ object Profile {
         .as("distinct_alert"),
       (not(col("min_new") <=> col("min_old")) ||
         not(col("max_new") <=> col("max_old"))).as("range_changed"))
+  }
+
+  /** Robust per-group outlier detection — median/MAD, the
+    * data-cleaning screen that survives the outliers it hunts (mean
+    * and stddev are dragged by the very rows they're supposed to
+    * flag; the median and the median-absolute-deviation have 50%
+    * breakdown). A row is an outlier when
+    * |value − median| > cut · MAD (cut = 3 by convention).
+    *
+    * Medians are the LOWER-interpolation order statistic (value at
+    * ascending rank (n−1) div 2 + 1) computed with integer rank
+    * arithmetic — exact cross-engine, no percentile interpolation
+    * conventions in play, which is what lets the q129 oracle
+    * recompute every median, MAD, and flag bitwise. Degenerate MAD=0
+    * (over half the group identical) flags EVERY deviating row —
+    * the standard MAD convention, documented rather than patched.
+    *
+    * Scale shape: two key-partitioned rank windows (value order,
+    * then deviation order) + two one-row-per-group joins — never a
+    * global sort; group medians move as single rows. Output: the
+    * flagged rows only — (groupCols..., id, value, med, mad). */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      cut: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(cut > 0.0, s"cut must be positive, got $cut")
+    Seq("id", "value", "med", "mad", "_rn", "_n", "_dev").foreach { r =>
+      require(!groupCols.contains(r),
+        s"group column name $r is reserved by madOutliers")
+    }
+    val keyC = groupCols.map(col)
+    val vcol = col(valueCol).cast("double")
+    val base = df
+      .select(keyC ++ Seq(col(idCol).as("id"), vcol.as("value")): _*)
+      .filter(col("value").isNotNull)
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(keyC: _*).orderBy(col(c))
+      in.withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(
+          Window.partitionBy(keyC: _*)))
+        .filter(col("_rn") === expr("(_n - 1) div 2 + 1"))
+        .select(keyC :+ col(c).as(out): _*)
+    }
+    val med = lowerMedian(base, "value", "med")
+    val withDev = base.join(med, groupCols)
+      .withColumn("_dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(withDev, "_dev", "mad")
+    withDev.join(mad, groupCols)
+      .filter(col("_dev") > lit(cut) * col("mad"))
+      .select(keyC ++ Seq(col("id"), col("value"),
+        col("med"), col("mad")): _*)
   }
 }

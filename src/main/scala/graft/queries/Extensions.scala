@@ -1651,6 +1651,40 @@ object Extensions {
     }
   )
 
+  private val q129_mad_outliers = Q(
+    "q129_mad_outliers",
+    // Robust outlier screen: events whose value deviates from their
+    // type's median by more than 3x the MAD (both medians = the
+    // lower-interpolation order statistic at integer rank
+    // (n-1) div 2 + 1 — exact cross-engine, no percentile
+    // interpolation conventions). Two key-partitioned rank windows,
+    // group medians move as single rows.
+    (s, dir) =>
+      graft.operators.Profile.madOutliers(
+        events(s, dir), Seq("event_type"), "event_id", "value", cut = 3.0)
+        .select(col("event_type"), col("id").as("event_id"),
+          col("value"), col("med"), col("mad"))
+        .orderBy("event_type", "event_id"),
+    Some("""WITH b AS (SELECT event_type, event_id, value FROM events
+        WHERE value IS NOT NULL),
+      mr AS (SELECT event_type, event_id, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n FROM b),
+      med AS (SELECT event_type, value AS med FROM mr
+        WHERE rn = (n - 1) // 2 + 1),
+      d AS (SELECT b.event_type, b.event_id, b.value, med.med,
+        abs(b.value - med.med) AS dev FROM b JOIN med USING (event_type)),
+      dr AS (SELECT event_type, dev,
+        row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n FROM d),
+      mad AS (SELECT event_type, dev AS mad FROM dr
+        WHERE rn = (n - 1) // 2 + 1)
+      SELECT d.event_type, d.event_id, d.value, d.med, mad.mad
+      FROM d JOIN mad USING (event_type)
+      WHERE d.dev > 3.0 * mad.mad
+      ORDER BY event_type, event_id""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3001,6 +3035,6 @@ object Extensions {
     q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search,
+    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search, q129_mad_outliers,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -129,4 +129,42 @@ class ProfileSpec extends AnyFunSuite {
     assert(r3.getBoolean(r3.fieldIndex("distinct_alert")))
     assert(r3.getBoolean(r3.fieldIndex("range_changed")))
   }
+
+  // ----- madOutliers -----
+
+  test("madOutliers flags planted spikes, not the bulk; per-group medians") {
+    import spark.implicits._
+    // group a: tight around 10 with one spike; group b shifted, own spike
+    val rows = (0 until 99).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) ++
+      Seq(("a", 500L, 1000.0)) ++
+      (0 until 99).map(i => ("b", 1000L + i, 50.0 + (i % 7) * 0.2)) ++
+      Seq(("b", 1500L, -400.0))
+    val got = Profile.madOutliers(
+      rows.toDF("g", "id", "v"), Seq("g"), "id", "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set(("a", 500L), ("b", 1500L)))
+    // the reported medians belong to each group's bulk, not the spike
+    got.foreach {
+      case ("a", _, _, med, mad) => assert(med >= 10.0 && med <= 10.4 && mad > 0)
+      case ("b", _, _, med, mad) => assert(med >= 50.0 && med <= 51.2 && mad > 0)
+      case other => fail(other.toString)
+    }
+  }
+
+  test("madOutliers: degenerate MAD=0 flags every deviator; nulls dropped") {
+    import spark.implicits._
+    // >half identical -> mad 0 -> any deviation flags (the documented
+    // convention); null values never reach the ranks
+    val rows = Seq(("a", 1L, Some(5.0)), ("a", 2L, Some(5.0)),
+      ("a", 3L, Some(5.0)), ("a", 4L, Some(5.1)), ("a", 5L, None))
+    val got = Profile.madOutliers(
+      rows.toDF("g", "id", "v"), Seq("g"), "id", "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(4L))
+    assert(got.head._5 == 0.0)
+    // no outliers in a clean group
+    val clean = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))
+    assert(Profile.madOutliers(
+      clean.toDF("g", "id", "v"), Seq("g"), "id", "v").count() == 0L)
+  }
 }
