@@ -59,9 +59,7 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
     val top = pairs.orderBy(col("cnt").desc, col("left"), col("right"))
       .limit(topN)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cnt").desc, col("left"), col("right"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.rankBounded(top, col("cnt").desc, col("left"), col("right"))
       .select("rank", "left", "right", "cnt")
   }
 
@@ -193,9 +191,7 @@ object Bpe {
       .select(col("freq"), explode(col("tokens")).as("token"))
       .groupBy("token").agg(sum("freq").as("cnt"))
     val top = tok.orderBy(col("cnt").desc, col("token")).limit(topN)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.rankBounded(top, col("cnt").desc, col("token"))
       .select("rank", "token", "cnt")
   }
 

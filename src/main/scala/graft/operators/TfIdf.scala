@@ -125,8 +125,7 @@ object TfIdf {
         array_sort(collect_list(struct(col("term"), col("contrib")))),
         lit(0.0), (acc, s) => acc + s.getField("contrib")).as("score"))
     val top = scored.orderBy(col("score").desc, col("id")).limit(k)
-    val w = Window.orderBy(col("score").desc, col("id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.rankBounded(top, col("score").desc, col("id"))
       .select(col("rank"), col("id"), col("score"))
   }
 
@@ -209,8 +208,7 @@ object TfIdf {
           (size(col("_g")) + lit(qGrams.length) - col("_inter"))
             .cast("double")).as("jaccard"))
     val top = scored.orderBy(col("jaccard").desc, col("id")).limit(k)
-    val w = Window.orderBy(col("jaccard").desc, col("id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    Ranks.rankBounded(top, col("jaccard").desc, col("id"))
       .select("rank", "id", "jaccard")
   }
 }

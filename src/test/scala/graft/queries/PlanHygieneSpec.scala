@@ -156,14 +156,47 @@ class PlanHygieneSpec extends AnyFunSuite {
     // shuffleShards ranks within shard, lengthBatches within
     // (bucket, shard) — a Window without the partition key would be
     // the single-partition global sort these operators exist to avoid
-    // a Window node prints `Window [exprs], [partitionSpec], [orderSpec]`
-    // — an empty partition spec (`], [], [`) is the global-sort shape
+    // a partitioned Window prints `Window [exprs], [partitionSpec],
+    // [orderSpec]`; an unpartitioned one omits the partition group
+    // entirely (see windowPartitioned)
     for (q <- Seq("q99_shuffle_shards", "q100_length_batches")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
       ws.foreach { l =>
-        assert(!l.replaceAll("\\s", "").contains("],[],["),
+        assert(windowPartitioned(l),
+          s"$q plans an UNPARTITIONED window:\n$l")
+      }
+    }
+  }
+
+  // A Window plan line OMITS empty spec groups rather than printing
+  // `[]` (so a `],[],[` check can never fire on Spark 4):
+  //   3 groups `[exprs], [part], [order]`  → partitioned
+  //   2 groups — the second is either a partition spec (no sort
+  //     direction) or an order spec (SortOrder always prints
+  //     `ASC NULLS`/`DESC NULLS`); only the latter is the
+  //     global-sort shape
+  //   1 group → unpartitioned unordered (AllTuples — also single-task)
+  private def windowPartitioned(line: String): Boolean = {
+    val groups = line.replaceAll("\\s", "").split("\\],\\[")
+    groups.length >= 3 ||
+      (groups.length == 2 &&
+        !groups(1).contains("ASCNULLS") && !groups(1).contains("DESCNULLS"))
+  }
+
+  test("bounded top-k ranks plan no window at all, never a global one") {
+    // bm25TopK/jaccardTopK/pairStats/tokenFreq rank a post-limit(k)
+    // (or vocab-sized) set via Ranks.rankBounded — an explicit
+    // one-partition sort + id enumeration, no Window node. A
+    // Window.orderBy creeping back in would surface here as an
+    // unpartitioned Window line.
+    for (q <- Seq("q111_bm25_search", "q112_bpe_pair_stats",
+        "q121_bpe_encode", "q128_jaccard_search")) {
+      val p = plan(q)
+      val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+      ws.foreach { l =>
+        assert(windowPartitioned(l),
           s"$q plans an UNPARTITIONED window:\n$l")
       }
     }
@@ -220,6 +253,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("q82: span windows partition by doc, dup-gram agg runs partial") {
     val p = plan("q82_duplicated_spans")
     // the gaps-and-islands merge must never be a global window
+    // (see windowPartitioned: empty partition specs print as TWO
+    // bracket groups, not `[]`)
     val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(windowLines.nonEmpty, p.take(2000))
     windowLines.foreach { l =>
@@ -263,7 +298,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a window:\n${p.take(2000)}")
       ws.foreach { l =>
-        assert(!l.replaceAll("\\s", "").contains("],[],["),
+        assert(windowPartitioned(l),
           s"$q plans an UNPARTITIONED window:\n$l")
       }
     }
