@@ -201,4 +201,62 @@ object Curation {
       .filter(col("_rk") <= cap)
       .drop("_h", "_bkt", "_off", "_rk")
   }
+
+  /** Staged-filter attrition report: every quality pipeline is an
+    * ordered chain of drop rules, and the number its operator reads
+    * first is not the final yield but WHERE the corpus went — how
+    * many documents each rule removed, charged to the FIRST rule
+    * that fired (later rules never see a dropped document, exactly
+    * like the sequential `filter` chain it models). Returns one row
+    * per stage in pipeline order plus a leading `input` row:
+    * `(stage_idx, stage, eliminated, remaining, pct_of_input)` —
+    * `remaining` after that stage, `pct_of_input` the eliminated
+    * share of the ORIGINAL corpus (one IEEE division, bitwise
+    * cross-engine).
+    *
+    * A predicate that evaluates to NULL does not fire (CASE/`when`
+    * three-valued logic — both engines agree), falling through to
+    * the next stage.
+    *
+    * Scale shape: the report is ONE aggregation pass — the first-fail
+    * stage is a `when` cascade folded into a single partial-agg
+    * `sum(case)` per stage, so the corpus is read once, shuffles one
+    * row per partition, and never materializes any intermediate
+    * filtered corpus. The per-stage arithmetic (cumulative
+    * remaining) happens on the single result row as plain column
+    * expressions — no window, no driver loop. Reference analog: the
+    * ref's map phase can drop records but reports only a global
+    * counter (`Imagine_MapReduce/MapTask.h`); per-rule attribution
+    * is what this adds. */
+  def filterAttrition(
+      df: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage required")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"stage names must be unique, got ${stages.map(_._1)}")
+    require(!stages.exists(_._1 == "input"),
+      "stage name 'input' is reserved for the report's leading row")
+    val n = stages.size
+    // first-fail index: lowest i whose predicate is TRUE, n if none
+    val ff = stages.tail.zipWithIndex
+      .foldLeft(when(stages.head._2, 0)) { case (acc, ((_, p), i)) =>
+        acc.when(p, i + 1)
+      }.otherwise(n)
+    val aggs = count(lit(1)).cast("long").as("_total") +:
+      stages.indices.map(i =>
+        sum(when(col("_ff") === i, 1L).otherwise(0L)).as(s"_c$i"))
+    val counts = df.select(ff.as("_ff")).agg(aggs.head, aggs.tail: _*)
+    val report = array(
+      struct(lit(0L).as("stage_idx"), lit("input").as("stage"),
+        lit(0L).as("eliminated"), col("_total").as("remaining"),
+        lit(0.0).as("pct_of_input")) +:
+      stages.zipWithIndex.map { case ((name, _), i) =>
+        val elim = col(s"_c$i")
+        val cum = (0 to i).map(j => col(s"_c$j")).reduce(_ + _)
+        struct(lit(i + 1L).as("stage_idx"), lit(name).as("stage"),
+          elim.as("eliminated"), (col("_total") - cum).as("remaining"),
+          (elim.cast("double") / col("_total")).as("pct_of_input"))
+      }: _*)
+    counts.select(explode(report).as("_r")).select(col("_r.*"))
+  }
 }

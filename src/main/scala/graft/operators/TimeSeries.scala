@@ -104,6 +104,59 @@ object TimeSeries {
     * runs on is runs-sized, not events-sized. Ordering ties break by
     * `tieCol` so the history is total and deterministic; timestamps
     * emit as epoch micros (exact integers cross-engine). */
+  /** Trailing time-RANGE rolling aggregate: for every input row, the
+    * sum and count of `valueCol` over the key's rows in the closed
+    * day interval `[day - (windowDays-1), day]` — the "trailing
+    * 30-day spend per customer" shape every activity feature store
+    * needs. A ROWS frame cannot express it (peers on the same day
+    * must all enter the frame, and empty days must still age rows
+    * out); this is the one window shape that genuinely needs
+    * `rangeBetween`, so the frame runs on an integer epoch-day key
+    * derived from `timeCol` (date semantics in the session zone, UTC
+    * here).
+    *
+    * Scale shape: ONE key-partitioned range window — Spark sorts
+    * each key's partition by day once and slides the frame in a
+    * single pass (frame start/end advance monotonically; no
+    * per-row rescan), so cost is a shuffle on `keyCols` plus a
+    * per-partition sort, the same bill as any windowed feature.
+    * Never global: the partition spec is required, and ties within a
+    * (key, day) are frame-PEERS (all included) so the result is
+    * total-order-independent. `valueCol` must be integral (enforced)
+    * — a double sum's value would depend on intra-frame add order
+    * and could not be pinned cross-engine; callers convert currency
+    * to cents first (`floor(x*100+0.5)`, bitwise on both engines).
+    *
+    * Reference analog: `Imagine_MapReduce/ReduceTask.h` sums whole
+    * key groups only; a trailing window over event time has no
+    * spelling there at all. */
+  def trailingWindow(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      windowDays: Int): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    Seq("day", "trail_sum", "trail_cnt").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by trailingWindow")
+    }
+    val vt = df.schema(valueCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(vt.typeName),
+      s"valueCol $valueCol must be integral for an order-independent " +
+        s"frame sum, got ${vt.typeName}; convert currency to cents " +
+        "(floor(x*100+0.5)) first")
+    val keyC = keyCols.map(col)
+    val day = datediff(col(timeCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val w = Window.partitionBy(keyC: _*).orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    df.withColumn("day", day)
+      .withColumn("trail_sum", sum(col(valueCol)).over(w))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+  }
+
   def changeHistory(
       df: DataFrame,
       keyCols: Seq[String],

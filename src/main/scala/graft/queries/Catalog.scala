@@ -42,11 +42,24 @@ object Catalog {
     * values. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div`, not `/`: fractional division goes through DOUBLE, which
-    // cannot represent epoch nanos exactly and rounds the low µs digit
-    // — integer division truncates exactly like DuckDB's ns→µs read.
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The driver has shipped the events `ts` column under two parquet
+    // encodings across rounds: TIMESTAMP(NANOS) (readable only as
+    // LONG nanos under nanosAsLong) and plain TIMESTAMP(MICROS)
+    // (which Spark reads as TIMESTAMP_NTZ when unadjusted-to-UTC).
+    // Normalize both to session-zone TIMESTAMP at exact µs precision.
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: fractional division goes through DOUBLE,
+        // which cannot represent epoch nanos exactly and rounds the
+        // low µs digit — integer division truncates exactly like
+        // DuckDB's ns→µs read.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // µs-precision NTZ → TIMESTAMP is exact under the UTC session
+        // zone every entry point pins.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact-money view of a double column. */

@@ -1685,6 +1685,85 @@ object Extensions {
       ORDER BY event_type, event_id""")
   )
 
+  private val q130_trailing_window = Q(
+    "q130_trailing_window",
+    // Trailing 30-day spend per customer at every order: the one
+    // window shape that genuinely needs a time-RANGE frame (same-day
+    // peers all enter; empty days still age rows out — a ROWS frame
+    // can express neither). One custkey-partitioned range window on
+    // epoch days; currency goes to integer cents (floor(x*100+0.5),
+    // bitwise on both engines) so the frame sum is add-order-free.
+    (s, dir) =>
+      graft.operators.TimeSeries.trailingWindow(
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+              .cast("long").as("cents")),
+        Seq("o_custkey"), "o_orderdate", "cents", windowDays = 30)
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          col("cents"), col("trail_sum").as("trail_cents"),
+          col("trail_cnt"))
+        .orderBy("o_orderkey"),
+    Some("""WITH b AS (SELECT o_orderkey, o_custkey,
+        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+      SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day, cents,
+        CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS trail_cents,
+        CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS trail_cnt
+      FROM b ORDER BY o_orderkey""")
+  )
+
+  private val q131_filter_attrition = Q(
+    "q131_filter_attrition",
+    // Staged-filter attrition: where did the corpus go? Four drop
+    // rules in pipeline order (short, wrong-lang, long-words,
+    // too-long), each document charged to the FIRST rule that fires
+    // (19/143/3/61 eliminated at sf0.01, 274 kept). One aggregation
+    // pass — the whole report is sum(case) columns on a single row;
+    // no intermediate filtered corpus, no window. Predicates stay on
+    // integer counts so the cross-engine compare is exact; the one
+    // double (pct_of_input) is a single IEEE division.
+    (s, dir) =>
+      graft.operators.Curation.filterAttrition(
+        table(s, dir, "documents"),
+        Seq(
+          "short" -> (TextFunctions.tokenCount(col("text")) < 15),
+          "wrong_lang" -> !col("lang").isin("en", "de", "fr"),
+          "long_words" ->
+            (col("n_chars") > lit(6L) * TextFunctions.tokenCount(col("text"))),
+          "too_long" -> (col("n_chars") > 450)))
+        .orderBy("stage_idx"),
+    Some(s"""WITH ff AS (SELECT CASE
+        WHEN len($W) < 15 THEN 0
+        WHEN lang NOT IN ('en','de','fr') THEN 1
+        WHEN n_chars > 6*len($W) THEN 2
+        WHEN n_chars > 450 THEN 3
+        ELSE 4 END AS ff FROM documents),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN ff=0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN ff=1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN ff=2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST(sum(CASE WHEN ff=3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+        FROM ff)
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+        CAST(0 AS BIGINT) AS eliminated, total AS remaining,
+        0.0 AS pct_of_input FROM c
+      UNION ALL SELECT 1, 'short', c0, total - c0,
+        CAST(c0 AS DOUBLE) / total FROM c
+      UNION ALL SELECT 2, 'wrong_lang', c1, total - c0 - c1,
+        CAST(c1 AS DOUBLE) / total FROM c
+      UNION ALL SELECT 3, 'long_words', c2, total - c0 - c1 - c2,
+        CAST(c2 AS DOUBLE) / total FROM c
+      UNION ALL SELECT 4, 'too_long', c3, total - c0 - c1 - c2 - c3,
+        CAST(c3 AS DOUBLE) / total FROM c
+      ORDER BY stage_idx""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3036,5 +3115,6 @@ object Extensions {
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
     q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search, q129_mad_outliers,
+    q130_trailing_window, q131_filter_attrition,
     q44_curation_pipeline, q45_source_audit)
 }

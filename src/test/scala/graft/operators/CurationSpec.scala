@@ -142,6 +142,68 @@ class CurationSpec extends AnyFunSuite {
     assert(counts == Map("big" -> 5L, "atcap" -> 5L, "tiny" -> 2L))
   }
 
+  test("filterAttrition: first-fail attribution, conservation, null predicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // v=1 fails s1; v=2 fails s1 AND s2 (charged to s1 only);
+    // v=3 fails s2; v=4 passes; v=null makes s1's predicate NULL
+    // (must not fire) and then fails s2
+    val df = Seq[java.lang.Long](1L, 2L, 2L, 3L, 4L, null)
+      .toDF("v").repartition(7)
+    val got = Curation.filterAttrition(df, Seq(
+      "s1" -> (col("v") <= 2),
+      "s2" -> (col("v").isNull || col("v") === 3)))
+      .as[(Long, String, Long, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "input", 0L, 6L, 0.0),
+      (1L, "s1", 3L, 3L, 0.5),
+      (2L, "s2", 2L, 1L, 2.0 / 6.0)))
+    // conservation: eliminated sum + final remaining == input
+    assert(got.map(_._3).sum + got.last._4 == 6L)
+    // a predicate evaluating to NULL falls through, not fires:
+    // the null row must NOT be charged to s1
+    val s1Only = Curation.filterAttrition(df, Seq("s1" -> (col("v") <= 2)))
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(s1Only.last == (1L, "s1", 3L, 3L, 0.5))
+    // guards: empty stages, duplicate names, reserved 'input'
+    intercept[IllegalArgumentException] {
+      Curation.filterAttrition(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterAttrition(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterAttrition(df, Seq("input" -> lit(true)))
+    }
+  }
+
+  test("filterAttrition == sequential filter chain on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 2000).map(i => (i.toLong, i % 17, i % 5))
+    val df = rows.toDF("id", "a", "b").repartition(13)
+    val stages = Seq(
+      "p1" -> (col("a") > 12),
+      "p2" -> (col("b") === 2),
+      "p3" -> (col("a") % 2 === 0))
+    val got = Curation.filterAttrition(df, stages)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // reference: actually run the sequential filter chain
+    var rem = rows
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (0L, "input", 0L, rows.size.toLong, 0.0))
+    val preds: Seq[((Long, Int, Int)) => Boolean] = Seq(
+      r => r._2 > 12, r => r._3 == 2, r => r._2 % 2 == 0)
+    stages.zip(preds).zipWithIndex.foreach { case (((name, _), p), i) =>
+      val (out, in) = rem.partition(p)
+      rem = in
+      expected += ((i + 1L, name, out.size.toLong, in.size.toLong,
+        out.size.toDouble / rows.size))
+    }
+    assert(got == expected.toSeq)
+  }
+
   test("capPerGroup edges: cap 0, cap >= all, reserved columns") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")

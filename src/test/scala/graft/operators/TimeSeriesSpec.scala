@@ -108,6 +108,55 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(u3.map(r => (r._2, r._5)) == Seq((None, 2L), (Some("C"), 1L)))
   }
 
+  test("trailingWindow: closed day interval, same-day peers, aging out") {
+    // key a: days 0, 0 (peers), 2, 29, 31 — window 30 days means the
+    // frame at day d covers [d-29, d]; day 31 drops both day-0 rows
+    // but keeps days 2 and 29
+    def day(d: Long) = ts(d * 86400L)
+    val df = Seq(
+      ("a", day(0), 10L), ("a", day(0), 20L), ("a", day(2), 1L),
+      ("a", day(29), 5L), ("a", day(31), 100L),
+      ("b", day(1000), 7L)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.trailingWindow(df, Seq("k"), "t", "v", 30)
+      .select("k", "day", "v", "trail_sum", "trail_cnt")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(got == Seq(
+      ("a", 0L, 10L, 30L, 2L),   // same-day peer included both ways
+      ("a", 0L, 20L, 30L, 2L),
+      ("a", 2L, 1L, 31L, 3L),
+      ("a", 29L, 5L, 36L, 4L),   // day 0 still inside [0, 29]
+      ("a", 31L, 100L, 106L, 3L), // day-0 rows aged out
+      ("b", 1000L, 7L, 7L, 1L)))
+  }
+
+  test("trailingWindow: deterministic under repartition; rejects double values") {
+    val rows = (0 until 600).map { i =>
+      (i % 5L, ts((i % 90) * 86400L + i), (i % 23).toLong)
+    }
+    val df = rows.toDF("k", "t", "v")
+    val a = TimeSeries.trailingWindow(df.repartition(1), Seq("k"), "t", "v", 7)
+      .select("k", "day", "v", "trail_sum", "trail_cnt")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = TimeSeries.trailingWindow(df.repartition(17), Seq("k"), "t", "v", 7)
+      .select("k", "day", "v", "trail_sum", "trail_cnt")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b && a.size == 600)
+    // brute-force oracle on a sample of rows
+    val byKey = rows.groupBy(_._1)
+    a.grouped(37).map(_.head).foreach { case (k, d, _, s, n) =>
+      val inFrame = byKey(k).map(r => ((r._2.getTime / 1000) / 86400, r._3))
+        .filter { case (rd, _) => rd >= d - 6 && rd <= d }
+      assert(s == inFrame.map(_._2).sum && n == inFrame.size.toLong)
+    }
+    val bad = Seq(("a", ts(0), 1.5)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.trailingWindow(bad, Seq("k"), "t", "v", 7)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("changeHistory deterministic under repartition; period count == change count") {
     val rows = (0 until 400).map { i =>
       (i % 7L, ts(i * 13L), s"s${(i / 11) % 3}", i.toLong)

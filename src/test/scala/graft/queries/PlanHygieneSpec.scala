@@ -159,7 +159,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // a partitioned Window prints `Window [exprs], [partitionSpec],
     // [orderSpec]`; an unpartitioned one omits the partition group
     // entirely (see windowPartitioned)
-    for (q <- Seq("q99_shuffle_shards", "q100_length_batches")) {
+    for (q <- Seq("q99_shuffle_shards", "q100_length_batches",
+        "q130_trailing_window")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
