@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,5 +245,133 @@ object Profile {
       .filter(col("_dev") > lit(cut) * col("mad"))
       .select(keyC ++ Seq(col("id"), col("value"),
         col("med"), col("mad")): _*)
+  }
+
+  /** Per-group Gini concentration of an integral measure — the
+    * "is this source's token mass concentrated in a few documents?"
+    * diagnostic a mixture designer reads next to the per-source row
+    * counts (a source whose tokens live in 2% of its documents needs
+    * different sampling than a flat one). Returns one row per group:
+    * `(group, n_docs, total, gini)` with `gini` the classic
+    * rank-formula coefficient over ascending `valueCol`:
+    * `G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n`. Every sum is 64-bit
+    * integer (ties in x are order-invariant: swapping equal values
+    * across ranks leaves Σ(i·x_i) unchanged, so the `idCol` tiebreak
+    * only pins the row_number, not the result); the two final
+    * divisions are the only floating-point ops, performed in one
+    * fixed order — bitwise cross-engine. Null measures are excluded.
+    *
+    * Scale shape: one group-partitioned rank window (never global) +
+    * one partial-agg groupBy. The integer path needs
+    * `2·n·Σx < 2^63`; a narrow post-aggregation guard (group-count-
+    * sized, one tiny job) fails LOUDLY instead of wrapping — at a
+    * corpus where a single group's n·Σx approaches 2^62, bucket the
+    * group or switch the measure to a coarser unit. */
+  def giniConcentration(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(vt.typeName),
+      s"valueCol $valueCol must be integral (exact rank sums), got " +
+        vt.typeName)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_v"), col(idCol))
+    val agged = df
+      .select(col(groupCol), col(idCol), col(valueCol).cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_v")).as("total"),
+        sum(col("_rk") * col("_v")).as("_ws"))
+    val over = agged
+      .filter(col("total") > 0 &&
+        col("n_docs") > lit(Long.MaxValue / 2) / col("total"))
+      .select(col(groupCol), col("n_docs"), col("total")).limit(1)
+      .collect()
+    require(over.isEmpty, {
+      val r = over.head
+      s"giniConcentration: group '${r.get(0)}' has n=${r.get(1)}, " +
+        s"total=${r.get(2)} — 2*n*total overflows 64-bit; bucket the " +
+        "group or coarsen the measure"
+    })
+    agged
+      // all-zero mass has no concentration to speak of: null, not 0/0
+      .withColumn("gini", when(col("total") === 0, lit(null)).otherwise(
+        (lit(2.0) * col("_ws")) / (col("n_docs") * col("total")) -
+          (col("n_docs") + lit(1.0)) / col("n_docs")))
+      .drop("_ws")
+  }
+
+  /** Mutual information between two categorical columns, with the
+    * entropies that contextualize it — the "is `source` already
+    * telling me the `lang`?" dependence check a mixture designer
+    * runs before stratifying on both. One row:
+    * `(n, h_a, h_b, h_ab, mi, nmi)`, entropies in nats,
+    * `nmi = mi / sqrt(h_a·h_b)` (null when either marginal entropy
+    * is 0 — a constant column carries no information to normalize
+    * by). Null categories are excluded.
+    *
+    * Determinism: Σ p·ln(…) over many cells is add-order-dependent
+    * in IEEE arithmetic, so each sum is a SEQUENTIAL FOLD over the
+    * cell terms in sorted cell order (`sort_array` + `aggregate`) —
+    * the same value on every run, every partitioning, and every
+    * engine that folds the same sorted list (the DuckDB oracle's
+    * `list(… ORDER BY …)` + `list_aggregate('sum')`). Each term
+    * keeps its operands exact: `ln((c·n)/(c_a·c_b))` is one ln of
+    * one division of two exact 64-bit products.
+    *
+    * Scale shape: three partial-agg passes (cells, two marginals)
+    * over the raw pairs — the data-scaled work — then everything
+    * else happens on CELL-count rows. Two loud guards: `n < 2^31.5`
+    * (the integer products must stay in 64 bits — beyond that,
+    * sample first; this is a diagnostic, not a trainer) and
+    * `maxCells` on the pair-domain cardinality before any
+    * `collect_list` (categorical columns only; a high-cardinality
+    * id column would blow the single-row fold). */
+  def mutualInfo(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCells: Long = 1L << 20): DataFrame = {
+    val base = df
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val nVal = base.count()
+    require(nVal > 0, "mutualInfo needs at least one non-null pair")
+    require(nVal <= 3037000499L, // floor(sqrt(2^63 - 1))
+      s"mutualInfo: n=$nVal rows makes c*n overflow 64-bit; " +
+        "sample the corpus first (this is a diagnostic)")
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"mutualInfo: $nCells distinct (a, b) cells > maxCells=$maxCells " +
+        "- these must be categorical columns, not ids")
+    val n = lit(nVal)
+    val ca = base.groupBy("a").agg(count(lit(1)).as("ca"))
+    val cb = base.groupBy("b").agg(count(lit(1)).as("cb"))
+    def foldSum(listCol: Column, field: String): Column =
+      aggregate(sort_array(listCol), lit(0.0),
+        (acc, x) => acc + x.getField(field))
+    val j = cells.join(broadcast(ca), "a").join(broadcast(cb), "b")
+      .withColumn("mt", (col("c") / n) *
+        log((col("c") * n).cast("double") / (col("ca") * col("cb"))))
+      .withColumn("ht", -(col("c") / n) * log(col("c") / n))
+    val joint = j
+      .agg(collect_list(struct(col("a"), col("b"), col("mt"), col("ht")))
+        .as("l"))
+      .select(foldSum(col("l"), "mt").as("mi"),
+        foldSum(col("l"), "ht").as("h_ab"))
+    def marginal(m: DataFrame, k: String, c: String, out: String) = m
+      .withColumn("t", -(col(c) / n) * log(col(c) / n))
+      .agg(collect_list(struct(col(k), col("t"))).as("l"))
+      .select(foldSum(col("l"), "t").as(out))
+    marginal(ca, "a", "ca", "h_a")
+      .crossJoin(marginal(cb, "b", "cb", "h_b"))
+      .crossJoin(joint)
+      .select(n.as("n"), col("h_a"), col("h_b"), col("h_ab"), col("mi"),
+        when(col("h_a") * col("h_b") === 0.0, lit(null))
+          .otherwise(col("mi") / sqrt(col("h_a") * col("h_b"))).as("nmi"))
   }
 }

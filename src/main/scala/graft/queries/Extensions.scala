@@ -1764,6 +1764,114 @@ object Extensions {
       ORDER BY stage_idx""")
   )
 
+  private val q132_gini = Q(
+    "q132_gini",
+    // Per-source Gini concentration of token mass: the mixture-design
+    // diagnostic next to raw row counts. Integer rank sums (one
+    // source-partitioned rank window, tie order provably irrelevant),
+    // two IEEE divisions in a fixed order — bitwise cross-engine.
+    (s, dir) =>
+      graft.operators.Profile.giniConcentration(
+        table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "source", "doc_id", "toks")
+        .orderBy("source"),
+    Some(s"""WITH b AS (SELECT source, doc_id,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      r AS (SELECT source, toks, CAST(row_number() OVER
+        (PARTITION BY source ORDER BY toks, doc_id) AS BIGINT) AS rk
+        FROM b),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS total,
+        CAST(sum(rk * toks) AS BIGINT) AS ws FROM r GROUP BY source)
+      SELECT source, n_docs, total,
+        CASE WHEN total = 0 THEN NULL ELSE
+          2.0 * ws / (n_docs * total) - (n_docs + 1.0) / n_docs
+        END AS gini
+      FROM a ORDER BY source""")
+  )
+
+  private val q133_mutual_info = Q(
+    "q133_mutual_info",
+    // Is `source` already telling me the `lang`? Categorical MI +
+    // entropies over the documents pair domain. Every p*ln(...) sum
+    // is a sequential fold over SORTED cells (add-order-pinned);
+    // each term's ln takes one division of two exact integer
+    // products. ln itself is the one libm-vs-JVM seam (1-ulp
+    // divergence on some inputs), so outputs round to 6 decimals on
+    // both engines — the q94 convention.
+    (s, dir) =>
+      graft.operators.Profile.mutualInfo(
+        table(s, dir, "documents"), "lang", "source")
+        .select(col("n"), round(col("h_a"), 6).as("h_a"),
+          round(col("h_b"), 6).as("h_b"), round(col("h_ab"), 6).as("h_ab"),
+          round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi")),
+    Some("""WITH b AS (SELECT lang AS a, source AS b FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY a, b),
+      ca AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY a),
+      cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY b),
+      j AS (SELECT c.a, c.b,
+          (c.c / n.n) * ln(CAST(c.c * n.n AS DOUBLE) / (ca.ca * cb.cb))
+            AS mt,
+          -(c.c / n.n) * ln(c.c / n.n) AS ht
+        FROM c, n
+        JOIN ca ON c.a = ca.a
+        JOIN cb ON c.b = cb.b),
+      joint AS (SELECT
+          list_aggregate(list(mt ORDER BY a, b), 'sum') AS mi,
+          list_aggregate(list(ht ORDER BY a, b), 'sum') AS h_ab FROM j),
+      ha AS (SELECT list_aggregate(
+          list(-(ca / n.n) * ln(ca / n.n) ORDER BY a), 'sum') AS h_a
+        FROM ca, n),
+      hb AS (SELECT list_aggregate(
+          list(-(cb / n.n) * ln(cb / n.n) ORDER BY b), 'sum') AS h_b
+        FROM cb, n)
+      SELECT n.n AS n, round(ha.h_a, 6) AS h_a, round(hb.h_b, 6) AS h_b,
+        round(joint.h_ab, 6) AS h_ab, round(joint.mi, 6) AS mi,
+        CASE WHEN ha.h_a * hb.h_b = 0.0 THEN NULL
+          ELSE round(joint.mi / sqrt(ha.h_a * hb.h_b), 6) END AS nmi
+      FROM n, ha, hb, joint""")
+  )
+
+  private val q134_incremental_agg = Q(
+    "q134_incremental_agg",
+    // Incremental view maintenance: the daily per-type aggregate
+    // table maintained by MERGING two batch states (events split by
+    // event_id parity) — the oracle recomputes the view from ALL raw
+    // rows, so the hash compare IS the "merged == full recompute"
+    // theorem on real data. Merge inputs are state-sized, never the
+    // old corpus. Null values count toward n but not the folds, on
+    // both engines.
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"),
+        col("event_id"))
+      val st = graft.operators.Incremental.buildState(
+        ev.filter(col("event_id") % 2 === 0).drop("event_id"),
+        Seq("event_type", "day"), "cents")
+      val dl = graft.operators.Incremental.buildState(
+        ev.filter(col("event_id") % 2 =!= 0).drop("event_id"),
+        Seq("event_type", "day"), "cents")
+      graft.operators.Incremental.mergeStates(st, dl)
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH b AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(cents) AS BIGINT) AS sum_v,
+        min(cents) AS min_v, max(cents) AS max_v
+      FROM b GROUP BY event_type, day ORDER BY event_type, day""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3115,6 +3223,7 @@ object Extensions {
     q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
     q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search, q129_mad_outliers,
-    q130_trailing_window, q131_filter_attrition,
+    q130_trailing_window, q131_filter_attrition, q132_gini,
+    q133_mutual_info, q134_incremental_agg,
     q44_curation_pipeline, q45_source_audit)
 }

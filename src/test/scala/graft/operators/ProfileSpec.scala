@@ -151,6 +151,89 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("giniConcentration: known values, tie-order invariance, edge groups") {
+    import spark.implicits._
+    // perfectly flat group: G = 0 exactly by the rank formula
+    // (2*sum(i*c))/(n*n*c) - (n+1)/n = (n+1)/n - (n+1)/n
+    val flat = (1L to 10L).map(i => ("flat", i, 7L))
+    // maximal concentration: all mass on one doc of n=4
+    // ranks asc: 0,0,0,M -> G = 2*4M/(4M) - 5/4 = 2 - 1.25 = 0.75
+    val conc = Seq(("conc", 1L, 0L), ("conc", 2L, 0L), ("conc", 3L, 0L),
+      ("conc", 4L, 1000L))
+    // all-zero group: gini is null, not 0/0
+    val zero = Seq(("zero", 1L, 0L), ("zero", 2L, 0L))
+    val df = (flat ++ conc ++ zero).toDF("g", "id", "v").repartition(5)
+    val got = Profile.giniConcentration(df, "g", "id", "v")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("conc", 4L, 1000L, Some(0.75)),
+      ("flat", 10L, 70L, Some(0.0)),
+      ("zero", 2L, 0L, None)))
+    // tie-order invariance: permuting ids of equal values changes nothing
+    val perm = (1L to 10L).map(i => ("flat", 11L - i, 7L))
+      .toDF("g", "id", "v")
+    assert(Profile.giniConcentration(perm, "g", "id", "v")
+      .as[(String, Long, Long, Option[Double])].collect().head ==
+      ("flat", 10L, 70L, Some(0.0)))
+    // non-integral measure rejected
+    val e = intercept[IllegalArgumentException] {
+      Profile.giniConcentration(
+        Seq(("a", 1L, 1.5)).toDF("g", "id", "v"), "g", "id", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("giniConcentration: overflow guard fires loudly") {
+    import spark.implicits._
+    // one group whose n*total passes 2^62: 3 docs of ~2^61 each
+    val big = Seq(("g", 1L, Long.MaxValue / 4), ("g", 2L, Long.MaxValue / 4),
+      ("g", 3L, Long.MaxValue / 4)).toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.giniConcentration(big, "g", "id", "v")
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("mutualInfo: independent, dependent, and degenerate pairs") {
+    import spark.implicits._
+    // independent 2x2 uniform: MI = 0 exactly (every cell's
+    // ln((c*n)/(ca*cb)) = ln(1) = 0)
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val gi = Profile.mutualInfo(indep, "a", "b")
+      .as[(Long, Double, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(gi._1 == 4L && gi._5 == 0.0 && gi._6 == Some(0.0))
+    assert(math.abs(gi._2 - math.log(2)) < 1e-15)
+    // perfect dependence: MI = H(a) = H(b) = H(ab), NMI = 1
+    val dep = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"))
+      .toDF("a", "b")
+    val gd = Profile.mutualInfo(dep, "a", "b")
+      .as[(Long, Double, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(math.abs(gd._5 - math.log(2)) < 1e-15)
+    assert(math.abs(gd._6.get - 1.0) < 1e-12)
+    // constant column: zero marginal entropy -> nmi null, mi 0
+    val const = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val gc = Profile.mutualInfo(const, "a", "b")
+      .as[(Long, Double, Double, Double, Double, Option[Double])]
+      .collect().head
+    assert(gc._2 == 0.0 && gc._5 == 0.0 && gc._6.isEmpty)
+    // determinism under adversarial repartition (the fold is sorted)
+    val big = (0 until 3000).map(i => (s"a${i % 7}", s"b${(i * 13) % 11}"))
+      .toDF("a", "b")
+    val r1 = Profile.mutualInfo(big.repartition(1), "a", "b").collect().head
+    val r2 = Profile.mutualInfo(big.repartition(23), "a", "b").collect().head
+    assert(r1 == r2)
+    // cell-cardinality guard fires loudly for id-like columns
+    val ids = (0 until 100).map(i => (s"id$i", s"id$i")).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Profile.mutualInfo(ids, "a", "b", maxCells = 50)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
   test("madOutliers: degenerate MAD=0 flags every deviator; nulls dropped") {
     import spark.implicits._
     // >half identical -> mad 0 -> any deviation flags (the documented
