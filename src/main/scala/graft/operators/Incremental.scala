@@ -61,11 +61,19 @@ object Incremental {
     require(state.columns.toSeq == delta.columns.toSeq,
       s"state schemas differ: ${state.columns.toSeq} vs " +
         s"${delta.columns.toSeq}")
-    require(StateCols.forall(state.columns.contains),
-      s"not a state frame (missing ${StateCols}): ${state.columns.toSeq}")
-    val keyCols = state.columns.filterNot(StateCols.contains).toSeq
+    mergeAll(state.unionByName(delta))
+  }
+
+  /** Merge a frame that is a UNION of state rows (any number of
+    * deltas stacked — e.g. a partition-discovered read of
+    * `delta=N` parquet subdirs with the partition column dropped)
+    * into one state row per key. */
+  def mergeAll(states: DataFrame): DataFrame = {
+    require(StateCols.forall(states.columns.contains),
+      s"not a state frame (missing ${StateCols}): ${states.columns.toSeq}")
+    val keyCols = states.columns.filterNot(StateCols.contains).toSeq
     require(keyCols.nonEmpty, "state frame has no key columns")
-    state.unionByName(delta)
+    states
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))

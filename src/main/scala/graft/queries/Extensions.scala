@@ -1872,6 +1872,66 @@ object Extensions {
       FROM b GROUP BY event_type, day ORDER BY event_type, day""")
   )
 
+  private val q135_stream_ingest_agg = Q(
+    "q135_stream_ingest_agg",
+    // Continuous aggregate-view maintenance, oracle-backed end to
+    // end: the events corpus arrives as TWO micro-batches (event_id
+    // parity halves) through ingestAggStream; each batch folds into
+    // its own state delta and the emitted view is the state-sized
+    // merge of the deltas — the oracle recomputes the view from ALL
+    // raw events, so the hash compare is "streamed view == full
+    // recompute" on the real foreachBatch path. Fixture halves are
+    // session-cached (prep out of the timed region, the q101
+    // convention); the scratch tree dies with the invocation.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q135_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val (h1, h2) = cachedFixture(s"q135:$dir") {
+          val ev = events(s, dir).select(
+            col("event_id"), col("event_type"),
+            datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+              .cast("long").as("day"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+              .as("cents"))
+          def half(p: org.apache.spark.sql.Column) =
+            ev.filter(p).select("event_type", "day", "cents")
+              .as[(String, Long, Option[Long])].collect().toSeq
+          (half(col("event_id") % 2 === 0), half(col("event_id") % 2 =!= 0))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long, Option[Long])]
+        val q = graft.streaming.Streams.ingestAggStream(
+          mem.toDF().toDF("event_type", "day", "cents")
+            .repartition(s.sparkContext.defaultParallelism),
+          Seq("event_type", "day"), "cents",
+          stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
+        try {
+          mem.addData(h1)
+          q.processAllAvailable() // batch 0 -> delta=0
+          mem.addData(h2)
+          q.processAllAvailable() // batch 1 -> delta=1
+        } finally q.stop()
+        collectToLocal(
+          graft.streaming.Streams.aggView(s, s"$base/state"),
+          "q135 agg view")
+          .orderBy("event_type", "day")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    },
+    Some("""WITH b AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(cents) AS BIGINT) AS sum_v,
+        min(cents) AS min_v, max(cents) AS max_v
+      FROM b GROUP BY event_type, day ORDER BY event_type, day""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3224,6 +3284,6 @@ object Extensions {
     q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
     q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search, q129_mad_outliers,
     q130_trailing_window, q131_filter_attrition, q132_gini,
-    q133_mutual_info, q134_incremental_agg,
+    q133_mutual_info, q134_incremental_agg, q135_stream_ingest_agg,
     q44_curation_pipeline, q45_source_audit)
 }

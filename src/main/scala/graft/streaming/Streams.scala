@@ -542,4 +542,63 @@ object Streams {
         f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
     } finally b.unpersist(blocking = false)
   }
+
+  /** Continuous AGGREGATE-VIEW maintenance — the streaming spelling
+    * of [[graft.operators.Incremental]]: each micro-batch folds into
+    * its own state delta (`stateDir/delta=N`, one
+    * [[graft.operators.Incremental.buildState]] pass over the NEW
+    * rows only), and the live view is [[aggView]] — a state-sized
+    * merge of the deltas, never a rescan of the event history. This
+    * is the simplest member of the ingest family
+    * ([[ingestNearDupStream]], [[ingestVectorStream]]) because the
+    * per-batch step reads NO prior state at all: exactly-once falls
+    * out of `buildState` being deterministic over the replayed batch
+    * and the write being batch-keyed `overwrite` — a crash-replay
+    * rewrites delta=N byte-identically (StreamsSpec pins it).
+    *
+    * Delta accretion is the same maintenance problem the LSH/IVF
+    * indexes have; here the compaction operator is `aggView` ITSELF
+    * (a merged view re-written as a single delta is a valid state) —
+    * additive states need no LWW or tombstones. */
+  def ingestAggStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestAggBatch(batch, batchId, keyCols, valueCol, stateDir)
+      }
+      .start()
+  }
+
+  /** One [[ingestAggStream]] micro-batch, factored out so the
+    * crash-replay contract is directly testable. */
+  private[streaming] def ingestAggBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keyCols: Seq[String],
+      valueCol: String,
+      stateDir: String): Unit = {
+    val t0 = System.nanoTime()
+    graft.operators.Incremental.buildState(batch, keyCols, valueCol)
+      .write.mode("overwrite").parquet(s"$stateDir/delta=$batchId")
+    // attributable per-batch operator cost (see ingestNearDupBatch)
+    System.err.println(f"[graft] ingestAggBatch batch=$batchId " +
+      f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+  }
+
+  /** The maintained view over every delta [[ingestAggStream]] has
+    * written: one partition-discovered read + one state-sized merge.
+    * Also the compaction step — its result re-written as a single
+    * delta (with the older subdirs removed by the maintenance job
+    * that owns the directory) is a valid, smaller state. */
+  def aggView(
+      spark: SparkSession,
+      stateDir: String): DataFrame =
+    graft.operators.Incremental.mergeAll(
+      spark.read.parquet(stateDir).drop("delta"))
 }

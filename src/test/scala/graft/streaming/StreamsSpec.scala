@@ -414,6 +414,58 @@ class StreamsSpec extends AnyFunSuite {
       s"replayed batch changed the output (${before.length} -> ${after.length} rows)")
   }
 
+  test("ingestAggStream: streamed view == one-shot state; replay is identical; view re-written compacts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select($"event_type", ($"event_id" % 7L).as("day"),
+        ($"event_id" % 100L - 50L).as("cents"), $"event_id")
+    val half1 = ev.filter($"event_id" % 2 === 0)
+      .select("event_type", "day", "cents")
+      .as[(String, Long, Long)].collect().toSeq
+    val half2 = ev.filter($"event_id" % 2 =!= 0)
+      .select("event_type", "day", "cents")
+      .as[(String, Long, Long)].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_agg_").toString
+    val mem = MemoryStream[(String, Long, Long)]
+    val query = Streams.ingestAggStream(
+      mem.toDF().toDF("event_type", "day", "cents"),
+      Seq("event_type", "day"), "cents",
+      stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
+    try {
+      mem.addData(half1); query.processAllAvailable()
+      mem.addData(half2); query.processAllAvailable()
+    } finally query.stop()
+    def viewRows(): Seq[(String, Long, Long, Long, Long, Long)] = Streams.aggView(spark, s"$base/state")
+      .select("event_type", "day", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val streamed = viewRows()
+    val oneShot = graft.operators.Incremental.buildState(
+      ev.select("event_type", "day", "cents"),
+      Seq("event_type", "day"), "cents")
+      .select("event_type", "day", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "merged deltas must equal the one-shot full build")
+    // crash-replay: re-running committed batch 1 rewrites delta=1
+    // byte-identically (deterministic build + keyed overwrite)
+    Streams.ingestAggBatch(
+      half2.toDF("event_type", "day", "cents"), batchId = 1L,
+      Seq("event_type", "day"), "cents", s"$base/state")
+    assert(viewRows() == streamed, "batch-1 replay changed the view")
+    // compaction is the view itself: the merged view re-written as a
+    // single delta over an empty tree is the same state, smaller
+    val compactDir = java.nio.file.Files
+      .createTempDirectory("graft_aggc_").toString
+    Streams.aggView(spark, s"$base/state")
+      .write.parquet(s"$compactDir/delta=0")
+    assert(Streams.aggView(spark, compactDir)
+      .select("event_type", "day", "n", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq == streamed)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(compactDir))
+  }
+
   test("ingestVectorStream: streamed batches == one-shot IVF pairs; replay (incl. batch-0 retrain) is identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
