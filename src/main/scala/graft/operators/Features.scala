@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group feature scaling — the normalization pass between raw
+  * corpus statistics and anything that consumes them as features
+  * (curation models, mixture weights, quality thresholds): a raw
+  * "token count 512" means nothing until it is "84th percentile of
+  * its source" or "+1.3 σ for its source". The reference engine has
+  * no second-pass-over-aggregates notion at all; this is the Spark
+  * spelling of that loop.
+  *
+  * Determinism discipline: the measure must be integral, so the
+  * group moments (n, Σx, Σx²) are exact 64-bit integers, and every
+  * floating-point step afterwards is a FIXED sequence of IEEE ops on
+  * those exact operands — mean = Σx/n, m2 = Σx² − Σx·mean,
+  * z = (x − mean)/√(m2/(n−1)) — bitwise identical cross-engine
+  * (IEEE sqrt is correctly rounded; no libm seam). percent_rank is
+  * rank arithmetic: `(rank−1)/(n−1)`, ties share a value.
+  *
+  * Scale shape: one group-partitioned rank window + one partial-agg
+  * groupBy broadcast back — both keyed, never global. Σx² bounds the
+  * integer path: a loud post-agg guard rejects groups where
+  * n·max²-scale sums could have wrapped 2^63 (coarsen the unit or
+  * pre-scale; silence would mean silently wrong σ). */
+object Features {
+
+  /** Adds `pct_rank` (percent_rank of `valueCol` within `groupCol`,
+    * ties share) and `z` (per-group z-score, sample std; null when
+    * the group is a single row or has zero variance) to `df`'s rows.
+    * Null measures pass through with null `pct_rank`/`z` and do not
+    * enter the moments. */
+  def scaleBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(vt.typeName),
+      s"valueCol $valueCol must be integral for exact group moments, " +
+        s"got ${vt.typeName}; pre-scale to integer units first")
+    Seq("pct_rank", "z", "_n", "_s", "_ss").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by scaleBy")
+    }
+    val v = col(valueCol).cast("long")
+    val moments = df
+      .filter(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"),
+        sum(v * v).as("_ss"))
+    // loud overflow guard: under ANSI (the session default) the
+    // engine itself throws ARITHMETIC_OVERFLOW computing these
+    // moments; this post-agg check covers non-ANSI sessions, where
+    // sum(v*v) wraps silently.
+    // |Σx²| ≤ n·max(x²); flag any group whose row count could have
+    // carried max(|x|)² past 2^62 (conservative: uses the group's
+    // actual extremes would need another pass — this bound only
+    // needs the already-computed moments: if |_s| or _ss lands in
+    // the top quarter of the range, the sum was at risk)
+    val risky = moments
+      .filter(abs(col("_ss")) > lit(Long.MaxValue / 4) ||
+        abs(col("_s")) > lit(Long.MaxValue / 4))
+      .select(col(groupCol)).limit(1).collect()
+    require(risky.isEmpty,
+      s"scaleBy: group '${risky.headOption.map(_.get(0))}' has moment " +
+        "sums in the top quarter of the 64-bit range - possible " +
+        "overflow; coarsen the measure's unit")
+    val mean = col("_s").cast("double") / col("_n")
+    val m2 = greatest(lit(0.0),
+      col("_ss").cast("double") - col("_s").cast("double") * mean)
+    val std = when(col("_n") > 1, sqrt(m2 / (col("_n") - lit(1))))
+    val w = Window.partitionBy(col(groupCol)).orderBy(v.asc)
+    // null measures never enter the rank partition: Spark sorts nulls
+    // first, DuckDB last — inside the window they would shift
+    // percent_rank's denominator differently per engine. Scale the
+    // non-null rows, pass null rows through with null features.
+    val scaled = df.filter(v.isNotNull)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .join(broadcast(moments), Seq(groupCol), "left")
+      .withColumn("z",
+        when(std.isNotNull && std =!= 0.0, (v.cast("double") - mean) / std))
+      .drop("_n", "_s", "_ss")
+    scaled.unionByName(
+      df.filter(v.isNull)
+        .withColumn("pct_rank", lit(null).cast("double"))
+        .withColumn("z", lit(null).cast("double"))
+        .select(scaled.columns.map(col): _*))
+  }
+}

@@ -374,4 +374,51 @@ object Profile {
         when(col("h_a") * col("h_b") === 0.0, lit(null))
           .otherwise(col("mi") / sqrt(col("h_a") * col("h_b"))).as("nmi"))
   }
+
+  /** Per-group WEIGHTED lower median: the smallest `valueCol` whose
+    * cumulative `weightCol` (ascending by value, `idCol` tiebreak)
+    * reaches ⌈W/2⌉ — "the n_chars level where half the group's TOKEN
+    * MASS sits", which is the statistic a curation threshold should
+    * use when documents differ wildly in size (an unweighted median
+    * over-counts short docs). Both columns must be integral: the
+    * cumulative compare is pure 64-bit arithmetic, no interpolation
+    * convention to disagree on. Returns `(group, total_w, med_v)`.
+    * Rows with null value/weight or weight 0 carry no mass and are
+    * excluded; negative weights fail LOUDLY (a narrow group-sized
+    * guard — a negative weight silently shifts every threshold).
+    *
+    * Scale shape: one group-partitioned cumulative window + one
+    * partial-agg groupBy, broadcast-joined totals. Never global. */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    Seq(valueCol, weightCol).foreach { c =>
+      val t = df.schema(c).dataType.typeName
+      require(Seq("long", "integer", "short", "byte").contains(t),
+        s"$c must be integral for an exact weighted median, got $t")
+    }
+    val (v, w) = (col(valueCol).cast("long"), col(weightCol).cast("long"))
+    val base = df.select(col(groupCol), col(idCol).as("_id"), v.as("_v"),
+        w.as("_w"))
+      .filter(col("_v").isNotNull && col("_w").isNotNull && col("_w") =!= 0)
+    val totals = base.groupBy(col(groupCol))
+      .agg(sum(col("_w")).as("total_w"), min(col("_w")).as("_minw"))
+    val neg = totals.filter(col("_minw") < 0)
+      .select(col(groupCol)).limit(1).collect()
+    require(neg.isEmpty,
+      s"weightedMedian: group '${neg.headOption.map(_.get(0))}' has a " +
+        "negative weight - medians are undefined under signed mass")
+    val cum = base.withColumn("_cw", sum(col("_w")).over(
+      Window.partitionBy(col(groupCol)).orderBy(col("_v"), col("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(totals.drop("_minw")), Seq(groupCol))
+      // `div`, not `/`: long / long is DOUBLE division in Spark —
+      // the ceil-half threshold must stay integer arithmetic
+      .filter(col("_cw") >= expr("(total_w + 1) div 2"))
+      .groupBy(col(groupCol), col("total_w"))
+      .agg(min(col("_v")).as("med_v"))
+  }
 }

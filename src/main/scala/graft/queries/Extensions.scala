@@ -1932,6 +1932,100 @@ object Extensions {
       FROM b GROUP BY event_type, day ORDER BY event_type, day""")
   )
 
+  private val q136_feature_scale = Q(
+    "q136_feature_scale",
+    // Per-source feature scaling of token counts: percent_rank (rank
+    // arithmetic, ties share) + z-score whose group moments are
+    // exact 64-bit integers — every float step afterwards is a fixed
+    // IEEE sequence (mean, m2, sample std via correctly-rounded
+    // sqrt), so the compare is bitwise with NO rounding crutch.
+    (s, dir) =>
+      graft.operators.Features.scaleBy(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "source", "toks")
+        .select(col("doc_id"), col("source"), col("toks"),
+          col("pct_rank"), col("z"))
+        .orderBy("doc_id"),
+    Some(s"""WITH b AS (SELECT doc_id, source,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(toks) AS BIGINT) AS s,
+        CAST(sum(toks * toks) AS BIGINT) AS ss FROM b GROUP BY source)
+      SELECT b.doc_id, b.source, b.toks,
+        percent_rank() OVER (PARTITION BY b.source ORDER BY b.toks)
+          AS pct_rank,
+        CASE WHEN m.n > 1 AND
+            sqrt(greatest(0.0, CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n))
+              / (n - 1)) <> 0.0
+          THEN (CAST(b.toks AS DOUBLE) - CAST(s AS DOUBLE) / n)
+            / sqrt(greatest(0.0, CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n))
+              / (n - 1))
+          ELSE NULL END AS z
+      FROM b JOIN m USING (source) ORDER BY b.doc_id""")
+  )
+
+  private val q137_weighted_median = Q(
+    "q137_weighted_median",
+    // Token-weighted lower median of document length per source: the
+    // n_chars level where half the source's TOKEN MASS sits — the
+    // threshold statistic that doesn't over-count short docs. Pure
+    // 64-bit cumulative arithmetic, no interpolation convention.
+    (s, dir) =>
+      graft.operators.Profile.weightedMedian(
+        table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "source", "doc_id", "n_chars", "toks")
+        .orderBy("source"),
+    Some(s"""WITH b AS (SELECT source, doc_id, n_chars,
+        CAST(len($W) AS BIGINT) AS w FROM documents
+        WHERE n_chars IS NOT NULL AND len($W) <> 0),
+      t AS (SELECT source, CAST(sum(w) AS BIGINT) AS total_w
+        FROM b GROUP BY source),
+      c AS (SELECT source, n_chars, CAST(sum(w) OVER
+          (PARTITION BY source ORDER BY n_chars, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM b)
+      SELECT c.source, t.total_w,
+        CAST(min(c.n_chars) AS BIGINT) AS med_v
+      FROM c JOIN t USING (source)
+      WHERE c.cw >= (t.total_w + 1) // 2
+      GROUP BY c.source, t.total_w ORDER BY c.source""")
+  )
+
+  private val q138_sliding_distinct = Q(
+    "q138_sliding_distinct",
+    // Trailing 7-day distinct users per event type: distinct doesn't
+    // sum across days, so the exact path collapses to daily-distinct
+    // rows then fans each out to the bounded window of target days;
+    // the at-scale twin rides ONE HLL SKETCH per day through the
+    // same fan-out (constant bytes per day regardless of
+    // cardinality) and is gated within 5% of exact per cell in-job.
+    // The oracle re-derives every trailing count with a day-range
+    // self-join.
+    (s, dir) =>
+      graft.operators.Sketches.slidingDistinctReport(
+        events(s, dir).select(col("event_type"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("day"),
+          col("user_id")),
+        Seq("event_type"), "day", "user_id", windowDays = 7)
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT DISTINCT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT event_type, day FROM d)
+      SELECT days.event_type, days.day,
+        CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_distinct
+      FROM days JOIN d ON d.event_type = days.event_type
+        AND d.day BETWEEN days.day - 6 AND days.day
+      GROUP BY days.event_type, days.day
+      ORDER BY days.event_type, days.day""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3285,5 +3379,6 @@ object Extensions {
     q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search, q129_mad_outliers,
     q130_trailing_window, q131_filter_attrition, q132_gini,
     q133_mutual_info, q134_incremental_agg, q135_stream_ingest_agg,
+    q136_feature_scale, q137_weighted_median, q138_sliding_distinct,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scaleBy: known ranks and z-scores, ties share, nulls pass through") {
+    // group a: 1,2,2,4 -> mean 2.25, sample var (1.5625+.0625*2+3.0625)/3
+    val df = Seq(("a", 1L, Some(1L)), ("a", 2L, Some(2L)),
+      ("a", 3L, Some(2L)), ("a", 4L, Some(4L)), ("a", 5L, None),
+      ("b", 6L, Some(9L)))
+      .toDF("g", "id", "v")
+    val got = Features.scaleBy(df, "g", "v")
+      .select("g", "id", "v", "pct_rank", "z")
+      .as[(String, Long, Option[Long], Option[Double], Option[Double])]
+      .collect().sortBy(_._2).toSeq
+    val mean = 9.0 / 4
+    val std = math.sqrt((25.0 - 9.0 * mean) / 3) // sumsq 1+4+4+16
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq(
+      ("a", 1L, Some(0.0)), ("a", 2L, Some(1.0 / 3)),
+      ("a", 3L, Some(1.0 / 3)), // tie shares the rank
+      ("a", 4L, Some(1.0)), ("a", 5L, None),
+      ("b", 6L, Some(0.0))))
+    got.filter(_._1 == "a").filter(_._3.isDefined).foreach { r =>
+      assert(math.abs(r._5.get - (r._3.get - mean) / std) < 1e-15)
+    }
+    // single-row group: zero variance -> z null, pct_rank 0
+    assert(got.last._5.isEmpty && got.last._4 == Some(0.0))
+    // constant group: std 0 -> z null for every row
+    val const = Seq(("c", 1L, 5L), ("c", 2L, 5L)).toDF("g", "id", "v")
+    assert(Features.scaleBy(const, "g", "v")
+      .select("z").as[Option[Double]].collect().forall(_.isEmpty))
+  }
+
+  test("scaleBy: deterministic under repartition; guards") {
+    val rows = (0 until 1000).map(i => (s"g${i % 4}", i.toLong, (i % 37).toLong))
+    val df = rows.toDF("g", "id", "v")
+    val a = Features.scaleBy(df.repartition(1), "g", "v")
+      .select("g", "id", "pct_rank", "z")
+      .as[(String, Long, Double, Double)].collect().sorted.toSeq
+    val b = Features.scaleBy(df.repartition(19), "g", "v")
+      .select("g", "id", "pct_rank", "z")
+      .as[(String, Long, Double, Double)].collect().sorted.toSeq
+    assert(a == b && a.size == 1000)
+    assert(intercept[IllegalArgumentException] {
+      Features.scaleBy(Seq(("a", 1.5)).toDF("g", "v"), "g", "v")
+    }.getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException] {
+      Features.scaleBy(df.withColumn("z", lit(1)), "g", "v")
+    }.getMessage.contains("reserved"))
+    // overflow is LOUD either way: under ANSI (the session default)
+    // the engine throws ARITHMETIC_OVERFLOW computing the moments;
+    // under non-ANSI wrap the operator's own guard fires
+    val big = (0 until 3).map(i => ("g", i.toLong, 3L << 30))
+      .toDF("g", "id", "v")
+    val e = intercept[Exception] { Features.scaleBy(big, "g", "v") }
+    assert(e.getMessage.toLowerCase.contains("overflow"))
+  }
+}

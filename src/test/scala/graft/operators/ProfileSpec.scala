@@ -187,12 +187,15 @@ class ProfileSpec extends AnyFunSuite {
   test("giniConcentration: overflow guard fires loudly") {
     import spark.implicits._
     // one group whose n*total passes 2^62: 3 docs of ~2^61 each
+    // loud either way: the operator's guard fires (the guard job
+    // prunes the _ws aggregate, so it runs first), or — if pruning
+    // ever changes — ANSI's own ARITHMETIC_OVERFLOW surfaces
     val big = Seq(("g", 1L, Long.MaxValue / 4), ("g", 2L, Long.MaxValue / 4),
       ("g", 3L, Long.MaxValue / 4)).toDF("g", "id", "v")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Profile.giniConcentration(big, "g", "id", "v")
     }
-    assert(e.getMessage.contains("overflow"))
+    assert(e.getMessage.toLowerCase.contains("overflow"))
   }
 
   test("mutualInfo: independent, dependent, and degenerate pairs") {
@@ -232,6 +235,29 @@ class ProfileSpec extends AnyFunSuite {
       Profile.mutualInfo(ids, "a", "b", maxCells = 50)
     }
     assert(e.getMessage.contains("maxCells"))
+  }
+
+  test("weightedMedian: mass thresholds, zero weights, loud negatives") {
+    import spark.implicits._
+    // group a: values 1(w5), 2(w1), 3(w4) -> W=10, ceil(W/2)=5,
+    // cum at v=1 is 5 >= 5 -> median 1 (half the mass sits at 1)
+    // group b: 1(w1), 2(w1) -> W=2, thr 1 -> median 1
+    // group c: zero-weight row carries no mass
+    val df = Seq(("a", 1L, 1L, 5L), ("a", 2L, 2L, 1L), ("a", 3L, 3L, 4L),
+      ("b", 4L, 1L, 1L), ("b", 5L, 2L, 1L),
+      ("c", 6L, 7L, 0L), ("c", 7L, 9L, 2L))
+      .toDF("g", "id", "v", "w")
+    val got = Profile.weightedMedian(df, "g", "id", "v", "w")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 10L, 1L), ("b", 2L, 1L), ("c", 2L, 9L)))
+    // unweighted sanity: all weights 1 == classic lower median
+    val un = (1L to 9L).map(i => ("u", i, i, 1L)).toDF("g", "id", "v", "w")
+    assert(Profile.weightedMedian(un, "g", "id", "v", "w")
+      .as[(String, Long, Long)].collect().head == ("u", 9L, 5L))
+    val neg = Seq(("n", 1L, 1L, -2L)).toDF("g", "id", "v", "w")
+    assert(intercept[IllegalArgumentException] {
+      Profile.weightedMedian(neg, "g", "id", "v", "w")
+    }.getMessage.contains("negative"))
   }
 
   test("madOutliers: degenerate MAD=0 flags every deviator; nulls dropped") {

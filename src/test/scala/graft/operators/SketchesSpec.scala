@@ -147,6 +147,50 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sketch regressed"))
   }
 
+  test("slidingDistinct: window arithmetic exact on planted days; gate loud") {
+    import spark.implicits._
+    // one group, users visible on specific days: day 0 {u1,u2},
+    // day 3 {u2,u3}, day 10 {u1}: with windowDays=7 the trailing
+    // sets are d0={u1,u2}, d3={u1,u2,u3}, d10={u1} (day 3 aged out
+    // at day 10)
+    val df = Seq(("a", 0L, 1L), ("a", 0L, 2L), ("a", 3L, 2L),
+      ("a", 3L, 3L), ("a", 10L, 1L)).toDF("g", "day", "u")
+    val got = Sketches.slidingDistinctReport(
+      df, Seq("g"), "day", "u", windowDays = 7)
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(("a", 0L, 2L), ("a", 3L, 3L), ("a", 10L, 1L)))
+    // windowDays=1 degenerates to daily distinct
+    assert(Sketches.slidingDistinctReport(df, Seq("g"), "day", "u", 1)
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq ==
+      Seq(("a", 0L, 2L), ("a", 3L, 2L), ("a", 10L, 1L)))
+    // deterministic under repartition at fixture scale
+    val rows = (0 until 4000)
+      .map(i => (s"g${i % 2}", (i % 20).toLong, (i * 7 % 300).toLong))
+    val big = rows.toDF("g", "day", "u")
+    val a = Sketches.slidingDistinctReport(
+      big.repartition(3), Seq("g"), "day", "u", 7)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val b = Sketches.slidingDistinctReport(
+      big.repartition(17), Seq("g"), "day", "u", 7)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // gate fails loudly at an unmeetable tolerance — needs DENSE-mode
+    // cardinality (HLL is exact in sparse mode, where any relErr
+    // passes): ~30k distinct per trailing window forces estimation
+    val huge = (0 until 40000)
+      .map(i => ("g", (i % 10).toLong, (i.toLong * 7919L) % 1000000L))
+      .toDF("g", "day", "u")
+    assert(intercept[IllegalArgumentException] {
+      Sketches.slidingDistinctReport(huge, Seq("g"), "day", "u", 7,
+        relErr = 1e-9)
+    }.getMessage.contains("regressed"))
+    // cell bound is loud
+    assert(intercept[IllegalArgumentException] {
+      Sketches.slidingDistinctReport(big, Seq("g"), "day", "u", 7,
+        maxCells = 3)
+    }.getMessage.contains("maxCells"))
+  }
+
   test("KLL report: null values excluded, empty input empty") {
     val withNulls = vrows
       .withColumn("value", when(col("event_id") % 2 === 0, col("value")))
