@@ -111,11 +111,24 @@ object GraftFunctions {
       Int8Cosine(children.head, children(1))
   }
 
+  val NfcIdent: FunctionIdentifier = FunctionIdentifier("graft_nfc")
+
+  private[expressions] val nfcBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 1, "graft_nfc takes exactly 1 argument")
+      NfcNormalize(children.head)
+  }
+
   /** Idempotent; safe to call from any operator that has a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(CosineIdent)) {
       reg.registerFunction(CosineIdent, cosineInfo, cosineBuilder)
+    }
+    if (!reg.functionExists(NfcIdent)) {
+      reg.registerFunction(NfcIdent,
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        nfcBuilder)
     }
   }
 
@@ -180,6 +193,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (GraftFunctions.Int8CosineIdent,
         new ExpressionInfo(classOf[Int8Cosine].getName, "graft_int8_cosine"),
         GraftFunctions.int8CosineBuilder))
+    ext.injectFunction(
+      (GraftFunctions.NfcIdent,
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        GraftFunctions.nfcBuilder))
     ext.injectOptimizerRule(_ => graft.plans.NativeCosineRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -174,4 +174,22 @@ object TextFunctions {
 
   def ipCount(c: Column): Column =
     size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0))).cast("long")
+
+  /** Canonical text cleanup — the pass that runs BEFORE any
+    * hash-keyed operator (dedup digests, shingles, vocab), because
+    * every byte difference it removes is a spurious cache-miss
+    * there: control chars (C0 + DEL) become spaces, space runs
+    * collapse, edges trim, and the result is Unicode NFC via the
+    * native [[graft.expressions.NfcNormalize]] expression (Spark
+    * ships no normalizer; a UDF would fence the hottest scan there
+    * is). Deliberately NO case folding: lowercasing is
+    * locale-treacherous (ß, dotted i) and a modeling choice, not a
+    * cleanup. All steps are ASCII-class regexes that mean the same
+    * thing in any engine's dialect. */
+  def normalizeText(c: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSqlShim.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graftshim.GraftSqlShim.expression(
+          trim(regexp_replace(
+            regexp_replace(c, "[\\x00-\\x1F\\x7F]", " "), " +", " ")))))
 }

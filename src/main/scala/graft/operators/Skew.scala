@@ -103,4 +103,34 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** The PRE-FLIGHT for everything above: which keys would hot-spot a
+    * shuffle on `keyCol`? Exact top-`topK` keys by row count with
+    * their share of the table — the number that decides between a
+    * plain groupBy, a salt factor, or AQE trust. Null is a real key
+    * here (often THE hot key in the wild) and ranks like any other;
+    * ties order (count desc, key asc nulls first) so the report is
+    * total and cross-engine deterministic.
+    *
+    * Scale shape: one partial-agg count per key (the same shuffle
+    * the real job would pay, minus its payload), a `limit(topK)`
+    * prune, then [[Ranks.rankBounded]] on the k surviving rows — no
+    * global window. The 1-row total broadcast gives `share` as one
+    * IEEE division. */
+  def heavyKeys(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000,
+      s"topK must be in [1, 10000], got $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_t"))
+    val top = counts
+      .orderBy(col("n").desc, col(keyCol).asc_nulls_first)
+      .limit(topK)
+    Ranks.rankBounded(top, col("n").desc, col(keyCol).asc_nulls_first)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("_t")).as("share"), col("rank"))
+  }
 }

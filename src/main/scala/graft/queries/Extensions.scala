@@ -2026,6 +2026,61 @@ object Extensions {
       ORDER BY days.event_type, days.day""")
   )
 
+  private val q139_heavy_keys = Q(
+    "q139_heavy_keys",
+    // Shuffle pre-flight: the exact top-10 lineitem supplier keys by
+    // row count with their table share — the report that decides
+    // between plain groupBy, salting, or AQE trust before paying the
+    // real shuffle. Total order (count desc, key asc nulls first) so
+    // the cutoff is deterministic; rank via the bounded no-window
+    // path; share is one IEEE division against a broadcast total.
+    (s, dir) =>
+      graft.operators.Skew.heavyKeys(
+        table(s, dir, "lineitem"), "l_suppkey", topK = 10)
+        .orderBy("rank"),
+    Some("""WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+      r AS (SELECT l_suppkey, n, CAST(row_number() OVER
+          (ORDER BY n DESC, l_suppkey NULLS FIRST) AS BIGINT) AS rank
+        FROM c)
+      SELECT r.l_suppkey, r.n, CAST(r.n AS DOUBLE) / t.t AS share, r.rank
+      FROM r, t WHERE r.rank <= 10 ORDER BY r.rank""")
+  )
+
+  private val q140_normalize_text = Q(
+    "q140_normalize_text",
+    // Canonical text cleanup via the native graft_nfc expression:
+    // every document is deterministically dirtied in-query
+    // (decomposed e+combining-acute prefix, tab, trailing
+    // a+combining-ring — the byte-noise a real crawl carries), then
+    // normalized: controls->space, space runs collapse, trim,
+    // Unicode NFC. The oracle replays the identical pipeline with
+    // DuckDB's nfc_normalize — UAX #15 makes the two engines agree
+    // bitwise on the full output string, which the hash compare
+    // checks character-for-character.
+    (s, dir) => {
+      val dirty = concat(lit("e\u0301  "), col("text"),
+        lit(" \t a\u030A"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(dirty).as("norm"))
+        .withColumn("norm_chars", length(col("norm")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        nfc_normalize(trim(regexp_replace(regexp_replace(
+          'e' || chr(769) || '  ' || text || ' ' || chr(9) || ' a'
+            || chr(778),
+          '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS norm,
+        CAST(length(nfc_normalize(trim(regexp_replace(regexp_replace(
+          'e' || chr(769) || '  ' || text || ' ' || chr(9) || ' a'
+            || chr(778),
+          '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT)
+          AS norm_chars
+      FROM documents ORDER BY doc_id""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3380,5 +3435,6 @@ object Extensions {
     q130_trailing_window, q131_filter_attrition, q132_gini,
     q133_mutual_info, q134_incremental_agg, q135_stream_ingest_agg,
     q136_feature_scale, q137_weighted_median, q138_sliding_distinct,
+    q139_heavy_keys, q140_normalize_text,
     q44_curation_pipeline, q45_source_audit)
 }

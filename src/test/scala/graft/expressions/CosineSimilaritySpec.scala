@@ -86,6 +86,40 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(viaExpr == viaKernel)
   }
 
+  test("graft_nfc: composes decomposed forms, fast-path identity, SQL face") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // decomposed e + U+0301 composes to é; already-NFC passes through
+    val got = spark.sql(
+      "SELECT graft_nfc('Cafe\u0301 a\u030A'), graft_nfc('Caf\u00e9'), " +
+        "graft_nfc(CAST(NULL AS STRING))").collect().head
+    assert(got.getString(0) == "Café å")
+    assert(got.getString(1) == "Café")
+    assert(got.isNullAt(2))
+    // fast path returns the SAME UTF8String instance for NFC input
+    val in = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
+    assert(graft.expressions.NfcNormalize.compute(in) eq in)
+    // codegen path (DataFrame select over a real column) agrees with
+    // the interpreted kernel on multilingual fixture text
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/documents.parquet")
+      .limit(50)
+    val viaExpr = docs.select(
+      graft.functions.TextFunctions.normalizeText($"text").as("n"))
+      .as[String].collect()
+    val viaJvm = docs.select($"text").as[String].collect().map { t =>
+      java.text.Normalizer.normalize(
+        t.replaceAll("[\\x00-\\x1F\\x7F]", " ").replaceAll(" +", " ").trim,
+        java.text.Normalizer.Form.NFC)
+    }
+    assert(viaExpr.toSeq == viaJvm.toSeq)
+    // type check is an analysis error, not a runtime crash
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_nfc(42)").collect()
+    }
+    assert(err.getMessage.contains("string"))
+  }
+
   test("native graft_int8_cosine == Kernels.int8Cosine on random codes + edges") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -140,4 +140,27 @@ class SkewSpec extends AnyFunSuite {
       Skew.saltedJoin(hot, dim, Seq("k"), 8, "full_outer")
     }
   }
+
+  test("heavyKeys: exact counts, null key ranks, deterministic cutoff") {
+    import spark.implicits._
+    // skewed: k0 x 500, null x 200, k1 x 100, k2..k11 x 10 each
+    val rows = Seq.fill(500)(Option("k0")) ++ Seq.fill(200)(Option.empty[String]) ++
+      Seq.fill(100)(Option("k1")) ++
+      (2 until 12).flatMap(i => Seq.fill(10)(Option(s"k$i")))
+    val df = rows.toDF("k").repartition(13)
+    val got = Skew.heavyKeys(df, "k", topK = 3)
+      .as[(Option[String], Long, Double, Long)].collect().sortBy(_._4).toSeq
+    val total = rows.size.toDouble
+    assert(got == Seq(
+      (Some("k0"), 500L, 500 / total, 1L),
+      (None, 200L, 200 / total, 2L), // null is a real (often hot) key
+      (Some("k1"), 100L, 100 / total, 3L)))
+    // tie region: k2..k11 all count 10 — the cutoff at topK=5 must
+    // take them in key order, deterministically
+    val t5 = Skew.heavyKeys(df, "k", topK = 5)
+      .as[(Option[String], Long, Double, Long)].collect().sortBy(_._4)
+    assert(t5.map(_._1).toSeq == // lexicographic: "k10" < "k2"
+      Seq(Some("k0"), None, Some("k1"), Some("k10"), Some("k11")))
+    intercept[IllegalArgumentException] { Skew.heavyKeys(df, "k", 0) }
+  }
 }
