@@ -421,4 +421,46 @@ object Profile {
       .groupBy(col(groupCol), col("total_w"))
       .agg(min(col("_v")).as("med_v"))
   }
+
+  /** One foreign-key edge for [[integrityAudit]]: `child.childKey`
+    * should reference `parent.parentKey`. */
+  final case class FkEdge(
+      name: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String)
+
+  /** Referential-integrity audit across a star schema — the pre-join
+    * data-quality gate: per FK edge, how many child rows carry a
+    * null key, and how many reference a parent that does not exist
+    * (orphans — each one a row an inner join will silently DROP
+    * downstream). One report row per edge:
+    * `(edge, n_child, n_null_keys, n_orphans, n_orphan_keys)`.
+    *
+    * Scale shape: per edge, one narrow aggregate over the child keys
+    * plus one left-anti join against the DISTINCT parent keys
+    * (Catalyst broadcasts dimension-sized parents; fact-to-fact
+    * edges shuffle on the key, the same bill as the join being
+    * audited). Edges evaluate independently and union — no
+    * cross-edge barrier. */
+  def integrityAudit(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "at least one edge required")
+    require(edges.map(_.name).distinct.size == edges.size,
+      s"edge names must be unique, got ${edges.map(_.name)}")
+    edges.map { e =>
+      val keys = e.child.select(col(e.childKey).as("_k"))
+      val counts = keys.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      val orphans = keys.filter(col("_k").isNotNull)
+        .join(e.parent.select(col(e.parentKey).as("_k")).distinct(),
+          Seq("_k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          count_distinct(col("_k")).as("n_orphan_keys"))
+      counts.crossJoin(orphans)
+        .select(lit(e.name).as("edge"), col("n_child"),
+          col("n_null_keys"), col("n_orphans"), col("n_orphan_keys"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -361,6 +361,53 @@ object Sampling {
     * (Imagine_MapReduce README §chained jobs) — counts feed a second
     * pass that rewrites the dataset; here phases 1/2 are the counts,
     * phase 3 the rewrite. */
+  /** The PLANNING half of [[epochMixture]]: before materializing a
+    * mix, the designer wants the per-source bill — how many tokens
+    * each source holds, how many the target weights ask for under
+    * `budgetTokens`, and whether that means subsampling (rate < 1)
+    * or repetition (full epochs + a fractional remainder). Same
+    * integer math as epochMixture (`target = floor(budget·w/Σw)`,
+    * `epochs = target div current`), so the plan PREDICTS exactly
+    * what the materializer will do. One partial-agg scan; the
+    * targets frame is weights-sized. Sources named in `weights` but
+    * absent from the corpus report zero current tokens and a null
+    * rate — the "mix will run short" warning as a row instead of a
+    * log line. Corpus sources not in `weights` are out of the mix
+    * and do not report. */
+  def mixturePlan(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, "budgetTokens must be non-negative")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    val wsum = weights.values.sum
+    require(wsum > 0.0, "at least one weight must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grp = col(groupCol).cast("string")
+    val current = df.filter(grp.isin(weights.keys.toSeq: _*))
+      .groupBy(grp.as("source"))
+      .agg(sum(coalesce(TextFunctions.tokenCount(col(textCol)), lit(0L)))
+        .as("current_tokens"))
+    val targets = weights.toSeq.sortBy(_._1).map { case (g, wgt) =>
+      (g, math.floor(budgetTokens * (wgt / wsum)).toLong)
+    }.toDF("source", "target_tokens")
+    targets.join(current, Seq("source"), "left")
+      .withColumn("current_tokens", coalesce(col("current_tokens"), lit(0L)))
+      .withColumn("epochs",
+        when(col("current_tokens") > 0,
+          expr("target_tokens div current_tokens")).otherwise(lit(null)))
+      .withColumn("remainder_tokens",
+        when(col("current_tokens") > 0,
+          col("target_tokens") - col("epochs") * col("current_tokens")))
+      .withColumn("rate",
+        when(col("current_tokens") > 0,
+          col("target_tokens").cast("double") / col("current_tokens")))
+  }
+
   def epochMixture(
       df: DataFrame,
       groupCol: String,

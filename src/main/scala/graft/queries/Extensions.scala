@@ -2081,6 +2081,119 @@ object Extensions {
       FROM documents ORDER BY doc_id""")
   )
 
+  private val q141_integrity_audit = Q(
+    "q141_integrity_audit",
+    // Referential-integrity audit over the star schema's five FK
+    // edges: null keys + orphans (rows an inner join would silently
+    // drop) per edge, via narrow key aggregates and anti-joins
+    // against distinct parent keys. The fixture is clean — zero
+    // orphans IS the assertion; ProfileSpec plants orphans to prove
+    // the counters count.
+    (s, dir) => {
+      import graft.operators.Profile.FkEdge
+      def t(n: String) = table(s, dir, n)
+      graft.operators.Profile.integrityAudit(Seq(
+        FkEdge("lineitem_order", t("lineitem"), "l_orderkey",
+          t("orders"), "o_orderkey"),
+        FkEdge("lineitem_part", t("lineitem"), "l_partkey",
+          t("part"), "p_partkey"),
+        FkEdge("lineitem_supplier", t("lineitem"), "l_suppkey",
+          t("supplier"), "s_suppkey"),
+        FkEdge("orders_customer", t("orders"), "o_custkey",
+          t("customer"), "c_custkey"),
+        FkEdge("customer_nation", t("customer"), "c_nationkey",
+          t("nation"), "n_nationkey")))
+        .orderBy("edge")
+    },
+    Some("""WITH e1 AS (SELECT 'lineitem_order' AS edge,
+        CAST(count(*) AS BIGINT) AS n_child,
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_null_keys,
+        CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL AND
+          l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          AS BIGINT) AS n_orphans,
+        CAST(count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey IS NOT
+          NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          AS BIGINT) AS n_orphan_keys FROM lineitem),
+      e2 AS (SELECT 'lineitem_part',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(count(*) FILTER (WHERE l_partkey IS NOT NULL AND
+          l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT),
+        CAST(count(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT
+          NULL AND l_partkey NOT IN (SELECT p_partkey FROM part))
+          AS BIGINT) FROM lineitem),
+      e3 AS (SELECT 'lineitem_supplier',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(count(*) FILTER (WHERE l_suppkey IS NOT NULL AND
+          l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT),
+        CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_suppkey IS NOT
+          NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+          AS BIGINT) FROM lineitem),
+      e4 AS (SELECT 'orders_customer',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL AND
+          o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+        CAST(count(DISTINCT o_custkey) FILTER (WHERE o_custkey IS NOT
+          NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+          AS BIGINT) FROM orders),
+      e5 AS (SELECT 'customer_nation',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST(count(*) FILTER (WHERE c_nationkey IS NOT NULL AND
+          c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT),
+        CAST(count(DISTINCT c_nationkey) FILTER (WHERE c_nationkey IS
+          NOT NULL AND c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation)) AS BIGINT) FROM customer)
+      SELECT * FROM e1 UNION ALL SELECT * FROM e2
+      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+      UNION ALL SELECT * FROM e5 ORDER BY edge""")
+  )
+
+  private val q142_mixture_plan = Q(
+    "q142_mixture_plan",
+    // The mixture designer's bill before materializing: q109's exact
+    // integer math (target = floor(budget*w/sumW), epochs = integer
+    // div) as a per-source report — src0 upsamples ~3.5x, src1 ~1.8x,
+    // src2/src3 run fractional epochs, and a source named in the
+    // weights but absent from the corpus (srcX) reports zero current
+    // tokens and a null rate instead of a log line.
+    (s, dir) =>
+      graft.operators.Sampling.mixturePlan(
+        table(s, dir, "documents"), "source", "text",
+        weights = Map(
+          "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+          "src3" -> 0.125, "srcX" -> 0.0),
+        budgetTokens = 10000L)
+        .orderBy("source"),
+    Some(s"""WITH cur AS (SELECT source,
+        CAST(sum(len($W)) AS BIGINT) AS current_tokens
+        FROM documents WHERE source IN ('src0','src1','src2','src3')
+        GROUP BY source),
+      tgt AS (SELECT * FROM (VALUES
+        ('src0', CAST(floor(10000 * (0.5 / 1.0)) AS BIGINT)),
+        ('src1', CAST(floor(10000 * (0.25 / 1.0)) AS BIGINT)),
+        ('src2', CAST(floor(10000 * (0.125 / 1.0)) AS BIGINT)),
+        ('src3', CAST(floor(10000 * (0.125 / 1.0)) AS BIGINT)),
+        ('srcX', CAST(floor(10000 * (0.0 / 1.0)) AS BIGINT)))
+        AS t(source, target_tokens))
+      SELECT tgt.source, tgt.target_tokens,
+        CAST(coalesce(cur.current_tokens, 0) AS BIGINT) AS current_tokens,
+        CASE WHEN coalesce(cur.current_tokens, 0) > 0
+          THEN tgt.target_tokens // cur.current_tokens END AS epochs,
+        CASE WHEN coalesce(cur.current_tokens, 0) > 0
+          THEN tgt.target_tokens
+            - (tgt.target_tokens // cur.current_tokens)
+              * cur.current_tokens END AS remainder_tokens,
+        CASE WHEN coalesce(cur.current_tokens, 0) > 0
+          THEN CAST(tgt.target_tokens AS DOUBLE) / cur.current_tokens
+          END AS rate
+      FROM tgt LEFT JOIN cur USING (source) ORDER BY tgt.source""")
+  )
+
   private val q108_heavy_hitters = Q(
     "q108_heavy_hitters",
     // Exact heavy hitters at bounded memory: Misra-Gries summaries
@@ -3435,6 +3548,7 @@ object Extensions {
     q130_trailing_window, q131_filter_attrition, q132_gini,
     q133_mutual_info, q134_incremental_agg, q135_stream_ingest_agg,
     q136_feature_scale, q137_weighted_median, q138_sliding_distinct,
-    q139_heavy_keys, q140_normalize_text,
+    q139_heavy_keys, q140_normalize_text, q141_integrity_audit,
+    q142_mixture_plan,
     q44_curation_pipeline, q45_source_audit)
 }

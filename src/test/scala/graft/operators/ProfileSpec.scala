@@ -260,6 +260,33 @@ class ProfileSpec extends AnyFunSuite {
     }.getMessage.contains("negative"))
   }
 
+  test("integrityAudit: planted orphans and null keys are counted exactly") {
+    import spark.implicits._
+    import graft.operators.Profile.FkEdge
+    // parent has ids 1..5; child references 1,1,2,6,6,7,null,null
+    // -> 8 rows, 2 null keys, 3 orphan rows over 2 orphan keys
+    val parent = (1L to 5L).toDF("pid")
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 6L, 6L, 7L, null, null)
+      .toDF("cid").repartition(5)
+    val clean = (1L to 3L).toDF("cid")
+    val got = graft.operators.Profile.integrityAudit(Seq(
+      FkEdge("dirty", child, "cid", parent, "pid"),
+      FkEdge("clean", clean, "cid", parent, "pid")))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("clean", 3L, 0L, 0L, 0L),
+      ("dirty", 8L, 2L, 3L, 2L)))
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.integrityAudit(Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.integrityAudit(Seq(
+        FkEdge("a", child, "cid", parent, "pid"),
+        FkEdge("a", clean, "cid", parent, "pid")))
+    }
+  }
+
   test("madOutliers: degenerate MAD=0 flags every deviator; nulls dropped") {
     import spark.implicits._
     // >half identical -> mad 0 -> any deviation flags (the documented

@@ -346,4 +346,34 @@ class SamplingSpec extends AnyFunSuite {
       assert(math.abs(pre.count(_ == "small") - p * 30 / n) <= 2.0, s"p=$p")
     }
   }
+
+  test("mixturePlan predicts epochMixture's integer math exactly") {
+    import spark.implicits._
+    // a: 10 docs x 4 tokens = 40; b: 5 docs x 2 tokens = 10
+    val docs = ((0 until 10).map(i => (i.toLong, "a", "w x y z")) ++
+      (10 until 15).map(i => (i.toLong, "b", "u v")))
+      .toDF("id", "src", "text")
+    val plan = Sampling.mixturePlan(docs, "src", "text",
+      Map("a" -> 0.75, "b" -> 0.25, "ghost" -> 0.5), budgetTokens = 300L)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // wsum = 1.5: targets a=floor(300*0.5)=150, b=floor(300*1/6)=50,
+    // ghost=floor(300*1/3)=100
+    assert(plan == Seq(
+      ("a", 150L, 40L, Some(3L), Some(30L), Some(150.0 / 40)),
+      ("b", 50L, 10L, Some(5L), Some(0L), Some(5.0)),
+      ("ghost", 100L, 0L, None, None, None)))
+    // the materializer agrees: per-source emitted epoch multiplicity
+    // is epochs (+1 inside the remainder prefix)
+    val mat = Sampling.epochMixture(docs, "src", "id", "text",
+      Map("a" -> 0.75, "b" -> 0.25, "ghost" -> 0.5), budgetTokens = 300L)
+      .groupBy("src", "id").count()
+      .as[(String, Long, Long)].collect()
+    val byize = mat.filter(_._1 == "a").map(_._3)
+    assert(byize.forall(c => c == 3L || c == 4L)) // 3 epochs + partial
+    assert(mat.filter(_._1 == "b").forall(_._3 == 5L)) // exact 5 epochs
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(docs, "src", "text", Map.empty, 100L)
+    }
+  }
 }
