@@ -804,6 +804,35 @@ object Dedup {
     df.join(keep, df(idCol) === keep("id"), "left_semi")
   }
 
+  /** Per-group dedup ATTRITION: what does each source really
+    * contribute after duplicate resolution? Raw vs kept doc and
+    * token counts per `groupCol`, where "kept" follows
+    * [[resolveDuplicatesBy]]'s best-member policy — the number a
+    * mixture designer must use instead of raw token counts (a source
+    * that is 60% internal near-dups of another source is smaller
+    * than it looks, and weighting it by raw tokens over-samples its
+    * duplicated mass). All counts are 64-bit integer sums — exact
+    * cross-engine. One resolve pass + one id join + one partial agg
+    * on top of the cluster machinery. */
+  def dedupAttrition(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      groupCol: String,
+      weightCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val res = resolveDuplicatesBy(df, idCol, scoreCol, pairs, maxIter)
+      .select(col("id"), col("keep"))
+    df.select(col(idCol).as("id"), col(groupCol).as("group"),
+        col(weightCol).cast("long").as("_w"))
+      .join(res, Seq("id"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("_w")).as("tokens_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("_w")).otherwise(0L)).as("tokens_kept"))
+  }
+
   /** Exact pairwise embedding-cosine near-dup baseline — a
     * block-nested cross computed distributively: rows are hashed into
     * `blocks` buckets, every row is replicated to the `blocks`

@@ -431,6 +431,46 @@ object Profile {
       parent: DataFrame,
       parentKey: String)
 
+  /** Join-size audit — predict `|A ⋈ B|` on an equi-key BEFORE paying
+    * for it: the exact output cardinality is `Σ_k nl(k)·nr(k)`, which
+    * two key-count aggregates and a count-sized join compute without
+    * materializing a single joined row. THE pre-flight for join
+    * explosions (a blocking key whose top contributor alone yields
+    * 10^10 rows is a redesign, not a bigger cluster). Returns the
+    * top-`topN` contributing keys `(key, n_left, n_right, out_rows,
+    * predicted_total, rank)` — `predicted_total` on every row, the
+    * headline number. Null keys match nothing in an equi-join and
+    * are excluded, exactly as the audited join would drop them.
+    *
+    * Scale shape: two partial-agg key counts + one count-sized join
+    * (dimension-sized sides broadcast) + a `limit(topN)` prune with
+    * the bounded no-window rank. `out_rows` products run under ANSI
+    * — a predicted size past 2^63 fails loudly, which IS the
+    * answer. */
+  def joinSizeAudit(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1 && topN <= 10000, s"topN must be in [1,10000], got $topN")
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val contrib = lc.join(rc, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val total = contrib.agg(
+      coalesce(sum(col("out_rows")), lit(0L)).as("predicted_total"))
+    val top = contrib
+      .orderBy(col("out_rows").desc, col("key").asc)
+      .limit(topN)
+    Ranks.rankBounded(top, col("out_rows").desc, col("key").asc)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+        col("predicted_total"), col("rank"))
+  }
+
   /** Referential-integrity audit across a star schema — the pre-join
     * data-quality gate: per FK edge, how many child rows carry a
     * null key, and how many reference a parent that does not exist

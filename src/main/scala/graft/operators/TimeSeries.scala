@@ -157,6 +157,19 @@ object TimeSeries {
       .withColumn("trail_cnt", count(lit(1)).over(w))
   }
 
+  /** Time-travel lookup over a [[changeHistory]] result: the state of
+    * every key AS OF `tsMicros` — the read side of the SCD2 story
+    * (build history once, answer any point-in-time question from the
+    * runs-sized table instead of re-scanning the changelog). A key
+    * whose first period opens after `tsMicros` simply doesn't exist
+    * yet and emits nothing. One filter over the period table: period
+    * semantics are `[valid_from_us, valid_to_us)`, so the predicate
+    * is `from <= t < coalesce(to, +inf)` — at most one row per key
+    * by the non-overlap invariant changeHistory guarantees. */
+  def snapshotAt(history: DataFrame, tsMicros: Long): DataFrame =
+    history.filter(col("valid_from_us") <= tsMicros &&
+      (col("valid_to_us").isNull || col("valid_to_us") > tsMicros))
+
   def changeHistory(
       df: DataFrame,
       keyCols: Seq[String],

@@ -1504,6 +1504,46 @@ object Extensions {
       FROM g ORDER BY user_id, valid_from_us""")
   )
 
+  private val q143_snapshot_at = Q(
+    "q143_snapshot_at",
+    // Time-travel read over the q123 SCD2 history: every user's state
+    // AS OF 2024-01-15T00:00:00Z — one filter over the runs-sized
+    // period table ([from, to) semantics), never a changelog rescan.
+    // The oracle rebuilds the full history and applies the same
+    // point-in-time predicate; at most one row per user by the
+    // non-overlap invariant (spec-pinned against the direct
+    // latest-event-per-user answer).
+    (s, dir) =>
+      graft.operators.TimeSeries.snapshotAt(
+        graft.operators.TimeSeries.changeHistory(
+          events(s, dir), Seq("user_id"), "ts", "event_type", "event_id"),
+        tsMicros = 1705276800000000L)
+        .orderBy("user_id"),
+    Some("""WITH l AS (SELECT user_id, event_type, ts, event_id,
+        CASE WHEN lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        FROM events),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+        FROM l),
+      g AS (SELECT user_id, run, event_type AS value,
+          min(epoch_us(ts)) AS valid_from_us,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2, 3),
+      h AS (SELECT user_id, value, valid_from_us,
+        lead(valid_from_us) OVER (PARTITION BY user_id
+          ORDER BY valid_from_us) AS valid_to_us,
+        n_events,
+        lead(valid_from_us) OVER (PARTITION BY user_id
+          ORDER BY valid_from_us) IS NULL AS is_current
+      FROM g)
+      SELECT * FROM h
+      WHERE valid_from_us <= 1705276800000000
+        AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+      ORDER BY user_id""")
+  )
+
   private val q124_interleave_order = Q(
     "q124_interleave_order",
     // Balanced mixture order: every source spread proportionally
@@ -1617,6 +1657,81 @@ object Extensions {
       SELECT sc.id AS doc_id, sc.cluster_id, sc.score,
         sc.id = b.keep_id AS keep
       FROM sc JOIN b USING (cluster_id) ORDER BY doc_id""")
+  )
+
+  private val q144_join_size_audit = Q(
+    "q144_join_size_audit",
+    // Predict the l_partkey SELF-join's size before paying for it:
+    // Sum over keys of n^2, from two key-count aggregates and a
+    // count-sized join — no joined row ever materializes. Top-10
+    // contributing keys plus the headline predicted_total on every
+    // row; a predicted size past 2^63 would fail loudly under ANSI,
+    // which IS the answer.
+    (s, dir) =>
+      graft.operators.Profile.joinSizeAudit(
+        table(s, dir, "lineitem"), "l_partkey",
+        table(s, dir, "lineitem"), "l_partkey", topN = 10)
+        .orderBy("rank"),
+    Some("""WITH c AS (SELECT l_partkey AS key,
+        CAST(count(*) AS BIGINT) AS n FROM lineitem
+        WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+      j AS (SELECT key, n AS n_left, n AS n_right, n * n AS out_rows
+        FROM c),
+      t AS (SELECT CAST(coalesce(sum(out_rows), 0) AS BIGINT)
+        AS predicted_total FROM j),
+      r AS (SELECT *, CAST(row_number() OVER
+          (ORDER BY out_rows DESC, key) AS BIGINT) AS rank FROM j)
+      SELECT r.key, r.n_left, r.n_right, r.out_rows,
+        t.predicted_total, r.rank
+      FROM r, t WHERE r.rank <= 10 ORDER BY r.rank""")
+  )
+
+  private val q145_dedup_attrition = Q(
+    "q145_dedup_attrition",
+    // Dedup attrition by source: raw vs kept doc/token counts under
+    // the q127 best-member policy — the numbers a mixture designer
+    // must use instead of raw token totals (a source that is largely
+    // near-dups is smaller than it looks). Same LSH cluster graph
+    // and argmax as q127; all emitted counts are exact integer sums.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      Dedup.dedupAttrition(
+        docs.withColumn("toks", TextFunctions.tokenCount(col("text"))),
+        "doc_id", "n_chars", "source", "toks", pairs)
+        .orderBy("group")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      c AS (SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      sc AS (SELECT c.id, c.cluster_id, CAST(d.n_chars AS DOUBLE) AS score
+        FROM c JOIN documents d ON c.id = d.doc_id),
+      b AS (SELECT cluster_id, id AS keep_id FROM (
+        SELECT cluster_id, id, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY score DESC, id) AS rk FROM sc) WHERE rk = 1),
+      k AS (SELECT sc.id, sc.id = b.keep_id AS keep
+        FROM sc JOIN b USING (cluster_id))
+      SELECT d.source AS "group",
+        CAST(count(*) AS BIGINT) AS n_raw,
+        CAST(sum(len($W)) AS BIGINT) AS tokens_raw,
+        CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN k.keep THEN len($W) ELSE 0 END) AS BIGINT)
+          AS tokens_kept
+      FROM documents d JOIN k ON d.doc_id = k.id
+      GROUP BY d.source ORDER BY d.source""")
   )
 
   private val q128_jaccard_search = Q(
@@ -3549,6 +3664,7 @@ object Extensions {
     q133_mutual_info, q134_incremental_agg, q135_stream_ingest_agg,
     q136_feature_scale, q137_weighted_median, q138_sliding_distinct,
     q139_heavy_keys, q140_normalize_text, q141_integrity_audit,
-    q142_mixture_plan,
+    q142_mixture_plan, q143_snapshot_at, q144_join_size_audit,
+    q145_dedup_attrition,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -263,6 +263,28 @@ class DedupSpec extends AnyFunSuite {
     assert(keptNeg.toSeq == Seq(1L, 4L, 6L)) // best = least negative
   }
 
+  test("dedupAttrition: per-group raw vs kept counts match the keep policy") {
+    val df = Seq(
+      (1L, "s1", 10.0, 100L), (2L, "s1", 30.0, 200L), // cluster {1,2}: keep 2
+      (3L, "s2", 30.0, 300L),                          // in {1,2,3}? no:
+      (4L, "s2", 5.0, 50L), (5L, "s2", 50.0, 70L),     // cluster {4,5}: keep 5
+      (6L, "s2", 0.0, 10L)                             // singleton keeps
+    ).toDF("doc_id", "src", "q", "toks")
+    // clusters: {1,2,3} (keep 3? scores 10,30,30 -> tie 2/3 -> 2), {4,5}, {6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupAttrition(df, "doc_id", "q", "src", "toks", pairs)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // keep set = {2, 5, 6}: s1 keeps doc 2 (200 toks of 300 raw);
+    // s2 keeps 5 and 6 (80 of 430)
+    assert(got == Seq(
+      ("s1", 2L, 300L, 1L, 200L),
+      ("s2", 4L, 430L, 2L, 80L)))
+    // conservation: kept tokens equal keepBestDuplicates' total
+    val keptToks = Dedup.keepBestDuplicates(df, "doc_id", "q", pairs)
+      .agg(org.apache.spark.sql.functions.sum("toks")).as[Long].collect().head
+    assert(got.map(_._5).sum == keptToks)
+  }
+
   test("clusterAwareSplit: clusters never straddle buckets; hashed ~uniform") {
     import spark.implicits._
     val ids = (0L until 200L).toDF("id")

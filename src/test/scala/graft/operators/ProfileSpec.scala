@@ -287,6 +287,30 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("joinSizeAudit predicts the materialized join exactly; nulls drop") {
+    import spark.implicits._
+    val left = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
+      Seq(null.asInstanceOf[String])).zipWithIndex
+      .map { case (k, i) => (Option(k), i.toLong) }.toDF("k", "x")
+    val right = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("d") ++
+      Seq(null.asInstanceOf[String])).zipWithIndex
+      .map { case (k, i) => (Option(k), i.toLong) }.toDF("k", "y")
+    val audit = graft.operators.Profile.joinSizeAudit(
+      left, "k", right, "k", topN = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._6)
+    // a: 7*5=35, b: 3*2=6; c/d/null never match
+    assert(audit.toSeq == Seq(
+      ("a", 7L, 5L, 35L, 41L, 1L), ("b", 3L, 2L, 6L, 41L, 2L)))
+    // the prediction equals the real join's size
+    val actual = left.filter($"k".isNotNull)
+      .join(right.filter($"k".isNotNull), Seq("k")).count()
+    assert(actual == 41L && audit.head._5 == actual)
+    // disjoint keys: empty report (predicted total would be 0)
+    assert(graft.operators.Profile.joinSizeAudit(
+      Seq(("x", 1)).toDF("k", "v"), "k",
+      Seq(("y", 1)).toDF("k", "v"), "k").count() == 0L)
+  }
+
   test("madOutliers: degenerate MAD=0 flags every deviator; nulls dropped") {
     import spark.implicits._
     // >half identical -> mad 0 -> any deviation flags (the documented

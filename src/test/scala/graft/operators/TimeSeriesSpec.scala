@@ -157,6 +157,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("snapshotAt == direct latest-event answer; unborn keys absent") {
+    val rows = (0 until 400).map { i =>
+      (i % 9L, ts(i * 31L), s"s${(i / 7) % 4}", i.toLong)
+    } :+ ((100L, ts(999999L), "late", 9999L)) // born after the snapshot
+    val df = rows.toDF("user_id", "t", "attr", "eid")
+    val hist = TimeSeries.changeHistory(df, Seq("user_id"), "t", "attr", "eid")
+    val tSnap = 200L * 31L * 1000000L // micros
+    val snap = TimeSeries.snapshotAt(hist, tSnap)
+      .select("user_id", "value")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // reference: latest event at or before tSnap per user
+    val direct = rows.filter(_._2.getTime * 1000L <= tSnap)
+      .groupBy(_._1).map { case (u, g) =>
+        (u, g.maxBy(r => (r._2.getTime, r._4))._3)
+      }.toSeq.sortBy(_._1)
+    assert(snap == direct)
+    // exactly one row per live key, none for the late-born key
+    assert(snap.map(_._1).distinct.size == snap.size)
+    assert(!snap.exists(_._1 == 100L))
+    // as-of the far future: every key current, values == final events
+    val end = TimeSeries.snapshotAt(hist, Long.MaxValue)
+    assert(end.count() == 10L &&
+      end.filter(col("is_current")).count() == 10L)
+  }
+
   test("changeHistory deterministic under repartition; period count == change count") {
     val rows = (0 until 400).map { i =>
       (i % 7L, ts(i * 13L), s"s${(i / 11) % 3}", i.toLong)

@@ -193,7 +193,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // Window.orderBy creeping back in would surface here as an
     // unpartitioned Window line.
     for (q <- Seq("q111_bm25_search", "q112_bpe_pair_stats",
-        "q121_bpe_encode", "q128_jaccard_search")) {
+        "q121_bpe_encode", "q128_jaccard_search", "q139_heavy_keys")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       ws.foreach { l =>
@@ -294,7 +294,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the key. An empty partition spec anywhere here would be the
     // single-reducer sort these spellings exist to avoid.
     for (q <- Seq("q116_domain_cap", "q119_resample_fill",
-        "q123_scd2_history", "q124_interleave_order")) {
+        "q123_scd2_history", "q124_interleave_order",
+        // session 4: gini rank, scaleBy percent_rank, weighted-median
+        // cumsum — all group-partitioned by construction
+        "q132_gini", "q136_feature_scale", "q137_weighted_median")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a window:\n${p.take(2000)}")
