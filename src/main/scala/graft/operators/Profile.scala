@@ -431,6 +431,46 @@ object Profile {
       parent: DataFrame,
       parentKey: String)
 
+  /** Fixed-bin histogram per group — the distribution SHAPE the
+    * min/max/quantile profile can't show (bimodality, gaps, a spike
+    * at a sentinel value). Bin edges are CALLER-DECLARED `[lo, hi)`
+    * with `nBins` equal widths — data-independent, so results are
+    * stable across snapshots and comparable between runs (the whole
+    * point of a drift-monitoring histogram; data-dependent edges
+    * would reshuffle every bin on every batch). Bin assignment is
+    * pure 64-bit integer arithmetic — `(v−lo)·nBins div (hi−lo)` —
+    * exact cross-engine; out-of-range rows land in sentinel bins −1
+    * (below lo) and `nBins` (at/above hi) rather than silently
+    * clipping, and nulls are excluded. Only OCCUPIED bins emit
+    * (dense output at scale would be groups×bins rows of zeros;
+    * the reader joins a bin spine if it wants them).
+    *
+    * One partial-agg groupBy — histogram at any scale is one
+    * shuffle of (group, bin) cells. */
+  def histogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Long,
+      hi: Long,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 100000,
+      s"nBins must be in [1, 100000], got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(hi - lo <= Long.MaxValue / nBins,
+      s"(hi-lo)*nBins overflows 64-bit: [$lo, $hi) x $nBins")
+    val vt = df.schema(valueCol).dataType.typeName
+    require(Seq("long", "integer", "short", "byte").contains(vt),
+      s"valueCol $valueCol must be integral for exact binning, got $vt")
+    val v = col(valueCol).cast("long")
+    val bin = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBins.toLong))
+      .otherwise(expr(s"(($valueCol - $lo) * $nBins) div (${hi - lo})"))
+    df.filter(v.isNotNull)
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Join-size audit — predict `|A ⋈ B|` on an equi-key BEFORE paying
     * for it: the exact output cardinality is `Σ_k nl(k)·nr(k)`, which
     * two key-count aggregates and a count-sized join compute without

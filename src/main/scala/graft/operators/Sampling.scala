@@ -361,6 +361,37 @@ object Sampling {
     * (Imagine_MapReduce README §chained jobs) — counts feed a second
     * pass that rewrites the dataset; here phases 1/2 are the counts,
     * phase 3 the rewrite. */
+  /** EXACTLY-k deterministic global sample: the top-k rows by
+    * `(md5(salt|id), id)` — "give me exactly 10k eval docs,
+    * reproducibly, from any engine" (a Bernoulli fraction gives a
+    * BINOMIAL count; an eval set wants an exact one). The md5 order
+    * is uniform and content-independent, the id tiebreak makes it
+    * total, and any engine that can md5 reproduces the same k rows —
+    * the cross-engine twin of [[deterministicSample]].
+    *
+    * Scale shape: one `TakeOrderedAndProject` — per-partition top-k
+    * heaps, k rows to the driver-side merge, no global sort. k is
+    * bounded (an eval set, not a corpus cut — use
+    * [[deterministicSample]]'s fraction form for proportional
+    * cuts). */
+  def exactK(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 0 && k <= 10000000,
+      s"k must be in [0, 10^7] (driver-merged), got $k")
+    Seq("_h").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by exactK")
+    }
+    df.withColumn("_h",
+        md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .drop("_h")
+  }
+
   /** The PLANNING half of [[epochMixture]]: before materializing a
     * mix, the designer wants the per-source bill — how many tokens
     * each source holds, how many the target weights ask for under

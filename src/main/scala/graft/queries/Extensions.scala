@@ -1734,6 +1734,46 @@ object Extensions {
       GROUP BY d.source ORDER BY d.source""")
   )
 
+  private val q146_exact_k_sample = Q(
+    "q146_exact_k_sample",
+    // Exactly-k reproducible eval sample: top-100 documents by
+    // (md5('graft|id'), id) — an exact count (a Bernoulli fraction
+    // is binomial), a total order, and an md5 any engine reproduces.
+    // One TakeOrderedAndProject: per-partition heaps, k rows to the
+    // merge, no global sort.
+    (s, dir) =>
+      graft.operators.Sampling.exactK(
+        table(s, dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id", k = 100)
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+          row_number() OVER (ORDER BY
+            md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) WHERE rk <= 100 ORDER BY doc_id""")
+  )
+
+  private val q147_histogram = Q(
+    "q147_histogram",
+    // Per-source document-length histogram over declared [0, 600) x
+    // 12 bins: the distribution SHAPE profiles and quantiles can't
+    // show, with data-independent edges so snapshots compare.
+    // Integer bin arithmetic, sentinel bins for out-of-range, only
+    // occupied cells emit — one (group, bin) partial-agg shuffle.
+    (s, dir) =>
+      graft.operators.Profile.histogram(
+        table(s, dir, "documents"), "source", "n_chars",
+        lo = 0L, hi = 600L, nBins = 12)
+        .orderBy("source", "bin"),
+    Some("""SELECT source,
+        CASE WHEN n_chars < 0 THEN -1
+          WHEN n_chars >= 600 THEN 12
+          ELSE (n_chars * 12) // 600 END AS bin,
+        CAST(count(*) AS BIGINT) AS n
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY 1, 2 ORDER BY source, bin""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -3665,6 +3705,6 @@ object Extensions {
     q136_feature_scale, q137_weighted_median, q138_sliding_distinct,
     q139_heavy_keys, q140_normalize_text, q141_integrity_audit,
     q142_mixture_plan, q143_snapshot_at, q144_join_size_audit,
-    q145_dedup_attrition,
+    q145_dedup_attrition, q146_exact_k_sample, q147_histogram,
     q44_curation_pipeline, q45_source_audit)
 }

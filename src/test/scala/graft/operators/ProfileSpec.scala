@@ -311,6 +311,35 @@ class ProfileSpec extends AnyFunSuite {
       Seq(("y", 1)).toDF("k", "v"), "k").count() == 0L)
   }
 
+  test("histogram: bin edges, sentinels, occupied-only; guards") {
+    import spark.implicits._
+    // [0, 100) x 10 bins: width 10; edge values land in the
+    // half-open bin ([10,20) -> bin 1); -5 below, 100 at hi
+    val df = Seq(("g", -5L), ("g", 0L), ("g", 9L), ("g", 10L),
+      ("g", 19L), ("g", 99L), ("g", 100L), ("g", 250L))
+      .toDF("grp", "v").repartition(3)
+    val got = graft.operators.Profile.histogram(df, "grp", "v", 0L, 100L, 10)
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      ("g", -1L, 1L),  // below lo
+      ("g", 0L, 2L),   // 0, 9
+      ("g", 1L, 2L),   // 10, 19
+      ("g", 9L, 1L),   // 99
+      ("g", 10L, 2L))) // 100, 250 at/above hi
+    // occupied-only: no zero bins 2..8 emitted
+    assert(!got.exists(r => r._2 >= 2 && r._2 <= 8))
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.histogram(df, "grp", "v", 100L, 0L, 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.histogram(df, "grp", "v", 0L, Long.MaxValue, 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.histogram(
+        Seq(("g", 1.5)).toDF("grp", "v"), "grp", "v", 0L, 10L, 5)
+    }
+  }
+
   test("madOutliers: degenerate MAD=0 flags every deviator; nulls dropped") {
     import spark.implicits._
     // >half identical -> mad 0 -> any deviation flags (the documented

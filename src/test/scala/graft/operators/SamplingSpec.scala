@@ -347,6 +347,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactK: exact count, reproducible, nested within larger k") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val k100 = Sampling.exactK(df.repartition(7), "id", 100)
+      .select("id").as[Long].collect().toSet
+    assert(k100.size == 100)
+    // repartitioning does not move the sample
+    val again = Sampling.exactK(df.repartition(23), "id", 100)
+      .select("id").as[Long].collect().toSet
+    assert(again == k100)
+    // nested property: the top-50 is a subset of the top-100 (the
+    // md5 order is a fixed permutation, so samples grow by prefix)
+    val k50 = Sampling.exactK(df, "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(k50.subsetOf(k100) && k50.size == 50)
+    // k >= n returns everything; k = 0 nothing; reserved column loud
+    assert(Sampling.exactK(df, "id", 5000).count() == 1000L)
+    assert(Sampling.exactK(df, "id", 0).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.exactK(df.withColumn("_h", lit(1)), "id", 10)
+    }
+  }
+
   test("mixturePlan predicts epochMixture's integer math exactly") {
     import spark.implicits._
     // a: 10 docs x 4 tokens = 40; b: 5 docs x 2 tokens = 10
