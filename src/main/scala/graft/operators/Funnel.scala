@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over an event stream — "how many users
@@ -125,5 +126,47 @@ object Funnel {
       .groupBy(col("_cohort").as("cohort_period"),
         (col("_p") - col("_cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order transition matrix over each user's event stream —
+    * "after a VIEW, what happens next, and with what probability" —
+    * the Markov-chain summary behind next-action models, anomaly
+    * detection on flows, and UX funnel discovery (where [[funnelCounts]]
+    * checks ONE hypothesized path, this surfaces ALL observed edges).
+    *
+    * Scale shape: one user-partitioned lag window (each user's
+    * history sorts once within its partition — never a global
+    * window), then the (from, to) pairs partial-aggregate to edge
+    * counts; the per-source totals are a second tiny aggregate over
+    * the EDGE frame (states², not events) joined back broadcast.
+    * `share` = n / from_total is one IEEE division of exact counts —
+    * bitwise cross-engine. Ordering ties within a user break by
+    * `tieCol` so every stream is total and the matrix deterministic.
+    *
+    * Reference analog: sum-by-key over adjacent-pair keys — the pair
+    * EXTRACTION (lag over a per-user ordered stream) is the part the
+    * reference's sort-merge reduce cannot express. */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val edges = events
+      .select(col(userCol), col(typeCol).as("to_type"),
+        col(tsCol), col(tieCol))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = edges.groupBy("from_type")
+      .agg(sum(col("n")).as("from_total"))
+    edges.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("from_total"),
+        (col("n").cast("double") / col("from_total").cast("double"))
+          .as("share"))
   }
 }

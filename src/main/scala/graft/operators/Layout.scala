@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout clustering for scan pruning — the write-side operator
@@ -103,4 +104,66 @@ object Layout {
       laid: DataFrame, probeCol: String, lo: Double, hi: Double): Long =
     laid.filter(col(probeCol).cast("double").between(lo, hi))
       .select("cell").distinct().count()
+
+  /** Small-file compaction planner — the answer to the small-files
+    * problem every long-lived parquet corpus grows into: assign each
+    * input file to an output BIN of ~`targetBytes` so one rewrite
+    * job per bin replaces thousands of KB-sized files with
+    * target-sized ones. The planner only PLANS (file → bin); the
+    * rewrite stays a caller-side read-bin/write job, so the plan can
+    * be audited, diffed, and resumed.
+    *
+    * Packing discipline: within each `groupCol` (files must not
+    * compact across partitions/sources), files pack in `fileCol`
+    * order — next-fit by cumulative size, bin = floor(cum_before /
+    * target). Deterministic (no HashMap iteration, no first-fit
+    * search state), one-pass, and order-preserving: a reader of the
+    * compacted output in (bin, file) order sees the original file
+    * order, which keeps any downstream time-ordered consumption
+    * intact. A file larger than `targetBytes` gets a bin of its own
+    * (never split); bins then overshoot by at most one file, the
+    * accepted next-fit trade for a plan computable with ONE
+    * group-partitioned running sum — no global window, no driver
+    * loop, survives any number of groups × files.
+    *
+    * Output: one row per file — (group, file, bytes, bin,
+    * bin_bytes, bin_files) with bin-level stats ridden back on via a
+    * (group, bin)-partitioned aggregate so the operator stays
+    * joinable against the file inventory.
+    *
+    * Reference analog: the reference writes one output file per
+    * reduce partition unconditionally (`Imagine_MapReduce/
+    * OutputFormat.h`) — file-count hygiene has no spelling there. */
+  def compactionPlan(
+      files: DataFrame,
+      groupCol: String,
+      fileCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    Seq("bin", "bin_bytes", "bin_files", "_cum").foreach { r =>
+      require(!files.columns.contains(r),
+        s"input column name $r is reserved by compactionPlan")
+    }
+    val bt = files.schema(bytesCol).dataType.typeName
+    require(Seq("long", "integer", "short", "byte").contains(bt),
+      s"bytesCol $bytesCol must be integral, got $bt")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = files
+      .withColumn("_cum", sum(col(bytesCol)).over(w))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division;
+      // integer div keeps the bin id exact at any cumulative size
+      .withColumn("bin",
+        expr(s"(_cum - `$bytesCol`) div ${targetBytes}L"))
+      .drop("_cum")
+    val binStats = planned
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col(bytesCol)).as("bin_bytes"),
+        count(lit(1)).as("bin_files"))
+    planned.join(binStats, Seq(groupCol, "bin"))
+      .select(col(groupCol), col(fileCol), col(bytesCol),
+        col("bin"), col("bin_bytes"), col("bin_files"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities (SCALING.md): when one group key carries a
@@ -132,5 +133,86 @@ object Skew {
       .crossJoin(broadcast(total))
       .select(col(keyCol), col("n"),
         (col("n").cast("double") / col("_t")).as("share"), col("rank"))
+  }
+
+  /** EXACT range-partition boundaries — the planning half of a
+    * balanced `repartitionByRange`/sorted-layout write, without
+    * Spark's reservoir sampler: split point p (1 ≤ p < B) is the
+    * smallest value whose ≤-cumulative row count reaches
+    * ceil(p·n/B), i.e. the exact disc-quantile edges an equi-depth
+    * histogram reports. Sampling-based bounds drift run to run and
+    * under skew; these are deterministic and auditable, so layout
+    * jobs can pin them in a manifest and re-produce identical file
+    * splits.
+    *
+    * Scale shape — the global prefix sum is spelled in TWO PHASES so
+    * no global window (and no driver fold) appears anywhere:
+    * distinct values aggregate with counts (one partial-agg
+    * shuffle), each value lands in one of `coarseBuckets`
+    * fixed-width coarse buckets (integer arithmetic off a narrow
+    * min/max), cumulative counts run WITHIN each bucket
+    * (bucket-partitioned window) and bucket OFFSETS come from a
+    * triangular self-join over the bucket-totals frame (≤
+    * coarseBuckets² tiny rows, broadcast). The B−1 target ranks ride
+    * as a broadcast frame into one nested-loop `cum ≥ target` join
+    * (V × (B−1), B small by definition) and `min(value)` per target
+    * finishes the bound.
+    *
+    * `valueCol` must be integral (enforced): the bucket arithmetic
+    * and bounds are exact; NULLs are excluded (a range partitioner
+    * routes them to a dedicated first partition by convention).
+    * Overflow contract: (max−min)·coarseBuckets must fit in 64 bits
+    * — true for any real key domain; rebase pathological domains
+    * first.
+    *
+    * Output: (p, target_rank, bound) for p = 1..B−1 — route rows by
+    * `value < bound(p)`. With heavy duplicate keys the bound is
+    * still the exact disc quantile, though realized partition sizes
+    * then deviate by the duplicate mass (unavoidable for any
+    * partitioner that won't split a key; [[heavyKeys]] is the
+    * pre-flight that decides when that matters).
+    *
+    * Reference analog: the reference hash-partitions unconditionally
+    * (`Imagine_MapReduce/Partitioner.h`) — range layout planning has
+    * no spelling there. */
+  def rangeBounds(
+      df: DataFrame,
+      valueCol: String,
+      numPartitions: Int,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(numPartitions >= 2,
+      s"numPartitions must be >= 2, got $numPartitions")
+    require(coarseBuckets >= 1 && coarseBuckets <= 100000,
+      s"coarseBuckets must be in [1, 100000], got $coarseBuckets")
+    val vt = df.schema(valueCol).dataType.typeName
+    require(Seq("long", "integer", "short", "byte").contains(vt),
+      s"valueCol $valueCol must be integral for exact bounds, got $vt")
+    val spark = df.sparkSession
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+    val mm = vals.agg(min("_v").as("_mn"), max("_v").as("_mx"))
+    val bucketed = vals.crossJoin(broadcast(mm))
+      .withColumn("_b",
+        expr(s"((_v - _mn) * $coarseBuckets) div (_mx - _mn + 1)"))
+    val bt = bucketed.groupBy("_b").agg(sum("_cnt").as("_bt"))
+    val off = bt.as("a")
+      .join(bt.as("b"), col("a._b") < col("b._b"))
+      .groupBy(col("b._b").as("_b")).agg(sum(col("a._bt")).as("_off"))
+    val wb = Window.partitionBy("_b").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .join(broadcast(off), Seq("_b"), "left")
+      .withColumn("_cum",
+        sum(col("_cnt")).over(wb) + coalesce(col("_off"), lit(0L)))
+    val n = vals.agg(sum("_cnt").as("_n"))
+    val targets = spark.range(1, numPartitions.toLong)
+      .select(col("id").as("p"))
+      .crossJoin(broadcast(n))
+      .withColumn("target_rank",
+        expr(s"(p * _n + $numPartitions - 1) div $numPartitions"))
+      .select("p", "target_rank")
+    cum.join(broadcast(targets), col("_cum") >= col("target_rank"))
+      .groupBy("p", "target_rank").agg(min(col("_v")).as("bound"))
   }
 }

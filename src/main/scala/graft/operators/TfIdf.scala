@@ -211,4 +211,75 @@ object TfIdf {
     Ranks.rankBounded(top, col("jaccard").desc, col("id"))
       .select("rank", "id", "jaccard")
   }
+
+  /** Top-k token co-occurrence pairs by LIFT — the collocation /
+    * topic-affinity report ("which terms travel together far more
+    * often than chance") a corpus analyst reads before building
+    * phrase lists or merge rules. Lift = P(a,b) / (P(a)·P(b))
+    * spelled as n_ab·N / (df_a·df_b): exact integer counts cast once
+    * to double, one multiply each side, one divide — bitwise
+    * cross-engine, and monotone in PMI (PMI = log lift) without
+    * libm's cross-engine rounding.
+    *
+    * Scale shape — the quadratic is VOCABULARY-PRUNED, never free:
+    * document-level term presence (distinct (doc, term), one
+    * partial-agg shuffle) → document frequencies (term-keyed
+    * partial agg) → top-`maxVocab` terms by (df desc, term)
+    * (bounded TakeOrdered, broadcast back) → the pair self-join runs
+    * doc-keyed over ONLY vocabulary hits, so per-doc fan-out is
+    * capped at C(maxVocab, 2) regardless of document length and in
+    * practice by the handful of vocab terms a doc contains. Pair
+    * counts partial-aggregate on (term_a, term_b); a doc-frequency
+    * join (broadcast — vocab-sized) and one broadcast single-row
+    * corpus count finish the score. No window, no global sort beyond
+    * the final bounded top-k.
+    *
+    * Ties in lift break by (term_a, term_b) so the ranking — and the
+    * k-cutoff — are total and deterministic.
+    *
+    * Reference analog: word-count composed with itself
+    * (`Imagine_MapReduce/MapTask.h` map → sum-by-key) — presence,
+    * df, and pair counts are each that same sum-by-key shape; the
+    * reference has no join to compose them. */
+  def cooccurTopPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Int = 200,
+      minDf: Long = 2L,
+      k: Int = 50): DataFrame = {
+    require(maxVocab >= 2, s"maxVocab must be >= 2, got $maxVocab")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val presence = df
+      .select(col(idCol).as("_id"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .distinct()
+    val vocab = presence
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("term"))
+      .limit(maxVocab)
+    val hits = presence.join(broadcast(vocab.select("term")), "term")
+    val pairs = hits.as("a")
+      .join(hits.as("b"),
+        col("a._id") === col("b._id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = pairs
+      .join(broadcast(vocab.select(col("term").as("term_a"),
+        col("df").as("df_a"))), "term_a")
+      .join(broadcast(vocab.select(col("term").as("term_b"),
+        col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_xy"),
+        col("df_a"), col("df_b"),
+        ((col("n_xy").cast("double") * col("n_docs").cast("double")) /
+          (col("df_a").cast("double") * col("df_b").cast("double")))
+          .as("lift"))
+    val top = scored
+      .orderBy(col("lift").desc, col("term_a"), col("term_b")).limit(k)
+    Ranks.rankBounded(top, col("lift").desc, col("term_a"), col("term_b"))
+      .select("rank", "term_a", "term_b", "n_xy", "df_a", "df_b", "lift")
+  }
 }

@@ -170,6 +170,81 @@ object TimeSeries {
     history.filter(col("valid_from_us") <= tsMicros &&
       (col("valid_to_us").isNull || col("valid_to_us") > tsMicros))
 
+  /** Per-group ordinary-least-squares trend line — "is this source's
+    * daily volume growing or shrinking, and how fast" — fitted from
+    * the five EXACT integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²)
+    * so the result is bitwise reproducible cross-engine: integer
+    * sums are order-free, and the slope / intercept / r² that follow
+    * are each a FIXED, documented sequence of IEEE-754 operations
+    * over those exact sums (one cast per operand, one multiply, one
+    * divide — mirrored verbatim in the SQL oracle). The usual
+    * `regr_slope`-style streaming-covariance aggregate would NOT
+    * pin cross-engine: its running doubles depend on partial-agg
+    * order.
+    *
+    * Scale shape: one partial-aggregated shuffle on `keyCols` — six
+    * BIGINT sums per group, map-side combined, no window, no second
+    * pass. Both `xCol` and `yCol` must be integral (enforced):
+    * double inputs would make Σ order-dependent. Overflow contract
+    * (documented, caller-owned): |Σx·Σy| and n·Σxy must fit in 64
+    * bits — rebase x (e.g. days since corpus start, not epoch days)
+    * when magnitudes threaten; DuckDB's HUGEINT accumulation masks
+    * overflow the Spark side would wrap on, so the fixture keeps
+    * well inside the range and the guard rails live in the caller.
+    *
+    * Outputs per group: `n`, the exact sums, `slope`
+    * = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), `intercept`
+    * = (Σy − slope·Σx) / n, and `r2` = num² / (den·(n·Σy² − Σy²)) —
+    * NULL when x (or y, for r²) is constant in the group.
+    *
+    * Reference analog: `Imagine_MapReduce/ReduceTask.h` sum-by-key —
+    * the moment sums ARE sum-by-key; the line fit is three scalar
+    * expressions on top. */
+  def groupTrend(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("n", "sx", "sy", "sxx", "sxy", "syy", "slope", "intercept", "r2")
+      .foreach { r =>
+        require(!keyCols.contains(r),
+          s"key column name $r is reserved by groupTrend")
+      }
+    Seq(xCol, yCol).foreach { c =>
+      val t = df.schema(c).dataType.typeName
+      require(Seq("long", "integer", "short", "byte").contains(t),
+        s"$c must be integral for exact order-free moment sums, got $t")
+    }
+    val keyC = keyCols.map(col)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val moments = df
+      .select(keyC ++ Seq(x.as("_x"), y.as("_y")): _*)
+      .groupBy(keyC: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x")).as("sx"),
+        sum(col("_y")).as("sy"),
+        sum(col("_x") * col("_x")).as("sxx"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_y") * col("_y")).as("syy"))
+    // the exact-integer numerators/denominators; NULLIF turns the
+    // degenerate (constant-x / constant-y) groups into NULL fits
+    moments
+      .withColumn("slope",
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)"))
+      .withColumn("intercept",
+        expr("(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) " +
+          "/ CAST(n AS DOUBLE)"))
+      .withColumn("r2",
+        expr("(CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "* CAST(n * sxy - sx * sy AS DOUBLE)) " +
+          "/ (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) " +
+          "* CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))"))
+  }
+
   def changeHistory(
       df: DataFrame,
       keyCols: Seq[String],

@@ -1774,6 +1774,222 @@ object Extensions {
       GROUP BY 1, 2 ORDER BY source, bin""")
   )
 
+  private val q148_group_trend = Q(
+    "q148_group_trend",
+    // Per-event-type OLS trend of daily event volume — "is this
+    // stream growing, and how fast" — fitted from the six exact
+    // integer moment sums so slope/intercept/r² are each a fixed
+    // IEEE sequence both engines replay bitwise. Day is rebased to
+    // days-since-2020 (magnitude hygiene for the Σx·Σy products).
+    (s, dir) =>
+      graft.operators.TimeSeries.groupTrend(
+        events(s, dir)
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), to_date(lit("2020-01-01")))
+              .cast("long").as("day"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt")),
+        Seq("event_type"), "day", "cnt")
+        .orderBy("event_type"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(day) AS BIGINT) AS sx,
+        CAST(sum(cnt) AS BIGINT) AS sy,
+        CAST(sum(day * day) AS BIGINT) AS sxx,
+        CAST(sum(day * cnt) AS BIGINT) AS sxy,
+        CAST(sum(cnt * cnt) AS BIGINT) AS syy
+      FROM d GROUP BY 1)
+      SELECT event_type, n, sx, sy, sxx, sxy, syy,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
+        (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        (CAST(n * sxy - sx * sy AS DOUBLE)
+          * CAST(n * sxy - sx * sy AS DOUBLE))
+          / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+             * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)) AS r2
+      FROM m ORDER BY event_type""")
+  )
+
+  private val q149_cooccurrence = Q(
+    "q149_cooccurrence",
+    // Collocation mining: top-40 token pairs by lift over a
+    // 150-term document-frequency vocabulary — the quadratic is
+    // vocabulary-pruned (per-doc fan-out capped at C(150,2)), and
+    // lift = n_xy·N/(df_a·df_b) is exact integers + one IEEE
+    // multiply/divide each side, so rank and score pin bitwise. The
+    // oracle rebuilds presence, vocab cutoff, pair counts, and the
+    // score with the identical ordering.
+    (s, dir) =>
+      graft.operators.TfIdf.cooccurTopPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        maxVocab = 150, minDf = 5L, k = 40)
+        .orderBy("rank"),
+    Some(s"""WITH p AS (SELECT DISTINCT doc_id, unnest($W) AS term
+        FROM documents),
+      f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p
+        GROUP BY term HAVING count(*) >= 5),
+      v AS (SELECT term, df FROM f ORDER BY df DESC, term LIMIT 150),
+      pv AS (SELECT p.doc_id, p.term FROM p JOIN v USING (term)),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      pr AS (SELECT a.term AS term_a, b.term AS term_b,
+          CAST(count(*) AS BIGINT) AS n_xy
+        FROM pv a JOIN pv b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2),
+      sc AS (SELECT pr.term_a, pr.term_b, pr.n_xy,
+          va.df AS df_a, vb.df AS df_b,
+          (CAST(pr.n_xy AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+            / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)) AS lift
+        FROM pr
+        JOIN v va ON va.term = pr.term_a
+        JOIN v vb ON vb.term = pr.term_b, n)
+      SELECT CAST(row_number() OVER
+          (ORDER BY lift DESC, term_a, term_b) AS BIGINT) AS rank,
+        term_a, term_b, n_xy, df_a, df_b, lift
+      FROM sc ORDER BY lift DESC, term_a, term_b LIMIT 40""")
+  )
+
+  private val q150_expectations = Q(
+    "q150_expectations",
+    // Data-contract gate over the customer dimension: five row-scoped
+    // rules fold into ONE conditional-aggregation scan (null =
+    // violation, the audit posture) plus a key-aggregated uniqueness
+    // rule. The clean fixture passing every rule IS the assertion —
+    // ExpectationsSpec plants nulls/dupes/strays to prove the
+    // counters count.
+    (s, dir) => {
+      import graft.operators.Expectations
+      Expectations.audit(
+        table(s, dir, "customer"),
+        checks = Seq(
+          "acctbal_range" ->
+            col("c_acctbal").between(-1000.0, 10000.0),
+          "custkey_not_null" -> col("c_custkey").isNotNull,
+          "mktsegment_accepted" -> col("c_mktsegment").isin(
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"),
+          "name_format" -> col("c_name").rlike("^Customer#[0-9]{9}$"),
+          "nationkey_range" -> col("c_nationkey").between(0, 24)),
+        uniques = Seq(Expectations.UniqueKey("custkey_unique",
+          Seq("c_custkey"))))
+    },
+    Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total
+        FROM customer),
+      r AS (
+        SELECT 'acctbal_range' AS rule, 'row' AS kind,
+          CAST(sum(CASE WHEN COALESCE(
+            c_acctbal BETWEEN -1000.0 AND 10000.0, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) AS violations FROM customer
+        UNION ALL SELECT 'custkey_not_null', 'row',
+          CAST(sum(CASE WHEN c_custkey IS NOT NULL
+            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
+        UNION ALL SELECT 'mktsegment_accepted', 'row',
+          CAST(sum(CASE WHEN COALESCE(c_mktsegment IN ('AUTOMOBILE',
+            'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'), FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
+        UNION ALL SELECT 'name_format', 'row',
+          CAST(sum(CASE WHEN COALESCE(
+            regexp_matches(c_name, '^Customer#[0-9]{9}$'), FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
+        UNION ALL SELECT 'nationkey_range', 'row',
+          CAST(sum(CASE WHEN COALESCE(
+            c_nationkey BETWEEN 0 AND 24, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
+        UNION ALL SELECT 'custkey_unique', 'unique',
+          CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+          FROM (SELECT c_custkey, count(*) AS c FROM customer
+            GROUP BY 1 HAVING count(*) > 1))
+      SELECT r.rule, r.kind, r.violations, t.total,
+        r.violations = 0 AS pass
+      FROM r, t ORDER BY rule""")
+  )
+
+  private val q151_transitions = Q(
+    "q151_transitions",
+    // First-order event-type transition matrix: per-user lag pairs
+    // (user-partitioned window, ties broken by event_id) →
+    // partial-agg edge counts → per-source totals over the
+    // edges-sized frame; share is one IEEE division of exact counts.
+    (s, dir) =>
+      graft.operators.Funnel.transitionMatrix(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type"),
+    Some("""WITH p AS (SELECT user_id,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS from_type,
+        event_type AS to_type FROM events),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, c.n, f.from_total,
+        CAST(c.n AS DOUBLE) / CAST(f.from_total AS DOUBLE) AS share
+      FROM c JOIN f USING (from_type)
+      ORDER BY from_type, to_type""")
+  )
+
+  private val q152_compaction_plan = Q(
+    "q152_compaction_plan",
+    // Small-file compaction plan over the documents inventory
+    // (doc_id standing in for file id, n_chars for bytes): next-fit
+    // by cumulative size within each source at an 8 KB target — one
+    // source-partitioned running sum, integer bin arithmetic, bin
+    // stats ridden back via a (source, bin) partial agg.
+    (s, dir) =>
+      graft.operators.Layout.compactionPlan(
+        table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", targetBytes = 8192L)
+        .orderBy("source", "doc_id"),
+    Some("""WITH c AS (SELECT source, doc_id, n_chars,
+        CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM documents),
+      p AS (SELECT source, doc_id, n_chars,
+        (cum - n_chars) // 8192 AS bin FROM c),
+      b AS (SELECT source, bin, CAST(sum(n_chars) AS BIGINT)
+          AS bin_bytes, CAST(count(*) AS BIGINT) AS bin_files
+        FROM p GROUP BY 1, 2)
+      SELECT p.source, p.doc_id, p.n_chars, p.bin,
+        b.bin_bytes, b.bin_files
+      FROM p JOIN b USING (source, bin)
+      ORDER BY p.source, p.doc_id""")
+  )
+
+  private val q153_range_bounds = Q(
+    "q153_range_bounds",
+    // Exact range-partition boundaries for a 16-way sorted layout of
+    // lineitem by l_orderkey: disc-quantile split points from the
+    // two-phase prefix sum (bucket-partitioned cumsums + triangular
+    // bucket-offset join) — deterministic where Spark's range
+    // sampler drifts. The oracle replays the same rank targets with
+    // a global window.
+    (s, dir) =>
+      graft.operators.Skew.rangeBounds(
+        table(s, dir, "lineitem"), "l_orderkey",
+        numPartitions = 16)
+        .orderBy("p"),
+    Some("""WITH c AS (SELECT l_orderkey AS v,
+        CAST(count(*) AS BIGINT) AS cnt FROM lineitem
+        WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      s AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+      t AS (SELECT CAST(r.i AS BIGINT) AS p,
+          CAST((r.i * n.n + 15) // 16 AS BIGINT) AS target_rank
+        FROM range(1, 16) r(i), n)
+      SELECT t.p, t.target_rank, CAST(min(s.v) AS BIGINT) AS bound
+      FROM t JOIN s ON s.cum >= t.target_rank
+      GROUP BY t.p, t.target_rank ORDER BY t.p""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -3706,5 +3922,7 @@ object Extensions {
     q139_heavy_keys, q140_normalize_text, q141_integrity_audit,
     q142_mixture_plan, q143_snapshot_at, q144_join_size_audit,
     q145_dedup_attrition, q146_exact_k_sample, q147_histogram,
+    q148_group_trend, q149_cooccurrence, q150_expectations,
+    q151_transitions, q152_compaction_plan, q153_range_bounds,
     q44_curation_pipeline, q45_source_audit)
 }

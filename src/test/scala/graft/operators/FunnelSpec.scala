@@ -117,4 +117,39 @@ class FunnelSpec extends AnyFunSuite {
     // offsets never negative (first event defines the cohort)
     assert(got.forall(_._2 >= 0L))
   }
+
+  test("transitionMatrix: hand-counted edges, shares sum to 1 per source") {
+    // u1: A B A B   -> A>B, B>A, A>B
+    // u2: A A C     -> A>A, A>C
+    // u3: C         -> no edges
+    val rows = Seq(
+      (1L, "A", 0L, 1L), (1L, "B", 1L, 2L), (1L, "A", 2L, 3L),
+      (1L, "B", 3L, 4L),
+      (2L, "A", 0L, 5L), (2L, "A", 1L, 6L), (2L, "C", 2L, 7L),
+      (3L, "C", 9L, 8L))
+    val df = rows.map { case (u, t, sec, id) => (u, t, ts(sec), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.transitionMatrix(df, "user_id", "event_type",
+      "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", "A", 1L, 4L, 0.25), ("A", "B", 2L, 4L, 0.5),
+      ("A", "C", 1L, 4L, 0.25), ("B", "A", 1L, 1L, 1.0)))
+    // edge count conserves: events - users-with-events = edges
+    assert(got.map(_._3).sum == rows.size - 3L)
+  }
+
+  test("transitionMatrix ties break by tieCol, not arrival order") {
+    // two same-timestamp events: tie column decides which is 'first'
+    val df = Seq(
+      (1L, "X", ts(5), 2L), (1L, "Y", ts(5), 1L), (1L, "Z", ts(6), 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.transitionMatrix(
+      df.repartition(7), "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // order is Y (id 1) -> X (id 2) -> Z (id 3)
+    assert(got == Seq(("X", "Z", 1L, 1L, 1.0), ("Y", "X", 1L, 1L, 1.0)))
+  }
 }

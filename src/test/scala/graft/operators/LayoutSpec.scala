@@ -71,4 +71,69 @@ class LayoutSpec extends AnyFunSuite {
       Layout.zOrdered(df, Seq("x"), bits = 8, cellBits = 4)
     }
   }
+
+  test("compactionPlan: next-fit bins by cumulative size, hand-checked") {
+    // files in id order, target 100: cum-before 0,60,120,150,370
+    // -> bins 0,0,1,1,3
+    val files = Seq(
+      ("s", 1L, 60L), ("s", 2L, 60L), ("s", 3L, 30L), ("s", 4L, 220L),
+      ("s", 5L, 10L))
+      .toDF("src", "fid", "bytes")
+    val got = Layout.compactionPlan(files, "src", "fid", "bytes", 100L)
+      .orderBy("fid")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._4) == Seq(0L, 0L, 1L, 1L, 3L))
+    // bin stats: bin 0 = {60,60}, bin 1 = {30,220}, bin 3 = {10}
+    assert(got.map(r => (r._4, r._5, r._6)).distinct.sorted ==
+      Seq((0L, 120L, 2L), (1L, 250L, 2L), (3L, 10L, 1L)))
+  }
+
+  test("compactionPlan: groups pack independently; invariants hold") {
+    val files = (0 until 400).map(i =>
+      (s"g${i % 5}", i.toLong, (i % 37).toLong * 100L))
+      .toDF("src", "fid", "bytes")
+    val plan = Layout.compactionPlan(files, "src", "fid", "bytes", 4096L)
+    // file count and byte mass conserved
+    assert(plan.count() == 400L)
+    val tot = plan.agg(sum("bytes")).head.getLong(0)
+    assert(tot == (0 until 400).map(i => (i % 37).toLong * 100L).sum)
+    // within each group, bins are monotone non-decreasing in file order
+    val rows = plan.orderBy("src", "fid")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val bins = g.sortBy(_._2).map(_._4)
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    }
+    // every bin's bytes except possibly the overshoot file stay sane:
+    // bin_bytes < target + max file size in that bin
+    rows.foreach { r =>
+      val maxInBin = rows.filter(x => x._1 == r._1 && x._4 == r._4)
+        .map(_._3).max
+      assert(r._5 < 4096L + maxInBin)
+    }
+    // determinism under repartition
+    val again = Layout.compactionPlan(
+      files.repartition(11), "src", "fid", "bytes", 4096L)
+      .orderBy("src", "fid")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("compactionPlan loud contracts: reserved names, integral bytes") {
+    val files = Seq(("s", 1L, 10L)).toDF("src", "fid", "bytes")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactionPlan(files.withColumn("bin", lit(1L)),
+        "src", "fid", "bytes", 100L)
+    }
+    assert(e.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compactionPlan(
+        Seq(("s", 1L, 1.5)).toDF("src", "fid", "bytes"),
+        "src", "fid", "bytes", 100L)
+    }
+    assert(e2.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(files, "src", "fid", "bytes", 0L)
+    }
+  }
 }

@@ -163,4 +163,47 @@ class SkewSpec extends AnyFunSuite {
       Seq(Some("k0"), None, Some("k1"), Some("k10"), Some("k11")))
     intercept[IllegalArgumentException] { Skew.heavyKeys(df, "k", 0) }
   }
+
+  test("rangeBounds: uniform 1..100 at B=4 gives exact quartile edges") {
+    import spark.implicits._
+    val df = (1L to 100L).toSeq.toDF("v")
+    val got = Skew.rangeBounds(df, "v", numPartitions = 4)
+      .orderBy("p").as[(Long, Long, Long)].collect().toSeq
+    // targets ceil(p*100/4) = 25, 50, 75; min v with cum >= target
+    assert(got == Seq((1L, 25L, 25L), (2L, 50L, 50L), (3L, 75L, 75L)))
+  }
+
+  test("rangeBounds == single-partition reference on skewed data; nulls out") {
+    import spark.implicits._
+    // zipf-ish: value v appears ~(101-v) times, plus nulls
+    val rows = (1 to 100).flatMap(v => Seq.fill(101 - v)(Some(v.toLong))) ++
+      Seq.fill(37)(Option.empty[Long])
+    val df = rows.toSeq.toDF("v").repartition(13)
+    val b = 8
+    val got = Skew.rangeBounds(df, "v", b, coarseBuckets = 7)
+      .orderBy("p").as[(Long, Long, Long)].collect().toSeq
+    // reference: exact rank scan over the sorted multiset
+    val sorted = rows.flatten.sorted
+    val n = sorted.size.toLong
+    val exp = (1 until b).map { p =>
+      val target = (p * n + b - 1) / b
+      (p.toLong, target, sorted(target.toInt - 1))
+    }
+    assert(got == exp)
+    // and the bounds are insensitive to the coarse-bucket knob
+    val again = Skew.rangeBounds(df, "v", b, coarseBuckets = 1000)
+      .orderBy("p").as[(Long, Long, Long)].collect().toSeq
+    assert(again == exp)
+  }
+
+  test("rangeBounds loud contracts") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Skew.rangeBounds((1L to 10L).toSeq.toDF("v"), "v", numPartitions = 1)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Skew.rangeBounds(Seq(1.5, 2.5).toDF("v"), "v", 4)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -196,4 +196,62 @@ class TfIdfSpec extends AnyFunSuite {
       }.filter(_._2 > 0).toMap
     assert(got == ref)
   }
+
+  test("cooccurTopPairs: hand-checked lift on a tiny corpus") {
+    // 4 docs; "a b" co-occur in 2 of 4 docs, df(a)=3, df(b)=2
+    //   lift(a,b) = 2*4/(3*2) = 4/3
+    // "a c" co-occur once, df(c)=2 -> lift = 1*4/(3*2) = 2/3
+    // "b c" never co-occur -> no row
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a b"), (3L, "a c"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.cooccurTopPairs(docs, "doc_id", "text",
+      maxVocab = 10, minDf = 1L, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    val m = got.map(r => (r._2, r._3) -> r).toMap
+    assert(m(("a", "b"))._4 == 2L)
+    assert(m(("a", "b"))._7 == 2.0 * 4 / (3 * 2))
+    assert(m(("a", "c"))._7 == 1.0 * 4 / (3 * 2))
+    assert(!m.contains(("b", "c")))
+    // rank 1 is the highest lift: (c,d) with df(d)=1 lifts to
+    // 1*4/(2*1) = 2.0 — rare-pair inflation, the reason real runs
+    // set minDf > 1; (a,b) at 4/3 ranks second
+    assert(m(("c", "d"))._7 == 2.0)
+    assert(got.head._1 == 1L && (got.head._2, got.head._3) == ("c", "d"))
+    assert(got(1)._1 == 2L && (got(1)._2, got(1)._3) == ("a", "b"))
+    // minDf=2 screens the rare-term pair out entirely
+    val screened = TfIdf.cooccurTopPairs(docs, "doc_id", "text",
+      maxVocab = 10, minDf = 2L, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(screened.head._1 == 1L &&
+      (screened.head._2, screened.head._3) == ("a", "b"))
+    assert(!screened.exists(r => r._2 == "d" || r._3 == "d"))
+  }
+
+  test("cooccurTopPairs: vocab cutoff prunes pairs; deterministic") {
+    // maxVocab=2 keeps the two highest-df terms (df desc, term asc):
+    // a(df 3), b(df 2) beats c(df 2) on the term tiebreak
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a b"), (3L, "a c"), (4L, "c b"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.cooccurTopPairs(docs, "doc_id", "text",
+      maxVocab = 2, minDf = 1L, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq(("a", "b")))
+    // repartition invariance
+    val again = TfIdf.cooccurTopPairs(docs.repartition(7), "doc_id",
+      "text", maxVocab = 2, minDf = 1L, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(got == again)
+    intercept[IllegalArgumentException] {
+      TfIdf.cooccurTopPairs(docs, "doc_id", "text", maxVocab = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TfIdf.cooccurTopPairs(docs, "doc_id", "text", k = 0)
+    }
+  }
 }

@@ -200,4 +200,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     // exactly one open period per user
     assert(a.count(_._6) == 7)
   }
+
+  test("groupTrend recovers an exact line: slope/intercept/r2 are exact") {
+    // y = 3x + 7 sampled at x = 0..9: a perfect fit must come back
+    // bitwise exact (every moment sum is integral and the closed
+    // forms divide exactly)
+    val df = (0L to 9L).map(x => ("a", x, 3 * x + 7)).toDF("g", "x", "y")
+    val r = TimeSeries.groupTrend(df, Seq("g"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 7.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("groupTrend hand-computed non-exact fit + degenerate groups") {
+    // group "b": points (0,0),(1,0),(2,3) -> slope 1.5, intercept -0.5
+    // group "c": constant x -> NULL fit; group "d": single point -> NULL
+    val df = Seq(
+      ("b", 0L, 0L), ("b", 1L, 0L), ("b", 2L, 3L),
+      ("c", 5L, 1L), ("c", 5L, 9L),
+      ("d", 2L, 4L)
+    ).toDF("g", "x", "y")
+    val m = TimeSeries.groupTrend(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(m("b").getAs[Double]("slope") == 1.5)
+    assert(m("b").getAs[Double]("intercept") == -0.5)
+    // r2 = num^2/(den*deny): num=9, den=6, deny=3*9-9=18 -> 81/108
+    assert(m("b").getAs[Double]("r2") == 81.0 / 108.0)
+    assert(m("c").isNullAt(m("c").fieldIndex("slope")))
+    assert(m("d").isNullAt(m("d").fieldIndex("slope")))
+    assert(m("c").isNullAt(m("c").fieldIndex("r2")))
+  }
+
+  test("groupTrend moment sums are repartition-invariant; contracts loud") {
+    val rows = (0 until 300).map(i => (s"g${i % 3}", (i % 50).toLong,
+      ((i * 7) % 23).toLong))
+    val df = rows.toDF("g", "x", "y")
+    val a = TimeSeries.groupTrend(df.repartition(13), Seq("g"), "x", "y")
+      .orderBy("g").collect().toSeq
+    val b = TimeSeries.groupTrend(df.coalesce(1), Seq("g"), "x", "y")
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.groupTrend(
+        Seq(("a", 1.0, 2L)).toDF("g", "x", "y"), Seq("g"), "x", "y")
+    }
+    assert(e.getMessage.contains("must be integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.groupTrend(
+        Seq(("a", 1L, 2L)).toDF("slope", "x", "y"), Seq("slope"), "x", "y")
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }

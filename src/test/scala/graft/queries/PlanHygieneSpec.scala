@@ -160,7 +160,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // [orderSpec]`; an unpartitioned one omits the partition group
     // entirely (see windowPartitioned)
     for (q <- Seq("q99_shuffle_shards", "q100_length_batches",
-        "q130_trailing_window")) {
+        "q130_trailing_window", "q151_transitions",
+        "q152_compaction_plan", "q153_range_bounds")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
@@ -193,7 +194,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // Window.orderBy creeping back in would surface here as an
     // unpartitioned Window line.
     for (q <- Seq("q111_bm25_search", "q112_bpe_pair_stats",
-        "q121_bpe_encode", "q128_jaccard_search", "q139_heavy_keys")) {
+        "q121_bpe_encode", "q128_jaccard_search", "q139_heavy_keys",
+        "q149_cooccurrence")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       ws.foreach { l =>
