@@ -259,4 +259,58 @@ object Curation {
       }: _*)
     counts.select(explode(report).as("_r")).select(col("_r.*"))
   }
+
+  /** Top-p (nucleus) coverage — within each group, the smallest
+    * prefix of items (by weight, descending) whose mass reaches
+    * p% of the group's total: "which sources do we actually need to
+    * cover 90% of this language's tokens". The mixture-design twin
+    * of the mixture/weighted samplers: this reports WHERE the mass
+    * is; sampling then enforces the chosen mixture.
+    *
+    * Selection rule (exact integer arithmetic, no doubles anywhere):
+    * items order by (mass desc, item asc) within their group — total
+    * and deterministic — and an item is IN the nucleus iff the mass
+    * BEFORE it is < ceil(p·total/100): the first item crossing the
+    * threshold is included, nothing after it is, and p = 100 keeps
+    * every positive-mass item.
+    *
+    * Scale shape: one (group, item) partial-agg shuffle for masses,
+    * a group-partitioned cumsum window over the ITEMS frame (already
+    * aggregated — items-sized, not rows-sized), and a groups-sized
+    * broadcast join for totals. `weightCol` must be integral
+    * (enforced): double mass would make the cumsum order-dependent.
+    *
+    * Output: (group, item, mass, cum_mass, in_nucleus), one row per
+    * (group, item). */
+  def topPCoverage(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      weightCol: String,
+      pPct: Int): DataFrame = {
+    require(1 <= pPct && pPct <= 100, s"pPct must be in [1,100], got $pPct")
+    val wt = df.schema(weightCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(wt.typeName),
+      s"weightCol $weightCol must be integral for an exact cumsum, " +
+        s"got ${wt.typeName}")
+    Seq("mass", "cum_mass", "in_nucleus", "_total", "_thr").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by topPCoverage")
+    }
+    val masses = df
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(sum(col(weightCol).cast("long")).as("mass"))
+    val totals = masses.groupBy(col(groupCol))
+      .agg(sum(col("mass")).as("_total"))
+      .withColumn("_thr", expr(s"($pPct * _total + 99) div 100"))
+    val wcum = Window.partitionBy(col(groupCol))
+      .orderBy(col("mass").desc, col(itemCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    masses
+      .withColumn("cum_mass", sum(col("mass")).over(wcum))
+      .join(broadcast(totals), Seq(groupCol))
+      .withColumn("in_nucleus", col("cum_mass") - col("mass") < col("_thr"))
+      .select(col(groupCol), col(itemCol), col("mass"),
+        col("cum_mass"), col("in_nucleus"))
+  }
 }

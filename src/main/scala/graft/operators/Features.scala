@@ -88,4 +88,64 @@ object Features {
         .withColumn("z", lit(null).cast("double"))
         .select(scaled.columns.map(col): _*))
   }
+
+  /** Per-group winsorization — clip a measure to its group's
+    * [pLoPct, pHiPct] EXACT disc quantiles before it feeds a mean,
+    * a z-score, or a mixture weight, so a handful of pathological
+    * documents can't drag the statistic (the robust-stats
+    * complement of [[scaleBy]]: MAD flags outliers, winsorize
+    * bounds their influence without dropping rows).
+    *
+    * Quantile convention (lower/disc): threshold-p value = the
+    * smallest v whose ≤-cumulative count reaches
+    * max(1, ceil(p·n/100)) among the group's non-null rows — exact
+    * rank arithmetic over exact counts, no interpolation, bitwise
+    * cross-engine. All windows are GROUP-partitioned: distinct
+    * (group, value) counts cumsum within their group; thresholds
+    * ride back via a groups-sized broadcast join; the clip itself is
+    * `least`/`greatest` per row. Null measures pass through with
+    * null bounds and null `clipped`.
+    *
+    * Output: input columns + `lo`, `hi`, `clipped`. */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLoPct: Int,
+      pHiPct: Int): DataFrame = {
+    require(0 <= pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      s"need 0 <= pLoPct <= pHiPct <= 100, got [$pLoPct, $pHiPct]")
+    val vt = df.schema(valueCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(vt.typeName),
+      s"valueCol $valueCol must be integral for exact quantiles, " +
+        s"got ${vt.typeName}")
+    Seq("lo", "hi", "clipped", "_v", "_cnt", "_cum", "_n", "_rlo", "_rhi")
+      .foreach { r =>
+        require(!df.columns.contains(r),
+          s"input column name $r is reserved by winsorize")
+      }
+    val v = col(valueCol).cast("long")
+    val vals = df.filter(v.isNotNull)
+      .groupBy(col(groupCol), v.as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.withColumn("_cum", sum(col("_cnt")).over(wc))
+    val thresholds = df.filter(v.isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_rlo",
+        greatest(lit(1L), expr(s"($pLoPct * _n + 99) div 100")))
+      .withColumn("_rhi",
+        greatest(lit(1L), expr(s"($pHiPct * _n + 99) div 100")))
+    def bound(rank: String, out: String) = cum
+      .join(thresholds.select(col(groupCol), col(rank)), Seq(groupCol))
+      .filter(col("_cum") >= col(rank))
+      .groupBy(col(groupCol)).agg(min(col("_v")).as(out))
+    val bounds = bound("_rlo", "lo").join(bound("_rhi", "hi"), Seq(groupCol))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn("clipped",
+        when(v.isNotNull, least(greatest(v, col("lo")), col("hi"))))
+      .withColumn("lo", when(v.isNotNull, col("lo")))
+      .withColumn("hi", when(v.isNotNull, col("hi")))
+  }
 }

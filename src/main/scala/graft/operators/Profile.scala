@@ -543,4 +543,67 @@ object Profile {
           col("n_null_keys"), col("n_orphans"), col("n_orphan_keys"))
     }.reduce(_ unionByName _)
   }
+
+  /** Chi-squared independence cells over two categorical columns —
+    * the distribution-shift test behind "did the event-type mix
+    * change between cohorts / snapshots / A-B arms": for every
+    * (cond, cat) cell of the FULL contingency grid (absent
+    * combinations included at observed = 0 — they carry real χ²
+    * mass), the observed count, the independence-expected count
+    * rt·ct/N, and the cell's χ² contribution (o − e)²/e. The caller
+    * sums `chi2_term` against a critical value; per-cell rows are
+    * emitted (not the scalar sum) because double summation order is
+    * engine-specific while each cell is a FIXED IEEE sequence over
+    * exact integer marginals — bitwise cross-engine, and the cells
+    * ARE the diagnosis (which category moved).
+    *
+    * Complements [[drift]] (per-column value histogram compare) and
+    * [[mutualInfo]] (association strength): χ² is the calibrated
+    * test statistic with a null distribution.
+    *
+    * Scale shape: observed cells, row marginals, and column
+    * marginals are three partial-agg aggregates (the grid never
+    * materializes from raw rows); the full grid is the CROSS JOIN OF
+    * THE TWO MARGINAL FRAMES — marginal-sized, not data-sized — with
+    * observed counts left-joined on. A loud `maxCells` guard (two
+    * narrow distinct counts) rejects runaway-cardinality columns
+    * before the grid exists. Null category values are excluded
+    * (both engines' GROUP BY treat them as a real group, but a
+    * contingency test over "unknown" is the caller's modeling
+    * choice — make it explicit with a coalesce upstream). */
+  def chiSquaredCells(
+      df: DataFrame,
+      condCol: String,
+      catCol: String,
+      maxCells: Long = 1000000L): DataFrame = {
+    Seq("obs", "expected", "chi2_term", "_rt", "_ct", "_n").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by chiSquaredCells")
+    }
+    val base = df
+      .filter(col(condCol).isNotNull && col(catCol).isNotNull)
+      .select(col(condCol), col(catCol))
+    val obs = base.groupBy(col(condCol), col(catCol))
+      .agg(count(lit(1)).as("obs"))
+    val rt = base.groupBy(col(condCol)).agg(count(lit(1)).as("_rt"))
+    val ct = base.groupBy(col(catCol)).agg(count(lit(1)).as("_ct"))
+    val dims = rt.agg(count(lit(1))).head().getLong(0) ->
+      ct.agg(count(lit(1))).head().getLong(0)
+    require(dims._1 * dims._2 <= maxCells,
+      s"contingency grid ${dims._1} x ${dims._2} exceeds " +
+        s"maxCells=$maxCells — these columns are not categorical " +
+        "at test granularity; bucket them first")
+    val n = base.agg(count(lit(1)).as("_n"))
+    rt.crossJoin(ct).crossJoin(broadcast(n))
+      .join(obs, Seq(condCol, catCol), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("expected",
+        expr("CAST(_rt * _ct AS DOUBLE) / CAST(_n AS DOUBLE)"))
+      .withColumn("chi2_term",
+        expr("(CAST(obs AS DOUBLE) - expected) " +
+          "* (CAST(obs AS DOUBLE) - expected) / expected"))
+      .select(col(condCol), col(catCol), col("obs"),
+        col("_rt").as("row_total"), col("_ct").as("col_total"),
+        col("expected"), col("chi2_term"))
+  }
 }

@@ -1990,6 +1990,108 @@ object Extensions {
       GROUP BY t.p, t.target_rank ORDER BY t.p""")
   )
 
+  private val q154_winsorize = Q(
+    "q154_winsorize",
+    // Robust-stats clipping: per-source token counts winsorized to
+    // the exact [p5, p95] disc quantiles — rank arithmetic over
+    // exact counts (group-partitioned cumsum, groups-sized broadcast
+    // back), integer clip, no interpolation convention to disagree
+    // on.
+    (s, dir) =>
+      graft.operators.Features.winsorize(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "source", "toks", pLoPct = 5, pHiPct = 95)
+        .orderBy("doc_id"),
+    Some(s"""WITH b AS (SELECT doc_id, source,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      c AS (SELECT source, toks, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2),
+      sc AS (SELECT source, toks, CAST(sum(cnt) OVER
+          (PARTITION BY source ORDER BY toks
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1),
+      t AS (SELECT source, greatest(1, (5 * n + 99) // 100) AS rlo,
+        greatest(1, (95 * n + 99) // 100) AS rhi FROM n),
+      lo AS (SELECT sc.source, CAST(min(sc.toks) AS BIGINT) AS lo
+        FROM sc JOIN t USING (source) WHERE sc.cum >= t.rlo
+        GROUP BY 1),
+      hi AS (SELECT sc.source, CAST(min(sc.toks) AS BIGINT) AS hi
+        FROM sc JOIN t USING (source) WHERE sc.cum >= t.rhi
+        GROUP BY 1)
+      SELECT b.source, b.doc_id, b.toks, lo.lo, hi.hi,
+        least(greatest(b.toks, lo.lo), hi.hi) AS clipped
+      FROM b JOIN lo USING (source) JOIN hi USING (source)
+      ORDER BY b.doc_id""")
+  )
+
+  private val q155_chi_squared = Q(
+    "q155_chi_squared",
+    // Chi-squared mix-shift cells: event-type distribution across
+    // even/odd epoch days — the full marginal-sized contingency grid
+    // (absent cells at obs 0), expected counts and per-cell χ² terms
+    // as fixed IEEE sequences over exact integer marginals.
+    (s, dir) =>
+      graft.operators.Profile.chiSquaredCells(
+        events(s, dir).select(
+          (datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long") % 2).as("half"),
+          col("event_type")),
+        "half", "event_type")
+        .orderBy("half", "event_type"),
+    Some("""WITH b AS (SELECT
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) % 2 AS half, event_type
+        FROM events WHERE event_type IS NOT NULL),
+      o AS (SELECT half, event_type, CAST(count(*) AS BIGINT) AS obs
+        FROM b GROUP BY 1, 2),
+      rt AS (SELECT half, CAST(count(*) AS BIGINT) AS row_total
+        FROM b GROUP BY 1),
+      ct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS col_total
+        FROM b GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      g AS (SELECT rt.half, ct.event_type,
+          CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+          rt.row_total, ct.col_total,
+          CAST(rt.row_total * ct.col_total AS DOUBLE)
+            / CAST(n.n AS DOUBLE) AS expected
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN o ON o.half = rt.half
+          AND o.event_type = ct.event_type)
+      SELECT half, event_type, obs, row_total, col_total, expected,
+        (CAST(obs AS DOUBLE) - expected)
+          * (CAST(obs AS DOUBLE) - expected) / expected AS chi2_term
+      FROM g ORDER BY half, event_type""")
+  )
+
+  private val q156_nucleus_coverage = Q(
+    "q156_nucleus_coverage",
+    // Mixture design: per language, the smallest set of sources
+    // covering 80% of token mass — (mass desc, source) nucleus rule
+    // in pure integer arithmetic, items-sized partitioned cumsum.
+    (s, dir) =>
+      graft.operators.Curation.topPCoverage(
+        table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "lang", "source", "toks", pPct = 80)
+        .orderBy("lang", "source"),
+    Some(s"""WITH b AS (SELECT lang, source,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      m AS (SELECT lang, source, CAST(sum(toks) AS BIGINT) AS mass
+        FROM b GROUP BY 1, 2),
+      t AS (SELECT lang, (80 * CAST(sum(mass) AS BIGINT) + 99) // 100
+          AS thr FROM m GROUP BY 1),
+      c AS (SELECT lang, source, mass, CAST(sum(mass) OVER
+          (PARTITION BY lang ORDER BY mass DESC, source
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass FROM m)
+      SELECT c.lang, c.source, c.mass, c.cum_mass,
+        (c.cum_mass - c.mass) < t.thr AS in_nucleus
+      FROM c JOIN t USING (lang) ORDER BY lang, source""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -3924,5 +4026,6 @@ object Extensions {
     q145_dedup_attrition, q146_exact_k_sample, q147_histogram,
     q148_group_trend, q149_cooccurrence, q150_expectations,
     q151_transitions, q152_compaction_plan, q153_range_bounds,
+    q154_winsorize, q155_chi_squared, q156_nucleus_coverage,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -215,4 +215,41 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("topPCoverage: nucleus takes the first prefix crossing p; ties by item") {
+    import spark.implicits._
+    // lang L: masses s1=50, s2=30, s3=15, s4=5 (total 100)
+    // p=80: thr=80; cum_before: s1=0, s2=50, s3=80 (NOT < 80), s4=95
+    // -> nucleus = {s1, s2}; the boundary item s3 is excluded exactly
+    val rows = Seq(("L", "s1", 50L), ("L", "s2", 30L), ("L", "s3", 15L),
+      ("L", "s4", 5L), ("M", "t1", 7L), ("M", "t2", 7L))
+    val df = rows.toDF("lang", "source", "toks")
+    val got = Curation.topPCoverage(df, "lang", "source", "toks", 80)
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got.filter(_._1 == "L").map(r => r._2 -> r._5).toMap ==
+      Map("s1" -> true, "s2" -> true, "s3" -> false, "s4" -> false))
+    // M: tie at 7 — cum order is (t1, t2) by item asc; thr =
+    // ceil(80*14/100) = 12; cum_before(t1)=0 in, cum_before(t2)=7 in
+    assert(got.filter(_._1 == "M").forall(_._5))
+    // p=100 keeps every item
+    val all = Curation.topPCoverage(df, "lang", "source", "toks", 100)
+    assert(all.filter(col("in_nucleus")).count() == 6L)
+    // masses aggregate per (group, item) before the cumsum
+    val split = (rows ++ rows).toDF("lang", "source", "toks")
+    val agg = Curation.topPCoverage(split, "lang", "source", "toks", 80)
+      .filter(col("lang") === "L").orderBy("source")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(agg.map(_._3) == Seq(100L, 60L, 30L, 10L))
+    assert(agg.map(_._5) == Seq(true, true, false, false))
+    intercept[IllegalArgumentException] {
+      Curation.topPCoverage(df, "lang", "source", "toks", 0)
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.topPCoverage(
+        Seq(("L", "s", 1.0)).toDF("lang", "source", "toks"),
+        "lang", "source", "toks", 50)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }

@@ -61,4 +61,61 @@ class FeaturesSpec extends AnyFunSuite {
     val e = intercept[Exception] { Features.scaleBy(big, "g", "v") }
     assert(e.getMessage.toLowerCase.contains("overflow"))
   }
+
+  test("winsorize: hand-checked p10/p90 clip on 1..10") {
+    // group of 1..10: rlo = ceil(10*10/100) = 1 -> lo = 1;
+    // rhi = ceil(90*10/100) = 9 -> hi = 9; only 10 clips
+    val df = (1L to 10L).map(v => ("g", v, v)).toSeq.toDF("g", "id", "v")
+    val got = Features.winsorize(df, "g", "v", 10, 90)
+      .orderBy("id")
+      .select("v", "lo", "hi", "clipped")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.forall(r => r._2 == 1L && r._3 == 9L))
+    assert(got.map(_._4) == Seq(1L, 2, 3, 4, 5, 6, 7, 8, 9, 9))
+  }
+
+  test("winsorize: duplicates, per-group bounds, null passthrough") {
+    // g1 heavily duplicated at 5 with outliers; g2 distinct values
+    val rows = Seq.fill(8)(("g1", Some(5L))) ++
+      Seq(("g1", Some(-100L)), ("g1", Some(100L)), ("g1", Option.empty[Long])) ++
+      (1L to 4L).map(v => ("g2", Some(v)))
+    val df = rows.zipWithIndex
+      .map { case ((g, v), i) => (g, i.toLong, v) }.toDF("g", "id", "v")
+    val got = Features.winsorize(df, "g", "v", 20, 80)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(r.fieldIndex("clipped"))) None
+         else Some(r.getLong(r.fieldIndex("clipped"))))).toMap
+    // g1 non-null n=10: rlo=ceil(200/100)=2 -> cum: -100(1), 5(9) -> lo=5
+    // rhi=ceil(800/100)=8 -> hi=5; everything clips to 5
+    rows.zipWithIndex.foreach { case ((g, v), i) =>
+      (g, v) match {
+        case ("g1", Some(_)) => assert(got(i.toLong) == Some(5L))
+        case ("g1", None) => assert(got(i.toLong) == None)
+        case ("g2", Some(x)) =>
+          // g2 n=4: rlo=ceil(80/100)=1 -> lo=1; rhi=ceil(320/100)=4 -> hi=4
+          assert(got(i.toLong) == Some(x))
+        case _ => fail()
+      }
+    }
+  }
+
+  test("winsorize loud contracts and bound ordering") {
+    val df = Seq(("g", 1L, 1L)).toDF("g", "id", "v")
+    intercept[IllegalArgumentException] {
+      Features.winsorize(df, "g", "v", 60, 40)
+    }
+    intercept[IllegalArgumentException] {
+      Features.winsorize(df, "g", "v", -1, 50)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Features.winsorize(
+        Seq(("g", 1L, 1.5)).toDF("g", "id", "v"), "g", "v", 5, 95)
+    }
+    assert(e.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Features.winsorize(
+        Seq(("g", 1L, 2L)).toDF("g", "lo", "v"), "g", "v", 5, 95)
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }

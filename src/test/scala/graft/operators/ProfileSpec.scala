@@ -356,4 +356,43 @@ class ProfileSpec extends AnyFunSuite {
     assert(Profile.madOutliers(
       clean.toDF("g", "id", "v"), Seq("g"), "id", "v").count() == 0L)
   }
+
+  test("chiSquaredCells: textbook 2x2 table, zero cells carry mass") {
+    import spark.implicits._
+    // obs: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=30; classic chi2 = 20
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val got = Profile.chiSquaredCells(rows.toDF("cond", "cat"),
+      "cond", "cat").orderBy("cond", "cat")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got.map(_._3) == Seq(30L, 10L, 10L, 30L))
+    // every expected = 40*40/80 = 20; every term = 100/20 = 5
+    assert(got.forall(r => r._6 == 20.0 && r._7 == 5.0))
+    assert(got.map(_._7).sum == 20.0)
+    // a category absent from one cond still emits a grid cell: its
+    // zero observed carries chi2 mass = expected
+    val sparse = (Seq.fill(6)(("a", "x")) ++ Seq.fill(6)(("b", "x")) ++
+      Seq.fill(4)(("b", "z"))).toDF("cond", "cat")
+    val g2 = Profile.chiSquaredCells(sparse, "cond", "cat")
+      .orderBy("cond", "cat")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    val az = g2.find(r => r._1 == "a" && r._2 == "z").get
+    assert(az._3 == 0L)          // unobserved
+    assert(az._6 == 6.0 * 4 / 16) // rt(a)=6, ct(z)=4, N=16
+    assert(az._7 == az._6)       // (0-e)^2/e == e
+    // nulls excluded from the test entirely
+    val withNull = (rows :+ ((null.asInstanceOf[String], "x")))
+      .toDF("cond", "cat")
+    assert(Profile.chiSquaredCells(withNull, "cond", "cat")
+      .agg(org.apache.spark.sql.functions.sum("obs")).head.getLong(0)
+      == 80L)
+    // runaway cardinality fails loudly before the grid exists
+    val wide = (0 until 200).map(i => (s"c$i", s"k$i")).toDF("cond", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Profile.chiSquaredCells(wide, "cond", "cat", maxCells = 100L)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
 }
