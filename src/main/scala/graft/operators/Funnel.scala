@@ -146,6 +146,70 @@ object Funnel {
     * Reference analog: sum-by-key over adjacent-pair keys — the pair
     * EXTRACTION (lag over a per-user ordered stream) is the part the
     * reference's sort-merge reduce cannot express. */
+  /** Last-touch attribution — for every conversion event, the most
+    * recent earlier touchpoint from `touchTypes` by the same user
+    * (optionally within `maxGapMicros`): the report that answers
+    * "what drove this purchase" and feeds channel weighting. Where
+    * [[funnelCounts]] aggregates one hypothesized path and
+    * [[transitionMatrix]] aggregates all edges, attribution keeps
+    * ROW-level provenance: one output row per conversion, joined to
+    * its winning touch.
+    *
+    * Spelling: ONE user-partitioned window — running
+    * `last(<touch fields>, ignoreNulls)` over the user's stream
+    * ordered by (ts, tie) with frame ending at the PREVIOUS row, so
+    * a touch at the conversion's own position never self-attributes
+    * and ordering is total (ties break by `tieCol`; a same-timestamp
+    * touch with a smaller tie value does count — order-strict, the
+    * deterministic reading). No join, no per-conversion scan; the
+    * stream sorts once per user. Conversions with no in-window touch
+    * emit with null attribution (the "direct/unattributed" row a
+    * real report must surface, not drop).
+    *
+    * Output: (user, tie, conv_us, touch_type, touch_us, gap_us).
+    *
+    * Reference analog: none — position-sensitive per-row state over
+    * a sorted stream is exactly what sum-by-key cannot express
+    * (`Imagine_MapReduce/ReduceTask.h`). */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      maxGapMicros: Option[Long] = None): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type required")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type $conversionType cannot also be a touch type " +
+        "(self-attribution would depend on tie order)")
+    maxGapMicros.foreach(g => require(g > 0, s"maxGapMicros must be > 0, got $g"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(_.asInstanceOf[Any]): _*)
+    val us = expr(s"unix_micros($tsCol)")
+    val attributed = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("_touch_us",
+        last(when(isTouch, us), ignoreNulls = true).over(w))
+      .withColumn("_touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("conv_us", us)
+      .withColumn("_gap", col("conv_us") - col("_touch_us"))
+    val inWindow = maxGapMicros match {
+      case Some(g) => col("_touch_us").isNotNull && col("_gap") <= g
+      case None => col("_touch_us").isNotNull
+    }
+    attributed.select(
+      col(userCol), col(tieCol), col("conv_us"),
+      when(inWindow, col("_touch_type")).as("touch_type"),
+      when(inWindow, col("_touch_us")).as("touch_us"),
+      when(inWindow, col("_gap")).as("gap_us"))
+  }
+
   def transitionMatrix(
       events: DataFrame,
       userCol: String,

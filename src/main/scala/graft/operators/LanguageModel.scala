@@ -106,4 +106,49 @@ object LanguageModel {
         round(foldUdf(transform(col("ts"), t => t.getField("lp"))) /
           col("n_bigrams"), 6).as("surprisal"))
   }
+
+  /** Out-of-vocabulary rate per group — the tokenizer-health /
+    * domain-shift gauge: what fraction of a source's token
+    * OCCURRENCES (and how many distinct token TYPES) fall outside
+    * the corpus vocabulary at `minCount`. High OOV marks the source
+    * a trained tokenizer will shred into bytes — the signal that
+    * decides re-training vs filtering before 100 TB gets encoded.
+    *
+    * Shape: one token explode feeding (a) the vocabulary counts
+    * (token-keyed partial agg, `minCount` filter) and (b) the
+    * per-group occurrence stream, which LEFT-joins the vocabulary on
+    * token (AQE broadcasts when the vocab fits, shuffles both sides
+    * when it doesn't — both correct; the join is token-keyed either
+    * way) and partial-aggregates to one row per group. `oov_rate` is
+    * one IEEE division of exact counts. Distinct OOV types count via
+    * a second (group, token)-keyed aggregate over only the OOV rows
+    * — strictly smaller than the stream.
+    *
+    * Output: (group, n_tokens, n_oov, oov_rate, n_oov_types).
+    * Empty-text rows contribute nothing; a group that is all
+    * in-vocab emits 0 / 0.0 / 0. */
+  def oovReport(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(col(groupCol), explode(words(textCol)).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("_vc"))
+      .filter(col("_vc") >= minCount)
+      .select(col("token"), lit(true).as("_in_vocab"))
+    val tagged = toks.join(vocab, Seq("token"), "left")
+      .withColumn("_oov", col("_in_vocab").isNull)
+    val occ = tagged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_oov"), 1L).otherwise(0L)).as("n_oov"))
+    val types = tagged.filter(col("_oov"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("_x"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_oov_types"))
+    occ.join(types, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"),
+        coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"))
+  }
 }

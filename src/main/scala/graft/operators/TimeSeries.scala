@@ -170,6 +170,87 @@ object TimeSeries {
     history.filter(col("valid_from_us") <= tsMicros &&
       (col("valid_to_us").isNull || col("valid_to_us") > tsMicros))
 
+  /** Trailing-window volume anomaly flags — "did this event type's
+    * daily volume jump outside its own recent behavior": for every
+    * (key, day), the day's count against the mean/variance of the
+    * PREVIOUS `windowDays` days (current day excluded — it must not
+    * contaminate its own baseline), flagged when it sits more than
+    * 3 sample standard deviations out. The drop/spike pager for
+    * ingest pipelines, built so both engines agree BITWISE: the
+    * trailing moments (k, Σ, Σ²) are exact integers from a
+    * key-partitioned RANGE window (gap-correct: absent days age out
+    * by day value, not row position), and the 3σ test is squared
+    * into `(k·x − Σ)²·(k−1) > 9·k·(k·Σ² − Σ²)` — evaluated as a
+    * fixed sequence of IEEE products over exactly-cast integers, so
+    * there is NO sqrt and no library seam. Days with fewer than
+    * `minDays` of history emit `false` (insufficient baseline, not
+    * an anomaly).
+    *
+    * Scale shape: one (key, day) partial-agg shuffle, then ONE
+    * key-partitioned range window over the DAILY frame (days-sized,
+    * not events-sized). Overflow contract, guarded loudly: per-day
+    * counts must stay ≤ 10M and `windowDays` ≤ 60 so k·Σ² fits
+    * 64 bits with margin — a corpus above that pre-aggregates to a
+    * coarser key first (the guard is one narrow max over the daily
+    * frame).
+    *
+    * Output: (key..., day, cnt, trail_days, trail_sum, mean,
+    * is_anomaly); `mean` = Σ/k (one IEEE division, null when no
+    * history). */
+  def volumeAnomaly(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      windowDays: Int = 7,
+      minDays: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(windowDays >= 1 && windowDays <= 60,
+      s"windowDays must be in [1, 60] (overflow contract), got $windowDays")
+    require(minDays >= 2 && minDays <= windowDays,
+      s"minDays must be in [2, windowDays], got $minDays")
+    Seq("day", "cnt", "trail_days", "trail_sum", "mean", "is_anomaly")
+      .foreach { r =>
+        require(!keyCols.contains(r),
+          s"key column name $r is reserved by volumeAnomaly")
+      }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val worst = daily.agg(max("cnt")).head().getAs[Any](0)
+    worst match {
+      case n: Long => require(n <= 10000000L,
+        s"volumeAnomaly: a (key, day) cell holds $n rows — beyond the " +
+          "10M overflow contract for the squared-sigma test; " +
+          "pre-aggregate to a coarser key")
+      case _ => // empty input
+    }
+    val w = Window.partitionBy(keyC: _*).orderBy(col("day"))
+      .rangeBetween(-windowDays.toLong, -1L)
+    daily
+      .withColumn("trail_days", count(col("cnt")).over(w))
+      .withColumn("trail_sum", sum(col("cnt")).over(w))
+      .withColumn("_ssq", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("trail_days", coalesce(col("trail_days"), lit(0L)))
+      .withColumn("trail_sum", coalesce(col("trail_sum"), lit(0L)))
+      .withColumn("_ssq", coalesce(col("_ssq"), lit(0L)))
+      .withColumn("mean",
+        when(col("trail_days") > 0,
+          expr("CAST(trail_sum AS DOUBLE) / CAST(trail_days AS DOUBLE)")))
+      .withColumn("is_anomaly",
+        when(col("trail_days") >= minDays,
+          expr("CAST(trail_days * cnt - trail_sum AS DOUBLE) " +
+            "* CAST(trail_days * cnt - trail_sum AS DOUBLE) " +
+            "* CAST(trail_days - 1 AS DOUBLE) " +
+            "> 9.0 * CAST(trail_days AS DOUBLE) " +
+            "* CAST(trail_days * _ssq - trail_sum * trail_sum AS DOUBLE)"))
+          .otherwise(lit(false)))
+      .drop("_ssq")
+  }
+
   /** Per-group ordinary-least-squares trend line — "is this source's
     * daily volume growing or shrinking, and how fast" — fitted from
     * the five EXACT integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²)

@@ -2092,6 +2092,104 @@ object Extensions {
       FROM c JOIN t USING (lang) ORDER BY lang, source""")
   )
 
+  private val q157_attribution = Q(
+    "q157_attribution",
+    // Last-touch attribution: every purchase joined to the user's
+    // most recent earlier view/click within a 3-day window — one
+    // user-partitioned running-last window (frame ends at the
+    // previous row, ties by event_id), unattributed conversions
+    // surface with null touch columns.
+    (s, dir) =>
+      graft.operators.Funnel.lastTouchAttribution(
+        events(s, dir), "user_id", "event_type", "ts", "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("view", "click"),
+        maxGapMicros = Some(259200000000L))
+        .orderBy("user_id", "event_id"),
+    Some("""WITH w AS (SELECT user_id, event_id, event_type,
+        epoch_us(ts) AS us,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+          THEN epoch_us(ts) END IGNORE NULLS) OVER fr AS t_us,
+        last_value(CASE WHEN event_type IN ('view', 'click')
+          THEN event_type END IGNORE NULLS) OVER fr AS t_ty
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT user_id, event_id, us AS conv_us,
+        CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
+          THEN t_ty END AS touch_type,
+        CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
+          THEN t_us END AS touch_us,
+        CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
+          THEN us - t_us END AS gap_us
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id""")
+  )
+
+  private val q158_oov_rate = Q(
+    "q158_oov_rate",
+    // Tokenizer health: per-source out-of-vocabulary occurrence rate
+    // and distinct OOV types against the corpus vocabulary at
+    // minCount=5 — one explode, a token-keyed vocab left join, exact
+    // counts, one IEEE division.
+    (s, dir) =>
+      graft.operators.LanguageModel.oovReport(
+        table(s, dir, "documents"), "source", "text", minCount = 5L)
+        .orderBy("source"),
+    Some(s"""WITH t AS (SELECT source, unnest($W) AS token
+        FROM documents),
+      v AS (SELECT token FROM t GROUP BY token
+        HAVING count(*) >= 5),
+      g AS (SELECT t.source, t.token, v.token IS NULL AS oov
+        FROM t LEFT JOIN v ON v.token = t.token),
+      occ AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM g GROUP BY 1),
+      ty AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT)
+          AS n_oov_types FROM g WHERE oov GROUP BY 1)
+      SELECT occ.source, occ.n_tokens, occ.n_oov,
+        CAST(occ.n_oov AS DOUBLE) / CAST(occ.n_tokens AS DOUBLE)
+          AS oov_rate,
+        CAST(COALESCE(ty.n_oov_types, 0) AS BIGINT) AS n_oov_types
+      FROM occ LEFT JOIN ty ON ty.source = occ.source
+      ORDER BY occ.source""")
+  )
+
+  private val q159_volume_anomaly = Q(
+    "q159_volume_anomaly",
+    // Ingest pager: per-event-type daily volume flagged against the
+    // trailing 7-day mean/variance — exact integer moments from a
+    // gap-correct RANGE window, 3σ test squared into integer cross
+    // products (no sqrt, no libm), days with <5 baseline days never
+    // flag.
+    (s, dir) =>
+      graft.operators.TimeSeries.volumeAnomaly(
+        events(s, dir), Seq("event_type"), "ts",
+        windowDays = 7, minDays = 5)
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day, cnt,
+        CAST(count(cnt) OVER fr AS BIGINT) AS trail_days,
+        CAST(COALESCE(sum(cnt) OVER fr, 0) AS BIGINT) AS trail_sum,
+        CAST(COALESCE(sum(cnt * cnt) OVER fr, 0) AS BIGINT) AS ssq
+        FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, cnt, trail_days, trail_sum,
+        CASE WHEN trail_days > 0 THEN CAST(trail_sum AS DOUBLE)
+          / CAST(trail_days AS DOUBLE) END AS mean,
+        CASE WHEN trail_days >= 5 THEN
+          CAST(trail_days * cnt - trail_sum AS DOUBLE)
+            * CAST(trail_days * cnt - trail_sum AS DOUBLE)
+            * CAST(trail_days - 1 AS DOUBLE)
+          > 9.0 * CAST(trail_days AS DOUBLE)
+            * CAST(trail_days * ssq - trail_sum * trail_sum AS DOUBLE)
+        ELSE FALSE END AS is_anomaly
+      FROM w ORDER BY event_type, day""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4027,5 +4125,6 @@ object Extensions {
     q148_group_trend, q149_cooccurrence, q150_expectations,
     q151_transitions, q152_compaction_plan, q153_range_bounds,
     q154_winsorize, q155_chi_squared, q156_nucleus_coverage,
+    q157_attribution, q158_oov_rate, q159_volume_anomaly,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -152,4 +152,52 @@ class FunnelSpec extends AnyFunSuite {
     // order is Y (id 1) -> X (id 2) -> Z (id 3)
     assert(got == Seq(("X", "Z", 1L, 1L, 1.0), ("Y", "X", 1L, 1L, 1.0)))
   }
+
+  test("lastTouchAttribution: most recent touch wins; gaps and direct nulls") {
+    // u1: view(10) click(20) buy(30)      -> click, gap 10s
+    // u2: buy(5) view(6)                  -> direct (no earlier touch)
+    // u3: view(0) buy(100)                -> outside 50s window: null
+    // u4: error(40) buy(41)               -> error not a touch: null
+    val df = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "buy", 30L, 3L),
+      (2L, "buy", 5L, 4L), (2L, "view", 6L, 5L),
+      (3L, "view", 0L, 6L), (3L, "buy", 100L, 7L),
+      (4L, "error", 40L, 8L), (4L, "buy", 41L, 9L))
+      .map { case (u, t, sec, id) => (u, t, ts(sec), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.lastTouchAttribution(df.repartition(5),
+      "user_id", "event_type", "ts", "event_id",
+      "buy", Seq("view", "click"), maxGapMicros = Some(50000000L))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Option[String], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 30000000L, Some("click"), Some(20000000L), Some(10000000L)),
+      (2L, 4L, 5000000L, None, None, None),
+      (3L, 7L, 100000000L, None, None, None),
+      (4L, 9L, 41000000L, None, None, None)))
+    // without a gap limit, u3 attributes to its old view
+    val open = Funnel.lastTouchAttribution(df, "user_id", "event_type",
+      "ts", "event_id", "buy", Seq("view", "click"))
+      .filter(col("user_id") === 3L)
+      .as[(Long, Long, Long, Option[String], Option[Long], Option[Long])]
+      .collect().head
+    assert(open._4 == Some("view") && open._6 == Some(100000000L))
+    // same-timestamp touch with a smaller tie id DOES count (order-strict)
+    val tied = Seq((9L, "view", ts(7), 1L), (9L, "buy", ts(7), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val t = Funnel.lastTouchAttribution(tied, "user_id", "event_type",
+      "ts", "event_id", "buy", Seq("view"))
+      .as[(Long, Long, Long, Option[String], Option[Long], Option[Long])]
+      .collect().head
+    assert(t._4 == Some("view") && t._6 == Some(0L))
+    intercept[IllegalArgumentException] {
+      Funnel.lastTouchAttribution(df, "user_id", "event_type", "ts",
+        "event_id", "buy", Seq("buy", "view"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.lastTouchAttribution(df, "user_id", "event_type", "ts",
+        "event_id", "buy", Nil)
+    }
+  }
 }

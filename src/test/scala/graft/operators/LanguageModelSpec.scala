@@ -75,4 +75,38 @@ class LanguageModelSpec extends AnyFunSuite {
       assert(n >= 1 && s > 0.0 && !s.isInfinite && !s.isNaN)
     }
   }
+
+  test("oovReport: hand-counted OOV occurrences and types per group") {
+    // corpus token counts: the(4) cat(3) dog(2) rare(1) odd(1)
+    // minCount=2 vocab = {the, cat, dog}; rare/odd are OOV
+    val docs = Seq(
+      ("s1", "the cat the dog rare"),
+      ("s1", "the cat"),
+      ("s2", "the cat dog odd rare odd"))
+      .toDF("source", "text")
+    // careful: odd appears twice in one doc -> corpus cnt 2 -> IN vocab!
+    // recount: the=4 cat=3 dog=2 rare=2 odd=2 at minCount=3:
+    // vocab={the,cat}; oov occurrences: s1: dog,rare = 2 of 7;
+    // s2: dog,odd,rare,odd = 4 of 6
+    val got = LanguageModel.oovReport(docs, "source", "text", minCount = 3L)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 7L, 2L, 2.0 / 7.0, 2L),   // types: dog, rare
+      ("s2", 6L, 4L, 4.0 / 6.0, 3L)))  // types: dog, odd, rare
+    // fully in-vocab group emits zeros, not nulls
+    val clean = Seq(("a", "x x x"), ("b", "x")).toDF("source", "text")
+    val z = LanguageModel.oovReport(clean, "source", "text", 1L)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(z == Seq(("a", 3L, 0L, 0.0, 0L), ("b", 1L, 0L, 0.0, 0L)))
+    // repartition invariance
+    val again = LanguageModel.oovReport(docs.repartition(7), "source",
+      "text", 3L).orderBy("source")
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      LanguageModel.oovReport(docs, "source", "text", 0L)
+    }
+  }
 }

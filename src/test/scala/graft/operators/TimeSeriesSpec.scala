@@ -252,4 +252,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("reserved"))
   }
+
+  test("volumeAnomaly: a planted spike flags; steady days and warmup don't") {
+    // key A: 10 events/day for days 0..9, then 100 on day 10, 10 on 11
+    def day(d: Int, i: Int) = ts(d * 86400L + i)
+    val rows =
+      (0 until 10).flatMap(d => (0 until 10).map(i => ("A", day(d, i)))) ++
+      (0 until 100).map(i => ("A", day(10, i))) ++
+      (0 until 10).map(i => ("A", day(11, i)))
+    val df = rows.toDF("k", "t")
+    val got = TimeSeries.volumeAnomaly(df, Seq("k"), "t",
+      windowDays = 7, minDays = 5)
+      .orderBy("day")
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("trail_days"), r.getAs[Boolean]("is_anomaly")))
+    // epoch day of fixture day 0
+    val d0 = got.head._1
+    val byDay = got.map(r => (r._1 - d0, r)).toMap
+    // warmup: days 0-4 have < 5 baseline days -> never anomalous
+    (0 to 4).foreach(d => assert(!byDay(d.toLong)._4, s"day $d"))
+    // steady state: zero variance, cnt == mean -> (k*x-s) == 0, no flag
+    (5 to 9).foreach(d => assert(!byDay(d.toLong)._4, s"day $d"))
+    // the spike: baseline all-10s, x=100 -> flags even at zero variance
+    assert(byDay(10L)._4)
+    // the day after returns to baseline but variance now includes the
+    // spike; 10 is within 3 sigma of the contaminated window -> no flag
+    assert(!byDay(11L)._4)
+    // trailing window is gap-correct on day VALUES: plant a key with
+    // a 30-day hole; the day after the hole has an empty frame
+    val sparse = (Seq(("B", ts(0L)), ("B", ts(40L * 86400L))))
+      .toDF("k", "t")
+    val sp = TimeSeries.volumeAnomaly(sparse, Seq("k"), "t", 7, 5)
+      .orderBy("day").collect()
+    assert(sp.length == 2 && sp(1).getAs[Long]("trail_days") == 0L &&
+      !sp(1).getAs[Boolean]("is_anomaly"))
+    assert(sp(1).isNullAt(sp(1).fieldIndex("mean")))
+  }
+
+  test("volumeAnomaly contracts: window bounds, reserved keys, cell cap") {
+    val df = Seq(("A", ts(0L))).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      TimeSeries.volumeAnomaly(df, Seq("k"), "t", windowDays = 61)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.volumeAnomaly(df, Seq("k"), "t", 7, minDays = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.volumeAnomaly(
+        Seq(("A", ts(0L))).toDF("cnt", "t"), Seq("cnt"), "t")
+    }
+  }
 }
