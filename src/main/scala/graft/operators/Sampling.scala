@@ -570,4 +570,45 @@ object Sampling {
         (lit(2.0) * col("rank") - lit(1.0)) / (lit(2.0) * col("n")))
       .select(col(idCol), col(groupCol), col("rank"), col("n"), col("frac"))
   }
+
+  /** Stratified k-fold assignment — the cross-validation / sharded-
+    * eval split: every row gets a `fold` in [0, k) such that folds
+    * are BALANCED WITHIN EACH STRATUM (sizes differ by at most one)
+    * and membership is content-determined — reproducible across
+    * runs, retries, and engines, which a `rand()`-based splitter can
+    * never guarantee. Complements the cluster-aware splitter (which
+    * keeps near-dups on one side); this is the per-stratum
+    * round-robin every per-source eval harness needs.
+    *
+    * Spelling: rows order within their stratum by
+    * (md5(salt ':' id), id) — the salted content hash is the
+    * pseudo-random shuffle key (md5 = the repo's cross-engine hash),
+    * the id tiebreak makes the order total — and fold =
+    * (row_number − 1) mod k. One stratum-partitioned window, never
+    * global; changing `salt` re-deals every fold.
+    *
+    * Output: input columns + `fold`. `idCol` must be unique per row
+    * (the usual primary key contract; duplicates would share a hash
+    * but still get distinct row_numbers via the tie on id —
+    * deterministic, though their relative order is then
+    * partition-luck; keep ids unique). */
+  def kFoldAssign(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    Seq("fold", "_h").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by kFoldAssign")
+    }
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("fold", (row_number().over(w).cast("long") - 1) % k)
+      .drop("_h")
+  }
 }

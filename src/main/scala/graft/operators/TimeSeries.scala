@@ -251,6 +251,61 @@ object TimeSeries {
       .drop("_ssq")
   }
 
+  /** Inter-arrival time profile — exact disc quantiles of the gap
+    * between a user's consecutive events of each type: the cadence
+    * fingerprint behind bot detection (machine-regular gaps),
+    * session-timeout calibration (where does the p90 gap sit), and
+    * capacity planning. Medians, not means: one parked session would
+    * drag a mean gap arbitrarily; the quantiles are rank arithmetic
+    * over exact integer microsecond deltas — bitwise cross-engine,
+    * no interpolation convention.
+    *
+    * Shape: deltas from ONE (seq, key)-partitioned lag window
+    * (each user's per-type stream sorts once; ties break by
+    * `tieCol`), then the [[graft.operators.Features.winsorize]]-style
+    * quantile ladder: distinct (key, delta) counts, key-partitioned
+    * cumsum, per-key totals, and the requested percentiles ride in
+    * as an exploded literal frame joined on `cum ≥ ceil(p·n/100)`.
+    * Long-format output — (key..., pct, n_gaps, gap_us) — so any
+    * percentile list works without schema games. */
+  def interArrivalProfile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      seqCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      pcts: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty,
+      "key and sequence columns are both required")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    require(pcts.distinct.size == pcts.size, s"duplicate percentiles: $pcts")
+    val keyC = keyCols.map(col)
+    val w = Window.partitionBy((seqCols ++ keyCols).map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val us = expr(s"unix_micros($tsCol)")
+    val deltas = df
+      .select((seqCols ++ keyCols).map(col) :+ col(tsCol) :+ col(tieCol): _*)
+      .withColumn("_us", us)
+      .withColumn("_delta", col("_us") - lag(col("_us"), 1).over(w))
+      .filter(col("_delta").isNotNull)
+    val counts = deltas.groupBy(keyC :+ col("_delta"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wc = Window.partitionBy(keyC: _*).orderBy(col("_delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("_cum", sum(col("_cnt")).over(wc))
+    val targets = deltas.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("n_gaps"))
+      .select(keyC :+ col("n_gaps") :+
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"): _*)
+      .withColumn("_r",
+        greatest(lit(1L), expr("(pct * n_gaps + 99) div 100")))
+    cum.join(targets, keyCols)
+      .filter(col("_cum") >= col("_r"))
+      .groupBy(keyC ++ Seq(col("pct"), col("n_gaps")): _*)
+      .agg(min(col("_delta")).as("gap_us"))
+  }
+
   /** Per-group ordinary-least-squares trend line — "is this source's
     * daily volume growing or shrinking, and how fast" — fitted from
     * the five EXACT integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²)

@@ -94,6 +94,27 @@ object Extensions {
       FROM t ORDER BY doc_id""")
   )
 
+  /** The DuckDB twin of `TextFunctions.langId` as a per-document
+    * SELECT (doc_id, lang, lang_pred) — shared by the q32 oracle and
+    * the q161 confusion-matrix oracle. */
+  private lazy val langPredSelect: String = {
+    val markers = TextFunctions.LangMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    }
+    val scores = markers.map { case (l, arr) =>
+      s"len(list_intersect(list_distinct($W), $arr)) AS s_$l"
+    }.mkString(", ")
+    val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pick = markers.map { case (l, _) =>
+      s"WHEN s_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH lt AS (SELECT doc_id, lang, text, $scores FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+          WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
+      FROM lt"""
+  }
+
   private val q32_text_langid = Q(
     "q32_text_langid",
     (s, dir) =>
@@ -102,23 +123,7 @@ object Extensions {
           col("doc_id"), col("lang"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-    Some {
-      val markers = TextFunctions.LangMarkers.map { case (l, ms) =>
-        l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
-      }
-      val scores = markers.map { case (l, arr) =>
-        s"len(list_intersect(list_distinct($W), $arr)) AS s_$l"
-      }.mkString(", ")
-      val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-      val pick = markers.map { case (l, _) =>
-        s"WHEN s_$l = $best THEN '$l'"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, lang, text, $scores FROM documents)
-      SELECT doc_id, lang,
-        CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-          WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
-      FROM t ORDER BY doc_id"""
-    }
+    Some(s"$langPredSelect ORDER BY doc_id")
   )
 
   private val q33_text_fingerprint = Q(
@@ -2190,6 +2195,90 @@ object Extensions {
       FROM w ORDER BY event_type, day""")
   )
 
+  private val q160_kfold = Q(
+    "q160_kfold",
+    // Stratified 5-fold assignment over documents by source: the
+    // salted md5 content hash is the shuffle key (cross-engine by
+    // construction), folds balance within each stratum to ±1, one
+    // stratum-partitioned window.
+    (s, dir) =>
+      graft.operators.Sampling.kFoldAssign(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", k = 5)
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source,
+        (CAST(row_number() OVER (PARTITION BY source
+          ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) - 1) % 5 AS fold
+      FROM documents ORDER BY doc_id""")
+  )
+
+  private val q161_langid_confusion = Q(
+    "q161_langid_confusion",
+    // Label-quality audit: declared lang vs predicted langid as a
+    // confusion matrix with per-declared-language shares — the
+    // report that decides whether a source's lang metadata can be
+    // trusted. The oracle recomputes the n-gram-marker prediction in
+    // SQL (the q32 twin) and re-derives every cell.
+    (s, dir) => {
+      val pred = table(s, dir, "documents")
+        .select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+      val cells = pred.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum("n").as("lang_total"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          col("lang_total"),
+          (col("n").cast("double") / col("lang_total").cast("double"))
+            .as("share"),
+          (col("lang") === col("lang_pred")).as("agree"))
+        .orderBy("lang", "lang_pred")
+    },
+    Some(s"""WITH p AS ($langPredSelect),
+      c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2),
+      t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
+        FROM c GROUP BY 1)
+      SELECT c.lang, c.lang_pred, c.n, t.lang_total,
+        CAST(c.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS share,
+        c.lang = c.lang_pred AS agree
+      FROM c JOIN t USING (lang) ORDER BY lang, lang_pred""")
+  )
+
+  private val q162_interarrival = Q(
+    "q162_interarrival",
+    // Cadence fingerprint: exact p50/p90 of per-user inter-arrival
+    // micros for each event type — lag deltas from one (user, type)
+    // window, then the rank-arithmetic quantile ladder in long
+    // format.
+    (s, dir) =>
+      graft.operators.TimeSeries.interArrivalProfile(
+        events(s, dir), Seq("event_type"), Seq("user_id"),
+        "ts", "event_id", pcts = Seq(50, 90))
+        .orderBy("event_type", "pct"),
+    Some("""WITH o AS (SELECT event_type, user_id, epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS prev
+        FROM events),
+      d AS (SELECT event_type, us - prev AS delta FROM o
+        WHERE prev IS NOT NULL),
+      c AS (SELECT event_type, delta, CAST(count(*) AS BIGINT) AS cnt
+        FROM d GROUP BY 1, 2),
+      s AS (SELECT event_type, delta, CAST(sum(cnt) OVER
+          (PARTITION BY event_type ORDER BY delta
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+        FROM d GROUP BY 1),
+      t AS (SELECT n.event_type, n.n_gaps, p.pct,
+          greatest(1, (p.pct * n.n_gaps + 99) // 100) AS r
+        FROM n, (SELECT CAST(unnest([50, 90]) AS BIGINT) AS pct) p)
+      SELECT t.event_type, t.pct, t.n_gaps,
+        CAST(min(s.delta) AS BIGINT) AS gap_us
+      FROM t JOIN s ON s.event_type = t.event_type AND s.cum >= t.r
+      GROUP BY 1, 2, 3 ORDER BY t.event_type, t.pct""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4126,5 +4215,6 @@ object Extensions {
     q151_transitions, q152_compaction_plan, q153_range_bounds,
     q154_winsorize, q155_chi_squared, q156_nucleus_coverage,
     q157_attribution, q158_oov_rate, q159_volume_anomaly,
+    q160_kfold, q161_langid_confusion, q162_interarrival,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -399,4 +399,38 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.mixturePlan(docs, "src", "text", Map.empty, 100L)
     }
   }
+
+  test("kFoldAssign: balanced within strata, deterministic, salt re-deals") {
+    import spark.implicits._
+    val df = (0 until 103).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("id", "src")
+    val a = Sampling.kFoldAssign(df, Seq("src"), "id", k = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    // fold sizes within each stratum differ by at most one
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._3).values.map(_.size).toSeq
+      assert(sizes.max - sizes.min <= 1, s"sizes $sizes")
+      assert(rows.map(_._3).toSet.subsetOf((0L until 5L).toSet))
+    }
+    // content-determined: any physical layout gives identical folds
+    val b = Sampling.kFoldAssign(df.repartition(17), Seq("src"), "id", 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(a.sortBy(_._1) == b.sortBy(_._1))
+    // a different salt deals differently (with 103 rows, collision
+    // of ALL assignments is impossible since fold sets differ)
+    val c = Sampling.kFoldAssign(df, Seq("src"), "id", 5, salt = "other")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(a.sortBy(_._1).map(_._3) != c.sortBy(_._1).map(_._3))
+    // folds are not a trivial function of id order (the hash shuffles)
+    val inOrder = a.sortBy(_._1).map(_._3)
+    assert(inOrder.sliding(5).exists(w => w != w.sorted))
+    intercept[IllegalArgumentException] {
+      Sampling.kFoldAssign(df, Seq("src"), "id", 1)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Sampling.kFoldAssign(df.withColumn("fold",
+        org.apache.spark.sql.functions.lit(0L)), Seq("src"), "id", 5)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

@@ -289,6 +289,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(sp(1).isNullAt(sp(1).fieldIndex("mean")))
   }
 
+  test("interArrivalProfile: hand-checked quantiles of per-user gaps") {
+    // user 1, type A at 0,10,30,100 -> gaps 10,20,70 (seconds)
+    // user 2, type A at 0,5          -> gap 5
+    // gaps(A) = {5,10,20,70}s; p50: r=ceil(200/100)=2 -> 10s
+    // p90: r=ceil(360/100)=4 -> 70s; type B single event -> no gaps
+    val rows = Seq(
+      (1L, "A", 0L, 1L), (1L, "A", 10L, 2L), (1L, "A", 30L, 3L),
+      (1L, "A", 100L, 4L), (2L, "A", 0L, 5L), (2L, "A", 5L, 6L),
+      (3L, "B", 50L, 7L))
+    val df = rows.map { case (u, t, sec, id) => (u, t, ts(sec), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = TimeSeries.interArrivalProfile(df.repartition(7),
+      Seq("event_type"), Seq("user_id"), "ts", "event_id", Seq(50, 90))
+      .orderBy("event_type", "pct")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 50L, 4L, 10000000L), ("A", 90L, 4L, 70000000L)))
+    // cross-user boundaries never produce a gap: one event per user
+    val solo = (1L to 5L).map(u => (u, "A", ts(u), u))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    assert(TimeSeries.interArrivalProfile(solo, Seq("event_type"),
+      Seq("user_id"), "ts", "event_id").count() == 0L)
+    intercept[IllegalArgumentException] {
+      TimeSeries.interArrivalProfile(df, Seq("event_type"),
+        Seq("user_id"), "ts", "event_id", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.interArrivalProfile(df, Seq("event_type"),
+        Seq("user_id"), "ts", "event_id", Seq(50, 50))
+    }
+  }
+
   test("volumeAnomaly contracts: window bounds, reserved keys, cell cap") {
     val df = Seq(("A", ts(0L))).toDF("k", "t")
     intercept[IllegalArgumentException] {
