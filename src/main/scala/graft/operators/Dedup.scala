@@ -1043,4 +1043,49 @@ object Dedup {
       .select(col("doc_id"), col("_c._1").as("clean_text"),
         col("_c._2").as("kept_tokens"), col("_c._3").as("removed_tokens"))
   }
+
+  /** Per-period novelty rate — the dedup health monitor for a
+    * continuously-ingesting corpus: bucket rows into ingest periods
+    * by `periodCol` (a batch id, an epoch day — any integral
+    * ordering key), and report per period how many rows are NEW
+    * content (their digest's FIRST occurrence, first = minimum
+    * (period, tie) — ingest order) vs re-crawled duplicates.
+    * A falling novelty rate is the signal to retire a source or
+    * tighten the crawl frontier BEFORE paying to process it.
+    *
+    * Shape: one digest-keyed partial agg finds each content's first
+    * occurrence (min of the orderable (period, tie) pair via a
+    * struct min — exact, no window), one (period)-keyed agg counts
+    * rows, and the first-occurrence frame re-aggregates by its
+    * period; a left join stitches the report (periods with zero new
+    * content emit 0, not a missing row). dup_rate = 1 − new/rows,
+    * one IEEE division.
+    *
+    * Output: (period, n_rows, n_new, dup_rate), one row per
+    * observed period. */
+  def noveltyByPeriod(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      periodCol: String): DataFrame = {
+    val pt = df.schema(periodCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(pt.typeName),
+      s"periodCol $periodCol must be integral, got ${pt.typeName}")
+    Seq("n_rows", "n_new", "dup_rate", "_h", "_first").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by noveltyByPeriod")
+    }
+    val base = df.select(col(periodCol).cast("long").as("period"),
+      col(idCol).as("_id"), md5(col(textCol)).as("_h"))
+    val firsts = base
+      .groupBy("_h")
+      .agg(min(struct(col("period"), col("_id"))).as("_first"))
+      .select(col("_first.period").as("period"))
+      .groupBy("period").agg(count(lit(1)).as("n_new"))
+    val rows = base.groupBy("period").agg(count(lit(1)).as("n_rows"))
+    rows.join(firsts, Seq("period"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("dup_rate",
+        lit(1.0) - expr("CAST(n_new AS DOUBLE) / CAST(n_rows AS DOUBLE)"))
+  }
 }

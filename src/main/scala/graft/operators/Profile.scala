@@ -571,6 +571,62 @@ object Profile {
     * (both engines' GROUP BY treat them as a real group, but a
     * contingency test over "unknown" is the caller's modeling
     * choice — make it explicit with a coalesce upstream). */
+  /** Mixture concentration diagnostics — for each group, how evenly
+    * its mass spreads across items: Kish effective sample size
+    * ESS = (Σw)²/Σw² (the "how many equal items is this worth"
+    * number a mixture designer reads before trusting per-group
+    * statistics), its ratio to the item count (1.0 = perfectly
+    * even), and the dominant item's share. Complements
+    * [[giniConcentration]] (inequality index) with the
+    * reweighting-literature units downstream sampling math uses.
+    *
+    * Exactness: masses are integral (enforced), so Σw and Σw² are
+    * exact 64-bit sums; ESS and the shares are fixed IEEE sequences
+    * over them. Overflow contract, guarded loudly post-agg: Σw² must
+    * stay under 2⁶² — per-item masses beyond ~10⁹ need a coarser
+    * unit (same discipline as [[Features.scaleBy]]).
+    *
+    * Shape: one (group, item) partial agg, one group-level agg on
+    * the items frame. Output: (group, n_items, total_mass,
+    * max_share, ess, ess_ratio). */
+  def mixtureDiagnostics(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      weightCol: String): DataFrame = {
+    val wt = df.schema(weightCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(wt.typeName),
+      s"weightCol $weightCol must be integral for exact sums, " +
+        s"got ${wt.typeName}")
+    Seq("n_items", "total_mass", "max_share", "ess", "ess_ratio", "_ssq",
+      "_mx").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input column name $r is reserved by mixtureDiagnostics")
+    }
+    val masses = df
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(sum(col(weightCol).cast("long")).as("_m"))
+    val agg = masses.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_m")).as("total_mass"),
+        sum(col("_m") * col("_m")).as("_ssq"),
+        max(col("_m")).as("_mx"))
+    val risky = agg.filter(col("_ssq") > Long.MaxValue / 4)
+      .select(col(groupCol)).limit(1).collect()
+    require(risky.isEmpty,
+      s"mixtureDiagnostics: group '${risky.headOption.map(_.get(0))}' " +
+        "has a squared-mass sum in the top quarter of the 64-bit " +
+        "range - possible overflow; coarsen the weight unit")
+    agg.select(col(groupCol), col("n_items"), col("total_mass"),
+      expr("CAST(_mx AS DOUBLE) / CAST(total_mass AS DOUBLE)")
+        .as("max_share"),
+      expr("CAST(total_mass AS DOUBLE) * CAST(total_mass AS DOUBLE) " +
+        "/ CAST(_ssq AS DOUBLE)").as("ess"),
+      expr("(CAST(total_mass AS DOUBLE) * CAST(total_mass AS DOUBLE) " +
+        "/ CAST(_ssq AS DOUBLE)) / CAST(n_items AS DOUBLE)")
+        .as("ess_ratio"))
+  }
+
   def chiSquaredCells(
       df: DataFrame,
       condCol: String,

@@ -306,6 +306,58 @@ object TimeSeries {
       .agg(min(col("_delta")).as("gap_us"))
   }
 
+  /** Trailing empirical percentile (PIT score) — where today's count
+    * sits within its own trailing window's DISTRIBUTION: n_le/k,
+    * the fraction of the previous `windowDays` observed days whose
+    * count is ≤ today's. The nonparametric cousin of
+    * [[volumeAnomaly]]: no variance model, exact by construction
+    * (ties count as ≤, both endpoints integers, one IEEE division),
+    * and readable directly as "today is a p98 day".
+    *
+    * Shape: the daily frame self-joins on KEY EQUALITY plus the
+    * bounded day-range predicate — an equi-join with a range filter
+    * (SortMergeJoin, never a nested loop; PlanHygieneSpec pins it),
+    * fan-out ≤ `windowDays` per row by construction, left-preserved
+    * so warm-up days emit with `trail_days` = 0 and null `pit`.
+    * Everything runs on the days-sized aggregate, not raw events. */
+  def trailingPercentile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      windowDays: Int = 30): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays must be in [1, 370], got $windowDays")
+    Seq("day", "cnt", "trail_days", "n_le", "pit").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by trailingPercentile")
+    }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.as("a")
+    val b = daily.as("b")
+    val keysEq = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _)
+    val inWindow = col("b.day") >= col("a.day") - windowDays &&
+      col("b.day") <= col("a.day") - 1
+    a.join(b, keysEq && inWindow, "left")
+      .groupBy(keyCols.map(k => col(s"a.$k").as(k)) ++
+        Seq(col("a.day").as("day"), col("a.cnt").as("cnt")): _*)
+      .agg(count(col("b.cnt")).as("trail_days"),
+        sum(when(col("b.cnt") <= col("a.cnt"), 1L).otherwise(0L))
+          .as("n_le"))
+      .withColumn("n_le",
+        when(col("trail_days") > 0, coalesce(col("n_le"), lit(0L))))
+      .withColumn("pit",
+        when(col("trail_days") > 0,
+          expr("CAST(n_le AS DOUBLE) / CAST(trail_days AS DOUBLE)")))
+  }
+
   /** Per-group ordinary-least-squares trend line — "is this source's
     * daily volume growing or shrinking, and how fast" — fitted from
     * the five EXACT integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²)

@@ -2279,6 +2279,102 @@ object Extensions {
       GROUP BY 1, 2, 3 ORDER BY t.event_type, t.pct""")
   )
 
+  private val q163_trailing_pit = Q(
+    "q163_trailing_pit",
+    // Nonparametric volume score: each day's event count placed
+    // within its trailing 7-day empirical distribution (PIT = n_le/k)
+    // — equi-join + bounded day-range self-join on the days-sized
+    // frame, warmup days emit null.
+    (s, dir) =>
+      graft.operators.TimeSeries.trailingPercentile(
+        events(s, dir), Seq("event_type"), "ts", windowDays = 7)
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)
+      SELECT a.event_type, a.day, a.cnt,
+        CAST(count(b.cnt) AS BIGINT) AS trail_days,
+        CASE WHEN count(b.cnt) > 0 THEN CAST(sum(CASE WHEN
+          b.cnt <= a.cnt THEN 1 ELSE 0 END) AS BIGINT) END AS n_le,
+        CASE WHEN count(b.cnt) > 0 THEN CAST(sum(CASE WHEN
+          b.cnt <= a.cnt THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(b.cnt) AS DOUBLE) END AS pit
+      FROM d a LEFT JOIN d b ON b.event_type = a.event_type
+        AND b.day BETWEEN a.day - 7 AND a.day - 1
+      GROUP BY a.event_type, a.day, a.cnt
+      ORDER BY a.event_type, a.day""")
+  )
+
+  private val q164_mixture_diagnostics = Q(
+    "q164_mixture_diagnostics",
+    // Mixture concentration: per language, Kish effective sample
+    // size over source token masses, evenness ratio, and dominant
+    // share — exact integer moments, fixed IEEE tail.
+    (s, dir) =>
+      graft.operators.Profile.mixtureDiagnostics(
+        table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "lang", "source", "toks")
+        .orderBy("lang"),
+    Some(s"""WITH b AS (SELECT lang, source,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      m AS (SELECT lang, source, CAST(sum(toks) AS BIGINT) AS mm
+        FROM b GROUP BY 1, 2),
+      a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(mm) AS BIGINT) AS total_mass,
+        CAST(sum(mm * mm) AS BIGINT) AS ssq,
+        CAST(max(mm) AS BIGINT) AS mx FROM m GROUP BY 1)
+      SELECT lang, n_items, total_mass,
+        CAST(mx AS DOUBLE) / CAST(total_mass AS DOUBLE) AS max_share,
+        CAST(total_mass AS DOUBLE) * CAST(total_mass AS DOUBLE)
+          / CAST(ssq AS DOUBLE) AS ess,
+        (CAST(total_mass AS DOUBLE) * CAST(total_mass AS DOUBLE)
+          / CAST(ssq AS DOUBLE)) / CAST(n_items AS DOUBLE) AS ess_ratio
+      FROM a ORDER BY lang""")
+  )
+
+  private val q165_novelty_rate = Q(
+    "q165_novelty_rate",
+    // Dedup health per ingest batch: the fixture carries no exact
+    // dups, so the query plants deterministic re-crawls in-query
+    // (every 7th doc re-ingested at id 2k+1, interleaved with the
+    // originals at id 2k so batches MIX new and duplicate rows),
+    // then reports per 100-id batch how many rows are first-seen
+    // content — first occurrence by struct-min over (period, id),
+    // no window; dup_rate is one IEEE division.
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      val stream = d
+        .select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+      graft.operators.Dedup.noveltyByPeriod(
+        stream.withColumn("batch", expr("doc_id div 100")),
+        "doc_id", "text", "batch")
+        .orderBy("period")
+    },
+    Some("""WITH u AS (SELECT doc_id * 2 AS doc_id, text
+        FROM documents
+        UNION ALL SELECT doc_id * 2 + 1, text FROM documents
+        WHERE doc_id % 7 = 0),
+      b AS (SELECT doc_id // 100 AS period, doc_id,
+        md5(text) AS h FROM u),
+      f AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
+      nn AS (SELECT b.period, CAST(count(*) AS BIGINT) AS n_new
+        FROM b JOIN f ON b.h = f.h AND b.doc_id = f.first_id
+        GROUP BY 1),
+      r AS (SELECT period, CAST(count(*) AS BIGINT) AS n_rows
+        FROM b GROUP BY 1)
+      SELECT CAST(r.period AS BIGINT) AS period, r.n_rows,
+        CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+        CAST(1 AS DOUBLE) - CAST(COALESCE(nn.n_new, 0) AS DOUBLE)
+          / CAST(r.n_rows AS DOUBLE) AS dup_rate
+      FROM r LEFT JOIN nn ON nn.period = r.period
+      ORDER BY r.period""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4216,5 +4312,6 @@ object Extensions {
     q154_winsorize, q155_chi_squared, q156_nucleus_coverage,
     q157_attribution, q158_oov_rate, q159_volume_anomaly,
     q160_kfold, q161_langid_confusion, q162_interarrival,
+    q163_trailing_pit, q164_mixture_diagnostics, q165_novelty_rate,
     q44_curation_pipeline, q45_source_audit)
 }

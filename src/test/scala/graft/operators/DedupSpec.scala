@@ -653,4 +653,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == grams.map(Kernels.md5Lower64))
     assert(Kernels.gramMd5Positions("w1 w2", 3).isEmpty)
   }
+
+  test("noveltyByPeriod: first occurrence by (period, id), batches mix") {
+    // content A first at (p0, id1), re-crawled p0 (id2) and p1 (id11)
+    // content B first at (p1, id10); C only at p2; p3 all re-crawls
+    val df = Seq(
+      (1L, "A", 0L), (2L, "A", 0L), (3L, "X", 0L),
+      (10L, "B", 1L), (11L, "A", 1L),
+      (20L, "C", 2L),
+      (30L, "A", 3L), (31L, "B", 3L))
+      .toDF("id", "text", "p")
+    val got = Dedup.noveltyByPeriod(df.repartition(5), "id", "text", "p")
+      .orderBy("period")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 2L, 1.0 - 2.0 / 3.0), // A, X new; id2 dup
+      (1L, 2L, 1L, 0.5),             // B new; A dup
+      (2L, 1L, 1L, 0.0),
+      (3L, 2L, 0L, 1.0)))            // pure re-crawl batch
+    // out-of-order ids across periods: first = min (period, id), so
+    // a LATER period with a SMALLER id does not steal novelty
+    val tricky = Seq((100L, "Z", 0L), (5L, "Z", 1L))
+      .toDF("id", "text", "p")
+    val t = Dedup.noveltyByPeriod(tricky, "id", "text", "p")
+      .orderBy("period").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(t == Seq((0L, 1L, 1L, 0.0), (1L, 1L, 0L, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.noveltyByPeriod(
+        Seq((1L, "A", 1.5)).toDF("id", "text", "p"), "id", "text", "p")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -357,6 +357,43 @@ class ProfileSpec extends AnyFunSuite {
       clean.toDF("g", "id", "v"), Seq("g"), "id", "v").count() == 0L)
   }
 
+  test("mixtureDiagnostics: ESS and shares, hand-checked") {
+    import spark.implicits._
+    // g1: masses 30,10 -> total 40, ssq 1000, ESS = 1600/1000 = 1.6
+    // g2: 5,5,5,5 even -> ESS = 400/100 = 4 = n, ratio 1.0
+    val df = Seq(
+      ("g1", "a", 30L), ("g1", "b", 10L),
+      ("g2", "a", 5L), ("g2", "b", 5L), ("g2", "c", 5L), ("g2", "d", 5L))
+      .toDF("g", "item", "w")
+    val m = Profile.mixtureDiagnostics(df, "g", "item", "w")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("g1").getAs[Long]("n_items") == 2L)
+    assert(m("g1").getAs[Long]("total_mass") == 40L)
+    assert(m("g1").getAs[Double]("max_share") == 0.75)
+    assert(m("g1").getAs[Double]("ess") == 1.6)
+    assert(m("g1").getAs[Double]("ess_ratio") == 0.8)
+    assert(m("g2").getAs[Double]("ess") == 4.0)
+    assert(m("g2").getAs[Double]("ess_ratio") == 1.0)
+    assert(m("g2").getAs[Double]("max_share") == 0.25)
+    // item weights aggregate before the moments (split rows == one row)
+    val split = Seq(("g1", "a", 20L), ("g1", "a", 10L), ("g1", "b", 10L))
+      .toDF("g", "item", "w")
+    val s2 = Profile.mixtureDiagnostics(split, "g", "item", "w")
+      .collect().head
+    assert(s2.getAs[Double]("ess") == 1.6)
+    val e = intercept[IllegalArgumentException] {
+      Profile.mixtureDiagnostics(
+        Seq(("g", "a", 1.5)).toDF("g", "item", "w"), "g", "item", "w")
+    }
+    assert(e.getMessage.contains("integral"))
+    val big = Seq(("g", "a", 3L << 31), ("g", "b", 3L << 31))
+      .toDF("g", "item", "w")
+    val e2 = intercept[Exception] {
+      Profile.mixtureDiagnostics(big, "g", "item", "w")
+    }
+    assert(e2.getMessage.toLowerCase.contains("overflow"))
+  }
+
   test("chiSquaredCells: textbook 2x2 table, zero cells carry mass") {
     import spark.implicits._
     // obs: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=30; classic chi2 = 20

@@ -321,6 +321,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("trailingPercentile: hand-checked PIT, ties count as <=, warmup null") {
+    // key A daily counts: d0=5, d1=10, d2=5, d3=20, d4=1 (window 3)
+    def mk(d: Int, n: Int) = (0 until n).map(i => ("A", ts(d * 86400L + i)))
+    val df = (mk(0, 5) ++ mk(1, 10) ++ mk(2, 5) ++ mk(3, 20) ++ mk(4, 1))
+      .toDF("k", "t")
+    val got = TimeSeries.trailingPercentile(df, Seq("k"), "t", windowDays = 3)
+      .orderBy("day").collect().map { r =>
+        (r.getAs[Long]("cnt"), r.getAs[Long]("trail_days"),
+          if (r.isNullAt(r.fieldIndex("pit"))) None
+          else Some(r.getAs[Double]("pit")))
+      }.toSeq
+    assert(got == Seq(
+      (5L, 0L, None),               // warmup
+      (10L, 1L, Some(1.0)),         // 5 <= 10
+      (5L, 2L, Some(0.5)),          // tie with d0's 5 counts as <=
+      (20L, 3L, Some(1.0)),
+      (1L, 3L, Some(0.0))))         // below everything
+  }
+
   test("volumeAnomaly contracts: window bounds, reserved keys, cell cap") {
     val df = Seq(("A", ts(0L))).toDF("k", "t")
     intercept[IllegalArgumentException] {

@@ -68,6 +68,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p.take(1500))
   }
 
+  test("q163: trailing-PIT self-join is an equi-join with a range filter") {
+    // key equality must anchor the join — a nested loop over the
+    // days-sized frame would become days^2 per key at scale
+    val p = plan("q163_trailing_pit")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q47: range join is an equi-join on cells, never nested-loop") {
     val p = plan("q47_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
