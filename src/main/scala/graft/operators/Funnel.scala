@@ -210,6 +210,54 @@ object Funnel {
       when(inWindow, col("_gap")).as("gap_us"))
   }
 
+  /** Top-k behavioral motifs — the most frequent length-`n` event-type
+    * sequences users actually perform (consecutive by the user's own
+    * (ts, tie) order): the discovery complement of
+    * [[transitionMatrix]] (first-order edges) for n > 2, feeding
+    * funnel hypotheses, bot signatures ("view>view>view" at machine
+    * cadence), and UX path mining.
+    *
+    * Shape: a lag CHAIN on one user-partitioned window (n−1 lags,
+    * one sort), motif = the '>'-joined types where the oldest lag is
+    * present (streams shorter than n emit nothing), then a
+    * motif-keyed partial agg, a bounded TakeOrdered top-k, and
+    * [[Ranks.rankBounded]] — no global window. `share` (of all
+    * length-n windows corpus-wide) rides from a broadcast single-row
+    * total: exact counts, one IEEE division.
+    *
+    * Ties in count break by motif text so the k-cutoff is total and
+    * deterministic. Output: (rank, motif, n_occurrences, share). */
+  def behaviorMotifs(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      n: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 8, s"motif length must be in [2, 8], got $n")
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val withLags = (1 until n).foldLeft(
+      events.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))) {
+      case (d, i) => d.withColumn(s"_l$i", lag(col(typeCol), i).over(w))
+    }
+    val parts = (n - 1 to 1 by -1).map(i => col(s"_l$i")) :+ col(typeCol)
+    val motifs = withLags
+      .filter(col(s"_l${n - 1}").isNotNull)
+      .select(concat_ws(">", parts: _*).as("motif"))
+      .groupBy("motif").agg(count(lit(1)).as("n_occurrences"))
+    val total = motifs.agg(sum("n_occurrences").as("_t"))
+    val top = motifs
+      .orderBy(col("n_occurrences").desc, col("motif")).limit(k)
+    Ranks.rankBounded(top, col("n_occurrences").desc, col("motif"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("motif"), col("n_occurrences"),
+        (col("n_occurrences").cast("double") / col("_t").cast("double"))
+          .as("share"))
+  }
+
   def transitionMatrix(
       events: DataFrame,
       userCol: String,

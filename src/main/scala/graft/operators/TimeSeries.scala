@@ -306,6 +306,89 @@ object TimeSeries {
       .agg(min(col("_delta")).as("gap_us"))
   }
 
+  /** Period-over-period change — each (key, day)'s count against the
+    * SAME key exactly `lagDays` earlier (the week-over-week /
+    * day-over-day ops report): absolute and relative change, with
+    * the honest nulls a real report needs (no prior period → null;
+    * prior period zero → null pct, the division nobody can define).
+    *
+    * Shape: the days-sized daily frame LEFT-equi-joins itself on
+    * (key, day − lagDays) — a plain hash/sort-merge join, no window
+    * anywhere, no range predicate. Days present now but absent
+    * `lagDays` ago surface with null prev (new keys, gaps);
+    * disappeared days are the caller's complementary query with
+    * sides swapped. pct_change = (cnt − prev)/prev as one fixed IEEE
+    * sequence over exact counts.
+    *
+    * Output: (key..., day, cnt, prev_cnt, abs_change, pct_change). */
+  def periodOverPeriod(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      lagDays: Int = 7): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    Seq("day", "cnt", "prev_cnt", "abs_change", "pct_change").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by periodOverPeriod")
+    }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val prev = daily.select(
+      keyC ++ Seq((col("day") + lagDays).as("day"),
+        col("cnt").as("prev_cnt")): _*)
+    daily.join(prev, keyCols :+ "day", "left")
+      .withColumn("abs_change", col("cnt") - col("prev_cnt"))
+      .withColumn("pct_change",
+        when(col("prev_cnt").isNotNull && col("prev_cnt") =!= 0L,
+          expr("CAST(cnt - prev_cnt AS DOUBLE) " +
+            "/ CAST(prev_cnt AS DOUBLE)")))
+  }
+
+  /** Hour-of-day × day-of-week activity profile — the seasonality
+    * heatmap behind load forecasting, anomaly context ("is Monday
+    * 9am always like this"), and bot screening (humans have a
+    * circadian signature, scripts don't). Day-of-week comes from
+    * PURE INTEGER arithmetic — (epoch_day + 4) mod 7, 0 = Sunday —
+    * never from a calendar function, whose week-numbering and
+    * zero-point conventions differ across engines; hours are UTC
+    * integer division on epoch micros.
+    *
+    * Shape: one (key, dow, hour) partial-agg shuffle; per-key totals
+    * over the 168-cells-per-key frame ride back broadcast; `share`
+    * is one IEEE division of exact counts. Only observed cells emit.
+    *
+    * Output: (key..., dow, hour, n, share). */
+  def activityProfile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("dow", "hour", "n", "share", "_t").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by activityProfile")
+    }
+    val keyC = keyCols.map(col)
+    // `div`, not `/`: epoch micros can't survive a double round-trip
+    val cells = df
+      .select(keyC ++ Seq(
+        expr(s"((unix_micros($tsCol) div 86400000000) + 4) % 7")
+          .as("dow"),
+        expr(s"(unix_micros($tsCol) div 3600000000) % 24").as("hour")): _*)
+      .groupBy(keyC ++ Seq(col("dow"), col("hour")): _*)
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(keyC: _*).agg(sum("n").as("_t"))
+    cells.join(broadcast(totals), keyCols)
+      .select(keyC ++ Seq(col("dow"), col("hour"), col("n"),
+        (col("n").cast("double") / col("_t").cast("double"))
+          .as("share")): _*)
+  }
+
   /** Trailing empirical percentile (PIT score) — where today's count
     * sits within its own trailing window's DISTRIBUTION: n_le/k,
     * the fraction of the previous `windowDays` observed days whose

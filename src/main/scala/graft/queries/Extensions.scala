@@ -2375,6 +2375,80 @@ object Extensions {
       ORDER BY r.period""")
   )
 
+  private val q166_motifs = Q(
+    "q166_motifs",
+    // Behavioral path mining: top-20 event-type trigrams users
+    // actually perform — one lag chain on a user-partitioned window,
+    // motif-keyed partial agg, bounded top-k with count-then-motif
+    // tiebreak, share from a broadcast total.
+    (s, dir) =>
+      graft.operators.Funnel.behaviorMotifs(
+        events(s, dir), "user_id", "event_type", "ts", "event_id",
+        n = 3, k = 20)
+        .orderBy("rank"),
+    Some("""WITH l AS (SELECT user_id, event_type,
+        lag(event_type, 1) OVER w AS l1,
+        lag(event_type, 2) OVER w AS l2
+        FROM events WINDOW w AS (PARTITION BY user_id
+          ORDER BY ts, event_id)),
+      m AS (SELECT l2 || '>' || l1 || '>' || event_type AS motif,
+        CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM l WHERE l2 IS NOT NULL GROUP BY 1),
+      t AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS tt FROM m),
+      r AS (SELECT motif, n_occurrences, CAST(row_number() OVER
+          (ORDER BY n_occurrences DESC, motif) AS BIGINT) AS rank
+        FROM m)
+      SELECT r.rank, r.motif, r.n_occurrences,
+        CAST(r.n_occurrences AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share
+      FROM r, t WHERE r.rank <= 20 ORDER BY r.rank""")
+  )
+
+  private val q167_period_change = Q(
+    "q167_period_change",
+    // Week-over-week ops report: each (event_type, day) count vs the
+    // same key 7 days earlier — a plain left equi-join on the
+    // days-sized frame, honest nulls for missing or zero priors.
+    (s, dir) =>
+      graft.operators.TimeSeries.periodOverPeriod(
+        events(s, dir), Seq("event_type"), "ts", lagDays = 7)
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)
+      SELECT a.event_type, a.day, a.cnt, b.cnt AS prev_cnt,
+        a.cnt - b.cnt AS abs_change,
+        CASE WHEN b.cnt IS NOT NULL AND b.cnt <> 0
+          THEN CAST(a.cnt - b.cnt AS DOUBLE) / CAST(b.cnt AS DOUBLE)
+          END AS pct_change
+      FROM d a LEFT JOIN d b ON b.event_type = a.event_type
+        AND b.day = a.day - 7
+      ORDER BY a.event_type, a.day""")
+  )
+
+  private val q168_activity_profile = Q(
+    "q168_activity_profile",
+    // Seasonality heatmap: per event type, counts and shares over
+    // (day-of-week, hour) cells — dow from pure integer arithmetic
+    // ((epoch_day + 4) mod 7), never a calendar function, so both
+    // engines agree by construction.
+    (s, dir) =>
+      graft.operators.TimeSeries.activityProfile(
+        events(s, dir), Seq("event_type"), "ts")
+        .orderBy("event_type", "dow", "hour"),
+    Some("""WITH c AS (SELECT event_type,
+        ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        (epoch_us(ts) // 3600000000) % 24 AS hour,
+        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2, 3),
+      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
+        FROM c GROUP BY 1)
+      SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+        CAST(c.hour AS BIGINT) AS hour, c.n,
+        CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share
+      FROM c JOIN t USING (event_type)
+      ORDER BY c.event_type, dow, hour""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4313,5 +4387,6 @@ object Extensions {
     q157_attribution, q158_oov_rate, q159_volume_anomaly,
     q160_kfold, q161_langid_confusion, q162_interarrival,
     q163_trailing_pit, q164_mixture_diagnostics, q165_novelty_rate,
+    q166_motifs, q167_period_change, q168_activity_profile,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -153,6 +153,34 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Seq(("X", "Z", 1L, 1L, 1.0), ("Y", "X", 1L, 1L, 1.0)))
   }
 
+  test("behaviorMotifs: hand-counted trigrams, tie order, short streams") {
+    // u1: A B A B A -> ABA, BAB, ABA ; u2: A B A -> ABA ; u3: A B (none)
+    val rows = Seq(
+      (1L, "A", 0L), (1L, "B", 1L), (1L, "A", 2L), (1L, "B", 3L),
+      (1L, "A", 4L),
+      (2L, "A", 10L), (2L, "B", 11L), (2L, "A", 12L),
+      (3L, "A", 20L), (3L, "B", 21L))
+    val df = rows.zipWithIndex.map { case ((u, t, sec), i) =>
+      (u, t, ts(sec), i.toLong) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.behaviorMotifs(df.repartition(5), "user_id",
+      "event_type", "ts", "event_id", n = 3, k = 10)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A>B>A", 3L, 0.75),
+      (2L, "B>A>B", 1L, 0.25)))
+    // n = 2 degenerates to transition counts
+    val bi = Funnel.behaviorMotifs(df, "user_id", "event_type", "ts",
+      "event_id", n = 2, k = 10)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(bi.map(r => r._2 -> r._3).toMap ==
+      Map("A>B" -> 4L, "B>A" -> 3L))
+    intercept[IllegalArgumentException] {
+      Funnel.behaviorMotifs(df, "user_id", "event_type", "ts",
+        "event_id", n = 1)
+    }
+  }
+
   test("lastTouchAttribution: most recent touch wins; gaps and direct nulls") {
     // u1: view(10) click(20) buy(30)      -> click, gap 10s
     // u2: buy(5) view(6)                  -> direct (no earlier touch)

@@ -340,6 +340,46 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1L, 3L, Some(0.0))))         // below everything
   }
 
+  test("periodOverPeriod: prior-day join, honest nulls for gaps and zeros") {
+    // key A: day0=4, day1=8, day3=2 (day2 missing)
+    def mk(d: Int, n: Int) = (0 until n).map(i => ("A", ts(d * 86400L + i)))
+    val df = (mk(0, 4) ++ mk(1, 8) ++ mk(3, 2)).toDF("k", "t")
+    val got = TimeSeries.periodOverPeriod(df, Seq("k"), "t", lagDays = 1)
+      .orderBy("day").collect().map { r =>
+        (r.getAs[Long]("cnt"),
+          Option(r.getAs[Any]("prev_cnt")).map(_.asInstanceOf[Long]),
+          if (r.isNullAt(r.fieldIndex("pct_change"))) None
+          else Some(r.getAs[Double]("pct_change")))
+      }.toSeq
+    assert(got == Seq(
+      (4L, None, None),
+      (8L, Some(4L), Some(1.0)),      // doubled
+      (2L, None, None)))              // gap: day2 absent -> no prior
+    // lag 3 reaches across the gap
+    val l3 = TimeSeries.periodOverPeriod(df, Seq("k"), "t", lagDays = 3)
+      .orderBy("day").collect()
+    assert(l3.last.getAs[Long]("prev_cnt") == 4L &&
+      l3.last.getAs[Long]("abs_change") == -2L)
+    intercept[IllegalArgumentException] {
+      TimeSeries.periodOverPeriod(df, Seq("k"), "t", 0)
+    }
+  }
+
+  test("activityProfile: integer dow/hour; epoch day 0 is Thursday") {
+    // 1970-01-01 00:30 UTC -> dow (0+4)%7 = 4 (Thursday), hour 0
+    // 1970-01-04 23:10 UTC -> epoch day 3 -> dow 0 (Sunday), hour 23
+    val df = Seq(
+      ("A", ts(1800L)), ("A", ts(1800L)),
+      ("A", ts(3L * 86400L + 23L * 3600L + 600L)))
+      .toDF("k", "t")
+    val got = TimeSeries.activityProfile(df, Seq("k"), "t")
+      .orderBy("dow", "hour")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 0L, 23L, 1L, 1.0 / 3.0),
+      ("A", 4L, 0L, 2L, 2.0 / 3.0)))
+  }
+
   test("volumeAnomaly contracts: window bounds, reserved keys, cell cap") {
     val df = Seq(("A", ts(0L))).toDF("k", "t")
     intercept[IllegalArgumentException] {
