@@ -89,6 +89,76 @@ object Features {
         .select(scaled.columns.map(col): _*))
   }
 
+  /** Quantile-distribution mapping — the values-level table that
+    * maps the SOURCE distribution of a measure onto the TARGET
+    * distribution at matched ranks (quantile normalization): value v
+    * at upper-rank r among n_src source rows maps to the target's
+    * disc quantile at ceil(r·n_tgt/n_src). The standard fix when two
+    * snapshots / scanners / scorers disagree in scale but should
+    * agree in distribution — calibrate B-scores onto A's scale, then
+    * compare row for row.
+    *
+    * The operator emits the DISTINCT-VALUES mapping table, not
+    * per-row output: values-sized (join it back to rows by value),
+    * which is also what makes it scale — the only non-aggregated
+    * structures are the two distinct-value frames, whose global
+    * prefix sums run through [[Skew.cumulativeCounts]]'s two-phase
+    * bucket spelling (no global window, no driver fold). The rank
+    * match itself is NOT a values × values scan: every target rank
+    * 1..n_tgt belongs to exactly one target value (the interval
+    * (cum − cnt, cum]), so the lookup is an INTERVAL JOIN, spelled
+    * the q47 way — both sides key on a coarse rank-bucket
+    * (equi-join; targets explode only across the buckets their
+    * interval spans, ≈ K + V_tgt rows total) with the exact
+    * between-filter as residual. All rank arithmetic is exact
+    * integer; nothing interpolates.
+    *
+    * Output: (value, n_le, n_src, target_rank, mapped) —
+    * one row per distinct non-null source value. */
+  def quantileMap(
+      src: DataFrame,
+      tgt: DataFrame,
+      valueCol: String,
+      coarseBuckets: Int = 64): DataFrame = {
+    def vt(df: DataFrame) = df.schema(valueCol).dataType.typeName
+    Seq(vt(src), vt(tgt)).foreach { t =>
+      require(Seq("long", "integer", "short", "byte").contains(t),
+        s"valueCol $valueCol must be integral on both sides, got $t")
+    }
+    def vals(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+    val srcCum = Skew.cumulativeCounts(vals(src), coarseBuckets)
+    val tgtCum = Skew.cumulativeCounts(vals(tgt), coarseBuckets)
+    val nSrc = srcCum.agg(sum("_cnt").as("_ns"))
+    val nTgt = tgtCum.agg(sum("_cnt").as("_nt"))
+    val targets = srcCum
+      .crossJoin(broadcast(nSrc)).crossJoin(broadcast(nTgt))
+      .select(col("_v").as("value"), col("_cum").as("n_le"),
+        col("_ns").as("n_src"),
+        greatest(lit(1L), expr("(_cum * _nt + _ns - 1) div _ns"))
+          .as("target_rank"),
+        greatest(lit(1L), expr(s"(_nt + $coarseBuckets - 1) " +
+          s"div $coarseBuckets")).as("_w"))
+    // each target value owns the contiguous rank interval
+    // (cum - cnt, cum]; explode it across the coarse rank-buckets it
+    // spans and equi-join on the bucket, exact bounds as residual
+    val intervals = tgtCum.crossJoin(broadcast(nTgt))
+      .select(col("_v").as("mapped"),
+        (col("_cum") - col("_cnt") + 1).as("_lo"), col("_cum").as("_hi"),
+        greatest(lit(1L), expr(s"(_nt + $coarseBuckets - 1) " +
+          s"div $coarseBuckets")).as("_w"))
+      .select(col("mapped"), col("_lo"), col("_hi"),
+        explode(sequence(expr("(_lo - 1) div _w"),
+          expr("(_hi - 1) div _w"))).as("_bkt"))
+    targets
+      .withColumn("_bkt", expr("(target_rank - 1) div _w"))
+      .join(intervals, Seq("_bkt"))
+      .filter(col("target_rank").between(col("_lo"), col("_hi")))
+      .select(col("value"), col("n_le"), col("n_src"),
+        col("target_rank"), col("mapped"))
+  }
+
   /** Per-group winsorization — clip a measure to its group's
     * [pLoPct, pHiPct] EXACT disc quantiles before it feeds a mean,
     * a z-score, or a mixture weight, so a handful of pathological

@@ -175,6 +175,33 @@ object Skew {
     * Reference analog: the reference hash-partitions unconditionally
     * (`Imagine_MapReduce/Partitioner.h`) — range layout planning has
     * no spelling there. */
+  /** The global-prefix-sum building block shared by [[rangeBounds]]
+    * and [[Features.quantileMap]]: given a distinct-values frame
+    * `(_v, _cnt)`, return it with `_cum` = the ≤-cumulative count —
+    * WITHOUT a global window. Values land in fixed-width coarse
+    * buckets off a narrow min/max; cumsums run bucket-partitioned;
+    * bucket offsets come from a triangular self-join over the
+    * bucket-totals frame (≤ coarseBuckets² tiny rows, broadcast). */
+  private[operators] def cumulativeCounts(
+      vals: DataFrame,
+      coarseBuckets: Int): DataFrame = {
+    val mm = vals.agg(min("_v").as("_mn"), max("_v").as("_mx"))
+    val bucketed = vals.crossJoin(broadcast(mm))
+      .withColumn("_b",
+        expr(s"((_v - _mn) * $coarseBuckets) div (_mx - _mn + 1)"))
+    val bt = bucketed.groupBy("_b").agg(sum("_cnt").as("_bt"))
+    val off = bt.as("a")
+      .join(bt.as("b"), col("a._b") < col("b._b"))
+      .groupBy(col("b._b").as("_b")).agg(sum(col("a._bt")).as("_off"))
+    val wb = Window.partitionBy("_b").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(off), Seq("_b"), "left")
+      .withColumn("_cum",
+        sum(col("_cnt")).over(wb) + coalesce(col("_off"), lit(0L)))
+      .select(col("_v"), col("_cnt"), col("_cum"))
+  }
+
   def rangeBounds(
       df: DataFrame,
       valueCol: String,
@@ -191,20 +218,7 @@ object Skew {
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("long").as("_v"))
       .groupBy("_v").agg(count(lit(1)).as("_cnt"))
-    val mm = vals.agg(min("_v").as("_mn"), max("_v").as("_mx"))
-    val bucketed = vals.crossJoin(broadcast(mm))
-      .withColumn("_b",
-        expr(s"((_v - _mn) * $coarseBuckets) div (_mx - _mn + 1)"))
-    val bt = bucketed.groupBy("_b").agg(sum("_cnt").as("_bt"))
-    val off = bt.as("a")
-      .join(bt.as("b"), col("a._b") < col("b._b"))
-      .groupBy(col("b._b").as("_b")).agg(sum(col("a._bt")).as("_off"))
-    val wb = Window.partitionBy("_b").orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed
-      .join(broadcast(off), Seq("_b"), "left")
-      .withColumn("_cum",
-        sum(col("_cnt")).over(wb) + coalesce(col("_off"), lit(0L)))
+    val cum = cumulativeCounts(vals, coarseBuckets)
     val n = vals.agg(sum("_cnt").as("_n"))
     val targets = spark.range(1, numPartitions.toLong)
       .select(col("id").as("p"))

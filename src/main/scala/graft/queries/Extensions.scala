@@ -2449,6 +2449,83 @@ object Extensions {
       ORDER BY c.event_type, dow, hour""")
   )
 
+  private val q169_triangle_stats = Q(
+    "q169_triangle_stats",
+    // Structure of the near-dup graph: per-node degree, triangle
+    // count, and clustering coefficient over the LSH pair list —
+    // degree-oriented wedge generation (hub fan-out bounded O(sqrt E)),
+    // every join equi-keyed. The oracle rebuilds the exact-Jaccard
+    // pair graph and counts triangles by three-way self-join.
+    (s, dir) =>
+      graft.operators.Graphs.triangleStats(
+        Dedup.minHashLshPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5),
+        "id_a", "id_b")
+        .orderBy("node"),
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= 0.5),
+      d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        GROUP BY 1),
+      t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM p e1 JOIN p e2 ON e2.a = e1.b
+        JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+        (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+         UNION ALL SELECT z FROM t) GROUP BY 1)
+      SELECT d.node, d.degree,
+        CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+        CASE WHEN d.degree >= 2
+          THEN CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+          END AS clustering_coeff
+      FROM d LEFT JOIN tc ON tc.node = d.node ORDER BY d.node""")
+  )
+
+  private val q170_quantile_map = Q(
+    "q170_quantile_map",
+    // Distribution calibration: map the odd-doc token-count
+    // distribution onto the even-doc one at matched ranks — the
+    // values-level quantile-normalization table, exact integer rank
+    // arithmetic, two-phase prefix sums, bucketed interval equi-join
+    // for the rank lookup.
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("toks"))
+      graft.operators.Features.quantileMap(
+        d.filter(col("doc_id") % 2 === 1).select("toks"),
+        d.filter(col("doc_id") % 2 === 0).select("toks"),
+        "toks")
+        .orderBy("value")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks
+        FROM documents),
+      s AS (SELECT toks AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM b WHERE doc_id % 2 = 1 GROUP BY 1),
+      sc AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s),
+      tt AS (SELECT toks AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM b WHERE doc_id % 2 = 0 GROUP BY 1),
+      tc AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tt),
+      ns AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM s),
+      nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tt),
+      m AS (SELECT sc.v AS value, sc.cum AS n_le, ns.n AS n_src,
+        greatest(1, (sc.cum * nt.n + ns.n - 1) // ns.n)
+          AS target_rank FROM sc, ns, nt)
+      SELECT m.value, m.n_le, m.n_src, m.target_rank,
+        CAST(min(tc.v) AS BIGINT) AS mapped
+      FROM m JOIN tc ON tc.cum >= m.target_rank
+      GROUP BY 1, 2, 3, 4 ORDER BY m.value""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4388,5 +4465,6 @@ object Extensions {
     q160_kfold, q161_langid_confusion, q162_interarrival,
     q163_trailing_pit, q164_mixture_diagnostics, q165_novelty_rate,
     q166_motifs, q167_period_change, q168_activity_profile,
+    q169_triangle_stats, q170_quantile_map,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -99,6 +99,38 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileMap: rank-matched mapping, hand-checked both regimes") {
+    // equal sizes, distinct values: pure rank transfer 1..4 -> 10..40
+    val src = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val tgt = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val m = Features.quantileMap(src, tgt, "v")
+      .orderBy("value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m.map(r => r._1 -> r._5) ==
+      Seq(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // unequal sizes with duplicates: src n=2, tgt n=8 (each value x2)
+    // v=1: rank 1 -> target rank ceil(8/2)=4 -> 20 (cum 10:2, 20:4)
+    // v=2: rank 2 -> target rank 8 -> 40
+    val src2 = Seq(1L, 2L).toDF("v")
+    val tgt2 = Seq(10L, 10L, 20L, 20L, 30L, 30L, 40L, 40L).toDF("v")
+    val m2 = Features.quantileMap(src2, tgt2, "v")
+      .orderBy("value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m2 == Seq((1L, 1L, 2L, 4L, 20L), (2L, 2L, 2L, 8L, 40L)))
+    // identical distributions map to themselves at any coarse knob
+    val same = (1L to 100L).flatMap(v => Seq.fill((v % 3 + 1).toInt)(v))
+    for (k <- Seq(4, 64, 1000)) {
+      val sm = Features.quantileMap(same.toDF("v"), same.toDF("v"), "v",
+        coarseBuckets = k)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(sm.forall(r => r._1 == r._5), s"coarseBuckets=$k")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Features.quantileMap(Seq(1.5).toDF("v"), Seq(1L).toDF("v"), "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("winsorize loud contracts and bound ordering") {
     val df = Seq(("g", 1L, 1L)).toDF("g", "id", "v")
     intercept[IllegalArgumentException] {

@@ -78,6 +78,25 @@ class PlanHygieneSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q169/q170: graph joins and the rank-interval join stay equi-keyed") {
+    // q169's wedge/close joins must never degrade to a nested loop —
+    // that's the difference between O(E^1.5) and hub-squared fan-out
+    val p169 = plan("q169_triangle_stats")
+    assert(!p169.contains("BroadcastNestedLoopJoin") &&
+      !p169.contains("CartesianProduct"), p169.take(2500))
+    // q170's VALUES-SIZED rank lookup must be an equi (bucket) join;
+    // its nested loops are only the intentional bounded frames — the
+    // 1-row count broadcasts and the <=coarse^2 triangular offset
+    // join — so pin the data-scaled join kind + partitioned windows
+    val p170 = plan("q170_quantile_map")
+    assert(p170.contains("SortMergeJoin") ||
+      p170.contains("ShuffledHashJoin"), p170.take(2500))
+    assert(!p170.contains("CartesianProduct"), p170.take(2500))
+    p170.linesIterator.filter(_.contains("Window [")).foreach { l =>
+      assert(windowPartitioned(l), s"q170 UNPARTITIONED window:\n$l")
+    }
+  }
+
   test("q47: range join is an equi-join on cells, never nested-loop") {
     val p = plan("q47_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
