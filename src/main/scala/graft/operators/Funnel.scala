@@ -210,6 +210,46 @@ object Funnel {
       when(inWindow, col("_gap")).as("gap_us"))
   }
 
+  /** Transition entropy per source state — how PREDICTABLE each
+    * state's next step is: H = −Σ p·ln p over the outgoing
+    * transition distribution. H ≈ 0 marks deterministic flows
+    * (scripted bots, forced UI paths); H near ln(out-degree) marks
+    * uniform wandering. The one-number summary a monitoring
+    * dashboard wants on top of [[transitionMatrix]]'s full matrix.
+    *
+    * Determinism: the edge frame is states²-bounded, so each state's
+    * distribution is a BOUNDED list — shares (exact-count divisions)
+    * fold in to_type-sorted order through a sequential UDF, the q94
+    * precedent for cross-engine libm-parity ln sums.
+    *
+    * Output: (from_type, n_next_types, from_total, entropy) —
+    * entropy in nats. */
+  def transitionEntropy(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val edges = transitionMatrix(events, userCol, typeCol, tsCol, tieCol)
+    edges.groupBy("from_type")
+      .agg(count(lit(1)).as("n_next_types"),
+        first(col("from_total")).as("from_total"),
+        sort_array(collect_list(struct(col("to_type"), col("share"))))
+          .as("_ps"))
+      .withColumn("entropy",
+        -entropySumUdf(transform(col("_ps"), p => p.getField("share"))))
+      .select(col("from_type"), col("n_next_types"), col("from_total"),
+        col("entropy"))
+  }
+
+  /** Sequential Σ p·ln(p) over the bounded, already-sorted share
+    * list (p = 0 cannot occur: edges exist only with n ≥ 1). */
+  private val entropySumUdf = udf((ps: scala.collection.Seq[Double]) => {
+    var s = 0.0
+    ps.foreach(p => s += p * math.log(p))
+    s
+  })
+
   /** Top-k behavioral motifs — the most frequent length-`n` event-type
     * sequences users actually perform (consecutive by the user's own
     * (ts, tie) order): the discovery complement of

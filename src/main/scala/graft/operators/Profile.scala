@@ -544,6 +544,66 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Heavy-tail index per group (Hill estimator) — HOW heavy is the
+    * tail of a measure's distribution: α̂ = m / Σ ln(x_i / x_ref)
+    * over the m largest values against the (m+1)-th as reference.
+    * Small α (≲2) = a genuinely heavy tail (the top documents/users
+    * dominate totals — plan for skew handling, caps, winsorization);
+    * large α = tails die fast and means can be trusted. The
+    * parametric complement of [[giniConcentration]] and the number
+    * that decides whether [[Features.winsorize]] thresholds are
+    * cosmetic or load-bearing.
+    *
+    * Determinism: the tail is BOUNDED (m ≤ k, k small) — the only
+    * collection is the per-group top-(k+1) multiset (rank-filtered
+    * BEFORE collecting, group-partitioned window), and the ln-sum
+    * folds over it in descending-value order, a fixed sequence both
+    * engines replay (ties hold equal values — interchangeable fold
+    * terms). Each term is ln(CAST/CAST) — one division, one
+    * correctly-rounded libm-parity ln (the q94 precedent).
+    *
+    * Groups need ≥ 2 positive values; a tail of all-equal values has
+    * Σ = 0 → α null (no tail information). Output: (group, m,
+    * x_ref, alpha). */
+  def tailIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 10000, s"k must be in [2, 10000], got $k")
+    val vt = df.schema(valueCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(vt.typeName),
+      s"valueCol $valueCol must be integral, got ${vt.typeName}")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v").desc)
+    val top = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k + 1)
+    top.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("_v")), asc = false).as("_xs"))
+      .filter(size(col("_xs")) >= 2) // a 1-value group has no tail
+      .withColumn("m", (size(col("_xs")) - 1).cast("long"))
+      .withColumn("x_ref", element_at(col("_xs"), -1))
+      .withColumn("_lnsum", lnSumUdf(col("_xs")))
+      .withColumn("alpha",
+        when(col("_lnsum") =!= 0.0,
+          col("m").cast("double") / col("_lnsum")))
+      .select(col(groupCol), col("m"), col("x_ref"), col("alpha"))
+  }
+
+  /** Descending-order sequential Σ ln(x_i/x_last) over the bounded
+    * tail list (null for lists shorter than 2). */
+  private val lnSumUdf = udf((xs: scala.collection.Seq[Long]) => {
+    if (xs == null || xs.size < 2) None
+    else {
+      val ref = xs.last.toDouble
+      var s = 0.0
+      xs.init.foreach(x => s += math.log(x.toDouble / ref))
+      Some(s)
+    }
+  })
+
   /** Chi-squared independence cells over two categorical columns —
     * the distribution-shift test behind "did the event-type mix
     * change between cohorts / snapshots / A-B arms": for every

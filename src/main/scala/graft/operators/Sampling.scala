@@ -571,6 +571,62 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("rank"), col("n"), col("frac"))
   }
 
+  /** Temperature-scaled mixture weights at α = 1/2 — the standard
+    * square-root rebalancing (multilingual/multi-source training
+    * mixes: raw proportional sampling drowns small sources, uniform
+    * ignores size; w ∝ √mass is the classic compromise) with an
+    * integer row budget allocated by floor(share·budget). α is
+    * FIXED at 1/2 because √ is the one power IEEE guarantees
+    * correctly rounded — an arbitrary-α `pow` would put libm's
+    * cross-platform rounding seam inside the mixture table.
+    *
+    * Determinism: masses are exact integer sums; each w = √mass is
+    * one correctly-rounded op; the normalizer Σw folds over the
+    * group-sorted weight list sequentially (the mixture table is
+    * sources-bounded BY NATURE — a mixture over unboundedly many
+    * groups isn't a mixture; the collect is that table, not data).
+    *
+    * Output: (group, mass, w, share, n_target), one row per group.
+    * floor under-allocates by < n_groups rows; the caller tops up by
+    * largest remainder if the budget must be exact
+    * ([[Sampling.mixturePlan]]'s discipline). */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val wt = df.schema(weightCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(wt.typeName),
+      s"weightCol $weightCol must be integral for exact masses, " +
+        s"got ${wt.typeName}")
+    Seq("mass", "w", "share", "n_target").foreach { r =>
+      require(r == weightCol || !df.columns.contains(r),
+        s"input column name $r is reserved by temperatureWeights")
+    }
+    val masses = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol).cast("long")).as("mass"))
+      .withColumn("w", sqrt(col("mass").cast("double")))
+    val total = masses
+      .agg(sort_array(collect_list(struct(col(groupCol), col("w"))))
+        .as("_ws"))
+      .select(seqSumUdf(transform(col("_ws"), x => x.getField("w")))
+        .as("_tot"))
+    masses.crossJoin(broadcast(total))
+      .withColumn("share", col("w") / col("_tot"))
+      .withColumn("n_target",
+        floor(col("share") * lit(budget).cast("double")).cast("long"))
+      .select(col(groupCol), col("mass"), col("w"), col("share"),
+        col("n_target"))
+  }
+
+  /** Sequential sum over the bounded, already-sorted list. */
+  private val seqSumUdf = udf((xs: scala.collection.Seq[Double]) => {
+    var s = 0.0
+    xs.foreach(s += _)
+    s
+  })
+
   /** Stratified k-fold assignment — the cross-validation / sharded-
     * eval split: every row gets a `fold` in [0, k) such that folds
     * are BALANCED WITHIN EACH STRATUM (sizes differ by at most one)

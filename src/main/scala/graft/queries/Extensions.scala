@@ -2526,6 +2526,92 @@ object Extensions {
       GROUP BY 1, 2, 3, 4 ORDER BY m.value""")
   )
 
+  private val q171_tail_index = Q(
+    "q171_tail_index",
+    // Heavy-tail diagnosis: per-source Hill estimator over document
+    // lengths (top-50 tail, bounded collect after a rank filter);
+    // each ln term replayed identically in SQL, descending-order
+    // sequential fold.
+    (s, dir) =>
+      graft.operators.Profile.tailIndex(
+        table(s, dir, "documents"), "source", "n_chars", k = 50)
+        .orderBy("source"),
+    Some("""WITH b AS (SELECT source, n_chars AS v FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT source, v, row_number() OVER
+        (PARTITION BY source ORDER BY v DESC) AS rn FROM b),
+      tk AS (SELECT source, v, rn FROM r WHERE rn <= 51),
+      l AS (SELECT source, list(v ORDER BY rn) AS xs FROM tk
+        GROUP BY 1),
+      agg AS (SELECT source, CAST(len(xs) - 1 AS BIGINT) AS m,
+        CAST(xs[-1] AS BIGINT) AS x_ref,
+        list_aggregate(list_transform(xs[1:len(xs) - 1],
+          x -> ln(CAST(x AS DOUBLE) / CAST(xs[-1] AS DOUBLE))),
+          'sum') AS lnsum
+        FROM l WHERE len(xs) >= 2)
+      SELECT source, m, x_ref,
+        CASE WHEN lnsum <> 0 THEN CAST(m AS DOUBLE) / lnsum END
+          AS alpha
+      FROM agg ORDER BY source""")
+  )
+
+  private val q172_transition_entropy = Q(
+    "q172_transition_entropy",
+    // Flow predictability: per source state, the Shannon entropy of
+    // its outgoing transition distribution — shares are exact-count
+    // divisions, the p·ln p fold runs in to_type-sorted order on
+    // both engines.
+    (s, dir) =>
+      graft.operators.Funnel.transitionEntropy(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type"),
+    Some("""WITH p AS (SELECT user_id,
+        lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS from_type,
+        event_type AS to_type FROM events),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        FROM c GROUP BY 1),
+      j AS (SELECT c.from_type, c.to_type,
+        CAST(c.n AS DOUBLE) / CAST(f.from_total AS DOUBLE) AS share,
+        f.from_total FROM c JOIN f USING (from_type)),
+      e AS (SELECT from_type, CAST(count(*) AS BIGINT) AS n_next_types,
+        max(from_total) AS from_total,
+        list_aggregate(list_transform(list(share ORDER BY to_type),
+          p -> p * ln(p)), 'sum') AS s
+        FROM j GROUP BY 1)
+      SELECT from_type, n_next_types, from_total, -s AS entropy
+      FROM e ORDER BY from_type""")
+  )
+
+  private val q173_temperature_mix = Q(
+    "q173_temperature_mix",
+    // sqrt-temperature mixture (α = 1/2, the one power IEEE rounds
+    // identically everywhere): per-source masses → √mass weights →
+    // shares off a group-sorted sequential normalizer → floor row
+    // budget at 10k.
+    (s, dir) =>
+      graft.operators.Sampling.temperatureWeights(
+        table(s, dir, "documents")
+          .select(col("source"),
+            TextFunctions.tokenCount(col("text")).as("toks")),
+        "source", "toks", budget = 10000L)
+        .orderBy("source"),
+    Some(s"""WITH b AS (SELECT source, CAST(len($W) AS BIGINT) AS toks
+        FROM documents),
+      m AS (SELECT source, CAST(sum(toks) AS BIGINT) AS mass
+        FROM b GROUP BY 1),
+      w AS (SELECT source, mass, sqrt(CAST(mass AS DOUBLE)) AS w
+        FROM m),
+      t AS (SELECT list_aggregate(list(w ORDER BY source), 'sum')
+        AS tot FROM w)
+      SELECT w.source, w.mass, w.w, w.w / t.tot AS share,
+        CAST(floor(w.w / t.tot * CAST(10000 AS DOUBLE)) AS BIGINT)
+          AS n_target
+      FROM w, t ORDER BY w.source""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4465,6 +4551,7 @@ object Extensions {
     q160_kfold, q161_langid_confusion, q162_interarrival,
     q163_trailing_pit, q164_mixture_diagnostics, q165_novelty_rate,
     q166_motifs, q167_period_change, q168_activity_profile,
-    q169_triangle_stats, q170_quantile_map,
+    q169_triangle_stats, q170_quantile_map, q171_tail_index,
+    q172_transition_entropy, q173_temperature_mix,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -181,6 +181,39 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("transitionEntropy: hand-checked H; deterministic flow is zero") {
+    // u1: A B A C  -> edges A>B, B>A, A>C ; u2: A B -> A>B
+    // from A: {B:2, C:1} -> H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    // from B: {A:1} deterministic -> H = 0
+    val rows = Seq(
+      (1L, "A", 0L, 1L), (1L, "B", 1L, 2L), (1L, "A", 2L, 3L),
+      (1L, "C", 3L, 4L),
+      (2L, "A", 10L, 5L), (2L, "B", 11L, 6L))
+    val df = rows.map { case (u, t, sec, id) => (u, t, ts(sec), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.transitionEntropy(df.repartition(5), "user_id",
+      "event_type", "ts", "event_id")
+      .orderBy("from_type")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val pB = 2.0 / 3.0; val pC = 1.0 / 3.0
+    assert(got.map(_._1) == Seq("A", "B"))
+    assert(got.head._2 == 2L && got.head._3 == 3L)
+    assert(got.head._4 == -(pB * math.log(pB) + pC * math.log(pC)))
+    assert(got(1)._4 == 0.0 && got(1)._2 == 1L)
+    // entropy is maximal (ln k) for a uniform next distribution:
+    // 30 users each do X -> {X,Y,Z} in equal proportion
+    val uni = (0 until 30).flatMap { u =>
+      Seq((u.toLong, "X", ts(u * 10L), u * 2L),
+        (u.toLong, Seq("X", "Y", "Z")(u % 3), ts(u * 10L + 1),
+          u * 2L + 1))
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val hx = Funnel.transitionEntropy(uni, "user_id", "event_type",
+      "ts", "event_id")
+      .filter(col("from_type") === "X").collect().head
+    assert(hx.getLong(1) == 3L)
+    assert(math.abs(hx.getDouble(3) - math.log(3.0)) < 1e-9)
+  }
+
   test("lastTouchAttribution: most recent touch wins; gaps and direct nulls") {
     // u1: view(10) click(20) buy(30)      -> click, gap 10s
     // u2: buy(5) view(6)                  -> direct (no earlier touch)

@@ -357,6 +357,39 @@ class ProfileSpec extends AnyFunSuite {
       clean.toDF("g", "id", "v"), Seq("g"), "id", "v").count() == 0L)
   }
 
+  test("tailIndex: hand-checked Hill alpha, degenerate and cutoff cases") {
+    import spark.implicits._
+    // xs desc = [8,4,2,1]: ref 1, m 3, lnsum = ln8+ln4+ln2 = 6 ln2
+    val df = Seq(("g", 8L), ("g", 4L), ("g", 2L), ("g", 1L),
+      ("flat", 7L), ("flat", 7L), ("flat", 7L),
+      ("solo", 5L),
+      ("zeros", 9L), ("zeros", 0L), ("zeros", -3L))
+      .toDF("g", "v")
+    val got = Profile.tailIndex(df, "g", "v", k = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("g")._1 == 3L && got("g")._2 == 1L)
+    assert(got("g")._3.get == 3.0 /
+      (math.log(8.0) + math.log(4.0) + math.log(2.0)))
+    // all-equal tail: zero ln-sum -> alpha null (no tail information)
+    assert(got("flat") == ((2L, 7L, None)))
+    // single positive value: no tail, row dropped entirely
+    assert(!got.contains("solo"))
+    // zero/negative values never enter (ln undefined): "zeros" keeps
+    // only 9 -> single value -> dropped
+    assert(!got.contains("zeros"))
+    // k bounds the tail: with k=2 only the top 3 values enter
+    val big = (1L to 100L).map(v => ("p", v)).toDF("g", "v")
+    val k2 = Profile.tailIndex(big, "g", "v", k = 2).collect().head
+    assert(k2.getLong(1) == 2L && k2.getLong(2) == 98L)
+    assert(k2.getDouble(3) == 2.0 /
+      (math.log(100.0 / 98.0) + math.log(99.0 / 98.0)))
+    intercept[IllegalArgumentException] {
+      Profile.tailIndex(df, "g", "v", k = 1)
+    }
+  }
+
   test("mixtureDiagnostics: ESS and shares, hand-checked") {
     import spark.implicits._
     // g1: masses 30,10 -> total 40, ssq 1000, ESS = 1600/1000 = 1.6

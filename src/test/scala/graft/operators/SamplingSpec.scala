@@ -400,6 +400,39 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureWeights: sqrt rebalance, hand-checked shares and budget") {
+    import spark.implicits._
+    // masses 100 / 400 / 10000 -> w 10 / 20 / 100, tot 130
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 10000L))
+      .toDF("src", "toks")
+    val got = Sampling.temperatureWeights(df, "src", "toks", budget = 1000L)
+      .orderBy("src")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got.map(_._3) == Seq(10.0, 20.0, 100.0))
+    val tot = 10.0 + 20.0 + 100.0
+    assert(got.map(_._4) == Seq(10.0 / tot, 20.0 / tot, 100.0 / tot))
+    // sqrt flattens: c has 100x a's mass but only 10x its share
+    assert(got(2)._4 / got.head._4 == 10.0)
+    // floor never over-allocates; under-allocation < n_groups
+    assert(got.map(_._5).sum <= 1000L &&
+      got.map(_._5).sum > 1000L - 3)
+    // weights aggregate across split rows before the sqrt
+    val split = Seq(("a", 60L), ("a", 40L), ("b", 400L))
+      .toDF("src", "toks")
+    val s2 = Sampling.temperatureWeights(split, "src", "toks", 100L)
+      .orderBy("src").as[(String, Long, Double, Double, Long)]
+      .collect()
+    assert(s2.head._3 == 10.0 && s2(1)._3 == 20.0)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(df, "src", "toks", -1L)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(
+        Seq(("a", 1.5)).toDF("src", "toks"), "src", "toks", 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("kFoldAssign: balanced within strata, deterministic, salt re-deals") {
     import spark.implicits._
     val df = (0 until 103).map(i => (i.toLong, s"s${i % 3}"))
