@@ -92,6 +92,74 @@ object Dedup {
     * Size-ratio upper bound (J <= min/max since inter <= min(|A|,|B|)
     * and union >= max) skips the set build for hopeless pairs before
     * any hashing happens. */
+  /** Containment pairs — the ASYMMETRIC near-dup mode Jaccard
+    * misses: doc A is (near-)contained in doc B when
+    * |grams(A) ∩ grams(B)| / |grams(A)| ≥ minC, the signature of
+    * wrappers, quote-with-commentary, and boilerplate-framed
+    * re-posts, where the size imbalance crushes symmetric Jaccard
+    * below any dedup threshold. One output row per DIRECTED
+    * containment (id_a contained in id_b); mutual near-equality
+    * shows up as both directions.
+    *
+    * Scale shape (prefix-filter, containment form): if the overlap
+    * reaches ceil(minC·|A|), A's rarest-first prefix of
+    * |A| − ceil(minC·|A|) + 1 grams must hit B's FULL gram set — so
+    * candidates come from prefix(A) ⋈ posting(B), one-sided pruning
+    * (the contained side prunes; the container side must stay
+    * whole). `maxDf` caps pathological gram postings exactly like
+    * [[ngramJaccardPairs]]. Exact verify: one HashSet intersection
+    * per candidate, containment = inter/|A| (one IEEE division of
+    * exact integers). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minC: Double = 0.9,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(minC > 0.0 && minC <= 1.0, s"minC must be in (0,1], got $minC")
+    val sets = ngramSets(df, idCol, textCol, n).filter(col("set_size") > 0)
+    val posting0 = sets.select(col("id"), col("set_size"),
+      explode(col("ngrams")).as("g"))
+    val posting = maxDf match {
+      case Some(cap) =>
+        val wdf = Window.partitionBy("g")
+        posting0.withColumn("_df", count(lit(1)).over(wdf))
+          .filter(col("_df") <= cap).drop("_df")
+      case None => posting0
+    }
+    val dfreq = posting.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val wDoc = Window.partitionBy("id").orderBy("gdf", "g")
+    val prefix = posting.join(dfreq, "g")
+      .withColumn("_rk", row_number().over(wDoc))
+      .filter(col("_rk") <=
+        (col("set_size") - ceil(lit(minC) * col("set_size")) + 1)
+          .cast("int"))
+      .select("id", "g")
+    val candidates = prefix.as("l")
+      .join(posting.select("id", "g").as("r"),
+        col("l.g") === col("r.g") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val cUdf = udf((a: scala.collection.Seq[String],
+        b: scala.collection.Seq[String]) => {
+      if (a.isEmpty) 0.0
+      else {
+        val bs = b.toSet
+        var inter = 0
+        a.foreach(x => if (bs.contains(x)) inter += 1)
+        inter.toDouble / a.length
+      }
+    })
+    val g = sets.select(col("id"), col("ngrams"))
+    candidates
+      .join(g.as("ga"), col("id_a") === col("ga.id"))
+      .join(g.as("gb"), col("id_b") === col("gb.id"))
+      .select(col("id_a"), col("id_b"),
+        cUdf(col("ga.ngrams"), col("gb.ngrams")).as("containment"))
+      .filter(col("containment") >= minC)
+  }
+
   private def verifyJaccard(
       candidates: DataFrame, sets: DataFrame, minJ: Double): DataFrame = {
     val jUdf = udf((a: scala.collection.Seq[String],

@@ -210,6 +210,41 @@ object Funnel {
       when(inWindow, col("_gap")).as("gap_us"))
   }
 
+  /** User survival curve — for every observed activity span s (days
+    * between a user's first and last event), how many users lasted
+    * AT LEAST that long: the retention summary behind "half our
+    * users are gone within N days". The distribution complement of
+    * [[retentionMatrix]] (which buckets by calendar cohort; this
+    * marginalizes cohorts out).
+    *
+    * Exact and windowless-at-scale: spans are one per-user min/max
+    * partial agg; the ≥-cumulative over the spans frame (distinct
+    * spans, tiny) runs through [[Skew.cumulativeCounts]]'s two-phase
+    * bucket spelling — n_surviving(s) = total − cnt_le(s) + cnt(s).
+    * survival_frac is one IEEE division of exact counts.
+    *
+    * Output: (span_days, n_users, n_surviving, survival_frac), one
+    * row per observed span, span 0 = single-event users. */
+  def survivalCurve(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val spans = events
+      .select(col(userCol).as("_u"), day.as("_d"))
+      .groupBy("_u")
+      .agg((max(col("_d")) - min(col("_d"))).as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+    val cum = Skew.cumulativeCounts(spans, 64)
+    val total = spans.agg(sum("_cnt").as("_n"))
+    cum.crossJoin(broadcast(total))
+      .select(col("_v").as("span_days"), col("_cnt").as("n_users"),
+        (col("_n") - col("_cum") + col("_cnt")).as("n_surviving"),
+        expr("CAST(_n - _cum + _cnt AS DOUBLE) / CAST(_n AS DOUBLE)")
+          .as("survival_frac"))
+  }
+
   /** Transition entropy per source state — how PREDICTABLE each
     * state's next step is: H = −Σ p·ln p over the outgoing
     * transition distribution. H ≈ 0 marks deterministic flows

@@ -212,6 +212,52 @@ object TfIdf {
       .select("rank", "id", "jaccard")
   }
 
+  /** Distinctive vocabulary per group — the corpus-forensics report
+    * "which terms does THIS source use far more than the corpus
+    * does": relevance ratio (a/Tg)/(b/T) spelled as a·T / (b·Tg) —
+    * exact integer counts, one multiply per side, one division — for
+    * every (group, term) with corpus support ≥ `minCorpusCount`
+    * (rare-term inflation is the failure mode; the floor is the
+    * fix), ranked top-k per group. Surfaces boilerplate signatures,
+    * spam vocabularies, and domain drift before any model sees them.
+    *
+    * Shape: one token explode feeding the (group, term) and (term)
+    * partial aggs; group totals ride back broadcast (groups-sized);
+    * the corpus side joins token-keyed. Ranking is one
+    * group-partitioned window. Ties break by term so the k-cutoff is
+    * total. Output: (group, term, n_group, n_corpus, score, rank). */
+  def distinctiveTerms(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      minCorpusCount: Long = 10L,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    require(minCorpusCount >= 1, s"minCorpusCount must be >= 1")
+    val toks = df.select(col(groupCol),
+      explode(TextFunctions.words(col(textCol))).as("term"))
+    val byGroup = toks.groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("n_group"))
+    val corpus = toks.groupBy("term").agg(count(lit(1)).as("n_corpus"))
+      .filter(col("n_corpus") >= minCorpusCount)
+    val groupTotals = byGroup.groupBy(col(groupCol))
+      .agg(sum("n_group").as("_tg"))
+    val corpusTotal = corpus.agg(sum("n_corpus").as("_t"))
+    val scored = byGroup
+      .join(corpus, "term")
+      .join(broadcast(groupTotals), Seq(groupCol))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("score",
+        expr("(CAST(n_group AS DOUBLE) * CAST(_t AS DOUBLE)) " +
+          "/ (CAST(n_corpus AS DOUBLE) * CAST(_tg AS DOUBLE))"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("term"), col("n_group"),
+        col("n_corpus"), col("score"), col("rank"))
+  }
+
   /** Top-k token co-occurrence pairs by LIFT — the collocation /
     * topic-affinity report ("which terms travel together far more
     * often than chance") a corpus analyst reads before building

@@ -2612,6 +2612,85 @@ object Extensions {
       FROM w, t ORDER BY w.source""")
   )
 
+  private val q174_distinctive_terms = Q(
+    "q174_distinctive_terms",
+    // Corpus forensics: top-5 terms per source by relevance ratio
+    // a·T/(b·Tg) over exact occurrence counts, corpus floor 20 to
+    // kill rare-term inflation; one explode, token-keyed joins,
+    // group-partitioned rank window.
+    (s, dir) =>
+      graft.operators.TfIdf.distinctiveTerms(
+        table(s, dir, "documents"), "source", "text",
+        minCorpusCount = 20L, k = 5)
+        .orderBy("source", "rank"),
+    Some(s"""WITH t AS (SELECT source, unnest($W) AS term
+        FROM documents),
+      bg AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_group
+        FROM t GROUP BY 1, 2),
+      c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_corpus
+        FROM t GROUP BY 1 HAVING count(*) >= 20),
+      gt AS (SELECT source, CAST(sum(n_group) AS BIGINT) AS tg
+        FROM bg GROUP BY 1),
+      ct AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t FROM c),
+      sc AS (SELECT bg.source, bg.term, bg.n_group, c.n_corpus,
+        (CAST(bg.n_group AS DOUBLE) * CAST(ct.t AS DOUBLE))
+          / (CAST(c.n_corpus AS DOUBLE) * CAST(gt.tg AS DOUBLE))
+          AS score
+        FROM bg JOIN c USING (term) JOIN gt USING (source), ct),
+      r AS (SELECT sc.*, CAST(row_number() OVER (PARTITION BY source
+        ORDER BY score DESC, term) AS BIGINT) AS rank FROM sc)
+      SELECT source, term, n_group, n_corpus, score, rank
+      FROM r WHERE rank <= 5 ORDER BY source, rank""")
+  )
+
+  private val q175_survival_curve = Q(
+    "q175_survival_curve",
+    // Retention survival: users surviving at least each observed
+    // activity span — per-user min/max agg, two-phase >=-cumulative
+    // over the spans frame, one IEEE division for the fraction.
+    (s, dir) =>
+      graft.operators.Funnel.survivalCurve(
+        events(s, dir), "user_id", "ts")
+        .orderBy("span_days"),
+    Some("""WITH u AS (SELECT user_id,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS d FROM events),
+      sp AS (SELECT user_id, max(d) - min(d) AS v FROM u GROUP BY 1),
+      c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM sp
+        GROUP BY 1),
+      s AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+      SELECT s.v AS span_days, s.cnt AS n_users,
+        n.n - s.cum + s.cnt AS n_surviving,
+        CAST(n.n - s.cum + s.cnt AS DOUBLE) / CAST(n.n AS DOUBLE)
+          AS survival_frac
+      FROM s, n ORDER BY span_days""")
+  )
+
+  private val q176_containment = Q(
+    "q176_containment",
+    // Asymmetric near-dup: directed containment pairs at 0.8 over
+    // 3-gram sets (wrapper / quote-with-commentary detection) —
+    // one-sided prefix filter against full postings, exact HashSet
+    // verify, one division. The oracle re-scores every ordered pair.
+    (s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        n = 3, minC = 0.8)
+        .orderBy("id_a", "id_b"),
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+          AS containment
+      FROM g a JOIN g b ON a.doc_id <> b.doc_id
+      WHERE len(a.s) > 0 AND
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+          >= 0.8
+      ORDER BY id_a, id_b""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4553,5 +4632,6 @@ object Extensions {
     q166_motifs, q167_period_change, q168_activity_profile,
     q169_triangle_stats, q170_quantile_map, q171_tail_index,
     q172_transition_entropy, q173_temperature_mix,
+    q174_distinctive_terms, q175_survival_curve, q176_containment,
     q44_curation_pipeline, q45_source_audit)
 }

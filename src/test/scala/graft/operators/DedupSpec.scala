@@ -654,6 +654,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Kernels.gramMd5Positions("w1 w2", 3).isEmpty)
   }
 
+  test("containmentPairs: asymmetric direction, jaccard-invisible wrappers") {
+    import spark.implicits._
+    // doc 2 = doc 1 wrapped in a long frame: 1-in-2 containment is
+    // total, 2-in-1 is not; symmetric jaccard is far below any
+    // dedup threshold
+    val core = (1 to 10).map(i => s"w$i").mkString(" ")
+    val frame = (1 to 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$frame $core"),
+      (3L, "completely different text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minC = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0))) // only the contained direction
+    // the same pair is invisible to symmetric jaccard at 0.5
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJ = 0.5).count() == 0L)
+    // mutual near-equality emits both directions
+    val twins = Seq((1L, core), (2L, core)).toDF("doc_id", "text")
+    val both = Dedup.containmentPairs(twins, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(both == Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.0)
+    }
+  }
+
   test("noveltyByPeriod: first occurrence by (period, id), batches mix") {
     // content A first at (p0, id1), re-crawled p0 (id2) and p1 (id11)
     // content B first at (p1, id10); C only at p2; p3 all re-crawls

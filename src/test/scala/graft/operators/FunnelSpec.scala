@@ -181,6 +181,26 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("survivalCurve: hand-checked spans and >=-cumulative counts") {
+    // spans: u1 0d (single event), u2 0d (same-day), u3 2d, u4 5d, u5 5d
+    val rows = Seq(
+      (1L, 0L), (2L, 3600L), (2L, 7200L),
+      (3L, 0L), (3L, 2L * 86400L),
+      (4L, 0L), (4L, 5L * 86400L),
+      (5L, 86400L), (5L, 6L * 86400L))
+    val df = rows.map { case (u, sec) => (u, ts(sec)) }
+      .toDF("user_id", "t")
+    val got = Funnel.survivalCurve(df.repartition(5), "user_id", "t")
+      .orderBy("span_days")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 5L, 1.0),        // everyone survives >= 0 days
+      (2L, 1L, 3L, 0.6),
+      (5L, 2L, 2L, 0.4)))
+    // survival is non-increasing in span
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
+
   test("transitionEntropy: hand-checked H; deterministic flow is zero") {
     // u1: A B A C  -> edges A>B, B>A, A>C ; u2: A B -> A>B
     // from A: {B:2, C:1} -> H = -(2/3 ln 2/3 + 1/3 ln 1/3)

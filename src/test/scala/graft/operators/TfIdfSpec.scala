@@ -197,6 +197,34 @@ class TfIdfSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("distinctiveTerms: relevance ratio, corpus floor, rank cutoff") {
+    // s1 says "spam" 6x of its 10 tokens; s2 never does.
+    // corpus: spam 6, filler 14 (floor 2 keeps both)
+    val docs = Seq(
+      ("s1", "spam spam spam spam spam spam base base base base"),
+      ("s2", "base base base base base base base base base base"))
+      .toDF("source", "text")
+    val got = TfIdf.distinctiveTerms(docs, "source", "text",
+      minCorpusCount = 2L, k = 2)
+      .orderBy("source", "rank")
+      .as[(String, String, Long, Long, Double, Long)].collect().toSeq
+    val m = got.map(r => (r._1, r._2) -> r._5).toMap
+    // score(spam | s1) = (6 * 20) / (6 * 10) = 2.0
+    assert(m(("s1", "spam")) == 2.0)
+    // score(base | s2) = (10 * 20) / (14 * 10) = 10/7
+    assert(m(("s2", "base")) == (10.0 * 20.0) / (14.0 * 10.0))
+    // s1's top term is spam, rank 1
+    assert(got.head == (("s1", "spam", 6L, 6L, 2.0, 1L)))
+    // the floor screens out terms below corpus support
+    val floored = TfIdf.distinctiveTerms(docs, "source", "text",
+      minCorpusCount = 7L, k = 5)
+      .as[(String, String, Long, Long, Double, Long)].collect()
+    assert(floored.forall(_._2 == "base"))
+    intercept[IllegalArgumentException] {
+      TfIdf.distinctiveTerms(docs, "source", "text", k = 0)
+    }
+  }
+
   test("cooccurTopPairs: hand-checked lift on a tiny corpus") {
     // 4 docs; "a b" co-occur in 2 of 4 docs, df(a)=3, df(b)=2
     //   lift(a,b) = 2*4/(3*2) = 4/3

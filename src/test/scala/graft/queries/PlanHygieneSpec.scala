@@ -194,7 +194,8 @@ class PlanHygieneSpec extends AnyFunSuite {
         "q154_winsorize", "q156_nucleus_coverage",
         "q157_attribution", "q159_volume_anomaly",
         "q160_kfold", "q162_interarrival", "q166_motifs",
-        "q171_tail_index", "q172_transition_entropy")) {
+        "q171_tail_index", "q172_transition_entropy",
+        "q174_distinctive_terms", "q176_containment")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
