@@ -151,4 +151,46 @@ object LanguageModel {
           .as("oov_rate"),
         coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"))
   }
+  /** N-gram novelty per ingest period — content freshness at the
+    * PHRASE level, where [[Dedup.noveltyByPeriod]] measures it at
+    * the whole-document level: a batch can be 100% document-novel
+    * yet phrase-stale (template churn), and that gap is the
+    * clearest boilerplate-contamination signal an ingest monitor
+    * gets. Per period: gram incidences (grams are DISTINCT within a
+    * document — the `wordNgrams` set semantics every dedup operator
+    * here shares), distinct gram types, types first seen in this
+    * period, and the novelty rate new/types (one IEEE division).
+    *
+    * Shape: one gram explode feeding (a) gram-keyed first-period
+    * mins and (b) (period, gram)-keyed type counts — all
+    * partial-aggregated; the gram stream is never windowed. First
+    * occurrence = min period per gram (ties inside a period are the
+    * same period — no tiebreak needed at type granularity). */
+  def gramNovelty(
+      df: DataFrame,
+      textCol: String,
+      periodCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    val pt = df.schema(periodCol).dataType.typeName
+    require(Seq("long", "integer", "short", "byte").contains(pt),
+      s"periodCol $periodCol must be integral, got $pt")
+    val ngramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else Kernels.wordNgrams(t, n))
+    val grams = df.select(col(periodCol).cast("long").as("period"),
+      explode(ngramsUdf(col(textCol))).as("g"))
+    val occ = grams.groupBy("period")
+      .agg(count(lit(1)).as("n_incidences"))
+    val types = grams.select("period", "g").distinct()
+    val typesPerPeriod = types.groupBy("period")
+      .agg(count(lit(1)).as("n_types"))
+    val news = types.groupBy("g").agg(min("period").as("period"))
+      .groupBy("period").agg(count(lit(1)).as("n_new_types"))
+    occ.join(typesPerPeriod, "period")
+      .join(news, Seq("period"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("novelty_rate",
+        expr("CAST(n_new_types AS DOUBLE) / CAST(n_types AS DOUBLE)"))
+  }
+
 }

@@ -544,6 +544,49 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Burstiness (Fano factor) per key — variance-to-mean ratio of
+    * daily activity counts: ≈1 is Poisson-like organic behavior,
+    * ≫1 is bursty (campaigns, scrapers waking up), ≪1 is
+    * machine-regular (cron bots hitting exactly n/day) — the
+    * per-entity behavioral screen that complements
+    * [[TimeSeries.volumeAnomaly]]'s per-day flags. Only ACTIVE days
+    * enter (a key's absent days are unobserved, not zero — the
+    * honest default for open populations; densify upstream with
+    * [[TimeSeries.resampleFill]] to opt into closed-world zeros).
+    *
+    * Exact: daily counts are one (key, day) partial agg; the moments
+    * (n, Σ, Σ²) are exact integer sums and Fano =
+    * (n·Σ² − Σ²) / ((n−1)·Σ) is ONE IEEE division of exact 64-bit
+    * operands — no intermediate float accumulation anywhere. Keys
+    * with a single active day emit null (variance undefined).
+    *
+    * Output: (key..., n_days, total, fano). */
+  def fanoFactor(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("n_days", "total", "fano", "day").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by fanoFactor")
+    }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    df.select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(keyC: _*)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("_c")).as("total"),
+        sum(col("_c") * col("_c")).as("_ssq"))
+      .withColumn("fano",
+        when(col("n_days") > 1,
+          expr("CAST(n_days * _ssq - total * total AS DOUBLE) " +
+            "/ CAST((n_days - 1) * total AS DOUBLE)")))
+      .drop("_ssq")
+  }
+
   /** Heavy-tail index per group (Hill estimator) — HOW heavy is the
     * tail of a measure's distribution: α̂ = m / Σ ln(x_i / x_ref)
     * over the m largest values against the (m+1)-th as reference.

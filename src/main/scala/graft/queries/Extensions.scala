@@ -2691,6 +2691,107 @@ object Extensions {
       ORDER BY id_a, id_b""")
   )
 
+  private val q177_gram_novelty = Q(
+    "q177_gram_novelty",
+    // Phrase-level freshness per ingest batch (doc_id div 100):
+    // gram incidences, distinct types, first-seen types, and the
+    // novelty rate — gram-keyed partial aggs, no windows; the
+    // document-level twin is q165.
+    (s, dir) =>
+      graft.operators.LanguageModel.gramNovelty(
+        table(s, dir, "documents")
+          .withColumn("batch", expr("doc_id div 100")),
+        "text", "batch", n = 3)
+        .orderBy("period"),
+    Some(s"""WITH g AS (SELECT doc_id // 100 AS period,
+        unnest(${ngrams3(W)}) AS gm FROM documents),
+      occ AS (SELECT period, CAST(count(*) AS BIGINT) AS n_incidences
+        FROM g GROUP BY 1),
+      ty AS (SELECT DISTINCT period, gm FROM g),
+      tp AS (SELECT period, CAST(count(*) AS BIGINT) AS n_types
+        FROM ty GROUP BY 1),
+      nw AS (SELECT period, CAST(count(*) AS BIGINT) AS n_new_types
+        FROM (SELECT gm, min(period) AS period FROM ty GROUP BY 1)
+        GROUP BY 1)
+      SELECT CAST(occ.period AS BIGINT) AS period, occ.n_incidences,
+        tp.n_types,
+        CAST(COALESCE(nw.n_new_types, 0) AS BIGINT) AS n_new_types,
+        CAST(COALESCE(nw.n_new_types, 0) AS DOUBLE)
+          / CAST(tp.n_types AS DOUBLE) AS novelty_rate
+      FROM occ JOIN tp USING (period) LEFT JOIN nw USING (period)
+      ORDER BY period""")
+  )
+
+  private val q178_crosssource_dups = Q(
+    "q178_crosssource_dups",
+    // Who duplicates whom: near-dup pair counts by unordered source
+    // pair (diagonal = within-source) with the share of all pairs —
+    // the mirror-site / syndication report on top of the LSH pair
+    // graph.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      val tagged = pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("_sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("_sb")), "id_b")
+        .select(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+      val total = tagged.agg(sum("n_pairs").as("_t"))
+      tagged.crossJoin(broadcast(total))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          (col("n_pairs").cast("double") / col("_t").cast("double"))
+            .as("share"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= 0.5),
+      t AS (SELECT least(da.source, db.source) AS source_a,
+          greatest(da.source, db.source) AS source_b,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2),
+      tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM t)
+      SELECT t.source_a, t.source_b, t.n_pairs,
+        CAST(t.n_pairs AS DOUBLE) / CAST(tt.t AS DOUBLE) AS share
+      FROM t, tt ORDER BY t.source_a, t.source_b""")
+  )
+
+  private val q179_burstiness = Q(
+    "q179_burstiness",
+    // Behavioral screen: per-user Fano factor (variance/mean of
+    // daily event counts over active days) — exact integer moments,
+    // ONE IEEE division; single-active-day users emit null.
+    (s, dir) =>
+      graft.operators.Profile.fanoFactor(
+        events(s, dir), Seq("user_id"), "ts")
+        .orderBy("user_id"),
+    Some("""WITH d AS (SELECT user_id,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(c) AS BIGINT) AS total,
+        CAST(sum(c * c) AS BIGINT) AS ssq FROM d GROUP BY 1)
+      SELECT user_id, n_days, total,
+        CASE WHEN n_days > 1 THEN
+          CAST(n_days * ssq - total * total AS DOUBLE)
+            / CAST((n_days - 1) * total AS DOUBLE) END AS fano
+      FROM m ORDER BY user_id""")
+  )
+
   private val q128_jaccard_search = Q(
     "q128_jaccard_search",
     // Single-query Jaccard document search (the dedup-as-a-service
@@ -4633,5 +4734,6 @@ object Extensions {
     q169_triangle_stats, q170_quantile_map, q171_tail_index,
     q172_transition_entropy, q173_temperature_mix,
     q174_distinctive_terms, q175_survival_curve, q176_containment,
+    q177_gram_novelty, q178_crosssource_dups, q179_burstiness,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -76,6 +76,33 @@ class LanguageModelSpec extends AnyFunSuite {
     }
   }
 
+  test("gramNovelty: first-seen types per batch, within-doc distinctness") {
+    // batch 0: "a b c d" -> grams {abc, bcd}; "a b c e" -> {abc, bce}
+    // batch 1: "a b c d" (all stale) ; batch 2: "x y z w" -> 2 new
+    val docs = Seq(
+      (0L, "a b c d"), (0L, "a b c e"),
+      (1L, "a b c d"),
+      (2L, "x y z w"))
+      .toDF("batch", "text")
+    val got = LanguageModel.gramNovelty(docs, "text", "batch", n = 3)
+      .orderBy("period")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 3L, 3L, 1.0),   // abc(x2 docs), bcd, bce: 4 incidences
+      (1L, 2L, 2L, 0L, 0.0),   // all grams seen in batch 0
+      (2L, 2L, 2L, 2L, 1.0)))
+    // a doc repeating its own gram counts it ONCE (set semantics)
+    val rep = Seq((0L, "a b c a b c a b c")).toDF("batch", "text")
+    val r = LanguageModel.gramNovelty(rep, "text", "batch", 3)
+      .collect().head
+    // grams: abc, bca, cab, abc(dup), bca(dup) -> 3 distinct
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    intercept[IllegalArgumentException] {
+      LanguageModel.gramNovelty(
+        Seq((1.5, "x")).toDF("batch", "text"), "text", "batch")
+    }
+  }
+
   test("oovReport: hand-counted OOV occurrences and types per group") {
     // corpus token counts: the(4) cat(3) dog(2) rare(1) odd(1)
     // minCount=2 vocab = {the, cat, dog}; rare/odd are OOV

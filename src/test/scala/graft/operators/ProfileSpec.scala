@@ -357,6 +357,30 @@ class ProfileSpec extends AnyFunSuite {
       clean.toDF("g", "id", "v"), Seq("g"), "id", "v").count() == 0L)
   }
 
+  test("fanoFactor: regular, Poisson-ish, and bursty keys hand-checked") {
+    import spark.implicits._
+    def mk(u: Long, perDay: Seq[Int]) = perDay.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i =>
+        (u, new java.sql.Timestamp((d * 86400L + i) * 1000L)))
+    }
+    // u1 machine-regular 5/day x4: var 0 -> fano 0
+    // u2 bursty [1,1,1,17]: n=4 s=20 ssq=292 -> (4*292-400)/(3*20)=12.8
+    // u3 single active day -> null
+    val df = (mk(1L, Seq(5, 5, 5, 5)) ++ mk(2L, Seq(1, 1, 1, 17)) ++
+      mk(3L, Seq(9)))
+      .toDF("user_id", "ts")
+    val got = Profile.fanoFactor(df.repartition(7), Seq("user_id"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 20L, Some(0.0))))
+    assert(got(2L) == ((4L, 20L, Some(12.8))))
+    assert(got(3L) == ((1L, 9L, None)))
+    intercept[IllegalArgumentException] {
+      Profile.fanoFactor(df, Seq("day"), "ts")
+    }
+  }
+
   test("tailIndex: hand-checked Hill alpha, degenerate and cutoff cases") {
     import spark.implicits._
     // xs desc = [8,4,2,1]: ref 1, m 3, lnsum = ln8+ln4+ln2 = 6 ln2
