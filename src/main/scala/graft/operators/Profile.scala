@@ -544,6 +544,72 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Tamper-evident provenance ledger — one chained fingerprint per
+    * ingest period: any row added, dropped, or edited in ANY past
+    * period changes every chain hash from that period forward, so
+    * two parties (producer, consumer, auditor) can compare one hash
+    * instead of re-scanning history. The batch-level analog of a
+    * commit DAG for a corpus.
+    *
+    * Construction: row signature = md5-lower-64 of "id:text" (the
+    * repo's cross-engine hash); per-period content fingerprint =
+    * BIT_XOR of row signatures (order-free — partial-aggregates,
+    * immune to partitioning) plus the row count. Honesty note on
+    * strength: XOR-of-hashes detects corruption, loss, and drift —
+    * the operational threats — but is NOT an adversarial
+    * commitment (crafted row sets can cancel in XOR; an identical
+    * duplicated pair XORs to the same zero as another identical
+    * pair). Adversarial settings want a Merkle tree; this ledger's
+    * job is cheap continuous integrity monitoring. Chain hash_i =
+    * md5(hash_{i−1} ':' period ':' xor ':' n) folded over periods in
+    * order. The fold is PERIODS-sized (bounded by calendar, not
+    * data) — one collect into a single sorted struct list and a
+    * sequential UDF, the q94 bounded-fold discipline; everything
+    * row-scale is one partial-agg shuffle.
+    *
+    * Output: (period, n_rows, xor_sig, chain_hash), one row per
+    * period, chain seeded with the literal "genesis". */
+  def provenanceLedger(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      periodCol: String): DataFrame = {
+    val pt = df.schema(periodCol).dataType.typeName
+    require(Seq("long", "integer", "short", "byte").contains(pt),
+      s"periodCol $periodCol must be integral, got $pt")
+    val sigUdf = udf((id: Long, t: String) =>
+      graft.operators.Kernels.md5Lower64(s"$id:${if (t == null) "" else t}"))
+    val per = df
+      .select(col(periodCol).cast("long").as("period"),
+        sigUdf(col(idCol).cast("long"), col(textCol)).as("_sig"))
+      .groupBy("period")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_sig)").as("xor_sig"))
+    val chainUdf = udf((periods: scala.collection.Seq[Long],
+        ns: scala.collection.Seq[Long],
+        xors: scala.collection.Seq[Long]) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      var prev = "genesis"
+      periods.indices.map { i =>
+        val s = s"$prev:${periods(i)}:${xors(i)}:${ns(i)}"
+        prev = hex(md.digest(s.getBytes("UTF-8")))
+        (periods(i), prev)
+      }
+    })
+    val chained = per
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("period"), col("n_rows"),
+        col("xor_sig")))).as("_ps"))
+      .select(explode(chainUdf(
+        transform(col("_ps"), p => p.getField("period")),
+        transform(col("_ps"), p => p.getField("n_rows")),
+        transform(col("_ps"), p => p.getField("xor_sig")))).as("_c"))
+      .select(col("_c._1").as("period"), col("_c._2").as("chain_hash"))
+    per.join(chained, "period")
+      .select(col("period"), col("n_rows"), col("xor_sig"),
+        col("chain_hash"))
+  }
+
   /** Burstiness (Fano factor) per key — variance-to-mean ratio of
     * daily activity counts: ≈1 is Poisson-like organic behavior,
     * ≫1 is bursty (campaigns, scrapers waking up), ≪1 is

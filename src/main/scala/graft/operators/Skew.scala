@@ -175,6 +175,58 @@ object Skew {
     * Reference analog: the reference hash-partitions unconditionally
     * (`Imagine_MapReduce/Partitioner.h`) — range layout planning has
     * no spelling there. */
+  /** Join-strategy pre-flight — the one-row report that decides HOW
+    * to spell a join before paying for it wrong: both sides' row
+    * counts and null-key rates, each side's hottest-key share, and a
+    * rule-based recommendation (broadcast the small side / salt the
+    * skewed side / plain shuffle). Composes [[heavyKeys]]'s counts
+    * with [[Profile.joinSizeAudit]]'s sizing into the decision
+    * artifact a pipeline can persist next to the job config — at
+    * 100 TB the wrong join spelling is the difference between
+    * minutes and a dead executor, and this costs two key-aggregated
+    * counts.
+    *
+    * Rules, applied in order (thresholds are the caller's contract,
+    * defaults conservative): a side at or under `broadcastRows` →
+    * broadcast it (smaller side wins ties); else a side whose top
+    * key holds ≥ `skewShare` of its rows → salt that side's
+    * shuffle; else plain shuffle. Null keys never match an inner
+    * join — their rate is reported so the caller filters them
+    * before paying to shuffle them.
+    *
+    * Output (one row): (left_rows, right_rows, left_null_keys,
+    * right_null_keys, left_top_share, right_top_share,
+    * recommendation). */
+  def joinAdvisor(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      broadcastRows: Long = 1000000L,
+      skewShare: Double = 0.2): DataFrame = {
+    require(broadcastRows >= 0 && skewShare > 0 && skewShare <= 1.0,
+      s"bad thresholds: broadcastRows=$broadcastRows skewShare=$skewShare")
+    def side(df: DataFrame, key: String, tag: String) = {
+      val counts = df.groupBy(col(key).as("_k"))
+        .agg(count(lit(1)).as("_n"))
+      counts.agg(
+        sum(col("_n")).as(s"${tag}_rows"),
+        coalesce(sum(when(col("_k").isNull, col("_n"))), lit(0L))
+          .as(s"${tag}_null_keys"),
+        (max(col("_n")).cast("double") /
+          sum(col("_n")).cast("double")).as(s"${tag}_top_share"))
+    }
+    side(left, leftKey, "left").crossJoin(side(right, rightKey, "right"))
+      .withColumn("recommendation",
+        when(col("left_rows") <= broadcastRows &&
+          col("left_rows") <= col("right_rows"), lit("broadcast_left"))
+          .when(col("right_rows") <= broadcastRows,
+            lit("broadcast_right"))
+          .when(col("left_top_share") >= skewShare ||
+            col("right_top_share") >= skewShare, lit("salted_shuffle"))
+          .otherwise(lit("shuffle")))
+  }
+
   /** The global-prefix-sum building block shared by [[rangeBounds]]
     * and [[Features.quantileMap]]: given a distinct-values frame
     * `(_v, _cnt)`, return it with `_cum` = the ≤-cumulative count —

@@ -3105,6 +3105,156 @@ object Extensions {
       FROM b GROUP BY event_type, day ORDER BY event_type, day""")
   )
 
+  private val q180_stream_expectations = Q(
+    "q180_stream_expectations",
+    // Continuous data-contract enforcement, oracle-backed end to
+    // end: the events corpus arrives as TWO micro-batches (event_id
+    // parity halves) through expectationsStream; each batch's audit
+    // verdicts land in the batch-keyed parquet ledger (idempotent
+    // replay by overwrite) and the oracle recomputes every per-half
+    // violation count from the raw events.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q180_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val (h1, h2) = cachedFixture(s"q180:$dir") {
+          val ev = events(s, dir)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"))
+          def half(p: org.apache.spark.sql.Column) =
+            ev.filter(p).select("user_id", "event_type", "value")
+              .as[(Option[Long], String, Option[Double])].collect().toSeq
+          (half(col("event_id") % 2 === 0),
+            half(col("event_id") % 2 =!= 0))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Option[Long], String, Option[Double])]
+        val checks = Seq(
+          "type_accepted" -> col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"),
+          "user_not_null" -> col("user_id").isNotNull,
+          "value_range" -> col("value").between(0.0, 50.0))
+        val q = graft.streaming.Streams.expectationsStream(
+          mem.toDF().toDF("user_id", "event_type", "value")
+            .repartition(s.sparkContext.defaultParallelism),
+          checks, s"$base/ledger", s"$base/ckpt")
+        try {
+          mem.addData(h1)
+          q.processAllAvailable()
+          mem.addData(h2)
+          q.processAllAvailable()
+        } finally q.stop()
+        collectToLocal(
+          graft.streaming.Streams.expectationsLedger(s, s"$base/ledger")
+            .select(col("batch").cast("long").as("batch_id"),
+              col("rule"), col("kind"), col("violations"),
+              col("total"), col("pass")),
+          "q180 expectations ledger")
+          .orderBy("batch_id", "rule")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+      }
+    },
+    Some("""WITH b AS (SELECT event_id % 2 AS half, user_id,
+        event_type, value FROM events),
+      t AS (SELECT half, CAST(count(*) AS BIGINT) AS total
+        FROM b GROUP BY 1),
+      r AS (
+        SELECT half, 'type_accepted' AS rule, 'row' AS kind,
+          CAST(sum(CASE WHEN COALESCE(event_type IN ('click', 'view',
+            'purchase', 'signup', 'error'), FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) AS violations
+          FROM b GROUP BY 1
+        UNION ALL SELECT half, 'user_not_null', 'row',
+          CAST(sum(CASE WHEN user_id IS NOT NULL
+            THEN 0 ELSE 1 END) AS BIGINT) FROM b GROUP BY 1
+        UNION ALL SELECT half, 'value_range', 'row',
+          CAST(sum(CASE WHEN COALESCE(
+            value BETWEEN 0.0 AND 50.0, FALSE)
+            THEN 0 ELSE 1 END) AS BIGINT) FROM b GROUP BY 1)
+      SELECT CAST(r.half AS BIGINT) AS batch_id, r.rule, r.kind,
+        r.violations, t.total, r.violations = 0 AS pass
+      FROM r JOIN t USING (half) ORDER BY batch_id, rule""")
+  )
+
+  private val q181_join_advisor = Q(
+    "q181_join_advisor",
+    // Join pre-flight: lineitem x supplier sized and skew-profiled
+    // into one decision row — two key-aggregated counts, rule-based
+    // recommendation (the tiny supplier side broadcasts).
+    (s, dir) =>
+      graft.operators.Skew.joinAdvisor(
+        table(s, dir, "lineitem"), "l_suppkey",
+        table(s, dir, "supplier"), "s_suppkey"),
+    Some("""WITH lc AS (SELECT l_suppkey AS k,
+        CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+      la AS (SELECT CAST(sum(n) AS BIGINT) AS left_rows,
+        CAST(COALESCE(sum(CASE WHEN k IS NULL THEN n END), 0)
+          AS BIGINT) AS left_null_keys,
+        CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+          AS left_top_share FROM lc),
+      rc AS (SELECT s_suppkey AS k,
+        CAST(count(*) AS BIGINT) AS n FROM supplier GROUP BY 1),
+      ra AS (SELECT CAST(sum(n) AS BIGINT) AS right_rows,
+        CAST(COALESCE(sum(CASE WHEN k IS NULL THEN n END), 0)
+          AS BIGINT) AS right_null_keys,
+        CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+          AS right_top_share FROM rc)
+      SELECT la.left_rows, la.left_null_keys, la.left_top_share,
+        ra.right_rows, ra.right_null_keys, ra.right_top_share,
+        CASE WHEN la.left_rows <= 1000000
+            AND la.left_rows <= ra.right_rows THEN 'broadcast_left'
+          WHEN ra.right_rows <= 1000000 THEN 'broadcast_right'
+          WHEN la.left_top_share >= 0.2 OR ra.right_top_share >= 0.2
+            THEN 'salted_shuffle'
+          ELSE 'shuffle' END AS recommendation
+      FROM la, ra""")
+  )
+
+  private val q182_provenance = Q(
+    "q182_provenance",
+    // Tamper-evident ingest ledger over 100-doc batches: per-period
+    // XOR of md5-lower-64 row signatures (order-free partial agg) +
+    // row count, chained through md5 in period order (bounded fold,
+    // genesis-seeded). The oracle rebuilds every signature, XOR, and
+    // chain link via a recursive CTE.
+    (s, dir) =>
+      graft.operators.Profile.provenanceLedger(
+        table(s, dir, "documents")
+          .withColumn("batch", expr("doc_id div 100")),
+        "doc_id", "text", "batch")
+        .orderBy("period"),
+    Some("""WITH RECURSIVE b AS (SELECT doc_id // 100 AS period,
+        md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
+          || COALESCE(text, '')) AS us FROM documents),
+      sgn AS (SELECT period,
+        CAST(CASE WHEN us >= 9223372036854775808::HUGEINT
+          THEN us - 18446744073709551616::HUGEINT
+          ELSE us END AS BIGINT) AS sig FROM b),
+      per AS (SELECT period, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(bit_xor(sig) AS BIGINT) AS xor_sig FROM sgn GROUP BY 1),
+      seq AS (SELECT per.*, CAST(row_number() OVER (ORDER BY period)
+        AS BIGINT) AS rn FROM per),
+      ch AS (
+        SELECT rn, period, n_rows, xor_sig,
+          md5('genesis' || ':' || CAST(period AS VARCHAR) || ':'
+            || CAST(xor_sig AS VARCHAR) || ':'
+            || CAST(n_rows AS VARCHAR)) AS chain_hash
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.period, s.n_rows, s.xor_sig,
+          md5(c.chain_hash || ':' || CAST(s.period AS VARCHAR) || ':'
+            || CAST(s.xor_sig AS VARCHAR) || ':'
+            || CAST(s.n_rows AS VARCHAR))
+        FROM ch c JOIN seq s ON s.rn = c.rn + 1)
+      SELECT CAST(period AS BIGINT) AS period, n_rows, xor_sig,
+        chain_hash
+      FROM ch ORDER BY period""")
+  )
+
   private val q136_feature_scale = Q(
     "q136_feature_scale",
     // Per-source feature scaling of token counts: percent_rank (rank
@@ -4735,5 +4885,6 @@ object Extensions {
     q172_transition_entropy, q173_temperature_mix,
     q174_distinctive_terms, q175_survival_curve, q176_containment,
     q177_gram_novelty, q178_crosssource_dups, q179_burstiness,
+    q180_stream_expectations, q181_join_advisor, q182_provenance,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -591,6 +591,54 @@ object Streams {
       f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
+  /** Continuous data-contract enforcement — the streaming face of
+    * [[graft.operators.Expectations.audit]]: every micro-batch is
+    * audited against the declared row-scoped rules and its verdict
+    * row appended to a parquet LEDGER keyed by batch id, so the
+    * orchestrator gates promotion on the ledger instead of
+    * re-scanning data, and a replayed batch (crash recovery)
+    * OVERWRITES its own ledger partition — idempotent by
+    * construction, the q101/q105/q135 replay contract. Rules are
+    * row-scoped only: cross-batch uniqueness belongs to the
+    * digest-index ingestion path ([[ingestNearDupStream]] family),
+    * not a per-batch audit. */
+  def expectationsStream(
+      rows: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      ledgerDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checks.nonEmpty, "at least one rule required")
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        expectationsBatch(batch, batchId, checks, ledgerDir)
+      }
+      .start()
+  }
+
+  /** One [[expectationsStream]] micro-batch, factored out so the
+    * replay contract is directly testable. */
+  private[streaming] def expectationsBatch(
+      batch: DataFrame,
+      batchId: Long,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      ledgerDir: String): Unit = {
+    val t0 = System.nanoTime()
+    graft.operators.Expectations.audit(batch, checks)
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+    System.err.println(f"[graft] expectationsBatch batch=$batchId " +
+      f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+  }
+
+  /** The audit ledger over every batch [[expectationsStream]] has
+    * written: (batch, rule, kind, violations, total, pass) —
+    * batch-count-sized, the frame a promotion gate reads. */
+  def expectationsLedger(
+      spark: SparkSession,
+      ledgerDir: String): DataFrame =
+    spark.read.parquet(ledgerDir)
+
   /** The maintained view over every delta [[ingestAggStream]] has
     * written: one partition-discovered read + one state-sized merge.
     * Also the compaction step — its result re-written as a single

@@ -357,6 +357,41 @@ class ProfileSpec extends AnyFunSuite {
       clean.toDF("g", "id", "v"), Seq("g"), "id", "v").count() == 0L)
   }
 
+  test("provenanceLedger: tamper propagates forward, XOR is order-free") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"text $i", i / 10))
+      .toDF("id", "text", "p")
+    val base = Profile.provenanceLedger(docs, "id", "text", "p")
+      .orderBy("period")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(base.map(_._1) == Seq(0L, 1L, 2L) &&
+      base.forall(_._2 == 10L))
+    // physical layout cannot change any hash
+    val again = Profile.provenanceLedger(docs.repartition(7), "id",
+      "text", "p").orderBy("period")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(again == base)
+    // editing one row in period 0 changes EVERY chain hash forward
+    val tampered = docs.withColumn("text",
+      when(col("id") === 3L, lit("EDITED")).otherwise(col("text")))
+    val t = Profile.provenanceLedger(tampered, "id", "text", "p")
+      .orderBy("period").as[(Long, Long, Long, String)].collect().toSeq
+    assert(t.head._3 != base.head._3)
+    assert(t.map(_._4).zip(base.map(_._4)).forall {
+      case (a, b) => a != b })
+    // editing the LAST period leaves earlier links intact
+    val late = docs.withColumn("text",
+      when(col("id") === 25L, lit("EDITED")).otherwise(col("text")))
+    val l = Profile.provenanceLedger(late, "id", "text", "p")
+      .orderBy("period").as[(Long, Long, Long, String)].collect().toSeq
+    assert(l.take(2) == base.take(2) && l.last._4 != base.last._4)
+    // a dropped row changes both the count and the chain
+    val dropped = Profile.provenanceLedger(
+      docs.filter(col("id") =!= 7L), "id", "text", "p")
+      .orderBy("period").as[(Long, Long, Long, String)].collect().toSeq
+    assert(dropped.head._2 == 9L && dropped.head._4 != base.head._4)
+  }
+
   test("fanoFactor: regular, Poisson-ish, and bursty keys hand-checked") {
     import spark.implicits._
     def mk(u: Long, perDay: Seq[Int]) = perDay.zipWithIndex.flatMap {

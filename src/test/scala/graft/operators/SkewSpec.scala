@@ -196,6 +196,40 @@ class SkewSpec extends AnyFunSuite {
     assert(again == exp)
   }
 
+  test("joinAdvisor: all four recommendations and null-key reporting") {
+    import spark.implicits._
+    val big = (0 until 5000).map(i => (i % 500).toLong).toDF("k")
+    val tiny = (0L until 20L).toDF("k")
+    // tiny right side -> broadcast_right
+    val r1 = Skew.joinAdvisor(big, "k", tiny, "k",
+      broadcastRows = 100L).collect().head
+    assert(r1.getAs[String]("recommendation") == "broadcast_right")
+    assert(r1.getAs[Long]("left_rows") == 5000L &&
+      r1.getAs[Long]("right_rows") == 20L)
+    // tiny left side (and smaller) -> broadcast_left
+    assert(Skew.joinAdvisor(tiny, "k", big, "k", 100L)
+      .collect().head.getAs[String]("recommendation") == "broadcast_left")
+    // both big, one hot key holding 50% -> salted_shuffle
+    val hot = ((0 until 600).map(_ => 1L) ++
+      (0 until 600).map(i => (i + 10).toLong)).toDF("k")
+    val r3 = Skew.joinAdvisor(hot, "k", big, "k",
+      broadcastRows = 10L, skewShare = 0.4).collect().head
+    assert(r3.getAs[String]("recommendation") == "salted_shuffle")
+    assert(r3.getAs[Double]("left_top_share") == 0.5)
+    // both big, no skew -> shuffle
+    assert(Skew.joinAdvisor(big, "k", big, "k", 10L, 0.4)
+      .collect().head.getAs[String]("recommendation") == "shuffle")
+    // null keys counted, never silently dropped
+    val withNulls = (Seq.fill(30)(Option.empty[Long]) ++
+      (0 until 70).map(i => Some(i.toLong))).toDF("k")
+    val r5 = Skew.joinAdvisor(withNulls, "k", tiny, "k", 5L)
+      .collect().head
+    assert(r5.getAs[Long]("left_null_keys") == 30L)
+    intercept[IllegalArgumentException] {
+      Skew.joinAdvisor(big, "k", tiny, "k", skewShare = 0.0)
+    }
+  }
+
   test("rangeBounds loud contracts") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

@@ -544,4 +544,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(centsAfter == centsBefore, "batch-0 replay retrained differently")
     assert(pairRows() == before, "batch-0 replay changed the pair set")
   }
+
+  test("expectationsBatch: ledger accumulates per batch; replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_exp_ledger_").toString
+    try {
+      val checks = Seq(
+        "v_range" -> col("v").between(0L, 10L),
+        "name_not_null" -> col("name").isNotNull)
+      val b0 = Seq((1L, Some("a")), (20L, Some("b")), (3L, None))
+        .toDF("v", "name")
+      val b1 = Seq((4L, Some("c")), (5L, Some("d"))).toDF("v", "name")
+      graft.streaming.Streams.expectationsBatch(b0, 0L, checks,
+        s"$base/ledger")
+      graft.streaming.Streams.expectationsBatch(b1, 1L, checks,
+        s"$base/ledger")
+      def ledger() = graft.streaming.Streams
+        .expectationsLedger(spark, s"$base/ledger")
+        .select(col("batch").cast("long"), col("rule"),
+          col("violations"), col("pass"))
+        .as[(Long, String, Long, Boolean)].collect().sorted.toSeq
+      val first = ledger()
+      assert(first == Seq(
+        (0L, "name_not_null", 1L, false), (0L, "v_range", 1L, false),
+        (1L, "name_not_null", 0L, true), (1L, "v_range", 0L, true)))
+      // crash replay: batch 0 re-runs with the same id -> byte-identical
+      graft.streaming.Streams.expectationsBatch(b0, 0L, checks,
+        s"$base/ledger")
+      assert(ledger() == first, "replay changed the ledger")
+      // and the streaming wrapper refuses an empty rule set loudly
+      intercept[IllegalArgumentException] {
+        graft.streaming.Streams.expectationsStream(
+          b0, Nil, s"$base/ledger", s"$base/ckpt")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
 }
