@@ -550,4 +550,115 @@ object TimeSeries {
       .select(keyC ++ Seq(col("value"), col("valid_from_us"),
         col("valid_to_us"), col("n_events"), col("is_current")): _*)
   }
+
+  /** CUSUM drift detection on daily event volume — the changepoint
+    * screen that catches a slow upstream decay (a crawler quietly
+    * losing a shard, a producer double-emitting) long before any
+    * single day trips the 3σ spike test ([[volumeAnomaly]] is the
+    * spike twin; CUSUM accumulates small same-signed deviations).
+    *
+    * EXACT INTEGER arithmetic throughout. The textbook recursion
+    * S⁺_t = max(0, S⁺_{t−1} + x_t − μ − k) is not a prefix sum, but
+    * its closed form is: S⁺_t = C_t − min_{j≤t} C_j with
+    * C_t = Σ_{i≤t}(x_i − μ − k) and C_0 = 0. Scale everything by
+    * 4n (n = the key's day count, S = its total): with allowance
+    * k = μ/4 and in 4n units, C'_t = 4n·P_t − 5S·t where P_t is the
+    * integer prefix count sum — a BIGINT. Both the running sum and
+    * the running min are key-partitioned windows over the DAILY
+    * frame; sums of integers are order-free, so the result is
+    * deterministic and bitwise cross-engine. The only IEEE ops are
+    * the two final normalizations `S±'/(4n·μ/n)` emitted for
+    * readability — flags compare integers.
+    *
+    * Day grid: each key's [min_day, max_day] span is made gap-free
+    * (`sequence` + explode, zero-filled) — a volume COLLAPSE is
+    * precisely the case where days stop arriving, and a grid-less
+    * spelling would never see them.
+    *
+    * Flags: `flag_pos` (volume drifted up) when S⁺'_t > 4·H·S, i.e.
+    * S⁺_t > H·μ in day-count units; `flag_neg` symmetric.
+    *
+    * Overflow contract, guarded loudly: 5·S·n_days must fit 64 bits
+    * with margin — per-key totals ≤ 1e11 events and spans ≤ 20k days.
+    *
+    * Output: (key..., day, cnt, cusum_pos, cusum_neg, flag_pos,
+    * flag_neg) — cusum_± in μ units (DOUBLE, two fixed IEEE ops). */
+  def cusumVolume(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      thresholdMu: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(thresholdMu >= 1 && thresholdMu <= 100,
+      s"thresholdMu must be in [1, 100], got $thresholdMu")
+    Seq("day", "cnt", "cusum_pos", "cusum_neg", "flag_pos", "flag_neg")
+      .foreach { r =>
+        require(!keyCols.contains(r),
+          s"key column name $r is reserved by cusumVolume")
+      }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // Gap-free per-key grid: missing days are real zero-volume days.
+    val span = daily.groupBy(keyC: _*)
+      .agg(min("day").as("_d0"), max("day").as("_d1"),
+        sum("cnt").as("_s"))
+    val worst = span
+      .agg(max(col("_s")).as("ms"),
+        max(col("_d1") - col("_d0") + 1).as("md"))
+      .head()
+    if (!worst.isNullAt(0)) {
+      val (ms, md) = (worst.getLong(0), worst.getLong(1))
+      require(ms <= 100000000000L && md <= 20000L,
+        s"cusumVolume: a key holds $ms events over $md days — beyond " +
+          "the 5·S·n 64-bit overflow contract; pre-aggregate to a " +
+          "coarser key or shorter span")
+    }
+    val grid = span
+      .select(keyC ++ Seq(col("_s"),
+        (col("_d1") - col("_d0") + 1L).as("_n"), explode(
+          sequence(col("_d0"), col("_d1"))).as("day")): _*)
+    val full = grid
+      .join(daily, keyCols :+ "day", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    // n = gap-free grid day count, carried from the span agg; t =
+    // 1-based position; P = integer prefix sum — one window pass.
+    val wCum = Window.partitionBy(keyC: _*).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withC = full
+      .withColumn("_p", sum(col("cnt")).over(wCum))
+      .withColumn("_t", count(lit(1)).over(wCum))
+    // C'_t = 4n·P_t − 5S·t  (allowance k = μ/4, scaled by 4n);
+    // D'_t = 3S·t − 4n·P_t  (downward twin, allowance μ/4).
+    val withS = withC
+      .withColumn("_cp", lit(4L) * col("_n") * col("_p")
+        - lit(5L) * col("_s") * col("_t"))
+      .withColumn("_cn", lit(3L) * col("_s") * col("_t")
+        - lit(4L) * col("_n") * col("_p"))
+      .withColumn("_mp",
+        least(lit(0L), min(col("_cp")).over(wCum)))
+      .withColumn("_mn",
+        least(lit(0L), min(col("_cn")).over(wCum)))
+      .withColumn("_sp", col("_cp") - col("_mp"))
+      .withColumn("_sn", col("_cn") - col("_mn"))
+    // S±' are in 4n units of day-counts; μ = S/n, so S±'/(4S) is the
+    // CUSUM in μ units. Two fixed IEEE divisions, flags on integers.
+    withS
+      .withColumn("cusum_pos",
+        when(col("_s") > 0,
+          col("_sp").cast("double") / (lit(4.0) * col("_s").cast("double"))))
+      .withColumn("cusum_neg",
+        when(col("_s") > 0,
+          col("_sn").cast("double") / (lit(4.0) * col("_s").cast("double"))))
+      .withColumn("flag_pos",
+        col("_sp") > lit(4L) * thresholdMu * col("_s"))
+      .withColumn("flag_neg",
+        col("_sn") > lit(4L) * thresholdMu * col("_s"))
+      .select(keyC ++ Seq(col("day"), col("cnt"), col("cusum_pos"),
+        col("cusum_neg"), col("flag_pos"), col("flag_neg")): _*)
+  }
 }

@@ -4840,6 +4840,146 @@ object Extensions {
       FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""")
   )
 
+  private val q183_skyline = Q(
+    "q183_skyline",
+    // Pareto frontier of the part catalog under (minimize
+    // p_retailprice, maximize p_size) — the cost/quality screen.
+    // Two-phase bucketed dominance: per-bucket prefix-max windows
+    // (partitioned, never global) + a B-row bucket-summary join; the
+    // oracle is the textbook NOT EXISTS dominance test.
+    (s, dir) =>
+      graft.operators.Skyline.pareto2D(
+        table(s, dir, "part"), "p_retailprice", "p_size")
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_retailprice, p_size
+      FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+            OR q.p_size > p.p_size))
+      ORDER BY p_retailprice, p_partkey""")
+  )
+
+  private val q184_cusum = Q(
+    "q184_cusum",
+    // CUSUM drift detection on per-type daily volume: exact integer
+    // closed form S±_t = C_t − min_{j<=t} C_j scaled by 4n (allowance
+    // mu/4, threshold 3*mu), gap-free day grid so a volume collapse
+    // is visible. Integer windows are order-free — bitwise
+    // cross-engine; only the two emitted normalizations are IEEE.
+    (s, dir) =>
+      graft.operators.TimeSeries.cusumVolume(
+        events(s, dir), Seq("event_type"), "ts", thresholdMu = 3)
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
+        CAST(sum(cnt) AS BIGINT) AS s FROM d GROUP BY 1),
+      grid AS (SELECT event_type, s, d1 - d0 + 1 AS n,
+        unnest(range(d0, d1 + 1)) AS day FROM sp),
+      f AS (SELECT g.event_type, g.s, g.n, g.day,
+        COALESCE(d.cnt, 0) AS cnt FROM grid g
+        LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day),
+      c AS (SELECT event_type, s, n, day, cnt,
+        CAST(sum(cnt) OVER w AS BIGINT) AS p,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS t FROM f
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING)),
+      x AS (SELECT *, 4 * n * p - 5 * s * t AS cp,
+        3 * s * t - 4 * n * p AS cn FROM c),
+      m AS (SELECT *, least(0, min(cp) OVER w2) AS mp,
+        least(0, min(cn) OVER w2) AS mn FROM x
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+          ROWS UNBOUNDED PRECEDING))
+      SELECT event_type, day, cnt,
+        CASE WHEN s > 0 THEN CAST(cp - mp AS DOUBLE)
+          / (4.0 * CAST(s AS DOUBLE)) END AS cusum_pos,
+        CASE WHEN s > 0 THEN CAST(cn - mn AS DOUBLE)
+          / (4.0 * CAST(s AS DOUBLE)) END AS cusum_neg,
+        (cp - mp) > 4 * 3 * s AS flag_pos,
+        (cn - mn) > 4 * 3 * s AS flag_neg
+      FROM m ORDER BY event_type, day""")
+  )
+
+  private val pagerankScale = "1000000000000"
+
+  private val q185_pagerank = Q(
+    "q185_pagerank",
+    // Fixed-point PageRank (3 iterations, damping 17/20) over the
+    // near-dup LSH pair graph — which member of a duplicate
+    // neighborhood is canonical. BIGINT ranks in 1e-12 units: the
+    // per-node inbound SUM is an order-free integer partial agg, so
+    // the result is bitwise deterministic where float PageRank is
+    // shuffle-order-dependent. Oracle unrolls the same three integer
+    // iterations over the exact-Jaccard graph.
+    (s, dir) =>
+      graft.operators.Graphs.pageRank(
+        Dedup.minHashLshPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5),
+        "id_a", "id_b", iterations = 3)
+        .orderBy("node"),
+    Some {
+      val S = pagerankScale
+      def iter(prev: String, sNm: String, rNm: String) =
+        s"""$sNm AS (SELECT e.dst,
+          CAST(sum($prev.r // $prev.deg) AS BIGINT) AS m
+          FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1),
+        $rNm AS (SELECT nodes.node, nodes.deg,
+          (3 * $S) // (20 * nn.n)
+            + (17 * COALESCE($sNm.m, 0)) // 20 AS r
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN $sNm ON $sNm.dst = nodes.node)"""
+      s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
+        p AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.5),
+        e AS (SELECT a AS src, b AS dst FROM p
+          UNION ALL SELECT b, a FROM p),
+        dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM e GROUP BY 1),
+        nodes AS (SELECT src AS node, deg FROM dg),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT node, deg, $S // nn.n AS r
+          FROM nodes CROSS JOIN nn),
+        ${iter("r0", "s1", "r1")},
+        ${iter("r1", "s2", "r2")},
+        ${iter("r2", "s3", "r3")}
+        SELECT node, CAST(r AS BIGINT) AS rank_scaled,
+          CAST(r AS DOUBLE) / $S.0 AS rank
+        FROM r3 ORDER BY node"""
+    }
+  )
+
+  private val q186_name_links = Q(
+    "q186_name_links",
+    // Entity resolution on the part-name dictionary: every distinct-
+    // name pair within edit distance 2, Ed-Join q-gram count-filter
+    // blocking + native levenshtein verify; row counts ride along.
+    // The oracle is the quadratic ground truth over the dictionary —
+    // a blocking recall miss IS an oracle mismatch.
+    (s, dir) =>
+      graft.operators.Linkage.nameVariantPairs(
+        table(s, dir, "part"), "p_name", maxDist = 2, q = 2)
+        .orderBy("name_a", "name_b"),
+    Some("""WITH n AS (SELECT p_name AS name,
+        CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        a.cnt AS n_a, b.cnt AS n_b
+      FROM n a JOIN n b ON a.name < b.name
+        AND abs(length(a.name) - length(b.name)) <= 2
+        AND levenshtein(a.name, b.name) <= 2
+      ORDER BY name_a, name_b""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -4886,5 +5026,6 @@ object Extensions {
     q174_distinctive_terms, q175_survival_curve, q176_containment,
     q177_gram_novelty, q178_crosssource_dups, q179_burstiness,
     q180_stream_expectations, q181_join_advisor, q182_provenance,
+    q183_skyline, q184_cusum, q185_pagerank, q186_name_links,
     q44_curation_pipeline, q45_source_audit)
 }

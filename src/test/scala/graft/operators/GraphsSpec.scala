@@ -64,4 +64,81 @@ class GraphsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == m.view.mapValues(_._2).toMap)
   }
+
+  // ---- pageRank (fixed-point) ----
+
+  private val Scale = 1000000000000L
+
+  /** Sequential reference of the fixed-point iteration: identical
+    * integer arithmetic, order-free by construction. */
+  private def refPageRank(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.collect {
+      case (a, b) if a != b => (a min b, a max b)
+    }.distinct
+    val dir = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    var r = deg.keys.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = dir.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = deg.keys.map(v =>
+        v -> ((3L * Scale) / (20L * n)
+          + (17L * in.getOrElse(v, 0L)) / 20L)).toMap
+    }
+    r
+  }
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int = 3) =
+    Graphs.pageRank(edges.toDF("a", "b"), "a", "b", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: star center outranks leaves, leaves tie exactly") {
+    val star = (2L to 8L).map(i => (1L, i))
+    val m = pr(star)
+    val leaves = (2L to 8L).map(m)
+    assert(leaves.distinct.size == 1)
+    assert(m(1L) > leaves.head)
+  }
+
+  test("pageRank: a regular graph ranks every node identically") {
+    val cycle = (0L until 10L).map(i => (i, (i + 1) % 10))
+    assert(pr(cycle).values.toSet.size == 1)
+  }
+
+  test("pageRank matches the sequential integer reference exactly") {
+    val edges = for {
+      i <- 0L until 25L; j <- (i + 1) until 25L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)
+    for (iters <- Seq(1, 3)) {
+      assert(pr(edges, iters) == refPageRank(edges, iters),
+        s"iterations=$iters")
+    }
+    // repartition + shuffle-order invariance (the point of the
+    // fixed-point spelling: integer sums cannot re-associate)
+    val again = Graphs.pageRank(
+      edges.toDF("a", "b").repartition(17), "a", "b", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == refPageRank(edges, 3))
+  }
+
+  test("pageRank: self-loops and duplicate edges normalize away") {
+    val m1 = pr(Seq((1L, 2L), (2L, 3L)))
+    val m2 = pr(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (2L, 3L)))
+    assert(m1 == m2)
+  }
+
+  test("pageRank: empty edge list yields an empty frame") {
+    assert(pr(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("pageRank: emitted double is exactly rank_scaled / 1e12") {
+    val rows = Graphs.pageRank(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b", 2).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 1.0e12)
+    }
+  }
 }

@@ -393,4 +393,103 @@ class TimeSeriesSpec extends AnyFunSuite {
         Seq(("A", ts(0L))).toDF("cnt", "t"), Seq("cnt"), "t")
     }
   }
+
+  // ---- cusumVolume ----
+
+  /** Sequential reference of the textbook CUSUM recursion in the
+    * operator's scaled-integer units: S±'_t = max(0, S±'_{t−1} ± z'_t)
+    * with z'_t = 4n·c_t − 5S (up) / 3S − 4n·c_t (down). */
+  private def refCusum(counts: Seq[Long], thresholdMu: Int)
+      : Seq[(Long, Long, Boolean, Boolean)] = {
+    val n = counts.size.toLong
+    val s = counts.sum
+    var sp = 0L; var sn = 0L
+    counts.map { c =>
+      sp = math.max(0L, sp + (4L * n * c - 5L * s))
+      sn = math.max(0L, sn + (3L * s - 4L * n * c))
+      (sp, sn, sp > 4L * thresholdMu * s, sn > 4L * thresholdMu * s)
+    }
+  }
+
+  private def dayTs(day: Long, i: Long) = ts(day * 86400L + i)
+
+  private def cusumRows(df: org.apache.spark.sql.DataFrame) =
+    TimeSeries.cusumVolume(df, Seq("k"), "t")
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(5), r.getBoolean(6)))
+
+  test("cusumVolume: closed form == sequential recursion, flags exact") {
+    // pseudo-random daily counts for one key
+    val counts = (0 until 20).map(d => ((d * 13 + 5) % 9 + 1).toLong)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => ("a", dayTs(d.toLong, i)))
+    }
+    val got = TimeSeries.cusumVolume(
+      rows.toDF("k", "t"), Seq("k"), "t", thresholdMu = 3)
+      .orderBy("day").collect()
+    val ref = refCusum(counts, 3)
+    assert(got.length == ref.length)
+    val n = counts.size.toLong; val s = counts.sum
+    got.zip(ref).foreach { case (r, (sp, sn, fp, fn)) =>
+      assert(r.getLong(2) == counts(r.getLong(1).toInt))
+      assert(r.getDouble(3) == sp.toDouble / (4.0 * s.toDouble))
+      assert(r.getDouble(4) == sn.toDouble / (4.0 * s.toDouble))
+      assert(r.getBoolean(5) == fp && r.getBoolean(6) == fn)
+    }
+  }
+
+  test("cusumVolume: sustained upward drift accumulates into a flag") {
+    // 30 days at 10/day then 30 days at 30/day: each drifted day adds
+    // (30 − 5µ/4) = µ in scaled units; the accumulation crosses 3µ
+    // after ~12 drift days even though µ (computed over the full
+    // span) splits the level shift
+    val counts = Seq.fill(30)(10L) ++ Seq.fill(30)(30L)
+    val ref = refCusum(counts, 3)
+    assert(ref.exists(_._3), "reference itself must flag — fixture bug")
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => ("a", dayTs(d.toLong, i)))
+    }
+    val got = cusumRows(rows.toDF("k", "t"))
+    assert(got.exists(_._4))
+    assert(got.map(_._4) sameElements ref.map(_._3))
+  }
+
+  test("cusumVolume: volume collapse — missing days zero-fill and flag downward") {
+    // 20 days at 8/day, then the key goes silent for 20 days (one
+    // stray event at the end keeps the span open)
+    val rows = (0 until 20).flatMap(d =>
+      (0L until 8L).map(i => ("a", dayTs(d.toLong, i)))) :+
+      ("a", dayTs(40L, 0L))
+    val got = cusumRows(rows.toDF("k", "t"))
+    assert(got.length == 41) // gap-free grid
+    assert(got.filter(r => r._2 >= 20 && r._2 < 40).forall(_._3 == 0L))
+    assert(got.exists(_._5), "downward drift must flag")
+  }
+
+  test("cusumVolume: keys are independent") {
+    val rows =
+      (0 until 10).flatMap(d => Seq(("a", dayTs(d.toLong, 0L)))) ++
+        (0 until 3).flatMap(d =>
+          (0L until 5L).map(i => ("b", dayTs(d.toLong, i))))
+    val got = cusumRows(rows.toDF("k", "t"))
+    assert(got.filter(_._1 == "a").length == 10)
+    assert(got.filter(_._1 == "b").length == 3)
+    // key a is perfectly flat: cusum never exceeds the allowance
+    assert(got.filter(_._1 == "a").forall(r => !r._4 && !r._5))
+  }
+
+  test("cusumVolume: loud contracts") {
+    val df = Seq(("a", ts(0L))).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumVolume(df, Seq.empty, "t")
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumVolume(df, Seq("k"), "t", thresholdMu = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusumVolume(
+        Seq(("a", ts(0L))).toDF("day", "t"), Seq("day"), "t")
+    }
+  }
 }
