@@ -166,4 +166,55 @@ object Layout {
       .select(col(groupCol), col(fileCol), col(bytesCol),
         col("bin"), col("bin_bytes"), col("bin_files"))
   }
+
+  /** Per-column encoding advisor — the storage-layout sibling of
+    * [[compactionPlan]]: from one pass over the listed columns,
+    * the cardinality facts a columnar writer needs to pick
+    * encodings (dictionary vs plain, the same decision parquet
+    * writers make per row group). Everything emitted is an exact
+    * integer or a single division of exact integers:
+    *
+    *   - n_rows / n_nulls / n_distinct (non-null distinct),
+    *   - max_count — the heaviest single value's row count,
+    *   - sum_sq_counts = Σ cnt² — the (unnormalized) Simpson
+    *     concentration; sum_sq/n² is the collision probability, its
+    *     reciprocal the "effective distinct count",
+    *   - top_share = max_count/n_rows (the one IEEE division),
+    *   - dict_friendly — the standard 1/16 cardinality heuristic,
+    *     tested in integers (16·n_distinct ≤ non-null rows).
+    *
+    * Scale shape: `stack` expands rows ×|cols| map-side (no extra
+    * scan per column — ONE pass reads all listed columns), then one
+    * (column, value) partial-agg shuffle and one |cols|-sized
+    * partial-agg — the classic two-level distinct-count shape. The
+    * value ride is the column's STRING cast, which is injective on
+    * Spark's round-trip-faithful formatting, so group counts equal
+    * native-value group counts. */
+  def encodingAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    require(cols.forall(df.columns.contains),
+      s"columns ${cols.filterNot(df.columns.contains)} absent from input")
+    val pairs = df.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+        ") AS (col_name, _v)"))
+    val perValue = pairs
+      .groupBy(col("col_name"), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    perValue
+      .groupBy("col_name")
+      .agg(
+        sum(col("_cnt")).as("n_rows"),
+        sum(when(col("_v").isNull, col("_cnt")).otherwise(0L))
+          .as("n_nulls"),
+        count(when(col("_v").isNotNull, lit(1))).as("n_distinct"),
+        max(when(col("_v").isNotNull, col("_cnt"))).as("max_count"),
+        sum(when(col("_v").isNotNull, col("_cnt") * col("_cnt"))
+          .otherwise(0L)).as("sum_sq_counts"))
+      .withColumn("top_share",
+        when(col("n_rows") > 0,
+          col("max_count").cast("double") / col("n_rows").cast("double")))
+      .withColumn("dict_friendly",
+        lit(16L) * col("n_distinct") <= col("n_rows") - col("n_nulls"))
+  }
 }

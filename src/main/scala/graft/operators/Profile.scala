@@ -831,4 +831,84 @@ object Profile {
         col("_rt").as("row_total"), col("_ct").as("col_total"),
         col("expected"), col("chi2_term"))
   }
+
+  /** Mann–Whitney rank-sum comparison of two groups' value
+    * distributions — the nonparametric A/B screen ("did source X's
+    * quality scores shift against source Y's?") that a means test
+    * gets wrong on heavy-tailed data: one parked outlier drags a
+    * mean arbitrarily, while ranks have a 50% breakdown point
+    * (same reason [[madOutliers]] uses medians).
+    *
+    * EXACT INTEGER rank arithmetic: ranks never materialize per row.
+    * From per-distinct-value counts, the doubled midrank of a tie
+    * group is 2·cum − cnt + 1 (an integer), so the doubled rank sum
+    * 2R_A = Σ cnt_A·(2·cum − cnt + 1) and the doubled U statistic
+    * u2_a = 2R_A − n_a·(n_a+1) are BIGINTs — bitwise cross-engine.
+    * The tie-correction term Σ(t³ − t) is emitted alongside so any
+    * significance convention can be applied downstream; the
+    * rank-biserial effect size r = u2_a/(n_a·n_b) − 1 is the one
+    * IEEE division emitted.
+    *
+    * Scale shape: one (value) partial-agg shuffle, then the global
+    * cumulative count via the two-phase bucket spelling (fixed-width
+    * buckets on the value range; per-bucket partitioned windows over
+    * the DISTINCT-value frame; a B-row summary self-join for the
+    * bucket offsets) — never an unpartitioned window, never per-row
+    * ranks. Output: ONE row (n_a, n_b, u2_a, tie_cubed_sum,
+    * effect_r). */
+  def rankSumTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    require(coarseBuckets > 0,
+      s"coarseBuckets must be positive, got $coarseBuckets")
+    val inGroups = df.filter(col(groupCol).isin(groupA, groupB))
+    val nNull = inGroups.filter(col(valueCol).isNull).limit(1).count()
+    require(nNull == 0L,
+      s"rankSumTest: null $valueCol values in the compared groups — " +
+        "ranks cannot order nulls; filter or impute them explicitly")
+    val counts = inGroups
+      .groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("_ca"))
+    val mm = counts.agg(min("_v").as("_mn"), max("_v").as("_mx"))
+    val bucketed = counts.crossJoin(broadcast(mm))
+      .withColumn("_b",
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(
+            floor((col("_v") - col("_mn"))
+              / (col("_mx") - col("_mn")) * coarseBuckets).cast("int"),
+            lit(coarseBuckets - 1))))
+      .drop("_mn", "_mx")
+    val bt = bucketed.groupBy("_b").agg(sum("_cnt").as("_bt"))
+    val off = bt.as("a")
+      .join(bt.as("b"), col("a._b") < col("b._b"))
+      .groupBy(col("b._b").as("_b")).agg(sum(col("a._bt")).as("_off"))
+    val wb = Window.partitionBy("_b").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .join(broadcast(off), Seq("_b"), "left")
+      .withColumn("_cum",
+        sum(col("_cnt")).over(wb) + coalesce(col("_off"), lit(0L)))
+    cum
+      .agg(
+        sum(col("_ca")).as("n_a"),
+        sum(col("_cnt") - col("_ca")).as("n_b"),
+        sum(col("_ca") * (lit(2L) * col("_cum") - col("_cnt") + 1L))
+          .as("_r2a"),
+        sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt"))
+          .as("tie_cubed_sum"))
+      .withColumn("u2_a",
+        col("_r2a") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("effect_r",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("u2_a").cast("double")
+            / (col("n_a") * col("n_b")).cast("double") - 1.0))
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        col("tie_cubed_sum"), col("effect_r"))
+  }
 }

@@ -4980,6 +4980,193 @@ object Extensions {
       ORDER BY name_a, name_b""")
   )
 
+  private val q187_rrf_fusion = Q(
+    "q187_rrf_fusion",
+    // Hybrid retrieval: BM25 lexical top-50 and exact-cosine semantic
+    // top-50 for one query (terms + its embedding, doc_id==vec_id by
+    // fixture contract) fused by Reciprocal Rank Fusion, 1/(60+rank)
+    // terms summed in fixed list order — bitwise deterministic, no
+    // score calibration between modalities.
+    (s, dir) => {
+      val bm = graft.operators.TfIdf.bm25TopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "hash", "scan"), k = 50)
+        .select(col("id"), col("rank"))
+      val e = table(s, dir, "embeddings")
+      val cos = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(
+        Seq("bm25" -> bm, "cos" -> cos), "id", "rank",
+        rrfK = 60, topK = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
+        $W AS w FROM documents),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+        CAST(count(*) AS BIGINT) AS n FROM docs),
+      toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+      c AS (SELECT tf.doc_id, tf.term,
+        ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) *
+        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 *
+          ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) /
+            (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
+        FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id)
+        CROSS JOIN stats),
+      sbm AS (SELECT doc_id,
+        list_aggregate(list(contrib ORDER BY term), 'sum') AS score
+        FROM c GROUP BY doc_id),
+      bm AS (SELECT doc_id AS id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank_bm25
+        FROM sbm ORDER BY score DESC, doc_id LIMIT 50),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      sc AS (SELECT c2.vec_id AS id,
+        list_aggregate(list_transform(list_zip(q.embedding, c2.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c2.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM e c2 JOIN e q ON q.vec_id = 0 AND c2.vec_id <> 0),
+      cosl AS (SELECT id,
+        CAST(row_number() OVER (ORDER BY cos DESC, id)
+          AS BIGINT) AS rank_cos
+        FROM sc ORDER BY cos DESC, id LIMIT 50),
+      u AS (SELECT id FROM bm UNION SELECT id FROM cosl),
+      f AS (SELECT u.id, bm.rank_bm25, cosl.rank_cos,
+        COALESCE(1.0 / (60 + bm.rank_bm25), 0.0)
+          + COALESCE(1.0 / (60 + cosl.rank_cos), 0.0) AS rrf
+        FROM u LEFT JOIN bm ON bm.id = u.id
+        LEFT JOIN cosl ON cosl.id = u.id)
+      SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id)
+        AS BIGINT) AS rank, id AS doc_id, rrf, rank_bm25, rank_cos
+      FROM f ORDER BY rrf DESC, id LIMIT 20""")
+  )
+
+  private val q188_pit_enrich = Q(
+    "q188_pit_enrich",
+    // Point-in-time enrichment: each purchase event joined to the
+    // SCD2 state (q123's changeHistory) the user was in STRICTLY
+    // before the purchase — the leak-proof feature-store read
+    // (training features must not see the label event itself). One
+    // as-of backward join over the shared (user) exchange; first-ever
+    // events carry honest nulls. The oracle replays the validity
+    // tiling [from, to) against each fact timestamp.
+    (s, dir) => {
+      val ev = events(s, dir)
+      val hist = graft.operators.TimeSeries.changeHistory(
+        ev, Seq("user_id"), "ts", "event_type", "event_id")
+        .withColumn("_vf", timestamp_micros(col("valid_from_us")))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.Joins.asofJoin(
+        facts, hist, Seq("user_id"), "ts", "_vf",
+        rightPayload = Seq("value", "valid_from_us"),
+        strict = true, direction = "backward")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          col("value").as("prev_state"),
+          col("valid_from_us").as("state_since_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT user_id, event_type, ts, event_id,
+        CASE WHEN lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+        FROM events),
+      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
+        FROM l),
+      g AS (SELECT user_id, run, event_type AS value,
+          min(epoch_us(ts)) AS valid_from_us
+        FROM r GROUP BY 1, 2, 3),
+      periods AS (SELECT user_id, value, valid_from_us,
+        lead(valid_from_us) OVER (PARTITION BY user_id
+          ORDER BY valid_from_us) AS valid_to_us FROM g),
+      facts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id, f.ts_us,
+        p.value AS prev_state, p.valid_from_us AS state_since_us
+      FROM facts f LEFT JOIN periods p ON p.user_id = f.user_id
+        AND p.valid_from_us < f.ts_us
+        AND (p.valid_to_us IS NULL OR p.valid_to_us >= f.ts_us)
+      ORDER BY event_id""")
+  )
+
+  private val q189_encoding_advisor = Q(
+    "q189_encoding_advisor",
+    // Storage-layout advisor: per-column cardinality facts (distinct,
+    // nulls, heaviest value, Simpson concentration) and the 1/16
+    // dictionary heuristic, from ONE stacked pass over the listed
+    // lineitem columns — exact integers + one emitted division.
+    (s, dir) =>
+      graft.operators.Layout.encodingAdvisor(
+        table(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity",
+          "l_shipdate", "l_orderkey"))
+        .orderBy("col_name"),
+    Some {
+      def block(c: String) =
+        s"""SELECT '$c' AS col_name,
+          CAST(sum(cnt) AS BIGINT) AS n_rows,
+          CAST(COALESCE(sum(CASE WHEN v IS NULL THEN cnt END), 0)
+            AS BIGINT) AS n_nulls,
+          CAST(count(CASE WHEN v IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_distinct,
+          CAST(max(CASE WHEN v IS NOT NULL THEN cnt END)
+            AS BIGINT) AS max_count,
+          CAST(COALESCE(sum(CASE WHEN v IS NOT NULL
+            THEN cnt * cnt END), 0) AS BIGINT) AS sum_sq_counts
+        FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT $c AS v FROM lineitem) GROUP BY v)"""
+      val union = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_shipdate", "l_orderkey").map(block).mkString(" UNION ALL ")
+      s"""WITH stats AS ($union)
+      SELECT col_name, n_rows, n_nulls, n_distinct, max_count,
+        sum_sq_counts,
+        CASE WHEN n_rows > 0 THEN CAST(max_count AS DOUBLE)
+          / CAST(n_rows AS DOUBLE) END AS top_share,
+        16 * n_distinct <= n_rows - n_nulls AS dict_friendly
+      FROM stats ORDER BY col_name"""
+    }
+  )
+
+  private val q190_rank_sum = Q(
+    "q190_rank_sum",
+    // Mann-Whitney rank-sum A/B screen: click vs view event values,
+    // exact integer doubled-midrank arithmetic (u2 = 2U, tie term
+    // carried), rank-biserial effect size as the one IEEE division.
+    // Ranks never materialize per row — two-phase bucket cumsum.
+    (s, dir) =>
+      graft.operators.Profile.rankSumTest(
+        events(s, dir), "event_type", "value", "click", "view"),
+    Some("""WITH f AS (SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'view')),
+      c AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+          AS BIGINT) AS ca FROM f GROUP BY 1),
+      cc AS (SELECT v, cnt, ca, CAST(sum(cnt) OVER (ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        CAST(sum(cnt - ca) AS BIGINT) AS n_b,
+        CAST(sum(ca * (2 * cum - cnt + 1)) AS BIGINT) AS r2a,
+        CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubed_sum
+        FROM cc)
+      SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, tie_cubed_sum,
+        CASE WHEN n_a > 0 AND n_b > 0
+          THEN CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+            / CAST(n_a * n_b AS DOUBLE) - 1.0 END AS effect_r
+      FROM a""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -5027,5 +5214,7 @@ object Extensions {
     q177_gram_novelty, q178_crosssource_dups, q179_burstiness,
     q180_stream_expectations, q181_join_advisor, q182_provenance,
     q183_skyline, q184_cusum, q185_pagerank, q186_name_links,
+    q187_rrf_fusion, q188_pit_enrich, q189_encoding_advisor,
+    q190_rank_sum,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -136,4 +136,44 @@ class LayoutSpec extends AnyFunSuite {
       Layout.compactionPlan(files, "src", "fid", "bytes", 0L)
     }
   }
+
+  // ---- encodingAdvisor ----
+
+  test("encodingAdvisor: hand-checked cardinality facts incl. nulls") {
+    val rows = Seq(
+      (Some("x"), 1L), (Some("x"), 2L), (Some("x"), 3L),
+      (Some("y"), 4L), (None, 5L))
+    val df = rows.toDF("s", "k")
+    val got = Layout.encodingAdvisor(df, Seq("s", "k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6), r.getBoolean(7))).toMap
+    // s: 5 rows, 1 null, 2 distinct, max 3, sumsq 9+1=10
+    assert(got("s") == ((5L, 1L, 2L, 3L, 10L, 3.0 / 5.0, false)))
+    // k: all distinct
+    assert(got("k") == ((5L, 0L, 5L, 1L, 5L, 1.0 / 5.0, false)))
+  }
+
+  test("encodingAdvisor: the 1/16 dictionary boundary in integers") {
+    // 32 non-null rows over 2 distinct values: 16*2 <= 32 -> true
+    val friendly = (0 until 32).map(i => (if (i % 2 == 0) "a" else "b"))
+      .toDF("c")
+    assert(Layout.encodingAdvisor(friendly, Seq("c"))
+      .head().getBoolean(7))
+    // 31 rows over 2 distinct: 32 <= 31 -> false
+    val not = (0 until 31).map(i => (if (i % 2 == 0) "a" else "b"))
+      .toDF("c")
+    assert(!Layout.encodingAdvisor(not, Seq("c")).head().getBoolean(7))
+  }
+
+  test("encodingAdvisor: loud contracts") {
+    val df = Seq(("a", 1L)).toDF("s", "k")
+    intercept[IllegalArgumentException] {
+      Layout.encodingAdvisor(df, Seq.empty)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Layout.encodingAdvisor(df, Seq("s", "missing"))
+    }
+    assert(e.getMessage.contains("missing"))
+  }
 }

@@ -524,4 +524,80 @@ class ProfileSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxCells"))
   }
+
+  // ---- rankSumTest ----
+
+  /** Sequential midrank reference: doubled rank sum of group A over
+    * the pooled sample, ties as midranks. */
+  private def refU2(a: Seq[Double], b: Seq[Double]): Long = {
+    val pooled = (a.map((_, 'a')) ++ b.map((_, 'b'))).sortBy(_._1)
+    // doubled midrank per value group
+    val byValue = pooled.zipWithIndex.groupBy(_._1._1)
+    var r2a = 0L
+    byValue.foreach { case (_, grp) =>
+      val ranks2 = grp.map(_._2 + 1).sum * 2L / grp.size // 2*midrank
+      r2a += grp.count(_._1._2 == 'a') * ranks2
+    }
+    r2a - a.size.toLong * (a.size + 1L)
+  }
+
+  private def runRankSum(rows: Seq[(String, Double)]) =
+    Profile.rankSumTest(rows.toDF("g", "v"), "g", "v", "A", "B")
+      .head()
+
+  test("rankSumTest: hand example with ties matches the midrank reference") {
+    val a = Seq(1.0, 2.0, 2.0, 5.0)
+    val b = Seq(2.0, 3.0, 4.0)
+    val rows = a.map(("A", _)) ++ b.map(("B", _))
+    val r = runRankSum(rows)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == refU2(a, b))
+    // tie group of size 3 at value 2.0: 3^3-3 = 24
+    assert(r.getLong(3) == 24L)
+    assert(r.getDouble(4) ==
+      refU2(a, b).toDouble / (4L * 3L).toDouble - 1.0)
+  }
+
+  test("rankSumTest: identical distributions give effect 0") {
+    val rows = (1 to 50).flatMap(i =>
+      Seq(("A", i.toDouble), ("B", i.toDouble)))
+    val r = runRankSum(rows)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("rankSumTest: stochastic dominance pushes effect toward +1") {
+    val rows = (1 to 40).map(i => ("A", 100.0 + i)) ++
+      (1 to 40).map(i => ("B", i.toDouble))
+    val r = runRankSum(rows)
+    assert(r.getDouble(4) == 1.0) // complete separation
+  }
+
+  test("rankSumTest matches reference on pseudo-random data + repartition") {
+    val a = (0 until 80).map(i => ((i * 13 + 7) % 23).toDouble)
+    val b = (0 until 60).map(i => ((i * 17 + 3) % 23).toDouble)
+    val rows = a.map(("A", _)) ++ b.map(("B", _))
+    val expect = refU2(a, b)
+    assert(runRankSum(rows).getLong(2) == expect)
+    val r2 = Profile.rankSumTest(
+      rows.toDF("g", "v").repartition(17), "g", "v", "A", "B").head()
+    assert(r2.getLong(2) == expect)
+    // other groups in the frame are ignored
+    val noisy = rows ++ Seq(("C", 9999.0), ("D", -1.0))
+    assert(Profile.rankSumTest(
+      noisy.toDF("g", "v"), "g", "v", "A", "B").head()
+      .getLong(2) == expect)
+  }
+
+  test("rankSumTest: loud contracts") {
+    intercept[IllegalArgumentException] {
+      Profile.rankSumTest(
+        Seq(("A", 1.0)).toDF("g", "v"), "g", "v", "A", "A")
+    }
+    val withNull = Seq(("A", Some(1.0)), ("B", None))
+      .toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.rankSumTest(withNull, "g", "v", "A", "B")
+    }
+    assert(e.getMessage.contains("null"))
+  }
 }
