@@ -281,4 +281,90 @@ object Skew {
     cum.join(broadcast(targets), col("_cum") >= col("target_rank"))
       .groupBy("p", "target_rank").agg(min(col("_v")).as("bound"))
   }
+
+  /** ABC / Pareto classification: rank keys by an EXACT-typed weight
+    * (decimal or integral — doubles are rejected: a float cumsum's
+    * value depends on shuffle order, and a classification boundary
+    * must not), then label the head that carries the first `aPct`%
+    * of total weight "A", the next band to `bPct`% "B", the tail
+    * "C". The classic inventory 80/95 split; for corpora, the
+    * "which sources carry 80% of tokens" screen.
+    *
+    * Class boundaries compare in EXACT arithmetic: a key is A iff
+    * 100·(cum − w) < aPct·total (the strictly-before-crossing rule —
+    * the key that crosses the line is included in its band), B iff
+    * not A and 100·(cum − w) < bPct·total. Decimal sums are
+    * associative, so every aggregation is a plain partial agg.
+    *
+    * Scale shape: one key partial agg upstream of the call (the
+    * caller aggregates to keys), then the two-phase cumulative sum:
+    * fixed-width DESCENDING buckets on the weight (bucket assignment
+    * uses a double projection ONLY to pick the bucket — equal
+    * weights land identically, and in-bucket order is exact
+    * (weight DESC, key)), per-bucket partitioned windows, a B-row
+    * summary self-join for offsets. Never a global window.
+    *
+    * Output: (key, weight, cum_weight, abc_class). Ties order by
+    * key, so the classification is total-order deterministic. */
+  def paretoClasses(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      aPct: Int = 80,
+      bPct: Int = 95,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(aPct >= 1 && bPct > aPct && bPct <= 100,
+      s"need 1 <= aPct < bPct <= 100, got aPct=$aPct bPct=$bPct")
+    require(coarseBuckets >= 1 && coarseBuckets <= 100000,
+      s"coarseBuckets must be in [1, 100000], got $coarseBuckets")
+    val wt = df.schema(weightCol).dataType.typeName
+    require(wt.startsWith("decimal") ||
+      Seq("long", "integer", "short", "byte").contains(wt),
+      s"weightCol $weightCol must be decimal or integral for an exact " +
+        s"cumsum, got $wt — cast money to decimal first")
+    val nBad = df
+      .filter(col(keyCol).isNull || col(weightCol).isNull ||
+        col(weightCol) < 0)
+      .limit(1).count()
+    require(nBad == 0L,
+      s"paretoClasses: null or negative $keyCol/$weightCol values " +
+        "present — cumulative-share classes need non-negative, " +
+        "orderable weights; filter or impute them explicitly")
+    val base = df.select(col(keyCol).as("key"),
+      col(weightCol).as("w"))
+    val wType = base.schema("w").dataType
+    val tot = base.agg(sum("w").as("_tot"))
+    val mm = base.agg(min(col("w").cast("double")).as("_mn"),
+      max(col("w").cast("double")).as("_mx"))
+    val bucketed = base.crossJoin(broadcast(mm))
+      .withColumn("_b",
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(least(
+            floor((col("_mx") - col("w").cast("double"))
+              / (col("_mx") - col("_mn")) * coarseBuckets).cast("int"),
+            lit(coarseBuckets - 1))))
+      .drop("_mn", "_mx")
+    val bt = bucketed.groupBy("_b").agg(sum("w").as("_bt"))
+    val off = bt.as("a")
+      .join(bt.as("b"), col("a._b") < col("b._b"))
+      .groupBy(col("b._b").as("_b")).agg(sum(col("a._bt")).as("_off"))
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("_b").orderBy(col("w").desc, col("key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .join(broadcast(off), Seq("_b"), "left")
+      .withColumn("_cum",
+        sum(col("w")).over(wWin) +
+          coalesce(col("_off"), lit(0).cast(wType)))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(lit(100) * (col("_cum") - col("w"))
+          < lit(aPct) * col("_tot"), "A")
+          .otherwise(when(lit(100) * (col("_cum") - col("w"))
+            < lit(bPct) * col("_tot"), "B").otherwise("C")))
+      .select(col("key"), col("w").as("weight"),
+        col("_cum").as("cum_weight"), col("abc_class"))
+  }
 }

@@ -661,4 +661,97 @@ object TimeSeries {
       .select(keyC ++ Seq(col("day"), col("cnt"), col("cusum_pos"),
         col("cusum_neg"), col("flag_pos"), col("flag_neg")): _*)
   }
+
+  /** Sample autocorrelation of daily event volume at lags 1..maxLag
+    * per key — the seasonality fingerprint ([[activityProfile]] shows
+    * WHERE the cycle sits; the ACF shows THAT one exists and how
+    * strong): a weekly-cycled crawl shows a lag-7 spike, a drifting
+    * producer decays slowly across all lags, white noise sits near
+    * zero everywhere.
+    *
+    * EXACT INTEGER moments: with n = grid days and S = total events,
+    * the centered value scaled by n is z_t = n·c_t − S (a BIGINT,
+    * and Σz = 0 identically). Then
+    * acf(k) = Σ_{t} z_t·z_{t+k} / Σ_t z_t² — both sums are integer
+    * partial aggs (order-free, bitwise cross-engine) and the ratio
+    * is the ONE IEEE division per (key, lag). The day grid is
+    * gap-free (zero-filled) like [[cusumVolume]] — a silent day IS
+    * part of the cycle.
+    *
+    * Overflow contract, guarded loudly: z² sums need
+    * (n·max_daily)² · n within 63 bits — enforced as
+    * n·max_daily ≤ 2_000_000 and n ≤ 20_000 (a corpus above that
+    * pre-aggregates to a coarser key).
+    *
+    * Shape: one (key, day) partial agg, one span agg, one grid
+    * explode, ONE lag equi-join (the lag list rides as a generated
+    * column — no per-lag pass), two partial-agg sums. Keys with a
+    * zero denominator (constant series) emit null acf.
+    *
+    * Output: (key..., lag, n_days, acf). */
+  def autocorrelation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(maxLag >= 1 && maxLag <= 60,
+      s"maxLag must be in [1, 60], got $maxLag")
+    Seq("lag", "n_days", "acf", "day", "cnt").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by autocorrelation")
+    }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(keyC: _*)
+      .agg(min("day").as("_d0"), max("day").as("_d1"),
+        sum("cnt").as("_s"), max("cnt").as("_mc"))
+    val worst = span
+      .agg(max((col("_d1") - col("_d0") + 1) * col("_mc")).as("nm"),
+        max(col("_d1") - col("_d0") + 1).as("nd"))
+      .head()
+    if (!worst.isNullAt(0)) {
+      require(worst.getLong(0) <= 2000000L && worst.getLong(1) <= 20000L,
+        s"autocorrelation: a key spans ${worst.getLong(1)} days with " +
+          s"n*max_daily=${worst.getLong(0)} — beyond the z^2 64-bit " +
+          "overflow contract; pre-aggregate to a coarser key")
+    }
+    val grid = span
+      .select(keyC ++ Seq(col("_s"),
+        (col("_d1") - col("_d0") + 1L).as("_n"), explode(
+          sequence(col("_d0"), col("_d1"))).as("day")): _*)
+    val z = grid
+      .join(daily, keyCols :+ "day", "left")
+      .withColumn("_z",
+        col("_n") * coalesce(col("cnt"), lit(0L)) - col("_s"))
+      .select(keyC ++ Seq(col("day"), col("_n"), col("_z")): _*)
+    val den = z.groupBy(keyC: _*)
+      .agg(sum(col("_z") * col("_z")).as("_den"),
+        first(col("_n")).as("n_days"))
+    val lagged = z
+      .select(keyC ++ Seq(col("day"), col("_z"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag")): _*)
+      .withColumn("_probe_day", col("day") + col("lag"))
+    val num = lagged.as("a")
+      .join(z.select(keyC ++
+          Seq(col("day").as("_probe_day"), col("_z").as("_z2")): _*),
+        keyCols :+ "_probe_day")
+      .groupBy(keyC :+ col("lag"): _*)
+      .agg(sum(col("_z") * col("_z2")).as("_num"))
+    den
+      .select(keyC ++ Seq(col("n_days"), col("_den"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag")): _*)
+      .join(num, keyCols :+ "lag", "left")
+      .withColumn("acf",
+        when(col("_den") > 0,
+          coalesce(col("_num"), lit(0L)).cast("double")
+            / col("_den").cast("double")))
+      .select(keyC ++ Seq(col("lag").cast("long").as("lag"),
+        col("n_days"), col("acf")): _*)
+  }
 }

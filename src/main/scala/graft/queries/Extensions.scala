@@ -5167,6 +5167,109 @@ object Extensions {
       FROM a""")
   )
 
+  private val q191_acf = Q(
+    "q191_acf",
+    // Seasonality fingerprint: per-type daily-volume autocorrelation
+    // at lags 1..7 over the gap-free day grid — exact integer moments
+    // (z_t = n*c_t - S BIGINTs, order-free sums), one IEEE division
+    // per (key, lag).
+    (s, dir) =>
+      graft.operators.TimeSeries.autocorrelation(
+        events(s, dir), Seq("event_type"), "ts", maxLag = 7)
+        .orderBy("event_type", "lag"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
+        CAST(sum(cnt) AS BIGINT) AS s FROM d GROUP BY 1),
+      grid AS (SELECT event_type, s, d1 - d0 + 1 AS n,
+        unnest(range(d0, d1 + 1)) AS day FROM sp),
+      z AS (SELECT g.event_type, g.n, g.day,
+        g.n * COALESCE(d.cnt, 0) - g.s AS z FROM grid g
+        LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day),
+      den AS (SELECT event_type, CAST(sum(z * z) AS BIGINT) AS den,
+        CAST(min(n) AS BIGINT) AS n_days FROM z GROUP BY 1),
+      lags AS (SELECT unnest(range(1, 8)) AS lag),
+      num AS (SELECT a.event_type, l.lag,
+        CAST(sum(a.z * b.z) AS BIGINT) AS num
+        FROM z a CROSS JOIN lags l JOIN z b
+          ON b.event_type = a.event_type AND b.day = a.day + l.lag
+        GROUP BY 1, 2)
+      SELECT d.event_type AS event_type, CAST(l.lag AS BIGINT) AS lag,
+        d.n_days,
+        CASE WHEN d.den > 0 THEN CAST(COALESCE(num.num, 0) AS DOUBLE)
+          / CAST(d.den AS DOUBLE) END AS acf
+      FROM den d CROSS JOIN lags l
+      LEFT JOIN num ON num.event_type = d.event_type AND num.lag = l.lag
+      ORDER BY 1, 2""")
+  )
+
+  private val q192_basket_rules = Q(
+    "q192_basket_rules",
+    // Market-basket association rules over order baskets: part pairs
+    // co-purchased in >= 3 orders, with directed confidences and
+    // lift from exact integer counts — the per-basket self-join
+    // bounds the quadratic, never corpus^2.
+    (s, dir) =>
+      graft.operators.Basket.associationPairs(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L)
+        .orderBy("item_a", "item_b"),
+    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS bk,
+        l_partkey AS it FROM lineitem),
+      f AS (SELECT it, CAST(count(*) AS BIGINT) AS df FROM i
+        GROUP BY 1),
+      nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM i),
+      p AS (SELECT a.it AS item_a, b.it AS item_b,
+        CAST(count(*) AS BIGINT) AS n_xy
+        FROM i a JOIN i b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT p.item_a, p.item_b, p.n_xy, fa.df AS df_a, fb.df AS df_b,
+        CAST(p.n_xy AS DOUBLE) / CAST(fa.df AS DOUBLE) AS conf_ab,
+        CAST(p.n_xy AS DOUBLE) / CAST(fb.df AS DOUBLE) AS conf_ba,
+        CAST(p.n_xy * nb.n AS DOUBLE)
+          / CAST(fa.df * fb.df AS DOUBLE) AS lift
+      FROM p JOIN f fa ON fa.it = p.item_a
+      JOIN f fb ON fb.it = p.item_b CROSS JOIN nb
+      ORDER BY item_a, item_b""")
+  )
+
+  private val q193_abc_revenue = Q(
+    "q193_abc_revenue",
+    // ABC/Pareto revenue classification of parts: decimal-exact
+    // revenue sums (associative — shuffle-order-proof), two-phase
+    // descending cumsum, class boundaries compared as 100*(cum-w) vs
+    // pct*total in exact decimal arithmetic.
+    (s, dir) => {
+      val rev = table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .as("revenue"))
+      graft.operators.Skew.paretoClasses(rev, "l_partkey", "revenue")
+        .select(col("key").as("l_partkey"),
+          // classes decide in exact decimal; the EMITTED money is the
+          // conventional double face (one deterministic conversion)
+          col("weight").cast("double").as("revenue"),
+          col("cum_weight").cast("double").as("cum_revenue"),
+          col("abc_class"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+    },
+    Some("""WITH r AS (SELECT l_partkey,
+        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(revenue) AS tot FROM r),
+      c AS (SELECT l_partkey, revenue,
+        sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+          ROWS UNBOUNDED PRECEDING) AS cum FROM r)
+      SELECT c.l_partkey, CAST(c.revenue AS DOUBLE) AS revenue,
+        CAST(c.cum AS DOUBLE) AS cum_revenue,
+        CASE WHEN 100 * (c.cum - c.revenue) < 80 * t.tot THEN 'A'
+          WHEN 100 * (c.cum - c.revenue) < 95 * t.tot THEN 'B'
+          ELSE 'C' END AS abc_class
+      FROM c CROSS JOIN t ORDER BY c.revenue DESC, l_partkey""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -5215,6 +5318,6 @@ object Extensions {
     q180_stream_expectations, q181_join_advisor, q182_provenance,
     q183_skyline, q184_cusum, q185_pagerank, q186_name_links,
     q187_rrf_fusion, q188_pit_enrich, q189_encoding_advisor,
-    q190_rank_sum,
+    q190_rank_sum, q191_acf, q192_basket_rules, q193_abc_revenue,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -240,4 +240,76 @@ class SkewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  // ---- paretoClasses ----
+
+  private def abc(rows: Seq[(String, Long)], aPct: Int = 80,
+      bPct: Int = 95, buckets: Int = 64) = {
+    import spark.implicits._
+    Skew.paretoClasses(rows.toDF("k", "w"), "k", "w", aPct, bPct,
+      buckets)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .toMap
+  }
+
+  test("paretoClasses: hand example with the crossing key in its band") {
+    // weights 50, 30, 15, 5 (total 100): cum-before 0/50/80/95
+    val rows = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+    val m = abc(rows)
+    assert(m("a") == ((50L, 50L, "A")))
+    assert(m("b") == ((30L, 80L, "A")))  // before=50 < 80 -> crosses in A
+    assert(m("c") == ((15L, 95L, "B")))  // before=80, not < 80; < 95
+    assert(m("d") == ((5L, 100L, "C"))) // before=95, not < 95
+  }
+
+  test("paretoClasses: ties order by key; bucket count never changes classes") {
+    val rows = (0 until 100).map(i => (f"k$i%03d", ((i * 7) % 13 + 1).toLong))
+    val b1 = abc(rows, buckets = 1)
+    assert(abc(rows, buckets = 7) == b1)
+    assert(abc(rows, buckets = 64) == b1)
+    // sequential reference
+    val sorted = rows.sortBy { case (k, w) => (-w, k) }
+    var cum = 0L
+    val total = rows.map(_._2).sum
+    sorted.foreach { case (k, w) =>
+      val cls = if (100 * cum < 80 * total) "A"
+        else if (100 * cum < 95 * total) "B" else "C"
+      cum += w
+      assert(b1(k) == ((w, cum, cls)), s"key $k")
+    }
+  }
+
+  test("paretoClasses: decimal weights stay exact; doubles rejected") {
+    import spark.implicits._
+    val dec = Seq(("a", "10.01"), ("b", "0.02"))
+      .toDF("k", "w")
+      .select(col("k"), col("w").cast(DecimalType(18, 2)).as("w"))
+    val got = Skew.paretoClasses(dec, "k", "w").collect()
+      .map(r => r.getString(0) -> (r.getDecimal(2).toPlainString,
+        r.getString(3))).toMap
+    assert(got("a") == (("10.01", "A")))
+    assert(got("b") == (("10.03", "C")))
+    val e = intercept[IllegalArgumentException] {
+      Skew.paretoClasses(Seq(("a", 1.5)).toDF("k", "w"), "k", "w")
+    }
+    assert(e.getMessage.contains("decimal or integral"))
+  }
+
+  test("paretoClasses: loud null/negative contract and knob bounds") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Skew.paretoClasses(Seq(("a", -1L)).toDF("k", "w"), "k", "w")
+    }
+    val withNull = Seq((Some("a"), Some(1L)), (None, Some(2L)))
+      .toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Skew.paretoClasses(withNull, "k", "w")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.paretoClasses(Seq(("a", 1L)).toDF("k", "w"), "k", "w",
+        aPct = 90, bPct = 80)
+    }
+  }
 }

@@ -479,6 +479,80 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.filter(_._1 == "a").forall(r => !r._4 && !r._5))
   }
 
+  // ---- autocorrelation ----
+
+  /** Sequential reference: z_t = n*c_t − S; acf(k) = Σz_t z_{t+k}/Σz². */
+  private def refAcf(counts: Seq[Long], maxLag: Int): Seq[Option[Double]] = {
+    val n = counts.size.toLong
+    val s = counts.sum
+    val z = counts.map(c => n * c - s)
+    val den = z.map(x => x * x).sum
+    (1 to maxLag).map { k =>
+      if (den == 0L) None
+      else Some(z.dropRight(k).zip(z.drop(k))
+        .map { case (a, b) => a * b }.sum.toDouble / den.toDouble)
+    }
+  }
+
+  test("autocorrelation: planted weekly cycle peaks at lag 7") {
+    // 49 days: weekly sawtooth 1..7 repeated
+    val counts = (0 until 49).map(d => (d % 7 + 1).toLong)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => ("a", dayTs(d.toLong, i)))
+    }
+    val got = TimeSeries.autocorrelation(
+      rows.toDF("k", "t"), Seq("k"), "t", maxLag = 7)
+      .orderBy("lag").collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val ref = refAcf(counts, 7)
+    (1 to 7).foreach(k => assert(got(k.toLong) == ref(k - 1).get, s"lag $k"))
+    // exact peak value: perfect periodicity attenuated only by the
+    // unnormalized tail factor (n-k)/n = 42/49
+    assert(got(7L) > got(1L) && got(7L) == 42.0 / 49.0)
+  }
+
+  test("autocorrelation: gap days enter as zeros; constant series null") {
+    // key a: events on days 0 and 2 only -> grid 0,1,2 with zero day 1
+    val a = Seq(("a", dayTs(0L, 0L)), ("a", dayTs(2L, 0L)))
+    // key b: identical count every day -> den 0 -> null acf
+    val b = (0 until 5).map(d => ("b", dayTs(d.toLong, 0L)))
+    val got = TimeSeries.autocorrelation(
+      (a ++ b).toDF("k", "t"), Seq("k"), "t", maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val refA = refAcf(Seq(1L, 0L, 1L), 2)
+    assert(got(("a", 1L)) == refA(0) && got(("a", 2L)) == refA(1))
+    assert(got(("b", 1L)).isEmpty && got(("b", 2L)).isEmpty)
+  }
+
+  test("autocorrelation: matches reference on pseudo-random counts + repartition") {
+    val counts = (0 until 30).map(d => ((d * 17 + 3) % 11).toLong)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => ("a", dayTs(d.toLong, i)))
+    }
+    val ref = refAcf(counts, 5)
+    val got = TimeSeries.autocorrelation(
+      rows.toDF("k", "t").repartition(13), Seq("k"), "t", maxLag = 5)
+      .orderBy("lag").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(got.toSeq == ref)
+  }
+
+  test("autocorrelation: loud contracts") {
+    val df = Seq(("a", ts(0L))).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      TimeSeries.autocorrelation(df, Seq.empty, "t")
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.autocorrelation(df, Seq("k"), "t", maxLag = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.autocorrelation(
+        Seq(("a", ts(0L))).toDF("lag", "t"), Seq("lag"), "t")
+    }
+  }
+
   test("cusumVolume: loud contracts") {
     val df = Seq(("a", ts(0L))).toDF("k", "t")
     intercept[IllegalArgumentException] {
