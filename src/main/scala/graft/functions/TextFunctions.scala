@@ -192,4 +192,93 @@ object TextFunctions {
         org.apache.spark.sql.graftshim.GraftSqlShim.expression(
           trim(regexp_replace(
             regexp_replace(c, "[\\x00-\\x1F\\x7F]", " "), " +", " ")))))
+
+  /** Flesch reading-ease score — the readability heuristic quality
+    * filters bucket documents by (higher = simpler prose; ~60–70 is
+    * plain English). 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), where every input is an EXACT integer:
+    * words = whitespace tokens, sentences = the number of
+    * `[.!?]+` runs (floored at 1 — headlines have no terminator),
+    * syllables per word = the number of `[aeiouy]+` vowel-group
+    * runs (floored at 1 — "rhythm"-like words still carry one).
+    * Integer counts make the score ONE fixed IEEE expression:
+    * bitwise cross-engine, no transcendental drift. Null/empty/
+    * wordless text → null (a score of gibberish is not 206.835). */
+  def fleschScore(c: Column): Column = {
+    val ws = words(c)
+    val w = size(ws).cast("double")
+    val syl = aggregate(
+      transform(ws, t => greatest(lit(1),
+        size(filter(split(t, "[^aeiouy]+"), x => x =!= "")))),
+      lit(0L), (acc, s) => acc + s.cast("long")).cast("double")
+    val sentRuns =
+      size(filter(split(coalesce(c, lit("")), "[^.!?]+"),
+        x => x =!= "")).cast("double")
+    val s = greatest(lit(1.0), sentRuns)
+    when(size(ws) > 0,
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w))
+  }
+
+  /** Canonicalize a URL for crawl-level dedup — the first dedup any
+    * web corpus runs (far cheaper than content hashing: two fetches
+    * of `HTTP://WWW.Site.com/a//b/?utm_source=x` and
+    * `http://site.com/a/b` are the same page). Steps, all plain
+    * regex/array ops that mean the same thing in any engine:
+    * scheme and host lowercase (ONLY those — paths are
+    * case-sensitive by spec), leading `www.` dropped, default ports
+    * dropped (:80 http, :443 https), path slash runs collapsed and
+    * one trailing slash trimmed, fragment dropped, tracking params
+    * dropped (utm_*, fbclid, gclid, ref), surviving params sorted.
+    * Codegen-friendly: regexp/array built-ins end to end, no UDF. */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(
+      regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_extract(hostport, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_replace(
+        regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)",
+          1),
+        "//+", "/"),
+      "/$", "")
+    val params = filter(
+      split(regexp_extract(c, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="))
+    val qstr = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, keepPort, path,
+      when(qstr === "", lit("")).otherwise(concat(lit("?"), qstr)))
+  }
+
+  /** Character-level Shannon entropy (nats) — the compressibility
+    * proxy quality filters use: near-zero entropy is repeated-char
+    * junk, implausibly high entropy is base64/hex blobs; natural
+    * text sits in a band. Pure Catalyst HOFs (no UDF):
+    * H = Σ_c −(n_c/n)·ln(n_c/n) folded over the SORTED distinct
+    * characters — the deterministic accumulation order any engine
+    * reproduces (the same sorted-fold discipline as the bitwise
+    * centroid folds). Cost per row is O(distinct_chars · len):
+    * distinct chars are alphabet-bounded (≤ a few hundred in real
+    * text), so the row cost stays proportional to text length at
+    * any corpus scale. Empty/null text → 0.0. */
+  def charEntropy(c: Column): Column = {
+    val chars = split(coalesce(c, lit("")), "")
+    val n = size(chars).cast("double")
+    val terms = transform(
+      array_sort(array_distinct(chars)),
+      ch => {
+        val p = size(filter(chars, x => x === ch)).cast("double") / n
+        -p * log(p)
+      })
+    when(size(chars) === 0, lit(0.0))
+      .otherwise(aggregate(terms, lit(0.0), (acc, t) => acc + t))
+  }
 }

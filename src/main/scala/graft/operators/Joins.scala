@@ -333,4 +333,81 @@ object Joins {
       .filter(dtMicros >= loMicros && dtMicros <= hiMicros)
       .drop(dropCols: _*)
   }
+
+  /** Interval-overlap join: pairs (l, r) matching on `keys` whose
+    * CLOSED intervals `[leftStart, leftEnd]` and `[rightStart,
+    * rightEnd]` overlap. The shape [[rangeJoin]] cannot express:
+    * there, only the probe point varies; here BOTH sides carry
+    * variable-length intervals, so both sides explode into the
+    * fixed-width cells their interval touches and equi-join on
+    * (keys, cell). A pair sharing several cells is emitted exactly
+    * once WITHOUT a distinct shuffle: it is kept only in the first
+    * cell both intervals occupy — `cell == max(cellOf(leftStart),
+    * cellOf(rightStart))` — a deterministic per-row predicate.
+    *
+    * Scale shape: fan-out per row is `span/width + 1` cells, bounded
+    * LOUDLY by `maxCellsPerRow` (a degenerate years-long interval
+    * must not detonate the explode); the join is an ordinary
+    * equi-join on (keys, cell) that AQE plans from real sizes. Right
+    * columns in `keys` keep their names (equal by the join); all
+    * other right columns must not collide with left ones. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      widthSec: Double,
+      maxCellsPerRow: Int = 1024): DataFrame = {
+    require(widthSec > 0, s"widthSec must be > 0, got $widthSec")
+    require(maxCellsPerRow >= 2,
+      s"maxCellsPerRow must be >= 2, got $maxCellsPerRow")
+    val dup = right.columns.toSet
+      .intersect(left.columns.toSet) -- keys
+    require(dup.isEmpty,
+      s"intervalOverlapJoin: non-key columns ${dup.mkString(", ")} " +
+        "exist on both sides — rename one side first")
+    val wMicros = math.max((widthSec * 1e6).toLong, 1L)
+    def cellOf(c: String): Column =
+      floor(unix_micros(col(c)) / wMicros).cast("long")
+    // one narrow pass per side: loud contracts (no inverted
+    // intervals, no interval wider than the explode bound)
+    def guard(df: DataFrame, s: String, e: String, side: String): Unit = {
+      val bad = df.agg(
+        sum(when(col(e) < col(s), 1L).otherwise(0L)).as("inv"),
+        max(unix_micros(col(e)) - unix_micros(col(s))).as("span"))
+        .head()
+      if (!bad.isNullAt(0)) {
+        require(bad.getLong(0) == 0L,
+          s"intervalOverlapJoin: ${bad.getLong(0)} $side rows have " +
+            s"$e < $s — fix or drop inverted intervals upstream")
+        val cells = bad.getLong(1) / wMicros + 1
+        require(cells <= maxCellsPerRow,
+          s"intervalOverlapJoin: a $side interval spans $cells cells " +
+            s"of $widthSec s — beyond maxCellsPerRow=$maxCellsPerRow; " +
+            "widen widthSec or cap interval lengths upstream")
+      }
+    }
+    guard(left, leftStart, leftEnd, "left")
+    guard(right, rightStart, rightEnd, "right")
+    val l = left.withColumn("__cell",
+      explode(sequence(cellOf(leftStart), cellOf(leftEnd))))
+    val r0 = right.withColumn("__rcell",
+      explode(sequence(cellOf(rightStart), cellOf(rightEnd))))
+    val r = keys.foldLeft(r0) {
+      case (d, k) => d.withColumnRenamed(k, s"__rk_$k")
+    }
+    val joinCond = (keys.map(k => col(k) === col(s"__rk_$k")) :+
+      (col("__cell") === col("__rcell"))).reduce(_ && _)
+    val overlap = col(leftStart) <= col(rightEnd) &&
+      col(rightStart) <= col(leftEnd)
+    val firstShared = col("__cell") ===
+      greatest(cellOf(leftStart), cellOf(rightStart))
+    val dropCols = Seq("__cell", "__rcell") ++ keys.map(k => s"__rk_$k")
+    l.join(r, joinCond)
+      .filter(overlap && firstShared)
+      .drop(dropCols: _*)
+  }
 }

@@ -197,6 +197,62 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of an image
+    * payload — the content-addressed key image dedup shuffles on, the
+    * way text dedup shuffles on a digest ([[Dedup]]). Decode through
+    * the same JDK `ImageIO` seam as [[ImageIoCodec]], downsample to an
+    * 8×8 grid of mean luminances (row-major cells, each cell averaged
+    * over its pixels in scan order — deterministic IEEE
+    * accumulation), then bit i is set iff cell i's luminance is >= the
+    * 64-cell mean (cells summed in cell order). Re-encodes of the
+    * same pixels (PNG vs BMP) therefore hash identically, and
+    * near-identical images land within small Hamming distance — the
+    * standard aHash property.
+    *
+    * Scale shape: one bounded-size Long per image; grouping by it is
+    * an ordinary digest-keyed shuffle, payloads never move twice.
+    * Undecodable payloads fail loudly like every codec here. */
+  def averageHash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      "averageHash64: payload is not a decodable image " +
+        "(ImageIO found no reader for these bytes)")
+    val w = img.getWidth; val h = img.getHeight
+    val grid = 8
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * grid / h, grid - 1)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * grid / w, grid - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val cell = cy * grid + cx
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val lums = Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0) 0.0 else sums(c) / counts(c))
+    var tot = 0.0
+    var i = 0
+    while (i < lums.length) { tot += lums(i); i += 1 }
+    val mean = tot / lums.length
+    var hash = 0L
+    i = 0
+    while (i < lums.length) {
+      if (lums(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** Deterministic fakes for the non-decode stamps + the default stub
     * decode ([[HistogramCodec]] delegates here). */
   object MediaCodec {

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release of aggregate statistics — the gate a
+  * training-data pipeline needs before corpus statistics leave the
+  * trust boundary (per-source counts, per-language histograms,
+  * contributor tallies): plain GROUP BY counts leak membership of
+  * small groups. Two standard mechanisms compose here:
+  * k-anonymity suppression (groups under k rows are withheld
+  * entirely) and an ε-differentially-private Laplace mechanism on
+  * the released counts.
+  *
+  * Determinism contract: production DP draws noise from a sealed
+  * seed; what matters operationally is that a RETRIED release
+  * (stage retry, job re-run) publishes the IDENTICAL numbers —
+  * re-randomizing on retry both breaks reproducibility and burns
+  * privacy budget. The noise here is therefore the inverse-CDF
+  * Laplace transform of the repo's cross-engine deterministic
+  * uniform, md5(group-key ":" salt) — same group, same salt, same
+  * noise, on any engine, partitioning, or retry. Rotating `salt`
+  * per release period is the operational knob.
+  *
+  * Scale shape: one partial-agg count per group, one scalar
+  * expression per group row. Nothing driver-side, nothing joined.
+  *
+  * Reference analog: none (SURVEY §2.2 — aggregation exists, but no
+  * release policy of any kind); this is north-star pipeline surface.
+  */
+object Privacy {
+
+  /** ε-DP noisy counts over `dims`, with k-suppression first.
+    *
+    * Per group: u = (md5(key ":" salt) >>> 11 + 0.5) / 2^53 ∈ (0,1),
+    * v = u − 0.5, noise = −(1/ε)·sign(v)·ln(1 − 2|v|) — a
+    * Laplace(1/ε) deviate; released = max(n + noise, 0), emitted at
+    * 6 decimals (the repo's ln-parity face; see q94). Suppressed
+    * groups (n < k) do not appear at all — releasing "suppressed"
+    * rows would itself leak the small-group count.
+    *
+    * Output: dims* + (n BIGINT — the true count, for in-trust use;
+    * release BOUNDED-noise double — the publishable number). Callers
+    * publishing externally select only (dims, release). */
+  def dpCounts(
+      df: DataFrame,
+      dims: Seq[String],
+      epsilon: Double,
+      k: Long = 1L,
+      salt: String = "graft"): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension column required")
+    require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
+    require(k >= 1L, s"k must be >= 1, got $k")
+    val eps = epsilon
+    val saltLocal = salt
+    val noise = udf((key: String) => {
+      val m = Kernels.md5Lower64(key + ":" + saltLocal) >>> 11
+      val u = (m.toDouble + 0.5) / 9007199254740992.0
+      val v = u - 0.5
+      val s = if (v >= 0) 1.0 else -1.0
+      -(1.0 / eps) * s * math.log(1.0 - 2.0 * math.abs(v))
+    })
+    val key = concat_ws("|", dims.map(d => col(d).cast("string")): _*)
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= k)
+      .withColumn("release",
+        round(greatest(col("n").cast("double") + noise(key), lit(0.0)),
+          6))
+  }
+}

@@ -667,4 +667,104 @@ object Sampling {
       .withColumn("fold", (row_number().over(w).cast("long") - 1) % k)
       .drop("_h")
   }
+
+  /** Neyman-optimal stratified sample ALLOCATION: how many rows to
+    * draw per stratum when variance differs across strata — n_h ∝
+    * N_h·S_h, the allocation minimizing the estimator variance at a
+    * fixed total budget (the survey-sampling classic; uniform and
+    * proportional allocation are both strictly worse when strata
+    * spread differs). The plan half of the two-phase pattern
+    * [[mixturePlan]]/`tokenBudgetSelect` use: compute the allocation
+    * here, then draw with [[exactK]]/[[perGroupSample]].
+    *
+    * Engine-order-proof arithmetic: phase 1 is one distributed pass
+    * of EXACT integer moments per stratum (count, Σx, Σx² — Σx² in
+    * DECIMAL(38,0), no overflow at any scale); every emitted double
+    * (sd, share, target) is then ONE fixed IEEE expression over
+    * those integers, the cross-stratum normalizer folds in stratum
+    * order, and integer allocations come from largest-remainder
+    * rounding with a (remainder desc, stratum asc) tiebreak — so
+    * Σ alloc_raw == total EXACTLY, bit-identical on any engine.
+    *
+    * Phase 2 runs on the driver over one row per stratum, LOUDLY
+    * bounded by `maxStrata` (the token-budget/union-find pattern:
+    * cross-stratum sequential arithmetic is driver-sized by
+    * construction; 100 TB changes row counts, not stratum counts).
+    *
+    * `valueCol` must be integral-valued (it is CAST to BIGINT — the
+    * exact-moment contract); `stratumCol` must be a string column
+    * (its ordering defines the fold order). Single-row / zero-spread
+    * strata get sd 0 ⇒ share 0. `alloc` additionally caps at the
+    * stratum's population N_h; the cap is visible (alloc <
+    * alloc_raw), never silently re-spread.
+    *
+    * Output: (stratum, n_rows, sd, share, alloc_raw, alloc), one row
+    * per stratum. */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      total: Long,
+      maxStrata: Int = 100000): DataFrame = {
+    require(total >= 0L, s"total must be >= 0, got $total")
+    require(maxStrata >= 1, s"maxStrata must be >= 1, got $maxStrata")
+    require(df.schema(stratumCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"stratumCol '$stratumCol' must be STRING (its ordering is the " +
+        "deterministic fold order)")
+    val spark = df.sparkSession
+    val x = col(valueCol).cast("long")
+    val moments = df
+      .filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).as("s1"),
+        sum((x * x).cast(DecimalType38)).as("s2"))
+    val rows = moments.limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"neymanAllocation: more than $maxStrata strata — this operator " +
+        "does cross-stratum sequential arithmetic driver-side; raise " +
+        "maxStrata only if the stratum count is genuinely bounded")
+    final case class S(stratum: String, n: Long, sd: Double) {
+      def ns: Double = n.toDouble * sd
+    }
+    val strata = rows.map { r =>
+      val n = r.getLong(1)
+      val s1 = r.getLong(2).toDouble
+      val s2 = r.getDecimal(3).doubleValue()
+      val sd =
+        if (n > 1) {
+          val v = (n.toDouble * s2 - s1 * s1) /
+            (n.toDouble * (n - 1).toDouble)
+          math.sqrt(math.max(v, 0.0))
+        } else 0.0
+      S(r.getString(0), n, sd)
+    }.sortBy(_.stratum)
+    // sequential fold in stratum order — the SQL list_aggregate twin
+    var tot = 0.0
+    strata.foreach(s => tot += s.ns)
+    final case class A(s: S, share: Double, target: Double, base: Long)
+    val planned = strata.map { s =>
+      val share = if (tot > 0) s.ns / tot else 0.0
+      val target = total.toDouble * share
+      A(s, share, target, math.floor(target).toLong)
+    }
+    val leftover =
+      if (tot > 0) total - planned.map(_.base).sum else 0L
+    val bump = planned
+      .sortBy(a => (-(a.target - a.base.toDouble), a.s.stratum))
+      .take(math.max(leftover, 0L).toInt)
+      .map(_.s.stratum).toSet
+    import spark.implicits._
+    planned.map { a =>
+      val raw = if (tot > 0) a.base + (if (bump(a.s.stratum)) 1L else 0L)
+        else 0L
+      (a.s.stratum, a.s.n, a.s.sd, a.share, raw, math.min(raw, a.s.n))
+    }.toSeq
+      .toDF("stratum", "n_rows", "sd", "share", "alloc_raw", "alloc")
+  }
+
+  private val DecimalType38 =
+    org.apache.spark.sql.types.DecimalType(38, 0)
 }

@@ -5270,6 +5270,417 @@ object Extensions {
       FROM c CROSS JOIN t ORDER BY c.revenue DESC, l_partkey""")
   )
 
+  private val q194_image_dedup = Q(
+    "q194_image_dedup",
+    // Perceptual image dedup over REAL decoded pixels: each doc id
+    // deterministically renders an 8x8 grayscale image (g(i) =
+    // (doc_id*31 + i*7) % 256 — 31 is invertible mod 256, so ids
+    // 256 apart render IDENTICAL pixels: planted duplicate images),
+    // encodes it to actual BMP bytes, and the 64-bit average-hash
+    // is computed from the ImageIO-decoded pixels
+    // (Multimodal.averageHash64: 8x8 cell-mean luminance, bit = cell
+    // >= in-order mean). Grouping by the hash is the image spelling
+    // of digest dedup. DuckDB recomputes every hash BIT from the
+    // generating formula, so equality proves decode -> downsample ->
+    // threshold bit-for-bit, not just group counts.
+    (s, dir) => {
+      val hashUdf = udf((id: Long) => {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val g = ((id * 31 + i * 7) % 256).toInt
+          img.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        Multimodal.averageHash64(bos.toByteArray)
+      })
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+      table(s, dir, "documents").select(col("doc_id"))
+        .withColumn("_h", hashUdf(col("doc_id")))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("_h"), 32).as("hash_hi"),
+          col("_h").bitwiseAND(lit(0xffffffffL)).as("hash_lo"),
+          count(lit(1)).over(w).as("group_n"),
+          min(col("doc_id")).over(w).as("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      px AS (SELECT doc_id, u.i AS i,
+          0.299 * CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE)
+          + 0.587 * CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE)
+          + 0.114 * CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE) AS lum
+        FROM d CROSS JOIN unnest(range(0, 64)) AS u(i)),
+      m AS (SELECT doc_id,
+          list_aggregate(list(lum ORDER BY i), 'sum') / 64 AS mean
+        FROM px GROUP BY doc_id),
+      b AS (SELECT px.doc_id,
+          CAST(sum(CASE WHEN i >= 32 AND lum >= mean
+            THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT)
+            AS hash_hi,
+          CAST(sum(CASE WHEN i < 32 AND lum >= mean
+            THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+            AS hash_lo
+        FROM px JOIN m ON m.doc_id = px.doc_id GROUP BY px.doc_id),
+      g AS (SELECT hash_hi, hash_lo, CAST(count(*) AS BIGINT) AS group_n,
+          min(doc_id) AS canonical_id
+        FROM b GROUP BY 1, 2)
+      SELECT b.doc_id, b.hash_hi, b.hash_lo, g.group_n, g.canonical_id
+      FROM b JOIN g ON g.hash_hi = b.hash_hi AND g.hash_lo = b.hash_lo
+      ORDER BY b.doc_id""")
+  )
+
+  private val q195_audio_silence = Q(
+    "q195_audio_silence",
+    // Silence segmentation over REAL audio decode: each doc id
+    // renders 160 frames of deterministic 16-bit PCM (segment k of
+    // 10 frames is zeroed when (id+k) % 4 == 0 — planted silence),
+    // wraps them in an actual WAV container (javax.sound), and the
+    // per-segment RMS comes back through the production WavPcmCodec.
+    // DuckDB recomputes each RMS from the sample formula (in-order
+    // sum of squares, one sqrt, one float narrowing), so equality
+    // proves the container parse + PCM read sample-exact; the silent
+    // flag is the same threshold compare on both sides.
+    (s, dir) => {
+      val rmsUdf = udf((id: Long) => {
+        val nFrames = 160
+        val data = new Array[Byte](nFrames * 2)
+        var t = 0
+        while (t < nFrames) {
+          val base = ((id * 31 + t * 17) % 2001 - 1000).toInt
+          val sv = if ((id + t / 10) % 4 == 0) 0 else base
+          data(2 * t) = (sv & 0xff).toByte
+          data(2 * t + 1) = ((sv >> 8) & 0xff).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Multimodal.WavPcmCodec.decode(bos.toByteArray)
+      })
+      table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(rmsUdf(col("doc_id"))).as(Seq("_s", "rms")))
+        .select(col("doc_id"),
+          (col("_s") + 1).cast("long").as("segment"), col("rms"),
+          (col("rms") < 0.01).as("silent"))
+        .orderBy("doc_id", "segment")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+      t AS (SELECT doc_id, u.t AS t, u.t // 10 AS seg,
+          CASE WHEN (doc_id + u.t // 10) % 4 = 0 THEN 0
+            ELSE (doc_id*31 + u.t*17) % 2001 - 1000 END AS s
+        FROM d CROSS JOIN unnest(range(0, 160)) AS u(t)),
+      q AS (SELECT doc_id, seg, list_aggregate(list(
+          (CAST(s AS DOUBLE)/32768.0) * (CAST(s AS DOUBLE)/32768.0)
+          ORDER BY t), 'sum') AS ss
+        FROM t GROUP BY doc_id, seg)
+      SELECT doc_id, CAST(seg + 1 AS BIGINT) AS segment,
+        CAST(sqrt(ss / 10) AS REAL) AS rms,
+        CAST(sqrt(ss / 10) AS REAL) < 0.01 AS silent
+      FROM q ORDER BY doc_id, segment""")
+  )
+
+  private val q196_interval_overlap = Q(
+    "q196_interval_overlap",
+    // Interval-overlap join (incident correlation): per user, error
+    // windows [ts, ts + 120*value s] against purchase windows of the
+    // same shape — BOTH sides variable-length intervals, the shape a
+    // range join cannot express. Joins.intervalOverlapJoin explodes
+    // each side into the day cells its interval touches, equi-joins
+    // on (user, cell), and keeps a pair only in the first shared
+    // cell (no distinct). The oracle is the direct inequality join.
+    (s, dir) => {
+      val ev = events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        timestamp_micros(unix_micros(col("ts")) +
+          floor(col("value") * 120).cast("long") * 1000000L).as("te"))
+      val err = ev.filter(col("event_type") === "error").select(
+        col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"), col("te").as("error_te"))
+      val pur = ev.filter(col("event_type") === "purchase").select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("te").as("purchase_te"))
+      graft.operators.Joins.intervalOverlapJoin(
+        err, pur, Seq("user_id"),
+        "error_ts", "error_te", "purchase_ts", "purchase_te",
+        widthSec = 86400.0)
+        .select(col("error_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(least(col("error_te"), col("purchase_te"))) -
+            unix_micros(greatest(col("error_ts"), col("purchase_ts"))))
+            .as("overlap_micros"))
+        .orderBy("error_id", "purchase_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type, ts,
+        ts + to_seconds(CAST(floor(value * 120) AS BIGINT)) AS te
+        FROM events),
+      e AS (SELECT event_id AS error_id, user_id, ts AS ets, te AS ete
+        FROM ev WHERE event_type = 'error'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS pts,
+          te AS pte FROM ev WHERE event_type = 'purchase')
+      SELECT e.error_id, p.purchase_id, e.user_id,
+        CAST(epoch_us(least(e.ete, p.pte))
+          - epoch_us(greatest(e.ets, p.pts)) AS BIGINT) AS overlap_micros
+      FROM e JOIN p ON p.user_id = e.user_id
+        AND e.ets <= p.pte AND p.pts <= e.ete
+      ORDER BY e.error_id, p.purchase_id""")
+  )
+
+  private val q197_neyman_allocation = Q(
+    "q197_neyman_allocation",
+    // Neyman-optimal stratified sampling allocation across
+    // returnflag|linestatus strata at a 1000-row budget: exact
+    // integer moments per stratum (one distributed pass), one fixed
+    // IEEE expression per emitted double, stratum-ordered normalizer
+    // fold, largest-remainder integer rounding — sum(alloc_raw) is
+    // EXACTLY the budget, and DuckDB reproduces every bit.
+    (s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+        table(s, dir, "lineitem").withColumn("stratum",
+          concat_ws("|", col("l_returnflag"), col("l_linestatus"))),
+        "stratum", "l_quantity", total = 1000L)
+        .orderBy("stratum"),
+    Some("""WITH m AS (SELECT l_returnflag || '|' || l_linestatus
+        AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+        CAST(CAST(sum(CAST(l_quantity AS BIGINT)
+          * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE)
+          AS s2
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+      v AS (SELECT stratum, n_rows, CASE WHEN n_rows > 1 THEN
+          sqrt(greatest((CAST(n_rows AS DOUBLE) * s2 - s1 * s1)
+            / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)),
+            0.0)) ELSE 0.0 END AS sd FROM m),
+      w AS (SELECT stratum, n_rows, sd,
+          CAST(n_rows AS DOUBLE) * sd AS ns FROM v),
+      t AS (SELECT list_aggregate(list(ns ORDER BY stratum), 'sum')
+          AS tot FROM w),
+      f AS (SELECT w.stratum, w.n_rows, w.sd, t.tot,
+          CASE WHEN t.tot > 0 THEN w.ns / t.tot ELSE 0.0 END AS share,
+          CASE WHEN t.tot > 0 THEN 1000.0 * (w.ns / t.tot)
+            ELSE 0.0 END AS target
+        FROM w CROSS JOIN t),
+      b AS (SELECT *, CAST(floor(target) AS BIGINT) AS base,
+          row_number() OVER (ORDER BY target - floor(target) DESC,
+            stratum) AS rk FROM f),
+      lo AS (SELECT 1000 - sum(base) AS leftover FROM b)
+      SELECT b.stratum, b.n_rows, b.sd, b.share,
+        CAST(CASE WHEN b.tot > 0 THEN b.base
+          + (CASE WHEN b.rk <= lo.leftover THEN 1 ELSE 0 END)
+          ELSE 0 END AS BIGINT) AS alloc_raw,
+        CAST(least(CASE WHEN b.tot > 0 THEN b.base
+          + (CASE WHEN b.rk <= lo.leftover THEN 1 ELSE 0 END)
+          ELSE 0 END, b.n_rows) AS BIGINT) AS alloc
+      FROM b CROSS JOIN lo ORDER BY b.stratum""")
+  )
+
+  private val q198_char_entropy = Q(
+    "q198_char_entropy",
+    // Character-entropy quality screen: Shannon entropy (nats) per
+    // document over its character distribution, folded over SORTED
+    // distinct characters (TextFunctions.charEntropy — pure Catalyst
+    // HOFs, no UDF). The compressibility proxy: repeated-char junk
+    // scores near 0, base64 blobs score implausibly high; the same
+    // sorted sequential fold in DuckDB reproduces it. Emitted at 6
+    // decimals (the q94 discipline): ln differs by 1 ULP between
+    // libm builds for some arguments, so the raw fold drifts in the
+    // last bit on ~5% of docs — rounding pins the cross-engine face
+    // without weakening the operator.
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "")).cast("long").as("n_chars_split"),
+          size(array_distinct(split(col("text"), ""))).cast("long")
+            .as("distinct_chars"),
+          round(TextFunctions.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        CAST(len(str_split(text, '')) AS BIGINT) AS n_chars_split,
+        CAST(len(list_distinct(str_split(text, ''))) AS BIGINT)
+          AS distinct_chars,
+        round(list_aggregate(list_transform(
+          list_sort(list_distinct(str_split(text, ''))),
+          c -> -(CAST(len(list_filter(str_split(text, ''),
+                x -> x = c)) AS DOUBLE)
+              / CAST(len(str_split(text, '')) AS DOUBLE))
+            * ln(CAST(len(list_filter(str_split(text, ''),
+                x -> x = c)) AS DOUBLE)
+              / CAST(len(str_split(text, '')) AS DOUBLE))), 'sum'), 6)
+          AS entropy
+      FROM documents ORDER BY doc_id""")
+  )
+
+  private val q199_assortativity = Q(
+    "q199_assortativity",
+    // Degree assortativity of the part co-purchase graph (q192's
+    // edges): do popular parts co-occur with popular parts? Exact
+    // integer moments over directed half-edges, ONE IEEE expression
+    // for Newman's r — bit-identical cross-engine. Hub-and-spokes
+    // crawl artifacts in a dup graph drive r negative; this is the
+    // one-number structure diagnosis.
+    (s, dir) => {
+      val i = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = i.as("a").join(i.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .select(col("a.it").as("u"), col("b.it").as("v")).distinct()
+      graft.operators.Graphs.degreeAssortativity(edges, "u", "v")
+    },
+    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS bk,
+        l_partkey AS it FROM lineitem),
+      e AS (SELECT DISTINCT a.it AS u, b.it AS v
+        FROM i a JOIN i b ON a.bk = b.bk AND a.it < b.it),
+      dirr AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dirr
+        GROUP BY 1),
+      j AS (SELECT dx.d AS dx, dy.d AS dy FROM dirr
+        JOIN deg dx ON dx.src = dirr.src
+        JOIN deg dy ON dy.src = dirr.dst),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m_halfedges,
+        CAST(CAST(sum(dx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+        CAST(CAST(sum(dx*dx) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+        CAST(CAST(sum(dx*dy) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+        FROM j),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+      ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      SELECT nn.n_nodes, ne.n_edges, m.m_halfedges,
+        CASE WHEN CAST(m.m_halfedges AS DOUBLE) * sxx - sx * sx > 0.0
+          THEN (CAST(m.m_halfedges AS DOUBLE) * sxy - sx * sx)
+            / (CAST(m.m_halfedges AS DOUBLE) * sxx - sx * sx)
+          END AS r
+      FROM nn CROSS JOIN ne CROSS JOIN m""")
+  )
+
+  private val q200_dp_release = Q(
+    "q200_dp_release",
+    // Differentially-private corpus statistics release: per
+    // (source, lang) counts, k=3 suppression first (small groups
+    // withheld entirely), then epsilon=1 Laplace noise from the
+    // md5-derived deterministic uniform — a RETRIED release
+    // publishes identical numbers, and DuckDB rebuilds the exact
+    // noise from the same construction (release at the 6-decimal
+    // ln-parity face).
+    (s, dir) =>
+      graft.operators.Privacy.dpCounts(
+        table(s, dir, "documents"), Seq("source", "lang"),
+        epsilon = 1.0, k = 3L)
+        .orderBy("source", "lang"),
+    Some("""WITH g AS (SELECT source, lang,
+        CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+      f AS (SELECT * FROM g WHERE n >= 3),
+      u AS (SELECT source, lang, n,
+        (CAST(md5_number_lower(source || '|' || lang || ':graft')
+          >> 11 AS DOUBLE) + 0.5) / 9007199254740992.0 AS uu FROM f)
+      SELECT source, lang, n,
+        round(greatest(CAST(n AS DOUBLE) + (-(1.0 / 1.0)
+          * (CASE WHEN uu - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+          * ln(1.0 - 2.0 * abs(uu - 0.5))), 0.0), 6) AS release
+      FROM u ORDER BY source, lang""")
+  )
+
+  private val q201_readability = Q(
+    "q201_readability",
+    // Flesch reading-ease readability screen: all inputs are exact
+    // integer counts (whitespace words, [.!?]+ sentence runs floored
+    // at 1, [aeiouy]+ vowel-group syllables floored at 1 per word),
+    // so the score is one fixed IEEE expression — bitwise
+    // cross-engine with NO transcendental involved.
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_words"),
+          TextFunctions.fleschScore(col("text")).as("flesch"))
+        .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id,
+        list_filter(str_split(text, ' '), x -> x <> '') AS ws,
+        len(list_filter(str_split_regex(text, '[^.!?]+'),
+          x -> x <> '')) AS sent_runs
+        FROM documents),
+      c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(list_aggregate(list_transform(ws, t -> greatest(1,
+          len(list_filter(str_split_regex(t, '[^aeiouy]+'),
+            x -> x <> '')))), 'sum') AS BIGINT) AS syl,
+        greatest(1.0, CAST(sent_runs AS DOUBLE)) AS s
+        FROM w)
+      SELECT doc_id, n_words,
+        CASE WHEN n_words > 0 THEN 206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / s)
+          - 84.6 * (CAST(syl AS DOUBLE) / CAST(n_words AS DOUBLE))
+          END AS flesch
+      FROM c ORDER BY doc_id""")
+  )
+
+  private val q202_url_canonical = Q(
+    "q202_url_canonical",
+    // Crawl-URL canonicalization + dedup: each doc synthesizes a
+    // messy URL (uppercase scheme/host, www, default port, doubled
+    // slashes, tracking params, fragment) whose canonical form
+    // collides for docs sharing (source, doc_id % 50) — the
+    // cheapest dedup a web corpus runs, before any content hash.
+    // TextFunctions.canonicalizeUrl is pure regex/array built-ins
+    // (codegen, no UDF); DuckDB replays the identical chain.
+    (s, dir) => {
+      val url = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/Articles//"),
+        (col("doc_id") % 50).cast("string"),
+        lit("/?utm_source=feed&b=2&a=1&ref=x#frag-"),
+        col("doc_id").cast("string"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical_url")
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.canonicalizeUrl(url).as("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"),
+          count(lit(1)).over(w).as("dup_n"),
+          min(col("doc_id")).over(w).as("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        'HTTPS://WWW.' || source || '.Example.COM:443/Articles//'
+          || CAST(doc_id % 50 AS VARCHAR)
+          || '/?utm_source=feed&b=2&a=1&ref=x#frag-'
+          || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(url, '\?([^#]*)', 1) AS query FROM d),
+      c2 AS (SELECT doc_id, scheme,
+        regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
+          '^www\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        regexp_replace(regexp_replace(path0, '//+', '/', 'g'),
+          '/$', '') AS path,
+        array_to_string(list_sort(list_filter(str_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(p,
+            '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS qstr
+        FROM c),
+      u AS (SELECT doc_id, scheme || '://' || host
+          || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443') THEN ''
+            ELSE ':' || port END)
+          || path
+          || (CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END)
+          AS canonical_url FROM c2),
+      g AS (SELECT canonical_url, CAST(count(*) AS BIGINT) AS dup_n,
+          min(doc_id) AS canonical_id FROM u GROUP BY 1)
+      SELECT u.doc_id, u.canonical_url, g.dup_n, g.canonical_id
+      FROM u JOIN g USING (canonical_url) ORDER BY u.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -5319,5 +5730,8 @@ object Extensions {
     q183_skyline, q184_cusum, q185_pagerank, q186_name_links,
     q187_rrf_fusion, q188_pit_enrich, q189_encoding_advisor,
     q190_rank_sum, q191_acf, q192_basket_rules, q193_abc_revenue,
+    q194_image_dedup, q195_audio_silence, q196_interval_overlap,
+    q197_neyman_allocation, q198_char_entropy, q199_assortativity,
+    q200_dp_release, q201_readability, q202_url_canonical,
     q44_curation_pipeline, q45_source_audit)
 }

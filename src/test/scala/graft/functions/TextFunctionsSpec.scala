@@ -99,4 +99,80 @@ class TextFunctionsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("charEntropy: hand values, degenerate cases, null safety") {
+    import spark.implicits._
+    def h(s: String): Double =
+      Seq(s).toDF("t")
+        .select(TextFunctions.charEntropy(col("t"))).head().getDouble(0)
+    // uniform over 2 chars -> ln 2; over 4 chars -> ln 4
+    assert(math.abs(h("abab") - math.log(2.0)) < 1e-12)
+    assert(math.abs(h("abcd") - math.log(4.0)) < 1e-12)
+    // repeated-char junk -> exactly 0 (p=1 term is -1*ln(1))
+    assert(h("aaaaaaaa") == 0.0)
+    // 'banana the': naive reference computed independently
+    val text = "banana the"
+    val counts = text.groupBy(identity).view.mapValues(_.length)
+    val n = text.length.toDouble
+    val ref = counts.values.map { c =>
+      -(c / n) * math.log(c / n) }.sum
+    assert(math.abs(h(text) - ref) < 1e-12)
+    // empty and null -> 0.0, never NaN
+    assert(h("") == 0.0)
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.charEntropy(col("t"))).head()
+      .getDouble(0) == 0.0)
+    // entropy is permutation-invariant in content
+    assert(h("aabbcc") == h("cabcab"))
+  }
+
+  test("fleschScore: hand-computed counts, floors, null safety") {
+    import spark.implicits._
+    def f(s: String): Option[Double] = {
+      val r = Seq(s).toDF("t")
+        .select(TextFunctions.fleschScore(col("t"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // "the cat sat." -> 3 words, 1 sentence run, 1 syllable each
+    assert(f("the cat sat.").contains(
+      206.835 - 1.015 * 3.0 - 84.6 * (3.0 / 3.0)))
+    // no terminator -> sentences floored at 1 (same score)
+    assert(f("the cat sat") == f("the cat sat."))
+    // two sentences: "a cat. a dog." -> 4 words, 2 runs
+    assert(f("a cat. a dog.").contains(
+      206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (4.0 / 4.0)))
+    // multi-syllable: "banana" = 3 vowel groups
+    assert(f("banana").contains(206.835 - 1.015 - 84.6 * 3.0))
+    // vowel-less word floors at 1 syllable
+    assert(f("tsk").contains(206.835 - 1.015 - 84.6))
+    // empty / null -> null, never NaN
+    assert(f("") == None)
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.fleschScore(col("t"))).head().isNullAt(0))
+  }
+
+  test("canonicalizeUrl: full normalization chain, hand cases") {
+    import spark.implicits._
+    def c(s: String): String =
+      Seq(s).toDF("u")
+        .select(TextFunctions.canonicalizeUrl(col("u"))).head()
+        .getString(0)
+    // the kitchen sink: case, www, default port, doubled slashes,
+    // trailing slash, tracking params, unsorted params, fragment
+    assert(c("HTTPS://WWW.Example.COM:443/A//b/?utm_source=x&b=2&a=1&ref=t#frag")
+      == "https://example.com/A/b?a=1&b=2")
+    // path case is PRESERVED (paths are case-sensitive by spec)
+    assert(c("http://site.com/CaseSensitive") ==
+      "http://site.com/CaseSensitive")
+    // non-default port kept; http default port dropped
+    assert(c("http://site.com:8080/x") == "http://site.com:8080/x")
+    assert(c("http://site.com:80/x") == "http://site.com/x")
+    // bare root: trailing slash trimmed to empty path
+    assert(c("https://Site.com/") == "https://site.com")
+    // all params tracking -> no query at all
+    assert(c("https://a.com/p?utm_campaign=1&gclid=2&fbclid=3") ==
+      "https://a.com/p")
+    // identical canonical forms collide (the dedup property)
+    assert(c("HTTP://WWW.A.com//x/?b=2&a=1#z") == c("http://a.com/x?a=1&b=2"))
+  }
 }

@@ -141,4 +141,46 @@ class GraphsSpec extends AnyFunSuite {
       assert(r.getDouble(2) == r.getLong(1).toDouble / 1.0e12)
     }
   }
+
+  private def assortativity(edges: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+    Graphs.degreeAssortativity(edges.toDF("a", "b"), "a", "b").head()
+
+  test("degreeAssortativity: star is maximally disassortative (r = -1)") {
+    val star = (2L to 6L).map(i => (1L, i))
+    val r = assortativity(star)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L &&
+      r.getLong(2) == 10L)
+    assert(math.abs(r.getDouble(3) - (-1.0)) < 1e-12)
+  }
+
+  test("degreeAssortativity: regular graphs have zero degree variance -> null r") {
+    // a 4-cycle: every degree 2
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val r = assortativity(cycle)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.isNullAt(3))
+  }
+
+  test("degreeAssortativity matches the naive Pearson reference") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 200)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val got = assortativity(edges)
+    // naive reference: normalize, mirror, Pearson over half-edges
+    val und = edges.map(e =>
+      (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val dir = und ++ und.map(_.swap)
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = dir.map { case (u, v) => (deg(u), deg(v)) }
+    val m = xs.size.toDouble
+    val sx = xs.map(_._1).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val ref = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert(math.abs(got.getDouble(3) - ref) < 1e-12)
+    // duplicate edges and both orientations normalize away
+    val doubled = edges ++ edges.map(_.swap)
+    assert(assortativity(doubled).getDouble(3) == got.getDouble(3))
+  }
 }

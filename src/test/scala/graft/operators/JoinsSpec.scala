@@ -434,4 +434,69 @@ class JoinsSpec extends AnyFunSuite {
     // residual predicate must make the result identical
     assert(pairs(Some(150.0)) == naive)
   }
+
+  test("intervalOverlapJoin == naive theta join; cell width invisible") {
+    // random variable-length intervals on both sides, several keys
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 120).map(i =>
+      (i.toLong, (i % 5).toLong, ts(rnd.nextInt(5000)),
+        rnd.nextInt(900))).map { case (id, k, t0, span) =>
+      (id, k, t0, ts(t0.getTime / 1000L + span)) }
+      .toDF("lid", "k", "ls", "le")
+    val r = (0 until 130).map(i =>
+      (1000L + i, (i % 5).toLong, ts(rnd.nextInt(5000)),
+        rnd.nextInt(900))).map { case (id, k, t0, span) =>
+      (id, k, t0, ts(t0.getTime / 1000L + span)) }
+      .toDF("rid", "k", "rs", "re")
+
+    val naive = l.as("l").join(r.as("r"),
+      col("l.k") === col("r.k") &&
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+
+    for (w <- Seq(100.0, 1000.0, 7200.0)) {
+      val got = Joins.intervalOverlapJoin(
+        l, r, Seq("k"), "ls", "le", "rs", "re", widthSec = w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      // exactly once per pair — the first-shared-cell predicate must
+      // dedupe without a distinct even when intervals share many cells
+      assert(got.length == got.toSet.size, s"duplicates at width $w")
+      assert(got.toSet == naive, s"mismatch at width $w")
+    }
+  }
+
+  test("intervalOverlapJoin loud contracts: inversion, span, collision") {
+    val ok = Seq((1L, 1L, ts(0), ts(10)))
+      .toDF("lid", "k", "ls", "le")
+    val inverted = Seq((1L, 1L, ts(100), ts(5)))
+      .toDF("rid", "k", "rs", "re")
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(
+        ok, inverted, Seq("k"), "ls", "le", "rs", "re", widthSec = 60)
+    }
+    assert(e1.getMessage.contains("inverted"))
+
+    val huge = Seq((2L, 1L, ts(0), ts(3600 * 24)))
+      .toDF("rid", "k", "rs", "re")
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(ok, huge, Seq("k"),
+        "ls", "le", "rs", "re", widthSec = 1.0, maxCellsPerRow = 100)
+    }
+    assert(e2.getMessage.contains("maxCellsPerRow"))
+
+    val clash = Seq((2L, 1L, ts(0), ts(5)))
+      .toDF("lid", "k", "rs", "re") // "lid" collides with left
+    val e3 = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapJoin(ok, clash, Seq("k"),
+        "ls", "le", "rs", "re", widthSec = 60)
+    }
+    assert(e3.getMessage.contains("rename"))
+
+    // empty sides are fine (guard head() on empty agg)
+    val empty = Seq.empty[(Long, Long, Timestamp, Timestamp)]
+      .toDF("rid", "k", "rs", "re")
+    assert(Joins.intervalOverlapJoin(ok, empty, Seq("k"),
+      "ls", "le", "rs", "re", widthSec = 60).count() == 0L)
+  }
 }

@@ -174,6 +174,51 @@ class MultimodalSpec extends AnyFunSuite {
       ImageIoCodec.decode(recs.head.payload).toSeq)
   }
 
+  test("averageHash64: hand bits, format invariance, loud failure") {
+    // half-dark / half-bright 8x8: rows 0..3 black, rows 4..7 white.
+    // mean is halfway, so exactly bits 32..63 set.
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 4) 0x000000 else 0xffffff)
+    val h = averageHash64(encodeImage(img, "bmp"))
+    assert(h == 0xFFFFFFFF00000000L, f"got $h%016x")
+    // a function of the IMAGE, not the container bytes
+    assert(averageHash64(encodeImage(img, "png")) == h)
+    // flipping one bright pixel dark flips exactly that bit
+    img.setRGB(0, 4, 0x000000)
+    val h2 = averageHash64(encodeImage(img, "bmp"))
+    assert(h2 == (h & ~(1L << 32)), f"got $h2%016x")
+    val e = intercept[IllegalArgumentException] {
+      averageHash64("junk".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("averageHash64: larger images downsample to cell means") {
+    // 16x16 where each 2x2 cell is uniform == the 8x8 of cell values
+    val big = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val g = (cx * 31 + cy * 97) % 256
+      val rgb = (g << 16) | (g << 8) | g
+      small.setRGB(cx, cy, rgb)
+      for (dy <- 0 to 1; dx <- 0 to 1)
+        big.setRGB(cx * 2 + dx, cy * 2 + dy, rgb)
+    }
+    assert(averageHash64(encodeImage(big, "png")) ==
+      averageHash64(encodeImage(small, "png")))
+    // and a genuinely different image hashes differently
+    val other = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      other.setRGB(x, y, if ((x + y) % 2 == 0) 0 else 0xffffff)
+    assert(averageHash64(encodeImage(other, "png")) !=
+      averageHash64(encodeImage(small, "png")))
+  }
+
   test("sampleFrames fans out only videos, frame count as configured") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")

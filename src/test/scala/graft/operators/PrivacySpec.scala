@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = (
+    (1 to 10).map(i => ("a", s"x$i")) ++ // a: 10 rows
+      (1 to 5).map(i => ("b", s"y$i")) ++ // b: 5 rows
+      Seq(("c", "z1"), ("c", "z2")) // c: 2 rows (suppressible)
+    ).toSeq.toDF("grp", "payload")
+
+  test("dpCounts: k-suppression withholds small groups entirely") {
+    val out = Privacy.dpCounts(corpus, Seq("grp"), epsilon = 1.0, k = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 10L, "b" -> 5L)) // c absent, not zeroed
+  }
+
+  test("dpCounts: noise is deterministic, bounded-biased, salt-keyed") {
+    def release(salt: String) =
+      Privacy.dpCounts(corpus, Seq("grp"), 1.0, 1L, salt)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val a = release("graft")
+    // identical on re-run and under repartitioning (retry-proof)
+    assert(release("graft") == a)
+    val b = Privacy.dpCounts(corpus.repartition(7), Seq("grp"), 1.0, 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(b == a)
+    // a different salt re-draws the noise
+    assert(release("other") != a)
+    // release = true count + Laplace(1/eps) noise, floored at 0:
+    // with eps=1 the |noise| median is ln(2); check plausibility
+    a.foreach { case (_, (n, rel)) =>
+      assert(rel >= 0.0 && math.abs(rel - n) < 40.0)
+    }
+    // at least one group's noise is nonzero (md5 uniform is not 0.5)
+    assert(a.exists { case (_, (n, rel)) => rel != n.toDouble })
+  }
+
+  test("dpCounts: noise matches the inverse-CDF construction exactly") {
+    val out = Privacy.dpCounts(corpus, Seq("grp"), 2.0, 1L, "s7")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def expected(grp: String, n: Long): Double = {
+      val m = Kernels.md5Lower64(grp + ":s7") >>> 11
+      val u = (m.toDouble + 0.5) / 9007199254740992.0
+      val v = u - 0.5
+      val s = if (v >= 0) 1.0 else -1.0
+      val noise = -(1.0 / 2.0) * s * math.log(1.0 - 2.0 * math.abs(v))
+      math.floor(math.max(n + noise, 0.0) * 1e6 + 0.5) / 1e6
+    }
+    assert(math.abs(out("a") - expected("a", 10L)) < 1e-9)
+    assert(math.abs(out("b") - expected("b", 5L)) < 1e-9)
+  }
+
+  test("dpCounts: multi-dim key is the pipe-joined group value") {
+    val df = Seq(("a", "en", 1), ("a", "en", 2), ("a", "de", 3))
+      .toDF("src", "lang", "x")
+    val out = Privacy.dpCounts(df, Seq("src", "lang"), 1.0, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(out == Map(("a", "en") -> 2L, ("a", "de") -> 1L))
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(df, Seq.empty, 1.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(df, Seq("src"), 0.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(df, Seq("src"), 1.0, 0L)
+    }
+  }
+}

@@ -466,4 +466,70 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("neymanAllocation: hand case — allocation tracks N_h * S_h") {
+    import spark.implicits._
+    // stratum a: 4 rows of spread {0,10,0,10} (sd > 0)
+    // stratum b: 8 rows, all 5 (sd = 0 -> share 0)
+    // stratum c: 2 rows {0, 100} (few rows, huge spread)
+    val rows =
+      Seq("a" -> 0L, "a" -> 10L, "a" -> 0L, "a" -> 10L) ++
+        (1 to 8).map(_ => "b" -> 5L) ++ Seq("c" -> 0L, "c" -> 100L)
+    val df = rows.toDF("stratum", "x")
+    val out = Sampling.neymanAllocation(df, "stratum", "x", total = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // sd_a = sqrt((4*200 - 400)/(4*3)) = sqrt(100/3); sd_c =
+    // sqrt((2*10000 - 10000)/2) = sqrt(5000)
+    val sdA = math.sqrt(100.0 / 3.0)
+    val sdC = math.sqrt(5000.0)
+    assert(out("a")._1 == 4L && math.abs(out("a")._2 - sdA) < 1e-12)
+    assert(out("b")._2 == 0.0 && out("b")._3 == 0.0 &&
+      out("b")._5 == 0L)
+    assert(math.abs(out("c")._2 - sdC) < 1e-12)
+    // shares: a -> 4*sdA, c -> 2*sdC; raw allocations sum to total
+    val tot = 4 * sdA + 2 * sdC
+    assert(math.abs(out("a")._3 - 4 * sdA / tot) < 1e-12)
+    assert(out.values.map(_._4).sum == 10L)
+    // c's raw allocation exceeds its 2 rows -> capped alloc visible
+    val alloc = Sampling.neymanAllocation(df, "stratum", "x", 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(alloc("c")._1 > 2L && alloc("c")._2 == 2L)
+    assert(alloc("a")._2 == alloc("a")._1) // uncapped stratum
+  }
+
+  test("neymanAllocation: exact budget, determinism, loud contracts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i =>
+      (s"s${i % 7}", rnd.nextInt(1000).toLong)).toSeq
+    val df = rows.toDF("stratum", "x")
+    val a = Sampling.neymanAllocation(df, "stratum", "x", 123L)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSeq.sorted
+    // largest-remainder: raw allocations hit the budget EXACTLY
+    assert(a.map(_._2).sum == 123L)
+    // content-determined under any physical layout
+    val b = Sampling.neymanAllocation(
+      df.repartition(13), "stratum", "x", 123L)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSeq.sorted
+    assert(a == b)
+    // all-zero-spread corpus: allocations are 0, never NaN shares
+    val flat = (0 until 20).map(i => (s"s${i % 3}", 7L)).toSeq
+      .toDF("stratum", "x")
+    val z = Sampling.neymanAllocation(flat, "stratum", "x", 10L)
+      .collect()
+    assert(z.forall(r => r.getLong(5) == 0L && r.getDouble(3) == 0.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.neymanAllocation(
+        rows.toDF("stratum", "x").withColumn("stratum",
+          org.apache.spark.sql.functions.col("x")), "stratum", "x", 5L)
+    }
+    assert(e1.getMessage.contains("STRING"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.neymanAllocation(df, "stratum", "x", 5L, maxStrata = 3)
+    }
+    assert(e2.getMessage.contains("strata"))
+  }
 }
