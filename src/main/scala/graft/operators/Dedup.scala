@@ -1156,4 +1156,51 @@ object Dedup {
       .withColumn("dup_rate",
         lit(1.0) - expr("CAST(n_new AS DOUBLE) / CAST(n_rows AS DOUBLE)"))
   }
+
+  /** Content-defined chunk table (the rsync/LBFS dedup family):
+    * every document splits at content-determined boundaries
+    * ([[Kernels.cdcChunks]] — md5-windowed rolling condition, mean
+    * chunk ≈ `modulus` chars), and each chunk carries its content
+    * md5 plus how many OTHER documents contain a byte-identical
+    * chunk. This is the dedup that survives INSERTIONS: a shifted
+    * copy re-synchronizes at the next content boundary, so its
+    * later chunks still collide — where fixed-size blocks and even
+    * span dedup's gram grid lose alignment. (Substring span dedup,
+    * [[duplicatedSpans]], finds shared PASSAGES; CDC finds shared
+    * STORAGE — the two answer different questions.)
+    *
+    * Scale shape: chunking is one map pass (per-doc kernel, JIT'd);
+    * the duplicate count is one partial agg keyed by chunk md5 and
+    * one equi-join back — the digest-keyed shuffle discipline of
+    * [[exactDuplicates]]; chunk payloads never shuffle (only
+    * doc_id + md5 leave the map side).
+    *
+    * Output: (doc_id, chunk_idx 1-based, start 1-based, chunk_len,
+    * chunk_md5, dup_docs = docs other than this one sharing the
+    * chunk md5). */
+  def cdcChunkTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16,
+      modulus: Int = 64): DataFrame = {
+    val wLocal = window
+    val mLocal = modulus
+    val chunksUdf = udf((text: String) =>
+      if (text == null) Array.empty[Kernels.CdcChunk]
+      else Kernels.cdcChunks(text, wLocal, mLocal))
+    val chunks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(chunksUdf(col(textCol))).as(Seq("_c0", "ch")))
+      .select(col("doc_id"), (col("_c0") + 1).cast("long").as("chunk_idx"),
+        col("ch.start").as("start"), col("ch.len").as("chunk_len"),
+        col("ch.chunkMd5").as("chunk_md5"))
+    val docsPerChunk = chunks
+      .select(col("chunk_md5"), col("doc_id")).distinct()
+      .groupBy("chunk_md5").agg(count(lit(1)).as("_docs"))
+    chunks.join(docsPerChunk, "chunk_md5")
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("chunk_md5"),
+        (col("_docs") - 1L).as("dup_docs"))
+  }
 }

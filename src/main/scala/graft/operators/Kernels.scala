@@ -333,6 +333,67 @@ object Kernels extends Serializable {
     out
   }
 
+  /** Full MD5(s) as the 32-char lowercase hex string — bit-for-bit
+    * both DuckDB's and Spark SQL's `md5()`, usable as a cross-engine
+    * content key where 64 bits ([[md5Lower64]]) is not wanted. */
+  def md5Hex(s: String): String = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One content-defined chunk: 1-based char start, char length, and
+    * the md5 hex of the chunk's characters. */
+  final case class CdcChunk(start: Long, len: Long, chunkMd5: String)
+
+  /** Content-defined chunking (the LBFS/rsync family): a boundary
+    * closes a chunk after char position p (p >= window) whenever the
+    * hash of the last `window` chars satisfies
+    * `(md5Lower64 >>> 11) % modulus == 0`; the final position always
+    * closes the last chunk. Because boundaries depend only on LOCAL
+    * content, an insertion early in a document shifts chunk
+    * positions but leaves every later chunk's CONTENT — and hence
+    * its md5 — identical, which is what makes cross-document
+    * shifted-content dedup work where fixed-size blocks fail.
+    * Expected chunk length ≈ `modulus` chars. The >>> 11 keeps the
+    * hash non-negative so `%` agrees with SQL's unsigned modulus
+    * (the md5_number_lower contract). The window REMAINS rolling
+    * across boundaries (standard CDC: no reset), so the oracle can
+    * enumerate all positions independently. */
+  def cdcChunks(text: String, window: Int, modulus: Int): Array[CdcChunk] = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+    val n = text.length
+    if (n == 0) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[CdcChunk]()
+    var start = 0 // 0-based inclusive
+    var p = window // 1-based candidate boundary position
+    while (p <= n) {
+      val isLast = p == n
+      val cut = isLast ||
+        (md5Lower64(text.substring(p - window, p)) >>> 11) % modulus == 0
+      if (cut) {
+        val chunk = text.substring(start, p)
+        out += CdcChunk(start + 1L, (p - start).toLong, md5Hex(chunk))
+        start = p
+      }
+      p += 1
+    }
+    if (start < n) { // tail shorter than window
+      val chunk = text.substring(start, n)
+      out += CdcChunk(start + 1L, (n - start).toLong, md5Hex(chunk))
+    }
+    out.toArray
+  }
+
   /** One adjacent token pair: its first token (the conditioning
     * unigram) and the space-joined pair (the bigram key). */
   final case class Bigram(a: String, ab: String)

@@ -911,4 +911,51 @@ object Profile {
       .select(col("n_a"), col("n_b"), col("u2_a"),
         col("tie_cubed_sum"), col("effect_r"))
   }
+
+  /** Watermark/late-data audit — the measurement that SIZES a
+    * streaming job's watermark before it exists: replaying a day of
+    * events in arrival order (`seqCol` — an ingest sequence or
+    * offset), how far behind the running event-time high-water mark
+    * does each event arrive? An event is LATE when some
+    * earlier-arriving event of the same key already carried a later
+    * event time; `withWatermark(d)` silently DROPS exactly the
+    * events whose lateness exceeds d, so d must be read off this
+    * audit (e.g. max or p95 lateness), not guessed.
+    *
+    * Shape: one key-partitioned window ordered by arrival (running
+    * max over the preceding frame — never a global window), one
+    * partial agg. Lateness is exact integer µs; the percentile is
+    * the exact interpolated one (the q77 cross-engine contract).
+    *
+    * Output per key: (n, late_n, late_rate, max_late_us,
+    * p95_late_us). */
+  def latenessAudit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "latenessAudit needs >= 1 key column (a global audit would be " +
+        "one unpartitioned window; add a constant key deliberately " +
+        "if that is really wanted)")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = df
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_mx", max(col("_us")).over(w))
+      .withColumn("_late_us",
+        when(col("_mx").isNull, lit(0L))
+          .otherwise(greatest(col("_mx") - col("_us"), lit(0L))))
+    late.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_late_us") > 0L, 1L).otherwise(0L)).as("late_n"),
+        max(col("_late_us")).as("max_late_us"),
+        expr("percentile(_late_us, 0.95)").as("p95_late_us"))
+      .withColumn("late_rate",
+        col("late_n").cast("double") / col("n").cast("double"))
+      .select((keyCols.map(col) ++ Seq(col("n"), col("late_n"),
+        col("late_rate"), col("max_late_us"), col("p95_late_us"))): _*)
+  }
 }

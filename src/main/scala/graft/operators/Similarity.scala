@@ -1243,4 +1243,72 @@ object Similarity {
       .orderBy(col("cos").asc, col("id").asc)
       .limit(k)
   }
+
+  /** Davies–Bouldin cluster-quality components per group — the
+    * clustering diagnostic that needs NO pairwise point distances
+    * (unlike silhouette's O(n²)): per-cluster scatter S_i (mean
+    * Euclidean distance to own centroid) and the DB component
+    * max_{j≠i} (S_i + S_j) / M_ij over centroid distances M_ij.
+    * Lower is better-separated; the corpus DB index is the mean of
+    * the components. The gate to run after (re)training IVF
+    * centroids or per-label prototypes: a label whose component
+    * jumps has collapsed into a neighbor.
+    *
+    * Determinism: centroids come from [[groupCentroids]] (vec-id
+    * ordered bitwise fold, maxGroupSize-guarded); every distance is
+    * a dim-ordered sequential fold + one sqrt; scatters fold in
+    * vec-id order; the max over j is order-free. Bit-identical on
+    * any engine/partitioning.
+    *
+    * Scale shape: one centroid pass, one broadcast of k centroid
+    * rows onto the corpus for per-point distances, one scatter agg,
+    * then k×(k−1) centroid pairs — k is the label/cell count,
+    * bounded by construction. Pairs with coincident centroids
+    * (M = 0) are excluded from the max rather than emitting inf.
+    *
+    * Output: (group, n, scatter, db_component) per group. */
+  def daviesBouldin(
+      df0: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      maxGroupSize: Long = 1L << 20): DataFrame = {
+    val cent = groupCentroids(df0, groupCol, idCol, vecCol, maxGroupSize)
+      .groupBy(col("group"), col("n"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+        .as("cs"))
+      .select(col("group"), col("n"),
+        transform(col("cs"), s => s.getField("c")).as("cvec"))
+    def sqDist(a: Column, b: Column): Column =
+      sqrt(aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t))
+    val dist = df0.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol).cast("array<float>"),
+          x => x.cast("double")).as("v"))
+      .join(broadcast(cent.select(col("group"), col("cvec"))), "group")
+      .select(col("group"), col("id"), sqDist(col("v"), col("cvec")).as("d"))
+    val scatter = dist.groupBy("group")
+      .agg(sort_array(collect_list(struct(col("id"), col("d")))).as("ds"),
+        count(lit(1)).as("_n"))
+      .select(col("group"),
+        (aggregate(transform(col("ds"), s => s.getField("d")),
+          lit(0.0), (acc, t) => acc + t) / col("_n").cast("double"))
+          .as("scatter"))
+    val other = cent.select(col("group").as("g2"), col("cvec").as("cvec2"))
+    val comp = cent.join(other, col("group") =!= col("g2"))
+      .select(col("group"), col("n"), col("g2"),
+        sqDist(col("cvec"), col("cvec2")).as("m"))
+      .join(scatter, "group")
+      .join(scatter.select(col("group").as("g2"),
+        col("scatter").as("_s2")), "g2")
+      .filter(col("m") > 0.0)
+      .groupBy(col("group"), col("n"), col("scatter"))
+      .agg(max((col("scatter") + col("_s2")) / col("m"))
+        .as("db_component"))
+    comp.select(col("group"), col("n"), col("scatter"),
+      col("db_component"))
+  }
 }

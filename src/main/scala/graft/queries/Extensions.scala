@@ -5681,6 +5681,136 @@ object Extensions {
       FROM u JOIN g USING (canonical_url) ORDER BY u.doc_id""")
   )
 
+  private val q203_cdc_chunks = Q(
+    "q203_cdc_chunks",
+    // Content-defined chunking dedup: docs 0..99 plus SHIFTED copies
+    // (a 15-char prefix insertion). CDC boundaries depend only on
+    // local content, so the copies re-synchronize after the first
+    // boundary and their later chunks collide by md5 — the property
+    // fixed-size blocks lose. The oracle re-derives every boundary
+    // (all window positions via md5_number_lower), every chunk md5,
+    // and every cross-doc duplicate count.
+    (s, dir) => {
+      val base = table(s, dir, "documents")
+        .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      val corpus = base.unionAll(base.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("shifted prefix "), col("text")).as("text")))
+      graft.operators.Dedup.cdcChunkTable(
+        corpus, "doc_id", "text", window = 16, modulus = 64)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text FROM documents
+        WHERE doc_id < 100),
+      d AS (SELECT doc_id, text, len(text) AS n FROM (
+        SELECT doc_id, text FROM d0
+        UNION ALL SELECT doc_id + 100000,
+          'shifted prefix ' || text FROM d0)),
+      p AS (SELECT d.doc_id, u.p AS p FROM d
+        CROSS JOIN unnest(range(16, n + 1)) AS u(p)
+        WHERE (md5_number_lower(
+          substr(text, CAST(u.p AS INT) - 15, 16)) >> 11) % 64 = 0),
+      e AS (SELECT d.doc_id, d.text, list_sort(list_distinct(
+          COALESCE(list(p.p), CAST([] AS BIGINT[])) || [CAST(d.n AS BIGINT)]))
+          AS ends
+        FROM d LEFT JOIN p ON p.doc_id = d.doc_id
+        GROUP BY d.doc_id, d.text, d.n),
+      ch AS (SELECT doc_id, text,
+          CAST(u.i + 1 AS BIGINT) AS chunk_idx,
+          CASE WHEN u.i = 0 THEN 1 ELSE ends[CAST(u.i AS INT)] + 1
+            END AS start,
+          ends[CAST(u.i + 1 AS INT)] AS e
+        FROM e CROSS JOIN unnest(range(0, len(ends))) AS u(i)),
+      c2 AS (SELECT doc_id, chunk_idx, CAST(start AS BIGINT) AS start,
+          CAST(e - start + 1 AS BIGINT) AS chunk_len,
+          md5(substr(text, CAST(start AS INT),
+            CAST(e - start + 1 AS INT))) AS chunk_md5
+        FROM ch),
+      g AS (SELECT chunk_md5,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+        FROM c2 GROUP BY 1)
+      SELECT c2.doc_id, c2.chunk_idx, c2.start, c2.chunk_len,
+        c2.chunk_md5, g.docs - 1 AS dup_docs
+      FROM c2 JOIN g USING (chunk_md5)
+      ORDER BY c2.doc_id, c2.chunk_idx""")
+  )
+
+  private val q204_cluster_quality = Q(
+    "q204_cluster_quality",
+    // Davies-Bouldin cluster quality over the label prototypes: per
+    // label, scatter (vec-id-ordered mean distance to own centroid)
+    // and the worst (S_i+S_j)/M_ij separation ratio — the
+    // no-pairwise-points diagnostic to run after every centroid
+    // (re)train. Every fold is dim- or id-ordered, so DuckDB
+    // rebuilds centroids, scatters, and components bitwise.
+    (s, dir) =>
+      graft.operators.Similarity.daviesBouldin(
+        table(s, dir, "embeddings"), "label", "vec_id", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy("label"),
+    Some("""WITH g AS (SELECT label, count(*) AS n,
+        list(embedding ORDER BY vec_id) AS vs
+        FROM embeddings GROUP BY label),
+      cent AS (SELECT label, n, list_transform(
+          range(1, len(vs[1]) + 1),
+          i -> list_aggregate(list_transform(vs,
+            v -> CAST(v[i] AS DOUBLE)), 'sum') / n) AS cv FROM g),
+      d AS (SELECT e.label, e.vec_id,
+          sqrt(list_aggregate(list_transform(
+            list_zip(e.embedding, c.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            'sum')) AS d
+        FROM embeddings e JOIN cent c ON c.label = e.label),
+      s AS (SELECT label,
+          list_aggregate(list(d ORDER BY vec_id), 'sum') / count(*)
+            AS scatter
+        FROM d GROUP BY label),
+      m AS (SELECT a.label AS la, b.label AS lb,
+          sqrt(list_aggregate(list_transform(list_zip(a.cv, b.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            'sum')) AS m
+        FROM cent a JOIN cent b ON a.label <> b.label),
+      r AS (SELECT m.la AS label,
+          max((sa.scatter + sb.scatter) / m.m) AS db_component
+        FROM m JOIN s sa ON sa.label = m.la
+        JOIN s sb ON sb.label = m.lb WHERE m.m > 0 GROUP BY 1)
+      SELECT c.label, CAST(c.n AS BIGINT) AS n, s.scatter,
+        r.db_component
+      FROM cent c JOIN s USING (label) JOIN r USING (label)
+      ORDER BY c.label""")
+  )
+
+  private val q205_watermark_audit = Q(
+    "q205_watermark_audit",
+    // Watermark sizing audit: replay events in arrival order
+    // (event_id) per type, measure how far behind the running
+    // event-time high-water mark each event lands, and emit the
+    // late rate plus max/p95 lateness — the numbers that pick the
+    // withWatermark() delay instead of guessing it. One partitioned
+    // running-max window, exact integer microseconds.
+    (s, dir) =>
+      graft.operators.Profile.latenessAudit(
+        events(s, dir), Seq("event_type"), "ts", "event_id")
+        .orderBy("event_type"),
+    Some("""WITH o AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        max(epoch_us(ts)) OVER (PARTITION BY event_type
+          ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        FROM events),
+      l AS (SELECT event_type, CASE WHEN mx IS NULL THEN 0
+          ELSE greatest(mx - us, 0) END AS late_us FROM o)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS late_n,
+        CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS late_rate,
+        CAST(max(late_us) AS BIGINT) AS max_late_us,
+        quantile_cont(CAST(late_us AS DOUBLE), 0.95) AS p95_late_us
+      FROM l GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -5733,5 +5863,6 @@ object Extensions {
     q194_image_dedup, q195_audio_silence, q196_interval_overlap,
     q197_neyman_allocation, q198_char_entropy, q199_assortativity,
     q200_dp_release, q201_readability, q202_url_canonical,
+    q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -713,4 +713,39 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("cdcChunkTable: kernel parity, dup_docs counts docs not chunks") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val t2 = "INSERTED " + t1 // shifted copy
+    val df = Seq((1L, t1), (2L, t2), (3L, "short"))
+      .toDF("id", "text")
+    val out = Dedup.cdcChunkTable(df, "id", "text", window = 8,
+      modulus = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))
+      .toMap
+    // per-doc rows match the kernel exactly
+    for ((id, t) <- Seq(1L -> t1, 2L -> t2, 3L -> "short")) {
+      val ks = Kernels.cdcChunks(t, 8, 16)
+      val rows = out.filter(_._1._1 == id).toSeq.sortBy(_._1._2)
+      assert(rows.length == ks.length, s"doc $id")
+      rows.zip(ks).foreach { case (((_, _), (st, ln, h, _)), k) =>
+        assert(st == k.start && ln == k.len && h == k.chunkMd5)
+      }
+    }
+    // the shifted copy's later chunks collide: dup_docs == 1 there
+    val dup1 = out.filter { case ((id, _), (_, _, _, d)) =>
+      id == 1L && d > 0L }
+    assert(dup1.nonEmpty)
+    dup1.foreach { case (_, (_, _, _, d)) => assert(d == 1L) }
+    // the singleton doc shares nothing
+    assert(out.filter(_._1._1 == 3L).forall(_._2._4 == 0L))
+    // a doc repeating ITS OWN chunk still counts other DOCS only:
+    // duplicate the same text under one id twice -> distinct collapses
+    val self = Seq((7L, t1 + " " + t1)).toDF("id", "text")
+    val selfOut = Dedup.cdcChunkTable(self, "id", "text", 8, 16)
+      .collect()
+    assert(selfOut.forall(_.getLong(5) == 0L))
+  }
 }

@@ -84,4 +84,52 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.simHash64Md5(Seq.empty) == 0L)
     assert(a != Kernels.simHash64(Seq("w1", "w2", "w3")))
   }
+
+  test("md5Hex matches the reference digest") {
+    // RFC 1321 test vectors
+    assert(Kernels.md5Hex("") == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(Kernels.md5Hex("abc") == "900150983cd24fb0d6963f7d28e17f72")
+    // and the low-64 view agrees with md5Lower64's little-endian read
+    val hex = Kernels.md5Hex("graft")
+    val lo = (0 until 8).map { i =>
+      java.lang.Long.parseLong(hex.substring(16 + 2 * i, 18 + 2 * i), 16) << (8 * i)
+    }.reduce(_ | _)
+    assert(lo == Kernels.md5Lower64("graft"))
+  }
+
+  test("cdcChunks: partition, boundary law, insertion resync") {
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val w = 8; val m = 16
+    val chunks = Kernels.cdcChunks(text, w, m)
+    // chunks partition the text exactly
+    assert(chunks.head.start == 1L)
+    assert(chunks.map(_.len).sum == text.length.toLong)
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(b.start == a.start + a.len)
+      case _ =>
+    }
+    // every non-final boundary satisfies the hash law; interior
+    // positions of each chunk beyond the window do not
+    chunks.dropRight(1).foreach { c =>
+      val p = (c.start + c.len - 1).toInt
+      val win = text.substring(p - w, p)
+      assert((Kernels.md5Lower64(win) >>> 11) % m == 0)
+    }
+    // chunk md5 is the content md5
+    chunks.foreach { c =>
+      val s = text.substring(c.start.toInt - 1, (c.start + c.len - 1).toInt)
+      assert(c.chunkMd5 == Kernels.md5Hex(s))
+    }
+    // INSERTION RESYNC: prefixing re-aligns after the first boundary
+    val shifted = Kernels.cdcChunks("PREFIX-" + text, w, m)
+    val origSet = chunks.map(_.chunkMd5).toSet
+    assert(shifted.drop(1).count(c => origSet(c.chunkMd5)) >=
+      chunks.length - 2, "later chunks must re-synchronize")
+    // degenerate inputs
+    assert(Kernels.cdcChunks("", w, m).isEmpty)
+    val tiny = Kernels.cdcChunks("ab", w, m)
+    assert(tiny.length == 1 && tiny.head.len == 2L)
+    intercept[IllegalArgumentException] { Kernels.cdcChunks("x", 0, m) }
+    intercept[IllegalArgumentException] { Kernels.cdcChunks("x", w, 0) }
+  }
 }

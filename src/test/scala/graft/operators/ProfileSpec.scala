@@ -600,4 +600,36 @@ class ProfileSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("null"))
   }
+
+  test("latenessAudit: running high-water mark, hand-checked") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // key a arrives out of order twice (5 behind 10, 15 behind 20);
+    // key b is perfectly ordered
+    val rows = Seq(
+      ("a", 1L, ts(10)), ("a", 2L, ts(5)), ("a", 3L, ts(20)),
+      ("a", 4L, ts(15)), ("a", 5L, ts(25)),
+      ("b", 1L, ts(1)), ("b", 2L, ts(2)), ("b", 3L, ts(3)))
+      .toDF("k", "seq", "t")
+    val out = Profile.latenessAudit(rows, Seq("k"), "t", "seq")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out("a")._1 == 5L && out("a")._2 == 2L)
+    assert(out("a")._3 == 0.4)
+    assert(out("a")._4 == 5000000L) // both late events 5 s behind
+    // p95 over [0, 5e6, 0, 5e6, 0]: rank 3.8 interpolates to 5e6
+    assert(out("a")._5 == 5.0e6)
+    assert(out("b") == ((3L, 0L, 0.0, 0L, 0.0)))
+    // arrival order is the SEQUENCE column, not row order: permuting
+    // physical rows changes nothing
+    val shuffled = Profile.latenessAudit(
+      rows.orderBy(org.apache.spark.sql.functions.rand(7)),
+      Seq("k"), "t", "seq")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(shuffled == Map("a" -> 2L, "b" -> 0L))
+    intercept[IllegalArgumentException] {
+      Profile.latenessAudit(rows, Seq.empty, "t", "seq")
+    }
+  }
 }

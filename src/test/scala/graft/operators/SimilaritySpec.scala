@@ -544,4 +544,43 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, s"q=$q")
     }
   }
+
+  test("daviesBouldin: hand geometry, coincident centroids excluded") {
+    import spark.implicits._
+    // A: (0,0),(2,0) -> centroid (1,0), scatter 1
+    // B: (10,0),(10,2) -> centroid (10,1), scatter 1
+    // C: (1,1),(1,-1) -> centroid (1,0) == A's -> M(A,C)=0 excluded
+    val df = Seq(
+      (1L, "A", Seq(0f, 0f)), (2L, "A", Seq(2f, 0f)),
+      (3L, "B", Seq(10f, 0f)), (4L, "B", Seq(10f, 2f)),
+      (5L, "C", Seq(1f, 1f)), (6L, "C", Seq(1f, -1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.daviesBouldin(df, "label", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val mAB = math.sqrt(81.0 + 1.0)
+    assert(out("A")._1 == 2L && out("A")._2 == 1.0)
+    assert(out("B")._2 == 1.0 && out("C")._2 == 1.0)
+    // A's only valid partner is B (C's centroid coincides);
+    // B sees A and C at the same distance, ratio (1+1)/sqrt(82)
+    assert(math.abs(out("A")._3 - 2.0 / mAB) < 1e-12)
+    assert(math.abs(out("B")._3 - 2.0 / mAB) < 1e-12)
+    assert(math.abs(out("C")._3 - 2.0 / mAB) < 1e-12)
+    // well-separated clusters score lower than collapsed ones:
+    // move B next to A and its component must grow
+    val collapsed = Seq(
+      (1L, "A", Seq(0f, 0f)), (2L, "A", Seq(2f, 0f)),
+      (3L, "B", Seq(3f, 0f)), (4L, "B", Seq(3f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val c = Similarity.daviesBouldin(
+      collapsed, "label", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(c("A") > out("A")._3)
+    // partitioning invariance (bitwise: ordered folds end to end)
+    val re = Similarity.daviesBouldin(
+      df.repartition(7), "label", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(re == out)
+  }
 }
