@@ -754,4 +754,83 @@ object TimeSeries {
       .select(keyC ++ Seq(col("lag").cast("long").as("lag"),
         col("n_days"), col("acf")): _*)
   }
+
+  /** Exponentially-weighted moving average of the per-key daily
+    * volume on the gap-free day grid — the smoother operations
+    * dashboards overlay on raw counts (recent days dominate, old
+    * days decay geometrically; missing days count 0 rather than
+    * being skipped, so a quiet day actually pulls the average down).
+    *
+    * The recursion ewma_t = α·c_t + (1−α)·ewma_{t−1} (seeded
+    * ewma_{d0} = c_{d0}) is UNROLLED to its closed form
+    * ewma_t = (1−α)^(t−d0)·c_{d0} + α·Σ_{s>d0..t} (1−α)^(t−s)·c_s,
+    * so there is no sequential dependency to schedule: each (key, t)
+    * is one day-ordered fold over ≤ n terms. That costs O(days²)
+    * per key — bounded LOUDLY by `maxDays`, because time is the
+    * bounded dimension (a 100× corpus has 100× rows, not 100×
+    * days); rows never enter the quadratic.
+    *
+    * Emitted at 6 decimals: `pow` differs by 1 ulp across libm
+    * builds (the q94 face discipline).
+    *
+    * Output: keys* + (day, cnt, ewma) for every grid day. */
+  def ewma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      alpha: Double = 0.3,
+      maxDays: Int = 2000): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    Seq("day", "cnt", "ewma").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by ewma")
+    }
+    val beta = 1.0 - alpha
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(keyC: _*)
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+    val worst = span
+      .agg(max(col("_d1") - col("_d0") + 1).as("nd")).head()
+    if (!worst.isNullAt(0)) {
+      require(worst.getLong(0) <= maxDays,
+        s"ewma: a key spans ${worst.getLong(0)} days > maxDays=" +
+          s"$maxDays — the closed-form unroll is O(days^2) per key; " +
+          "pre-aggregate to a coarser grain or raise the bound " +
+          "deliberately")
+    }
+    val grid = span
+      .select(keyC ++ Seq(col("_d0"), col("_d1"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day")): _*)
+    val c = grid
+      .join(daily, keyCols :+ "day", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val terms = c
+      .select(keyC ++ Seq(col("_d0"), col("cnt"),
+        col("day").as("_s"),
+        explode(sequence(col("day"), col("_d1"))).as("day")): _*)
+      .withColumn("_term",
+        when(col("_s") === col("_d0"),
+          pow(lit(beta), (col("day") - col("_d0")).cast("double")))
+          .otherwise(lit(alpha) *
+            pow(lit(beta), (col("day") - col("_s")).cast("double")))
+          * col("cnt").cast("double"))
+    val folded = terms
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(sort_array(collect_list(struct(col("_s"), col("_term"))))
+        .as("_ts"))
+      .withColumn("ewma", round(
+        aggregate(transform(col("_ts"), s => s.getField("_term")),
+          lit(0.0), (acc, t) => acc + t), 6))
+    c.select(keyC ++ Seq(col("day"), col("cnt")): _*)
+      .join(folded.select(keyC ++ Seq(col("day"), col("ewma")): _*),
+        keyCols :+ "day")
+  }
 }

@@ -5811,6 +5811,93 @@ object Extensions {
       FROM l GROUP BY 1 ORDER BY 1""")
   )
 
+  private val q206_format_roundtrip = Q(
+    "q206_format_roundtrip",
+    // CSV and JSON-lines sink -> source round trip under adversarial
+    // content: the tricky column carries the delimiter, the quote
+    // char, and spaces — the CSV threat model — through an actual
+    // write-then-read of BOTH containers with explicit schemas
+    // (never infer at scale: inference is an extra full pass). The
+    // oracle is the same projection straight off parquet, so
+    // equality proves both formats are lossless end to end, quoting
+    // and JSON string escaping included. Scratch tree deleted on
+    // every path.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q206_").toString
+      try {
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("source"),
+            concat(col("lang"), lit(",\"x\" "), col("source"))
+              .as("tricky"))
+        graft.sources.Sources.writeCsv(docs, s"$base/csv")
+        graft.sources.Sources.writeJsonLines(docs, s"$base/jsonl")
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("tricky", StringType)))
+        val fromCsv = graft.sources.Sources
+          .csv(s, s"$base/csv", schema)
+          .select(col("doc_id"), col("source").as("csv_source"),
+            col("tricky").as("csv_tricky"))
+        val fromJson = graft.sources.Sources
+          .jsonLines(s, s"$base/jsonl", schema)
+          .select(col("doc_id"), col("tricky").as("json_tricky"))
+        collectToLocal(fromCsv.join(fromJson, "doc_id"),
+          "q206 roundtrip").orderBy("doc_id")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+      }
+    },
+    Some("""SELECT doc_id, source AS csv_source,
+        lang || ',"x" ' || source AS csv_tricky,
+        lang || ',"x" ' || source AS json_tricky
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+  )
+
+  private val q207_ewma = Q(
+    "q207_ewma",
+    // EWMA smoothing of per-type daily volume on the gap-free grid:
+    // the alpha=0.3 recursion unrolled to its closed form, so each
+    // (type, day) is one day-ordered fold with geometric weights —
+    // no sequential dependency, nothing driver-side. DuckDB replays
+    // the identical weights and fold order; 6-decimal face for
+    // pow's last-ulp variance across libm builds.
+    (s, dir) =>
+      graft.operators.TimeSeries.ewma(
+        events(s, dir), Seq("event_type"), "ts", alpha = 0.3)
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM d GROUP BY 1),
+      grid AS (SELECT event_type, d0, d1, u.day AS day
+        FROM sp CROSS JOIN unnest(range(d0, d1 + 1)) AS u(day)),
+      c AS (SELECT g.event_type, g.d0, g.d1, g.day,
+          COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d ON d.event_type = g.event_type
+          AND d.day = g.day),
+      pairs AS (SELECT a.event_type, b.day AS day, a.day AS s,
+          (CASE WHEN a.day = a.d0
+            THEN power(0.7, CAST(b.day - a.d0 AS DOUBLE))
+            ELSE 0.3 * power(0.7, CAST(b.day - a.day AS DOUBLE)) END)
+            * CAST(a.cnt AS DOUBLE) AS term
+        FROM c a JOIN c b ON b.event_type = a.event_type
+          AND b.day >= a.day),
+      e AS (SELECT event_type, day,
+          round(list_aggregate(list(term ORDER BY s), 'sum'), 6)
+            AS ewma
+        FROM pairs GROUP BY 1, 2)
+      SELECT c.event_type, c.day, CAST(c.cnt AS BIGINT) AS cnt, e.ewma
+      FROM c JOIN e ON e.event_type = c.event_type AND e.day = c.day
+      ORDER BY c.event_type, c.day""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -5864,5 +5951,6 @@ object Extensions {
     q197_neyman_allocation, q198_char_entropy, q199_assortativity,
     q200_dp_release, q201_readability, q202_url_canonical,
     q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
+    q206_format_roundtrip, q207_ewma,
     q44_curation_pipeline, q45_source_audit)
 }

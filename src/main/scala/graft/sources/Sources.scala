@@ -73,6 +73,13 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 
+  /** JSON-lines sink — the interchange format crawl/annotation
+    * pipelines actually exchange; one JSON object per line, so the
+    * files split on line boundaries exactly like the reference's
+    * text inputs. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Align a frame to a target schema — the schema-evolution read
     * contract: columns MISSING from the data surface as typed NULLs,
     * present columns are cast to the target type, extra columns are

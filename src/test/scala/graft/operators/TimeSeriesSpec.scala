@@ -566,4 +566,39 @@ class TimeSeriesSpec extends AnyFunSuite {
         Seq(("a", ts(0L))).toDF("day", "t"), Seq("day"), "t")
     }
   }
+
+  test("ewma: closed form == the recursion, gaps count as zero days") {
+    // key a: day 0 x3, day 1 x1, day 3 x2 (day 2 missing -> 0)
+    val day = 86400L
+    val rows = Seq.fill(3)(("a", ts(10))) ++ Seq(("a", ts(day + 10))) ++
+      Seq.fill(2)(("a", ts(3 * day + 10)))
+    val out = TimeSeries.ewma(rows.toDF("k", "t"), Seq("k"), "t", 0.3)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // recursive reference: e0 = c0; et = 0.3 ct + 0.7 e(t-1)
+    val counts = Seq(3.0, 1.0, 0.0, 2.0)
+    val ref = counts.tail.scanLeft(counts.head)((e, c) => 0.3 * c + 0.7 * e)
+    val d0 = out.keys.min
+    assert(out.size == 4) // gap-free grid
+    assert(out(d0 + 2)._1 == 0L) // missing day materialized as 0
+    for (t <- 0 until 4)
+      assert(math.abs(out(d0 + t)._2 - ref(t)) < 1e-6,
+        s"day $t: ${out(d0 + t)._2} vs ${ref(t)}")
+    // alpha=1 degenerates to the raw series
+    val raw = TimeSeries.ewma(rows.toDF("k", "t"), Seq("k"), "t", 1.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    for (t <- 0 until 4)
+      assert(raw(d0 + t) == counts(t))
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(rows.toDF("k", "t"), Seq("k"), "t", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(rows.toDF("k", "t"), Seq("k"), "t", 0.3,
+        maxDays = 2)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(
+        Seq(("a", ts(0L))).toDF("cnt", "t"), Seq("cnt"), "t")
+    }
+  }
 }

@@ -195,7 +195,9 @@ class PlanHygieneSpec extends AnyFunSuite {
         "q157_attribution", "q159_volume_anomaly",
         "q160_kfold", "q162_interarrival", "q166_motifs",
         "q171_tail_index", "q172_transition_entropy",
-        "q174_distinctive_terms", "q176_containment")) {
+        "q174_distinctive_terms", "q176_containment",
+        "q194_image_dedup", "q202_url_canonical",
+        "q205_watermark_audit")) {
       val p = plan(q)
       val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
       assert(ws.nonEmpty, s"$q: expected a rank window:\n${p.take(2000)}")
@@ -369,5 +371,19 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"z-order should need no window:\n${p.take(2000)}")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"bounds row should broadcast:\n${p.take(2000)}")
+  }
+
+  test("q196/q203: cell/digest joins stay equi-keyed, never cartesian") {
+    // the interval-overlap join must anchor on (key, cell) equality —
+    // a theta-only spelling is the quadratic this operator replaces;
+    // CDC's duplicate counts join on the chunk digest
+    for (q <- Seq("q196_interval_overlap", "q203_cdc_chunks")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesian") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a non-equi join:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q:\n${p.take(2000)}")
+    }
   }
 }
