@@ -912,6 +912,141 @@ object Profile {
         col("tie_cubed_sum"), col("effect_r"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * snapshot — THE deployed-model monitoring metric: PSI < 0.1 is
+    * stable, 0.1–0.25 drifting, > 0.25 act. Per key,
+    * PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur) over `bins`
+    * fixed-width bins sized from the REFERENCE's min/max (current
+    * values outside clamp into the edge bins — new mass beyond the
+    * reference range must count, not vanish); empty-bin shares clamp
+    * at `floor` (1e-6) so ln stays finite, the standard practice.
+    *
+    * Determinism: bin counts are exact integers; each share/term is
+    * a fixed IEEE chain; the bin fold runs in bin order; the face
+    * rounds at 6 (ln ulp variance — q94 discipline).
+    *
+    * Shape: one narrow min/max agg on the reference, one keyed
+    * count agg per side, a bins-sized grid join. Nothing
+    * driver-side, nothing row-scaled beyond the two count passes.
+    *
+    * Output per key: (n_ref, n_cur, psi). Keys missing from either
+    * side are dropped (no distribution to compare). */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      bins: Int = 10,
+      floor: Double = 1e-6): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(bins >= 2 && bins <= 10000,
+      s"bins must be in [2, 10000], got $bins")
+    require(floor > 0.0 && floor < 0.1,
+      s"floor must be in (0, 0.1), got $floor")
+    val keyC = keyCols.map(col)
+    val x = col(valueCol).cast("double")
+    val bounds = ref.filter(x.isNotNull)
+      .groupBy(keyC: _*)
+      .agg(min(x).as("_lo"), max(x).as("_hi"))
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.filter(x.isNotNull)
+        .join(bounds, keyCols)
+        .withColumn("_bin",
+          when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+            greatest(lit(0L), least(lit(bins - 1L),
+              floor_(((x - col("_lo")) / (col("_hi") - col("_lo")))
+                * bins).cast("long")))))
+        .groupBy(keyC :+ col("_bin"): _*)
+        .agg(count(lit(1)).as(s"_n_$side"))
+    val grid = bounds
+      .select(keyC :+ explode(sequence(lit(0L),
+        lit(bins - 1L))).as("_bin"): _*)
+    val cells = grid
+      .join(binned(ref, "ref"), keyCols :+ "_bin", "left")
+      .join(binned(cur, "cur"), keyCols :+ "_bin", "left")
+      .withColumn("_n_ref", coalesce(col("_n_ref"), lit(0L)))
+      .withColumn("_n_cur", coalesce(col("_n_cur"), lit(0L)))
+    val totals = cells.groupBy(keyC: _*)
+      .agg(sum("_n_ref").as("n_ref"), sum("_n_cur").as("n_cur"))
+    val terms = cells.join(totals, keyCols)
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .withColumn("_pr", greatest(
+        col("_n_ref").cast("double") / col("n_ref").cast("double"),
+        lit(floor)))
+      .withColumn("_pc", greatest(
+        col("_n_cur").cast("double") / col("n_cur").cast("double"),
+        lit(floor)))
+      .withColumn("_term",
+        (col("_pr") - col("_pc")) * log(col("_pr") / col("_pc")))
+    terms
+      .groupBy(keyC :+ col("n_ref") :+ col("n_cur"): _*)
+      .agg(sort_array(collect_list(struct(col("_bin"), col("_term"))))
+        .as("_ts"))
+      .withColumn("psi", round(
+        aggregate(transform(col("_ts"), s => s.getField("_term")),
+          lit(0.0), (acc, t) => acc + t), 6))
+      .select(keyC ++ Seq(col("n_ref"), col("n_cur"), col("psi")): _*)
+  }
+
+  // spark's `floor(Column)` is shadowed inside this object by nothing,
+  // but the local name makes the bin expression read unambiguously
+  private def floor_(c: Column): Column =
+    org.apache.spark.sql.functions.floor(c)
+
+  /** Welch's unequal-variance t-test between two groups — the A/B
+    * screen for MEANS where [[rankSumTest]] screens distributions.
+    * All moments are EXACT: values go through DECIMAL(18,2) sums
+    * (associative — identical under any partial-agg order) and
+    * DECIMAL(38,4) squared sums, then t and the Welch–Satterthwaite
+    * df are one fixed IEEE chain over those exact inputs — no
+    * transcendental, bit-identical cross-engine, no rounding face
+    * needed.
+    *
+    * Output: one row (n_a, n_b, mean_a, mean_b, t_stat, df) —
+    * nulls when either group has < 2 rows or both variances are 0. */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val x = col(valueCol).cast(d2)
+    def side(g: String, tag: String): DataFrame =
+      df.filter(col(groupCol) === g && col(valueCol).isNotNull)
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(x).as(s"_s1_$tag"),
+          sum((x * x).cast(d4)).as(s"_s2_$tag"))
+    val m = side(groupA, "a").crossJoin(side(groupB, "b"))
+    def meanC(t: String): Column =
+      col(s"_s1_$t").cast("double") / col(s"n_$t").cast("double")
+    def varN(t: String): Column = {
+      // sample variance / n, the Welch ingredient: computed as
+      // (n·Σx² − (Σx)²) / (n·(n−1)) / n in one fixed chain
+      val n = col(s"n_$t").cast("double")
+      ((n * col(s"_s2_$t").cast("double")
+        - col(s"_s1_$t").cast("double") * col(s"_s1_$t").cast("double"))
+        / (n * (n - 1.0))) / n
+    }
+    m.withColumn("mean_a", when(col("n_a") > 0, meanC("a")))
+      .withColumn("mean_b", when(col("n_b") > 0, meanC("b")))
+      .withColumn("_va", when(col("n_a") > 1, varN("a")))
+      .withColumn("_vb", when(col("n_b") > 1, varN("b")))
+      .withColumn("_se2", col("_va") + col("_vb"))
+      .withColumn("t_stat",
+        when(col("_se2") > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("_se2"))))
+      .withColumn("df",
+        when(col("_se2") > 0,
+          (col("_se2") * col("_se2")) /
+            (col("_va") * col("_va") / (col("n_a").cast("double") - 1.0)
+              + col("_vb") * col("_vb")
+                / (col("n_b").cast("double") - 1.0))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("t_stat"), col("df"))
+  }
+
   /** Watermark/late-data audit — the measurement that SIZES a
     * streaming job's watermark before it exists: replaying a day of
     * events in arrival order (`seqCol` — an ingest sequence or

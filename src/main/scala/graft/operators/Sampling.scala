@@ -767,4 +767,35 @@ object Sampling {
 
   private val DecimalType38 =
     org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-hashing answer to "re-shard a 100 TB corpus from N
+    * to N+1 shards without moving everything": each row's shard is
+    * argmax over shards of md5(id ":" shard ":" salt), so adding a
+    * shard moves only the rows whose NEW shard wins — an expected
+    * 1/(N+1) of the corpus — where `pmod(hash, N)` reshuffles
+    * almost every row. Pure per-row built-ins (md5 + array HOFs,
+    * codegen-friendly, no UDF); the hex strings compare as unsigned
+    * 128-bit values, so any engine picks the identical winner.
+    *
+    * Output: input columns + `shard` (0-based Long). Cost: N md5s
+    * per row, no shuffle — callers add their own repartition. */
+  def rendezvousShard(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "graft",
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    require(!df.columns.contains(outCol),
+      s"input column name $outCol is reserved by rendezvousShard")
+    val weights = transform(
+      sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          s.cast("string"), lit(":"), lit(salt))).as("h"),
+        s.cast("long").as("s")))
+    df.withColumn(outCol, array_max(weights).getField("s"))
+  }
 }

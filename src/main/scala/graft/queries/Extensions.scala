@@ -5898,6 +5898,140 @@ object Extensions {
       ORDER BY c.event_type, c.day""")
   )
 
+  private val q208_psi = Q(
+    "q208_psi",
+    // Population Stability Index per event type between the month's
+    // first half (reference) and second half (current) — the
+    // deployed-model drift metric. Reference-ranged fixed bins with
+    // edge clamping, 1e-6 share floor, bin-ordered fold, 6-decimal
+    // ln face; DuckDB rebuilds every bin count and term.
+    (s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.Profile.psi(
+        ev.filter(dayofmonth(col("ts")) <= 15),
+        ev.filter(dayofmonth(col("ts")) > 15),
+        Seq("event_type"), "value", bins = 10)
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (SELECT event_type, value FROM events
+        WHERE date_part('day', ts) <= 15 AND value IS NOT NULL),
+      c AS (SELECT event_type, value FROM events
+        WHERE date_part('day', ts) > 15 AND value IS NOT NULL),
+      b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM r GROUP BY 1),
+      rb AS (SELECT r.event_type, CASE WHEN b.hi = b.lo THEN 0
+          ELSE greatest(0, least(9, CAST(floor(
+            ((r.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
+          END AS bin, count(*) AS nr
+        FROM r JOIN b USING (event_type) GROUP BY 1, 2),
+      cb AS (SELECT c.event_type, CASE WHEN b.hi = b.lo THEN 0
+          ELSE greatest(0, least(9, CAST(floor(
+            ((c.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
+          END AS bin, count(*) AS nc
+        FROM c JOIN b USING (event_type) GROUP BY 1, 2),
+      grid AS (SELECT event_type, u.bin AS bin FROM b
+        CROSS JOIN unnest(range(0, 10)) AS u(bin)),
+      cells AS (SELECT g.event_type, g.bin,
+          COALESCE(rb.nr, 0) AS nr, COALESCE(cb.nc, 0) AS nc
+        FROM grid g
+        LEFT JOIN rb ON rb.event_type = g.event_type
+          AND rb.bin = g.bin
+        LEFT JOIN cb ON cb.event_type = g.event_type
+          AND cb.bin = g.bin),
+      t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+          CAST(sum(nc) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
+      terms AS (SELECT cells.event_type, t.n_ref, t.n_cur, cells.bin,
+          (greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)
+           - greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
+             1e-6))
+          * ln(greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE),
+              1e-6)
+            / greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
+              1e-6)) AS term
+        FROM cells JOIN t ON t.event_type = cells.event_type
+        WHERE t.n_ref > 0 AND t.n_cur > 0)
+      SELECT event_type, n_ref, n_cur,
+        round(list_aggregate(list(term ORDER BY bin), 'sum'), 6)
+          AS psi
+      FROM terms GROUP BY event_type, n_ref, n_cur
+      ORDER BY event_type""")
+  )
+
+  private val q209_welch_ttest = Q(
+    "q209_welch_ttest",
+    // Welch's unequal-variance t-test on click vs purchase values:
+    // the means A/B screen beside q190's rank-sum distribution
+    // screen. DECIMAL-exact moments (associative, any partial-agg
+    // order), then t and the Welch-Satterthwaite df as one fixed
+    // IEEE chain — bitwise cross-engine, no transcendental.
+    (s, dir) =>
+      graft.operators.Profile.welchTTest(
+        events(s, dir), "event_type", "value", "click", "purchase"),
+    Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        sum(CAST(value AS DECIMAL(18,2))) AS s1a,
+        sum(CAST(CAST(value AS DECIMAL(18,2))
+          * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2a
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        sum(CAST(value AS DECIMAL(18,2))) AS s1b,
+        sum(CAST(CAST(value AS DECIMAL(18,2))
+          * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2b
+        FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL),
+      m AS (SELECT n_a, n_b,
+        CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        ((CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE)
+          - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+          / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+          / CAST(n_a AS DOUBLE) AS va,
+        ((CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE)
+          - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+          / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+          / CAST(n_b AS DOUBLE) AS vb
+        FROM a CROSS JOIN b)
+      SELECT n_a, n_b, mean_a, mean_b,
+        CASE WHEN va + vb > 0
+          THEN (mean_a - mean_b) / sqrt(va + vb) END AS t_stat,
+        CASE WHEN va + vb > 0
+          THEN ((va + vb) * (va + vb))
+            / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+              + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)) END AS df
+      FROM m""")
+  )
+
+  private val q210_rendezvous_shard = Q(
+    "q210_rendezvous_shard",
+    // Rendezvous-hash re-sharding 10 -> 11: each doc's shard is the
+    // argmax of md5(id:shard:salt) over shards, so growing the ring
+    // moves ONLY docs whose new shard wins — ~1/11 of the corpus,
+    // where pmod re-deals nearly all. Codegen md5 + array HOFs; the
+    // oracle replays both assignments and the moved flag with
+    // arg_max over the same hex weights.
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"))
+      val s10 = graft.operators.Sampling.rendezvousShard(
+        docs, "doc_id", 10, outCol = "shard10")
+      graft.operators.Sampling.rendezvousShard(
+        s10, "doc_id", 11, outCol = "shard11")
+        .withColumn("moved", col("shard10") =!= col("shard11"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents),
+      w AS (SELECT doc_id, u.s AS s,
+          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)
+            || ':graft') AS h
+        FROM d CROSS JOIN unnest(range(0, 11)) AS u(s)),
+      a10 AS (SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard10
+        FROM w WHERE s < 10 GROUP BY 1),
+      a11 AS (SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard11
+        FROM w GROUP BY 1)
+      SELECT d.doc_id, a10.shard10, a11.shard11,
+        a10.shard10 <> a11.shard11 AS moved
+      FROM d JOIN a10 USING (doc_id) JOIN a11 USING (doc_id)
+      ORDER BY d.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -5951,6 +6085,7 @@ object Extensions {
     q197_neyman_allocation, q198_char_entropy, q199_assortativity,
     q200_dp_release, q201_readability, q202_url_canonical,
     q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
-    q206_format_roundtrip, q207_ewma,
+    q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
+    q210_rendezvous_shard,
     q44_curation_pipeline, q45_source_audit)
 }

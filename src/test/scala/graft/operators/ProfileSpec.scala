@@ -601,6 +601,68 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null"))
   }
 
+  test("psi: identical distributions 0, planted shift flags, clamps") {
+    import spark.implicits._
+    val ref = (0 until 400).map(i => ("k", (i % 100).toDouble)).toSeq
+      .toDF("g", "v")
+    // same distribution -> psi == 0 exactly (all terms 0)
+    val same = Profile.psi(ref, ref, Seq("g"), "v", bins = 10)
+      .head()
+    assert(same.getLong(1) == 400L && same.getLong(2) == 400L)
+    assert(same.getDouble(3) == 0.0)
+    // shifted distribution -> psi grows with the shift
+    def shifted(by: Double) = (0 until 400)
+      .map(i => ("k", (i % 100).toDouble + by)).toSeq.toDF("g", "v")
+    val small = Profile.psi(ref, shifted(10), Seq("g"), "v")
+      .head().getDouble(3)
+    val big = Profile.psi(ref, shifted(60), Seq("g"), "v")
+      .head().getDouble(3)
+    assert(small > 0.0 && big > small)
+    // out-of-range current values clamp into edge bins, not vanish
+    val far = Profile.psi(ref, shifted(1000), Seq("g"), "v")
+      .head()
+    assert(far.getLong(2) == 400L) // every current row counted
+    assert(far.getDouble(3) > big)
+    // keys missing from either side drop; degenerate hi==lo is fine
+    val refB = ref.unionAll(Seq(("only_ref", 1.0)).toDF("g", "v"))
+    val out = Profile.psi(refB, ref, Seq("g"), "v").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k"))
+    val const = Seq(("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    assert(Profile.psi(const, const, Seq("g"), "v")
+      .head().getDouble(3) == 0.0)
+    intercept[IllegalArgumentException] {
+      Profile.psi(ref, ref, Seq.empty, "v")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.psi(ref, ref, Seq("g"), "v", bins = 1)
+    }
+  }
+
+  test("welchTTest: textbook case, degenerate guards") {
+    import spark.implicits._
+    // A = {1,2,3,4,5} (mean 3, var 2.5), B = {2,4,6} (mean 4, var 4)
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("A", v.toDouble)) ++
+      Seq(2, 4, 6).map(v => ("B", v.toDouble))).toSeq.toDF("g", "v")
+    val r = Profile.welchTTest(df, "g", "v", "A", "B").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 4.0)
+    val va = 2.5 / 5; val vb = 4.0 / 3
+    val tRef = (3.0 - 4.0) / math.sqrt(va + vb)
+    val dfRef = math.pow(va + vb, 2) /
+      (va * va / 4 + vb * vb / 2)
+    assert(math.abs(r.getDouble(4) - tRef) < 1e-12)
+    assert(math.abs(r.getDouble(5) - dfRef) < 1e-12)
+    // single-row group -> null t/df, means still emitted
+    val tiny = Seq(("A", 1.0), ("A", 3.0), ("B", 2.0)).toDF("g", "v")
+    val r2 = Profile.welchTTest(tiny, "g", "v", "A", "B").head()
+    assert(r2.getDouble(3) == 2.0 && r2.isNullAt(4) && r2.isNullAt(5))
+    // zero variance both sides -> null (division by zero guarded)
+    val flat = Seq(("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    assert(Profile.welchTTest(flat, "g", "v", "A", "B")
+      .head().isNullAt(4))
+  }
+
   test("latenessAudit: running high-water mark, hand-checked") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

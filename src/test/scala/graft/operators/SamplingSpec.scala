@@ -467,6 +467,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("rendezvousShard: minimal movement on ring growth, determinism") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toSeq.toDF("id")
+    val s10 = Sampling.rendezvousShard(ids, "id", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shards are in range and reasonably balanced
+    assert(s10.values.forall(s => s >= 0 && s < 10))
+    val sizes = s10.values.groupBy(identity).values.map(_.size)
+    assert(sizes.min > 100 && sizes.max < 320, sizes.toSeq.sorted)
+    // THE rendezvous property: 10 -> 11 moves ~1/11, and every move
+    // lands on the NEW shard (existing pairwise winners are stable)
+    val s11 = Sampling.rendezvousShard(ids, "id", 11)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = ids.collect().map(_.getLong(0))
+      .filter(i => s10(i) != s11(i))
+    assert(moved.length < 2000 / 11 * 2, s"moved ${moved.length}")
+    assert(moved.nonEmpty)
+    moved.foreach(i => assert(s11(i) == 10L,
+      s"id $i moved to ${s11(i)}, not the new shard"))
+    // content-determined: repartitioning changes nothing
+    val re = Sampling.rendezvousShard(ids.repartition(13), "id", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == s10)
+    // salt re-deals
+    val salted = Sampling.rendezvousShard(ids, "id", 10, salt = "x")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted != s10)
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousShard(ids, "id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousShard(
+        ids.withColumn("shard",
+          org.apache.spark.sql.functions.lit(1L)), "id", 5)
+    }
+  }
+
   test("neymanAllocation: hand case — allocation tracks N_h * S_h") {
     import spark.implicits._
     // stratum a: 4 rows of spread {0,10,0,10} (sd > 0)
