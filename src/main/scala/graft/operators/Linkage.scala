@@ -40,6 +40,67 @@ object Linkage {
     * window for the q·k+1 prefix, one index equi-join on
     * (gram, occ), length-filtered, then one `levenshtein` per
     * candidate. Every join equi-keyed; nothing driver-side. */
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
+    * candidates are dictionary values within `window` positions of
+    * each other in SORTED order, verified by native `levenshtein`
+    * <= `maxDist`. The complementary blocking to
+    * [[nameVariantPairs]]'s q-gram filter — O(n·w) candidates
+    * TOTAL regardless of string content (q-gram blocking can
+    * degenerate on low-diversity dictionaries), at the documented
+    * recall cost: a typo in the leading characters moves a value far
+    * away in sort order and the pair is missed. Production ER runs
+    * BOTH passes and unions (multi-pass sorted neighborhood); this
+    * operator is one pass over one sort key.
+    *
+    * No global window anywhere: the global rank comes from the
+    * range-partition + zipWithIndex spelling ([[LanguageModel.vocab]]
+    * — each partition sorts locally, ids attach per-partition), and
+    * candidate pairs come from a bucketed equi-join on rank cells
+    * (`rank div window` joins its own and the next cell, which
+    * covers every pair with rank difference < window exactly once).
+    *
+    * Output: (name_a, name_b, rank_gap, dist), name_a < name_b in
+    * sort order (rank order = lexicographic, so also name order). */
+  def sortedNeighborhood(
+      df: DataFrame,
+      strCol: String,
+      window: Int = 8,
+      maxDist: Int = 2): DataFrame = {
+    require(window >= 2 && window <= 10000,
+      s"window must be in [2, 10000], got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val spark = df.sparkSession
+    val distinctNames = df
+      .filter(col(strCol).isNotNull)
+      .select(col(strCol).as("name")).distinct()
+      .repartitionByRange(col("name").asc)
+      .sortWithinPartitions(col("name").asc)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val ranked = spark.createDataFrame(
+      distinctNames.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), i)
+      }, schema)
+    val w = window.toLong
+    val cells = ranked
+      .withColumn("_cell", explode(array(
+        (col("rank") / w).cast("long"),
+        (col("rank") / w).cast("long") + 1L)))
+    val right = ranked
+      .select(col("name").as("name_b"), col("rank").as("_rb"),
+        (col("rank") / w).cast("long").as("_cell"))
+    cells.join(right, "_cell")
+      .filter(col("_rb") > col("rank") &&
+        col("_rb") - col("rank") < w)
+      .withColumn("dist", levenshtein(col("name"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name").as("name_a"), col("name_b"),
+        (col("_rb") - col("rank")).as("rank_gap"), col("dist"))
+  }
+
   def nameVariantPairs(
       df: DataFrame,
       strCol: String,

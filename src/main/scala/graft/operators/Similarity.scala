@@ -1244,6 +1244,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distributed Lloyd k-means — the FULL-CORPUS clustering pass
+    * (the bounded-sample `trainCentroids` trains IVF cells from a
+    * hash-ordered sample; this is the spelling for when the corpus
+    * itself must be clustered and assignments are the product).
+    * Deterministic end to end: seeds are the k smallest-id vectors
+    * (cluster i = i-th smallest id), assignment is argmin SQUARED
+    * distance with (distance, cluster) tiebreak, and recentering is
+    * [[groupCentroids]]'s id-ordered bitwise fold — so any engine,
+    * partitioning, or retry produces the identical clustering, and
+    * an oracle can replay every iteration.
+    *
+    * Scale shape per iteration: centroids collapse to ONE broadcast
+    * row (k·dim doubles); assignment is a map-side fold per vector
+    * (no shuffle of the corpus); recentering pays one keyed shuffle
+    * guarded by `maxGroupSize`. Driver holds only the k seed rows
+    * (k <= 4096, loud). Empty clusters drop out (standard Lloyd);
+    * `iters` counts assignment passes.
+    *
+    * Output: (id, cluster, cluster_n). */
+  def kmeansLloyd(
+      df0: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      maxGroupSize: Long = 1L << 20): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096], got $k")
+    require(iters >= 1 && iters <= 10,
+      s"iters must be in [1, 10], got $iters")
+    val spark = df0.sparkSession
+    val df = df0.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+    val seeds = df.orderBy("id").limit(k).collect()
+    require(seeds.length >= 2,
+      s"kmeansLloyd needs >= 2 vectors, got ${seeds.length}")
+    val seedRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(seeds.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(
+          i.toLong, r.getSeq[Float](1).map(_.toDouble))
+      }: _*)
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    var cents = spark.createDataFrame(seedRows, centSchema)
+    def assign(cs: DataFrame): DataFrame = {
+      val one = cs.agg(sort_array(
+        collect_list(struct(col("cluster"), col("cvec")))).as("_cs"))
+      df.crossJoin(broadcast(one))
+        .withColumn("_best", array_min(transform(col("_cs"), c =>
+          struct(
+            aggregate(
+              zip_with(col("v"), c.getField("cvec"),
+                (x, y) => (x.cast("double") - y) *
+                  (x.cast("double") - y)),
+              lit(0.0), (acc, t) => acc + t).as("d"),
+            c.getField("cluster").as("cluster")))))
+        .select(col("id"), col("v"),
+          col("_best").getField("cluster").as("cluster"))
+    }
+    var assigned = assign(cents)
+    for (_ <- 2 to iters) {
+      val cl = groupCentroids(assigned, "cluster", "id", "v",
+        maxGroupSize)
+      cents = cl
+        .groupBy(col("group").as("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+          .as("cs"))
+        .select(col("cluster"),
+          transform(col("cs"), s => s.getField("c")).as("cvec"))
+      assigned = assign(cents)
+    }
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_n"))
+    assigned.join(sizes, "cluster")
+      .select(col("id"), col("cluster"), col("cluster_n"))
+  }
+
   /** Davies–Bouldin cluster-quality components per group — the
     * clustering diagnostic that needs NO pairwise point distances
     * (unlike silhouette's O(n²)): per-cluster scatter S_i (mean

@@ -6032,6 +6032,79 @@ object Extensions {
       ORDER BY d.doc_id""")
   )
 
+  private val q211_sorted_neighborhood = Q(
+    "q211_sorted_neighborhood",
+    // The OTHER entity-resolution blocking beside q186's q-gram
+    // filter: sorted-neighborhood — candidates within 32 positions in
+    // sorted dictionary order, levenshtein-verified. O(n*w) total
+    // candidates regardless of content (q-gram blocking can
+    // degenerate); recall cost (leading-char typos sort far away)
+    // documented. Global ranks via range-partition + zipWithIndex —
+    // no global window; the oracle replays rank windows and the
+    // verify exactly.
+    (s, dir) =>
+      graft.operators.Linkage.sortedNeighborhood(
+        table(s, dir, "part"), "p_name", window = 32, maxDist = 2)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("name_a", "name_b"),
+    Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+      r AS (SELECT name, row_number() OVER (ORDER BY name) - 1
+          AS rank FROM n)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(b.rank - a.rank AS BIGINT) AS rank_gap,
+        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < 32
+      WHERE levenshtein(a.name, b.name) <= 2
+      ORDER BY name_a, name_b""")
+  )
+
+  private val q212_kmeans = Q(
+    "q212_kmeans",
+    // Distributed Lloyd k-means over the WHOLE embedding corpus
+    // (k=8, 2 assignment passes): deterministic seeds (8 smallest
+    // ids), argmin squared distance with (d, cluster) tiebreak,
+    // id-ordered bitwise recentering — the oracle replays BOTH
+    // iterations (assignment -> fold -> assignment) and must land
+    // on the identical clustering.
+    (s, dir) =>
+      graft.operators.Similarity.kmeansLloyd(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .orderBy("id"),
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      c0 AS (SELECT vec_id AS cluster, list_transform(embedding,
+          x -> CAST(x AS DOUBLE)) AS cv FROM e WHERE vec_id < 8),
+      d1 AS (SELECT e.vec_id, c0.cluster,
+          list_aggregate(list_transform(list_zip(e.embedding, c0.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            'sum') AS d
+        FROM e CROSS JOIN c0),
+      a1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+            AS rn FROM d1) WHERE rn = 1),
+      g1 AS (SELECT a1.cluster, count(*) AS n,
+          list(e.embedding ORDER BY e.vec_id) AS vs
+        FROM a1 JOIN e ON e.vec_id = a1.vec_id GROUP BY 1),
+      c1 AS (SELECT cluster, list_transform(
+          range(1, len(vs[1]) + 1),
+          i -> list_aggregate(list_transform(vs,
+            v -> CAST(v[i] AS DOUBLE)), 'sum') / n) AS cv FROM g1),
+      d2 AS (SELECT e.vec_id, c1.cluster,
+          list_aggregate(list_transform(list_zip(e.embedding, c1.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            'sum') AS d
+        FROM e CROSS JOIN c1),
+      a2 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+            AS rn FROM d2) WHERE rn = 1),
+      sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
+        FROM a2 GROUP BY 1)
+      SELECT a2.vec_id AS id, a2.cluster, sz.cluster_n
+      FROM a2 JOIN sz USING (cluster) ORDER BY id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6086,6 +6159,6 @@ object Extensions {
     q200_dp_release, q201_readability, q202_url_canonical,
     q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
-    q210_rendezvous_shard,
+    q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
     q44_curation_pipeline, q45_source_audit)
 }

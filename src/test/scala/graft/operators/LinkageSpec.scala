@@ -85,4 +85,48 @@ class LinkageSpec extends AnyFunSuite {
   test("maxDist 0 finds nothing on a distinct dictionary") {
     assert(run(Seq("abcd", "abce", "abcf"), 0).isEmpty)
   }
+
+  private def snRun(names: Seq[String], w: Int, maxDist: Int = 2) =
+    Linkage.sortedNeighborhood(
+      names.toDF("n"), "n", window = w, maxDist = maxDist)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+
+  test("sortedNeighborhood == rank-window reference; once per pair") {
+    val rnd = new scala.util.Random(3)
+    // clustered names: variants of a few stems -> real near matches
+    val names = (0 until 60).map { i =>
+      val stem = s"part${i % 12}"
+      if (i < 12) stem else stem + ('a' + rnd.nextInt(4)).toChar
+    }.distinct
+    for (w <- Seq(3, 8, 40)) {
+      val got = snRun(names, w)
+      assert(got.length == got.toSet.size, s"dup pairs at w=$w")
+      val sorted = names.sorted
+      val rank = sorted.zipWithIndex.toMap
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) {
+          (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val ref = (for {
+        a <- sorted; b <- sorted
+        if rank(b) > rank(a) && rank(b) - rank(a) < w
+        if lev(a, b) <= 2
+      } yield (a, b, (rank(b) - rank(a)).toLong, lev(a, b))).toSet
+      assert(got.toSet == ref, s"w=$w")
+    }
+    // wider window only adds pairs
+    assert(snRun(names, 3).toSet.subsetOf(snRun(names, 40).toSet))
+    // duplicates collapse to the dictionary before ranking
+    val dup = snRun(names ++ names, 8)
+    assert(dup.toSet == snRun(names, 8).toSet)
+    intercept[IllegalArgumentException] {
+      Linkage.sortedNeighborhood(names.toDF("n"), "n", window = 1)
+    }
+  }
 }

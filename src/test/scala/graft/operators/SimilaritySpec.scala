@@ -545,6 +545,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansLloyd: separated blobs recovered, ties, determinism") {
+    import spark.implicits._
+    // two tight blobs far apart; seeds (ids 0 and 1) land one in each
+    val blobA = Seq(0L -> Seq(0f, 0f), 2L -> Seq(1f, 0f),
+      4L -> Seq(0f, 1f), 6L -> Seq(1f, 1f))
+    val blobB = Seq(1L -> Seq(100f, 100f), 3L -> Seq(101f, 100f),
+      5L -> Seq(100f, 101f), 7L -> Seq(101f, 101f))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(df, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    blobA.foreach { case (id, _) => assert(out(id) == ((0L, 4L))) }
+    blobB.foreach { case (id, _) => assert(out(id) == ((1L, 4L))) }
+    // equidistant point: tiebreak to the smaller cluster id
+    val tie = Seq(0L -> Seq(0f), 1L -> Seq(10f), 2L -> Seq(5f))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.kmeansLloyd(tie, "vec_id", "embedding",
+      k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(2L) == 0L)
+    // bitwise deterministic under repartitioning (ordered folds)
+    val a = Similarity.kmeansLloyd(df, "vec_id", "embedding", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Similarity.kmeansLloyd(df.repartition(7), "vec_id",
+      "embedding", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(df, "vec_id", "embedding", 1, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(df, "vec_id", "embedding", 2, 0)
+    }
+  }
+
   test("daviesBouldin: hand geometry, coincident centroids excluded") {
     import spark.implicits._
     // A: (0,0),(2,0) -> centroid (1,0), scatter 1
