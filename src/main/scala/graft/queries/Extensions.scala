@@ -6105,6 +6105,107 @@ object Extensions {
       FROM a2 JOIN sz USING (cluster) ORDER BY id""")
   )
 
+  private val q213_stream_psi = Q(
+    "q213_stream_psi",
+    // Continuous drift monitoring, oracle-backed end to end: the
+    // month's first half is the FIXED reference; the second half
+    // arrives as TWO micro-batches (event_id parity) through
+    // psiStream, each batch's per-type PSI landing in the
+    // batch-keyed ledger (idempotent replay by overwrite). The
+    // oracle recomputes every batch's PSI from raw events — the
+    // q208 arithmetic, per half.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q213_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = events(s, dir)
+        val ref = ev.filter(dayofmonth(col("ts")) <= 15)
+          .select(col("event_type"), col("value"))
+        val (h1, h2) = cachedFixture(s"q213:$dir") {
+          def half(p: org.apache.spark.sql.Column) =
+            ev.filter(dayofmonth(col("ts")) > 15 && p)
+              .select("event_type", "value")
+              .as[(String, Option[Double])].collect().toSeq
+          (half(col("event_id") % 2 === 0),
+            half(col("event_id") % 2 =!= 0))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Option[Double])]
+        val q = graft.streaming.Streams.psiStream(
+          mem.toDF().toDF("event_type", "value"), ref,
+          Seq("event_type"), "value", s"$base/ledger", s"$base/ckpt")
+        try {
+          mem.addData(h1)
+          q.processAllAvailable()
+          mem.addData(h2)
+          q.processAllAvailable()
+        } finally q.stop()
+        collectToLocal(
+          s.read.parquet(s"$base/ledger")
+            .select(col("batch").cast("long").as("batch_id"),
+              col("event_type"), col("n_ref"), col("n_cur"),
+              col("psi")),
+          "q213 psi ledger")
+          .orderBy("batch_id", "event_type")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+      }
+    },
+    Some("""WITH refr AS (SELECT event_type, value FROM events
+        WHERE date_part('day', ts) <= 15 AND value IS NOT NULL),
+      curb AS (SELECT event_id % 2 AS half, event_type, value
+        FROM events
+        WHERE date_part('day', ts) > 15 AND value IS NOT NULL),
+      b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM refr GROUP BY 1),
+      rb AS (SELECT refr.event_type, CASE WHEN b.hi = b.lo THEN 0
+          ELSE greatest(0, least(9, CAST(floor(
+            ((refr.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
+          END AS bin, count(*) AS nr
+        FROM refr JOIN b USING (event_type) GROUP BY 1, 2),
+      cb AS (SELECT curb.half, curb.event_type,
+          CASE WHEN b.hi = b.lo THEN 0
+          ELSE greatest(0, least(9, CAST(floor(
+            ((curb.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
+          END AS bin, count(*) AS nc
+        FROM curb JOIN b USING (event_type) GROUP BY 1, 2, 3),
+      halves AS (SELECT DISTINCT half FROM curb),
+      grid AS (SELECT h.half, b.event_type, u.bin AS bin FROM b
+        CROSS JOIN halves h
+        CROSS JOIN unnest(range(0, 10)) AS u(bin)),
+      cells AS (SELECT g.half, g.event_type, g.bin,
+          COALESCE(rb.nr, 0) AS nr, COALESCE(cb.nc, 0) AS nc
+        FROM grid g
+        LEFT JOIN rb ON rb.event_type = g.event_type
+          AND rb.bin = g.bin
+        LEFT JOIN cb ON cb.half = g.half
+          AND cb.event_type = g.event_type AND cb.bin = g.bin),
+      t AS (SELECT half, event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+          CAST(sum(nc) AS BIGINT) AS n_cur
+        FROM cells GROUP BY 1, 2),
+      terms AS (SELECT cells.half, cells.event_type, t.n_ref,
+          t.n_cur, cells.bin,
+          (greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)
+           - greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
+             1e-6))
+          * ln(greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE),
+              1e-6)
+            / greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
+              1e-6)) AS term
+        FROM cells JOIN t ON t.half = cells.half
+          AND t.event_type = cells.event_type
+        WHERE t.n_ref > 0 AND t.n_cur > 0)
+      SELECT CAST(half AS BIGINT) AS batch_id, event_type, n_ref,
+        n_cur,
+        round(list_aggregate(list(term ORDER BY bin), 'sum'), 6)
+          AS psi
+      FROM terms GROUP BY half, event_type, n_ref, n_cur
+      ORDER BY batch_id, event_type""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6160,5 +6261,6 @@ object Extensions {
     q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
+    q213_stream_psi,
     q44_curation_pipeline, q45_source_audit)
 }

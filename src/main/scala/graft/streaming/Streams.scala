@@ -639,6 +639,52 @@ object Streams {
       ledgerDir: String): DataFrame =
     spark.read.parquet(ledgerDir)
 
+  /** Continuous distribution-drift monitoring — the streaming twin
+    * of [[graft.operators.Profile.psi]]: every micro-batch's value
+    * distribution is scored against a FIXED reference snapshot
+    * (localCheckpointed once at stream start — the reference must
+    * not drift with the thing it judges) and the per-key PSI rows
+    * land in a batch-keyed ledger with the same idempotent-overwrite
+    * replay contract as the other ingest streams: a crash-replayed
+    * batch rewrites its own partition byte-identically. The model-
+    * serving alarm wire: the orchestrator reads the ledger, not the
+    * data. */
+  def psiStream(
+      rows: DataFrame,
+      reference: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      ledgerDir: String,
+      checkpointDir: String,
+      bins: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.localCheckpoint(true)
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        psiBatch(batch, batchId, ref, keyCols, valueCol, ledgerDir,
+          bins)
+      }
+      .start()
+  }
+
+  /** One [[psiStream]] micro-batch, factored out so the replay
+    * contract is directly testable. */
+  private[streaming] def psiBatch(
+      batch: DataFrame,
+      batchId: Long,
+      ref: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      ledgerDir: String,
+      bins: Int): Unit = {
+    val t0 = System.nanoTime()
+    graft.operators.Profile.psi(ref, batch, keyCols, valueCol, bins)
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+    System.err.println(f"[graft] psiBatch batch=$batchId " +
+      f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+  }
+
   /** The maintained view over every delta [[ingestAggStream]] has
     * written: one partition-discovered read + one state-sized merge.
     * Also the compaction step — its result re-written as a single

@@ -584,4 +584,41 @@ class StreamsSpec extends AnyFunSuite {
         new java.io.File(base))
     }
   }
+
+  test("psiBatch: per-batch PSI == direct Profile.psi; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_psi_ledger_").toString
+    try {
+      val ref = (0 until 300).map(i => ("k", (i % 50).toDouble)).toSeq
+        .toDF("g", "v")
+      val b0 = (0 until 200).map(i => ("k", (i % 50).toDouble)).toSeq
+        .toDF("g", "v") // same distribution -> psi 0
+      val b1 = (0 until 200).map(i => ("k", (i % 50) + 30.0)).toSeq
+        .toDF("g", "v") // shifted -> psi > 0
+      graft.streaming.Streams.psiBatch(b0, 0L, ref, Seq("g"), "v",
+        s"$base/ledger", 10)
+      graft.streaming.Streams.psiBatch(b1, 1L, ref, Seq("g"), "v",
+        s"$base/ledger", 10)
+      def ledger() = spark.read.parquet(s"$base/ledger")
+        .select(col("batch").cast("long"), col("g"), col("n_ref"),
+          col("n_cur"), col("psi"))
+        .as[(Long, String, Long, Long, Double)].collect().sorted.toSeq
+      val first = ledger()
+      assert(first.length == 2)
+      assert(first(0)._5 == 0.0 && first(1)._5 > 0.0)
+      // each ledger row == the batch operator run directly
+      val direct1 = graft.operators.Profile
+        .psi(ref, b1, Seq("g"), "v", 10).head().getDouble(3)
+      assert(first(1)._5 == direct1)
+      // crash replay of batch 1 -> byte-identical ledger
+      graft.streaming.Streams.psiBatch(b1, 1L, ref, Seq("g"), "v",
+        s"$base/ledger", 10)
+      assert(ledger() == first, "replay changed the ledger")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
 }
