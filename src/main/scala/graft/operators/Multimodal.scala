@@ -253,6 +253,30 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit audio fingerprint — the audio twin of [[averageHash64]]:
+    * decode through the production [[WavPcmCodec]] (16 per-segment
+    * RMS amplitudes off real PCM frames), quantize each RMS to 4
+    * bits (floor(rms·512), clamped to 15 — full scale for speech-
+    * level signals), pack little-segment-first into one Long.
+    * Byte-identical audio fingerprints identically regardless of
+    * container framing; small amplitude jitter moves at most the
+    * low quantization bits — the robustness/selectivity tradeoff
+    * every acoustic fingerprint makes. Dedup = group by the Long,
+    * the digest-keyed shuffle discipline; payloads never move. */
+  def audioFingerprint64(payload: Array[Byte]): Long = {
+    val rms = WavPcmCodec.decode(payload)
+    require(rms.length == MediaCodec.EmbeddingDim,
+      s"expected ${MediaCodec.EmbeddingDim} segments, got ${rms.length}")
+    var fp = 0L
+    var i = 0
+    while (i < rms.length) {
+      val q = math.min(15L, math.floor(rms(i).toDouble * 512.0).toLong)
+      fp |= (q & 0xfL) << (4 * i)
+      i += 1
+    }
+    fp
+  }
+
   /** Deterministic fakes for the non-decode stamps + the default stub
     * decode ([[HistogramCodec]] delegates here). */
   object MediaCodec {

@@ -6206,6 +6206,77 @@ object Extensions {
       ORDER BY batch_id, event_type""")
   )
 
+  private val q214_audio_dedup = Q(
+    "q214_audio_dedup",
+    // Acoustic-fingerprint dedup, completing the modality triad
+    // (text digests, image aHash q194, audio here): docs 0..299
+    // synthesize PCM keyed by doc_id % 128 — ids 128 apart render
+    // BYTE-IDENTICAL audio — wrapped in real WAV containers and
+    // fingerprinted through the production codec (16 RMS segments
+    // quantized to 4 bits each). DuckDB recomputes every RMS,
+    // every quantized nibble, and every duplicate group from the
+    // sample formula.
+    (s, dir) => {
+      val fpUdf = udf((id: Long) => {
+        val nFrames = 160
+        val key = id % 128
+        val data = new Array[Byte](nFrames * 2)
+        var t = 0
+        while (t < nFrames) {
+          val base = ((key * 31 + t * 17) % 2001 - 1000).toInt
+          val sv = if ((key + t / 10) % 4 == 0) 0 else base
+          data(2 * t) = (sv & 0xff).toByte
+          data(2 * t + 1) = ((sv >> 8) & 0xff).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Multimodal.audioFingerprint64(bos.toByteArray)
+      })
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_fp")
+      table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .withColumn("_fp", fpUdf(col("doc_id")))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("_fp"), 32).as("fp_hi"),
+          col("_fp").bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
+          count(lit(1)).over(w).as("group_n"),
+          min(col("doc_id")).over(w).as("canonical_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents
+        WHERE doc_id < 300),
+      t AS (SELECT doc_id, u.t AS t, u.t // 10 AS seg,
+          CASE WHEN ((doc_id % 128) + u.t // 10) % 4 = 0 THEN 0
+            ELSE ((doc_id % 128)*31 + u.t*17) % 2001 - 1000 END AS s
+        FROM d CROSS JOIN unnest(range(0, 160)) AS u(t)),
+      q AS (SELECT doc_id, seg, CAST(sqrt(list_aggregate(list(
+          (CAST(s AS DOUBLE)/32768.0) * (CAST(s AS DOUBLE)/32768.0)
+          ORDER BY t), 'sum') / 10) AS REAL) AS rms
+        FROM t GROUP BY doc_id, seg),
+      f AS (SELECT doc_id,
+          CAST(sum(CASE WHEN seg < 8 THEN
+            least(15, CAST(floor(CAST(rms AS DOUBLE) * 512)
+              AS BIGINT)) << (4 * seg) ELSE 0 END) AS BIGINT)
+            AS fp_lo,
+          CAST(sum(CASE WHEN seg >= 8 THEN
+            least(15, CAST(floor(CAST(rms AS DOUBLE) * 512)
+              AS BIGINT)) << (4 * (seg - 8)) ELSE 0 END) AS BIGINT)
+            AS fp_hi
+        FROM q GROUP BY doc_id),
+      g AS (SELECT fp_hi, fp_lo, CAST(count(*) AS BIGINT) AS group_n,
+          min(doc_id) AS canonical_id FROM f GROUP BY 1, 2)
+      SELECT f.doc_id, f.fp_hi, f.fp_lo, g.group_n, g.canonical_id
+      FROM f JOIN g ON g.fp_hi = f.fp_hi AND g.fp_lo = f.fp_lo
+      ORDER BY f.doc_id""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6261,6 +6332,6 @@ object Extensions {
     q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
-    q213_stream_psi,
+    q213_stream_psi, q214_audio_dedup,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -219,6 +219,47 @@ class MultimodalSpec extends AnyFunSuite {
       averageHash64(encodeImage(small, "png")))
   }
 
+  test("audioFingerprint64: packing law, duplicate detection, loudness") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // packing law: fingerprint == the codec's RMS vector quantized
+    // to 4-bit nibbles, little-segment-first
+    val rnd = new scala.util.Random(9)
+    val payload = wav(Array.fill(160)(rnd.nextInt(4000).toShort))
+    val fp = audioFingerprint64(payload)
+    val rms = WavPcmCodec.decode(payload)
+    val expected = rms.zipWithIndex.map { case (r, i) =>
+      (math.min(15L, math.floor(r.toDouble * 512.0).toLong) & 0xfL) <<
+        (4 * i)
+    }.reduce(_ | _)
+    assert(fp == expected)
+    // identical content -> identical fingerprint; silence -> 0
+    assert(audioFingerprint64(wav(Array.fill(160)(0.toShort))) == 0L)
+    val copy = wav(Array.fill(160)(rnd.nextInt(4000).toShort))
+    assert(audioFingerprint64(copy) == audioFingerprint64(copy))
+    // full-scale clamps at nibble 15 everywhere
+    val loud = wav(Array.fill(160)(32000.toShort))
+    assert(audioFingerprint64(loud) == -1L) // all 64 bits set
+    // junk fails loudly through the codec contract
+    intercept[IllegalArgumentException] {
+      audioFingerprint64("not audio".getBytes("UTF-8"))
+    }
+  }
+
   test("sampleFrames fans out only videos, frame count as configured") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
