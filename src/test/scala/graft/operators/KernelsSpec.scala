@@ -132,4 +132,40 @@ class KernelsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Kernels.cdcChunks("x", 0, m) }
     intercept[IllegalArgumentException] { Kernels.cdcChunks("x", w, 0) }
   }
+
+  test("cdcChunks property: partition + boundary laws on random corpora") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 60) {
+      val len = rnd.nextInt(400)
+      val text = Array.fill(len)(('a' + rnd.nextInt(5)).toChar).mkString
+      val w = 1 + rnd.nextInt(12)
+      val m = 1 + rnd.nextInt(40)
+      val chunks = Kernels.cdcChunks(text, w, m)
+      if (text.isEmpty) assert(chunks.isEmpty)
+      else {
+        // exact partition, in order
+        assert(chunks.head.start == 1L, s"trial $trial")
+        assert(chunks.map(_.len).sum == len.toLong, s"trial $trial")
+        chunks.sliding(2).foreach {
+          case Array(a, b) => assert(b.start == a.start + a.len)
+          case _ =>
+        }
+        // every position in [w, len) is a boundary IFF the hash law
+        // holds — full equivalence, not just one direction
+        val ends = chunks.map(c => c.start + c.len - 1).toSet
+        for (p <- w until len) {
+          val law = (Kernels.md5Lower64(
+            text.substring(p - w, p)) >>> 11) % m == 0
+          assert(ends.contains(p.toLong) == law,
+            s"trial $trial pos $p law=$law")
+        }
+        // md5 of every chunk content matches
+        chunks.foreach { c =>
+          val s = text.substring(c.start.toInt - 1,
+            (c.start + c.len - 1).toInt)
+          assert(c.chunkMd5 == Kernels.md5Hex(s))
+        }
+      }
+    }
+  }
 }

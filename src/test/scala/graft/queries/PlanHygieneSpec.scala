@@ -386,4 +386,32 @@ class PlanHygieneSpec extends AnyFunSuite {
         p.contains("BroadcastHashJoin"), s"$q:\n${p.take(2000)}")
     }
   }
+
+  test("q208/q210: drift metric and sharder run window-free") {
+    // psi is pure keyed aggregation + a bins-sized grid join; the
+    // rendezvous sharder is map-only scalar work — a Window in
+    // either plan would be a regression toward single-task shapes
+    for (q <- Seq("q208_psi", "q210_rendezvous_shard")) {
+      val p = plan(q)
+      assert(!p.contains("Window ["),
+        s"$q planned a window:\n${p.take(2000)}")
+      assert(!p.toLowerCase.contains("cartesianproduct"),
+        s"$q planned a cartesian product:\n${p.take(2000)}")
+    }
+    // q210 additionally: no join at all — shard assignment is one
+    // scalar pipeline over the scan
+    assert(!plan("q210_rendezvous_shard").contains("Join"),
+      plan("q210_rendezvous_shard").take(2000))
+  }
+
+  test("q212: k-means assignment broadcasts centroids, corpus never SMJ'd per pass") {
+    // the per-pass assignment must be corpus x ONE-broadcast-row; the
+    // only shuffled join allowed is the final sizes attach
+    val p = plan("q212_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroid row should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("Window ["),
+      s"k-means should need no window:\n${p.take(2000)}")
+  }
 }
