@@ -41,19 +41,7 @@ object Basket {
       s"minSupport must be >= 1, got $minSupport")
     require(maxBasketItems >= 2,
       s"maxBasketItems must be >= 2, got $maxBasketItems")
-    val items = df
-      .select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
-      .filter(col("_bk").isNotNull && col("_it").isNotNull)
-      .distinct()
-    val worst = items.groupBy("_bk").agg(count(lit(1)).as("_m"))
-      .agg(max("_m")).head().getAs[Any](0)
-    worst match {
-      case m: Long => require(m <= maxBasketItems,
-        s"associationPairs: a basket holds $m distinct items — beyond " +
-          s"maxBasketItems=$maxBasketItems; cap or split mega-baskets " +
-          "upstream (their pair fan-out is quadratic)")
-      case _ => // empty input
-    }
+    val items = guardedItems(df, basketCol, itemCol, maxBasketItems)
     val dfreq = items.groupBy(col("_it").as("item"))
       .agg(count(lit(1)).as("df"))
     val nB = items.select("_bk").distinct()
@@ -80,5 +68,51 @@ object Basket {
       .select(col("item_a"), col("item_b"), col("n_xy"),
         col("df_a"), col("df_b"), col("conf_ab"), col("conf_ba"),
         col("lift"))
+  }
+
+  /** Distinct unordered co-occurrence pairs from a (basket, item)
+    * stream — the guarded pair generator [[associationPairs]] builds
+    * on, exposed for graph analytics over the co-occurrence
+    * structure (q199's assortativity edges): pairs deduplicate
+    * ACROSS baskets, and the same loud mega-basket contract bounds
+    * the per-basket fan-out before the self-join runs.
+    *
+    * Output: (item_a, item_b), item_a < item_b, one row per pair. */
+  def coPairs(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketItems: Int = 10000): DataFrame = {
+    require(maxBasketItems >= 2,
+      s"maxBasketItems must be >= 2, got $maxBasketItems")
+    val items = guardedItems(df, basketCol, itemCol, maxBasketItems)
+    items.as("a")
+      .join(items.as("b"),
+        col("a._bk") === col("b._bk") && col("a._it") < col("b._it"))
+      .select(col("a._it").as("item_a"), col("b._it").as("item_b"))
+      .distinct()
+  }
+
+  /** Distinct (basket, item) rows with the loud quadratic-fan-out
+    * guard — one narrow max-basket-size pass before any self-join. */
+  private def guardedItems(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketItems: Int): DataFrame = {
+    val items = df
+      .select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .filter(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+    val worst = items.groupBy("_bk").agg(count(lit(1)).as("_m"))
+      .agg(max("_m")).head().getAs[Any](0)
+    worst match {
+      case m: Long => require(m <= maxBasketItems,
+        s"a basket holds $m distinct items — beyond " +
+          s"maxBasketItems=$maxBasketItems; cap or split mega-baskets " +
+          "upstream (their pair fan-out is quadratic)")
+      case _ => // empty input
+    }
+    items
   }
 }

@@ -912,6 +912,73 @@ object Profile {
         col("tie_cubed_sum"), col("effect_r"))
   }
 
+  /** Benford's-law first-digit audit — the forensic screen for
+    * fabricated or synthetic numeric data: organically-grown
+    * magnitudes (prices, populations, file sizes) put digit d first
+    * with probability log10(1+1/d); invented numbers don't. Emits,
+    * per key and digit 1..9, the observed count/share, the Benford
+    * expectation, and the chi-squared cell term — cells, not a
+    * summed statistic, per the chiSquaredCells discipline (double
+    * summation order is engine-specific; the cells are the
+    * diagnosis).
+    *
+    * The first digit is EXTRACTED IN INTEGER SPACE: the value goes
+    * through DECIMAL(18,`scale`) (exact), scales to a BIGINT, and
+    * the digit is the first character of its decimal rendering —
+    * no log10 near a power-of-10 boundary, no float formatting
+    * seam; bit-identical anywhere. Non-positive and null values are
+    * excluded (Benford is defined on positive magnitudes).
+    *
+    * Shape: one keyed count agg + a 9-row grid join per key.
+    * Shares/terms at 6 decimals (the ln face). */
+  def benford(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    val keyC = keyCols.map(col)
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val cents = (col(valueCol).cast(dec) *
+      math.pow(10, scale).toLong).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(keyC :+ digit.as("digit"): _*)
+      .groupBy(keyC :+ col("digit"): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    val totals = counts.groupBy(keyC: _*)
+      .agg(sum("n_obs").as("_n"))
+    val grid = totals
+      .select(keyC :+ col("_n") :+
+        explode(sequence(lit(1L), lit(9L))).as("digit"): _*)
+    grid
+      .join(counts, keyCols :+ "digit", "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("share", round(
+        col("n_obs").cast("double") / col("_n").cast("double"), 6))
+      .withColumn("benford_share", round(
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)), 6))
+      .withColumn("chi2_term", round(
+        (col("n_obs").cast("double")
+          - col("_n").cast("double") * (
+            log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+              / log(lit(10.0))))
+          * (col("n_obs").cast("double")
+            - col("_n").cast("double") * (
+              log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+                / log(lit(10.0))))
+          / (col("_n").cast("double") * (
+            log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+              / log(lit(10.0)))), 6))
+      .select(keyC ++ Seq(col("digit"), col("n_obs"),
+        col("_n").as("n_total"), col("share"), col("benford_share"),
+        col("chi2_term")): _*)
+  }
+
   /** Population Stability Index between a reference and a current
     * snapshot — THE deployed-model monitoring metric: PSI < 0.1 is
     * stable, 0.1–0.25 drifting, > 0.25 act. Per key,

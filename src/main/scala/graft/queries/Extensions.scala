@@ -5526,12 +5526,9 @@ object Extensions {
     // crawl artifacts in a dup graph drive r negative; this is the
     // one-number structure diagnosis.
     (s, dir) => {
-      val i = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = i.as("a").join(i.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .select(col("a.it").as("u"), col("b.it").as("v")).distinct()
+      val edges = graft.operators.Basket.coPairs(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(col("item_a").as("u"), col("item_b").as("v"))
       graft.operators.Graphs.degreeAssortativity(edges, "u", "v")
     },
     Some("""WITH i AS (SELECT DISTINCT l_orderkey AS bk,
@@ -6277,6 +6274,49 @@ object Extensions {
       ORDER BY f.doc_id""")
   )
 
+  private val q215_benford = Q(
+    "q215_benford",
+    // Benford first-digit forensic audit of extended prices per
+    // returnflag: digits extracted in exact integer space (decimal
+    // cents -> first char of the BIGINT rendering — no log10 near
+    // power-of-10 boundaries), Benford expectation and chi-squared
+    // cells at the 6-decimal ln face. The fabricated-data screen,
+    // emitted as cells per the chiSquaredCells discipline.
+    (s, dir) =>
+      graft.operators.Profile.benford(
+        table(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", scale = 2)
+        .orderBy("l_returnflag", "digit"),
+    Some("""WITH v AS (SELECT l_returnflag AS k,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+      c AS (SELECT k,
+          CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+            AS digit,
+          CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY 1, 2),
+      t AS (SELECT k, CAST(sum(n_obs) AS BIGINT) AS n FROM c
+        GROUP BY 1),
+      g AS (SELECT t.k, t.n, u.digit AS digit FROM t
+        CROSS JOIN unnest(range(1, 10)) AS u(digit)),
+      j AS (SELECT g.k, g.digit, g.n, COALESCE(c.n_obs, 0) AS n_obs
+        FROM g LEFT JOIN c ON c.k = g.k AND c.digit = g.digit)
+      SELECT k AS l_returnflag, CAST(digit AS BIGINT) AS digit,
+        n_obs, n AS n_total,
+        round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+          AS benford_share,
+        round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+            * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+          * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+            * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+          / (CAST(n AS DOUBLE)
+            * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6)
+          AS chi2_term
+      FROM j ORDER BY l_returnflag, digit""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6332,6 +6372,6 @@ object Extensions {
     q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
-    q213_stream_psi, q214_audio_dedup,
+    q213_stream_psi, q214_audio_dedup, q215_benford,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -55,6 +55,21 @@ class BasketSpec extends AnyFunSuite {
     assert(again == base.view.mapValues(_._1).toMap)
   }
 
+  test("coPairs: cross-basket dedup, same guard as associationPairs") {
+    // pairs repeat across baskets -> one row; within-basket order-free
+    val rows = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 10L),
+      (3L, 10L), (3L, 12L))
+    val got = Basket.coPairs(rows.toDF("bk", "it"), "bk", "it")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L), (10L, 12L)))
+    val big = (0L until 50L).map(i => (1L, i))
+    val e = intercept[IllegalArgumentException] {
+      Basket.coPairs(big.toDF("bk", "it"), "bk", "it",
+        maxBasketItems = 10)
+    }
+    assert(e.getMessage.contains("maxBasketItems"))
+  }
+
   test("mega-basket fails loudly; null keys drop; contracts") {
     val big = (0L until 50L).map(i => (1L, i))
     val e = intercept[IllegalArgumentException] {

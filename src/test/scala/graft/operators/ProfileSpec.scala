@@ -638,6 +638,32 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("benford: integer digit extraction, grid zeros, expectations") {
+    import spark.implicits._
+    // digits by construction: 1.23 -> 123 -> '1'; 0.05 -> 5 -> '5';
+    // 950.00 -> 95000 -> '9'
+    val rows = Seq(("k", 1.23), ("k", 0.05), ("k", 950.0),
+      ("k", 19.99), ("k", -4.0), ("k", 0.0)) // non-positive excluded
+    val out = Profile.benford(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(out.size == 9) // full digit grid, zeros materialized
+    assert(out(1L)._1 == 2L) // 1.23 and 19.99
+    assert(out(5L)._1 == 1L && out(9L)._1 == 1L)
+    assert(out(2L)._1 == 0L)
+    assert(out.values.forall(_._2 == 4L)) // n_total excludes <= 0
+    // Benford expectation: digit 1 ~ .30103, digit 9 ~ .045757
+    assert(math.abs(out(1L)._3 - 0.30103) < 1e-5)
+    assert(math.abs(out(9L)._3 - 0.045757) < 1e-5)
+    // shares sum to 1 per key (rounded cells)
+    val shares = Profile.benford(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(_.getDouble(4)).sum
+    assert(math.abs(shares - 1.0) < 1e-5)
+    intercept[IllegalArgumentException] {
+      Profile.benford(rows.toDF("g", "v"), Seq.empty, "v")
+    }
+  }
+
   test("welchTTest: textbook case, degenerate guards") {
     import spark.implicits._
     // A = {1,2,3,4,5} (mean 3, var 2.5), B = {2,4,6} (mean 4, var 4)
