@@ -785,6 +785,74 @@ object Catalog {
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
   )
 
+  private val q216_grouping_sets = Q(
+    "q216_grouping_sets",
+    // The third face of the grouping lattice beside ROLLUP (q24)
+    // and CUBE (q54): an EXPLICIT grouping-set list — (flag, status),
+    // (status), () — with the grouping-indicator bits that let a
+    // consumer tell "NULL because aggregated away" from "NULL in the
+    // data". SQL text face (the q64 registry route); decimal-exact
+    // money, NULLS FIRST pinned both sides.
+    (s, dir) => {
+      val v = s"graft_q216_${java.lang.Math.abs(dir.hashCode)}"
+      table(s, dir, "lineitem").createOrReplaceTempView(v)
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+          AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS price
+        FROM $v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST,
+          l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        AS BIGINT) AS gid,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_linestatus), ())
+      ORDER BY gid, l_returnflag NULLS FIRST,
+        l_linestatus NULLS FIRST""")
+  )
+
+  private val q217_unpivot = Q(
+    "q217_unpivot",
+    // Unpivot/melt — the inverse of q49's pivot: three measure
+    // columns fold into (metric, value) rows via the native unpivot
+    // operator (an Expand, one pass, no join), then a decimal-exact
+    // per-(flag, metric) aggregate. The long-format export every
+    // metrics warehouse ingests.
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          dec(col("l_quantity")).as("qty"),
+          dec(col("l_extendedprice")).as("price"),
+          dec(col("l_discount")).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "metric", "value")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("double").as("total"))
+        .orderBy("l_returnflag", "metric"),
+    Some("""WITH m AS (
+        SELECT l_returnflag, 'qty' AS metric,
+          CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+        UNION ALL SELECT l_returnflag, 'price',
+          CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        UNION ALL SELECT l_returnflag, 'disc',
+          CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
+      SELECT l_returnflag, metric, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(value) AS DOUBLE) AS total
+      FROM m GROUP BY 1, 2 ORDER BY l_returnflag, metric""")
+  )
+
   private val q50_approx_distinct = Q(
     "q50_approx_distinct",
     // The scale path for COUNT DISTINCT: HyperLogLog++ partial
@@ -856,5 +924,6 @@ object Catalog {
     q22_having, q23_events_daily, q24_rollup, q26_intersect, q27_except,
     q28_array_funcs, q29_salted_agg, q46_asof_join, q47_range_join,
     q49_pivot, q50_approx_distinct, q51_percentiles, q54_cube,
-    q55_asof_native, q88_asof_forward, q89_asof_nearest)
+    q55_asof_native, q88_asof_forward, q89_asof_nearest,
+    q216_grouping_sets, q217_unpivot)
 }
