@@ -282,6 +282,52 @@ object Curation {
     *
     * Output: (group, item, mass, cum_mass, in_nucleus), one row per
     * (group, item). */
+  /** Filter-overlap planning report — BEFORE committing to a quality
+    * policy, how much does each filter remove and how do the filters
+    * overlap? Each row of the output is one cell of the filters'
+    * Venn diagram: `mask` has bit i set iff flag i fired, `filters`
+    * names the firing set, and the counts say what a pipeline
+    * keeping only mask-0 docs would retain. Materializes the FULL
+    * 2^k grid (zero cells included — "no document trips exactly
+    * {A,C}" is signal), so k is LOUDLY bounded.
+    *
+    * Null flag values count as not-fired (audit posture — spell
+    * "null trips the filter" explicitly in the flag expression).
+    * Shape: one conditional-aggregation pass over the corpus, one
+    * 2^k-sized grid join; nothing driver-side but the grid size.
+    *
+    * Output: (mask, filters, n_docs, share at 6 decimals),
+    * 2^k rows. */
+  def filterOverlap(
+      df: DataFrame,
+      flags: Seq[(String, Column)]): DataFrame = {
+    require(flags.nonEmpty && flags.size <= 12,
+      s"flags must number 1..12 (the grid is 2^k rows), got " +
+        s"${flags.size}")
+    require(flags.map(_._1).distinct.size == flags.size,
+      "flag names must be distinct")
+    val spark = df.sparkSession
+    val mask = flags.zipWithIndex.map { case ((_, c), i) =>
+      when(coalesce(c, lit(false)), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val counts = df.select(mask.as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("_total"))
+    val grid = spark.range(1L << flags.size)
+      .select(col("id").as("mask"))
+    val label = concat_ws(",", flags.zipWithIndex.map {
+      case (nc, i) => when(
+        col("mask").bitwiseAND(lit(1L << i)) =!= 0L, lit(nc._1))
+    }: _*)
+    grid
+      .join(counts, Seq("mask"), "left")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("mask"), label.as("filters"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          col("_total").cast("double"), 6).as("share"))
+  }
+
   def topPCoverage(
       df: DataFrame,
       groupCol: String,

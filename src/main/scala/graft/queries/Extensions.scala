@@ -6317,6 +6317,50 @@ object Extensions {
       FROM j ORDER BY l_returnflag, digit""")
   )
 
+  private val q218_filter_overlap = Q(
+    "q218_filter_overlap",
+    // Quality-policy Venn planning: three filters (short docs,
+    // repetitive docs, low-stopword docs) evaluated as one
+    // conditional-aggregation pass, reported as the FULL 2^3 mask
+    // grid — zero cells included, because "no doc trips exactly
+    // {short, lowstop}" is policy signal. The oracle rebuilds every
+    // flag (exact integer/rational comparisons) and every cell.
+    (s, dir) =>
+      graft.operators.Curation.filterOverlap(
+        table(s, dir, "documents"), Seq(
+          "short" -> (TextFunctions.tokenCount(col("text")) < 60),
+          "repetitive" ->
+            (TextFunctions.repetitionRatio(col("text")) > 0.5),
+          "lowstop" ->
+            (TextFunctions.stopwordRatio(col("text")) < 0.06)))
+        .orderBy("mask"),
+    Some(s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+      f AS (SELECT doc_id,
+          (CASE WHEN len(ws) < 60 THEN 1 ELSE 0 END)
+          + (CASE WHEN len(ws) > 0 AND 1.0 -
+              CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.5
+              THEN 2 ELSE 0 END)
+          + (CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(ws,
+                x -> list_contains($stopList, x))) AS DOUBLE)
+                / len(ws) END) < 0.06 THEN 4 ELSE 0 END) AS mask
+        FROM w),
+      c AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_docs FROM f
+        GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+      g AS (SELECT u.mask AS mask FROM unnest(range(0, 8)) AS u(mask))
+      SELECT CAST(g.mask AS BIGINT) AS mask,
+        concat_ws(',',
+          CASE WHEN g.mask & 1 <> 0 THEN 'short' END,
+          CASE WHEN g.mask & 2 <> 0 THEN 'repetitive' END,
+          CASE WHEN g.mask & 4 <> 0 THEN 'lowstop' END) AS filters,
+        COALESCE(c.n_docs, 0) AS n_docs,
+        round(CAST(COALESCE(c.n_docs, 0) AS DOUBLE)
+          / CAST(t.total AS DOUBLE), 6) AS share
+      FROM g LEFT JOIN c ON c.mask = g.mask CROSS JOIN t
+      ORDER BY g.mask""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6373,5 +6417,6 @@ object Extensions {
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
     q213_stream_psi, q214_audio_dedup, q215_benford,
+    q218_filter_overlap,
     q44_curation_pipeline, q45_source_audit)
 }

@@ -252,4 +252,40 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("integral"))
   }
+
+  test("filterOverlap: hand masks, zero cells, null-as-unfired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, true), // a only (bit0: x < 20)
+      (2L, 30L, true), // neither numeric flag; b fires
+      (3L, 10L, false), // a only
+      (4L, 50L, false) // none
+    ).toDF("id", "x", "b")
+    val out = Curation.filterOverlap(df, Seq(
+      "small" -> (col("x") < 20L),
+      "flagged" -> (col("b") === true)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 4) // full 2^2 grid
+    assert(out(0L) == (("", 1L, 0.25))) // id 4
+    assert(out(1L) == (("small", 1L, 0.25))) // id 3
+    assert(out(2L) == (("flagged", 1L, 0.25))) // id 2
+    assert(out(3L) == (("small,flagged", 1L, 0.25))) // id 1
+    // null flag values count as not fired
+    val withNull = Seq((1L, Some(true)), (2L, Option.empty[Boolean]))
+      .toDF("id", "b")
+    val n = Curation.filterOverlap(withNull,
+      Seq("f" -> col("b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n == Map(0L -> 1L, 1L -> 1L))
+    intercept[IllegalArgumentException] {
+      Curation.filterOverlap(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterOverlap(df,
+        Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
 }
