@@ -1114,6 +1114,70 @@ object Profile {
         col("t_stat"), col("df"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the DISTRIBUTION-shape
+    * screen beside [[welchTTest]] (means) and [[rankSumTest]]
+    * (stochastic dominance): D = sup |F_a − F_b| over the pooled
+    * support. Computed ENTIRELY in exact integer space: values go
+    * through decimal scaling to BIGINT, cumulative counts come from
+    * the two-phase bucketed prefix sum ([[Skew.cumulativeCounts]] —
+    * no global window), and D's numerator is
+    * max |cumA·n_b − cumB·n_a| in DECIMAL(38,0) — cross-engine
+    * bitwise with NO float accumulation anywhere; the only IEEE
+    * steps are the final division and the α=0.05 critical-value
+    * compare (1.358·sqrt((n_a+n_b)/(n_a·n_b)), the large-sample
+    * approximation).
+    *
+    * Output: one row (n_a, n_b, d_num DECIMAL(38,0), d, significant)
+    * — nulls when either group is empty. */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      scale: Int = 2,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    def side(g: String, tag: String): DataFrame =
+      df.filter(col(groupCol) === g && col(valueCol).isNotNull)
+        .select((col(valueCol).cast(dec) * mult).cast("long").as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as(tag))
+    val a = side(groupA, "_ca")
+    val b = side(groupB, "_cb")
+    val joined = a.join(b, Seq("_v"), "outer")
+      .na.fill(0L, Seq("_ca", "_cb"))
+    def cum(cnt: String, out: String): DataFrame =
+      Skew.cumulativeCounts(
+        joined.select(col("_v"), col(cnt).as("_cnt")), coarseBuckets)
+        .select(col("_v"), col("_cum").as(out))
+    val merged = cum("_ca", "_cuma").join(cum("_cb", "_cumb"), "_v")
+    val ns = joined.agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"))
+    merged.crossJoin(broadcast(ns))
+      .withColumn("_dn", abs(
+        col("_cuma").cast(dec38) * col("n_b")
+          - col("_cumb").cast(dec38) * col("n_a")))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("_dn")).cast(dec38).as("d_num"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
+      .withColumn("significant",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d") > lit(1.358) * sqrt(
+            (col("n_a").cast("double") + col("n_b").cast("double")) /
+              (col("n_a").cast("double") * col("n_b").cast("double")))))
+      .select(col("n_a"), col("n_b"),
+        // face type: the exact decimal converts once to double (the
+        // same one deterministic narrowing on any engine)
+        col("d_num").cast("double").as("d_num"), col("d"),
+        col("significant"))
+  }
+
   /** Watermark/late-data audit — the measurement that SIZES a
     * streaming job's watermark before it exists: replaying a day of
     * events in arrival order (`seqCol` — an ingest sequence or

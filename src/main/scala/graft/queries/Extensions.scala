@@ -6361,6 +6361,50 @@ object Extensions {
       ORDER BY g.mask""")
   )
 
+  private val q219_ks_test = Q(
+    "q219_ks_test",
+    // Two-sample Kolmogorov-Smirnov on click vs view values — the
+    // distribution-SHAPE screen completing the classical family
+    // (Welch means q209, rank-sum dominance q190, chi-squared
+    // categories q155): D's numerator is max |cumA*n_b - cumB*n_a|
+    // in exact DECIMAL(38,0) over two-phase bucketed prefix sums —
+    // no global window, no float accumulation; the oracle's global
+    // window replays it bitwise.
+    (s, dir) =>
+      graft.operators.Profile.ksTest(
+        events(s, dir), "event_type", "value", "click", "view"),
+    Some("""WITH a AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS v FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL),
+      b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS v FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL),
+      ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM a
+        GROUP BY 1),
+      cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b
+        GROUP BY 1),
+      j AS (SELECT COALESCE(ca.v, cb.v) AS v,
+          COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        FROM ca FULL OUTER JOIN cb ON cb.v = ca.v),
+      c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+          sum(cb) OVER (ORDER BY v) AS cumb FROM j),
+      n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+          CAST(sum(cb) AS BIGINT) AS n_b FROM j),
+      m AS (SELECT max(abs(CAST(cuma AS DECIMAL(38,0)) * n.n_b
+            - CAST(cumb AS DECIMAL(38,0)) * n.n_a)) AS d_num,
+          any_value(n.n_a) AS n_a, any_value(n.n_b) AS n_b
+        FROM c CROSS JOIN n)
+      SELECT n_a, n_b, CAST(d_num AS DOUBLE) AS d_num,
+        CAST(d_num AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+        CAST(d_num AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+          > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+          AS significant
+      FROM m""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6417,6 +6461,6 @@ object Extensions {
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
     q213_stream_psi, q214_audio_dedup, q215_benford,
-    q218_filter_overlap,
+    q218_filter_overlap, q219_ks_test,
     q44_curation_pipeline, q45_source_audit)
 }

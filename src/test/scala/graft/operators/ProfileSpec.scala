@@ -689,6 +689,44 @@ class ProfileSpec extends AnyFunSuite {
       .head().isNullAt(4))
   }
 
+  test("ksTest: hand D, naive reference, identical -> 0, empty -> null") {
+    import spark.implicits._
+    def run(a: Seq[Double], b: Seq[Double]) =
+      Profile.ksTest(
+        (a.map(("A", _)) ++ b.map(("B", _))).toSeq.toDF("g", "v"),
+        "g", "v", "A", "B").head()
+    // A={1,2,3}, B={3,4,5}: D = 2/3 (numerator 6 over 3*3)
+    val r = run(Seq(1, 2, 3).map(_.toDouble), Seq(3, 4, 5).map(_.toDouble))
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 6.0)
+    assert(r.getDouble(3) == 6.0 / 9.0)
+    // identical samples -> D exactly 0, not significant
+    val same = Seq(1.5, 2.25, 9.0)
+    val r0 = run(same, same)
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0)
+    assert(!r0.getBoolean(4))
+    // naive reference on random data (exact integer arithmetic)
+    val rnd = new scala.util.Random(23)
+    val ra = Seq.fill(80)(rnd.nextInt(500) / 100.0)
+    val rb = Seq.fill(120)(rnd.nextInt(500) / 100.0 + 0.5)
+    val rr = run(ra, rb)
+    val pooled = (ra ++ rb).distinct.sorted
+    val dRef = pooled.map { v =>
+      val ca = ra.count(_ <= v).toLong
+      val cb = rb.count(_ <= v).toLong
+      math.abs(ca * rb.length - cb * ra.length)
+    }.max
+    assert(rr.getDouble(2) == dRef.toDouble)
+    assert(rr.getDouble(3) == dRef.toDouble / (80.0 * 120.0))
+    // clearly shifted distributions flag significant
+    val shifted = run(Seq.fill(100)(1.0), Seq.fill(100)(2.0))
+    assert(shifted.getBoolean(4))
+    // one empty group -> null d/significant, counts still emitted
+    val e = run(Seq(1.0, 2.0), Seq.empty)
+    assert(e.getLong(0) == 2L && e.getLong(1) == 0L)
+    assert(e.isNullAt(3) && e.isNullAt(4))
+  }
+
   test("latenessAudit: running high-water mark, hand-checked") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
