@@ -755,6 +755,78 @@ object TimeSeries {
         col("n_days"), col("acf")): _*)
   }
 
+  /** Classical seasonal decomposition of per-key daily volume —
+    * count = trend + weekly seasonal + residual, the STL-lite every
+    * ops dashboard runs before alerting on "volume dropped" (a
+    * Sunday dip is seasonality, not an incident; CUSUM/anomaly
+    * screens should run on the RESIDUAL). Trend is the centered
+    * 7-day mean (defined only where the full window exists — edges
+    * emit null trend/seasonal/residual rather than a fabricated
+    * value); the seasonal component is the day-of-week mean of the
+    * detrended series, folded in day order per (key, dow) so the
+    * double accumulation is bitwise; dow is pure integer arithmetic
+    * ((epoch_day+4) mod 7 — the q168 no-calendar-seam rule).
+    *
+    * Shape: events collapse to the (key, day) frame first; one
+    * key-partitioned 7-row range window, one (key, dow) ordered
+    * fold over the days-sized frame, one join back. 6-decimal face
+    * (division chains on folded doubles).
+    *
+    * Output: keys* + (day, dow, cnt, trend, seasonal, residual). */
+  def seasonalDecompose(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("day", "dow", "cnt", "trend", "seasonal", "residual")
+      .foreach { r =>
+        require(!keyCols.contains(r),
+          s"key column name $r is reserved by seasonalDecompose")
+      }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(keyC: _*)
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+    val grid = span
+      .select(keyC ++ Seq(col("_d0"), col("_d1"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day")): _*)
+    val c = grid.join(daily, keyCols :+ "day", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("dow", (col("day") + 4) % 7)
+    val w7 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("day")).rangeBetween(-3, 3)
+    val withTrend = c
+      .withColumn("_w7", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("_w7") === 7,
+          round(sum(col("cnt")).over(w7).cast("double") / 7.0, 6)))
+      .withColumn("_det", col("cnt").cast("double") - col("trend"))
+    val seasonal = withTrend
+      .filter(col("_det").isNotNull)
+      .groupBy(keyC :+ col("dow"): _*)
+      .agg(sort_array(collect_list(struct(col("day"), col("_det"))))
+        .as("_ds"))
+      .select(keyC ++ Seq(col("dow"), round(
+        aggregate(transform(col("_ds"), s => s.getField("_det")),
+          lit(0.0), (acc, t) => acc + t) /
+          size(col("_ds")).cast("double"), 6).as("seasonal")): _*)
+    withTrend
+      .join(seasonal, keyCols :+ "dow", "left")
+      .withColumn("residual",
+        when(col("trend").isNotNull,
+          round(col("cnt").cast("double") - col("trend")
+            - col("seasonal"), 6)))
+      .withColumn("seasonal",
+        when(col("trend").isNotNull, col("seasonal")))
+      .select(keyC ++ Seq(col("day"), col("dow"), col("cnt"),
+        col("trend"), col("seasonal"), col("residual")): _*)
+  }
+
   /** Exponentially-weighted moving average of the per-key daily
     * volume on the gap-free day grid — the smoother operations
     * dashboards overlay on raw counts (recent days dominate, old

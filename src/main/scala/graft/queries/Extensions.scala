@@ -6405,6 +6405,52 @@ object Extensions {
       FROM m""")
   )
 
+  private val q220_seasonal_decompose = Q(
+    "q220_seasonal_decompose",
+    // STL-lite: per-type daily volume = centered-7-day trend +
+    // day-of-week seasonal (day-ordered bitwise fold of the
+    // detrended series) + residual; edges without a full window
+    // emit honest nulls. Anomaly screens belong on the RESIDUAL —
+    // a Sunday dip is seasonality, not an incident. The oracle
+    // replays trend windows, folds, and residuals at the 6-decimal
+    // face.
+    (s, dir) =>
+      graft.operators.TimeSeries.seasonalDecompose(
+        events(s, dir), Seq("event_type"), "ts")
+        .orderBy("event_type", "day"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM d GROUP BY 1),
+      grid AS (SELECT event_type, u.day AS day FROM sp
+        CROSS JOIN unnest(range(d0, d1 + 1)) AS u(day)),
+      c AS (SELECT g.event_type, g.day, (g.day + 4) % 7 AS dow,
+          COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d ON d.event_type = g.event_type
+          AND d.day = g.day),
+      t AS (SELECT *, CASE WHEN count(*) OVER w7 = 7
+            THEN round(CAST(sum(cnt) OVER w7 AS DOUBLE) / 7.0, 6)
+            END AS trend
+        FROM c WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (SELECT *, CAST(cnt AS DOUBLE) - trend AS det FROM t),
+      se AS (SELECT event_type, dow,
+          round(list_aggregate(list(det ORDER BY day), 'sum')
+            / CAST(count(*) AS DOUBLE), 6) AS seasonal
+        FROM det WHERE det IS NOT NULL GROUP BY 1, 2)
+      SELECT det.event_type, det.day, det.dow, det.cnt, det.trend,
+        CASE WHEN det.trend IS NOT NULL THEN se.seasonal END
+          AS seasonal,
+        CASE WHEN det.trend IS NOT NULL THEN
+          round(CAST(det.cnt AS DOUBLE) - det.trend - se.seasonal, 6)
+          END AS residual
+      FROM det LEFT JOIN se ON se.event_type = det.event_type
+        AND se.dow = det.dow
+      ORDER BY det.event_type, det.day""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6461,6 +6507,6 @@ object Extensions {
     q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
     q213_stream_psi, q214_audio_dedup, q215_benford,
-    q218_filter_overlap, q219_ks_test,
+    q218_filter_overlap, q219_ks_test, q220_seasonal_decompose,
     q44_curation_pipeline, q45_source_audit)
 }

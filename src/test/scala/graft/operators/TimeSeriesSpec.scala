@@ -567,6 +567,48 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalDecompose: components reconstruct, edges null, dow fold") {
+    import spark.implicits._
+    val day = 86400L
+    // 21 days of a planted weekly pattern: base 10 + 5 on dow 0
+    val rows = (0 until 21).flatMap { dd =>
+      val dow = (dd + 8 + 4) % 7 // day = dd + 8 epoch days
+      val n = if (dow == 0) 15 else 10
+      Seq.fill(n)(("k", ts((dd + 8) * day + 10)))
+    }
+    val out = TimeSeries.seasonalDecompose(
+      rows.toDF("k", "t"), Seq("k"), "t")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(out.size == 21)
+    val d0 = out.keys.min
+    // first/last 3 days: no full centered window -> nulls
+    for (t <- Seq(d0, d0 + 1, d0 + 2, d0 + 18, d0 + 19, d0 + 20))
+      assert(out(t)._3.isEmpty && out(t)._5.isEmpty)
+    // interior: cnt == trend + seasonal + residual (rounded faces)
+    for (t <- (d0 + 3) to (d0 + 17)) {
+      val (_, cnt, Some(tr), Some(se), Some(re)) = out(t)
+      assert(math.abs(cnt.toDouble - (tr + se + re)) < 1e-9, s"day $t")
+    }
+    // the planted spike day carries the positive seasonal component
+    val spikeDays = out.filter(_._2._1 == 0L).keys.toSeq.sorted
+    val interiorSpike = spikeDays.filter(t => t >= d0 + 3 && t <= d0 + 17)
+    assert(interiorSpike.nonEmpty)
+    interiorSpike.foreach { t =>
+      assert(out(t)._4.get > 3.0, s"seasonal at $t = ${out(t)._4}")
+    }
+    // non-spike interior dows sit slightly negative (mean-centered-ish)
+    val plain = ((d0 + 3) to (d0 + 17)).filter(t => out(t)._1 != 0L)
+    plain.foreach(t => assert(out(t)._4.get < 0.5))
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalDecompose(
+        Seq(("a", ts(0L))).toDF("dow", "t"), Seq("dow"), "t")
+    }
+  }
+
   test("ewma: closed form == the recursion, gaps count as zero days") {
     // key a: day 0 x3, day 1 x1, day 3 x2 (day 2 missing -> 0)
     val day = 86400L
