@@ -6451,6 +6451,76 @@ object Extensions {
       ORDER BY det.event_type, det.day""")
   )
 
+  private val q221_dedup_threshold_sweep = Q(
+    "q221_dedup_threshold_sweep",
+    // Dedup-cutoff ablation BEFORE committing to a threshold: the
+    // exact prefix-filtered pair set at minJ=0.4 histogrammed into
+    // similarity bands, with per-band pair/doc counts and the
+    // cumulative pairs a cutoff at each band would remove. Exact
+    // recall by the AllPairs theorem (an LSH sweep would undercount
+    // the low bands); the cumulative uses a 6-row triangular join,
+    // never a global window.
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJ = 0.4)
+        .select(col("id_a"), col("id_b"),
+          least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+            .as("band"))
+      val hist = pairs.groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"))
+      val docsB = pairs
+        .select(col("band"),
+          explode(array(col("id_a"), col("id_b"))).as("_d"))
+        .distinct()
+        .groupBy("band").agg(count(lit(1)).as("n_docs"))
+      val grid = s.range(4, 10).select(col("id").as("band"))
+      val z = grid
+        .join(hist, Seq("band"), "left")
+        .join(docsB, Seq("band"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_docs"))
+      val cum = z.as("x")
+        .join(z.select(col("band").as("_b2"),
+          col("n_pairs").as("_np2")), col("_b2") >= col("band"))
+        .groupBy("band").agg(sum("_np2").as("cum_pairs"))
+      z.join(cum, "band")
+        .select(col("band"),
+          (col("band").cast("double") / 10.0).as("threshold"),
+          col("n_pairs"), col("n_docs"), col("cum_pairs"))
+        .orderBy("band")
+    },
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            AS j
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= 0.4),
+      pb AS (SELECT id_a, id_b,
+          least(CAST(floor(j * 10) AS BIGINT), 9) AS band FROM p),
+      h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pb GROUP BY 1),
+      db AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs FROM (
+          SELECT DISTINCT band, d FROM (
+            SELECT band, unnest([id_a, id_b]) AS d FROM pb))
+        GROUP BY 1),
+      grid AS (SELECT u.band AS band FROM unnest(range(4, 10))
+        AS u(band)),
+      z AS (SELECT g.band, COALESCE(h.n_pairs, 0) AS n_pairs,
+          COALESCE(db.n_docs, 0) AS n_docs
+        FROM grid g LEFT JOIN h ON h.band = g.band
+        LEFT JOIN db ON db.band = g.band),
+      c AS (SELECT x.band, CAST(sum(y.n_pairs) AS BIGINT)
+          AS cum_pairs
+        FROM z x JOIN z y ON y.band >= x.band GROUP BY 1)
+      SELECT z.band, CAST(z.band AS DOUBLE) / 10.0 AS threshold,
+        z.n_pairs, z.n_docs, c.cum_pairs
+      FROM z JOIN c ON c.band = z.band ORDER BY z.band""")
+  )
+
   def all: Seq[Q] = Seq(
     q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
     q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
@@ -6508,5 +6578,6 @@ object Extensions {
     q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
     q213_stream_psi, q214_audio_dedup, q215_benford,
     q218_filter_overlap, q219_ks_test, q220_seasonal_decompose,
+    q221_dedup_threshold_sweep,
     q44_curation_pipeline, q45_source_audit)
 }
