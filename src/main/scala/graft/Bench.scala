@@ -4,18 +4,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line on stdout with per-query seconds.
   * One warm-up pass over the whole suite (Catalyst analysis caches,
   * codegen compilation, JIT) so one-time costs don't land on
-  * whichever query runs first, then N >= 3 timed runs per query
-  * (SPARK_GRAFT_BENCH_RUNS, default 3): `queries` reports the
-  * per-query MEDIAN and `runs` the full per-run times, so a
-  * run-to-run swing is a measurable spread instead of a narrative —
-  * a single-run bench cannot arbitrate "regression" vs "variance"
-  * (the r4 q63/q40 lesson). */
+  * whichever query runs first, then timed runs per query: `queries`
+  * reports the per-query ROBUST (trimmed) median and `runs` the full
+  * per-run times, so a run-to-run swing is a measurable spread
+  * instead of a narrative — a single-run bench cannot arbitrate
+  * "regression" vs "variance" (the r4 q63/q40 lesson).
+  *
+  * Isolation robustness (the r6 lesson — the artifact of record was
+  * captured on a contended box and two medians recorded 6–60× their
+  * idle-box values from 2-of-3 contaminated runs): a plain N=3
+  * median has a 2-outlier breakdown point, so runs are now ADAPTIVE.
+  * Each query starts with SPARK_GRAFT_BENCH_RUNS (default 3) runs;
+  * while the observed spread is unstable (max > 1.5× min AND the
+  * absolute gap exceeds 0.3 s — the floor keeps micro-queries from
+  * re-running on scheduler noise) it takes extra runs up to
+  * SPARK_GRAFT_BENCH_MAX_RUNS (default 7). The reported value is the
+  * TRIMMED median: with >= 7 samples the top/bottom 2 are dropped,
+  * with >= 5 the top/bottom 1, then the median of the rest — so a
+  * transient contention burst must poison MOST of up to 7
+  * spread-triggered runs, not 2 of 3, before it can own the median.
+  * The host's /proc/loadavg is recorded at start and end so a
+  * contended capture is diagnosable from the artifact itself. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val maxRuns = math.max(nRuns,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "7").toInt)
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val loadStart = loadavg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,26 +49,46 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    def timeOnce(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      // isolate runs from each other: eager operators persist small
+      // derived results and the CacheManager matches them by
+      // canonical plan, so without this a timed run can silently
+      // reuse (or GC-fight with) another invocation's blocks —
+      // attribution noise, not signal
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // unstable = the spread is both RELATIVELY wide (>1.5×) and
+    // ABSOLUTELY material (>0.3 s) — either alone is scheduler noise
+    def unstable(ts: Seq[Double]): Boolean = {
+      val mn = ts.min; val mx = ts.max
+      mx > 1.5 * mn && mx - mn > 0.3
+    }
     val perRun: Seq[(String, Seq[Double])] = queries.map { case (name, fn) =>
-      val times = (1 to nRuns).map { _ =>
-        // isolate runs from each other: eager operators persist small
-        // derived results and the CacheManager matches them by
-        // canonical plan, so without this a timed run can silently
-        // reuse (or GC-fight with) another invocation's blocks —
-        // attribution noise, not signal
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times
+      var times: Vector[Double] =
+        (1 to nRuns).map(_ => timeOnce(fn)).toVector
+      while (times.length < maxRuns && unstable(times))
+        times = times :+ timeOnce(fn)
+      name -> (times: Seq[Double])
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val results = perRun.map { case (name, ts) => name -> median(ts) }
+    // trimmed median: symmetric trim scaled to sample count, so up
+    // to 2 contaminated runs out of 7 (or 1 of 5) cannot move it
+    def robustMedian(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      val trim = if (s.length >= 7) 2 else if (s.length >= 5) 1 else 0
+      median(s.slice(trim, s.length - trim))
+    }
+    val results =
+      perRun.map { case (name, ts) => name -> robustMedian(ts) }
     // Bucketed-join evidence (SCALING.md): the same big-big join shape
     // as q11, shuffled vs co-bucketed. Table writes are one-time layout
     // cost and untimed; the bucketed timing only counts if the executed
@@ -114,7 +156,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":$nRuns,"runs":$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":$nRuns,"max_runs":$maxRuns,"stat":"trimmed_median","runs":$runsJson,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(

@@ -260,28 +260,6 @@ object Curation {
     counts.select(explode(report).as("_r")).select(col("_r.*"))
   }
 
-  /** Top-p (nucleus) coverage — within each group, the smallest
-    * prefix of items (by weight, descending) whose mass reaches
-    * p% of the group's total: "which sources do we actually need to
-    * cover 90% of this language's tokens". The mixture-design twin
-    * of the mixture/weighted samplers: this reports WHERE the mass
-    * is; sampling then enforces the chosen mixture.
-    *
-    * Selection rule (exact integer arithmetic, no doubles anywhere):
-    * items order by (mass desc, item asc) within their group — total
-    * and deterministic — and an item is IN the nucleus iff the mass
-    * BEFORE it is < ceil(p·total/100): the first item crossing the
-    * threshold is included, nothing after it is, and p = 100 keeps
-    * every positive-mass item.
-    *
-    * Scale shape: one (group, item) partial-agg shuffle for masses,
-    * a group-partitioned cumsum window over the ITEMS frame (already
-    * aggregated — items-sized, not rows-sized), and a groups-sized
-    * broadcast join for totals. `weightCol` must be integral
-    * (enforced): double mass would make the cumsum order-dependent.
-    *
-    * Output: (group, item, mass, cum_mass, in_nucleus), one row per
-    * (group, item). */
   /** Filter-overlap planning report — BEFORE committing to a quality
     * policy, how much does each filter remove and how do the filters
     * overlap? Each row of the output is one cell of the filters'
@@ -328,6 +306,28 @@ object Curation {
           col("_total").cast("double"), 6).as("share"))
   }
 
+  /** Top-p (nucleus) coverage — within each group, the smallest
+    * prefix of items (by weight, descending) whose mass reaches
+    * p% of the group's total: "which sources do we actually need to
+    * cover 90% of this language's tokens". The mixture-design twin
+    * of the mixture/weighted samplers: this reports WHERE the mass
+    * is; sampling then enforces the chosen mixture.
+    *
+    * Selection rule (exact integer arithmetic, no doubles anywhere):
+    * items order by (mass desc, item asc) within their group — total
+    * and deterministic — and an item is IN the nucleus iff the mass
+    * BEFORE it is < ceil(p·total/100): the first item crossing the
+    * threshold is included, nothing after it is, and p = 100 keeps
+    * every positive-mass item.
+    *
+    * Scale shape: one (group, item) partial-agg shuffle for masses,
+    * a group-partitioned cumsum window over the ITEMS frame (already
+    * aggregated — items-sized, not rows-sized), and a groups-sized
+    * broadcast join for totals. `weightCol` must be integral
+    * (enforced): double mass would make the cumsum order-dependent.
+    *
+    * Output: (group, item, mass, cum_mass, in_nucleus), one row per
+    * (group, item). */
   def topPCoverage(
       df: DataFrame,
       groupCol: String,

@@ -87,11 +87,6 @@ object Dedup {
       .withColumn("set_size", size(col("ngrams")))
   }
 
-  /** Exact-Jaccard verification of candidate pairs against the full
-    * n-gram sets — shared tail of the LSH and prefix-filter paths.
-    * Size-ratio upper bound (J <= min/max since inter <= min(|A|,|B|)
-    * and union >= max) skips the set build for hopeless pairs before
-    * any hashing happens. */
   /** Containment pairs — the ASYMMETRIC near-dup mode Jaccard
     * misses: doc A is (near-)contained in doc B when
     * |grams(A) ∩ grams(B)| / |grams(A)| ≥ minC, the signature of
@@ -106,10 +101,22 @@ object Dedup {
     * |A| − ceil(minC·|A|) + 1 grams must hit B's FULL gram set — so
     * candidates come from prefix(A) ⋈ posting(B), one-sided pruning
     * (the contained side prunes; the container side must stay
-    * whole). `maxDf` caps pathological gram postings exactly like
-    * [[ngramJaccardPairs]]. Exact verify: one HashSet intersection
-    * per candidate, containment = inter/|A| (one IEEE division of
-    * exact integers). */
+    * whole). Exact verify: one HashSet intersection per candidate,
+    * containment = inter/|A| (one IEEE division of exact integers).
+    *
+    * `maxDf` is the PPJoin boilerplate guard — without it, a
+    * corpus-frequent gram joins contained-side prefixes against an
+    * uncapped full posting list and becomes the skew stage on a
+    * boilerplate-heavy corpus. It caps by excluding grams with
+    * document frequency > maxDf from the MEASURE itself: capped
+    * grams vanish from candidate generation AND verification, so
+    * the semantics become "containment over the sub-maxDf gram
+    * vocabulary" (boilerplate phrasing stops counting as content
+    * overlap — usually what dedup wants anyway) and the
+    * prefix-filter completeness guarantee stays EXACT with respect
+    * to that capped measure — the cap is a semantic definition, not
+    * a silent recall knob. Docs whose every gram is boilerplate
+    * drop out (no capped set to be contained). */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -118,15 +125,29 @@ object Dedup {
       minC: Double = 0.9,
       maxDf: Option[Int] = None): DataFrame = {
     require(minC > 0.0 && minC <= 1.0, s"minC must be in (0,1], got $minC")
-    val sets = ngramSets(df, idCol, textCol, n).filter(col("set_size") > 0)
-    val posting0 = sets.select(col("id"), col("set_size"),
-      explode(col("ngrams")).as("g"))
-    val posting = maxDf match {
+    maxDf.foreach(cap => require(cap >= 1,
+      s"maxDf must be >= 1 when set, got $cap"))
+    val setsFull =
+      ngramSets(df, idCol, textCol, n).filter(col("set_size") > 0)
+    val (sets, posting) = maxDf match {
+      case None =>
+        (setsFull, setsFull.select(col("id"), col("set_size"),
+          explode(col("ngrams")).as("g")))
       case Some(cap) =>
+        // ngramSets are distinct-per-doc, so count-per-gram IS the
+        // document frequency; drop boilerplate grams, then rebuild
+        // the per-doc sets so verification uses the same vocabulary
+        val p0 = setsFull.select(col("id"),
+          explode(col("ngrams")).as("g"))
         val wdf = Window.partitionBy("g")
-        posting0.withColumn("_df", count(lit(1)).over(wdf))
+        val capped = p0.withColumn("_df", count(lit(1)).over(wdf))
           .filter(col("_df") <= cap).drop("_df")
-      case None => posting0
+        val cappedSets = capped.groupBy("id")
+          .agg(sort_array(collect_list(col("g"))).as("ngrams"))
+          .withColumn("set_size", size(col("ngrams")))
+          .filter(col("set_size") > 0)
+        (cappedSets,
+          capped.join(cappedSets.select("id", "set_size"), "id"))
     }
     val dfreq = posting.groupBy("g").agg(count(lit(1)).as("gdf"))
     val wDoc = Window.partitionBy("id").orderBy("gdf", "g")
@@ -160,6 +181,11 @@ object Dedup {
       .filter(col("containment") >= minC)
   }
 
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * n-gram sets — shared tail of the LSH and prefix-filter paths.
+    * Size-ratio upper bound (J <= min/max since inter <= min(|A|,|B|)
+    * and union >= max) skips the set build for hopeless pairs before
+    * any hashing happens. */
   private def verifyJaccard(
       candidates: DataFrame, sets: DataFrame, minJ: Double): DataFrame = {
     val jUdf = udf((a: scala.collection.Seq[String],

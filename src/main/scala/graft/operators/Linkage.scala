@@ -28,18 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** All unordered pairs of distinct `strCol` values with edit
-    * distance <= `maxDist`, with each value's row count carried.
-    * Strings must be non-null and at least `q` chars (loud contract —
-    * a sub-q string has no grams and would silently never link).
-    *
-    * Output: (name_a, name_b, dist, n_a, n_b), name_a < name_b.
-    *
-    * Shape: one dictionary partial agg, one gram explode over the
-    * DICTIONARY (not the rows), one frequency agg, one per-name
-    * window for the q·k+1 prefix, one index equi-join on
-    * (gram, occ), length-filtered, then one `levenshtein` per
-    * candidate. Every join equi-keyed; nothing driver-side. */
   /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge):
     * candidates are dictionary values within `window` positions of
     * each other in SORTED order, verified by native `levenshtein`
@@ -101,6 +89,18 @@ object Linkage {
         (col("_rb") - col("rank")).as("rank_gap"), col("dist"))
   }
 
+  /** All unordered pairs of distinct `strCol` values with edit
+    * distance <= `maxDist`, with each value's row count carried.
+    * Strings must be non-null and at least `q` chars (loud contract —
+    * a sub-q string has no grams and would silently never link).
+    *
+    * Output: (name_a, name_b, dist, n_a, n_b), name_a < name_b.
+    *
+    * Shape: one dictionary partial agg, one gram explode over the
+    * DICTIONARY (not the rows), one frequency agg, one per-name
+    * window for the q·k+1 prefix, one index equi-join on
+    * (gram, occ), length-filtered, then one `levenshtein` per
+    * candidate. Every join equi-keyed; nothing driver-side. */
   def nameVariantPairs(
       df: DataFrame,
       strCol: String,

@@ -3,23 +3,34 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Privacy-preserving release of aggregate statistics — the gate a
+/** Privacy-conscious release of aggregate statistics — the gate a
   * training-data pipeline needs before corpus statistics leave the
   * trust boundary (per-source counts, per-language histograms,
   * contributor tallies): plain GROUP BY counts leak membership of
   * small groups. Two standard mechanisms compose here:
   * k-anonymity suppression (groups under k rows are withheld
-  * entirely) and an ε-differentially-private Laplace mechanism on
-  * the released counts.
+  * entirely) and deterministic Laplace-SHAPED noise on the released
+  * counts.
   *
-  * Determinism contract: production DP draws noise from a sealed
-  * seed; what matters operationally is that a RETRIED release
-  * (stage retry, job re-run) publishes the IDENTICAL numbers —
-  * re-randomizing on retry both breaks reproducibility and burns
-  * privacy budget. The noise here is therefore the inverse-CDF
-  * Laplace transform of the repo's cross-engine deterministic
-  * uniform, md5(group-key ":" salt) — same group, same salt, same
-  * noise, on any engine, partitioning, or retry. Rotating `salt`
+  * What this is NOT: a formal (ε,δ)-DP mechanism. The noise is a
+  * deterministic public function of (group key, salt) — anyone who
+  * knows the construction AND the salt can subtract the noise
+  * exactly; and k-suppression thresholds on the TRUE count, so a
+  * group's presence/absence in the release itself carries exact
+  * information about whether n ≥ k (a formally private release
+  * would use a noisy threshold). The salt is therefore a SECRET —
+  * treat it like a seed or a key, never publish or default it —
+  * and the guarantee is "Laplace-magnitude perturbation keyed by a
+  * secret", which is the reproducible-release posture most corpus
+  * dashboards actually need, not a provable ε bound.
+  *
+  * Why deterministic at all: a RETRIED release (stage retry, job
+  * re-run) must publish the IDENTICAL numbers — re-randomizing on
+  * retry breaks reproducibility (and, in a true DP deployment,
+  * burns privacy budget). The noise here is the inverse-CDF Laplace
+  * transform of the repo's cross-engine deterministic uniform,
+  * md5(group-key ":" salt) — same group, same salt, same noise, on
+  * any engine, partitioning, or retry. Rotating the (secret) salt
   * per release period is the operational knob.
   *
   * Scale shape: one partial-agg count per group, one scalar
@@ -30,14 +41,19 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
-  /** ε-DP noisy counts over `dims`, with k-suppression first.
+  /** Noisy counts over `dims` with k-suppression first; see the
+    * object doc for the exact (non-ε-DP) guarantee.
     *
     * Per group: u = (md5(key ":" salt) >>> 11 + 0.5) / 2^53 ∈ (0,1),
     * v = u − 0.5, noise = −(1/ε)·sign(v)·ln(1 − 2|v|) — a
-    * Laplace(1/ε) deviate; released = max(n + noise, 0), emitted at
-    * 6 decimals (the repo's ln-parity face; see q94). Suppressed
-    * groups (n < k) do not appear at all — releasing "suppressed"
-    * rows would itself leak the small-group count.
+    * Laplace(1/ε)-shaped deviate; released = max(n + noise, 0),
+    * emitted at 6 decimals (the repo's ln-parity face; see q94).
+    * Suppressed groups (n < k) do not appear at all; note the
+    * thresholding itself reveals n ≥ k vs n < k (object doc).
+    *
+    * `salt` has NO default on purpose: it keys the noise, so it must
+    * be caller-owned and kept secret like a seed — a well-known
+    * default would make the noise publicly invertible.
     *
     * Output: dims* + (n BIGINT — the true count, for in-trust use;
     * release BOUNDED-noise double — the publishable number). Callers
@@ -46,11 +62,14 @@ object Privacy {
       df: DataFrame,
       dims: Seq[String],
       epsilon: Double,
-      k: Long = 1L,
-      salt: String = "graft"): DataFrame = {
+      k: Long,
+      salt: String): DataFrame = {
     require(dims.nonEmpty, "at least one dimension column required")
     require(epsilon > 0.0, s"epsilon must be > 0, got $epsilon")
     require(k >= 1L, s"k must be >= 1, got $k")
+    require(salt.nonEmpty,
+      "salt must be non-empty — it keys the noise and must be kept " +
+        "secret by the caller (see Privacy object doc)")
     val eps = epsilon
     val saltLocal = salt
     val noise = udf((key: String) => {

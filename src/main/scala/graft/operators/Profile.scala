@@ -943,10 +943,19 @@ object Profile {
     val dec = org.apache.spark.sql.types.DecimalType(18, scale)
     val cents = (col(valueCol).cast(dec) *
       math.pow(10, scale).toLong).cast("long")
-    val digit = substring(cents.cast("string"), 1, 1).cast("long")
+    // cents >= 1 keeps the grid honest: a positive value that rounds
+    // to 0 at this scale would put digit '0' outside the 1..9 grid,
+    // and a value overflowing DECIMAL(18,scale) yields a null digit —
+    // either way n_total would count rows the grid can't show and
+    // shares would no longer sum to 1. Both are excluded from counts
+    // AND totals (totals derive from counts below).
     val counts = df
       .filter(col(valueCol).isNotNull && col(valueCol) > 0)
-      .select(keyC :+ digit.as("digit"): _*)
+      .select(keyC :+ cents.as("_cents"): _*)
+      .filter(col("_cents") >= 1L)
+      .select(keyC :+
+        substring(col("_cents").cast("string"), 1, 1).cast("long")
+          .as("digit"): _*)
       .groupBy(keyC :+ col("digit"): _*)
       .agg(count(lit(1)).as("n_obs"))
     val totals = counts.groupBy(keyC: _*)

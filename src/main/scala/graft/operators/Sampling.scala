@@ -720,7 +720,9 @@ object Sampling {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(x).as("s1"),
-        sum((x * x).cast(DecimalType38)).as("s2"))
+        // cast BEFORE squaring: a LONG×LONG square wraps silently at
+        // |x| > ~3.04e9; DECIMAL(38,0)×DECIMAL(38,0) does not
+        sum(x.cast(DecimalType38) * x.cast(DecimalType38)).as("s2"))
     val rows = moments.limit(maxStrata + 1).collect()
     require(rows.length <= maxStrata,
       s"neymanAllocation: more than $maxStrata strata — this operator " +

@@ -1354,6 +1354,26 @@ object Similarity {
       idCol: String,
       vecCol: String,
       maxGroupSize: Long = 1L << 20): DataFrame = {
+    // DIRECT guard for the scatter fold below: its per-group
+    // sort_array(collect_list(distances)) builds one group into one
+    // task, exactly like groupCentroids' vector fold. groupCentroids
+    // runs the same check on the same groups, but relying on it
+    // firing FIRST would couple this operator's safety to plan
+    // ordering — an edit there (or a centroid-source swap) must not
+    // silently unguard the scatter. One narrow count job, group
+    // column only.
+    val oversizedHere = df0.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxGroupSize)
+      .limit(1).collect()
+    require(oversizedHere.isEmpty, {
+      val r = oversizedHere.head
+      s"daviesBouldin's scatter aggregation collects each group's " +
+        s"distances into ONE task: group '${r.get(0)}' has " +
+        s"${r.getLong(1)} rows > maxGroupSize=$maxGroupSize. " +
+        "Pre-sample the group or raise the bound deliberately."
+    })
     val cent = groupCentroids(df0, groupCol, idCol, vecCol, maxGroupSize)
       .groupBy(col("group"), col("n"))
       .agg(sort_array(collect_list(struct(col("dim"), col("c"))))

@@ -2672,15 +2672,26 @@ object Extensions {
     "q176_containment",
     // Asymmetric near-dup: directed containment pairs at 0.8 over
     // 3-gram sets (wrapper / quote-with-commentary detection) —
-    // one-sided prefix filter against full postings, exact HashSet
-    // verify, one division. The oracle re-scores every ordered pair.
+    // one-sided prefix filter against postings, exact HashSet
+    // verify, one division. maxDf=20 is the PPJoin boilerplate
+    // guard: grams in > 20 documents leave the measure entirely
+    // (candidates AND verification), bounding every posting list a
+    // prefix can join — at sf0.01 no gram reaches the cap (results
+    // identical to uncapped); at sf0.1 it retires the ~59 hottest
+    // postings. The oracle re-scores every ordered pair over the
+    // SAME df-capped vocabulary.
     (s, dir) =>
       graft.operators.Dedup.containmentPairs(
         table(s, dir, "documents"), "doc_id", "text",
-        n = 3, minC = 0.8)
+        n = 3, minC = 0.8, maxDf = Some(20))
         .orderBy("id_a", "id_b"),
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents)
+    Some(s"""WITH g0 AS (SELECT doc_id, ${ngrams3(W)} AS s0
+        FROM documents),
+      p AS (SELECT doc_id, unnest(s0) AS gm FROM g0),
+      keep AS (SELECT gm FROM (SELECT gm, count(*) AS df FROM p
+        GROUP BY 1) WHERE df <= 20),
+      g AS (SELECT p.doc_id, list(p.gm) AS s FROM p
+        JOIN keep USING (gm) GROUP BY p.doc_id)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
           AS containment
@@ -5450,8 +5461,8 @@ object Extensions {
     Some("""WITH m AS (SELECT l_returnflag || '|' || l_linestatus
         AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
-        CAST(CAST(sum(CAST(l_quantity AS BIGINT)
-          * CAST(l_quantity AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE)
+        CAST(sum(CAST(l_quantity AS DECIMAL(38,0))
+          * CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE)
           AS s2
         FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
       v AS (SELECT stratum, n_rows, CASE WHEN n_rows > 1 THEN
@@ -5544,8 +5555,10 @@ object Extensions {
         JOIN deg dy ON dy.src = dirr.dst),
       m AS (SELECT CAST(count(*) AS BIGINT) AS m_halfedges,
         CAST(CAST(sum(dx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
-        CAST(CAST(sum(dx*dx) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
-        CAST(CAST(sum(dx*dy) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+        CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
+          AS DOUBLE) AS sxx,
+        CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
+          AS DOUBLE) AS sxy
         FROM j),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
@@ -5569,7 +5582,10 @@ object Extensions {
     (s, dir) =>
       graft.operators.Privacy.dpCounts(
         table(s, dir, "documents"), Seq("source", "lang"),
-        epsilon = 1.0, k = 3L)
+        epsilon = 1.0, k = 3L,
+        // fixture-only salt, mirrored by the oracle below; a real
+        // release must use a caller-owned SECRET salt (Privacy doc)
+        salt = "graft")
         .orderBy("source", "lang"),
     Some("""WITH g AS (SELECT source, lang,
         CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
@@ -6291,7 +6307,9 @@ object Extensions {
         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
           AS cents
         FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+          AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+            AS BIGINT) >= 1),
       c AS (SELECT k,
           CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
             AS digit,

@@ -683,6 +683,49 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs maxDf: capped grams leave the measure on " +
+      "BOTH sides (candidates and verification)") {
+    import spark.implicits._
+    // boilerplate grams: "b1..b6" appears in every doc (df = 4);
+    // core grams: docs 1 and 2 share a unique core, doc 3 shares
+    // ONLY the boilerplate with them, doc 4 is the second copy of 3
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ")
+    val core = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $core"),
+      (2L, s"$boiler $core"),
+      (3L, s"$boiler $other"),
+      (4L, s"$boiler $other"))
+      .toDF("doc_id", "text")
+    // uncapped: the shared boilerplate pushes cross-group
+    // containment up (4 shared boiler grams / 14 = 0.286) — at
+    // minC 0.25 the cross pairs appear
+    val un = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minC = 0.25)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(un.exists { case (a, b, _) => (a, b) == (1L, 3L) })
+    // maxDf=3 retires every df-4 boilerplate gram from the measure:
+    // cross-group pairs vanish ENTIRELY (not just score lower), and
+    // same-group pairs score exactly 1.0 over the capped vocabulary
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, minC = 0.25, maxDf = Some(3))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(capped == Seq(
+      (1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 4L, 1.0), (4L, 3L, 1.0)))
+    // a doc that is ONLY boilerplate drops out (no capped set)
+    val withPure = docs.union(
+      Seq((5L, boiler)).toDF("doc_id", "text"))
+    val got5 = Dedup.containmentPairs(withPure, "doc_id", "text",
+      n = 3, minC = 0.25, maxDf = Some(3))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(!got5.exists { case (a, b, _) => a == 5L || b == 5L })
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDf = Some(0))
+    }
+  }
+
   test("noveltyByPeriod: first occurrence by (period, id), batches mix") {
     // content A first at (p0, id1), re-crawled p0 (id2) and p1 (id11)
     // content B first at (p1, id10); C only at p2; p3 all re-crawls

@@ -65,6 +65,46 @@ class GraphsSpec extends AnyFunSuite {
     assert(again == m.view.mapValues(_._2).toMap)
   }
 
+  test("power-law fixture: hub generates zero wedges; maxDegree hub " +
+      "exclusion reports NULL for the hub and subgraph counts below") {
+    // 2000-leaf star at node 0 + K4 among leaves 1..4 — the
+    // boilerplate-hub shape of a real dup graph
+    val star = (1L to 2000L).map(i => (0L, i))
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val edges = star ++ k4
+    // uncapped: hand-checked — hub sits in the 6 K4-edge triangles;
+    // nodes 1..4 see 3 K4-internal + 3 hub triangles each
+    val un = stats(edges)
+    assert(un(0L) == ((2000L, 6L, Some(12.0 / (2000.0 * 1999.0)))))
+    (1L to 4L).foreach { i =>
+      assert(un(i) == ((4L, 6L, Some(1.0))), s"node $i")
+    }
+    assert(un(5L) == ((1L, 0L, None)))
+    // capped at 100: the hub row keeps its full degree but counts
+    // NULL (uncounted, not zero); nodes 1..4 count the K4 subgraph
+    // only (3 each — a lower bound), coeff over full degree
+    val capped = Graphs.triangleStats(
+      edges.toDF("a", "b"), "a", "b", maxDegree = Some(100L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(capped(0L) == ((2000L, None, None)))
+    (1L to 4L).foreach { i =>
+      assert(capped(i) == ((4L, Some(3L), Some(0.5))), s"node $i")
+    }
+    assert(capped(5L) == ((1L, Some(0L), None)))
+    // the same skewed fixture completes through the whole family
+    assert(Graphs.pageRank(edges.toDF("a", "b"), "a", "b", 3)
+      .count() == 2001L)
+    assert(Graphs.degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+      .count() == 1L)
+    intercept[IllegalArgumentException] {
+      Graphs.triangleStats(edges.toDF("a", "b"), "a", "b",
+        maxDegree = Some(0L))
+    }
+  }
+
   // ---- pageRank (fixed-point) ----
 
   private val Scale = 1000000000000L
@@ -122,6 +162,31 @@ class GraphsSpec extends AnyFunSuite {
       edges.toDF("a", "b").repartition(17), "a", "b", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == refPageRank(edges, 3))
+  }
+
+  test("pageRank: 20 iterations with periodic checkpoints matches " +
+      "the reference (lineage truncation changes nothing)") {
+    val edges = for {
+      i <- 0L until 25L; j <- (i + 1) until 25L
+      if (i * 31 + j * 17) % 5 == 0
+    } yield (i, j)
+    val expected = refPageRank(edges, 20)
+    // checkpointEvery=5 fires at iterations 5/10/15; the cap run
+    // must complete without lineage blowup AND bit-match the
+    // sequential reference
+    val ckpt = Graphs.pageRank(edges.toDF("a", "b"), "a", "b",
+      iterations = 20, checkpointEvery = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ckpt == expected)
+    // a never-firing cadence (25 > 20) produces the identical map
+    val plain = Graphs.pageRank(edges.toDF("a", "b"), "a", "b",
+      iterations = 20, checkpointEvery = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == expected)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(edges.toDF("a", "b"), "a", "b", 3,
+        checkpointEvery = 0)
+    }
   }
 
   test("pageRank: self-loops and duplicate edges normalize away") {

@@ -15,7 +15,8 @@ class PrivacySpec extends AnyFunSuite {
     ).toSeq.toDF("grp", "payload")
 
   test("dpCounts: k-suppression withholds small groups entirely") {
-    val out = Privacy.dpCounts(corpus, Seq("grp"), epsilon = 1.0, k = 3L)
+    val out = Privacy.dpCounts(
+      corpus, Seq("grp"), epsilon = 1.0, k = 3L, salt = "graft")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 10L, "b" -> 5L)) // c absent, not zeroed
   }
@@ -28,7 +29,7 @@ class PrivacySpec extends AnyFunSuite {
     val a = release("graft")
     // identical on re-run and under repartitioning (retry-proof)
     assert(release("graft") == a)
-    val b = Privacy.dpCounts(corpus.repartition(7), Seq("grp"), 1.0, 1L)
+    val b = Privacy.dpCounts(corpus.repartition(7), Seq("grp"), 1.0, 1L, "graft")
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2))).toMap
     assert(b == a)
@@ -61,18 +62,22 @@ class PrivacySpec extends AnyFunSuite {
   test("dpCounts: multi-dim key is the pipe-joined group value") {
     val df = Seq(("a", "en", 1), ("a", "en", 2), ("a", "de", 3))
       .toDF("src", "lang", "x")
-    val out = Privacy.dpCounts(df, Seq("src", "lang"), 1.0, 1L)
+    val out = Privacy.dpCounts(df, Seq("src", "lang"), 1.0, 1L, "graft")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         r.getLong(2)).toMap
     assert(out == Map(("a", "en") -> 2L, ("a", "de") -> 1L))
     intercept[IllegalArgumentException] {
-      Privacy.dpCounts(df, Seq.empty, 1.0, 1L)
+      Privacy.dpCounts(df, Seq.empty, 1.0, 1L, "graft")
     }
     intercept[IllegalArgumentException] {
-      Privacy.dpCounts(df, Seq("src"), 0.0, 1L)
+      Privacy.dpCounts(df, Seq("src"), 0.0, 1L, "graft")
     }
     intercept[IllegalArgumentException] {
-      Privacy.dpCounts(df, Seq("src"), 1.0, 0L)
+      Privacy.dpCounts(df, Seq("src"), 1.0, 0L, "graft")
+    }
+    // the salt keys the noise: an empty salt is refused loudly
+    intercept[IllegalArgumentException] {
+      Privacy.dpCounts(df, Seq("src"), 1.0, 1L, "")
     }
   }
 }

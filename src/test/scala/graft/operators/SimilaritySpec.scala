@@ -619,4 +619,23 @@ class SimilaritySpec extends AnyFunSuite {
         (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(re == out)
   }
+
+  test("daviesBouldin: the SCATTER path's group bound is direct — " +
+      "an oversized group fails loudly naming this operator") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", Seq(0f, 0f)), (2L, "A", Seq(2f, 0f)),
+      (3L, "A", Seq(4f, 0f)),
+      (4L, "B", Seq(10f, 0f)), (5L, "B", Seq(10f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.daviesBouldin(df, "label", "vec_id", "embedding",
+        maxGroupSize = 2L)
+    }
+    // the failure must come from daviesBouldin's own guard, not
+    // transitively from groupCentroids — plan reordering or a
+    // centroid-source swap must not be able to unguard the scatter
+    assert(ex.getMessage.contains("daviesBouldin"))
+    assert(ex.getMessage.contains("scatter"))
+  }
 }
