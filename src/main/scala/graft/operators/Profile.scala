@@ -1233,4 +1233,219 @@ object Profile {
       .select((keyCols.map(col) ++ Seq(col("n"), col("late_n"),
         col("late_rate"), col("max_late_us"), col("p95_late_us"))): _*)
   }
+
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association screen the Pearson-style moments misses
+    * (heavy tails, nonlinear-but-monotone metric pairs: quality
+    * score vs length, tokens vs bytes). ρ is Pearson over AVERAGE
+    * ranks with standard tie handling.
+    *
+    * EXACT INTEGER spelling, no global window: values decimal-scale
+    * to BIGINT (the ksTest contract); per distinct value the
+    * ≤-cumulative count comes from the two-phase bucketed prefix sum
+    * ([[Skew.cumulativeCounts]]); a value's DOUBLED average rank is
+    * the integer 2·cum − cnt + 1 (doubling clears the tie .5 — the
+    * factor cancels in ρ), ranks join back to rows by value, and all
+    * five moments (Σx, Σy, Σx², Σy², Σxy over doubled ranks)
+    * accumulate in DECIMAL(38,0) — order-free, bit-identical on any
+    * engine or partitioning. ρ is ONE fixed IEEE expression over the
+    * exact moments. Moment magnitudes reach ~4n⁴, so DECIMAL(38,0)
+    * is exact to ~2e9 rows and fails loudly (ANSI overflow) past it —
+    * at that scale rank correlation should ride a sampled frame
+    * anyway.
+    *
+    * Rows with a null on either side are dropped (a rank needs both
+    * coordinates). Output: one row (n, rho) — rho null when either
+    * side has zero rank variance (all values tied).
+    *
+    * Reference analog: none (SURVEY §2.2 — no correlation of any
+    * kind); north-star pipeline surface. */
+  def spearmanCorr(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      scale: Int = 2,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol).cast(dec) * mult).cast("long").as("_x"),
+        (col(yCol).cast(dec) * mult).cast("long").as("_y"))
+    def doubledRanks(c: String): DataFrame = {
+      val vals = rows.select(col(c).as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as("_cnt"))
+      Skew.cumulativeCounts(vals, coarseBuckets)
+        .select(col("_v").as(c),
+          (lit(2L) * col("_cum") - col("_cnt") + 1L).as(s"_r$c"))
+    }
+    val ranked = rows
+      .join(doubledRanks("_x"), "_x")
+      .join(doubledRanks("_y"), "_y")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("_r_x").cast(dec38)).as("_sx"),
+      sum(col("_r_y").cast(dec38)).as("_sy"),
+      sum(col("_r_x").cast(dec38) * col("_r_x").cast(dec38)).as("_sxx"),
+      sum(col("_r_y").cast(dec38) * col("_r_y").cast(dec38)).as("_syy"),
+      sum(col("_r_x").cast(dec38) * col("_r_y").cast(dec38)).as("_sxy"))
+    // every product below stays in exact decimal; each term narrows
+    // to double ONCE (the deterministic nearest-even conversion),
+    // then one IEEE division over one sqrt
+    m.select(col("n"),
+      when(
+        (col("n") * col("_sxx") - col("_sx") * col("_sx"))
+          .cast("double") > 0.0 &&
+        (col("n") * col("_syy") - col("_sy") * col("_sy"))
+          .cast("double") > 0.0,
+        (col("n") * col("_sxy") - col("_sx") * col("_sy"))
+          .cast("double") /
+          sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx"))
+            .cast("double") *
+            (col("n") * col("_syy") - col("_sy") * col("_sy"))
+              .cast("double")))
+        .as("rho"))
+  }
+
+  /** One-vs-rest Kolmogorov–Smirnov per key with the asymptotic
+    * p-value — [[ksTest]] run for EVERY key against the pooled rest
+    * in one pass: "which sources' length distributions deviate from
+    * the corpus". D is exact-integer like ksTest (the numerator
+    * max |cumKey·n_rest − cumRest·n_key| in DECIMAL(38,0)); the
+    * p-value is the two-sided asymptotic min(1, 2·exp(−2·e·D²)) with
+    * e = n·n_rest/(n+n_rest) — exp is the one transcendental, so p
+    * rounds at 6 decimals (the q94 ln/exp-face discipline). Feeds
+    * [[bhFdr]] for multiplicity control.
+    *
+    * Shape: one (key, value) partial agg + one global value agg; the
+    * evaluation grid is keys × distinct values (sup of a step-
+    * function difference can land where EITHER side jumps, so the
+    * full union grid is required for exactness); per-key prefix sums
+    * run as a key-partitioned window over the VALUES frame (values-
+    * sized, not rows-sized). Keys are loudly bounded by `maxKeys` —
+    * the grid and the keys-sized downstream are driver-safe by
+    * construction.
+    *
+    * Output per key: (key, n, n_rest, d, p_value). Null-key and
+    * null-value rows are dropped. */
+  def ksTestByKey(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      scale: Int = 2,
+      maxKeys: Int = 1000): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    require(maxKeys >= 2, s"maxKeys must be >= 2, got $maxKeys")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    val base = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"),
+        (col(valueCol).cast(dec) * mult).cast("long").as("_v"))
+    val keyCounts = base.groupBy("_k").agg(count(lit(1)).as("_nk"))
+    val overK = keyCounts.limit(maxKeys + 1).count()
+    require(overK <= maxKeys,
+      s"ksTestByKey: more than $maxKeys keys — the keys × values " +
+        "evaluation grid scales with the key count; raise maxKeys " +
+        "only if the key cardinality is genuinely bounded")
+    val perKV = base.groupBy("_k", "_v").agg(count(lit(1)).as("_ck"))
+    val vals = base.groupBy("_v").agg(count(lit(1)).as("_call"))
+    val nAll = base.agg(count(lit(1)).as("_nall"))
+    // full grid: every key at every global jump point
+    val grid = vals.crossJoin(broadcast(keyCounts))
+      .join(perKV, Seq("_k", "_v"), "left")
+      .na.fill(0L, Seq("_ck"))
+    val wk = Window.partitionBy("_k").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("_cumk", sum(col("_ck")).over(wk))
+      .withColumn("_cumall", sum(col("_call")).over(wk))
+    cum.crossJoin(broadcast(nAll))
+      .withColumn("_nrest", col("_nall") - col("_nk"))
+      .withColumn("_dn", abs(
+        col("_cumk").cast(dec38) * col("_nrest")
+          - (col("_cumall") - col("_cumk")).cast(dec38) * col("_nk")))
+      .groupBy(col("_k").as(keyCol), col("_nk").as("n"),
+        col("_nrest").as("n_rest"))
+      .agg(max(col("_dn")).cast(dec38).as("_dnum"))
+      .withColumn("d",
+        when(col("n") > 0 && col("n_rest") > 0,
+          col("_dnum").cast("double") /
+            (col("n").cast("double") * col("n_rest").cast("double"))))
+      .withColumn("p_value",
+        when(col("d").isNotNull, round(least(lit(1.0),
+          lit(2.0) * exp(lit(-2.0)
+            * (col("n").cast("double") * col("n_rest").cast("double")
+              / (col("n").cast("double") + col("n_rest").cast("double")))
+            * col("d") * col("d"))), 6)))
+      .select(col(keyCol), col("n"), col("n_rest"), col("d"),
+        col("p_value"))
+  }
+
+  /** Benjamini–Hochberg FDR control over a frame of (test, p-value)
+    * rows — the multiplicity gate for the drift battery: run a
+    * per-key test family ([[ksTestByKey]], per-key PSI, per-slice
+    * Welch) and BH decides WHICH rejections survive at false-
+    * discovery rate `q` instead of alpha-per-test flag inflation.
+    *
+    * EXACT spelling, no global window: p-values quantize to 1e-6
+    * (they arrive at the 6-decimal face anyway); per distinct p the
+    * ≤-cumulative test count (= the LARGEST rank among ties, the
+    * correct-and-most-permissive BH index for a tied block) comes
+    * from the two-phase prefix sum; the step-up condition
+    * p ≤ rank·q/m compares as the exact integer cross-product
+    * p6·m ≤ rank·q6; the cutoff p* is the largest flagged p, and a
+    * test rejects iff its p ≤ p* — all DECIMAL/BIGINT until the
+    * reported threshold face.
+    *
+    * Tests are key-level facts, loudly bounded by `maxTests` (the
+    * neymanAllocation posture: a test family is bounded by
+    * construction; 100 TB changes row counts, not test counts).
+    *
+    * Output per input row: (idCol, p, rank, rejected) with rank =
+    * the max-tie BH index of its p. */
+  def bhFdr(
+      df: DataFrame,
+      idCol: String,
+      pCol: String,
+      q: Double = 0.05,
+      maxTests: Long = 100000L,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    require(maxTests >= 1L && maxTests <= 100000000L,
+      s"maxTests must be in [1, 1e8], got $maxTests")
+    val q6 = math.round(q * 1e6)
+    val base = df
+      .filter(col(pCol).isNotNull)
+      .select(col(idCol), col(pCol).as("p"),
+        (col(pCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          * 1000000L).cast("long").as("_p6"))
+    val bad = base.filter(col("_p6") < 0L || col("_p6") > 1000000L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"bhFdr: p-value out of [0,1]: ${if (bad.nonEmpty) bad.head else ""}")
+    val over = base.limit((maxTests + 1L).toInt).count()
+    require(over <= maxTests,
+      s"bhFdr: more than $maxTests tests — BH is a key-level gate; " +
+        "raise maxTests only if the test family is genuinely bounded")
+    val vals = base.groupBy(col("_p6").as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val cum = Skew.cumulativeCounts(vals, coarseBuckets)
+      .select(col("_v").as("_p6"), col("_cum").as("rank"))
+    val m = base.agg(count(lit(1)).as("_m"))
+    val flagged = cum.crossJoin(broadcast(m))
+      .filter(col("_p6") * col("_m") <= col("rank") * lit(q6))
+    val pStar = flagged.agg(max("_p6").as("_pstar"))
+    base
+      .join(cum, "_p6")
+      .crossJoin(broadcast(pStar))
+      .select(col(idCol), col("p"), col("rank"),
+        (col("_pstar").isNotNull && col("_p6") <= col("_pstar"))
+          .as("rejected"))
+  }
 }

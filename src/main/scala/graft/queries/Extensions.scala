@@ -1,11 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import graft.queries.Catalog.Q
 
-import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
-import graft.queries.Catalog.{Q, table, events}
 
 /** North-star extension queries (SURVEY §7.2 M4): dedup, similarity
   * search, text analysis, multimodal — each a `queries()` entry over
@@ -22,6580 +18,13 @@ import graft.queries.Catalog.{Q, table, events}
   */
 object Extensions {
 
-  /** Shared oracle fragments (DuckDB dialect). */
-  private val W = "list_filter(str_split(text, ' '), x -> x <> '')"
-  private def ngrams3(w: String): String =
-    s"list_distinct(list_transform(range(greatest(len($w) - 2, 0)), " +
-      s"i -> $w[i+1] || ' ' || $w[i+2] || ' ' || $w[i+3]))"
-
-  // -------------------------------------------------------------------
-  // Text analysis
-  // -------------------------------------------------------------------
-
-  private val q25_json_funcs = Q(
-    "q25_json_funcs",
-    // JSON scalar extraction over the events props column (the scalar-
-    // function category the judge's checklist probes).
-    (s, dir) =>
-      events(s, dir)
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
-        .orderBy("k"),
-    Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k,
-      CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1 ORDER BY k""")
-  )
-
-  private val q30_text_stats = Q(
-    "q30_text_stats",
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("token_cnt"),
-          TextFunctions.bpeTokenCount(col("text")).as("bpe_cnt"),
-          TextFunctions.meanWordLen(col("text")).as("mean_word_len"))
-        .orderBy("doc_id"),
-    Some(s"""SELECT doc_id,
-      CAST(len($W) AS BIGINT) AS token_cnt,
-      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
-        AS BIGINT) AS bpe_cnt,
-      CASE WHEN len($W) = 0 THEN 0.0
-        ELSE CAST(list_aggregate(list_transform($W, x -> length(x)), 'sum')
-          AS DOUBLE) / len($W) END AS mean_word_len
-      FROM documents ORDER BY doc_id""")
-  )
-
-  private val stopList =
-    TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-
-  private val q31_text_quality = Q(
-    "q31_text_quality",
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id"),
-    Some(s"""WITH t AS (SELECT doc_id, text, $W AS w,
-        CASE WHEN length(text) = 0 THEN 0.0
-          ELSE CAST(len(regexp_extract_all(text,
-            '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END AS pr,
-        CASE WHEN len($W) = 0 THEN 0.0
-          ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
-            AS DOUBLE) / len($W) END AS sr
-      FROM documents)
-      SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stop_ratio,
-        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-          + least(sr * 5.0, 1.0) * 0.4
-          + (1.0 - least(pr * 4.0, 1.0)) * 0.1, 6) AS quality
-      FROM t ORDER BY doc_id""")
-  )
-
-  /** The DuckDB twin of `TextFunctions.langId` as a per-document
-    * SELECT (doc_id, lang, lang_pred) — shared by the q32 oracle and
-    * the q161 confusion-matrix oracle. */
-  private lazy val langPredSelect: String = {
-    val markers = TextFunctions.LangMarkers.map { case (l, ms) =>
-      l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
-    }
-    val scores = markers.map { case (l, arr) =>
-      s"len(list_intersect(list_distinct($W), $arr)) AS s_$l"
-    }.mkString(", ")
-    val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-    val pick = markers.map { case (l, _) =>
-      s"WHEN s_$l = $best THEN '$l'"
-    }.mkString(" ")
-    s"""WITH lt AS (SELECT doc_id, lang, text, $scores FROM documents)
-      SELECT doc_id, lang,
-        CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-          WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
-      FROM lt"""
-  }
-
-  private val q32_text_langid = Q(
-    "q32_text_langid",
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(
-          col("doc_id"), col("lang"),
-          TextFunctions.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id"),
-    Some(s"$langPredSelect ORDER BY doc_id")
-  )
-
-  private val q33_text_fingerprint = Q(
-    "q33_text_fingerprint",
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fp"),
-          md5(col("text")).as("full_md5"))
-        .orderBy("doc_id"),
-    Some(s"""WITH t AS (SELECT doc_id, text, ${ngrams3(W)} AS g FROM documents)
-      SELECT doc_id,
-        CASE WHEN len(g) = 0 THEN md5(text)
-          ELSE list_min(list_transform(g, x -> md5(x))) END AS fp,
-        md5(text) AS full_md5
-      FROM t ORDER BY doc_id""")
-  )
-
-  private val q53_text_repetition = Q(
-    "q53_text_repetition",
-    // Repeated-token boilerplate signal; exact integer-ratio arithmetic
-    // so the double division matches DuckDB bitwise.
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
-        .orderBy("doc_id"),
-    Some(s"""SELECT doc_id,
-      CASE WHEN len($W) = 0 THEN 0.0
-        ELSE 1.0 - CAST(len(list_distinct($W)) AS DOUBLE) / len($W)
-      END AS rep_ratio
-      FROM documents ORDER BY doc_id""")
-  )
-
-  private val q61_text_scrub = Q(
-    "q61_text_scrub",
-    // PII scrub pass (URL -> email -> IPv4 redaction) + audit counts.
-    // The fixture text is synthetic word salad with no PII, so the
-    // query plants deterministic doc_id-derived addresses first (same
-    // string algebra in the oracle); patterns live in the Java-regex ∩
-    // RE2 common subset so both engines match identically.
-    (s, dir) => {
-      val id = col("doc_id").cast("string")
-      val doctored = table(s, dir, "documents").select(
-        col("doc_id"),
-        concat(
-          col("text"),
-          lit(" contact user"), id, lit("@example.com via https://site"),
-          id, lit(".example/p?q=1 from 10.0."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          (col("doc_id") % 100).cast("string"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" cc admin"), id, lit("@corp.example.org")))
-            .otherwise(lit("")),
-          lit(" end")).as("text"))
-      doctored.select(
-        col("doc_id"),
-        md5(TextFunctions.scrubPii(col("text"))).as("clean_md5"),
-        TextFunctions.urlCount(col("text")).as("n_urls"),
-        TextFunctions.emailCount(col("text")).as("n_emails"),
-        TextFunctions.ipCount(col("text")).as("n_ips"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH t AS (SELECT doc_id,
-        text || ' contact user' || doc_id || '@example.com via https://site'
-          || doc_id || '.example/p?q=1 from 10.0.' || (doc_id % 256) || '.'
-          || (doc_id % 100)
-          || CASE WHEN doc_id % 3 = 0
-               THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END
-          || ' end' AS text2
-        FROM documents)
-      SELECT doc_id,
-        md5(regexp_replace(regexp_replace(regexp_replace(text2,
-          'https?://[^ ]+', '<URL>', 'g'),
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS clean_md5,
-        CAST(len(regexp_extract_all(text2, 'https?://[^ ]+')) AS BIGINT)
-          AS n_urls,
-        CAST(len(regexp_extract_all(text2,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-          AS n_emails,
-        CAST(len(regexp_extract_all(text2,
-          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
-      FROM t ORDER BY doc_id""")
-  )
-
-  // -------------------------------------------------------------------
-  // Deduplication
-  // -------------------------------------------------------------------
-
-  private val q34_dedup_exact = Q(
-    "q34_dedup_exact",
-    (s, dir) =>
-      Dedup.exactGroups(table(s, dir, "documents"), "doc_id", "text")
-        .orderBy("content_hash"),
-    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-      CAST(count(*) AS BIGINT) AS n_copies
-      FROM documents GROUP BY 1 ORDER BY content_hash""")
-  )
-
-  private val jaccardOracle =
-    s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-      ORDER BY id_a, id_b"""
-
-  private val q35_dedup_ngram_jaccard = Q(
-    "q35_dedup_ngram_jaccard",
-    (s, dir) =>
-      Dedup.ngramJaccardPairs(
-        table(s, dir, "documents"), "doc_id", "text", n = 3, minJ = 0.5)
-        .orderBy("id_a", "id_b"),
-    Some(jaccardOracle)
-  )
-
-  private val q36_dedup_minhash_lsh = Q(
-    "q36_dedup_minhash_lsh",
-    // LSH candidates + exact verification: with bands=32, rows=4 a
-    // 0.9-similar pair is missed with p≈1e-15, and the fixture's
-    // planted near-dups are all J>=0.9 — so the exact-Jaccard oracle
-    // holds (verified; the computation is fully deterministic).
-    (s, dir) =>
-      Dedup.minHashLshPairs(
-        table(s, dir, "documents"), "doc_id", "text",
-        n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5)
-        .orderBy("id_a", "id_b"),
-    Some(jaccardOracle)
-  )
-
-  /** Driver-side micro-batch fixtures for the streaming-ingestion
-    * queries (q101/q105), cached per sf dir: the corpus halves are
-    * fixture PREP, not the operator under test, and the bench drives
-    * each query four times — collect them once per session so the
-    * timed region is the ingestion itself (r5 judge finding: q101's
-    * headline number was dominated by corpus-copy scaffolding). The
-    * halves are small by the same contract as collectToLocal. */
-  private val batchFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cachedFixture[T <: AnyRef](key: String)(compute: => T): T =
-    batchFixtureCache.computeIfAbsent(key, _ => compute).asInstanceOf[T]
-
-  private val q101_stream_ingest_dedup = Q(
-    "q101_stream_ingest_dedup",
-    // Continuous near-dup ingestion, oracle-backed end to end: the
-    // corpus arrives as TWO micro-batches through ingestNearDupStream
-    // — batch 0 has no index and self-pairs; batch 1 probes batch 0's
-    // persisted index deltas (the old half is never re-shingled). The
-    // union of the per-batch pair outputs must equal the one-shot
-    // full-corpus LSH pair set, so the q36 exact-Jaccard oracle
-    // applies unchanged to the STREAMING path. The batches arrive via
-    // MemoryStream from session-cached halves (fixture prep out of
-    // the timed region — the measured cost is the per-batch probe +
-    // delta/pair writes, i.e. ingestNearDupBatch); the scratch tree
-    // (index, pairs, checkpoint) is fresh per run and dies with the
-    // invocation on every path.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q101_").toString
-      try {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val (h1, h2) = cachedFixture(s"q101:$dir") {
-          val docs = table(s, dir, "documents").select("doc_id", "text")
-          val cut = docs.agg(max(col("doc_id"))).first().getLong(0) / 2
-          (docs.filter(col("doc_id") <= cut)
-              .as[(Long, String)].collect().toSeq,
-            docs.filter(col("doc_id") > cut)
-              .as[(Long, String)].collect().toSeq)
-        }
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)]
-        // a MemoryStream batch is one local partition; a production
-        // file/Kafka source arrives in many splits — restore that
-        // parallelism so the measured operator runs its real shape
-        val q = graft.streaming.Streams.ingestNearDupStream(
-          mem.toDF().toDF("doc_id", "text")
-            .repartition(s.sparkContext.defaultParallelism),
-          "doc_id", "text",
-          indexDir = s"$base/index", pairsDir = s"$base/pairs",
-          checkpointDir = s"$base/ckpt")
-        try {
-          mem.addData(h1)
-          q.processAllAvailable() // batch 0: first half, no index yet
-          mem.addData(h2)
-          q.processAllAvailable() // batch 1: second half vs the deltas
-        } finally q.stop()
-        // near-dup pair sets are tiny next to their corpora: collect
-        // into a local relation (no sort needed before the collect —
-        // the emitted frame is ordered below)
-        collectToLocal(
-          s.read.parquet(s"$base/pairs")
-            .select("id_a", "id_b", "jaccard"),
-          "q101 pair set")
-          .orderBy("id_a", "id_b")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      }
-    },
-    Some(jaccardOracle)
-  )
-
-  private val q105_stream_ingest_ann = Q(
-    "q105_stream_ingest_ann",
-    // Continuous EMBEDDING ingestion, oracle-backed end to end — the
-    // ANN twin of q101: the corpus (augmented with q56's planted
-    // 0.5x-scaled near-dups, so DuckDB rebuilds it bitwise) arrives
-    // as TWO micro-batches through ingestVectorStream — batch 0
-    // trains the IVF centroids (deterministically) and self-probes;
-    // batch 1 is ASSIGNED to the persisted centroids (never
-    // retrained) and probes batch 0's assignment deltas plus itself
-    // under the ingestion-order candidate rule (newer id probes
-    // older). The union of per-batch pair outputs equals the one-shot
-    // ivfNearDupPairs set (StreamsSpec pins the equality), and
-    // planted same-direction pairs are captured structurally (the
-    // partner's cell IS the prober's first probe), so the q56 exact
-    // >= 0.99 oracle applies unchanged to the STREAMING path. The
-    // batches arrive via MemoryStream — no corpus-copy scaffolding;
-    // the scratch tree (index deltas, centroids, checkpoint) is fresh
-    // per run and dies with the invocation on every path.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q105_").toString
-      try {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val (h1, h2) = cachedFixture(s"q105:$dir") {
-          val e = table(s, dir, "embeddings").select("vec_id", "embedding")
-          val planted = e.filter(col("vec_id") < 100)
-            .select((col("vec_id") + 10000).as("vec_id"),
-              transform(col("embedding"),
-                x => (x * lit(0.5f)).cast("float")).as("embedding"))
-          val corpus = e.unionByName(planted)
-          val cut = e.agg(max(col("vec_id"))).first().getLong(0) / 2
-          def half(pred: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
-            corpus.filter(pred).as[(Long, Seq[Float])].collect().toSeq
-          (half(col("vec_id") <= cut), half(col("vec_id") > cut))
-        }
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Seq[Float])]
-        // restore source parallelism (see q101 — one local partition
-        // is not the shape a production stream arrives in)
-        val q = graft.streaming.Streams.ingestVectorStream(
-          mem.toDF().toDF("vec_id", "embedding")
-            .repartition(s.sparkContext.defaultParallelism),
-          "vec_id", "embedding",
-          indexDir = s"$base/index", pairsDir = s"$base/pairs",
-          centroidsDir = s"$base/cents", checkpointDir = s"$base/ckpt",
-          minCos = 0.99, nlist = 16, nprobe = 4)
-        try {
-          // batch 0: first half (original ids only — planted copies
-          // all sit above the cut, so every planted pair is a
-          // new-vs-old probe or a batch-1 self pair)
-          mem.addData(h1)
-          q.processAllAvailable()
-          mem.addData(h2)
-          q.processAllAvailable()
-        } finally q.stop()
-        collectToLocal(
-          s.read.parquet(s"$base/pairs").select("id_a", "id_b", "cos"),
-          "q105 pair set")
-          .orderBy("id_a", "id_b")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      }
-    },
-    // same exact-pair oracle as q56: the streaming path must lose
-    // nothing against the full >= 0.99 pair set over the augmented
-    // corpus
-    Some("""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
-      planted AS (SELECT vec_id + 10000 AS vec_id,
-        list_transform(embedding, x -> CAST(x * 0.5::REAL AS REAL)) AS embedding
-        FROM e0 WHERE vec_id < 100),
-      e AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS d,
-        sqrt(list_aggregate(list_transform(a.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
-        sqrt(list_aggregate(list_transform(b.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      SELECT id_a, id_b, d / (na * nb) AS cos FROM p
-      WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
-  )
-
-  private val q37_dedup_simhash = Q(
-    "q37_dedup_simhash",
-    // SimHash with md5-derived token hashes: Kernels.md5Lower64 is
-    // bit-for-bit DuckDB's md5_number_lower, so the banded pigeonhole
-    // join gains a full independent oracle that recomputes every
-    // fingerprint in SQL (previously rows-only with xxhash64 tokens —
-    // the xxhash64 variant remains the fast production default and is
-    // spec-pinned in DedupSpec).
-    (s, dir) =>
-      Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, md5Tokens = true)
-        .orderBy("id_a", "id_b"),
-    Some(s"""WITH toks AS MATERIALIZED (
-        SELECT doc_id, unnest($W) AS tok FROM documents),
-      th AS MATERIALIZED (
-        SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
-      bits AS (
-        SELECT doc_id, j,
-          sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        FROM th, range(64) t(j) GROUP BY doc_id, j),
-      fps AS (
-        SELECT doc_id,
-          sum(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS ufp
-        FROM bits GROUP BY doc_id),
-      fp AS (
-        SELECT d.doc_id,
-          CAST(CASE WHEN coalesce(f.ufp, 0) >= 9223372036854775808::HUGEINT
-            THEN coalesce(f.ufp, 0) - 18446744073709551616::HUGEINT
-            ELSE coalesce(f.ufp, 0) END AS BIGINT) AS fp
-        FROM documents d LEFT JOIN fps f USING (doc_id))
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.fp, b.fp)) <= 3
-      ORDER BY id_a, id_b""")
-  )
-
-  private val q66_dedup_incremental = Q(
-    "q66_dedup_incremental",
-    // Incremental dedup: the second half of the corpus arrives as a
-    // new batch and is deduped within itself and against the first
-    // half's digest index — the existing corpus is never rescanned.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val known = Dedup.exactGroups(
-        docs.filter(col("doc_id") < 250), "doc_id", "text")
-        .select("content_hash")
-      Dedup.exactDedupIncremental(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text", known)
-        .select("doc_id", "source", "lang")
-        .orderBy("doc_id")
-    },
-    Some("""WITH known AS (SELECT DISTINCT md5(text) AS h
-        FROM documents WHERE doc_id < 250),
-      batch AS (SELECT * FROM documents WHERE doc_id >= 250),
-      kept AS (SELECT * FROM batch QUALIFY
-        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
-      SELECT doc_id, source, lang FROM kept
-      WHERE md5(text) NOT IN (SELECT h FROM known)
-      ORDER BY doc_id""")
-  )
-
-  private val q65_dedup_clusters = Q(
-    "q65_dedup_clusters",
-    // Pair list -> duplicate clusters: minHashLshPairs (== exact
-    // Jaccard pairs on the fixture, proven by q36) resolved into
-    // connected components by min-label propagation. The oracle
-    // recomputes components from the exact pair graph with a
-    // recursive transitive-closure CTE.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(
-        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
-        minJ = 0.5)
-      Dedup.duplicateClusters(docs.select("doc_id"), pairs)
-        .select(col("id").as("doc_id"), col("cluster_id"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-      e AS (SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
-      SELECT src AS doc_id, min(dst) AS cluster_id
-      FROM reach GROUP BY src ORDER BY doc_id""")
-  )
-
-  private val q38_dedup_embedding = Q(
-    "q38_dedup_embedding",
-    // Exact pairwise cosine >= 0.4 (59 pairs at sf0.01). The kernel
-    // casts float->double then folds left-to-right — bitwise equal to
-    // the DuckDB sequential list_aggregate sum, so no rounding needed.
-    (s, dir) =>
-      Dedup.embeddingCosinePairs(
-        table(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
-        .orderBy("id_a", "id_b"),
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS d,
-        sqrt(list_aggregate(list_transform(a.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
-        sqrt(list_aggregate(list_transform(b.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      SELECT id_a, id_b, d / (na * nb) AS cos FROM p
-      WHERE d / (na * nb) >= 0.4 ORDER BY id_a, id_b""")
-  )
-
-  // -------------------------------------------------------------------
-  // Similarity search
-  // -------------------------------------------------------------------
-
-  private val q39_sim_bruteforce_topk = Q(
-    "q39_sim_bruteforce_topk",
-    // Exact top-10 by cosine for 10 query vectors against the corpus:
-    // broadcast the query side, scan the corpus once, window-rank.
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
-        .orderBy("query_id", "rank")
-    },
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(q.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(c.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-      r AS (SELECT query_id, nn_id, cos,
-        CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
-      SELECT query_id, rank, nn_id, cos FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank""")
-  )
-
-  /** The ANN queries' oracle strategy, in its 100 TB spelling: the
-    * approximate result itself has no SQL twin (JVM-seeded
-    * hyperplanes / k-means training), so each query RUNS the ANN path
-    * over the full corpus, then gates its quality on a DETERMINISTIC
-    * SAMPLED query subset (vec_id % sampleMod == 0). The exact top-k
-    * for the sample costs ONE corpus scan (the sample broadcast-joins
-    * against the corpus — O(n·|sample|), linear in corpus size), not
-    * the O(n²) full self-join a cluster run could never afford as a
-    * per-query gate. [[graft.operators.Gates.pairRecall]] asserts the
-    * ANN result's pair recall over the sampled queries inside the job
-    * (failing the whole query — and therefore the driver's
-    * correctness gate — if ANN quality regresses), and the sampled
-    * exact top-k is EMITTED for DuckDB to recompute independently.
-    * Both halves stay continuously verified: the emitted rows
-    * bitwise, the ANN candidates by the recall floor. The exact rows
-    * are collected once to become the emitted local relation, so
-    * nothing is persisted and no cached blocks outlive the query —
-    * `sampleMod` is the size knob's FLOOR: the effective modulus is
-    * max(sampleMod, corpusN / 5000), derived from one cheap count, so
-    * the sample stays a constant few thousand queries at ANY corpus
-    * size without relying on a caller to retune — at fixture SFs the
-    * derivation leaves the floor in charge, keeping the static oracle
-    * modulus aligned. The collect is guarded loudly rather than
-    * trusted. The distributed gate itself
-    * ([[graft.operators.Gates.pairRecall]]) never collects. */
-  /** Collect a LOUDLY bounded result into a local relation — the
-    * emitted-fixture idiom shared by the sampled gates and q101: no
-    * files, caches, or lineage outlive the query once the (small by
-    * contract) rows live in the plan itself. */
-  private def collectToLocal(
-      df: org.apache.spark.sql.DataFrame, what: String,
-      limit: Int = 1000000): org.apache.spark.sql.DataFrame = {
-    val collected = df.collect()
-    require(collected.length <= limit,
-      s"$what has ${collected.length} rows — not driver-sized (limit $limit)")
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(collected: _*), df.schema)
-  }
-
-  /** Corpus counts for the sampled gates, one count job per (dir)
-    * PER SESSION instead of per query execution — the bench drives
-    * each ANN query 4x and the modulus derivation must not bill a
-    * full count scan to every run (advisor r5). */
-  private val corpusCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  private def recallGatedSampled(
-      s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
-      ann: org.apache.spark.sql.DataFrame, floor: Double,
-      what: String,
-      sampleMod: Long = 10L): org.apache.spark.sql.DataFrame = {
-    val e = table(s, dir, "embeddings")
-    // the scale knob is ENFORCED, not just documented: the effective
-    // modulus grows with the corpus so the sampled query set stays a
-    // few thousand rows at ANY size (gate cost O(n·constant) — n from
-    // one cheap count of the id column, cached per dir). The caller's
-    // sampleMod is the FLOOR (never sample denser than 1/sampleMod);
-    // at every fixture SF corpusN/targetSample < sampleMod, so the
-    // effective modulus equals the floor and the static DuckDB oracle
-    // (which hardcodes the same modulus) stays bitwise-aligned.
-    val corpusN = corpusCountCache.computeIfAbsent(
-      dir, _ => java.lang.Long.valueOf(e.count())).longValue()
-    val targetSample = 5000L
-    val effMod = math.max(sampleMod, corpusN / targetSample)
-    // the static DuckDB oracles hardcode the floor modulus — the
-    // derivation changes the emitted fixture the moment a corpus
-    // outgrows floor·5000 rows, and the result would be a confusing
-    // hash mismatch three stages later. FAIL FAST here instead
-    // (advisor r5: a stderr note can be swallowed by a bench run):
-    // a corpus that big needs its oracle SQL regenerated with the
-    // derived modulus, which is a deliberate fixture change.
-    require(effMod == sampleMod,
-      s"sampled-gate modulus derived as $effMod (corpus $corpusN " +
-        s"rows) != static oracle modulus $sampleMod — the emitted " +
-        "fixture would hash-mismatch the static DuckDB oracle. " +
-        "Regenerate the oracle SQL with the derived modulus for this " +
-        "corpus size, then pass it as sampleMod.")
-    val exactRows = Similarity.bruteForceTopK(
-      e, "vec_id", "embedding",
-      e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding", k)
-      .orderBy("query_id", "rank")
-    val emitted = collectToLocal(exactRows,
-      "sampled exact reference (raise sampleMod)")
-    val recall = graft.operators.Gates.pairRecall(
-      ann.filter(col("query_id") % effMod === 0), emitted)
-    graft.operators.Gates.requireFloor(recall, floor,
-      s"$what sampled pair recall@$k (every ${effMod}th query)")
-    emitted.orderBy("query_id", "rank")
-  }
-
-  /** Oracle twin of the emitted gate fixture: exact top-10 for every
-    * 10th vector — the sampled reference, not the full self-join. */
-  private val sampledExactTopKSql: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(q.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(c.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM e q JOIN e c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
-      r AS (SELECT query_id, nn_id, cos,
-        CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
-      SELECT query_id, rank, nn_id, cos FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank"""
-
-  private val q40_sim_ann_lsh = Q(
-    "q40_sim_ann_lsh",
-    // Hyperplane-LSH ANN, recall-gated against (and emitting) the
-    // exact top-10 — see recallGatedSampled. Random 64-dim vectors are
-    // the ANN-hostile worst case (nearest neighbors sit at 60-75°, so
-    // per-hyperplane collision odds are barely better than chance);
-    // the catalog tunes SHORT sketches × MANY tables (the standard
-    // low-similarity regime trade) and floors recall at ~0.8x the
-    // measured fixture value. Real embedding manifolds cluster far
-    // better and would use longer sketches.
-    (s, dir) =>
-      recallGatedSampled(s, dir, k = 10,
-        ann = Similarity.annTopK(
-          table(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 10, tables = 16, bits = 6),
-        floor = 0.35, what = "ann-lsh"),
-    Some(sampledExactTopKSql)
-  )
-
-  private val q48_sim_ann_ivf = Q(
-    "q48_sim_ann_ivf",
-    // IVF ANN (bounded-sample k-means, nprobe cells), recall-gated
-    // against (and emitting) the exact top-10 — see recallGatedSampled.
-    (s, dir) =>
-      recallGatedSampled(s, dir, k = 10,
-        ann = Similarity.ivfTopK(
-          table(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 10, nlist = 16, nprobe = 4),
-        floor = 0.30, what = "ann-ivf"),
-    Some(sampledExactTopKSql)
-  )
-
-  private val q56_dedup_embedding_ann = Q(
-    "q56_dedup_embedding_ann",
-    // The 100 TB spelling of embedding near-dup, oracle-checked: LSH
-    // candidates -> exact cosine verify (Dedup.embeddingNearDupPairs),
-    // never the O(n²) pairwise operator q38 runs. The fixture's
-    // organic pairs top out at cos 0.513, so the query plants
-    // deterministic near-dups — a 0.5x-scaled copy of each vec_id<100
-    // vector (halving floats is exact, so DuckDB rebuilds the same
-    // corpus bitwise; same direction => identical sign buckets =>
-    // LSH recall is structurally 1.0 at this threshold). The oracle
-    // recomputes the EXACT pairs >= 0.99 over the augmented corpus:
-    // equality proves the composed path loses nothing.
-    (s, dir) => {
-      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") < 100)
-        .select((col("vec_id") + 10000).as("vec_id"),
-          transform(col("embedding"),
-            x => (x * lit(0.5f)).cast("float")).as("embedding"))
-      val corpus = e.unionByName(planted)
-      Dedup.embeddingNearDupPairs(
-        corpus, "vec_id", "embedding", minCos = 0.99,
-        tables = 8, bits = 12)
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
-      planted AS (SELECT vec_id + 10000 AS vec_id,
-        list_transform(embedding, x -> CAST(x * 0.5::REAL AS REAL)) AS embedding
-        FROM e0 WHERE vec_id < 100),
-      e AS (SELECT * FROM e0 UNION ALL SELECT * FROM planted),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') AS d,
-        sqrt(list_aggregate(list_transform(a.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
-        sqrt(list_aggregate(list_transform(b.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nb
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      SELECT id_a, id_b, d / (na * nb) AS cos FROM p
-      WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
-  )
-
-  private val q63_sim_ann_int8 = Q(
-    "q63_sim_ann_int8",
-    // The quantized-shuffle ANN composition: LSH candidates scored on
-    // int8 codes (4x lighter candidate join), float re-rank of the
-    // shortlist. Recall-gated + exact-emitting like q40/q48; the
-    // int8-vs-float agreement itself is spec-pinned at 1.0 on the
-    // fixture (SimilaritySpec).
-    (s, dir) =>
-      recallGatedSampled(s, dir, k = 10,
-        ann = Similarity.annTopKInt8(
-          table(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 10, tables = 16, bits = 6),
-        floor = 0.35, what = "ann-int8"),
-    Some(sampledExactTopKSql)
-  )
-
-  private val q62_embedding_quantize = Q(
-    "q62_embedding_quantize",
-    // Int8 embedding quantization (the 4x-shuffle-weight reduction for
-    // ANN at scale): per-vector scale + exact integer aggregates over
-    // the codes. Every step (max|x|/127, floor(x/scale + 0.5) clamp,
-    // integer sums) is IEEE-double/integer math both engines compute
-    // identically, so the oracle recomputes the exact codes in SQL.
-    (s, dir) => {
-      val q = table(s, dir, "embeddings")
-        .select(col("vec_id"),
-          graft.operators.Quantize.int8(col("embedding")).as("qv"))
-      q.select(
-        col("vec_id"),
-        col("qv.scale").as("scale"),
-        aggregate(col("qv.q"), lit(0L),
-          (acc, v) => acc + v.cast("long")).as("qsum"),
-        aggregate(col("qv.q"), lit(0L),
-          (acc, v) => acc + v.cast("long") * v.cast("long")).as("qnorm2"))
-        .orderBy("vec_id")
-    },
-    Some("""WITH s AS (SELECT vec_id, embedding,
-        list_max(list_transform(embedding,
-          x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        FROM embeddings),
-      q AS (SELECT vec_id, scale,
-        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-          ELSE list_transform(embedding, x ->
-            CAST(greatest(-127.0, least(127.0,
-              floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT)) END AS qv
-        FROM s)
-      SELECT vec_id, scale,
-        CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
-        CAST(list_aggregate(list_transform(qv, v -> v * v), 'sum') AS BIGINT)
-          AS qnorm2
-      FROM q ORDER BY vec_id""")
-  )
-
-  // -------------------------------------------------------------------
-  // Multimodal
-  // -------------------------------------------------------------------
-
-  private val q41_multimodal_meta = Q(
-    "q41_multimodal_meta",
-    // Binary payload + typed metadata plumbing, projected to scalars
-    // DuckDB can recompute (octet_length over the UTF-8 payload).
-    (s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, table(s, dir, "documents"))
-      media.toDF()
-        .select(
-          col("id"),
-          col("meta.mediaType").as("media_type"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          col("meta.durationMs").as("duration_ms"))
-        .orderBy("id")
-    },
-    Some("""SELECT doc_id AS id,
-      CASE WHEN doc_id % 3 = 0 THEN 'image'
-        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      CAST(n_chars * 10 AS BIGINT) AS duration_ms
-      FROM documents ORDER BY id""")
-  )
-
-  private val q42_multimodal_features = Q(
-    "q42_multimodal_features",
-    // Full decode-stub feature extraction (mapPartitions batch path).
-    // The stub features are pure byte math over the UTF-8 payload, so
-    // DuckDB recomputes them independently: payload bytes via
-    // hex-string decoding, the poly-31 rolling checksum via a HUGEINT
-    // list_reduce with mod-2^64 wraparound, and the histogram feature
-    // e0 as a REAL ratio — a true second-engine oracle for the whole
-    // decode pipeline (schema, batching, and feature values).
-    (s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, table(s, dir, "documents"))
-      Multimodal.extractFeatures(media).toDF()
-        .select(
-          col("id"), col("mediaType").as("media_type"),
-          col("nBytes").as("n_bytes"), col("checksum"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
-        .orderBy("id")
-    },
-    Some("""WITH b AS MATERIALIZED (
-        SELECT doc_id, hex(encode(text)) AS hx FROM documents),
-      byt AS MATERIALIZED (
-        SELECT doc_id, list_transform(range(length(hx)//2),
-          i -> (strpos('0123456789ABCDEF', hx[2*i+1:2*i+1])-1)*16
-             + (strpos('0123456789ABCDEF', hx[2*i+2:2*i+2])-1)) AS bs
-        FROM b),
-      cs AS (
-        SELECT doc_id, bs,
-          list_reduce(list_prepend(1125899906842597::HUGEINT, bs),
-            (h, x) -> (31*h + x) % 18446744073709551616::HUGEINT) AS ucs
-        FROM byt)
-      SELECT doc_id AS id,
-        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
-          ELSE 'video' END AS media_type,
-        CAST(len(bs) AS BIGINT) AS n_bytes,
-        CAST(CASE WHEN ucs >= 9223372036854775808::HUGEINT
-          THEN ucs - 18446744073709551616::HUGEINT ELSE ucs END AS BIGINT)
-          AS checksum,
-        CASE WHEN len(bs) = 0 THEN 0.0
-          ELSE round(CAST(CAST(len(list_filter(bs, x -> x % 16 = 0)) AS REAL)
-            / CAST(len(bs) AS REAL) AS DOUBLE), 6) END AS e0
-      FROM cs ORDER BY id""")
-  )
-
-  private val q57_multimodal_frames = Q(
-    "q57_multimodal_frames",
-    // Video frame sampling: narrow flatMap fan-out (no payload
-    // shuffle); offsets are pure integer math, recomputed by the
-    // oracle from the metadata derivation.
-    (s, dir) => {
-      val media = Multimodal.mediaFromDocuments(s, table(s, dir, "documents"))
-      Multimodal.sampleFrames(media, framesPerVideo = 4)
-        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
-          col("offset_ms"))
-        .orderBy("id", "frame_idx")
-    },
-    Some("""SELECT doc_id AS id, CAST(i AS BIGINT) AS frame_idx,
-      CAST(i * (n_chars * 10) // 4 AS BIGINT) AS offset_ms
-      FROM documents, range(4) t(i)
-      WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
-      ORDER BY id, frame_idx""")
-  )
-
-  private val q43_stream_windowed = Q(
-    "q43_stream_windowed",
-    // Batch twin of Streams.windowedTypeCounts (identical logical
-    // plan runs under readStream; StreamsSpec proves stream==batch).
-    (s, dir) =>
-      graft.streaming.Streams.windowedTypeCounts(events(s, dir), "1 hour", "2 hours")
-        .orderBy("window_start", "event_type"),
-    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
-      CAST(count(*) AS BIGINT) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")
-  )
-
-  private val q52_stream_join = Q(
-    "q52_stream_join",
-    // Batch twin of Streams.clickToPurchaseJoin (stream-stream interval
-    // join with watermark-bounded state); StreamsSpec proves the
-    // MemoryStream run returns these exact rows.
-    (s, dir) => {
-      val ev = events(s, dir)
-      graft.streaming.Streams.clickToPurchaseJoin(
-        ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"),
-        windowSec = 600L)
-        .orderBy("purchase_id", "click_id")
-    },
-    Some("""SELECT p.user_id, p.event_id AS purchase_id,
-      p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
-      p.value
-      FROM events p JOIN events c
-        ON p.user_id = c.user_id AND c.ts <= p.ts
-          AND c.ts >= p.ts - INTERVAL 600 SECOND
-      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-      ORDER BY purchase_id, click_id""")
-  )
-
-  private val q58_sessionize = Q(
-    "q58_sessionize",
-    // Batch twin of Streams.sessionize (flatMapGroupsWithState):
-    // identical 30-minute-gap session definition as one declarative
-    // window pipeline; StreamsSpec pins stream == batch, the oracle
-    // pins batch == SQL.
-    (s, dir) =>
-      graft.streaming.Streams.sessionizeBatch(events(s, dir), gapMs = 1800000L)
-        .orderBy("user_id", "started_ms"),
-    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
-      m AS (SELECT user_id, t,
-        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
-          THEN 1 ELSE 0 END AS brk
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-      s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
-        ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        min(t) AS started_ms, max(t) AS ended_ms
-      FROM s GROUP BY user_id, sid ORDER BY user_id, started_ms""")
-  )
-
-  private val q59_stream_dedup = Q(
-    "q59_stream_dedup",
-    // Batch twin of Streams.dedupStream (dropDuplicatesWithinWatermark)
-    // on the same key set; StreamsSpec pins stream == batch.
-    (s, dir) =>
-      graft.streaming.Streams.dedupBatch(
-        events(s, dir), Seq("user_id", "event_type"))
-        .orderBy("user_id", "event_type"),
-    Some("""SELECT DISTINCT user_id, event_type FROM events
-      ORDER BY user_id, event_type""")
-  )
-
-  private val q60_topk_aggregator = Q(
-    "q60_topk_aggregator",
-    // The bounded-state TopKLongs Aggregator as a catalog query:
-    // per-type top-8 event ids with O(k) state per group (map-side
-    // partial heaps), vs the oracle's window-rank spelling.
-    (s, dir) => {
-      import s.implicits._
-      events(s, dir)
-        .select(col("event_type"), col("event_id"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(new graft.functions.TypedAggregators.TopKLongs(8).toColumn)
-        .flatMap { case (t, ids) =>
-          ids.iterator.zipWithIndex.map { case (id, i) =>
-            (t, (i + 1).toLong, id)
-          }
-        }
-        .toDF("event_type", "rank", "event_id")
-        .orderBy("event_type", "rank")
-    },
-    Some("""SELECT event_type,
-      CAST(row_number() OVER (PARTITION BY event_type
-        ORDER BY event_id DESC) AS BIGINT) AS rank, event_id
-      FROM events QUALIFY rank <= 8 ORDER BY event_type, rank""")
-  )
-
-  private val q68_sample_crossengine = Q(
-    "q68_sample_crossengine",
-    // Cross-engine deterministic sampling: the md5-threshold decision
-    // is recomputed bit-for-bit by DuckDB (md5_number_lower), so the
-    // sampled ROW SET itself is the oracle — the property that lets a
-    // non-Spark system carve the identical split.
-    (s, dir) =>
-      graft.operators.Sampling.crossEngineSample(
-        table(s, dir, "documents"), col("doc_id"), fraction = 0.25,
-        salt = "graft")
-        .select("doc_id", "source")
-        .orderBy("doc_id"),
-    Some {
-      val t = java.lang.Long.toUnsignedString(
-        graft.operators.Sampling.unsignedThreshold(0.25))
-      s"""SELECT doc_id, source FROM documents
-      WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':graft')
-        < CAST('$t' AS UBIGINT)
-      ORDER BY doc_id"""
-    }
-  )
-
-  private val q99_shuffle_shards = Q(
-    "q99_shuffle_shards",
-    // Deterministic sharded corpus shuffle: shard AND in-shard
-    // position are pure functions of md5(doc_id:salt), so the entire
-    // permutation — not just a sampled property of it — is the
-    // oracle; DuckDB recomputes every (shard, pos) bit-for-bit. The
-    // pretraining ordering step with zero RNG and zero global sort.
-    (s, dir) =>
-      graft.operators.Sampling.shuffleShards(
-        table(s, dir, "documents"), col("doc_id"), nShards = 8,
-        salt = "graft")
-        .select("doc_id", "shard", "pos")
-        .orderBy("shard", "pos"),
-    Some("""WITH h AS (SELECT doc_id,
-        md5_number_lower(CAST(doc_id AS VARCHAR) || ':graft') AS hv
-      FROM documents)
-      SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
-        CAST(row_number() OVER (PARTITION BY hv % 8
-          ORDER BY hv, doc_id) AS BIGINT) AS pos
-      FROM h ORDER BY shard, pos""")
-  )
-
-  private val q100_length_batches = Q(
-    "q100_length_batches",
-    // Length-bucketed batch assignment: docs grouped by similar token
-    // count (bucket = toks/50), fixed-size batches filled inside each
-    // (bucket, shard) cell — the padding-minimization report for runs
-    // that batch whole documents. Pure integer math; the oracle
-    // recomputes every batch's count/max/sum/padding.
-    (s, dir) => {
-      val t = table(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("toks"))
-      graft.operators.Pack.lengthBatches(
-        t, "doc_id", "toks", bucketWidth = 50L, batchSize = 8, shards = 2)
-        .orderBy("bucket", "shard", "batch")
-    },
-    Some(s"""WITH t AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks
-        FROM documents),
-      b AS (SELECT doc_id, toks, toks // 50 AS bucket,
-        doc_id % 2 AS shard FROM t),
-      r AS (SELECT *, (row_number() OVER (PARTITION BY bucket, shard
-        ORDER BY toks, doc_id) - 1) // 8 AS batch FROM b)
-      SELECT CAST(bucket AS BIGINT) AS bucket,
-        CAST(shard AS BIGINT) AS shard, CAST(batch AS BIGINT) AS batch,
-        CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(max(toks) AS BIGINT) AS max_toks,
-        CAST(sum(toks) AS BIGINT) AS sum_toks,
-        CAST(count(*) * max(toks) - sum(toks) AS BIGINT) AS padding
-      FROM r GROUP BY bucket, shard, batch
-      ORDER BY bucket, shard, batch""")
-  )
-
-  private val q69_token_budget = Q(
-    "q69_token_budget",
-    // Quality-first token-budget cut: keep the best-quality prefix
-    // that fits 20k tokens. Ordering key is the (oracle-matched)
-    // quality score with doc_id tiebreak — a total order, so the
-    // window cumsum is deterministic in both engines.
-    (s, dir) =>
-      graft.operators.Curation.tokenBudgetSelect(
-        table(s, dir, "documents"), "doc_id", "text", budget = 20000L,
-        quality = TextFunctions.qualityScore(col("text")),
-        // qualityScore is a [0,1] convex blend by construction, so the
-        // range scan is skippable — two passes total
-        qualityRange = Some((0.0, 1.0)))
-        .select("doc_id", "source", "lang")
-        .orderBy("doc_id"),
-    Some(s"""WITH scored AS (SELECT doc_id, source, lang,
-        CAST(len($W) AS BIGINT) AS toks,
-        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-          + least((CASE WHEN len($W) = 0 THEN 0.0
-              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
-                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
-          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(len(regexp_extract_all(text,
-                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
-              * 4.0, 1.0)) * 0.1, 6) AS quality
-      FROM documents)
-      SELECT doc_id, source, lang FROM scored
-      QUALIFY sum(toks) OVER (ORDER BY quality DESC, doc_id
-        ROWS UNBOUNDED PRECEDING) <= 20000
-      ORDER BY doc_id""")
-  )
-
-  private val q67_profile = Q(
-    "q67_profile",
-    // One-scan dataset profile (exact mode for the oracle; production
-    // default swaps distinct counts for HLL sketches).
-    (s, dir) =>
-      graft.operators.Profile.profile(
-        table(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
-        exact = true)
-        .orderBy("column"),
-    Some("""WITH m AS (SELECT
-        CAST(count(*) AS BIGINT) AS n,
-        CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS nu1,
-        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1,
-        CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
-        CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS nu2,
-        CAST(count(DISTINCT l_quantity) AS BIGINT) AS d2,
-        CAST(min(l_quantity) AS VARCHAR) AS mn2, CAST(max(l_quantity) AS VARCHAR) AS mx2,
-        CAST(count(*) FILTER (l_returnflag IS NULL) AS BIGINT) AS nu3,
-        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d3,
-        min(l_returnflag) AS mn3, max(l_returnflag) AS mx3,
-        CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS nu4,
-        CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d4,
-        CAST(min(l_shipdate) AS VARCHAR) AS mn4,
-        CAST(max(l_shipdate) AS VARCHAR) AS mx4
-      FROM lineitem)
-      SELECT 'l_orderkey' AS "column", n AS n_rows, nu1 AS n_nulls,
-        d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM m
-      UNION ALL SELECT 'l_quantity', n, nu2, d2, mn2, mx2 FROM m
-      UNION ALL SELECT 'l_returnflag', n, nu3, d3, mn3, mx3 FROM m
-      UNION ALL SELECT 'l_shipdate', n, nu4, d4, mn4, mx4 FROM m
-      ORDER BY "column"""")
-  )
-
-  private val q64_sql_text = Q(
-    "q64_sql_text",
-    // The spark.sql(...) face end-to-end: temp view + ANSI SQL text
-    // through the parser/analyzer, landing on the same physical plan
-    // family as the DataFrame spelling — the oracle is nearly the
-    // same text, which is the point (a reference user can bring
-    // plain SQL).
-    (s, dir) => {
-      table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
-      s.sql("""SELECT l_returnflag, l_linestatus,
-        CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
-        FROM graft_lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus""")
-    },
-    Some("""SELECT l_returnflag, l_linestatus,
-      CAST(count(*) AS BIGINT) AS n,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      GROUP BY l_returnflag, l_linestatus
-      ORDER BY l_returnflag, l_linestatus""")
-  )
-
-  private val q44_curation_pipeline = Q(
-    "q44_curation_pipeline",
-    // The realistic composition: language filter -> quality floor ->
-    // exact dedup (keep min doc_id per content) -> per-source counts.
-    // Each stage is one of the library's operators; the oracle
-    // recomputes the whole pipeline in SQL.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val kept = docs
-        .filter(TextFunctions.langId(col("text")) === col("lang"))
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
-      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
-      deduped.groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
-        .orderBy("source")
-    },
-    Some {
-      val markers = TextFunctions.LangMarkers.map { case (l, ms) =>
-        l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
-      }
-      val scores = markers.map { case (l, arr) =>
-        s"len(list_intersect(list_distinct($W), $arr)) AS s_$l"
-      }.mkString(", ")
-      val best = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-      val pick = markers.map { case (l, _) =>
-        s"WHEN s_$l = $best THEN '$l'"
-      }.mkString(" ")
-      s"""WITH scored AS (
-        SELECT doc_id, text, lang, source, $scores,
-          CASE WHEN length(text) = 0 THEN 0.0
-            ELSE CAST(len(regexp_extract_all(text,
-              '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END AS pr,
-          CASE WHEN len($W) = 0 THEN 0.0
-            ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
-              AS DOUBLE) / len($W) END AS sr
-        FROM documents),
-      pred AS (
-        SELECT *, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
-            THEN 'zh' WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred,
-          round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-            + least(sr * 5.0, 1.0) * 0.4
-            + (1.0 - least(pr * 4.0, 1.0)) * 0.1, 6) AS quality
-        FROM scored),
-      kept AS (SELECT * FROM pred WHERE lang_pred = lang AND quality >= 0.5),
-      deduped AS (SELECT * FROM kept QUALIFY
-        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(len($W)) AS BIGINT) AS n_tokens
-      FROM deduped GROUP BY source ORDER BY source"""
-    }
-  )
-
-  private val q45_source_audit = Q(
-    "q45_source_audit",
-    // Pretraining-data audit: per-source token/char/quality profile.
-    (s, dir) =>
-      table(s, dir, "documents")
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"),
-          min(TextFunctions.qualityScore(col("text"))).as("min_quality"),
-          max(TextFunctions.qualityScore(col("text"))).as("max_quality"))
-        .orderBy("source"),
-    Some(s"""WITH q AS (SELECT source, text, n_chars,
-        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-          + least((CASE WHEN len($W) = 0 THEN 0.0
-              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
-                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
-          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(len(regexp_extract_all(text,
-                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
-              * 4.0, 1.0)) * 0.1, 6) AS quality
-      FROM documents)
-      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(len($W)) AS BIGINT) AS n_tokens,
-        CAST(sum(n_chars) AS BIGINT) AS n_chars,
-        min(quality) AS min_quality, max(quality) AS max_quality
-      FROM q GROUP BY source ORDER BY source""")
-  )
-
-  private val q70_decontaminate = Q(
-    "q70_decontaminate",
-    // Test-set decontamination (the GPT-2/3-style n-gram collision
-    // check): every 10th document plays the held-out benchmark, the
-    // rest are the training corpus; each training doc reports how many
-    // of its distinct 3-grams occur anywhere in the benchmark set. The
-    // fixture's planted duplicates guarantee real collisions. The
-    // test-gram set broadcasts; the corpus is never shuffled.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      graft.operators.Decontaminate.contaminationReport(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
-        .select(col("id").as("doc_id"), col("n_shared"), col("contaminated"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tr AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents WHERE doc_id % 10 <> 0),
-      te AS (SELECT DISTINCT unnest(${ngrams3(W)}) AS g
-        FROM documents WHERE doc_id % 10 = 0),
-      tg AS (SELECT doc_id, unnest(s) AS g FROM tr),
-      hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        FROM tg JOIN te USING (g) GROUP BY tg.doc_id)
-      SELECT t.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-        coalesce(h.n_shared, 0) > 0 AS contaminated
-      FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
-  )
-
-  private val q106_decontaminate_bloom = Q(
-    "q106_decontaminate_bloom",
-    // The BIG-benchmark-set decontamination spelling: a Bloom sketch
-    // of the held-out gram set broadcasts (~1.2 bytes/gram instead of
-    // the strings), the corpus gram stream collapses against it to
-    // true hits + an fpp-fraction of noise, and only that near-empty
-    // stream reaches the exact verify join — so the full gram set
-    // never needs to broadcast at 100 TB. No false negatives + exact
-    // verify of the false positives == bitwise the q70 report, so the
-    // SAME DuckDB oracle gates this path; the fpp knob only moves the
-    // candidate volume, never the answer (spec-pinned across fpp).
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      graft.operators.Decontaminate.contaminationReportBloom(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "text", n = 3,
-        fpp = 0.01)
-        .select(col("id").as("doc_id"), col("n_shared"), col("contaminated"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tr AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents WHERE doc_id % 10 <> 0),
-      te AS (SELECT DISTINCT unnest(${ngrams3(W)}) AS g
-        FROM documents WHERE doc_id % 10 = 0),
-      tg AS (SELECT doc_id, unnest(s) AS g FROM tr),
-      hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        FROM tg JOIN te USING (g) GROUP BY tg.doc_id)
-      SELECT t.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-        coalesce(h.n_shared, 0) > 0 AS contaminated
-      FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
-  )
-
-  private val q117_decontaminate_fuzzy = Q(
-    "q117_decontaminate_fuzzy",
-    // FUZZY decontamination (the Llama/Dolma-era near-dup screen):
-    // every 10th document plays the benchmark; each training doc
-    // reports how many benchmark docs sit within 3-gram Jaccard >=
-    // 0.5. MinHash-LSH candidates (benchmark side broadcast — the
-    // corpus is never shuffled) + exact-Jaccard verify; the fixture's
-    // planted near-dups are all J>=0.9, where 32x4 banding misses
-    // with p~1e-15, so the brute-force cross-join oracle holds.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      graft.operators.Decontaminate.fuzzyReport(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-        n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5)
-        .select(col("id").as("doc_id"), col("n_matches"), col("contaminated"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tr AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents WHERE doc_id % 10 <> 0),
-      te AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents WHERE doc_id % 10 = 0),
-      p AS (SELECT tr.doc_id,
-        CAST(len(list_intersect(tr.s, te.s)) AS DOUBLE) /
-          (len(tr.s) + len(te.s) - len(list_intersect(tr.s, te.s))) AS j
-        FROM tr CROSS JOIN te
-        WHERE len(tr.s) > 0 AND len(te.s) > 0),
-      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
-        FROM p WHERE j >= 0.5 GROUP BY doc_id)
-      SELECT t.doc_id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
-        coalesce(h.n_matches, 0) > 0 AS contaminated
-      FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
-  )
-
-  private val q118_hll_ledger = Q(
-    "q118_hll_ledger",
-    // Mergeable HLL distinct-count ledger: per-(event_type, shard)
-    // Datasketches HLL sketches (8 shards standing in for daily
-    // ingest batches), unioned per type — with two in-job gates:
-    // shard-union estimate must EQUAL the one-pass estimate
-    // (mergeability lossless), and the estimate must sit within 5%
-    // of exact. Emits the exact per-type distinct-user counts so the
-    // oracle is cross-engine-checkable while the sketch path stays
-    // load-bearing (a gate failure fails the query).
-    (s, dir) =>
-      graft.operators.Sketches.gatedDistinctReport(
-        events(s, dir).withColumn("shard", pmod(col("event_id"), lit(8))),
-        Seq("event_type"), "shard", "user_id", lgK = 12, relErr = 0.05)
-        .orderBy("event_type"),
-    Some("""SELECT event_type,
-        CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-      FROM events GROUP BY 1 ORDER BY 1""")
-  )
-
-  private val q119_resample_fill = Q(
-    "q119_resample_fill",
-    // Time-series resample + gap fill: events to hourly buckets per
-    // type — every hour of each type's span present (215 empty hours
-    // at sf0.01 carry n_obs=0), gauge = per-bucket max(value)
-    // forward-filled across gaps (order-free, so bitwise
-    // cross-engine; a mean would be summation-order-dependent). Grid
-    // generated from per-key span rows, fill window key-partitioned.
-    (s, dir) =>
-      graft.operators.TimeSeries.resampleFill(
-        events(s, dir), Seq("event_type"), "ts", "value", stepSec = 3600L)
-        .orderBy("event_type", "bucket_s"),
-    Some("""WITH o AS (SELECT event_type,
-        (epoch_us(ts)//1000000//3600)*3600 AS b,
-        max(value) AS v, CAST(count(*) AS BIGINT) AS n_obs
-      FROM events GROUP BY 1, 2),
-      s AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM o GROUP BY 1),
-      g AS (SELECT event_type, unnest(range(b0, b1 + 3600, 3600)) AS b FROM s),
-      j AS (SELECT g.event_type, g.b, o.v, coalesce(o.n_obs, 0) AS n_obs
-        FROM g LEFT JOIN o USING (event_type, b))
-      SELECT event_type, b AS bucket_s,
-        last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-        CAST(n_obs AS BIGINT) AS n_obs
-      FROM j ORDER BY event_type, bucket_s""")
-  )
-
-  private val q120_phrase_search = Q(
-    "q120_phrase_search",
-    // Exact phrase search via positional postings: documents
-    // containing "part filter" consecutively, with occurrence counts
-    // (the phrase occurs at every fixture SF; TfIdfSpec covers
-    // 3-word and repeated-word phrases). The token explode collapses
-    // against the phrase-word In filter before any shuffle; the
-    // oracle re-checks every position window by direct list indexing.
-    (s, dir) =>
-      graft.operators.TfIdf.phraseSearch(
-        table(s, dir, "documents"), "doc_id", "text",
-        Seq("part", "filter"))
-        .select(col("id").as("doc_id"), col("n_matches"))
-        .orderBy("doc_id"),
-    Some(s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
-      p AS (SELECT doc_id, ws,
-        unnest(range(greatest(len(ws) - 1, 0))) AS i FROM w)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
-      FROM p
-      WHERE ws[i+1] = 'part' AND ws[i+2] = 'filter'
-      GROUP BY doc_id ORDER BY doc_id""")
-  )
-
-  /** q121's fixed merge table — plays the `merges.txt` a tokenizer
-    * ships; cascading ranks build "table"/"hash"/"scan" from chars. */
-  private val bpeMerges = Seq(
-    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
-    "h" -> "a", "ha" -> "s", "has" -> "h",
-    "s" -> "c", "sc" -> "a", "sca" -> "n")
-
-  private val q121_bpe_encode = Q(
-    "q121_bpe_encode",
-    // BPE ENCODING under a fixed merge table (the deploy half of the
-    // q112 training story): corpus token frequencies after applying
-    // the 10 merges in rank order, greedy leftmost non-overlapping
-    // per word. Distinct words encode once (vocab-sized work); the
-    // oracle replays the same merges as a chain of separator-
-    // prefixed string replaces — SQL `replace` scans leftmost
-    // non-overlapping, which IS the BPE rule, and the chr(31) prefix
-    // keeps symbol boundaries unambiguous.
-    (s, dir) =>
-      graft.operators.Bpe.tokenFreq(
-        table(s, dir, "documents"), "text", bpeMerges, topN = 50)
-        .orderBy("rank"),
-    Some {
-      val enc = bpeMerges.foldLeft(
-        s"regexp_replace(word, '(.)', chr(31) || '\\1', 'g')") {
-        case (acc, (l, r)) =>
-          s"replace($acc, chr(31)||'$l'||chr(31)||'$r', chr(31)||'$l$r')"
-      }
-      s"""WITH toks AS (SELECT unnest($W) AS word FROM documents),
-      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-        FROM toks GROUP BY 1),
-      enc AS (SELECT freq, $enc AS s FROM wf),
-      tok AS (SELECT freq, unnest(list_filter(str_split(s, chr(31)),
-        x -> x <> '')) AS token FROM enc),
-      c AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt
-        FROM tok GROUP BY 1)
-      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
-        AS BIGINT) AS rank, token, cnt
-      FROM c ORDER BY cnt DESC, token LIMIT 50"""
-    }
-  )
-
-  private val q122_zorder = Q(
-    "q122_zorder",
-    // Z-order layout clustering on (user_id, value): 8-bit
-    // fixed-point ranks bit-interleaved into a Morton z-value, cell
-    // = top 4 bits (16 data-independent z-range cells standing in
-    // for output files). Pure integer/IEEE arithmetic end to end, so
-    // the oracle rebuilds every z bitwise; LayoutSpec measures the
-    // pruning benefit (narrow range on EITHER column touches few
-    // cells).
-    (s, dir) =>
-      graft.operators.Layout.zOrdered(
-        events(s, dir).select("event_id", "user_id", "value"),
-        Seq("user_id", "value"), bits = 8, cellBits = 4)
-        .select("event_id", "z", "cell")
-        .orderBy("event_id"),
-    Some {
-      def scaledSql(c: String, mn: String, mx: String) =
-        s"CASE WHEN $mx = $mn THEN 0 ELSE CAST(floor(((CAST($c AS DOUBLE)" +
-          s" - $mn) / ($mx - $mn)) * 255.0) AS BIGINT) END"
-      val terms = (for {
-        i <- 0 until 8
-        j <- 0 until 2
-      } yield s"((r$j >> $i) & 1) * ${1L << (i * 2 + j)}").mkString(" + ")
-      s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) AS mn0,
-          max(CAST(user_id AS DOUBLE)) AS mx0,
-          min(value) AS mn1, max(value) AS mx1 FROM events),
-        r AS (SELECT event_id,
-          ${scaledSql("user_id", "mn0", "mx0")} AS r0,
-          ${scaledSql("value", "mn1", "mx1")} AS r1
-          FROM events CROSS JOIN b),
-        z AS (SELECT event_id, $terms AS z FROM r)
-        SELECT event_id, z, z >> 12 AS cell
-        FROM z ORDER BY event_id"""
-    }
-  )
-
-  private val q123_scd2_history = Q(
-    "q123_scd2_history",
-    // Changelog -> SCD2 dimension history: each user's event_type
-    // stream collapses into validity periods (runs of consecutive
-    // equal values) with [valid_from_us, valid_to_us) bounds and an
-    // is_current open period. Gaps-and-islands by VALUE CHANGE —
-    // sessionize (q58) cuts on time gaps, this cuts on attribute
-    // transitions; all windows user-partitioned.
-    (s, dir) =>
-      graft.operators.TimeSeries.changeHistory(
-        events(s, dir), Seq("user_id"), "ts", "event_type", "event_id")
-        .orderBy("user_id", "valid_from_us"),
-    Some("""WITH l AS (SELECT user_id, event_type, ts, event_id,
-        CASE WHEN lag(event_type) OVER
-          (PARTITION BY user_id ORDER BY ts, event_id)
-          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
-        FROM events),
-      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
-        FROM l),
-      g AS (SELECT user_id, run, event_type AS value,
-          min(epoch_us(ts)) AS valid_from_us,
-          CAST(count(*) AS BIGINT) AS n_events
-        FROM r GROUP BY 1, 2, 3)
-      SELECT user_id, value, valid_from_us,
-        lead(valid_from_us) OVER (PARTITION BY user_id
-          ORDER BY valid_from_us) AS valid_to_us,
-        n_events,
-        lead(valid_from_us) OVER (PARTITION BY user_id
-          ORDER BY valid_from_us) IS NULL AS is_current
-      FROM g ORDER BY user_id, valid_from_us""")
-  )
-
-  private val q143_snapshot_at = Q(
-    "q143_snapshot_at",
-    // Time-travel read over the q123 SCD2 history: every user's state
-    // AS OF 2024-01-15T00:00:00Z — one filter over the runs-sized
-    // period table ([from, to) semantics), never a changelog rescan.
-    // The oracle rebuilds the full history and applies the same
-    // point-in-time predicate; at most one row per user by the
-    // non-overlap invariant (spec-pinned against the direct
-    // latest-event-per-user answer).
-    (s, dir) =>
-      graft.operators.TimeSeries.snapshotAt(
-        graft.operators.TimeSeries.changeHistory(
-          events(s, dir), Seq("user_id"), "ts", "event_type", "event_id"),
-        tsMicros = 1705276800000000L)
-        .orderBy("user_id"),
-    Some("""WITH l AS (SELECT user_id, event_type, ts, event_id,
-        CASE WHEN lag(event_type) OVER
-          (PARTITION BY user_id ORDER BY ts, event_id)
-          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
-        FROM events),
-      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
-        FROM l),
-      g AS (SELECT user_id, run, event_type AS value,
-          min(epoch_us(ts)) AS valid_from_us,
-          CAST(count(*) AS BIGINT) AS n_events
-        FROM r GROUP BY 1, 2, 3),
-      h AS (SELECT user_id, value, valid_from_us,
-        lead(valid_from_us) OVER (PARTITION BY user_id
-          ORDER BY valid_from_us) AS valid_to_us,
-        n_events,
-        lead(valid_from_us) OVER (PARTITION BY user_id
-          ORDER BY valid_from_us) IS NULL AS is_current
-      FROM g)
-      SELECT * FROM h
-      WHERE valid_from_us <= 1705276800000000
-        AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
-      ORDER BY user_id""")
-  )
-
-  private val q124_interleave_order = Q(
-    "q124_interleave_order",
-    // Balanced mixture order: every source spread proportionally
-    // through the epoch via the stride trick — frac = (2r-1)/(2n)
-    // over per-source md5-hash-order ranks (one IEEE division,
-    // bitwise cross-engine). Ranks via the capPerGroup md5-bucket
-    // prefix-sum decomposition: no per-source global window, no
-    // driver state.
-    (s, dir) =>
-      graft.operators.Sampling.interleaveOrder(
-        table(s, dir, "documents").select("doc_id", "source"),
-        "doc_id", "source")
-        .orderBy("doc_id"),
-    Some("""WITH r AS (SELECT doc_id, source,
-        row_number() OVER (PARTITION BY source
-          ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS rank,
-        count(*) OVER (PARTITION BY source) AS n
-        FROM documents)
-      SELECT doc_id, source, CAST(rank AS BIGINT) AS rank,
-        CAST(n AS BIGINT) AS n,
-        (2.0 * rank - 1.0) / (2.0 * n) AS frac
-      FROM r ORDER BY doc_id""")
-  )
-
-  private val q125_kll_ledger = Q(
-    "q125_kll_ledger",
-    // KLL quantile ledger (the distribution twin of q118's HLL count
-    // ledger, via custom native TypedImperativeAggregates over the
-    // Datasketches KLL library): per-(event_type, shard) sketches
-    // union per type, the merged estimate's TRUE rank is gated at
-    // q +- 0.05 in one conditional-aggregate pass, and the emitted
-    // answer is the EXACT lower-interpolation quantile (value at
-    // ascending rank floor((n-1)q)+1) — cross-engine exact while
-    // the sketch path stays load-bearing. KLL compaction flips
-    // random coins, so nothing sketch-derived reaches the oracle.
-    (s, dir) =>
-      graft.operators.Sketches.gatedQuantileReport(
-        events(s, dir).withColumn("shard", pmod(col("event_id"), lit(8))),
-        Seq("event_type"), "shard", "value",
-        quantiles = Seq(0.25, 0.5, 0.9, 0.99))
-        .orderBy("event_type", "q"),
-    Some("""WITH r AS (SELECT event_type, value,
-        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-        count(*) OVER (PARTITION BY event_type) AS n
-        FROM events WHERE value IS NOT NULL),
-      qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
-      SELECT event_type, q, value
-      FROM r CROSS JOIN qs
-      WHERE rn = CAST(floor((n - 1) * q) AS BIGINT) + 1
-      ORDER BY event_type, q""")
-  )
-
-  private val q126_retention = Q(
-    "q126_retention",
-    // Retention cohort matrix: users cohorted by first-event week
-    // (604800-second epoch buckets — pure integer arithmetic, no
-    // engine-specific week numbering), cell (cohort, offset) =
-    // distinct cohort members active offset weeks later. Activity
-    // collapses to distinct (user, week) before any join.
-    (s, dir) =>
-      graft.operators.Funnel.retentionMatrix(
-        events(s, dir), "user_id", "ts")
-        .orderBy("cohort_period", "period_offset"),
-    Some("""WITH p AS (SELECT user_id,
-        epoch_us(ts)//1000000//604800 AS w FROM events),
-      f AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1),
-      a AS (SELECT DISTINCT user_id, w FROM p)
-      SELECT f.cohort AS cohort_period, a.w - f.cohort AS period_offset,
-        CAST(count(*) AS BIGINT) AS n_users
-      FROM a JOIN f USING (user_id)
-      GROUP BY 1, 2 ORDER BY 1, 2""")
-  )
-
-  private val q127_resolve_best = Q(
-    "q127_resolve_best",
-    // Quality-policy duplicate resolution: same LSH near-dup cluster
-    // graph as q65/q72, but each cluster keeps its BEST member by
-    // n_chars (ties to the smaller id) instead of its min id — the
-    // curation-correct choice when a cluster holds one clean original
-    // and N truncated copies. argmax via one partial-agg max over
-    // (score, -id) structs; no window over cluster members.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(
-        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
-        minJ = 0.5)
-      Dedup.resolveDuplicatesBy(docs, "doc_id", "n_chars", pairs)
-        .select(col("id").as("doc_id"), col("cluster_id"),
-          col("score"), col("keep"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-      e AS (SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
-      c AS (SELECT src AS id, min(dst) AS cluster_id
-        FROM reach GROUP BY src),
-      sc AS (SELECT c.id, c.cluster_id, CAST(d.n_chars AS DOUBLE) AS score
-        FROM c JOIN documents d ON c.id = d.doc_id),
-      b AS (SELECT cluster_id, id AS keep_id FROM (
-        SELECT cluster_id, id, row_number() OVER (PARTITION BY cluster_id
-          ORDER BY score DESC, id) AS rk FROM sc) WHERE rk = 1)
-      SELECT sc.id AS doc_id, sc.cluster_id, sc.score,
-        sc.id = b.keep_id AS keep
-      FROM sc JOIN b USING (cluster_id) ORDER BY doc_id""")
-  )
-
-  private val q144_join_size_audit = Q(
-    "q144_join_size_audit",
-    // Predict the l_partkey SELF-join's size before paying for it:
-    // Sum over keys of n^2, from two key-count aggregates and a
-    // count-sized join — no joined row ever materializes. Top-10
-    // contributing keys plus the headline predicted_total on every
-    // row; a predicted size past 2^63 would fail loudly under ANSI,
-    // which IS the answer.
-    (s, dir) =>
-      graft.operators.Profile.joinSizeAudit(
-        table(s, dir, "lineitem"), "l_partkey",
-        table(s, dir, "lineitem"), "l_partkey", topN = 10)
-        .orderBy("rank"),
-    Some("""WITH c AS (SELECT l_partkey AS key,
-        CAST(count(*) AS BIGINT) AS n FROM lineitem
-        WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
-      j AS (SELECT key, n AS n_left, n AS n_right, n * n AS out_rows
-        FROM c),
-      t AS (SELECT CAST(coalesce(sum(out_rows), 0) AS BIGINT)
-        AS predicted_total FROM j),
-      r AS (SELECT *, CAST(row_number() OVER
-          (ORDER BY out_rows DESC, key) AS BIGINT) AS rank FROM j)
-      SELECT r.key, r.n_left, r.n_right, r.out_rows,
-        t.predicted_total, r.rank
-      FROM r, t WHERE r.rank <= 10 ORDER BY r.rank""")
-  )
-
-  private val q145_dedup_attrition = Q(
-    "q145_dedup_attrition",
-    // Dedup attrition by source: raw vs kept doc/token counts under
-    // the q127 best-member policy — the numbers a mixture designer
-    // must use instead of raw token totals (a source that is largely
-    // near-dups is smaller than it looks). Same LSH cluster graph
-    // and argmax as q127; all emitted counts are exact integer sums.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(
-        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
-        minJ = 0.5)
-      Dedup.dedupAttrition(
-        docs.withColumn("toks", TextFunctions.tokenCount(col("text"))),
-        "doc_id", "n_chars", "source", "toks", pairs)
-        .orderBy("group")
-    },
-    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-      e AS (SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
-      c AS (SELECT src AS id, min(dst) AS cluster_id
-        FROM reach GROUP BY src),
-      sc AS (SELECT c.id, c.cluster_id, CAST(d.n_chars AS DOUBLE) AS score
-        FROM c JOIN documents d ON c.id = d.doc_id),
-      b AS (SELECT cluster_id, id AS keep_id FROM (
-        SELECT cluster_id, id, row_number() OVER (PARTITION BY cluster_id
-          ORDER BY score DESC, id) AS rk FROM sc) WHERE rk = 1),
-      k AS (SELECT sc.id, sc.id = b.keep_id AS keep
-        FROM sc JOIN b USING (cluster_id))
-      SELECT d.source AS "group",
-        CAST(count(*) AS BIGINT) AS n_raw,
-        CAST(sum(len($W)) AS BIGINT) AS tokens_raw,
-        CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        CAST(sum(CASE WHEN k.keep THEN len($W) ELSE 0 END) AS BIGINT)
-          AS tokens_kept
-      FROM documents d JOIN k ON d.doc_id = k.id
-      GROUP BY d.source ORDER BY d.source""")
-  )
-
-  private val q146_exact_k_sample = Q(
-    "q146_exact_k_sample",
-    // Exactly-k reproducible eval sample: top-100 documents by
-    // (md5('graft|id'), id) — an exact count (a Bernoulli fraction
-    // is binomial), a total order, and an md5 any engine reproduces.
-    // One TakeOrderedAndProject: per-partition heaps, k rows to the
-    // merge, no global sort.
-    (s, dir) =>
-      graft.operators.Sampling.exactK(
-        table(s, dir, "documents").select("doc_id", "source", "lang"),
-        "doc_id", k = 100)
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id, source, lang FROM (
-        SELECT doc_id, source, lang,
-          row_number() OVER (ORDER BY
-            md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        FROM documents) WHERE rk <= 100 ORDER BY doc_id""")
-  )
-
-  private val q147_histogram = Q(
-    "q147_histogram",
-    // Per-source document-length histogram over declared [0, 600) x
-    // 12 bins: the distribution SHAPE profiles and quantiles can't
-    // show, with data-independent edges so snapshots compare.
-    // Integer bin arithmetic, sentinel bins for out-of-range, only
-    // occupied cells emit — one (group, bin) partial-agg shuffle.
-    (s, dir) =>
-      graft.operators.Profile.histogram(
-        table(s, dir, "documents"), "source", "n_chars",
-        lo = 0L, hi = 600L, nBins = 12)
-        .orderBy("source", "bin"),
-    Some("""SELECT source,
-        CASE WHEN n_chars < 0 THEN -1
-          WHEN n_chars >= 600 THEN 12
-          ELSE (n_chars * 12) // 600 END AS bin,
-        CAST(count(*) AS BIGINT) AS n
-      FROM documents WHERE n_chars IS NOT NULL
-      GROUP BY 1, 2 ORDER BY source, bin""")
-  )
-
-  private val q148_group_trend = Q(
-    "q148_group_trend",
-    // Per-event-type OLS trend of daily event volume — "is this
-    // stream growing, and how fast" — fitted from the six exact
-    // integer moment sums so slope/intercept/r² are each a fixed
-    // IEEE sequence both engines replay bitwise. Day is rebased to
-    // days-since-2020 (magnitude hygiene for the Σx·Σy products).
-    (s, dir) =>
-      graft.operators.TimeSeries.groupTrend(
-        events(s, dir)
-          .select(col("event_type"),
-            datediff(col("ts").cast("date"), to_date(lit("2020-01-01")))
-              .cast("long").as("day"))
-          .groupBy("event_type", "day")
-          .agg(count(lit(1)).as("cnt")),
-        Seq("event_type"), "day", "cnt")
-        .orderBy("event_type"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1, 2),
-      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(day) AS BIGINT) AS sx,
-        CAST(sum(cnt) AS BIGINT) AS sy,
-        CAST(sum(day * day) AS BIGINT) AS sxx,
-        CAST(sum(day * cnt) AS BIGINT) AS sxy,
-        CAST(sum(cnt * cnt) AS BIGINT) AS syy
-      FROM d GROUP BY 1)
-      SELECT event_type, n, sx, sy, sxx, sxy, syy,
-        CAST(n * sxy - sx * sy AS DOUBLE)
-          / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
-        (CAST(sy AS DOUBLE)
-          - (CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
-            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-        (CAST(n * sxy - sx * sy AS DOUBLE)
-          * CAST(n * sxy - sx * sy AS DOUBLE))
-          / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
-             * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)) AS r2
-      FROM m ORDER BY event_type""")
-  )
-
-  private val q149_cooccurrence = Q(
-    "q149_cooccurrence",
-    // Collocation mining: top-40 token pairs by lift over a
-    // 150-term document-frequency vocabulary — the quadratic is
-    // vocabulary-pruned (per-doc fan-out capped at C(150,2)), and
-    // lift = n_xy·N/(df_a·df_b) is exact integers + one IEEE
-    // multiply/divide each side, so rank and score pin bitwise. The
-    // oracle rebuilds presence, vocab cutoff, pair counts, and the
-    // score with the identical ordering.
-    (s, dir) =>
-      graft.operators.TfIdf.cooccurTopPairs(
-        table(s, dir, "documents"), "doc_id", "text",
-        maxVocab = 150, minDf = 5L, k = 40)
-        .orderBy("rank"),
-    Some(s"""WITH p AS (SELECT DISTINCT doc_id, unnest($W) AS term
-        FROM documents),
-      f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p
-        GROUP BY term HAVING count(*) >= 5),
-      v AS (SELECT term, df FROM f ORDER BY df DESC, term LIMIT 150),
-      pv AS (SELECT p.doc_id, p.term FROM p JOIN v USING (term)),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-      pr AS (SELECT a.term AS term_a, b.term AS term_b,
-          CAST(count(*) AS BIGINT) AS n_xy
-        FROM pv a JOIN pv b
-          ON a.doc_id = b.doc_id AND a.term < b.term
-        GROUP BY 1, 2),
-      sc AS (SELECT pr.term_a, pr.term_b, pr.n_xy,
-          va.df AS df_a, vb.df AS df_b,
-          (CAST(pr.n_xy AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
-            / (CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)) AS lift
-        FROM pr
-        JOIN v va ON va.term = pr.term_a
-        JOIN v vb ON vb.term = pr.term_b, n)
-      SELECT CAST(row_number() OVER
-          (ORDER BY lift DESC, term_a, term_b) AS BIGINT) AS rank,
-        term_a, term_b, n_xy, df_a, df_b, lift
-      FROM sc ORDER BY lift DESC, term_a, term_b LIMIT 40""")
-  )
-
-  private val q150_expectations = Q(
-    "q150_expectations",
-    // Data-contract gate over the customer dimension: five row-scoped
-    // rules fold into ONE conditional-aggregation scan (null =
-    // violation, the audit posture) plus a key-aggregated uniqueness
-    // rule. The clean fixture passing every rule IS the assertion —
-    // ExpectationsSpec plants nulls/dupes/strays to prove the
-    // counters count.
-    (s, dir) => {
-      import graft.operators.Expectations
-      Expectations.audit(
-        table(s, dir, "customer"),
-        checks = Seq(
-          "acctbal_range" ->
-            col("c_acctbal").between(-1000.0, 10000.0),
-          "custkey_not_null" -> col("c_custkey").isNotNull,
-          "mktsegment_accepted" -> col("c_mktsegment").isin(
-            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
-            "MACHINERY"),
-          "name_format" -> col("c_name").rlike("^Customer#[0-9]{9}$"),
-          "nationkey_range" -> col("c_nationkey").between(0, 24)),
-        uniques = Seq(Expectations.UniqueKey("custkey_unique",
-          Seq("c_custkey"))))
-    },
-    Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total
-        FROM customer),
-      r AS (
-        SELECT 'acctbal_range' AS rule, 'row' AS kind,
-          CAST(sum(CASE WHEN COALESCE(
-            c_acctbal BETWEEN -1000.0 AND 10000.0, FALSE)
-            THEN 0 ELSE 1 END) AS BIGINT) AS violations FROM customer
-        UNION ALL SELECT 'custkey_not_null', 'row',
-          CAST(sum(CASE WHEN c_custkey IS NOT NULL
-            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
-        UNION ALL SELECT 'mktsegment_accepted', 'row',
-          CAST(sum(CASE WHEN COALESCE(c_mktsegment IN ('AUTOMOBILE',
-            'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'), FALSE)
-            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
-        UNION ALL SELECT 'name_format', 'row',
-          CAST(sum(CASE WHEN COALESCE(
-            regexp_matches(c_name, '^Customer#[0-9]{9}$'), FALSE)
-            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
-        UNION ALL SELECT 'nationkey_range', 'row',
-          CAST(sum(CASE WHEN COALESCE(
-            c_nationkey BETWEEN 0 AND 24, FALSE)
-            THEN 0 ELSE 1 END) AS BIGINT) FROM customer
-        UNION ALL SELECT 'custkey_unique', 'unique',
-          CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
-          FROM (SELECT c_custkey, count(*) AS c FROM customer
-            GROUP BY 1 HAVING count(*) > 1))
-      SELECT r.rule, r.kind, r.violations, t.total,
-        r.violations = 0 AS pass
-      FROM r, t ORDER BY rule""")
-  )
-
-  private val q151_transitions = Q(
-    "q151_transitions",
-    // First-order event-type transition matrix: per-user lag pairs
-    // (user-partitioned window, ties broken by event_id) →
-    // partial-agg edge counts → per-source totals over the
-    // edges-sized frame; share is one IEEE division of exact counts.
-    (s, dir) =>
-      graft.operators.Funnel.transitionMatrix(
-        events(s, dir), "user_id", "event_type", "ts", "event_id")
-        .orderBy("from_type", "to_type"),
-    Some("""WITH p AS (SELECT user_id,
-        lag(event_type) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id) AS from_type,
-        event_type AS to_type FROM events),
-      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
-      f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
-        FROM c GROUP BY 1)
-      SELECT c.from_type, c.to_type, c.n, f.from_total,
-        CAST(c.n AS DOUBLE) / CAST(f.from_total AS DOUBLE) AS share
-      FROM c JOIN f USING (from_type)
-      ORDER BY from_type, to_type""")
-  )
-
-  private val q152_compaction_plan = Q(
-    "q152_compaction_plan",
-    // Small-file compaction plan over the documents inventory
-    // (doc_id standing in for file id, n_chars for bytes): next-fit
-    // by cumulative size within each source at an 8 KB target — one
-    // source-partitioned running sum, integer bin arithmetic, bin
-    // stats ridden back via a (source, bin) partial agg.
-    (s, dir) =>
-      graft.operators.Layout.compactionPlan(
-        table(s, dir, "documents")
-          .select(col("source"), col("doc_id"), col("n_chars")),
-        "source", "doc_id", "n_chars", targetBytes = 8192L)
-        .orderBy("source", "doc_id"),
-    Some("""WITH c AS (SELECT source, doc_id, n_chars,
-        CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        FROM documents),
-      p AS (SELECT source, doc_id, n_chars,
-        (cum - n_chars) // 8192 AS bin FROM c),
-      b AS (SELECT source, bin, CAST(sum(n_chars) AS BIGINT)
-          AS bin_bytes, CAST(count(*) AS BIGINT) AS bin_files
-        FROM p GROUP BY 1, 2)
-      SELECT p.source, p.doc_id, p.n_chars, p.bin,
-        b.bin_bytes, b.bin_files
-      FROM p JOIN b USING (source, bin)
-      ORDER BY p.source, p.doc_id""")
-  )
-
-  private val q153_range_bounds = Q(
-    "q153_range_bounds",
-    // Exact range-partition boundaries for a 16-way sorted layout of
-    // lineitem by l_orderkey: disc-quantile split points from the
-    // two-phase prefix sum (bucket-partitioned cumsums + triangular
-    // bucket-offset join) — deterministic where Spark's range
-    // sampler drifts. The oracle replays the same rank targets with
-    // a global window.
-    (s, dir) =>
-      graft.operators.Skew.rangeBounds(
-        table(s, dir, "lineitem"), "l_orderkey",
-        numPartitions = 16)
-        .orderBy("p"),
-    Some("""WITH c AS (SELECT l_orderkey AS v,
-        CAST(count(*) AS BIGINT) AS cnt FROM lineitem
-        WHERE l_orderkey IS NOT NULL GROUP BY 1),
-      s AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
-      n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
-      t AS (SELECT CAST(r.i AS BIGINT) AS p,
-          CAST((r.i * n.n + 15) // 16 AS BIGINT) AS target_rank
-        FROM range(1, 16) r(i), n)
-      SELECT t.p, t.target_rank, CAST(min(s.v) AS BIGINT) AS bound
-      FROM t JOIN s ON s.cum >= t.target_rank
-      GROUP BY t.p, t.target_rank ORDER BY t.p""")
-  )
-
-  private val q154_winsorize = Q(
-    "q154_winsorize",
-    // Robust-stats clipping: per-source token counts winsorized to
-    // the exact [p5, p95] disc quantiles — rank arithmetic over
-    // exact counts (group-partitioned cumsum, groups-sized broadcast
-    // back), integer clip, no interpolation convention to disagree
-    // on.
-    (s, dir) =>
-      graft.operators.Features.winsorize(
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "source", "toks", pLoPct = 5, pHiPct = 95)
-        .orderBy("doc_id"),
-    Some(s"""WITH b AS (SELECT doc_id, source,
-        CAST(len($W) AS BIGINT) AS toks FROM documents),
-      c AS (SELECT source, toks, CAST(count(*) AS BIGINT) AS cnt
-        FROM b GROUP BY 1, 2),
-      sc AS (SELECT source, toks, CAST(sum(cnt) OVER
-          (PARTITION BY source ORDER BY toks
-           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
-      n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        FROM b GROUP BY 1),
-      t AS (SELECT source, greatest(1, (5 * n + 99) // 100) AS rlo,
-        greatest(1, (95 * n + 99) // 100) AS rhi FROM n),
-      lo AS (SELECT sc.source, CAST(min(sc.toks) AS BIGINT) AS lo
-        FROM sc JOIN t USING (source) WHERE sc.cum >= t.rlo
-        GROUP BY 1),
-      hi AS (SELECT sc.source, CAST(min(sc.toks) AS BIGINT) AS hi
-        FROM sc JOIN t USING (source) WHERE sc.cum >= t.rhi
-        GROUP BY 1)
-      SELECT b.source, b.doc_id, b.toks, lo.lo, hi.hi,
-        least(greatest(b.toks, lo.lo), hi.hi) AS clipped
-      FROM b JOIN lo USING (source) JOIN hi USING (source)
-      ORDER BY b.doc_id""")
-  )
-
-  private val q155_chi_squared = Q(
-    "q155_chi_squared",
-    // Chi-squared mix-shift cells: event-type distribution across
-    // even/odd epoch days — the full marginal-sized contingency grid
-    // (absent cells at obs 0), expected counts and per-cell χ² terms
-    // as fixed IEEE sequences over exact integer marginals.
-    (s, dir) =>
-      graft.operators.Profile.chiSquaredCells(
-        events(s, dir).select(
-          (datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
-            .cast("long") % 2).as("half"),
-          col("event_type")),
-        "half", "event_type")
-        .orderBy("half", "event_type"),
-    Some("""WITH b AS (SELECT
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) % 2 AS half, event_type
-        FROM events WHERE event_type IS NOT NULL),
-      o AS (SELECT half, event_type, CAST(count(*) AS BIGINT) AS obs
-        FROM b GROUP BY 1, 2),
-      rt AS (SELECT half, CAST(count(*) AS BIGINT) AS row_total
-        FROM b GROUP BY 1),
-      ct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS col_total
-        FROM b GROUP BY 1),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
-      g AS (SELECT rt.half, ct.event_type,
-          CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
-          rt.row_total, ct.col_total,
-          CAST(rt.row_total * ct.col_total AS DOUBLE)
-            / CAST(n.n AS DOUBLE) AS expected
-        FROM rt CROSS JOIN ct CROSS JOIN n
-        LEFT JOIN o ON o.half = rt.half
-          AND o.event_type = ct.event_type)
-      SELECT half, event_type, obs, row_total, col_total, expected,
-        (CAST(obs AS DOUBLE) - expected)
-          * (CAST(obs AS DOUBLE) - expected) / expected AS chi2_term
-      FROM g ORDER BY half, event_type""")
-  )
-
-  private val q156_nucleus_coverage = Q(
-    "q156_nucleus_coverage",
-    // Mixture design: per language, the smallest set of sources
-    // covering 80% of token mass — (mass desc, source) nucleus rule
-    // in pure integer arithmetic, items-sized partitioned cumsum.
-    (s, dir) =>
-      graft.operators.Curation.topPCoverage(
-        table(s, dir, "documents")
-          .select(col("lang"), col("source"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "lang", "source", "toks", pPct = 80)
-        .orderBy("lang", "source"),
-    Some(s"""WITH b AS (SELECT lang, source,
-        CAST(len($W) AS BIGINT) AS toks FROM documents),
-      m AS (SELECT lang, source, CAST(sum(toks) AS BIGINT) AS mass
-        FROM b GROUP BY 1, 2),
-      t AS (SELECT lang, (80 * CAST(sum(mass) AS BIGINT) + 99) // 100
-          AS thr FROM m GROUP BY 1),
-      c AS (SELECT lang, source, mass, CAST(sum(mass) OVER
-          (PARTITION BY lang ORDER BY mass DESC, source
-           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass FROM m)
-      SELECT c.lang, c.source, c.mass, c.cum_mass,
-        (c.cum_mass - c.mass) < t.thr AS in_nucleus
-      FROM c JOIN t USING (lang) ORDER BY lang, source""")
-  )
-
-  private val q157_attribution = Q(
-    "q157_attribution",
-    // Last-touch attribution: every purchase joined to the user's
-    // most recent earlier view/click within a 3-day window — one
-    // user-partitioned running-last window (frame ends at the
-    // previous row, ties by event_id), unattributed conversions
-    // surface with null touch columns.
-    (s, dir) =>
-      graft.operators.Funnel.lastTouchAttribution(
-        events(s, dir), "user_id", "event_type", "ts", "event_id",
-        conversionType = "purchase",
-        touchTypes = Seq("view", "click"),
-        maxGapMicros = Some(259200000000L))
-        .orderBy("user_id", "event_id"),
-    Some("""WITH w AS (SELECT user_id, event_id, event_type,
-        epoch_us(ts) AS us,
-        last_value(CASE WHEN event_type IN ('view', 'click')
-          THEN epoch_us(ts) END IGNORE NULLS) OVER fr AS t_us,
-        last_value(CASE WHEN event_type IN ('view', 'click')
-          THEN event_type END IGNORE NULLS) OVER fr AS t_ty
-        FROM events
-        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-      SELECT user_id, event_id, us AS conv_us,
-        CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
-          THEN t_ty END AS touch_type,
-        CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
-          THEN t_us END AS touch_us,
-        CASE WHEN t_us IS NOT NULL AND us - t_us <= 259200000000
-          THEN us - t_us END AS gap_us
-      FROM w WHERE event_type = 'purchase'
-      ORDER BY user_id, event_id""")
-  )
-
-  private val q158_oov_rate = Q(
-    "q158_oov_rate",
-    // Tokenizer health: per-source out-of-vocabulary occurrence rate
-    // and distinct OOV types against the corpus vocabulary at
-    // minCount=5 — one explode, a token-keyed vocab left join, exact
-    // counts, one IEEE division.
-    (s, dir) =>
-      graft.operators.LanguageModel.oovReport(
-        table(s, dir, "documents"), "source", "text", minCount = 5L)
-        .orderBy("source"),
-    Some(s"""WITH t AS (SELECT source, unnest($W) AS token
-        FROM documents),
-      v AS (SELECT token FROM t GROUP BY token
-        HAVING count(*) >= 5),
-      g AS (SELECT t.source, t.token, v.token IS NULL AS oov
-        FROM t LEFT JOIN v ON v.token = t.token),
-      occ AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-        FROM g GROUP BY 1),
-      ty AS (SELECT source, CAST(count(DISTINCT token) AS BIGINT)
-          AS n_oov_types FROM g WHERE oov GROUP BY 1)
-      SELECT occ.source, occ.n_tokens, occ.n_oov,
-        CAST(occ.n_oov AS DOUBLE) / CAST(occ.n_tokens AS DOUBLE)
-          AS oov_rate,
-        CAST(COALESCE(ty.n_oov_types, 0) AS BIGINT) AS n_oov_types
-      FROM occ LEFT JOIN ty ON ty.source = occ.source
-      ORDER BY occ.source""")
-  )
-
-  private val q159_volume_anomaly = Q(
-    "q159_volume_anomaly",
-    // Ingest pager: per-event-type daily volume flagged against the
-    // trailing 7-day mean/variance — exact integer moments from a
-    // gap-correct RANGE window, 3σ test squared into integer cross
-    // products (no sqrt, no libm), days with <5 baseline days never
-    // flag.
-    (s, dir) =>
-      graft.operators.TimeSeries.volumeAnomaly(
-        events(s, dir), Seq("event_type"), "ts",
-        windowDays = 7, minDays = 5)
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-      w AS (SELECT event_type, day, cnt,
-        CAST(count(cnt) OVER fr AS BIGINT) AS trail_days,
-        CAST(COALESCE(sum(cnt) OVER fr, 0) AS BIGINT) AS trail_sum,
-        CAST(COALESCE(sum(cnt * cnt) OVER fr, 0) AS BIGINT) AS ssq
-        FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
-          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
-      SELECT event_type, day, cnt, trail_days, trail_sum,
-        CASE WHEN trail_days > 0 THEN CAST(trail_sum AS DOUBLE)
-          / CAST(trail_days AS DOUBLE) END AS mean,
-        CASE WHEN trail_days >= 5 THEN
-          CAST(trail_days * cnt - trail_sum AS DOUBLE)
-            * CAST(trail_days * cnt - trail_sum AS DOUBLE)
-            * CAST(trail_days - 1 AS DOUBLE)
-          > 9.0 * CAST(trail_days AS DOUBLE)
-            * CAST(trail_days * ssq - trail_sum * trail_sum AS DOUBLE)
-        ELSE FALSE END AS is_anomaly
-      FROM w ORDER BY event_type, day""")
-  )
-
-  private val q160_kfold = Q(
-    "q160_kfold",
-    // Stratified 5-fold assignment over documents by source: the
-    // salted md5 content hash is the shuffle key (cross-engine by
-    // construction), folds balance within each stratum to ±1, one
-    // stratum-partitioned window.
-    (s, dir) =>
-      graft.operators.Sampling.kFoldAssign(
-        table(s, dir, "documents").select(col("doc_id"), col("source")),
-        Seq("source"), "doc_id", k = 5)
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id, source,
-        (CAST(row_number() OVER (PARTITION BY source
-          ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
-          AS BIGINT) - 1) % 5 AS fold
-      FROM documents ORDER BY doc_id""")
-  )
-
-  private val q161_langid_confusion = Q(
-    "q161_langid_confusion",
-    // Label-quality audit: declared lang vs predicted langid as a
-    // confusion matrix with per-declared-language shares — the
-    // report that decides whether a source's lang metadata can be
-    // trusted. The oracle recomputes the n-gram-marker prediction in
-    // SQL (the q32 twin) and re-derives every cell.
-    (s, dir) => {
-      val pred = table(s, dir, "documents")
-        .select(col("lang"),
-          TextFunctions.langId(col("text")).as("lang_pred"))
-      val cells = pred.groupBy("lang", "lang_pred")
-        .agg(count(lit(1)).as("n"))
-      val totals = cells.groupBy("lang").agg(sum("n").as("lang_total"))
-      cells.join(broadcast(totals), "lang")
-        .select(col("lang"), col("lang_pred"), col("n"),
-          col("lang_total"),
-          (col("n").cast("double") / col("lang_total").cast("double"))
-            .as("share"),
-          (col("lang") === col("lang_pred")).as("agree"))
-        .orderBy("lang", "lang_pred")
-    },
-    Some(s"""WITH p AS ($langPredSelect),
-      c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
-        FROM p GROUP BY 1, 2),
-      t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total
-        FROM c GROUP BY 1)
-      SELECT c.lang, c.lang_pred, c.n, t.lang_total,
-        CAST(c.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS share,
-        c.lang = c.lang_pred AS agree
-      FROM c JOIN t USING (lang) ORDER BY lang, lang_pred""")
-  )
-
-  private val q162_interarrival = Q(
-    "q162_interarrival",
-    // Cadence fingerprint: exact p50/p90 of per-user inter-arrival
-    // micros for each event type — lag deltas from one (user, type)
-    // window, then the rank-arithmetic quantile ladder in long
-    // format.
-    (s, dir) =>
-      graft.operators.TimeSeries.interArrivalProfile(
-        events(s, dir), Seq("event_type"), Seq("user_id"),
-        "ts", "event_id", pcts = Seq(50, 90))
-        .orderBy("event_type", "pct"),
-    Some("""WITH o AS (SELECT event_type, user_id, epoch_us(ts) AS us,
-        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
-          ORDER BY ts, event_id) AS prev
-        FROM events),
-      d AS (SELECT event_type, us - prev AS delta FROM o
-        WHERE prev IS NOT NULL),
-      c AS (SELECT event_type, delta, CAST(count(*) AS BIGINT) AS cnt
-        FROM d GROUP BY 1, 2),
-      s AS (SELECT event_type, delta, CAST(sum(cnt) OVER
-          (PARTITION BY event_type ORDER BY delta
-           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
-      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
-        FROM d GROUP BY 1),
-      t AS (SELECT n.event_type, n.n_gaps, p.pct,
-          greatest(1, (p.pct * n.n_gaps + 99) // 100) AS r
-        FROM n, (SELECT CAST(unnest([50, 90]) AS BIGINT) AS pct) p)
-      SELECT t.event_type, t.pct, t.n_gaps,
-        CAST(min(s.delta) AS BIGINT) AS gap_us
-      FROM t JOIN s ON s.event_type = t.event_type AND s.cum >= t.r
-      GROUP BY 1, 2, 3 ORDER BY t.event_type, t.pct""")
-  )
-
-  private val q163_trailing_pit = Q(
-    "q163_trailing_pit",
-    // Nonparametric volume score: each day's event count placed
-    // within its trailing 7-day empirical distribution (PIT = n_le/k)
-    // — equi-join + bounded day-range self-join on the days-sized
-    // frame, warmup days emit null.
-    (s, dir) =>
-      graft.operators.TimeSeries.trailingPercentile(
-        events(s, dir), Seq("event_type"), "ts", windowDays = 7)
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)
-      SELECT a.event_type, a.day, a.cnt,
-        CAST(count(b.cnt) AS BIGINT) AS trail_days,
-        CASE WHEN count(b.cnt) > 0 THEN CAST(sum(CASE WHEN
-          b.cnt <= a.cnt THEN 1 ELSE 0 END) AS BIGINT) END AS n_le,
-        CASE WHEN count(b.cnt) > 0 THEN CAST(sum(CASE WHEN
-          b.cnt <= a.cnt THEN 1 ELSE 0 END) AS DOUBLE)
-          / CAST(count(b.cnt) AS DOUBLE) END AS pit
-      FROM d a LEFT JOIN d b ON b.event_type = a.event_type
-        AND b.day BETWEEN a.day - 7 AND a.day - 1
-      GROUP BY a.event_type, a.day, a.cnt
-      ORDER BY a.event_type, a.day""")
-  )
-
-  private val q164_mixture_diagnostics = Q(
-    "q164_mixture_diagnostics",
-    // Mixture concentration: per language, Kish effective sample
-    // size over source token masses, evenness ratio, and dominant
-    // share — exact integer moments, fixed IEEE tail.
-    (s, dir) =>
-      graft.operators.Profile.mixtureDiagnostics(
-        table(s, dir, "documents")
-          .select(col("lang"), col("source"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "lang", "source", "toks")
-        .orderBy("lang"),
-    Some(s"""WITH b AS (SELECT lang, source,
-        CAST(len($W) AS BIGINT) AS toks FROM documents),
-      m AS (SELECT lang, source, CAST(sum(toks) AS BIGINT) AS mm
-        FROM b GROUP BY 1, 2),
-      a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
-        CAST(sum(mm) AS BIGINT) AS total_mass,
-        CAST(sum(mm * mm) AS BIGINT) AS ssq,
-        CAST(max(mm) AS BIGINT) AS mx FROM m GROUP BY 1)
-      SELECT lang, n_items, total_mass,
-        CAST(mx AS DOUBLE) / CAST(total_mass AS DOUBLE) AS max_share,
-        CAST(total_mass AS DOUBLE) * CAST(total_mass AS DOUBLE)
-          / CAST(ssq AS DOUBLE) AS ess,
-        (CAST(total_mass AS DOUBLE) * CAST(total_mass AS DOUBLE)
-          / CAST(ssq AS DOUBLE)) / CAST(n_items AS DOUBLE) AS ess_ratio
-      FROM a ORDER BY lang""")
-  )
-
-  private val q165_novelty_rate = Q(
-    "q165_novelty_rate",
-    // Dedup health per ingest batch: the fixture carries no exact
-    // dups, so the query plants deterministic re-crawls in-query
-    // (every 7th doc re-ingested at id 2k+1, interleaved with the
-    // originals at id 2k so batches MIX new and duplicate rows),
-    // then reports per 100-id batch how many rows are first-seen
-    // content — first occurrence by struct-min over (period, id),
-    // no window; dup_rate is one IEEE division.
-    (s, dir) => {
-      val d = table(s, dir, "documents")
-      val stream = d
-        .select((col("doc_id") * 2).as("doc_id"), col("text"))
-        .unionByName(d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
-      graft.operators.Dedup.noveltyByPeriod(
-        stream.withColumn("batch", expr("doc_id div 100")),
-        "doc_id", "text", "batch")
-        .orderBy("period")
-    },
-    Some("""WITH u AS (SELECT doc_id * 2 AS doc_id, text
-        FROM documents
-        UNION ALL SELECT doc_id * 2 + 1, text FROM documents
-        WHERE doc_id % 7 = 0),
-      b AS (SELECT doc_id // 100 AS period, doc_id,
-        md5(text) AS h FROM u),
-      f AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
-      nn AS (SELECT b.period, CAST(count(*) AS BIGINT) AS n_new
-        FROM b JOIN f ON b.h = f.h AND b.doc_id = f.first_id
-        GROUP BY 1),
-      r AS (SELECT period, CAST(count(*) AS BIGINT) AS n_rows
-        FROM b GROUP BY 1)
-      SELECT CAST(r.period AS BIGINT) AS period, r.n_rows,
-        CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
-        CAST(1 AS DOUBLE) - CAST(COALESCE(nn.n_new, 0) AS DOUBLE)
-          / CAST(r.n_rows AS DOUBLE) AS dup_rate
-      FROM r LEFT JOIN nn ON nn.period = r.period
-      ORDER BY r.period""")
-  )
-
-  private val q166_motifs = Q(
-    "q166_motifs",
-    // Behavioral path mining: top-20 event-type trigrams users
-    // actually perform — one lag chain on a user-partitioned window,
-    // motif-keyed partial agg, bounded top-k with count-then-motif
-    // tiebreak, share from a broadcast total.
-    (s, dir) =>
-      graft.operators.Funnel.behaviorMotifs(
-        events(s, dir), "user_id", "event_type", "ts", "event_id",
-        n = 3, k = 20)
-        .orderBy("rank"),
-    Some("""WITH l AS (SELECT user_id, event_type,
-        lag(event_type, 1) OVER w AS l1,
-        lag(event_type, 2) OVER w AS l2
-        FROM events WINDOW w AS (PARTITION BY user_id
-          ORDER BY ts, event_id)),
-      m AS (SELECT l2 || '>' || l1 || '>' || event_type AS motif,
-        CAST(count(*) AS BIGINT) AS n_occurrences
-        FROM l WHERE l2 IS NOT NULL GROUP BY 1),
-      t AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS tt FROM m),
-      r AS (SELECT motif, n_occurrences, CAST(row_number() OVER
-          (ORDER BY n_occurrences DESC, motif) AS BIGINT) AS rank
-        FROM m)
-      SELECT r.rank, r.motif, r.n_occurrences,
-        CAST(r.n_occurrences AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share
-      FROM r, t WHERE r.rank <= 20 ORDER BY r.rank""")
-  )
-
-  private val q167_period_change = Q(
-    "q167_period_change",
-    // Week-over-week ops report: each (event_type, day) count vs the
-    // same key 7 days earlier — a plain left equi-join on the
-    // days-sized frame, honest nulls for missing or zero priors.
-    (s, dir) =>
-      graft.operators.TimeSeries.periodOverPeriod(
-        events(s, dir), Seq("event_type"), "ts", lagDays = 7)
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)
-      SELECT a.event_type, a.day, a.cnt, b.cnt AS prev_cnt,
-        a.cnt - b.cnt AS abs_change,
-        CASE WHEN b.cnt IS NOT NULL AND b.cnt <> 0
-          THEN CAST(a.cnt - b.cnt AS DOUBLE) / CAST(b.cnt AS DOUBLE)
-          END AS pct_change
-      FROM d a LEFT JOIN d b ON b.event_type = a.event_type
-        AND b.day = a.day - 7
-      ORDER BY a.event_type, a.day""")
-  )
-
-  private val q168_activity_profile = Q(
-    "q168_activity_profile",
-    // Seasonality heatmap: per event type, counts and shares over
-    // (day-of-week, hour) cells — dow from pure integer arithmetic
-    // ((epoch_day + 4) mod 7), never a calendar function, so both
-    // engines agree by construction.
-    (s, dir) =>
-      graft.operators.TimeSeries.activityProfile(
-        events(s, dir), Seq("event_type"), "ts")
-        .orderBy("event_type", "dow", "hour"),
-    Some("""WITH c AS (SELECT event_type,
-        ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
-        (epoch_us(ts) // 3600000000) % 24 AS hour,
-        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2, 3),
-      t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tt
-        FROM c GROUP BY 1)
-      SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
-        CAST(c.hour AS BIGINT) AS hour, c.n,
-        CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share
-      FROM c JOIN t USING (event_type)
-      ORDER BY c.event_type, dow, hour""")
-  )
-
-  private val q169_triangle_stats = Q(
-    "q169_triangle_stats",
-    // Structure of the near-dup graph: per-node degree, triangle
-    // count, and clustering coefficient over the LSH pair list —
-    // degree-oriented wedge generation (hub fan-out bounded O(sqrt E)),
-    // every join equi-keyed. The oracle rebuilds the exact-Jaccard
-    // pair graph and counts triangles by three-way self-join.
-    (s, dir) =>
-      graft.operators.Graphs.triangleStats(
-        Dedup.minHashLshPairs(
-          table(s, dir, "documents"), "doc_id", "text",
-          n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5),
-        "id_a", "id_b")
-        .orderBy("node"),
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS a, b.doc_id AS b
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-          >= 0.5),
-      d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
-        (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
-        GROUP BY 1),
-      t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM p e1 JOIN p e2 ON e2.a = e1.b
-        JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
-      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
-        (SELECT x AS node FROM t UNION ALL SELECT y FROM t
-         UNION ALL SELECT z FROM t) GROUP BY 1)
-      SELECT d.node, d.degree,
-        CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
-        CASE WHEN d.degree >= 2
-          THEN CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
-            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
-          END AS clustering_coeff
-      FROM d LEFT JOIN tc ON tc.node = d.node ORDER BY d.node""")
-  )
-
-  private val q170_quantile_map = Q(
-    "q170_quantile_map",
-    // Distribution calibration: map the odd-doc token-count
-    // distribution onto the even-doc one at matched ranks — the
-    // values-level quantile-normalization table, exact integer rank
-    // arithmetic, two-phase prefix sums, bucketed interval equi-join
-    // for the rank lookup.
-    (s, dir) => {
-      val d = table(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("toks"))
-      graft.operators.Features.quantileMap(
-        d.filter(col("doc_id") % 2 === 1).select("toks"),
-        d.filter(col("doc_id") % 2 === 0).select("toks"),
-        "toks")
-        .orderBy("value")
-    },
-    Some(s"""WITH b AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS toks
-        FROM documents),
-      s AS (SELECT toks AS v, CAST(count(*) AS BIGINT) AS cnt
-        FROM b WHERE doc_id % 2 = 1 GROUP BY 1),
-      sc AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s),
-      tt AS (SELECT toks AS v, CAST(count(*) AS BIGINT) AS cnt
-        FROM b WHERE doc_id % 2 = 0 GROUP BY 1),
-      tc AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tt),
-      ns AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM s),
-      nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tt),
-      m AS (SELECT sc.v AS value, sc.cum AS n_le, ns.n AS n_src,
-        greatest(1, (sc.cum * nt.n + ns.n - 1) // ns.n)
-          AS target_rank FROM sc, ns, nt)
-      SELECT m.value, m.n_le, m.n_src, m.target_rank,
-        CAST(min(tc.v) AS BIGINT) AS mapped
-      FROM m JOIN tc ON tc.cum >= m.target_rank
-      GROUP BY 1, 2, 3, 4 ORDER BY m.value""")
-  )
-
-  private val q171_tail_index = Q(
-    "q171_tail_index",
-    // Heavy-tail diagnosis: per-source Hill estimator over document
-    // lengths (top-50 tail, bounded collect after a rank filter);
-    // each ln term replayed identically in SQL, descending-order
-    // sequential fold.
-    (s, dir) =>
-      graft.operators.Profile.tailIndex(
-        table(s, dir, "documents"), "source", "n_chars", k = 50)
-        .orderBy("source"),
-    Some("""WITH b AS (SELECT source, n_chars AS v FROM documents
-        WHERE n_chars IS NOT NULL AND n_chars > 0),
-      r AS (SELECT source, v, row_number() OVER
-        (PARTITION BY source ORDER BY v DESC) AS rn FROM b),
-      tk AS (SELECT source, v, rn FROM r WHERE rn <= 51),
-      l AS (SELECT source, list(v ORDER BY rn) AS xs FROM tk
-        GROUP BY 1),
-      agg AS (SELECT source, CAST(len(xs) - 1 AS BIGINT) AS m,
-        CAST(xs[-1] AS BIGINT) AS x_ref,
-        list_aggregate(list_transform(xs[1:len(xs) - 1],
-          x -> ln(CAST(x AS DOUBLE) / CAST(xs[-1] AS DOUBLE))),
-          'sum') AS lnsum
-        FROM l WHERE len(xs) >= 2)
-      SELECT source, m, x_ref,
-        CASE WHEN lnsum <> 0 THEN CAST(m AS DOUBLE) / lnsum END
-          AS alpha
-      FROM agg ORDER BY source""")
-  )
-
-  private val q172_transition_entropy = Q(
-    "q172_transition_entropy",
-    // Flow predictability: per source state, the Shannon entropy of
-    // its outgoing transition distribution — shares are exact-count
-    // divisions, the p·ln p fold runs in to_type-sorted order on
-    // both engines.
-    (s, dir) =>
-      graft.operators.Funnel.transitionEntropy(
-        events(s, dir), "user_id", "event_type", "ts", "event_id")
-        .orderBy("from_type"),
-    Some("""WITH p AS (SELECT user_id,
-        lag(event_type) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id) AS from_type,
-        event_type AS to_type FROM events),
-      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
-      f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
-        FROM c GROUP BY 1),
-      j AS (SELECT c.from_type, c.to_type,
-        CAST(c.n AS DOUBLE) / CAST(f.from_total AS DOUBLE) AS share,
-        f.from_total FROM c JOIN f USING (from_type)),
-      e AS (SELECT from_type, CAST(count(*) AS BIGINT) AS n_next_types,
-        max(from_total) AS from_total,
-        list_aggregate(list_transform(list(share ORDER BY to_type),
-          p -> p * ln(p)), 'sum') AS s
-        FROM j GROUP BY 1)
-      SELECT from_type, n_next_types, from_total, -s AS entropy
-      FROM e ORDER BY from_type""")
-  )
-
-  private val q173_temperature_mix = Q(
-    "q173_temperature_mix",
-    // sqrt-temperature mixture (α = 1/2, the one power IEEE rounds
-    // identically everywhere): per-source masses → √mass weights →
-    // shares off a group-sorted sequential normalizer → floor row
-    // budget at 10k.
-    (s, dir) =>
-      graft.operators.Sampling.temperatureWeights(
-        table(s, dir, "documents")
-          .select(col("source"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "source", "toks", budget = 10000L)
-        .orderBy("source"),
-    Some(s"""WITH b AS (SELECT source, CAST(len($W) AS BIGINT) AS toks
-        FROM documents),
-      m AS (SELECT source, CAST(sum(toks) AS BIGINT) AS mass
-        FROM b GROUP BY 1),
-      w AS (SELECT source, mass, sqrt(CAST(mass AS DOUBLE)) AS w
-        FROM m),
-      t AS (SELECT list_aggregate(list(w ORDER BY source), 'sum')
-        AS tot FROM w)
-      SELECT w.source, w.mass, w.w, w.w / t.tot AS share,
-        CAST(floor(w.w / t.tot * CAST(10000 AS DOUBLE)) AS BIGINT)
-          AS n_target
-      FROM w, t ORDER BY w.source""")
-  )
-
-  private val q174_distinctive_terms = Q(
-    "q174_distinctive_terms",
-    // Corpus forensics: top-5 terms per source by relevance ratio
-    // a·T/(b·Tg) over exact occurrence counts, corpus floor 20 to
-    // kill rare-term inflation; one explode, token-keyed joins,
-    // group-partitioned rank window.
-    (s, dir) =>
-      graft.operators.TfIdf.distinctiveTerms(
-        table(s, dir, "documents"), "source", "text",
-        minCorpusCount = 20L, k = 5)
-        .orderBy("source", "rank"),
-    Some(s"""WITH t AS (SELECT source, unnest($W) AS term
-        FROM documents),
-      bg AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_group
-        FROM t GROUP BY 1, 2),
-      c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_corpus
-        FROM t GROUP BY 1 HAVING count(*) >= 20),
-      gt AS (SELECT source, CAST(sum(n_group) AS BIGINT) AS tg
-        FROM bg GROUP BY 1),
-      ct AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS t FROM c),
-      sc AS (SELECT bg.source, bg.term, bg.n_group, c.n_corpus,
-        (CAST(bg.n_group AS DOUBLE) * CAST(ct.t AS DOUBLE))
-          / (CAST(c.n_corpus AS DOUBLE) * CAST(gt.tg AS DOUBLE))
-          AS score
-        FROM bg JOIN c USING (term) JOIN gt USING (source), ct),
-      r AS (SELECT sc.*, CAST(row_number() OVER (PARTITION BY source
-        ORDER BY score DESC, term) AS BIGINT) AS rank FROM sc)
-      SELECT source, term, n_group, n_corpus, score, rank
-      FROM r WHERE rank <= 5 ORDER BY source, rank""")
-  )
-
-  private val q175_survival_curve = Q(
-    "q175_survival_curve",
-    // Retention survival: users surviving at least each observed
-    // activity span — per-user min/max agg, two-phase >=-cumulative
-    // over the spans frame, one IEEE division for the fraction.
-    (s, dir) =>
-      graft.operators.Funnel.survivalCurve(
-        events(s, dir), "user_id", "ts")
-        .orderBy("span_days"),
-    Some("""WITH u AS (SELECT user_id,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS d FROM events),
-      sp AS (SELECT user_id, max(d) - min(d) AS v FROM u GROUP BY 1),
-      c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM sp
-        GROUP BY 1),
-      s AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v
-        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
-      n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
-      SELECT s.v AS span_days, s.cnt AS n_users,
-        n.n - s.cum + s.cnt AS n_surviving,
-        CAST(n.n - s.cum + s.cnt AS DOUBLE) / CAST(n.n AS DOUBLE)
-          AS survival_frac
-      FROM s, n ORDER BY span_days""")
-  )
-
-  private val q176_containment = Q(
-    "q176_containment",
-    // Asymmetric near-dup: directed containment pairs at 0.8 over
-    // 3-gram sets (wrapper / quote-with-commentary detection) —
-    // one-sided prefix filter against postings, exact HashSet
-    // verify, one division. maxDf=20 is the PPJoin boilerplate
-    // guard: grams in > 20 documents leave the measure entirely
-    // (candidates AND verification), bounding every posting list a
-    // prefix can join — at sf0.01 no gram reaches the cap (results
-    // identical to uncapped); at sf0.1 it retires the ~59 hottest
-    // postings. The oracle re-scores every ordered pair over the
-    // SAME df-capped vocabulary.
-    (s, dir) =>
-      graft.operators.Dedup.containmentPairs(
-        table(s, dir, "documents"), "doc_id", "text",
-        n = 3, minC = 0.8, maxDf = Some(20))
-        .orderBy("id_a", "id_b"),
-    Some(s"""WITH g0 AS (SELECT doc_id, ${ngrams3(W)} AS s0
-        FROM documents),
-      p AS (SELECT doc_id, unnest(s0) AS gm FROM g0),
-      keep AS (SELECT gm FROM (SELECT gm, count(*) AS df FROM p
-        GROUP BY 1) WHERE df <= 20),
-      g AS (SELECT p.doc_id, list(p.gm) AS s FROM p
-        JOIN keep USING (gm) GROUP BY p.doc_id)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
-          AS containment
-      FROM g a JOIN g b ON a.doc_id <> b.doc_id
-      WHERE len(a.s) > 0 AND
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
-          >= 0.8
-      ORDER BY id_a, id_b""")
-  )
-
-  private val q177_gram_novelty = Q(
-    "q177_gram_novelty",
-    // Phrase-level freshness per ingest batch (doc_id div 100):
-    // gram incidences, distinct types, first-seen types, and the
-    // novelty rate — gram-keyed partial aggs, no windows; the
-    // document-level twin is q165.
-    (s, dir) =>
-      graft.operators.LanguageModel.gramNovelty(
-        table(s, dir, "documents")
-          .withColumn("batch", expr("doc_id div 100")),
-        "text", "batch", n = 3)
-        .orderBy("period"),
-    Some(s"""WITH g AS (SELECT doc_id // 100 AS period,
-        unnest(${ngrams3(W)}) AS gm FROM documents),
-      occ AS (SELECT period, CAST(count(*) AS BIGINT) AS n_incidences
-        FROM g GROUP BY 1),
-      ty AS (SELECT DISTINCT period, gm FROM g),
-      tp AS (SELECT period, CAST(count(*) AS BIGINT) AS n_types
-        FROM ty GROUP BY 1),
-      nw AS (SELECT period, CAST(count(*) AS BIGINT) AS n_new_types
-        FROM (SELECT gm, min(period) AS period FROM ty GROUP BY 1)
-        GROUP BY 1)
-      SELECT CAST(occ.period AS BIGINT) AS period, occ.n_incidences,
-        tp.n_types,
-        CAST(COALESCE(nw.n_new_types, 0) AS BIGINT) AS n_new_types,
-        CAST(COALESCE(nw.n_new_types, 0) AS DOUBLE)
-          / CAST(tp.n_types AS DOUBLE) AS novelty_rate
-      FROM occ JOIN tp USING (period) LEFT JOIN nw USING (period)
-      ORDER BY period""")
-  )
-
-  private val q178_crosssource_dups = Q(
-    "q178_crosssource_dups",
-    // Who duplicates whom: near-dup pair counts by unordered source
-    // pair (diagonal = within-source) with the share of all pairs —
-    // the mirror-site / syndication report on top of the LSH pair
-    // graph.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(
-        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
-        minJ = 0.5)
-      val src = docs.select(col("doc_id"), col("source"))
-      val tagged = pairs
-        .join(src.select(col("doc_id").as("id_a"),
-          col("source").as("_sa")), "id_a")
-        .join(src.select(col("doc_id").as("id_b"),
-          col("source").as("_sb")), "id_b")
-        .select(least(col("_sa"), col("_sb")).as("source_a"),
-          greatest(col("_sa"), col("_sb")).as("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(count(lit(1)).as("n_pairs"))
-      val total = tagged.agg(sum("n_pairs").as("_t"))
-      tagged.crossJoin(broadcast(total))
-        .select(col("source_a"), col("source_b"), col("n_pairs"),
-          (col("n_pairs").cast("double") / col("_t").cast("double"))
-            .as("share"))
-        .orderBy("source_a", "source_b")
-    },
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-          >= 0.5),
-      t AS (SELECT least(da.source, db.source) AS source_a,
-          greatest(da.source, db.source) AS source_b,
-          CAST(count(*) AS BIGINT) AS n_pairs
-        FROM p JOIN documents da ON da.doc_id = p.id_a
-        JOIN documents db ON db.doc_id = p.id_b
-        GROUP BY 1, 2),
-      tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM t)
-      SELECT t.source_a, t.source_b, t.n_pairs,
-        CAST(t.n_pairs AS DOUBLE) / CAST(tt.t AS DOUBLE) AS share
-      FROM t, tt ORDER BY t.source_a, t.source_b""")
-  )
-
-  private val q179_burstiness = Q(
-    "q179_burstiness",
-    // Behavioral screen: per-user Fano factor (variance/mean of
-    // daily event counts over active days) — exact integer moments,
-    // ONE IEEE division; single-active-day users emit null.
-    (s, dir) =>
-      graft.operators.Profile.fanoFactor(
-        events(s, dir), Seq("user_id"), "ts")
-        .orderBy("user_id"),
-    Some("""WITH d AS (SELECT user_id,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
-      m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
-        CAST(sum(c) AS BIGINT) AS total,
-        CAST(sum(c * c) AS BIGINT) AS ssq FROM d GROUP BY 1)
-      SELECT user_id, n_days, total,
-        CASE WHEN n_days > 1 THEN
-          CAST(n_days * ssq - total * total AS DOUBLE)
-            / CAST((n_days - 1) * total AS DOUBLE) END AS fano
-      FROM m ORDER BY user_id""")
-  )
-
-  private val q128_jaccard_search = Q(
-    "q128_jaccard_search",
-    // Single-query Jaccard document search (the dedup-as-a-service
-    // lookup): top-20 documents by exact 3-gram Jaccard against one
-    // query text — one corpus scan, the query's grams ride as an
-    // array literal through codegen'd array_intersect, top-k is a
-    // TakeOrdered. The oracle rebuilds the query's shingles from the
-    // same literal and re-scores every document.
-    (s, dir) =>
-      graft.operators.TfIdf.jaccardTopK(
-        table(s, dir, "documents"), "doc_id", "text",
-        query = "part filter scan slow table key value hash batch row",
-        k = 20)
-        .select(col("rank"), col("id").as("doc_id"), col("jaccard"))
-        .orderBy("rank"),
-    Some {
-      val qw = "list_filter(str_split(" +
-        "'part filter scan slow table key value hash batch row', ' '), " +
-        "x -> x <> '')"
-      s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
-      q AS (SELECT ${ngrams3(qw)} AS qs),
-      j AS (SELECT doc_id,
-        CAST(len(list_intersect(s, qs)) AS DOUBLE) /
-          (len(s) + len(qs) - len(list_intersect(s, qs))) AS jaccard
-        FROM g CROSS JOIN q
-        WHERE len(list_intersect(s, qs)) > 0)
-      SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, doc_id)
-        AS BIGINT) AS rank, doc_id, jaccard
-      FROM j ORDER BY jaccard DESC, doc_id LIMIT 20"""
-    }
-  )
-
-  private val q129_mad_outliers = Q(
-    "q129_mad_outliers",
-    // Robust outlier screen: events whose value deviates from their
-    // type's median by more than 3x the MAD (both medians = the
-    // lower-interpolation order statistic at integer rank
-    // (n-1) div 2 + 1 — exact cross-engine, no percentile
-    // interpolation conventions). Two key-partitioned rank windows,
-    // group medians move as single rows.
-    (s, dir) =>
-      graft.operators.Profile.madOutliers(
-        events(s, dir), Seq("event_type"), "event_id", "value", cut = 3.0)
-        .select(col("event_type"), col("id").as("event_id"),
-          col("value"), col("med"), col("mad"))
-        .orderBy("event_type", "event_id"),
-    Some("""WITH b AS (SELECT event_type, event_id, value FROM events
-        WHERE value IS NOT NULL),
-      mr AS (SELECT event_type, event_id, value,
-        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-        count(*) OVER (PARTITION BY event_type) AS n FROM b),
-      med AS (SELECT event_type, value AS med FROM mr
-        WHERE rn = (n - 1) // 2 + 1),
-      d AS (SELECT b.event_type, b.event_id, b.value, med.med,
-        abs(b.value - med.med) AS dev FROM b JOIN med USING (event_type)),
-      dr AS (SELECT event_type, dev,
-        row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
-        count(*) OVER (PARTITION BY event_type) AS n FROM d),
-      mad AS (SELECT event_type, dev AS mad FROM dr
-        WHERE rn = (n - 1) // 2 + 1)
-      SELECT d.event_type, d.event_id, d.value, d.med, mad.mad
-      FROM d JOIN mad USING (event_type)
-      WHERE d.dev > 3.0 * mad.mad
-      ORDER BY event_type, event_id""")
-  )
-
-  private val q130_trailing_window = Q(
-    "q130_trailing_window",
-    // Trailing 30-day spend per customer at every order: the one
-    // window shape that genuinely needs a time-RANGE frame (same-day
-    // peers all enter; empty days still age rows out — a ROWS frame
-    // can express neither). One custkey-partitioned range window on
-    // epoch days; currency goes to integer cents (floor(x*100+0.5),
-    // bitwise on both engines) so the frame sum is add-order-free.
-    (s, dir) =>
-      graft.operators.TimeSeries.trailingWindow(
-        table(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-            floor(col("o_totalprice") * lit(100.0) + lit(0.5))
-              .cast("long").as("cents")),
-        Seq("o_custkey"), "o_orderdate", "cents", windowDays = 30)
-        .select(col("o_orderkey"), col("o_custkey"), col("day"),
-          col("cents"), col("trail_sum").as("trail_cents"),
-          col("trail_cnt"))
-        .orderBy("o_orderkey"),
-    Some("""WITH b AS (SELECT o_orderkey, o_custkey,
-        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
-        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM orders)
-      SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day, cents,
-        CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
-          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
-          AS trail_cents,
-        CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
-          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
-          AS trail_cnt
-      FROM b ORDER BY o_orderkey""")
-  )
-
-  private val q131_filter_attrition = Q(
-    "q131_filter_attrition",
-    // Staged-filter attrition: where did the corpus go? Four drop
-    // rules in pipeline order (short, wrong-lang, long-words,
-    // too-long), each document charged to the FIRST rule that fires
-    // (19/143/3/61 eliminated at sf0.01, 274 kept). One aggregation
-    // pass — the whole report is sum(case) columns on a single row;
-    // no intermediate filtered corpus, no window. Predicates stay on
-    // integer counts so the cross-engine compare is exact; the one
-    // double (pct_of_input) is a single IEEE division.
-    (s, dir) =>
-      graft.operators.Curation.filterAttrition(
-        table(s, dir, "documents"),
-        Seq(
-          "short" -> (TextFunctions.tokenCount(col("text")) < 15),
-          "wrong_lang" -> !col("lang").isin("en", "de", "fr"),
-          "long_words" ->
-            (col("n_chars") > lit(6L) * TextFunctions.tokenCount(col("text"))),
-          "too_long" -> (col("n_chars") > 450)))
-        .orderBy("stage_idx"),
-    Some(s"""WITH ff AS (SELECT CASE
-        WHEN len($W) < 15 THEN 0
-        WHEN lang NOT IN ('en','de','fr') THEN 1
-        WHEN n_chars > 6*len($W) THEN 2
-        WHEN n_chars > 450 THEN 3
-        ELSE 4 END AS ff FROM documents),
-      c AS (SELECT CAST(count(*) AS BIGINT) AS total,
-        CAST(sum(CASE WHEN ff=0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        CAST(sum(CASE WHEN ff=1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-        CAST(sum(CASE WHEN ff=2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-        CAST(sum(CASE WHEN ff=3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
-        FROM ff)
-      SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
-        CAST(0 AS BIGINT) AS eliminated, total AS remaining,
-        0.0 AS pct_of_input FROM c
-      UNION ALL SELECT 1, 'short', c0, total - c0,
-        CAST(c0 AS DOUBLE) / total FROM c
-      UNION ALL SELECT 2, 'wrong_lang', c1, total - c0 - c1,
-        CAST(c1 AS DOUBLE) / total FROM c
-      UNION ALL SELECT 3, 'long_words', c2, total - c0 - c1 - c2,
-        CAST(c2 AS DOUBLE) / total FROM c
-      UNION ALL SELECT 4, 'too_long', c3, total - c0 - c1 - c2 - c3,
-        CAST(c3 AS DOUBLE) / total FROM c
-      ORDER BY stage_idx""")
-  )
-
-  private val q132_gini = Q(
-    "q132_gini",
-    // Per-source Gini concentration of token mass: the mixture-design
-    // diagnostic next to raw row counts. Integer rank sums (one
-    // source-partitioned rank window, tie order provably irrelevant),
-    // two IEEE divisions in a fixed order — bitwise cross-engine.
-    (s, dir) =>
-      graft.operators.Profile.giniConcentration(
-        table(s, dir, "documents")
-          .select(col("source"), col("doc_id"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "source", "doc_id", "toks")
-        .orderBy("source"),
-    Some(s"""WITH b AS (SELECT source, doc_id,
-        CAST(len($W) AS BIGINT) AS toks FROM documents),
-      r AS (SELECT source, toks, CAST(row_number() OVER
-        (PARTITION BY source ORDER BY toks, doc_id) AS BIGINT) AS rk
-        FROM b),
-      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(toks) AS BIGINT) AS total,
-        CAST(sum(rk * toks) AS BIGINT) AS ws FROM r GROUP BY source)
-      SELECT source, n_docs, total,
-        CASE WHEN total = 0 THEN NULL ELSE
-          2.0 * ws / (n_docs * total) - (n_docs + 1.0) / n_docs
-        END AS gini
-      FROM a ORDER BY source""")
-  )
-
-  private val q133_mutual_info = Q(
-    "q133_mutual_info",
-    // Is `source` already telling me the `lang`? Categorical MI +
-    // entropies over the documents pair domain. Every p*ln(...) sum
-    // is a sequential fold over SORTED cells (add-order-pinned);
-    // each term's ln takes one division of two exact integer
-    // products. ln itself is the one libm-vs-JVM seam (1-ulp
-    // divergence on some inputs), so outputs round to 6 decimals on
-    // both engines — the q94 convention.
-    (s, dir) =>
-      graft.operators.Profile.mutualInfo(
-        table(s, dir, "documents"), "lang", "source")
-        .select(col("n"), round(col("h_a"), 6).as("h_a"),
-          round(col("h_b"), 6).as("h_b"), round(col("h_ab"), 6).as("h_ab"),
-          round(col("mi"), 6).as("mi"), round(col("nmi"), 6).as("nmi")),
-    Some("""WITH b AS (SELECT lang AS a, source AS b FROM documents
-        WHERE lang IS NOT NULL AND source IS NOT NULL),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
-      c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
-        FROM b GROUP BY a, b),
-      ca AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY a),
-      cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY b),
-      j AS (SELECT c.a, c.b,
-          (c.c / n.n) * ln(CAST(c.c * n.n AS DOUBLE) / (ca.ca * cb.cb))
-            AS mt,
-          -(c.c / n.n) * ln(c.c / n.n) AS ht
-        FROM c, n
-        JOIN ca ON c.a = ca.a
-        JOIN cb ON c.b = cb.b),
-      joint AS (SELECT
-          list_aggregate(list(mt ORDER BY a, b), 'sum') AS mi,
-          list_aggregate(list(ht ORDER BY a, b), 'sum') AS h_ab FROM j),
-      ha AS (SELECT list_aggregate(
-          list(-(ca / n.n) * ln(ca / n.n) ORDER BY a), 'sum') AS h_a
-        FROM ca, n),
-      hb AS (SELECT list_aggregate(
-          list(-(cb / n.n) * ln(cb / n.n) ORDER BY b), 'sum') AS h_b
-        FROM cb, n)
-      SELECT n.n AS n, round(ha.h_a, 6) AS h_a, round(hb.h_b, 6) AS h_b,
-        round(joint.h_ab, 6) AS h_ab, round(joint.mi, 6) AS mi,
-        CASE WHEN ha.h_a * hb.h_b = 0.0 THEN NULL
-          ELSE round(joint.mi / sqrt(ha.h_a * hb.h_b), 6) END AS nmi
-      FROM n, ha, hb, joint""")
-  )
-
-  private val q134_incremental_agg = Q(
-    "q134_incremental_agg",
-    // Incremental view maintenance: the daily per-type aggregate
-    // table maintained by MERGING two batch states (events split by
-    // event_id parity) — the oracle recomputes the view from ALL raw
-    // rows, so the hash compare IS the "merged == full recompute"
-    // theorem on real data. Merge inputs are state-sized, never the
-    // old corpus. Null values count toward n but not the folds, on
-    // both engines.
-    (s, dir) => {
-      val ev = events(s, dir).select(col("event_type"),
-        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
-          .cast("long").as("day"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-          .as("cents"),
-        col("event_id"))
-      val st = graft.operators.Incremental.buildState(
-        ev.filter(col("event_id") % 2 === 0).drop("event_id"),
-        Seq("event_type", "day"), "cents")
-      val dl = graft.operators.Incremental.buildState(
-        ev.filter(col("event_id") % 2 =!= 0).drop("event_id"),
-        Seq("event_type", "day"), "cents")
-      graft.operators.Incremental.mergeStates(st, dl)
-        .orderBy("event_type", "day")
-    },
-    Some("""WITH b AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(cents) AS BIGINT) AS sum_v,
-        min(cents) AS min_v, max(cents) AS max_v
-      FROM b GROUP BY event_type, day ORDER BY event_type, day""")
-  )
-
-  private val q135_stream_ingest_agg = Q(
-    "q135_stream_ingest_agg",
-    // Continuous aggregate-view maintenance, oracle-backed end to
-    // end: the events corpus arrives as TWO micro-batches (event_id
-    // parity halves) through ingestAggStream; each batch folds into
-    // its own state delta and the emitted view is the state-sized
-    // merge of the deltas — the oracle recomputes the view from ALL
-    // raw events, so the hash compare is "streamed view == full
-    // recompute" on the real foreachBatch path. Fixture halves are
-    // session-cached (prep out of the timed region, the q101
-    // convention); the scratch tree dies with the invocation.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q135_").toString
-      try {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val (h1, h2) = cachedFixture(s"q135:$dir") {
-          val ev = events(s, dir).select(
-            col("event_id"), col("event_type"),
-            datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
-              .cast("long").as("day"),
-            floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
-              .as("cents"))
-          def half(p: org.apache.spark.sql.Column) =
-            ev.filter(p).select("event_type", "day", "cents")
-              .as[(String, Long, Option[Long])].collect().toSeq
-          (half(col("event_id") % 2 === 0), half(col("event_id") % 2 =!= 0))
-        }
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, Long, Option[Long])]
-        val q = graft.streaming.Streams.ingestAggStream(
-          mem.toDF().toDF("event_type", "day", "cents")
-            .repartition(s.sparkContext.defaultParallelism),
-          Seq("event_type", "day"), "cents",
-          stateDir = s"$base/state", checkpointDir = s"$base/ckpt")
-        try {
-          mem.addData(h1)
-          q.processAllAvailable() // batch 0 -> delta=0
-          mem.addData(h2)
-          q.processAllAvailable() // batch 1 -> delta=1
-        } finally q.stop()
-        collectToLocal(
-          graft.streaming.Streams.aggView(s, s"$base/state"),
-          "q135 agg view")
-          .orderBy("event_type", "day")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      }
-    },
-    Some("""WITH b AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-      SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(cents) AS BIGINT) AS sum_v,
-        min(cents) AS min_v, max(cents) AS max_v
-      FROM b GROUP BY event_type, day ORDER BY event_type, day""")
-  )
-
-  private val q180_stream_expectations = Q(
-    "q180_stream_expectations",
-    // Continuous data-contract enforcement, oracle-backed end to
-    // end: the events corpus arrives as TWO micro-batches (event_id
-    // parity halves) through expectationsStream; each batch's audit
-    // verdicts land in the batch-keyed parquet ledger (idempotent
-    // replay by overwrite) and the oracle recomputes every per-half
-    // violation count from the raw events.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q180_").toString
-      try {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val (h1, h2) = cachedFixture(s"q180:$dir") {
-          val ev = events(s, dir)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              col("value"))
-          def half(p: org.apache.spark.sql.Column) =
-            ev.filter(p).select("user_id", "event_type", "value")
-              .as[(Option[Long], String, Option[Double])].collect().toSeq
-          (half(col("event_id") % 2 === 0),
-            half(col("event_id") % 2 =!= 0))
-        }
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Option[Long], String, Option[Double])]
-        val checks = Seq(
-          "type_accepted" -> col("event_type").isin(
-            "click", "view", "purchase", "signup", "error"),
-          "user_not_null" -> col("user_id").isNotNull,
-          "value_range" -> col("value").between(0.0, 50.0))
-        val q = graft.streaming.Streams.expectationsStream(
-          mem.toDF().toDF("user_id", "event_type", "value")
-            .repartition(s.sparkContext.defaultParallelism),
-          checks, s"$base/ledger", s"$base/ckpt")
-        try {
-          mem.addData(h1)
-          q.processAllAvailable()
-          mem.addData(h2)
-          q.processAllAvailable()
-        } finally q.stop()
-        collectToLocal(
-          graft.streaming.Streams.expectationsLedger(s, s"$base/ledger")
-            .select(col("batch").cast("long").as("batch_id"),
-              col("rule"), col("kind"), col("violations"),
-              col("total"), col("pass")),
-          "q180 expectations ledger")
-          .orderBy("batch_id", "rule")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(base))
-      }
-    },
-    Some("""WITH b AS (SELECT event_id % 2 AS half, user_id,
-        event_type, value FROM events),
-      t AS (SELECT half, CAST(count(*) AS BIGINT) AS total
-        FROM b GROUP BY 1),
-      r AS (
-        SELECT half, 'type_accepted' AS rule, 'row' AS kind,
-          CAST(sum(CASE WHEN COALESCE(event_type IN ('click', 'view',
-            'purchase', 'signup', 'error'), FALSE)
-            THEN 0 ELSE 1 END) AS BIGINT) AS violations
-          FROM b GROUP BY 1
-        UNION ALL SELECT half, 'user_not_null', 'row',
-          CAST(sum(CASE WHEN user_id IS NOT NULL
-            THEN 0 ELSE 1 END) AS BIGINT) FROM b GROUP BY 1
-        UNION ALL SELECT half, 'value_range', 'row',
-          CAST(sum(CASE WHEN COALESCE(
-            value BETWEEN 0.0 AND 50.0, FALSE)
-            THEN 0 ELSE 1 END) AS BIGINT) FROM b GROUP BY 1)
-      SELECT CAST(r.half AS BIGINT) AS batch_id, r.rule, r.kind,
-        r.violations, t.total, r.violations = 0 AS pass
-      FROM r JOIN t USING (half) ORDER BY batch_id, rule""")
-  )
-
-  private val q181_join_advisor = Q(
-    "q181_join_advisor",
-    // Join pre-flight: lineitem x supplier sized and skew-profiled
-    // into one decision row — two key-aggregated counts, rule-based
-    // recommendation (the tiny supplier side broadcasts).
-    (s, dir) =>
-      graft.operators.Skew.joinAdvisor(
-        table(s, dir, "lineitem"), "l_suppkey",
-        table(s, dir, "supplier"), "s_suppkey"),
-    Some("""WITH lc AS (SELECT l_suppkey AS k,
-        CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
-      la AS (SELECT CAST(sum(n) AS BIGINT) AS left_rows,
-        CAST(COALESCE(sum(CASE WHEN k IS NULL THEN n END), 0)
-          AS BIGINT) AS left_null_keys,
-        CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
-          AS left_top_share FROM lc),
-      rc AS (SELECT s_suppkey AS k,
-        CAST(count(*) AS BIGINT) AS n FROM supplier GROUP BY 1),
-      ra AS (SELECT CAST(sum(n) AS BIGINT) AS right_rows,
-        CAST(COALESCE(sum(CASE WHEN k IS NULL THEN n END), 0)
-          AS BIGINT) AS right_null_keys,
-        CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
-          AS right_top_share FROM rc)
-      SELECT la.left_rows, la.left_null_keys, la.left_top_share,
-        ra.right_rows, ra.right_null_keys, ra.right_top_share,
-        CASE WHEN la.left_rows <= 1000000
-            AND la.left_rows <= ra.right_rows THEN 'broadcast_left'
-          WHEN ra.right_rows <= 1000000 THEN 'broadcast_right'
-          WHEN la.left_top_share >= 0.2 OR ra.right_top_share >= 0.2
-            THEN 'salted_shuffle'
-          ELSE 'shuffle' END AS recommendation
-      FROM la, ra""")
-  )
-
-  private val q182_provenance = Q(
-    "q182_provenance",
-    // Tamper-evident ingest ledger over 100-doc batches: per-period
-    // XOR of md5-lower-64 row signatures (order-free partial agg) +
-    // row count, chained through md5 in period order (bounded fold,
-    // genesis-seeded). The oracle rebuilds every signature, XOR, and
-    // chain link via a recursive CTE.
-    (s, dir) =>
-      graft.operators.Profile.provenanceLedger(
-        table(s, dir, "documents")
-          .withColumn("batch", expr("doc_id div 100")),
-        "doc_id", "text", "batch")
-        .orderBy("period"),
-    Some("""WITH RECURSIVE b AS (SELECT doc_id // 100 AS period,
-        md5_number_lower(CAST(doc_id AS VARCHAR) || ':'
-          || COALESCE(text, '')) AS us FROM documents),
-      sgn AS (SELECT period,
-        CAST(CASE WHEN us >= 9223372036854775808::HUGEINT
-          THEN us - 18446744073709551616::HUGEINT
-          ELSE us END AS BIGINT) AS sig FROM b),
-      per AS (SELECT period, CAST(count(*) AS BIGINT) AS n_rows,
-        CAST(bit_xor(sig) AS BIGINT) AS xor_sig FROM sgn GROUP BY 1),
-      seq AS (SELECT per.*, CAST(row_number() OVER (ORDER BY period)
-        AS BIGINT) AS rn FROM per),
-      ch AS (
-        SELECT rn, period, n_rows, xor_sig,
-          md5('genesis' || ':' || CAST(period AS VARCHAR) || ':'
-            || CAST(xor_sig AS VARCHAR) || ':'
-            || CAST(n_rows AS VARCHAR)) AS chain_hash
-        FROM seq WHERE rn = 1
-        UNION ALL
-        SELECT s.rn, s.period, s.n_rows, s.xor_sig,
-          md5(c.chain_hash || ':' || CAST(s.period AS VARCHAR) || ':'
-            || CAST(s.xor_sig AS VARCHAR) || ':'
-            || CAST(s.n_rows AS VARCHAR))
-        FROM ch c JOIN seq s ON s.rn = c.rn + 1)
-      SELECT CAST(period AS BIGINT) AS period, n_rows, xor_sig,
-        chain_hash
-      FROM ch ORDER BY period""")
-  )
-
-  private val q136_feature_scale = Q(
-    "q136_feature_scale",
-    // Per-source feature scaling of token counts: percent_rank (rank
-    // arithmetic, ties share) + z-score whose group moments are
-    // exact 64-bit integers — every float step afterwards is a fixed
-    // IEEE sequence (mean, m2, sample std via correctly-rounded
-    // sqrt), so the compare is bitwise with NO rounding crutch.
-    (s, dir) =>
-      graft.operators.Features.scaleBy(
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "source", "toks")
-        .select(col("doc_id"), col("source"), col("toks"),
-          col("pct_rank"), col("z"))
-        .orderBy("doc_id"),
-    Some(s"""WITH b AS (SELECT doc_id, source,
-        CAST(len($W) AS BIGINT) AS toks FROM documents),
-      m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(toks) AS BIGINT) AS s,
-        CAST(sum(toks * toks) AS BIGINT) AS ss FROM b GROUP BY source)
-      SELECT b.doc_id, b.source, b.toks,
-        percent_rank() OVER (PARTITION BY b.source ORDER BY b.toks)
-          AS pct_rank,
-        CASE WHEN m.n > 1 AND
-            sqrt(greatest(0.0, CAST(ss AS DOUBLE)
-              - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n))
-              / (n - 1)) <> 0.0
-          THEN (CAST(b.toks AS DOUBLE) - CAST(s AS DOUBLE) / n)
-            / sqrt(greatest(0.0, CAST(ss AS DOUBLE)
-              - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n))
-              / (n - 1))
-          ELSE NULL END AS z
-      FROM b JOIN m USING (source) ORDER BY b.doc_id""")
-  )
-
-  private val q137_weighted_median = Q(
-    "q137_weighted_median",
-    // Token-weighted lower median of document length per source: the
-    // n_chars level where half the source's TOKEN MASS sits — the
-    // threshold statistic that doesn't over-count short docs. Pure
-    // 64-bit cumulative arithmetic, no interpolation convention.
-    (s, dir) =>
-      graft.operators.Profile.weightedMedian(
-        table(s, dir, "documents")
-          .select(col("source"), col("doc_id"), col("n_chars"),
-            TextFunctions.tokenCount(col("text")).as("toks")),
-        "source", "doc_id", "n_chars", "toks")
-        .orderBy("source"),
-    Some(s"""WITH b AS (SELECT source, doc_id, n_chars,
-        CAST(len($W) AS BIGINT) AS w FROM documents
-        WHERE n_chars IS NOT NULL AND len($W) <> 0),
-      t AS (SELECT source, CAST(sum(w) AS BIGINT) AS total_w
-        FROM b GROUP BY source),
-      c AS (SELECT source, n_chars, CAST(sum(w) OVER
-          (PARTITION BY source ORDER BY n_chars, doc_id
-           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM b)
-      SELECT c.source, t.total_w,
-        CAST(min(c.n_chars) AS BIGINT) AS med_v
-      FROM c JOIN t USING (source)
-      WHERE c.cw >= (t.total_w + 1) // 2
-      GROUP BY c.source, t.total_w ORDER BY c.source""")
-  )
-
-  private val q138_sliding_distinct = Q(
-    "q138_sliding_distinct",
-    // Trailing 7-day distinct users per event type: distinct doesn't
-    // sum across days, so the exact path collapses to daily-distinct
-    // rows then fans each out to the bounded window of target days;
-    // the at-scale twin rides ONE HLL SKETCH per day through the
-    // same fan-out (constant bytes per day regardless of
-    // cardinality) and is gated within 5% of exact per cell in-job.
-    // The oracle re-derives every trailing count with a day-range
-    // self-join.
-    (s, dir) =>
-      graft.operators.Sketches.slidingDistinctReport(
-        events(s, dir).select(col("event_type"),
-          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
-            .cast("long").as("day"),
-          col("user_id")),
-        Seq("event_type"), "day", "user_id", windowDays = 7)
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT DISTINCT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day, user_id FROM events),
-      days AS (SELECT DISTINCT event_type, day FROM d)
-      SELECT days.event_type, days.day,
-        CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_distinct
-      FROM days JOIN d ON d.event_type = days.event_type
-        AND d.day BETWEEN days.day - 6 AND days.day
-      GROUP BY days.event_type, days.day
-      ORDER BY days.event_type, days.day""")
-  )
-
-  private val q139_heavy_keys = Q(
-    "q139_heavy_keys",
-    // Shuffle pre-flight: the exact top-10 lineitem supplier keys by
-    // row count with their table share — the report that decides
-    // between plain groupBy, salting, or AQE trust before paying the
-    // real shuffle. Total order (count desc, key asc nulls first) so
-    // the cutoff is deterministic; rank via the bounded no-window
-    // path; share is one IEEE division against a broadcast total.
-    (s, dir) =>
-      graft.operators.Skew.heavyKeys(
-        table(s, dir, "lineitem"), "l_suppkey", topK = 10)
-        .orderBy("rank"),
-    Some("""WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
-        FROM lineitem GROUP BY l_suppkey),
-      t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
-      r AS (SELECT l_suppkey, n, CAST(row_number() OVER
-          (ORDER BY n DESC, l_suppkey NULLS FIRST) AS BIGINT) AS rank
-        FROM c)
-      SELECT r.l_suppkey, r.n, CAST(r.n AS DOUBLE) / t.t AS share, r.rank
-      FROM r, t WHERE r.rank <= 10 ORDER BY r.rank""")
-  )
-
-  private val q140_normalize_text = Q(
-    "q140_normalize_text",
-    // Canonical text cleanup via the native graft_nfc expression:
-    // every document is deterministically dirtied in-query
-    // (decomposed e+combining-acute prefix, tab, trailing
-    // a+combining-ring — the byte-noise a real crawl carries), then
-    // normalized: controls->space, space runs collapse, trim,
-    // Unicode NFC. The oracle replays the identical pipeline with
-    // DuckDB's nfc_normalize — UAX #15 makes the two engines agree
-    // bitwise on the full output string, which the hash compare
-    // checks character-for-character.
-    (s, dir) => {
-      val dirty = concat(lit("e\u0301  "), col("text"),
-        lit(" \t a\u030A"))
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.normalizeText(dirty).as("norm"))
-        .withColumn("norm_chars", length(col("norm")).cast("long"))
-        .orderBy("doc_id")
-    },
-    Some("""SELECT doc_id,
-        nfc_normalize(trim(regexp_replace(regexp_replace(
-          'e' || chr(769) || '  ' || text || ' ' || chr(9) || ' a'
-            || chr(778),
-          '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS norm,
-        CAST(length(nfc_normalize(trim(regexp_replace(regexp_replace(
-          'e' || chr(769) || '  ' || text || ' ' || chr(9) || ' a'
-            || chr(778),
-          '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT)
-          AS norm_chars
-      FROM documents ORDER BY doc_id""")
-  )
-
-  private val q141_integrity_audit = Q(
-    "q141_integrity_audit",
-    // Referential-integrity audit over the star schema's five FK
-    // edges: null keys + orphans (rows an inner join would silently
-    // drop) per edge, via narrow key aggregates and anti-joins
-    // against distinct parent keys. The fixture is clean — zero
-    // orphans IS the assertion; ProfileSpec plants orphans to prove
-    // the counters count.
-    (s, dir) => {
-      import graft.operators.Profile.FkEdge
-      def t(n: String) = table(s, dir, n)
-      graft.operators.Profile.integrityAudit(Seq(
-        FkEdge("lineitem_order", t("lineitem"), "l_orderkey",
-          t("orders"), "o_orderkey"),
-        FkEdge("lineitem_part", t("lineitem"), "l_partkey",
-          t("part"), "p_partkey"),
-        FkEdge("lineitem_supplier", t("lineitem"), "l_suppkey",
-          t("supplier"), "s_suppkey"),
-        FkEdge("orders_customer", t("orders"), "o_custkey",
-          t("customer"), "c_custkey"),
-        FkEdge("customer_nation", t("customer"), "c_nationkey",
-          t("nation"), "n_nationkey")))
-        .orderBy("edge")
-    },
-    Some("""WITH e1 AS (SELECT 'lineitem_order' AS edge,
-        CAST(count(*) AS BIGINT) AS n_child,
-        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_null_keys,
-        CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL AND
-          l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-          AS BIGINT) AS n_orphans,
-        CAST(count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey IS NOT
-          NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-          AS BIGINT) AS n_orphan_keys FROM lineitem),
-      e2 AS (SELECT 'lineitem_part',
-        CAST(count(*) AS BIGINT),
-        CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        CAST(count(*) FILTER (WHERE l_partkey IS NOT NULL AND
-          l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT),
-        CAST(count(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT
-          NULL AND l_partkey NOT IN (SELECT p_partkey FROM part))
-          AS BIGINT) FROM lineitem),
-      e3 AS (SELECT 'lineitem_supplier',
-        CAST(count(*) AS BIGINT),
-        CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        CAST(count(*) FILTER (WHERE l_suppkey IS NOT NULL AND
-          l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT),
-        CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_suppkey IS NOT
-          NULL AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
-          AS BIGINT) FROM lineitem),
-      e4 AS (SELECT 'orders_customer',
-        CAST(count(*) AS BIGINT),
-        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL AND
-          o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
-        CAST(count(DISTINCT o_custkey) FILTER (WHERE o_custkey IS NOT
-          NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer))
-          AS BIGINT) FROM orders),
-      e5 AS (SELECT 'customer_nation',
-        CAST(count(*) AS BIGINT),
-        CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
-          AS BIGINT),
-        CAST(count(*) FILTER (WHERE c_nationkey IS NOT NULL AND
-          c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT),
-        CAST(count(DISTINCT c_nationkey) FILTER (WHERE c_nationkey IS
-          NOT NULL AND c_nationkey NOT IN
-          (SELECT n_nationkey FROM nation)) AS BIGINT) FROM customer)
-      SELECT * FROM e1 UNION ALL SELECT * FROM e2
-      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
-      UNION ALL SELECT * FROM e5 ORDER BY edge""")
-  )
-
-  private val q142_mixture_plan = Q(
-    "q142_mixture_plan",
-    // The mixture designer's bill before materializing: q109's exact
-    // integer math (target = floor(budget*w/sumW), epochs = integer
-    // div) as a per-source report — src0 upsamples ~3.5x, src1 ~1.8x,
-    // src2/src3 run fractional epochs, and a source named in the
-    // weights but absent from the corpus (srcX) reports zero current
-    // tokens and a null rate instead of a log line.
-    (s, dir) =>
-      graft.operators.Sampling.mixturePlan(
-        table(s, dir, "documents"), "source", "text",
-        weights = Map(
-          "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
-          "src3" -> 0.125, "srcX" -> 0.0),
-        budgetTokens = 10000L)
-        .orderBy("source"),
-    Some(s"""WITH cur AS (SELECT source,
-        CAST(sum(len($W)) AS BIGINT) AS current_tokens
-        FROM documents WHERE source IN ('src0','src1','src2','src3')
-        GROUP BY source),
-      tgt AS (SELECT * FROM (VALUES
-        ('src0', CAST(floor(10000 * (0.5 / 1.0)) AS BIGINT)),
-        ('src1', CAST(floor(10000 * (0.25 / 1.0)) AS BIGINT)),
-        ('src2', CAST(floor(10000 * (0.125 / 1.0)) AS BIGINT)),
-        ('src3', CAST(floor(10000 * (0.125 / 1.0)) AS BIGINT)),
-        ('srcX', CAST(floor(10000 * (0.0 / 1.0)) AS BIGINT)))
-        AS t(source, target_tokens))
-      SELECT tgt.source, tgt.target_tokens,
-        CAST(coalesce(cur.current_tokens, 0) AS BIGINT) AS current_tokens,
-        CASE WHEN coalesce(cur.current_tokens, 0) > 0
-          THEN tgt.target_tokens // cur.current_tokens END AS epochs,
-        CASE WHEN coalesce(cur.current_tokens, 0) > 0
-          THEN tgt.target_tokens
-            - (tgt.target_tokens // cur.current_tokens)
-              * cur.current_tokens END AS remainder_tokens,
-        CASE WHEN coalesce(cur.current_tokens, 0) > 0
-          THEN CAST(tgt.target_tokens AS DOUBLE) / cur.current_tokens
-          END AS rate
-      FROM tgt LEFT JOIN cur USING (source) ORDER BY tgt.source""")
-  )
-
-  private val q108_heavy_hitters = Q(
-    "q108_heavy_hitters",
-    // Exact heavy hitters at bounded memory: Misra-Gries summaries
-    // per partition tree-merged into a provably-complete candidate
-    // set (every token with count > N/k survives the merge), then an
-    // In-pruned exact verify pass — bitwise the full-shuffle GROUP BY
-    // answer without ever shuffling the token stream. The fixture's
-    // near-flat 31-token vocab makes the sketch trivially exact here
-    // (k=64 > |vocab|); HeavyHittersSpec is where the decrement and
-    // merge paths earn their keep, on skewed streams cut across
-    // adversarial partitionings.
-    (s, dir) =>
-      graft.operators.HeavyHitters.heavyTokens(
-        table(s, dir, "documents"), "text", k = 64),
-    Some(s"""WITH toks AS (SELECT unnest($W) AS token FROM documents),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
-      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
-        FROM toks GROUP BY token)
-      SELECT token, cnt FROM c, n WHERE cnt * 64 > n.n
-      ORDER BY cnt DESC, token""")
-  )
-
-  private val q109_epoch_mixture = Q(
-    "q109_epoch_mixture",
-    // Mixture epoching: weights {src0 .5, src1 .25, src2/src3 .125}
-    // over a 10k-token budget make src0 repeat 3 full epochs + a
-    // fractional one, src1 one epoch + fraction, src2/src3 pure
-    // subsamples — the three regimes of a real pretraining mix in one
-    // fixture. Binary-exact weights keep floor(budget·w/Σw) identical
-    // IEEE math on both engines; everything downstream is integer.
-    // The oracle spells the fractional cut as ONE per-source
-    // cumulative window; the operator's bucketed two-phase must be
-    // bitwise that by prefix-sum decomposition.
-    (s, dir) =>
-      graft.operators.Sampling.epochMixture(
-        table(s, dir, "documents"), "source", "doc_id", "text",
-        weights = Map(
-          "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
-        budgetTokens = 10000L)
-        .orderBy("doc_id", "epoch"),
-    Some(s"""WITH base AS (SELECT doc_id, source,
-        CAST(len($W) AS BIGINT) AS toks,
-        md5('graft|' || CAST(doc_id AS VARCHAR)) AS h
-        FROM documents WHERE source IN ('src0','src1','src2','src3')),
-      tot AS (SELECT source, CAST(sum(toks) AS BIGINT) AS t
-        FROM base GROUP BY source HAVING sum(toks) > 0),
-      tgt AS (SELECT source, t, CAST(floor(10000 * (CASE source
-          WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
-          ELSE 0.125 END / 1.0)) AS BIGINT) AS target FROM tot),
-      eg AS (SELECT source, t, target, target // t AS e,
-        target - (target // t) * t AS r FROM tgt),
-      cum AS (SELECT b.doc_id, b.source, b.toks,
-        CAST(sum(b.toks) OVER (PARTITION BY b.source ORDER BY b.h, b.doc_id
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
-        FROM base b JOIN eg USING (source)),
-      reps AS (SELECT cum.doc_id, cum.source,
-        CAST(e + CASE WHEN c <= r THEN 1 ELSE 0 END AS BIGINT) AS reps
-        FROM cum JOIN eg USING (source))
-      SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
-      FROM reps WHERE reps > 0 ORDER BY doc_id, epoch""")
-  )
-
-  private val q110_decontaminate_semantic = Q(
-    "q110_decontaminate_semantic",
-    // SEMANTIC decontamination, EXACT: corpus embeddings (vec_id%10
-    // != 0) screened against the benchmark split (vec_id%10 == 0) at
-    // cosine tau=0.4. The operator prunes via benchmark-side centroid
-    // cells + triangle inequality (no recall loss — only provably-
-    // unmatchable cells drop) and exact-verifies survivors with the
-    // q38 cosine fold; the oracle is the brute-force cross join. 14
-    // of 450 corpus vectors are contaminated at sf0.01.
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-      graft.operators.Decontaminate.semanticReport(
-        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-        tau = 0.4)
-        .select(col("id").as("vec_id"), col("n_matches"), col("contaminated"))
-        .orderBy("vec_id")
-    },
-    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 10 <> 0),
-      b AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 10 = 0),
-      p AS (SELECT c.vec_id,
-        list_aggregate(list_transform(list_zip(c.embedding, b.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(c.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(b.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM c CROSS JOIN b),
-      hits AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches
-        FROM p WHERE cos >= 0.4 GROUP BY vec_id)
-      SELECT c.vec_id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
-        coalesce(h.n_matches, 0) > 0 AS contaminated
-      FROM c LEFT JOIN hits h USING (vec_id) ORDER BY vec_id""")
-  )
-
-  private val q111_bm25_search = Q(
-    "q111_bm25_search",
-    // BM25 ranked retrieval over the corpus for a 3-term query —
-    // rational-idf form (no ln, same portability dodge as q71), so
-    // scores are bitwise cross-engine; per-doc contributions fold in
-    // sorted term order on both sides.
-    (s, dir) =>
-      graft.operators.TfIdf.bm25TopK(
-        table(s, dir, "documents"), "doc_id", "text",
-        Seq("join", "hash", "scan"), k = 10)
-        .select(col("rank"), col("id").as("doc_id"), col("score"))
-        .orderBy("rank"),
-    Some(s"""WITH docs AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
-        $W AS w FROM documents),
-      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
-        CAST(count(*) AS BIGINT) AS n FROM docs),
-      toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
-      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-        WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
-      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        FROM tf GROUP BY term),
-      c AS (SELECT tf.doc_id, tf.term,
-        ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-          (CAST(df AS DOUBLE) + 0.5)) *
-        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 *
-          ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) /
-            (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
-        FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id)
-        CROSS JOIN stats),
-      s AS (SELECT doc_id,
-        list_aggregate(list(contrib ORDER BY term), 'sum') AS score
-        FROM c GROUP BY doc_id)
-      SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-        AS BIGINT) AS rank, doc_id, score
-      FROM s ORDER BY score DESC, doc_id LIMIT 10""")
-  )
-
-  private val q112_bpe_pair_stats = Q(
-    "q112_bpe_pair_stats",
-    // BPE tokenizer-training statistics: the corpus collapses to its
-    // (word, freq) table (vocab-sized, the at-scale move), then
-    // frequency-weighted adjacent character pairs rank toward the
-    // first merge argmax. Top-20 with (left, right) tiebreaks; rank 1
-    // is the pair bpeTrain's first iteration picks (BpeSpec pins the
-    // iterative path against a hand reference — its driver loop is
-    // not SQL-expressible, the stats kernel is).
-    (s, dir) =>
-      graft.operators.Bpe.pairStats(table(s, dir, "documents"), "text", 20)
-        .orderBy("rank"),
-    Some(s"""WITH toks AS (SELECT unnest($W) AS word FROM documents),
-      wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-        FROM toks GROUP BY word),
-      pr AS (SELECT freq, unnest(list_transform(range(length(word) - 1),
-          i -> substr(word, CAST(i AS INTEGER) + 1, 2))) AS pair
-        FROM wf WHERE length(word) >= 2),
-      c AS (SELECT substr(pair, 1, 1) AS "left",
-        substr(pair, 2, 1) AS "right", CAST(sum(freq) AS BIGINT) AS cnt
-        FROM pr GROUP BY 1, 2)
-      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, "left", "right")
-        AS BIGINT) AS rank, "left", "right", cnt
-      FROM c ORDER BY cnt DESC, "left", "right" LIMIT 20""")
-  )
-
-  private val q113_funnel = Q(
-    "q113_funnel",
-    // Ordered conversion funnel view -> click -> purchase: cascading
-    // first-timestamp joins (step k's earliest event strictly after
-    // the step k-1 entry), one aggregate row unpivoted to the
-    // 3-step report. Strict > on timestamps both engines.
-    (s, dir) =>
-      graft.operators.Funnel.funnelCounts(
-        events(s, dir), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase")),
-    Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
-      a AS (SELECT user_id, min(ts) AS ta FROM e
-        WHERE event_type = 'view' GROUP BY user_id),
-      b AS (SELECT e.user_id, min(e.ts) AS tb FROM e
-        JOIN a ON e.user_id = a.user_id AND e.ts > a.ta
-        WHERE e.event_type = 'click' GROUP BY e.user_id),
-      c AS (SELECT e.user_id, min(e.ts) AS tc FROM e
-        JOIN b ON e.user_id = b.user_id AND e.ts > b.tb
-        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
-        (SELECT CAST(count(*) AS BIGINT) FROM a) AS users
-      UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM b)
-      UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM c)
-      ORDER BY step""")
-  )
-
-  private val q114_random_projection = Q(
-    "q114_random_projection",
-    // Achlioptas sparse random projection 64 -> 8 dims: the
-    // JL-transform compression axis (fewer dimensions through every
-    // downstream shuffle, vs int8's fewer bytes per dimension). The
-    // sign matrix derives from md5("graft|i|j") bands, so DuckDB
-    // rebuilds the identical matrix and every projected double is
-    // bitwise (ascending-i product fold, one final scale multiply).
-    // Flat (vec_id, j, y) rows keep the compare scalar.
-    (s, dir) =>
-      graft.operators.Quantize.randomProject(
-        table(s, dir, "embeddings"), "vec_id", "embedding",
-        inDim = 64, outDim = 8)
-        .select(col("id").as("vec_id"), posexplode(col("proj")))
-        .select(col("vec_id"), col("pos").cast("long").as("j"),
-          col("col").as("y"))
-        .orderBy("vec_id", "j"),
-    Some("""WITH dims AS (SELECT unnest(range(8)) AS j),
-      p AS (SELECT vec_id, j,
-        list_aggregate(list_transform(range(len(embedding)),
-          i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * (CASE
-            WHEN substr(md5('graft|' || CAST(i AS VARCHAR) || '|' ||
-              CAST(j AS VARCHAR)), 1, 2) < '2b' THEN 1.0
-            WHEN substr(md5('graft|' || CAST(i AS VARCHAR) || '|' ||
-              CAST(j AS VARCHAR)), 1, 2) < '56' THEN -1.0
-            ELSE 0.0 END)), 'sum') * sqrt(3.0 / 8.0) AS y
-        FROM embeddings CROSS JOIN dims)
-      SELECT vec_id, CAST(j AS BIGINT) AS j, y FROM p
-      ORDER BY vec_id, j""")
-  )
-
-  private val q115_sim_ann_projected = Q(
-    "q115_sim_ann_projected",
-    // The JL-composed ANN path: candidates generated and coarse-
-    // scored entirely in a 64->32 random-projected space (the cell
-    // join moves half the floats per row), exact float rerank on the
-    // raw vectors — recall-gated against (and emitting) the sampled
-    // exact reference like q40/q48/q63. projDim 32 / nprobe 6 /
-    // rerank 10k hold the floor at BOTH sf0.01 and the 4x corpus at
-    // sf0.1 (the 10x-scale oracle re-run caught projDim=16 sliding
-    // to 0.16 recall at 2000 vectors — JL error ~1/sqrt(projDim)
-    // must stay under the corpus's cosine spread).
-    (s, dir) =>
-      recallGatedSampled(s, dir, k = 10,
-        ann = Similarity.ivfTopKProjected(
-          table(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 10, inDim = 64, projDim = 32, nlist = 16, nprobe = 6,
-          rerank = 100),
-        floor = 0.25, what = "ann-projected"),
-    Some(sampledExactTopKSql)
-  )
-
-  private val q116_domain_cap = Q(
-    "q116_domain_cap",
-    // Per-source row cap (the Common-Crawl domain cap) at 20 docs per
-    // source in md5 hash order. The operator's bucketed spelling —
-    // distributed (source, md5-prefix-bucket) counts, ≤256-row offset
-    // windows, whole-bucket prune before any sort, NO driver state —
-    // must be bitwise this oracle's naive per-source global window.
-    (s, dir) =>
-      graft.operators.Curation.capPerGroup(
-        table(s, dir, "documents").select("doc_id", "source"),
-        "doc_id", "source", cap = 20)
-        .orderBy("doc_id"),
-    Some("""WITH r AS (SELECT doc_id, source,
-        row_number() OVER (PARTITION BY source
-          ORDER BY md5('graft|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        FROM documents)
-      SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id""")
-  )
-
-  private val q71_tfidf = Q(
-    "q71_tfidf",
-    // Corpus TF-IDF keywords: top-3 terms per document by
-    // tf · n_docs/df (reciprocal-df idf — IEEE division is identically
-    // rounded everywhere, libm log is not, so scores AND rankings are
-    // bitwise cross-engine; see TfIdf scaladoc), ties broken by term.
-    (s, dir) =>
-      graft.operators.TfIdf.topTerms(
-        table(s, dir, "documents"), "doc_id", "text", k = 3)
-        .select(col("id").as("doc_id"), col("rank"), col("term"),
-          col("tf"), col("df"), col("score"))
-        .orderBy("doc_id", "rank"),
-    Some(s"""WITH toks AS (SELECT doc_id, unnest($W) AS term FROM documents),
-      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM toks GROUP BY doc_id, term),
-      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM toks GROUP BY term),
-      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-      s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        CAST(tf.tf AS DOUBLE) * n.n_docs / CAST(dfreq.df AS DOUBLE) AS score
-        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-      r AS (SELECT doc_id, term, tf, df, score,
-        CAST(row_number() OVER (PARTITION BY doc_id
-          ORDER BY score DESC, term) AS BIGINT) AS rank FROM s)
-      SELECT doc_id, rank, term, tf, df, score FROM r
-      WHERE rank <= 3 ORDER BY doc_id, rank""")
-  )
-
-  private val q72_cluster_split = Q(
-    "q72_cluster_split",
-    // Leakage-free split assignment: near-dup clusters (same LSH pair
-    // graph as q65) land wholly in one of 10 buckets. The modulo
-    // (hashed=false) spelling is what the oracle can recompute from
-    // the recursive-CTE component labels; production uses hashed=true
-    // for id-distribution-independent uniformity.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(
-        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
-        minJ = 0.5)
-      Dedup.clusterAwareSplit(docs, "doc_id", pairs,
-        nBuckets = 10, hashed = false)
-        .select(col("id").as("doc_id"), col("cluster_id"), col("bucket"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-      e AS (SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
-      SELECT src AS doc_id, min(dst) AS cluster_id,
-        min(dst) % 10 AS bucket
-      FROM reach GROUP BY src ORDER BY doc_id""")
-  )
-
-  private val q73_boilerplate = Q(
-    "q73_boilerplate",
-    // Corpus boilerplate report: distinct 3-grams in >= 2% of docs are
-    // "chrome"; per doc, what fraction of its grams is chrome. The
-    // fixture's planted duplicates push their shared grams over the
-    // threshold, so the report is non-trivial.
-    (s, dir) =>
-      graft.operators.Boilerplate.boilerplateScore(
-        table(s, dir, "documents"), "doc_id", "text",
-        n = 3, minDocFrac = 0.02)
-        .select(col("id").as("doc_id"), col("n_grams"),
-          col("n_boiler"), col("boiler_frac"))
-        .orderBy("doc_id"),
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
-      x AS (SELECT doc_id, unnest(s) AS g FROM g),
-      n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-      dfq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM x GROUP BY g),
-      b AS (SELECT g FROM dfq, n WHERE CAST(df AS DOUBLE) >= 0.02 * n.n_docs),
-      hits AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
-        FROM x JOIN b USING (g) GROUP BY x.doc_id)
-      SELECT g.doc_id, CAST(len(g.s) AS BIGINT) AS n_grams,
-        CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
-        CASE WHEN len(g.s) = 0 THEN 0.0
-          ELSE CAST(coalesce(h.n_boiler, 0) AS DOUBLE) /
-            CAST(len(g.s) AS DOUBLE) END AS boiler_frac
-      FROM g LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
-  )
-
-  private val q74_pack_sequences = Q(
-    "q74_pack_sequences",
-    // Sequence packing: per-source token streams (docs concatenated in
-    // doc_id order) chunked at a 2048-token context length; each doc
-    // reports its start offset and chunk span — pure integer window
-    // math, recomputed exactly by the oracle.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("toks"))
-      graft.operators.Pack.sequenceOffsets(
-        docs, "doc_id", "source", "doc_id", "toks", seqLen = 2048L)
-        .select(col("id").as("doc_id"), col("shard").as("source"),
-          col("toks"), col("start_offset"),
-          col("first_chunk"), col("last_chunk"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH t AS (SELECT doc_id, source,
-        CAST(len($W) AS BIGINT) AS toks FROM documents),
-      o AS (SELECT doc_id, source, toks,
-        CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS start_offset FROM t)
-      SELECT doc_id, source, toks, start_offset,
-        CAST(start_offset // 2048 AS BIGINT) AS first_chunk,
-        CAST(CASE WHEN toks = 0 THEN start_offset // 2048
-          ELSE (start_offset + toks - 1) // 2048 END AS BIGINT) AS last_chunk
-      FROM o ORDER BY doc_id""")
-  )
-
-  private val q75_quality_quantile = Q(
-    "q75_quality_quantile",
-    // FineWeb-style per-source quality cut: keep the best 25% of each
-    // source by quality score (rank-based — integer math end to end,
-    // ties broken by doc_id so the kept set is a deterministic
-    // total-order prefix).
-    (s, dir) =>
-      graft.operators.Curation.topQuantilePerGroup(
-        table(s, dir, "documents"), "doc_id", "source",
-        TextFunctions.qualityScore(col("text")), frac = 0.25)
-        .select("doc_id", "source", "lang")
-        .orderBy("doc_id"),
-    Some(s"""WITH q AS (SELECT doc_id, source, lang,
-        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-          + least((CASE WHEN len($W) = 0 THEN 0.0
-              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
-                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
-          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(len(regexp_extract_all(text,
-                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
-              * 4.0, 1.0)) * 0.1, 6) AS quality
-      FROM documents),
-      r AS (SELECT doc_id, source, lang,
-        row_number() OVER (PARTITION BY source
-          ORDER BY quality DESC, doc_id) AS rk,
-        count(*) OVER (PARTITION BY source) AS n FROM q)
-      SELECT doc_id, source, lang FROM r
-      WHERE rk <= ceil(0.25 * n) ORDER BY doc_id""")
-  )
-
-  private val q76_dedup_minhash_incremental = Q(
-    "q76_dedup_minhash_incremental",
-    // Continuous-ingestion near-dup: the second half of the corpus
-    // arrives as a new batch and is LSH-deduped within itself AND
-    // against the first half's persisted index — old<->old pairs are
-    // never regenerated, the original text never re-read. The oracle
-    // recomputes the exact Jaccard pairs that touch the new batch
-    // (LSH == exact on the fixture, as q36 pins for the full corpus).
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val idx = Dedup.minHashIndex(
-        docs.filter(col("doc_id") < 250), "doc_id", "text", n = 3,
-        bands = 32, rowsPerBand = 4)
-      Dedup.minHashLshIncremental(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text", idx,
-        minJ = 0.5, n = 3, bands = 32, rowsPerBand = 4)
-        .orderBy("id_a", "id_b")
-    },
-    Some(s"""WITH gg AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
-        WHERE b.doc_id >= 250)
-      SELECT id_a, id_b, jaccard FROM p
-      WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")
-  )
-
-  private val q79_dedup_clusters_incremental = Q(
-    "q79_dedup_clusters_incremental",
-    // Continuous-ingestion clustering, end to end: the old half's
-    // labels come from the batch CC (q65's operator), the new half's
-    // pairs from the incremental LSH index probe (q76's operator),
-    // and duplicateClustersIncremental merges them by running CC over
-    // the TOUCHED LABELS ONLY — the old pair set is never re-read,
-    // the old corpus never re-clustered. The oracle recomputes the
-    // components from scratch over the full exact pair graph with the
-    // recursive transitive-closure CTE (old∪new pairs == all pairs,
-    // since LSH == exact on the fixture, pinned by q36/q76), so
-    // equality proves incremental == batch.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val old = docs.filter(col("doc_id") < 250)
-      val fresh = docs.filter(col("doc_id") >= 250)
-      // the index is built ONCE per batch (the deployment shape) and
-      // feeds both its own within-batch pairs and the new batch's
-      // probe — text is shingled exactly once
-      val idx = Dedup.minHashIndex(old, "doc_id", "text", n = 3,
-        bands = 32, rowsPerBand = 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val oldPairs = Dedup.minHashLshPairsFromIndex(idx, minJ = 0.5)
-      val existing = Dedup.duplicateClusters(old.select("doc_id"), oldPairs)
-      val newPairs = Dedup.minHashLshIncremental(
-        fresh, "doc_id", "text", idx, minJ = 0.5, n = 3,
-        bands = 32, rowsPerBand = 4)
-      val out = Dedup.duplicateClustersIncremental(
-        existing, fresh.select("doc_id"), newPairs)
-        .select(col("id").as("doc_id"), col("cluster_id"))
-        .orderBy("doc_id")
-        // newPairs' verify stage still holds the index in its lineage:
-        // truncate it (labels are small) so the index cache can be
-        // released now rather than riding every downstream action
-        .localCheckpoint(true)
-      idx.unpersist(blocking = false)
-      out
-    },
-    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-      e AS (SELECT id_a AS a, id_b AS b FROM p
-        UNION ALL SELECT id_b, id_a FROM p),
-      reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
-      SELECT src AS doc_id, min(dst) AS cluster_id
-      FROM reach GROUP BY src ORDER BY doc_id""")
-  )
-
-  private val q82_duplicated_spans = Q(
-    "q82_duplicated_spans",
-    // Substring-level dedup (the Lee-et-al duplicated-passage mode,
-    // Spark-shaped as 64-bit gram postings instead of a single-node
-    // suffix array): maximal token spans whose every 8-gram appears in
-    // >= 2 distinct documents. The fixture's planted near-dup docs
-    // share long verbatim runs, so the output is organic, not planted.
-    // The oracle recomputes the identical md5_number_lower gram
-    // fingerprints, the same gaps-and-islands merge, and the same
-    // 1-based token slicing — exact strings, exact positions.
-    (s, dir) =>
-      Dedup.duplicatedSpans(
-        table(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
-        .orderBy("doc_id", "span_start"),
-    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
-      g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-          md5_number_lower(array_to_string(w[u.i:u.i+7], ' ')) AS gh
-        FROM toks CROSS JOIN unnest(range(1, len(w) - 6)) AS u(i)),
-      dup AS (SELECT gh FROM g GROUP BY gh
-        HAVING count(DISTINCT doc_id) >= 2),
-      d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-      m AS (SELECT doc_id, pos, CASE WHEN pos >
-          coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
-            -16) + 8 THEN 1 ELSE 0 END AS brk FROM d),
-      isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-          ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g_id FROM m),
-      sp AS (SELECT doc_id, min(pos) AS span_start,
-          max(pos) + 7 AS span_end FROM isl GROUP BY doc_id, g_id)
-      SELECT sp.doc_id, CAST(span_start AS BIGINT) AS span_start,
-        CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens,
-        array_to_string(w[span_start:span_end], ' ') AS span_text
-      FROM sp JOIN toks ON sp.doc_id = toks.doc_id
-      ORDER BY sp.doc_id, span_start""")
-  )
-
-  private val q83_chunk_overlap = Q(
-    "q83_chunk_overlap",
-    // Overlapping-window chunking (retrieval/embedding indexing): every
-    // doc sliced into 32-token windows at stride 8 — 24-token overlap,
-    // every token covered, only the last chunk short. Pure per-row
-    // compute (one kernel call + posexplode, no shuffle); the oracle
-    // recomputes every window's exact start/length/text with integer
-    // math and list slicing.
-    (s, dir) =>
-      graft.operators.Pack.chunkWithOverlap(
-        table(s, dir, "documents"), "doc_id", "text",
-        chunkSize = 32, stride = 8)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "chunk_id"),
-    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
-      n AS (SELECT doc_id, w, len(w) AS nt,
-          CASE WHEN len(w) = 0 THEN 0
-               WHEN len(w) <= 32 THEN 1
-               ELSE 1 + (len(w) - 32 + 7) // 8 END AS nchunks
-        FROM toks),
-      c AS (SELECT doc_id, w, nt, CAST(u.i AS BIGINT) AS chunk_id
-        FROM n CROSS JOIN unnest(range(0, nchunks)) AS u(i))
-      SELECT doc_id, chunk_id,
-        chunk_id * 8 + 1 AS start_tok,
-        least(32, nt - chunk_id * 8) AS n_tokens,
-        array_to_string(w[chunk_id * 8 + 1 :
-          least(chunk_id * 8 + 32, nt)], ' ') AS chunk_text
-      FROM c ORDER BY doc_id, chunk_id""")
-  )
-
-  private val q84_weighted_sample = Q(
-    "q84_weighted_sample",
-    // A-ES weighted sampling without replacement: 100 docs, odds
-    // proportional to n_chars. u is exact cross-engine integer/IEEE
-    // math; the one libm step (ln) is covered by the operator's
-    // in-job boundary-gap gate, so the oracle recomputes the same
-    // priorities with ITS ln and must select the identical set.
-    (s, dir) =>
-      graft.operators.Sampling.weightedSample(
-        table(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 100)
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id"),
-    Some("""WITH p AS (SELECT doc_id, source, n_chars,
-        ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':graft')
-             >> 11 AS DOUBLE) + 0.5) / 9007199254740992.0)
-          / CAST(n_chars AS DOUBLE) AS pri
-        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-      t AS (SELECT doc_id, source, n_chars FROM p ORDER BY pri DESC
-        LIMIT 100)
-      SELECT doc_id, source, n_chars FROM t ORDER BY doc_id""")
-  )
-
-  private val q85_salted_join = Q(
-    "q85_salted_join",
-    // Salted equi-join under maximal key skew: lineitem's 3-value
-    // l_returnflag means a plain shuffle join lands ~1/3 of the fact
-    // table on ONE reducer partition each. Skew.saltedJoin spreads
-    // every flag across 16 content-derived sub-keys and replicates the
-    // (tiny here, "too big to broadcast" in the real case) dim 16x.
-    // The oracle is the PLAIN join — equality proves salting changes
-    // partitioning only, never semantics.
-    (s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select("l_returnflag", "l_quantity", "l_extendedprice")
-      val dim = s.createDataFrame(Seq(
-        ("A", "returned"), ("N", "in_transit"), ("R", "refunded")))
-        .toDF("l_returnflag", "flag_label")
-      graft.operators.Skew.saltedJoin(li, dim, Seq("l_returnflag"), salt = 16)
-        .groupBy("flag_label")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
-        .orderBy("flag_label")
-    },
-    Some("""WITH dim(l_returnflag, flag_label) AS (VALUES
-        ('A', 'returned'), ('N', 'in_transit'), ('R', 'refunded'))
-      SELECT flag_label, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-      FROM lineitem JOIN dim USING (l_returnflag)
-      GROUP BY flag_label ORDER BY flag_label""")
-  )
-
-  private val q86_index_compaction = Q(
-    "q86_index_compaction",
-    // Index maintenance end-to-end: two overlapping per-batch index
-    // deltas (docs 250-299 re-ingested in delta 2 — last-writer-wins)
-    // + takedown tombstones (doc_id % 10 == 0), compacted, then pairs
-    // recomputed FROM THE COMPACTED INDEX ONLY. The oracle recomputes
-    // exact Jaccard pairs over the surviving corpus from scratch —
-    // equality proves compaction lost nothing, kept no ghosts, and
-    // the compacted index is a drop-in for the probe operators.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val delta1 = Dedup.minHashIndex(
-        docs.filter(col("doc_id") < 300), "doc_id", "text")
-      val delta2 = Dedup.minHashIndex(
-        docs.filter(col("doc_id") >= 250), "doc_id", "text")
-      val tombs = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
-      val compacted = Dedup.compactIndex(
-        Seq(delta1, delta2), Some(tombs), "doc_id")
-      Dedup.minHashLshPairsFromIndex(compacted, minJ = 0.5)
-        .orderBy("id_a", "id_b")
-    },
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents
-        WHERE doc_id % 10 <> 0)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-      ORDER BY id_a, id_b""")
-  )
-
-  private val q87_route_quality = Q(
-    "q87_route_quality",
-    // The quality router's batch face: per-(route, source) volumes —
-    // the triage report a curation run reads before deciding
-    // thresholds. Streams.routeByQuality is the SAME projection the
-    // streaming sink partitions by (StreamsSpec pins stream == batch);
-    // the oracle recomputes the 6-decimal quality score and the CASE
-    // thresholds bitwise, q31-style.
-    (s, dir) =>
-      graft.streaming.Streams.routeByQuality(
-        table(s, dir, "documents"), "text")
-        .groupBy("route", "source")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("route", "source"),
-    Some(s"""WITH t AS (SELECT source, text,
-        CASE WHEN length(text) = 0 THEN 0.0
-          ELSE CAST(len(regexp_extract_all(text,
-            '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END AS pr,
-        CASE WHEN len($W) = 0 THEN 0.0
-          ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
-            AS DOUBLE) / len($W) END AS sr
-      FROM documents),
-      q AS (SELECT source,
-        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
-          + least(sr * 5.0, 1.0) * 0.4
-          + (1.0 - least(pr * 4.0, 1.0)) * 0.1, 6) AS quality FROM t)
-      SELECT CASE WHEN quality >= 0.75 THEN 'keep'
-          WHEN quality >= 0.5 THEN 'review' ELSE 'reject' END AS route,
-        source, CAST(count(*) AS BIGINT) AS n
-      FROM q GROUP BY 1, 2 ORDER BY route, source""")
-  )
-
-  private val q95_remove_spans = Q(
-    "q95_remove_spans",
-    // Detection -> action: every duplicated 8-gram span excised from
-    // every document, cleaned text + token accounting emitted for ALL
-    // docs. The oracle reruns the q82 span logic, anti-joins the
-    // covered positions, and rebuilds each doc's kept-token stream in
-    // position order — exact strings, exact counts.
-    (s, dir) =>
-      Dedup.removeDuplicatedSpans(
-        table(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
-        // always-true filter on a COMPUTED column: without it, a
-        // count()-shaped action lets Catalyst eliminate the unique-key
-        // left join and the whole detection subtree (bench would time
-        // a table scan, not the operator); the oracle is unaffected
-        .filter(col("kept_tokens") >= 0L)
-        .orderBy("doc_id"),
-    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
-      g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-          md5_number_lower(array_to_string(w[u.i:u.i+7], ' ')) AS gh
-        FROM toks CROSS JOIN unnest(range(1, len(w) - 6)) AS u(i)),
-      dup AS (SELECT gh FROM g GROUP BY gh
-        HAVING count(DISTINCT doc_id) >= 2),
-      d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
-      m AS (SELECT doc_id, pos, CASE WHEN pos >
-          coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
-            -16) + 8 THEN 1 ELSE 0 END AS brk FROM d),
-      isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-          ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g_id FROM m),
-      sp AS (SELECT doc_id, min(pos) AS span_start,
-          max(pos) + 7 AS span_end FROM isl GROUP BY doc_id, g_id),
-      tokpos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[u.i] AS tok
-        FROM toks CROSS JOIN unnest(range(1, len(w) + 1)) AS u(i)),
-      dropped AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tokpos tp
-        JOIN sp ON tp.doc_id = sp.doc_id
-          AND tp.pos BETWEEN sp.span_start AND sp.span_end),
-      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t
-        LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.pos = d.pos
-        WHERE d.pos IS NULL),
-      agg AS (SELECT doc_id,
-          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
-          CAST(count(*) AS BIGINT) AS kept_tokens
-        FROM kept GROUP BY doc_id)
-      SELECT toks.doc_id,
-        coalesce(agg.clean_text, '') AS clean_text,
-        coalesce(agg.kept_tokens, 0) AS kept_tokens,
-        CAST(len(toks.w) AS BIGINT) - coalesce(agg.kept_tokens, 0)
-          AS removed_tokens
-      FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
-      ORDER BY toks.doc_id""")
-  )
-
-  private val q96_profile_drift = Q(
-    "q96_profile_drift",
-    // Snapshot drift gate: old half vs new half of the corpus, with a
-    // planted anomaly (every 7th new doc loses its lang) that must
-    // trip the null-rate alert while the untouched columns stay
-    // quiet. Every number is integer counts + IEEE division — the
-    // oracle recomputes the whole report exactly.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-      val old = docs.filter(col("doc_id") < 250)
-      val fresh = docs.filter(col("doc_id") >= 250)
-        .withColumn("lang",
-          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
-            .otherwise(col("lang")))
-      graft.operators.Profile.drift(
-        old, fresh, Seq("lang", "source", "n_chars"))
-        .orderBy("column")
-    },
-    Some("""WITH oldt AS (SELECT lang, source, n_chars FROM documents
-        WHERE doc_id < 250),
-      newt AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END
-          AS lang, source, n_chars FROM documents WHERE doc_id >= 250),
-      po AS (
-        SELECT 'lang' AS c, count(*) AS n,
-          count(*) FILTER (WHERE lang IS NULL) AS nn,
-          count(DISTINCT lang) AS nd,
-          CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
-        FROM oldt
-        UNION ALL SELECT 'source', count(*),
-          count(*) FILTER (WHERE source IS NULL), count(DISTINCT source),
-          CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        FROM oldt
-        UNION ALL SELECT 'n_chars', count(*),
-          count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars),
-          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        FROM oldt),
-      pn AS (
-        SELECT 'lang' AS c, count(*) AS n,
-          count(*) FILTER (WHERE lang IS NULL) AS nn,
-          count(DISTINCT lang) AS nd,
-          CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
-        FROM newt
-        UNION ALL SELECT 'source', count(*),
-          count(*) FILTER (WHERE source IS NULL), count(DISTINCT source),
-          CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        FROM newt
-        UNION ALL SELECT 'n_chars', count(*),
-          count(*) FILTER (WHERE n_chars IS NULL), count(DISTINCT n_chars),
-          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        FROM newt),
-      j AS (SELECT po.c, po.n AS n_old, pn.n AS n_new,
-          CAST(po.nn AS DOUBLE) / greatest(po.n, 1) AS nro,
-          CAST(pn.nn AS DOUBLE) / greatest(pn.n, 1) AS nrn,
-          po.nd AS d_old, pn.nd AS d_new,
-          (CAST(pn.nd AS DOUBLE) / greatest(pn.n - pn.nn, 1)) /
-            (CAST(po.nd AS DOUBLE) / greatest(po.n - po.nn, 1)) AS dr,
-          po.mn AS mno, po.mx AS mxo, pn.mn AS mnn, pn.mx AS mxn
-        FROM po JOIN pn ON po.c = pn.c)
-      SELECT c AS "column",
-        CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
-        nro AS null_rate_old, nrn AS null_rate_new,
-        nrn - nro AS null_jump, (nrn - nro) > 0.05 AS null_alert,
-        CAST(d_old AS BIGINT) AS distinct_old,
-        CAST(d_new AS BIGINT) AS distinct_new,
-        dr AS density_ratio, (dr < 0.5 OR dr > 2.0) AS distinct_alert,
-        (mnn <> mno OR mxn <> mxo) AS range_changed
-      FROM j ORDER BY "column"""")
-  )
-
-  private val q93_vocab = Q(
-    "q93_vocab",
-    // Tokenizer-prep vocabulary: frequency-ranked token ids over the
-    // corpus. The global rank is assigned by range-partition +
-    // zipWithIndex (the two-phase global-order spelling — parallel at
-    // any vocab size), never a single-partition window; the oracle's
-    // row_number() over the same (cnt DESC, token) order must agree
-    // exactly.
-    (s, dir) =>
-      graft.operators.LanguageModel.vocab(
-        table(s, dir, "documents"), "text", minCount = 5L)
-        .orderBy("token_id"),
-    Some(s"""WITH t AS (SELECT unnest($W) AS token FROM documents),
-      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
-        GROUP BY token HAVING count(*) >= 5)
-      SELECT token, cnt,
-        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
-          AS token_id
-      FROM c ORDER BY token_id""")
-  )
-
-  private val q94_bigram_surprisal = Q(
-    "q94_bigram_surprisal",
-    // LM-based quality scoring (the CCNet-style filter, with the
-    // corpus's own add-1 bigram model standing in for a trained LM so
-    // the oracle can rebuild it exactly): mean -log2 P(b|a) per doc.
-    // Every count and division is exact cross-engine; the per-doc sum
-    // folds in position order on both sides, ln is composed
-    // identically (ln(p)/ln 2), and the mean is rounded to 6
-    // decimals — orders of magnitude above libm ulp noise.
-    (s, dir) =>
-      graft.operators.LanguageModel.bigramSurprisal(
-        table(s, dir, "documents"), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"),
-    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
-      uni AS (SELECT a, count(*) AS ca FROM
-        (SELECT unnest(w) AS a FROM toks) GROUP BY a),
-      v AS (SELECT count(*) AS nv FROM uni),
-      pos AS (SELECT doc_id, CAST(u.i AS INT) AS pos, w[u.i] AS a,
-          w[u.i] || ' ' || w[u.i + 1] AS ab
-        FROM toks CROSS JOIN unnest(range(1, len(w))) AS u(i)),
-      bi AS (SELECT ab, count(*) AS cab FROM pos GROUP BY ab),
-      s AS (SELECT p.doc_id, p.pos,
-          -(ln((bi.cab + 1.0) / (uni.ca + 1.0 * v.nv)) / ln(2.0)) AS lp
-        FROM pos p JOIN bi USING (ab) JOIN uni ON p.a = uni.a
-        CROSS JOIN v),
-      d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-          list_aggregate(list(lp ORDER BY pos), 'sum') AS t
-        FROM s GROUP BY doc_id)
-      SELECT doc_id, n_bigrams, round(t / n_bigrams, 6) AS surprisal
-      FROM d ORDER BY doc_id""")
-  )
-
-  private val q92_ivf_index_probe = Q(
-    "q92_ivf_index_probe",
-    // The ANN index story end-to-end, cross-corpus: build a persisted
-    // IVF index over the EVEN vectors, probe it with the ODD vectors
-    // (a new batch — never trained on, never indexed), recall-gate on
-    // a deterministic sampled query subset and emit that sample's
-    // exact top-k for the bitwise oracle — the q40/q48 contract
-    // applied to the parquet-shaped index + probe pair that a
-    // continuously-ingesting vector pipeline actually deploys.
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-      val corpus = e.filter(col("vec_id") % 2 === 0)
-      val batch = e.filter(col("vec_id") % 2 === 1)
-      val (assignments, centroids) = graft.operators.Similarity.ivfIndex(
-        corpus, "vec_id", "embedding", nlist = 16)
-      val ann = graft.operators.Similarity.ivfProbe(
-        batch, "vec_id", "embedding", assignments, centroids,
-        k = 10, nprobe = 4)
-      val sampleQ = batch.filter(col("vec_id") % 10 === 1)
-      val exactRows = graft.operators.Similarity.bruteForceTopK(
-        corpus, "vec_id", "embedding", sampleQ, "vec_id", "embedding",
-        k = 10).orderBy("query_id", "rank")
-      val collected = exactRows.collect()
-      require(collected.length <= 1000000,
-        s"sampled exact reference has ${collected.length} rows — " +
-          "shrink the sample so the gate fixture stays driver-sized")
-      val emitted = s.createDataFrame(
-        java.util.Arrays.asList(collected: _*), exactRows.schema)
-      val recall = graft.operators.Gates.pairRecall(
-        ann.filter(col("query_id") % 10 === 1), emitted)
-      graft.operators.Gates.requireFloor(recall, 0.30,
-        "ivf-index-probe sampled pair recall@10 (every 10th odd query)")
-      emitted.orderBy("query_id", "rank")
-    },
-    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 2 = 0),
-      q AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 10 = 1),
-      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(q.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(c.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM q JOIN c ON true),
-      r AS (SELECT query_id, nn_id, cos,
-        CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
-      SELECT query_id, rank, nn_id, cos FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank""")
-  )
-
-  private val q104_ivf_compaction = Q(
-    "q104_ivf_compaction",
-    // The IVF index LIFECYCLE end-to-end — the maintenance story the
-    // MinHash-LSH index already has (q86), applied to the ANN side:
-    // base index over the even vectors, an APPEND delta of the odd
-    // vectors (ivfAssign — assigned to the existing centroids, never
-    // retrained), a RE-INGESTION delta re-embedding every 8th vector
-    // (negated — LWW must keep the new rows and drop the ghosts),
-    // takedown tombstones (every 10th id), compacted with ivfCompact,
-    // then the compacted index passes the centroid-STALENESS gate
-    // (probe recall on a sampled query subset vs the exact sampled
-    // reference must hold — the retrain-now alarm) and the exact
-    // reference over the SURVIVING corpus is emitted for the bitwise
-    // oracle. The oracle rebuilds that corpus independently (negation
-    // for re-ingested ids, tombstones dropped) — a kept ghost, a lost
-    // row, or a stale embedding would shift the exact top-k and
-    // hash-mismatch. SimilaritySpec additionally pins compacted ==
-    // fresh-rebuild equality.
-    (s, dir) => {
-      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
-      val (assign0, cents) = graft.operators.Similarity.ivfIndex(
-        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        nlist = 16)
-      val delta1 = graft.operators.Similarity.ivfAssign(
-        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", cents)
-      // re-embedding: negating floats is exact, so DuckDB rebuilds the
-      // same corpus bitwise (the q56 planted-copy trick, applied to
-      // the model-upgrade story)
-      val reEmbedded = e.filter(col("vec_id") % 8 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => (-x).cast("float"))
-            .as("embedding"))
-      val delta2 = graft.operators.Similarity.ivfAssign(
-        reEmbedded, "vec_id", "embedding", cents)
-      val tombs = e.filter(col("vec_id") % 10 === 0).select("vec_id")
-      val compacted = graft.operators.Similarity.ivfCompact(
-        Seq(assign0, delta1, delta2), Some(tombs), "vec_id")
-      val (_, exact) = graft.operators.Similarity.ivfStalenessGate(
-        compacted, cents, k = 10, nprobe = 4, floor = 0.3,
-        sampleMod = 10L, sampleResidue = 1L, what = "ivf-compaction")
-      collectToLocal(exact, "q104 sampled exact reference")
-        .orderBy("query_id", "rank")
-    },
-    Some("""WITH e AS (SELECT vec_id,
-        CASE WHEN vec_id % 8 = 0
-          THEN list_transform(embedding, x -> CAST(-x AS REAL))
-          ELSE embedding END AS embedding
-      FROM embeddings WHERE vec_id % 10 <> 0),
-      q AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 = 1),
-      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(q.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(c.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM q JOIN e c ON c.vec_id <> q.vec_id),
-      r AS (SELECT query_id, nn_id, cos,
-        CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
-      SELECT query_id, rank, nn_id, cos FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank""")
-  )
-
-  private val q107_ivf_probe_int8 = Q(
-    "q107_ivf_probe_int8",
-    // The quantized-shuffle composition applied to the PERSISTED-index
-    // path (q92 x q63): the probe's cell join moves int8 codes (4x
-    // lighter), integer-scores candidates, float-reranks the
-    // shortlist. Same fixture split and sampled-exact contract as q92
-    // — the oracle is identical (the emitted rows are the exact
-    // sampled reference; the int8 path's quality is the in-job gate).
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-      val corpus = e.filter(col("vec_id") % 2 === 0)
-      val batch = e.filter(col("vec_id") % 2 === 1)
-      val (assignments, centroids) = graft.operators.Similarity.ivfIndex(
-        corpus, "vec_id", "embedding", nlist = 16)
-      val ann = graft.operators.Similarity.ivfProbeInt8(
-        batch, "vec_id", "embedding", assignments, centroids,
-        k = 10, nprobe = 4)
-      val sampleQ = batch.filter(col("vec_id") % 10 === 1)
-      val exactRows = graft.operators.Similarity.bruteForceTopK(
-        corpus, "vec_id", "embedding", sampleQ, "vec_id", "embedding",
-        k = 10).orderBy("query_id", "rank")
-      val emitted = collectToLocal(exactRows,
-        "sampled exact reference (q107)")
-      val recall = graft.operators.Gates.pairRecall(
-        ann.filter(col("query_id") % 10 === 1), emitted)
-      graft.operators.Gates.requireFloor(recall, 0.30,
-        "ivf-probe-int8 sampled pair recall@10 (every 10th odd query)")
-      emitted.orderBy("query_id", "rank")
-    },
-    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 2 = 0),
-      q AS (SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id % 10 = 1),
-      s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(q.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(c.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM q JOIN c ON true),
-      r AS (SELECT query_id, nn_id, cos,
-        CAST(row_number() OVER (PARTITION BY query_id
-          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
-      SELECT query_id, rank, nn_id, cos FROM r
-      WHERE rank <= 10 ORDER BY query_id, rank""")
-  )
-
-  private val q90_label_centroids = Q(
-    "q90_label_centroids",
-    // Per-class prototype embeddings: mean vector per label, folded IN
-    // VEC_ID ORDER so the double accumulation is bitwise (a plain
-    // distributed sum of doubles is order-nondeterministic and could
-    // never hash-match). The oracle runs the identical sequential fold
-    // (list ORDER BY vec_id -> list_aggregate 'sum', the q39
-    // contract) per dimension. One row per (label, dim) keeps every
-    // emitted value scalar.
-    (s, dir) =>
-      graft.operators.Similarity.groupCentroids(
-        table(s, dir, "embeddings"), "label", "vec_id", "embedding")
-        .withColumnRenamed("group", "label")
-        .orderBy("label", "dim"),
-    Some("""WITH g AS (SELECT label, count(*) AS n,
-        list(embedding ORDER BY vec_id) AS vs
-      FROM embeddings GROUP BY label)
-      SELECT label, CAST(n AS BIGINT) AS n, CAST(u.i AS BIGINT) AS dim,
-        list_aggregate(list_transform(vs,
-          v -> CAST(v[u.i] AS DOUBLE)), 'sum') / n AS c
-      FROM g CROSS JOIN unnest(range(1, len(vs[1]) + 1)) AS u(i)
-      ORDER BY label, dim""")
-  )
-
-  private val q91_centroid_outliers = Q(
-    "q91_centroid_outliers",
-    // Mislabeled/junk-vector screen: each embedding's cosine to ITS
-    // OWN label's centroid, 20 lowest emitted (one narrow TakeOrdered,
-    // never a global sort). The centroid is cast to float (correctly
-    // rounded, engine-identical) so the scoring is the bitwise
-    // graft_cosine kernel; the oracle rebuilds centroid, cast, and
-    // cosine with the same sequential folds.
-    (s, dir) =>
-      graft.operators.Similarity.centroidOutliers(
-        table(s, dir, "embeddings"), "label", "vec_id", "embedding", k = 20)
-        .withColumnRenamed("group", "label"),
-    Some("""WITH g AS (SELECT label, count(*) AS n,
-        list(embedding ORDER BY vec_id) AS vs
-      FROM embeddings GROUP BY label),
-      cent AS (SELECT label, list_transform(range(1, len(vs[1]) + 1),
-        i -> CAST(list_aggregate(list_transform(vs,
-          v -> CAST(v[i] AS DOUBLE)), 'sum') / n AS REAL)) AS cf
-      FROM g),
-      s AS (SELECT e.vec_id AS id, e.label,
-        list_aggregate(list_transform(list_zip(e.embedding, cent.cf),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(e.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(cent.cf,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-      FROM embeddings e JOIN cent ON e.label = cent.label)
-      SELECT id, label, cos FROM s ORDER BY cos ASC, id LIMIT 20""")
-  )
-
-  private val q102_snapshot_diff = Q(
-    "q102_snapshot_diff",
-    // Row-level snapshot reconciliation: which keys a re-ingest
-    // added/removed/changed. The planted diff: old = doc_id < 450,
-    // new = doc_id >= 50 with lang rewritten on multiples of 10 — so
-    // every status class is exercised. The oracle recomputes statuses
-    // INDEPENDENTLY (direct IS DISTINCT FROM column comparison, not
-    // the md5 fingerprint), so equality also cross-checks the
-    // fingerprint construction itself.
-    (s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select("doc_id", "lang", "source", "n_chars")
-      val old = docs.filter(col("doc_id") < 450)
-      val fresh = docs.filter(col("doc_id") >= 50)
-        .withColumn("lang",
-          when(col("doc_id") % 10 === 0, lit("xx")).otherwise(col("lang")))
-      graft.operators.Profile.snapshotDiff(
-        old, fresh, "doc_id", Seq("lang", "source", "n_chars"))
-        .orderBy("key")
-    },
-    Some("""WITH o AS (SELECT doc_id, lang, source, n_chars
-        FROM documents WHERE doc_id < 450),
-      n AS (SELECT doc_id,
-          CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
-          source, n_chars
-        FROM documents WHERE doc_id >= 50)
-      SELECT COALESCE(o.doc_id, n.doc_id) AS key,
-        CASE WHEN o.doc_id IS NULL THEN 'added'
-             WHEN n.doc_id IS NULL THEN 'removed'
-             WHEN (o.lang IS DISTINCT FROM n.lang)
-               OR (o.source IS DISTINCT FROM n.source)
-               OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
-             ELSE 'unchanged' END AS status
-      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-      ORDER BY key""")
-  )
-
-  private val q103_schema_evolution = Q(
-    "q103_schema_evolution",
-    // Schema evolution across file generations, oracle-backed: gen 1
-    // wrote (doc_id, lang), gen 2 added `source`; the evolved read
-    // (mergeSchema + alignTo a declared target that ALSO contains a
-    // column neither generation has) must surface one stable schema —
-    // gen-1 rows carry NULL source, everyone carries the typed NULL
-    // quality column — which the oracle rebuilds with CASE/NULL
-    // projections over the base table. Scratch tree deleted on every
-    // path; emitted rows live in a local relation.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q103_").toString
-      try {
-        val docs = table(s, dir, "documents")
-        docs.filter(col("doc_id") < 250).select("doc_id", "lang")
-          .write.parquet(s"$base/gen=1")
-        docs.filter(col("doc_id") >= 250).select("doc_id", "lang", "source")
-          .write.parquet(s"$base/gen=2")
-        import org.apache.spark.sql.types._
-        val target = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("lang", StringType),
-          StructField("source", StringType),
-          StructField("quality", DoubleType)))
-        collectToLocal(
-          graft.sources.Sources.parquetEvolved(s, base, target),
-          "q103 evolved read")
-          .orderBy("doc_id")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      }
-    },
-    Some("""SELECT doc_id, lang,
-        CASE WHEN doc_id >= 250 THEN source ELSE NULL END AS source,
-        CAST(NULL AS DOUBLE) AS quality
-      FROM documents ORDER BY doc_id""")
-  )
-
-  private val q97_centroids_twophase = Q(
-    "q97_centroids_twophase",
-    // The at-scale centroid fold, continuously verified: run the
-    // two-phase partial-sum spelling (vectors never collected into
-    // one task; partials combined in partition-id order with an
-    // in-job reordering-error gate), assert inside the job that every
-    // dimension agrees with the bitwise single-task fold WITHIN the
-    // emitted bound, and emit the exact rows for the bitwise oracle —
-    // the q40/q77 gate pattern applied to floating-point reordering,
-    // so the scale path has no rows-only gap.
-    (s, dir) => {
-      val e = table(s, dir, "embeddings")
-      // exact is read twice (gate join + emit): truncate once so the
-      // group collect and its guard job run once, not per consumer
-      val exact = graft.operators.Similarity.groupCentroids(
-        e, "label", "vec_id", "embedding")
-        .localCheckpoint(true)
-      val two = graft.operators.Similarity.groupCentroidsTwoPhase(
-        e, "label", "vec_id", "embedding")
-      val disagree = exact.as("x")
-        .join(two.as("t"), Seq("group", "dim"))
-        .filter(abs(col("x.c") - col("t.c")) > col("t.err_bound"))
-        .count()
-      require(disagree == 0L,
-        s"two-phase centroid fold diverged beyond its error bound on " +
-          s"$disagree (group, dim) cells — the reordering-error gate " +
-          "is broken, not just loose")
-      exact.withColumnRenamed("group", "label").orderBy("label", "dim")
-    },
-    // the emitted rows are the exact fold — same oracle as q90
-    Some("""WITH g AS (SELECT label, count(*) AS n,
-        list(embedding ORDER BY vec_id) AS vs
-      FROM embeddings GROUP BY label)
-      SELECT label, CAST(n AS BIGINT) AS n, CAST(u.i AS BIGINT) AS dim,
-        list_aggregate(list_transform(vs,
-          v -> CAST(v[u.i] AS DOUBLE)), 'sum') / n AS c
-      FROM g CROSS JOIN unnest(range(1, len(vs[1]) + 1)) AS u(i)
-      ORDER BY label, dim""")
-  )
-
-  private val q98_multimodal_decode = Q(
-    "q98_multimodal_decode",
-    // REAL image decode, oracle-backed end to end: each doc id
-    // deterministically generates an 8x8 grayscale image
-    // (g(i) = (doc_id*31 + i*7) % 256, row-major), which is ENCODED to
-    // actual BMP bytes (javax.imageio) and DECODED back through the
-    // production ImageIoCodec — real container, real pixel read, the
-    // full codec seam. The emitted 4x4-grid luminance means are pure
-    // IEEE arithmetic on the recovered pixel values, so DuckDB
-    // recomputes them from the generating formula: equality proves
-    // the encode->decode round trip recovered every pixel exactly.
-    (s, dir) => {
-      val decodeUdf = udf((id: Long) => {
-        val img = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < 64) {
-          val g = ((id * 31 + i * 7) % 256).toInt
-          img.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
-          i += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "bmp", bos)
-        graft.operators.Multimodal.ImageIoCodec.decode(bos.toByteArray)
-      })
-      table(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          posexplode(decodeUdf(col("doc_id"))).as(Seq("_d0", "c")))
-        .select(col("doc_id"),
-          (col("_d0") + 1).cast("long").as("dim"), col("c"))
-        .orderBy("doc_id", "dim")
-    },
-    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
-      px AS (SELECT doc_id, u.i AS i,
-          CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE) AS g
-        FROM d CROSS JOIN unnest(range(0, 64)) AS u(i)),
-      cells AS (SELECT doc_id,
-          ((i // 8) // 2) * 4 + ((i % 8) // 2) AS cell,
-          list(0.299*g + 0.587*g + 0.114*g ORDER BY i) AS lums
-        FROM px GROUP BY doc_id, ((i // 8) // 2) * 4 + ((i % 8) // 2))
-      SELECT doc_id, CAST(cell + 1 AS BIGINT) AS dim,
-        CAST(list_aggregate(lums, 'sum') / 4 / 255.0 AS REAL) AS c
-      FROM cells ORDER BY doc_id, dim""")
-  )
-
-  private val q77_percentiles_approx = Q(
-    "q77_percentiles_approx",
-    // The sketch percentile path, continuously verified: run
-    // percentile_approx (GK summaries, the 100 TB spelling — bounded
-    // sketch per group instead of a full sort) through
-    // Gates.rankErrorGate — its empirical rank error is measured
-    // against the data inside the job (one conditional-aggregate
-    // pass), the query fails if it exceeds the 1/accuracy guarantee
-    // (+ tie cushion) — and emit the exact interpolated percentiles
-    // for the bitwise oracle. The q40 recall-gate pattern applied to
-    // sketches, so the approx operator has no rows-only gap.
-    (s, dir) => {
-      val li = table(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      graft.operators.Gates.rankErrorGate(
-        li, "l_returnflag", "l_quantity", Seq(0.25, 0.9), accuracy = 1000)
-      li.groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
-        .orderBy("l_returnflag")
-    },
-    Some("""SELECT l_returnflag,
-      quantile_cont(l_quantity, 0.25) AS p25_qty,
-      quantile_cont(l_quantity, 0.9) AS p90_qty,
-      quantile_cont(l_extendedprice, 0.5) AS p50_price
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
-  )
-
-  private val q81_mixture_sample = Q(
-    "q81_mixture_sample",
-    // Exact-count pretraining-mix cut: 50/30/20 across three sources,
-    // 60 rows total. src0's floor(0.5·60)=30 exceeds its sf0.01
-    // availability (25), exercising the capped-shortfall path in both
-    // engines (the oracle's least(target, n)). The md5 hex rank order
-    // is engine-identical, so the EXACT kept set is recomputed by
-    // DuckDB — not just the counts.
-    (s, dir) =>
-      graft.operators.Sampling.mixtureSample(
-        table(s, dir, "documents"), "source", col("doc_id"),
-        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), total = 60L)
-        .select("doc_id", "source", "lang")
-        .orderBy("doc_id"),
-    Some("""WITH r AS (SELECT doc_id, source, lang,
-        row_number() OVER (PARTITION BY source
-          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rk,
-        count(*) OVER (PARTITION BY source) AS n
-      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
-      SELECT doc_id, source, lang FROM r
-      WHERE rk <= least(CASE source WHEN 'src0' THEN 30
-        WHEN 'src1' THEN 18 WHEN 'src2' THEN 12 END, n)
-      ORDER BY doc_id""")
-  )
-
-  private val q80_percentiles_tokens = Q(
-    "q80_percentiles_tokens",
-    // Gates.rankErrorGate reused on a second sketch workload — the
-    // per-source token-length distribution every curation run reads
-    // (sequence-length budgeting, outlier cuts). Same contract as
-    // q77: the GK sketch is rank-error-gated in-job, the exact
-    // interpolated percentiles are emitted for the bitwise oracle.
-    (s, dir) => {
-      val d = table(s, dir, "documents")
-        .select(col("source"),
-          TextFunctions.tokenCount(col("text")).cast("double").as("toks"))
-      graft.operators.Gates.rankErrorGate(
-        d, "source", "toks", Seq(0.5, 0.99), accuracy = 500)
-      d.groupBy("source")
-        .agg(
-          expr("percentile(toks, 0.5)").as("p50_toks"),
-          expr("percentile(toks, 0.99)").as("p99_toks"))
-        .orderBy("source")
-    },
-    Some(s"""WITH t AS (SELECT source,
-        CAST(len($W) AS DOUBLE) AS toks FROM documents)
-      SELECT source, quantile_cont(toks, 0.5) AS p50_toks,
-        quantile_cont(toks, 0.99) AS p99_toks
-      FROM t GROUP BY source ORDER BY source""")
-  )
-
-  private val q78_source_overlap = Q(
-    "q78_source_overlap",
-    // Provenance audit: distinct 3-grams shared between every pair of
-    // sources — the mirrored-corpus detector. Join fan-out per gram is
-    // sources², never docs².
-    (s, dir) =>
-      graft.operators.Boilerplate.sourceOverlap(
-        table(s, dir, "documents"), "source", "text", n = 3)
-        .orderBy("source_a", "source_b"),
-    Some(s"""WITH sg AS (SELECT DISTINCT source AS src, g
-        FROM (SELECT source, unnest(${ngrams3(W)}) AS g FROM documents)),
-      p AS (SELECT a.src AS source_a, b.src AS source_b
-        FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src)
-      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS shared_grams
-      FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b""")
-  )
-
-  private val q183_skyline = Q(
-    "q183_skyline",
-    // Pareto frontier of the part catalog under (minimize
-    // p_retailprice, maximize p_size) — the cost/quality screen.
-    // Two-phase bucketed dominance: per-bucket prefix-max windows
-    // (partitioned, never global) + a B-row bucket-summary join; the
-    // oracle is the textbook NOT EXISTS dominance test.
-    (s, dir) =>
-      graft.operators.Skyline.pareto2D(
-        table(s, dir, "part"), "p_retailprice", "p_size")
-        .select("p_partkey", "p_name", "p_retailprice", "p_size")
-        .orderBy("p_retailprice", "p_partkey"),
-    Some("""SELECT p_partkey, p_name, p_retailprice, p_size
-      FROM part p
-      WHERE NOT EXISTS (SELECT 1 FROM part q
-        WHERE q.p_retailprice <= p.p_retailprice
-          AND q.p_size >= p.p_size
-          AND (q.p_retailprice < p.p_retailprice
-            OR q.p_size > p.p_size))
-      ORDER BY p_retailprice, p_partkey""")
-  )
-
-  private val q184_cusum = Q(
-    "q184_cusum",
-    // CUSUM drift detection on per-type daily volume: exact integer
-    // closed form S±_t = C_t − min_{j<=t} C_j scaled by 4n (allowance
-    // mu/4, threshold 3*mu), gap-free day grid so a volume collapse
-    // is visible. Integer windows are order-free — bitwise
-    // cross-engine; only the two emitted normalizations are IEEE.
-    (s, dir) =>
-      graft.operators.TimeSeries.cusumVolume(
-        events(s, dir), Seq("event_type"), "ts", thresholdMu = 3)
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
-        CAST(sum(cnt) AS BIGINT) AS s FROM d GROUP BY 1),
-      grid AS (SELECT event_type, s, d1 - d0 + 1 AS n,
-        unnest(range(d0, d1 + 1)) AS day FROM sp),
-      f AS (SELECT g.event_type, g.s, g.n, g.day,
-        COALESCE(d.cnt, 0) AS cnt FROM grid g
-        LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day),
-      c AS (SELECT event_type, s, n, day, cnt,
-        CAST(sum(cnt) OVER w AS BIGINT) AS p,
-        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-          AS BIGINT) AS t FROM f
-        WINDOW w AS (PARTITION BY event_type ORDER BY day
-          ROWS UNBOUNDED PRECEDING)),
-      x AS (SELECT *, 4 * n * p - 5 * s * t AS cp,
-        3 * s * t - 4 * n * p AS cn FROM c),
-      m AS (SELECT *, least(0, min(cp) OVER w2) AS mp,
-        least(0, min(cn) OVER w2) AS mn FROM x
-        WINDOW w2 AS (PARTITION BY event_type ORDER BY day
-          ROWS UNBOUNDED PRECEDING))
-      SELECT event_type, day, cnt,
-        CASE WHEN s > 0 THEN CAST(cp - mp AS DOUBLE)
-          / (4.0 * CAST(s AS DOUBLE)) END AS cusum_pos,
-        CASE WHEN s > 0 THEN CAST(cn - mn AS DOUBLE)
-          / (4.0 * CAST(s AS DOUBLE)) END AS cusum_neg,
-        (cp - mp) > 4 * 3 * s AS flag_pos,
-        (cn - mn) > 4 * 3 * s AS flag_neg
-      FROM m ORDER BY event_type, day""")
-  )
-
-  private val pagerankScale = "1000000000000"
-
-  private val q185_pagerank = Q(
-    "q185_pagerank",
-    // Fixed-point PageRank (3 iterations, damping 17/20) over the
-    // near-dup LSH pair graph — which member of a duplicate
-    // neighborhood is canonical. BIGINT ranks in 1e-12 units: the
-    // per-node inbound SUM is an order-free integer partial agg, so
-    // the result is bitwise deterministic where float PageRank is
-    // shuffle-order-dependent. Oracle unrolls the same three integer
-    // iterations over the exact-Jaccard graph.
-    (s, dir) =>
-      graft.operators.Graphs.pageRank(
-        Dedup.minHashLshPairs(
-          table(s, dir, "documents"), "doc_id", "text",
-          n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5),
-        "id_a", "id_b", iterations = 3)
-        .orderBy("node"),
-    Some {
-      val S = pagerankScale
-      def iter(prev: String, sNm: String, rNm: String) =
-        s"""$sNm AS (SELECT e.dst,
-          CAST(sum($prev.r // $prev.deg) AS BIGINT) AS m
-          FROM e JOIN $prev ON $prev.node = e.src GROUP BY 1),
-        $rNm AS (SELECT nodes.node, nodes.deg,
-          (3 * $S) // (20 * nn.n)
-            + (17 * COALESCE($sNm.m, 0)) // 20 AS r
-          FROM nodes CROSS JOIN nn
-          LEFT JOIN $sNm ON $sNm.dst = nodes.node)"""
-      s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents),
-        p AS (SELECT a.doc_id AS a, b.doc_id AS b
-          FROM g a JOIN g b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            >= 0.5),
-        e AS (SELECT a AS src, b AS dst FROM p
-          UNION ALL SELECT b, a FROM p),
-        dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-          FROM e GROUP BY 1),
-        nodes AS (SELECT src AS node, deg FROM dg),
-        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        r0 AS (SELECT node, deg, $S // nn.n AS r
-          FROM nodes CROSS JOIN nn),
-        ${iter("r0", "s1", "r1")},
-        ${iter("r1", "s2", "r2")},
-        ${iter("r2", "s3", "r3")}
-        SELECT node, CAST(r AS BIGINT) AS rank_scaled,
-          CAST(r AS DOUBLE) / $S.0 AS rank
-        FROM r3 ORDER BY node"""
-    }
-  )
-
-  private val q186_name_links = Q(
-    "q186_name_links",
-    // Entity resolution on the part-name dictionary: every distinct-
-    // name pair within edit distance 2, Ed-Join q-gram count-filter
-    // blocking + native levenshtein verify; row counts ride along.
-    // The oracle is the quadratic ground truth over the dictionary —
-    // a blocking recall miss IS an oracle mismatch.
-    (s, dir) =>
-      graft.operators.Linkage.nameVariantPairs(
-        table(s, dir, "part"), "p_name", maxDist = 2, q = 2)
-        .orderBy("name_a", "name_b"),
-    Some("""WITH n AS (SELECT p_name AS name,
-        CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY 1)
-      SELECT a.name AS name_a, b.name AS name_b,
-        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
-        a.cnt AS n_a, b.cnt AS n_b
-      FROM n a JOIN n b ON a.name < b.name
-        AND abs(length(a.name) - length(b.name)) <= 2
-        AND levenshtein(a.name, b.name) <= 2
-      ORDER BY name_a, name_b""")
-  )
-
-  private val q187_rrf_fusion = Q(
-    "q187_rrf_fusion",
-    // Hybrid retrieval: BM25 lexical top-50 and exact-cosine semantic
-    // top-50 for one query (terms + its embedding, doc_id==vec_id by
-    // fixture contract) fused by Reciprocal Rank Fusion, 1/(60+rank)
-    // terms summed in fixed list order — bitwise deterministic, no
-    // score calibration between modalities.
-    (s, dir) => {
-      val bm = graft.operators.TfIdf.bm25TopK(
-        table(s, dir, "documents"), "doc_id", "text",
-        Seq("join", "hash", "scan"), k = 50)
-        .select(col("id"), col("rank"))
-      val e = table(s, dir, "embeddings")
-      val cos = Similarity.bruteForceTopK(
-        e, "vec_id", "embedding",
-        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
-        .select(col("nn_id").as("id"), col("rank"))
-      graft.operators.Retrieval.rrfFuse(
-        Seq("bm25" -> bm, "cos" -> cos), "id", "rank",
-        rrfK = 60, topK = 20)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("rank")
-    },
-    Some(s"""WITH docs AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
-        $W AS w FROM documents),
-      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
-        CAST(count(*) AS BIGINT) AS n FROM docs),
-      toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
-      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-        WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
-      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        FROM tf GROUP BY term),
-      c AS (SELECT tf.doc_id, tf.term,
-        ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-          (CAST(df AS DOUBLE) + 0.5)) *
-        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 *
-          ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) /
-            (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
-        FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id)
-        CROSS JOIN stats),
-      sbm AS (SELECT doc_id,
-        list_aggregate(list(contrib ORDER BY term), 'sum') AS score
-        FROM c GROUP BY doc_id),
-      bm AS (SELECT doc_id AS id,
-        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-          AS BIGINT) AS rank_bm25
-        FROM sbm ORDER BY score DESC, doc_id LIMIT 50),
-      e AS (SELECT vec_id, embedding FROM embeddings),
-      sc AS (SELECT c2.vec_id AS id,
-        list_aggregate(list_transform(list_zip(q.embedding, c2.embedding),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
-        (sqrt(list_aggregate(list_transform(q.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-         sqrt(list_aggregate(list_transform(c2.embedding,
-          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        FROM e c2 JOIN e q ON q.vec_id = 0 AND c2.vec_id <> 0),
-      cosl AS (SELECT id,
-        CAST(row_number() OVER (ORDER BY cos DESC, id)
-          AS BIGINT) AS rank_cos
-        FROM sc ORDER BY cos DESC, id LIMIT 50),
-      u AS (SELECT id FROM bm UNION SELECT id FROM cosl),
-      f AS (SELECT u.id, bm.rank_bm25, cosl.rank_cos,
-        COALESCE(1.0 / (60 + bm.rank_bm25), 0.0)
-          + COALESCE(1.0 / (60 + cosl.rank_cos), 0.0) AS rrf
-        FROM u LEFT JOIN bm ON bm.id = u.id
-        LEFT JOIN cosl ON cosl.id = u.id)
-      SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id)
-        AS BIGINT) AS rank, id AS doc_id, rrf, rank_bm25, rank_cos
-      FROM f ORDER BY rrf DESC, id LIMIT 20""")
-  )
-
-  private val q188_pit_enrich = Q(
-    "q188_pit_enrich",
-    // Point-in-time enrichment: each purchase event joined to the
-    // SCD2 state (q123's changeHistory) the user was in STRICTLY
-    // before the purchase — the leak-proof feature-store read
-    // (training features must not see the label event itself). One
-    // as-of backward join over the shared (user) exchange; first-ever
-    // events carry honest nulls. The oracle replays the validity
-    // tiling [from, to) against each fact timestamp.
-    (s, dir) => {
-      val ev = events(s, dir)
-      val hist = graft.operators.TimeSeries.changeHistory(
-        ev, Seq("user_id"), "ts", "event_type", "event_id")
-        .withColumn("_vf", timestamp_micros(col("valid_from_us")))
-      val facts = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      graft.operators.Joins.asofJoin(
-        facts, hist, Seq("user_id"), "ts", "_vf",
-        rightPayload = Seq("value", "valid_from_us"),
-        strict = true, direction = "backward")
-        .select(col("event_id"), col("user_id"),
-          expr("unix_micros(ts)").as("ts_us"),
-          col("value").as("prev_state"),
-          col("valid_from_us").as("state_since_us"))
-        .orderBy("event_id")
-    },
-    Some("""WITH l AS (SELECT user_id, event_type, ts, event_id,
-        CASE WHEN lag(event_type) OVER
-          (PARTITION BY user_id ORDER BY ts, event_id)
-          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
-        FROM events),
-      r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
-          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run
-        FROM l),
-      g AS (SELECT user_id, run, event_type AS value,
-          min(epoch_us(ts)) AS valid_from_us
-        FROM r GROUP BY 1, 2, 3),
-      periods AS (SELECT user_id, value, valid_from_us,
-        lead(valid_from_us) OVER (PARTITION BY user_id
-          ORDER BY valid_from_us) AS valid_to_us FROM g),
-      facts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        FROM events WHERE event_type = 'purchase')
-      SELECT f.event_id, f.user_id, f.ts_us,
-        p.value AS prev_state, p.valid_from_us AS state_since_us
-      FROM facts f LEFT JOIN periods p ON p.user_id = f.user_id
-        AND p.valid_from_us < f.ts_us
-        AND (p.valid_to_us IS NULL OR p.valid_to_us >= f.ts_us)
-      ORDER BY event_id""")
-  )
-
-  private val q189_encoding_advisor = Q(
-    "q189_encoding_advisor",
-    // Storage-layout advisor: per-column cardinality facts (distinct,
-    // nulls, heaviest value, Simpson concentration) and the 1/16
-    // dictionary heuristic, from ONE stacked pass over the listed
-    // lineitem columns — exact integers + one emitted division.
-    (s, dir) =>
-      graft.operators.Layout.encodingAdvisor(
-        table(s, dir, "lineitem"),
-        Seq("l_returnflag", "l_linestatus", "l_quantity",
-          "l_shipdate", "l_orderkey"))
-        .orderBy("col_name"),
-    Some {
-      def block(c: String) =
-        s"""SELECT '$c' AS col_name,
-          CAST(sum(cnt) AS BIGINT) AS n_rows,
-          CAST(COALESCE(sum(CASE WHEN v IS NULL THEN cnt END), 0)
-            AS BIGINT) AS n_nulls,
-          CAST(count(CASE WHEN v IS NOT NULL THEN 1 END)
-            AS BIGINT) AS n_distinct,
-          CAST(max(CASE WHEN v IS NOT NULL THEN cnt END)
-            AS BIGINT) AS max_count,
-          CAST(COALESCE(sum(CASE WHEN v IS NOT NULL
-            THEN cnt * cnt END), 0) AS BIGINT) AS sum_sq_counts
-        FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt
-          FROM (SELECT $c AS v FROM lineitem) GROUP BY v)"""
-      val union = Seq("l_returnflag", "l_linestatus", "l_quantity",
-        "l_shipdate", "l_orderkey").map(block).mkString(" UNION ALL ")
-      s"""WITH stats AS ($union)
-      SELECT col_name, n_rows, n_nulls, n_distinct, max_count,
-        sum_sq_counts,
-        CASE WHEN n_rows > 0 THEN CAST(max_count AS DOUBLE)
-          / CAST(n_rows AS DOUBLE) END AS top_share,
-        16 * n_distinct <= n_rows - n_nulls AS dict_friendly
-      FROM stats ORDER BY col_name"""
-    }
-  )
-
-  private val q190_rank_sum = Q(
-    "q190_rank_sum",
-    // Mann-Whitney rank-sum A/B screen: click vs view event values,
-    // exact integer doubled-midrank arithmetic (u2 = 2U, tie term
-    // carried), rank-biserial effect size as the one IEEE division.
-    // Ranks never materialize per row — two-phase bucket cumsum.
-    (s, dir) =>
-      graft.operators.Profile.rankSumTest(
-        events(s, dir), "event_type", "value", "click", "view"),
-    Some("""WITH f AS (SELECT event_type, value FROM events
-        WHERE event_type IN ('click', 'view')),
-      c AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cnt,
-        CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
-          AS BIGINT) AS ca FROM f GROUP BY 1),
-      cc AS (SELECT v, cnt, ca, CAST(sum(cnt) OVER (ORDER BY v
-          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
-      a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-        CAST(sum(cnt - ca) AS BIGINT) AS n_b,
-        CAST(sum(ca * (2 * cum - cnt + 1)) AS BIGINT) AS r2a,
-        CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubed_sum
-        FROM cc)
-      SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a, tie_cubed_sum,
-        CASE WHEN n_a > 0 AND n_b > 0
-          THEN CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
-            / CAST(n_a * n_b AS DOUBLE) - 1.0 END AS effect_r
-      FROM a""")
-  )
-
-  private val q191_acf = Q(
-    "q191_acf",
-    // Seasonality fingerprint: per-type daily-volume autocorrelation
-    // at lags 1..7 over the gap-free day grid — exact integer moments
-    // (z_t = n*c_t - S BIGINTs, order-free sums), one IEEE division
-    // per (key, lag).
-    (s, dir) =>
-      graft.operators.TimeSeries.autocorrelation(
-        events(s, dir), Seq("event_type"), "ts", maxLag = 7)
-        .orderBy("event_type", "lag"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
-        CAST(sum(cnt) AS BIGINT) AS s FROM d GROUP BY 1),
-      grid AS (SELECT event_type, s, d1 - d0 + 1 AS n,
-        unnest(range(d0, d1 + 1)) AS day FROM sp),
-      z AS (SELECT g.event_type, g.n, g.day,
-        g.n * COALESCE(d.cnt, 0) - g.s AS z FROM grid g
-        LEFT JOIN d ON d.event_type = g.event_type AND d.day = g.day),
-      den AS (SELECT event_type, CAST(sum(z * z) AS BIGINT) AS den,
-        CAST(min(n) AS BIGINT) AS n_days FROM z GROUP BY 1),
-      lags AS (SELECT unnest(range(1, 8)) AS lag),
-      num AS (SELECT a.event_type, l.lag,
-        CAST(sum(a.z * b.z) AS BIGINT) AS num
-        FROM z a CROSS JOIN lags l JOIN z b
-          ON b.event_type = a.event_type AND b.day = a.day + l.lag
-        GROUP BY 1, 2)
-      SELECT d.event_type AS event_type, CAST(l.lag AS BIGINT) AS lag,
-        d.n_days,
-        CASE WHEN d.den > 0 THEN CAST(COALESCE(num.num, 0) AS DOUBLE)
-          / CAST(d.den AS DOUBLE) END AS acf
-      FROM den d CROSS JOIN lags l
-      LEFT JOIN num ON num.event_type = d.event_type AND num.lag = l.lag
-      ORDER BY 1, 2""")
-  )
-
-  private val q192_basket_rules = Q(
-    "q192_basket_rules",
-    // Market-basket association rules over order baskets: part pairs
-    // co-purchased in >= 3 orders, with directed confidences and
-    // lift from exact integer counts — the per-basket self-join
-    // bounds the quadratic, never corpus^2.
-    (s, dir) =>
-      graft.operators.Basket.associationPairs(
-        table(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        minSupport = 3L)
-        .orderBy("item_a", "item_b"),
-    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS bk,
-        l_partkey AS it FROM lineitem),
-      f AS (SELECT it, CAST(count(*) AS BIGINT) AS df FROM i
-        GROUP BY 1),
-      nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM i),
-      p AS (SELECT a.it AS item_a, b.it AS item_b,
-        CAST(count(*) AS BIGINT) AS n_xy
-        FROM i a JOIN i b ON a.bk = b.bk AND a.it < b.it
-        GROUP BY 1, 2 HAVING count(*) >= 3)
-      SELECT p.item_a, p.item_b, p.n_xy, fa.df AS df_a, fb.df AS df_b,
-        CAST(p.n_xy AS DOUBLE) / CAST(fa.df AS DOUBLE) AS conf_ab,
-        CAST(p.n_xy AS DOUBLE) / CAST(fb.df AS DOUBLE) AS conf_ba,
-        CAST(p.n_xy * nb.n AS DOUBLE)
-          / CAST(fa.df * fb.df AS DOUBLE) AS lift
-      FROM p JOIN f fa ON fa.it = p.item_a
-      JOIN f fb ON fb.it = p.item_b CROSS JOIN nb
-      ORDER BY item_a, item_b""")
-  )
-
-  private val q193_abc_revenue = Q(
-    "q193_abc_revenue",
-    // ABC/Pareto revenue classification of parts: decimal-exact
-    // revenue sums (associative — shuffle-order-proof), two-phase
-    // descending cumsum, class boundaries compared as 100*(cum-w) vs
-    // pct*total in exact decimal arithmetic.
-    (s, dir) => {
-      val rev = table(s, dir, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-          .as("revenue"))
-      graft.operators.Skew.paretoClasses(rev, "l_partkey", "revenue")
-        .select(col("key").as("l_partkey"),
-          // classes decide in exact decimal; the EMITTED money is the
-          // conventional double face (one deterministic conversion)
-          col("weight").cast("double").as("revenue"),
-          col("cum_weight").cast("double").as("cum_revenue"),
-          col("abc_class"))
-        .orderBy(col("revenue").desc, col("l_partkey"))
-    },
-    Some("""WITH r AS (SELECT l_partkey,
-        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
-        FROM lineitem GROUP BY 1),
-      t AS (SELECT sum(revenue) AS tot FROM r),
-      c AS (SELECT l_partkey, revenue,
-        sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-          ROWS UNBOUNDED PRECEDING) AS cum FROM r)
-      SELECT c.l_partkey, CAST(c.revenue AS DOUBLE) AS revenue,
-        CAST(c.cum AS DOUBLE) AS cum_revenue,
-        CASE WHEN 100 * (c.cum - c.revenue) < 80 * t.tot THEN 'A'
-          WHEN 100 * (c.cum - c.revenue) < 95 * t.tot THEN 'B'
-          ELSE 'C' END AS abc_class
-      FROM c CROSS JOIN t ORDER BY c.revenue DESC, l_partkey""")
-  )
-
-  private val q194_image_dedup = Q(
-    "q194_image_dedup",
-    // Perceptual image dedup over REAL decoded pixels: each doc id
-    // deterministically renders an 8x8 grayscale image (g(i) =
-    // (doc_id*31 + i*7) % 256 — 31 is invertible mod 256, so ids
-    // 256 apart render IDENTICAL pixels: planted duplicate images),
-    // encodes it to actual BMP bytes, and the 64-bit average-hash
-    // is computed from the ImageIO-decoded pixels
-    // (Multimodal.averageHash64: 8x8 cell-mean luminance, bit = cell
-    // >= in-order mean). Grouping by the hash is the image spelling
-    // of digest dedup. DuckDB recomputes every hash BIT from the
-    // generating formula, so equality proves decode -> downsample ->
-    // threshold bit-for-bit, not just group counts.
-    (s, dir) => {
-      val hashUdf = udf((id: Long) => {
-        val img = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < 64) {
-          val g = ((id * 31 + i * 7) % 256).toInt
-          img.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
-          i += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "bmp", bos)
-        Multimodal.averageHash64(bos.toByteArray)
-      })
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("_h")
-      table(s, dir, "documents").select(col("doc_id"))
-        .withColumn("_h", hashUdf(col("doc_id")))
-        .select(col("doc_id"),
-          shiftrightunsigned(col("_h"), 32).as("hash_hi"),
-          col("_h").bitwiseAND(lit(0xffffffffL)).as("hash_lo"),
-          count(lit(1)).over(w).as("group_n"),
-          min(col("doc_id")).over(w).as("canonical_id"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH d AS (SELECT doc_id FROM documents),
-      px AS (SELECT doc_id, u.i AS i,
-          0.299 * CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE)
-          + 0.587 * CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE)
-          + 0.114 * CAST((doc_id*31 + u.i*7) % 256 AS DOUBLE) AS lum
-        FROM d CROSS JOIN unnest(range(0, 64)) AS u(i)),
-      m AS (SELECT doc_id,
-          list_aggregate(list(lum ORDER BY i), 'sum') / 64 AS mean
-        FROM px GROUP BY doc_id),
-      b AS (SELECT px.doc_id,
-          CAST(sum(CASE WHEN i >= 32 AND lum >= mean
-            THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT)
-            AS hash_hi,
-          CAST(sum(CASE WHEN i < 32 AND lum >= mean
-            THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
-            AS hash_lo
-        FROM px JOIN m ON m.doc_id = px.doc_id GROUP BY px.doc_id),
-      g AS (SELECT hash_hi, hash_lo, CAST(count(*) AS BIGINT) AS group_n,
-          min(doc_id) AS canonical_id
-        FROM b GROUP BY 1, 2)
-      SELECT b.doc_id, b.hash_hi, b.hash_lo, g.group_n, g.canonical_id
-      FROM b JOIN g ON g.hash_hi = b.hash_hi AND g.hash_lo = b.hash_lo
-      ORDER BY b.doc_id""")
-  )
-
-  private val q195_audio_silence = Q(
-    "q195_audio_silence",
-    // Silence segmentation over REAL audio decode: each doc id
-    // renders 160 frames of deterministic 16-bit PCM (segment k of
-    // 10 frames is zeroed when (id+k) % 4 == 0 — planted silence),
-    // wraps them in an actual WAV container (javax.sound), and the
-    // per-segment RMS comes back through the production WavPcmCodec.
-    // DuckDB recomputes each RMS from the sample formula (in-order
-    // sum of squares, one sqrt, one float narrowing), so equality
-    // proves the container parse + PCM read sample-exact; the silent
-    // flag is the same threshold compare on both sides.
-    (s, dir) => {
-      val rmsUdf = udf((id: Long) => {
-        val nFrames = 160
-        val data = new Array[Byte](nFrames * 2)
-        var t = 0
-        while (t < nFrames) {
-          val base = ((id * 31 + t * 17) % 2001 - 1000).toInt
-          val sv = if ((id + t / 10) % 4 == 0) 0 else base
-          data(2 * t) = (sv & 0xff).toByte
-          data(2 * t + 1) = ((sv >> 8) & 0xff).toByte
-          t += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Multimodal.WavPcmCodec.decode(bos.toByteArray)
-      })
-      table(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          posexplode(rmsUdf(col("doc_id"))).as(Seq("_s", "rms")))
-        .select(col("doc_id"),
-          (col("_s") + 1).cast("long").as("segment"), col("rms"),
-          (col("rms") < 0.01).as("silent"))
-        .orderBy("doc_id", "segment")
-    },
-    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
-      t AS (SELECT doc_id, u.t AS t, u.t // 10 AS seg,
-          CASE WHEN (doc_id + u.t // 10) % 4 = 0 THEN 0
-            ELSE (doc_id*31 + u.t*17) % 2001 - 1000 END AS s
-        FROM d CROSS JOIN unnest(range(0, 160)) AS u(t)),
-      q AS (SELECT doc_id, seg, list_aggregate(list(
-          (CAST(s AS DOUBLE)/32768.0) * (CAST(s AS DOUBLE)/32768.0)
-          ORDER BY t), 'sum') AS ss
-        FROM t GROUP BY doc_id, seg)
-      SELECT doc_id, CAST(seg + 1 AS BIGINT) AS segment,
-        CAST(sqrt(ss / 10) AS REAL) AS rms,
-        CAST(sqrt(ss / 10) AS REAL) < 0.01 AS silent
-      FROM q ORDER BY doc_id, segment""")
-  )
-
-  private val q196_interval_overlap = Q(
-    "q196_interval_overlap",
-    // Interval-overlap join (incident correlation): per user, error
-    // windows [ts, ts + 120*value s] against purchase windows of the
-    // same shape — BOTH sides variable-length intervals, the shape a
-    // range join cannot express. Joins.intervalOverlapJoin explodes
-    // each side into the day cells its interval touches, equi-joins
-    // on (user, cell), and keeps a pair only in the first shared
-    // cell (no distinct). The oracle is the direct inequality join.
-    (s, dir) => {
-      val ev = events(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"), col("ts"),
-        timestamp_micros(unix_micros(col("ts")) +
-          floor(col("value") * 120).cast("long") * 1000000L).as("te"))
-      val err = ev.filter(col("event_type") === "error").select(
-        col("event_id").as("error_id"), col("user_id"),
-        col("ts").as("error_ts"), col("te").as("error_te"))
-      val pur = ev.filter(col("event_type") === "purchase").select(
-        col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("purchase_ts"), col("te").as("purchase_te"))
-      graft.operators.Joins.intervalOverlapJoin(
-        err, pur, Seq("user_id"),
-        "error_ts", "error_te", "purchase_ts", "purchase_te",
-        widthSec = 86400.0)
-        .select(col("error_id"), col("purchase_id"), col("user_id"),
-          (unix_micros(least(col("error_te"), col("purchase_te"))) -
-            unix_micros(greatest(col("error_ts"), col("purchase_ts"))))
-            .as("overlap_micros"))
-        .orderBy("error_id", "purchase_id")
-    },
-    Some("""WITH ev AS (SELECT event_id, user_id, event_type, ts,
-        ts + to_seconds(CAST(floor(value * 120) AS BIGINT)) AS te
-        FROM events),
-      e AS (SELECT event_id AS error_id, user_id, ts AS ets, te AS ete
-        FROM ev WHERE event_type = 'error'),
-      p AS (SELECT event_id AS purchase_id, user_id, ts AS pts,
-          te AS pte FROM ev WHERE event_type = 'purchase')
-      SELECT e.error_id, p.purchase_id, e.user_id,
-        CAST(epoch_us(least(e.ete, p.pte))
-          - epoch_us(greatest(e.ets, p.pts)) AS BIGINT) AS overlap_micros
-      FROM e JOIN p ON p.user_id = e.user_id
-        AND e.ets <= p.pte AND p.pts <= e.ete
-      ORDER BY e.error_id, p.purchase_id""")
-  )
-
-  private val q197_neyman_allocation = Q(
-    "q197_neyman_allocation",
-    // Neyman-optimal stratified sampling allocation across
-    // returnflag|linestatus strata at a 1000-row budget: exact
-    // integer moments per stratum (one distributed pass), one fixed
-    // IEEE expression per emitted double, stratum-ordered normalizer
-    // fold, largest-remainder integer rounding — sum(alloc_raw) is
-    // EXACTLY the budget, and DuckDB reproduces every bit.
-    (s, dir) =>
-      graft.operators.Sampling.neymanAllocation(
-        table(s, dir, "lineitem").withColumn("stratum",
-          concat_ws("|", col("l_returnflag"), col("l_linestatus"))),
-        "stratum", "l_quantity", total = 1000L)
-        .orderBy("stratum"),
-    Some("""WITH m AS (SELECT l_returnflag || '|' || l_linestatus
-        AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
-        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
-        CAST(sum(CAST(l_quantity AS DECIMAL(38,0))
-          * CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE)
-          AS s2
-        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
-      v AS (SELECT stratum, n_rows, CASE WHEN n_rows > 1 THEN
-          sqrt(greatest((CAST(n_rows AS DOUBLE) * s2 - s1 * s1)
-            / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)),
-            0.0)) ELSE 0.0 END AS sd FROM m),
-      w AS (SELECT stratum, n_rows, sd,
-          CAST(n_rows AS DOUBLE) * sd AS ns FROM v),
-      t AS (SELECT list_aggregate(list(ns ORDER BY stratum), 'sum')
-          AS tot FROM w),
-      f AS (SELECT w.stratum, w.n_rows, w.sd, t.tot,
-          CASE WHEN t.tot > 0 THEN w.ns / t.tot ELSE 0.0 END AS share,
-          CASE WHEN t.tot > 0 THEN 1000.0 * (w.ns / t.tot)
-            ELSE 0.0 END AS target
-        FROM w CROSS JOIN t),
-      b AS (SELECT *, CAST(floor(target) AS BIGINT) AS base,
-          row_number() OVER (ORDER BY target - floor(target) DESC,
-            stratum) AS rk FROM f),
-      lo AS (SELECT 1000 - sum(base) AS leftover FROM b)
-      SELECT b.stratum, b.n_rows, b.sd, b.share,
-        CAST(CASE WHEN b.tot > 0 THEN b.base
-          + (CASE WHEN b.rk <= lo.leftover THEN 1 ELSE 0 END)
-          ELSE 0 END AS BIGINT) AS alloc_raw,
-        CAST(least(CASE WHEN b.tot > 0 THEN b.base
-          + (CASE WHEN b.rk <= lo.leftover THEN 1 ELSE 0 END)
-          ELSE 0 END, b.n_rows) AS BIGINT) AS alloc
-      FROM b CROSS JOIN lo ORDER BY b.stratum""")
-  )
-
-  private val q198_char_entropy = Q(
-    "q198_char_entropy",
-    // Character-entropy quality screen: Shannon entropy (nats) per
-    // document over its character distribution, folded over SORTED
-    // distinct characters (TextFunctions.charEntropy — pure Catalyst
-    // HOFs, no UDF). The compressibility proxy: repeated-char junk
-    // scores near 0, base64 blobs score implausibly high; the same
-    // sorted sequential fold in DuckDB reproduces it. Emitted at 6
-    // decimals (the q94 discipline): ln differs by 1 ULP between
-    // libm builds for some arguments, so the raw fold drifts in the
-    // last bit on ~5% of docs — rounding pins the cross-engine face
-    // without weakening the operator.
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), "")).cast("long").as("n_chars_split"),
-          size(array_distinct(split(col("text"), ""))).cast("long")
-            .as("distinct_chars"),
-          round(TextFunctions.charEntropy(col("text")), 6).as("entropy"))
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-        CAST(len(str_split(text, '')) AS BIGINT) AS n_chars_split,
-        CAST(len(list_distinct(str_split(text, ''))) AS BIGINT)
-          AS distinct_chars,
-        round(list_aggregate(list_transform(
-          list_sort(list_distinct(str_split(text, ''))),
-          c -> -(CAST(len(list_filter(str_split(text, ''),
-                x -> x = c)) AS DOUBLE)
-              / CAST(len(str_split(text, '')) AS DOUBLE))
-            * ln(CAST(len(list_filter(str_split(text, ''),
-                x -> x = c)) AS DOUBLE)
-              / CAST(len(str_split(text, '')) AS DOUBLE))), 'sum'), 6)
-          AS entropy
-      FROM documents ORDER BY doc_id""")
-  )
-
-  private val q199_assortativity = Q(
-    "q199_assortativity",
-    // Degree assortativity of the part co-purchase graph (q192's
-    // edges): do popular parts co-occur with popular parts? Exact
-    // integer moments over directed half-edges, ONE IEEE expression
-    // for Newman's r — bit-identical cross-engine. Hub-and-spokes
-    // crawl artifacts in a dup graph drive r negative; this is the
-    // one-number structure diagnosis.
-    (s, dir) => {
-      val edges = graft.operators.Basket.coPairs(
-        table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-        .select(col("item_a").as("u"), col("item_b").as("v"))
-      graft.operators.Graphs.degreeAssortativity(edges, "u", "v")
-    },
-    Some("""WITH i AS (SELECT DISTINCT l_orderkey AS bk,
-        l_partkey AS it FROM lineitem),
-      e AS (SELECT DISTINCT a.it AS u, b.it AS v
-        FROM i a JOIN i b ON a.bk = b.bk AND a.it < b.it),
-      dirr AS (SELECT u AS src, v AS dst FROM e
-        UNION ALL SELECT v, u FROM e),
-      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dirr
-        GROUP BY 1),
-      j AS (SELECT dx.d AS dx, dy.d AS dy FROM dirr
-        JOIN deg dx ON dx.src = dirr.src
-        JOIN deg dy ON dy.src = dirr.dst),
-      m AS (SELECT CAST(count(*) AS BIGINT) AS m_halfedges,
-        CAST(CAST(sum(dx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
-        CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
-          AS DOUBLE) AS sxx,
-        CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
-          AS DOUBLE) AS sxy
-        FROM j),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
-      ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
-      SELECT nn.n_nodes, ne.n_edges, m.m_halfedges,
-        CASE WHEN CAST(m.m_halfedges AS DOUBLE) * sxx - sx * sx > 0.0
-          THEN (CAST(m.m_halfedges AS DOUBLE) * sxy - sx * sx)
-            / (CAST(m.m_halfedges AS DOUBLE) * sxx - sx * sx)
-          END AS r
-      FROM nn CROSS JOIN ne CROSS JOIN m""")
-  )
-
-  private val q200_dp_release = Q(
-    "q200_dp_release",
-    // Differentially-private corpus statistics release: per
-    // (source, lang) counts, k=3 suppression first (small groups
-    // withheld entirely), then epsilon=1 Laplace noise from the
-    // md5-derived deterministic uniform — a RETRIED release
-    // publishes identical numbers, and DuckDB rebuilds the exact
-    // noise from the same construction (release at the 6-decimal
-    // ln-parity face).
-    (s, dir) =>
-      graft.operators.Privacy.dpCounts(
-        table(s, dir, "documents"), Seq("source", "lang"),
-        epsilon = 1.0, k = 3L,
-        // fixture-only salt, mirrored by the oracle below; a real
-        // release must use a caller-owned SECRET salt (Privacy doc)
-        salt = "graft")
-        .orderBy("source", "lang"),
-    Some("""WITH g AS (SELECT source, lang,
-        CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
-      f AS (SELECT * FROM g WHERE n >= 3),
-      u AS (SELECT source, lang, n,
-        (CAST(md5_number_lower(source || '|' || lang || ':graft')
-          >> 11 AS DOUBLE) + 0.5) / 9007199254740992.0 AS uu FROM f)
-      SELECT source, lang, n,
-        round(greatest(CAST(n AS DOUBLE) + (-(1.0 / 1.0)
-          * (CASE WHEN uu - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
-          * ln(1.0 - 2.0 * abs(uu - 0.5))), 0.0), 6) AS release
-      FROM u ORDER BY source, lang""")
-  )
-
-  private val q201_readability = Q(
-    "q201_readability",
-    // Flesch reading-ease readability screen: all inputs are exact
-    // integer counts (whitespace words, [.!?]+ sentence runs floored
-    // at 1, [aeiouy]+ vowel-group syllables floored at 1 per word),
-    // so the score is one fixed IEEE expression — bitwise
-    // cross-engine with NO transcendental involved.
-    (s, dir) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_words"),
-          TextFunctions.fleschScore(col("text")).as("flesch"))
-        .orderBy("doc_id"),
-    Some("""WITH w AS (SELECT doc_id,
-        list_filter(str_split(text, ' '), x -> x <> '') AS ws,
-        len(list_filter(str_split_regex(text, '[^.!?]+'),
-          x -> x <> '')) AS sent_runs
-        FROM documents),
-      c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-        CAST(list_aggregate(list_transform(ws, t -> greatest(1,
-          len(list_filter(str_split_regex(t, '[^aeiouy]+'),
-            x -> x <> '')))), 'sum') AS BIGINT) AS syl,
-        greatest(1.0, CAST(sent_runs AS DOUBLE)) AS s
-        FROM w)
-      SELECT doc_id, n_words,
-        CASE WHEN n_words > 0 THEN 206.835
-          - 1.015 * (CAST(n_words AS DOUBLE) / s)
-          - 84.6 * (CAST(syl AS DOUBLE) / CAST(n_words AS DOUBLE))
-          END AS flesch
-      FROM c ORDER BY doc_id""")
-  )
-
-  private val q202_url_canonical = Q(
-    "q202_url_canonical",
-    // Crawl-URL canonicalization + dedup: each doc synthesizes a
-    // messy URL (uppercase scheme/host, www, default port, doubled
-    // slashes, tracking params, fragment) whose canonical form
-    // collides for docs sharing (source, doc_id % 50) — the
-    // cheapest dedup a web corpus runs, before any content hash.
-    // TextFunctions.canonicalizeUrl is pure regex/array built-ins
-    // (codegen, no UDF); DuckDB replays the identical chain.
-    (s, dir) => {
-      val url = concat(lit("HTTPS://WWW."), col("source"),
-        lit(".Example.COM:443/Articles//"),
-        (col("doc_id") % 50).cast("string"),
-        lit("/?utm_source=feed&b=2&a=1&ref=x#frag-"),
-        col("doc_id").cast("string"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("canonical_url")
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.canonicalizeUrl(url).as("canonical_url"))
-        .select(col("doc_id"), col("canonical_url"),
-          count(lit(1)).over(w).as("dup_n"),
-          min(col("doc_id")).over(w).as("canonical_id"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH d AS (SELECT doc_id,
-        'HTTPS://WWW.' || source || '.Example.COM:443/Articles//'
-          || CAST(doc_id % 50 AS VARCHAR)
-          || '/?utm_source=feed&b=2&a=1&ref=x#frag-'
-          || CAST(doc_id AS VARCHAR) AS url
-        FROM documents),
-      c AS (SELECT doc_id,
-        lower(regexp_extract(url,
-          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        regexp_extract(url,
-          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-        regexp_extract(url,
-          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-        regexp_extract(url, '\?([^#]*)', 1) AS query FROM d),
-      c2 AS (SELECT doc_id, scheme,
-        regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)),
-          '^www\.', '') AS host,
-        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-        regexp_replace(regexp_replace(path0, '//+', '/', 'g'),
-          '/$', '') AS path,
-        array_to_string(list_sort(list_filter(str_split(query, '&'),
-          p -> p <> '' AND NOT regexp_matches(p,
-            '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS qstr
-        FROM c),
-      u AS (SELECT doc_id, scheme || '://' || host
-          || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-            OR (scheme = 'https' AND port = '443') THEN ''
-            ELSE ':' || port END)
-          || path
-          || (CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END)
-          AS canonical_url FROM c2),
-      g AS (SELECT canonical_url, CAST(count(*) AS BIGINT) AS dup_n,
-          min(doc_id) AS canonical_id FROM u GROUP BY 1)
-      SELECT u.doc_id, u.canonical_url, g.dup_n, g.canonical_id
-      FROM u JOIN g USING (canonical_url) ORDER BY u.doc_id""")
-  )
-
-  private val q203_cdc_chunks = Q(
-    "q203_cdc_chunks",
-    // Content-defined chunking dedup: docs 0..99 plus SHIFTED copies
-    // (a 15-char prefix insertion). CDC boundaries depend only on
-    // local content, so the copies re-synchronize after the first
-    // boundary and their later chunks collide by md5 — the property
-    // fixed-size blocks lose. The oracle re-derives every boundary
-    // (all window positions via md5_number_lower), every chunk md5,
-    // and every cross-doc duplicate count.
-    (s, dir) => {
-      val base = table(s, dir, "documents")
-        .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
-      val corpus = base.unionAll(base.select(
-        (col("doc_id") + 100000L).as("doc_id"),
-        concat(lit("shifted prefix "), col("text")).as("text")))
-      graft.operators.Dedup.cdcChunkTable(
-        corpus, "doc_id", "text", window = 16, modulus = 64)
-        .orderBy("doc_id", "chunk_idx")
-    },
-    Some("""WITH d0 AS (SELECT doc_id, text FROM documents
-        WHERE doc_id < 100),
-      d AS (SELECT doc_id, text, len(text) AS n FROM (
-        SELECT doc_id, text FROM d0
-        UNION ALL SELECT doc_id + 100000,
-          'shifted prefix ' || text FROM d0)),
-      p AS (SELECT d.doc_id, u.p AS p FROM d
-        CROSS JOIN unnest(range(16, n + 1)) AS u(p)
-        WHERE (md5_number_lower(
-          substr(text, CAST(u.p AS INT) - 15, 16)) >> 11) % 64 = 0),
-      e AS (SELECT d.doc_id, d.text, list_sort(list_distinct(
-          COALESCE(list(p.p), CAST([] AS BIGINT[])) || [CAST(d.n AS BIGINT)]))
-          AS ends
-        FROM d LEFT JOIN p ON p.doc_id = d.doc_id
-        GROUP BY d.doc_id, d.text, d.n),
-      ch AS (SELECT doc_id, text,
-          CAST(u.i + 1 AS BIGINT) AS chunk_idx,
-          CASE WHEN u.i = 0 THEN 1 ELSE ends[CAST(u.i AS INT)] + 1
-            END AS start,
-          ends[CAST(u.i + 1 AS INT)] AS e
-        FROM e CROSS JOIN unnest(range(0, len(ends))) AS u(i)),
-      c2 AS (SELECT doc_id, chunk_idx, CAST(start AS BIGINT) AS start,
-          CAST(e - start + 1 AS BIGINT) AS chunk_len,
-          md5(substr(text, CAST(start AS INT),
-            CAST(e - start + 1 AS INT))) AS chunk_md5
-        FROM ch),
-      g AS (SELECT chunk_md5,
-          CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
-        FROM c2 GROUP BY 1)
-      SELECT c2.doc_id, c2.chunk_idx, c2.start, c2.chunk_len,
-        c2.chunk_md5, g.docs - 1 AS dup_docs
-      FROM c2 JOIN g USING (chunk_md5)
-      ORDER BY c2.doc_id, c2.chunk_idx""")
-  )
-
-  private val q204_cluster_quality = Q(
-    "q204_cluster_quality",
-    // Davies-Bouldin cluster quality over the label prototypes: per
-    // label, scatter (vec-id-ordered mean distance to own centroid)
-    // and the worst (S_i+S_j)/M_ij separation ratio — the
-    // no-pairwise-points diagnostic to run after every centroid
-    // (re)train. Every fold is dim- or id-ordered, so DuckDB
-    // rebuilds centroids, scatters, and components bitwise.
-    (s, dir) =>
-      graft.operators.Similarity.daviesBouldin(
-        table(s, dir, "embeddings"), "label", "vec_id", "embedding")
-        .withColumnRenamed("group", "label")
-        .orderBy("label"),
-    Some("""WITH g AS (SELECT label, count(*) AS n,
-        list(embedding ORDER BY vec_id) AS vs
-        FROM embeddings GROUP BY label),
-      cent AS (SELECT label, n, list_transform(
-          range(1, len(vs[1]) + 1),
-          i -> list_aggregate(list_transform(vs,
-            v -> CAST(v[i] AS DOUBLE)), 'sum') / n) AS cv FROM g),
-      d AS (SELECT e.label, e.vec_id,
-          sqrt(list_aggregate(list_transform(
-            list_zip(e.embedding, c.cv),
-            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-            'sum')) AS d
-        FROM embeddings e JOIN cent c ON c.label = e.label),
-      s AS (SELECT label,
-          list_aggregate(list(d ORDER BY vec_id), 'sum') / count(*)
-            AS scatter
-        FROM d GROUP BY label),
-      m AS (SELECT a.label AS la, b.label AS lb,
-          sqrt(list_aggregate(list_transform(list_zip(a.cv, b.cv),
-            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-            'sum')) AS m
-        FROM cent a JOIN cent b ON a.label <> b.label),
-      r AS (SELECT m.la AS label,
-          max((sa.scatter + sb.scatter) / m.m) AS db_component
-        FROM m JOIN s sa ON sa.label = m.la
-        JOIN s sb ON sb.label = m.lb WHERE m.m > 0 GROUP BY 1)
-      SELECT c.label, CAST(c.n AS BIGINT) AS n, s.scatter,
-        r.db_component
-      FROM cent c JOIN s USING (label) JOIN r USING (label)
-      ORDER BY c.label""")
-  )
-
-  private val q205_watermark_audit = Q(
-    "q205_watermark_audit",
-    // Watermark sizing audit: replay events in arrival order
-    // (event_id) per type, measure how far behind the running
-    // event-time high-water mark each event lands, and emit the
-    // late rate plus max/p95 lateness — the numbers that pick the
-    // withWatermark() delay instead of guessing it. One partitioned
-    // running-max window, exact integer microseconds.
-    (s, dir) =>
-      graft.operators.Profile.latenessAudit(
-        events(s, dir), Seq("event_type"), "ts", "event_id")
-        .orderBy("event_type"),
-    Some("""WITH o AS (SELECT event_type, event_id, epoch_us(ts) AS us,
-        max(epoch_us(ts)) OVER (PARTITION BY event_type
-          ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
-        FROM events),
-      l AS (SELECT event_type, CASE WHEN mx IS NULL THEN 0
-          ELSE greatest(mx - us, 0) END AS late_us FROM o)
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
-          AS late_n,
-        CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-          / CAST(count(*) AS DOUBLE) AS late_rate,
-        CAST(max(late_us) AS BIGINT) AS max_late_us,
-        quantile_cont(CAST(late_us AS DOUBLE), 0.95) AS p95_late_us
-      FROM l GROUP BY 1 ORDER BY 1""")
-  )
-
-  private val q206_format_roundtrip = Q(
-    "q206_format_roundtrip",
-    // CSV and JSON-lines sink -> source round trip under adversarial
-    // content: the tricky column carries the delimiter, the quote
-    // char, and spaces — the CSV threat model — through an actual
-    // write-then-read of BOTH containers with explicit schemas
-    // (never infer at scale: inference is an extra full pass). The
-    // oracle is the same projection straight off parquet, so
-    // equality proves both formats are lossless end to end, quoting
-    // and JSON string escaping included. Scratch tree deleted on
-    // every path.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q206_").toString
-      try {
-        val docs = table(s, dir, "documents")
-          .filter(col("doc_id") < 200)
-          .select(col("doc_id"), col("source"),
-            concat(col("lang"), lit(",\"x\" "), col("source"))
-              .as("tricky"))
-        graft.sources.Sources.writeCsv(docs, s"$base/csv")
-        graft.sources.Sources.writeJsonLines(docs, s"$base/jsonl")
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("source", StringType),
-          StructField("tricky", StringType)))
-        val fromCsv = graft.sources.Sources
-          .csv(s, s"$base/csv", schema)
-          .select(col("doc_id"), col("source").as("csv_source"),
-            col("tricky").as("csv_tricky"))
-        val fromJson = graft.sources.Sources
-          .jsonLines(s, s"$base/jsonl", schema)
-          .select(col("doc_id"), col("tricky").as("json_tricky"))
-        collectToLocal(fromCsv.join(fromJson, "doc_id"),
-          "q206 roundtrip").orderBy("doc_id")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(base))
-      }
-    },
-    Some("""SELECT doc_id, source AS csv_source,
-        lang || ',"x" ' || source AS csv_tricky,
-        lang || ',"x" ' || source AS json_tricky
-      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
-  )
-
-  private val q207_ewma = Q(
-    "q207_ewma",
-    // EWMA smoothing of per-type daily volume on the gap-free grid:
-    // the alpha=0.3 recursion unrolled to its closed form, so each
-    // (type, day) is one day-ordered fold with geometric weights —
-    // no sequential dependency, nothing driver-side. DuckDB replays
-    // the identical weights and fold order; 6-decimal face for
-    // pow's last-ulp variance across libm builds.
-    (s, dir) =>
-      graft.operators.TimeSeries.ewma(
-        events(s, dir), Seq("event_type"), "ts", alpha = 0.3)
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
-        FROM d GROUP BY 1),
-      grid AS (SELECT event_type, d0, d1, u.day AS day
-        FROM sp CROSS JOIN unnest(range(d0, d1 + 1)) AS u(day)),
-      c AS (SELECT g.event_type, g.d0, g.d1, g.day,
-          COALESCE(d.cnt, 0) AS cnt
-        FROM grid g LEFT JOIN d ON d.event_type = g.event_type
-          AND d.day = g.day),
-      pairs AS (SELECT a.event_type, b.day AS day, a.day AS s,
-          (CASE WHEN a.day = a.d0
-            THEN power(0.7, CAST(b.day - a.d0 AS DOUBLE))
-            ELSE 0.3 * power(0.7, CAST(b.day - a.day AS DOUBLE)) END)
-            * CAST(a.cnt AS DOUBLE) AS term
-        FROM c a JOIN c b ON b.event_type = a.event_type
-          AND b.day >= a.day),
-      e AS (SELECT event_type, day,
-          round(list_aggregate(list(term ORDER BY s), 'sum'), 6)
-            AS ewma
-        FROM pairs GROUP BY 1, 2)
-      SELECT c.event_type, c.day, CAST(c.cnt AS BIGINT) AS cnt, e.ewma
-      FROM c JOIN e ON e.event_type = c.event_type AND e.day = c.day
-      ORDER BY c.event_type, c.day""")
-  )
-
-  private val q208_psi = Q(
-    "q208_psi",
-    // Population Stability Index per event type between the month's
-    // first half (reference) and second half (current) — the
-    // deployed-model drift metric. Reference-ranged fixed bins with
-    // edge clamping, 1e-6 share floor, bin-ordered fold, 6-decimal
-    // ln face; DuckDB rebuilds every bin count and term.
-    (s, dir) => {
-      val ev = events(s, dir)
-      graft.operators.Profile.psi(
-        ev.filter(dayofmonth(col("ts")) <= 15),
-        ev.filter(dayofmonth(col("ts")) > 15),
-        Seq("event_type"), "value", bins = 10)
-        .orderBy("event_type")
-    },
-    Some("""WITH r AS (SELECT event_type, value FROM events
-        WHERE date_part('day', ts) <= 15 AND value IS NOT NULL),
-      c AS (SELECT event_type, value FROM events
-        WHERE date_part('day', ts) > 15 AND value IS NOT NULL),
-      b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
-        FROM r GROUP BY 1),
-      rb AS (SELECT r.event_type, CASE WHEN b.hi = b.lo THEN 0
-          ELSE greatest(0, least(9, CAST(floor(
-            ((r.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
-          END AS bin, count(*) AS nr
-        FROM r JOIN b USING (event_type) GROUP BY 1, 2),
-      cb AS (SELECT c.event_type, CASE WHEN b.hi = b.lo THEN 0
-          ELSE greatest(0, least(9, CAST(floor(
-            ((c.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
-          END AS bin, count(*) AS nc
-        FROM c JOIN b USING (event_type) GROUP BY 1, 2),
-      grid AS (SELECT event_type, u.bin AS bin FROM b
-        CROSS JOIN unnest(range(0, 10)) AS u(bin)),
-      cells AS (SELECT g.event_type, g.bin,
-          COALESCE(rb.nr, 0) AS nr, COALESCE(cb.nc, 0) AS nc
-        FROM grid g
-        LEFT JOIN rb ON rb.event_type = g.event_type
-          AND rb.bin = g.bin
-        LEFT JOIN cb ON cb.event_type = g.event_type
-          AND cb.bin = g.bin),
-      t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
-          CAST(sum(nc) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
-      terms AS (SELECT cells.event_type, t.n_ref, t.n_cur, cells.bin,
-          (greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)
-           - greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
-             1e-6))
-          * ln(greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE),
-              1e-6)
-            / greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
-              1e-6)) AS term
-        FROM cells JOIN t ON t.event_type = cells.event_type
-        WHERE t.n_ref > 0 AND t.n_cur > 0)
-      SELECT event_type, n_ref, n_cur,
-        round(list_aggregate(list(term ORDER BY bin), 'sum'), 6)
-          AS psi
-      FROM terms GROUP BY event_type, n_ref, n_cur
-      ORDER BY event_type""")
-  )
-
-  private val q209_welch_ttest = Q(
-    "q209_welch_ttest",
-    // Welch's unequal-variance t-test on click vs purchase values:
-    // the means A/B screen beside q190's rank-sum distribution
-    // screen. DECIMAL-exact moments (associative, any partial-agg
-    // order), then t and the Welch-Satterthwaite df as one fixed
-    // IEEE chain — bitwise cross-engine, no transcendental.
-    (s, dir) =>
-      graft.operators.Profile.welchTTest(
-        events(s, dir), "event_type", "value", "click", "purchase"),
-    Some("""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
-        sum(CAST(value AS DECIMAL(18,2))) AS s1a,
-        sum(CAST(CAST(value AS DECIMAL(18,2))
-          * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2a
-        FROM events WHERE event_type = 'click' AND value IS NOT NULL),
-      b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
-        sum(CAST(value AS DECIMAL(18,2))) AS s1b,
-        sum(CAST(CAST(value AS DECIMAL(18,2))
-          * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2b
-        FROM events WHERE event_type = 'purchase'
-          AND value IS NOT NULL),
-      m AS (SELECT n_a, n_b,
-        CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
-        CAST(s1b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
-        ((CAST(n_a AS DOUBLE) * CAST(s2a AS DOUBLE)
-          - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
-          / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
-          / CAST(n_a AS DOUBLE) AS va,
-        ((CAST(n_b AS DOUBLE) * CAST(s2b AS DOUBLE)
-          - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
-          / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
-          / CAST(n_b AS DOUBLE) AS vb
-        FROM a CROSS JOIN b)
-      SELECT n_a, n_b, mean_a, mean_b,
-        CASE WHEN va + vb > 0
-          THEN (mean_a - mean_b) / sqrt(va + vb) END AS t_stat,
-        CASE WHEN va + vb > 0
-          THEN ((va + vb) * (va + vb))
-            / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
-              + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)) END AS df
-      FROM m""")
-  )
-
-  private val q210_rendezvous_shard = Q(
-    "q210_rendezvous_shard",
-    // Rendezvous-hash re-sharding 10 -> 11: each doc's shard is the
-    // argmax of md5(id:shard:salt) over shards, so growing the ring
-    // moves ONLY docs whose new shard wins — ~1/11 of the corpus,
-    // where pmod re-deals nearly all. Codegen md5 + array HOFs; the
-    // oracle replays both assignments and the moved flag with
-    // arg_max over the same hex weights.
-    (s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"))
-      val s10 = graft.operators.Sampling.rendezvousShard(
-        docs, "doc_id", 10, outCol = "shard10")
-      graft.operators.Sampling.rendezvousShard(
-        s10, "doc_id", 11, outCol = "shard11")
-        .withColumn("moved", col("shard10") =!= col("shard11"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH d AS (SELECT doc_id FROM documents),
-      w AS (SELECT doc_id, u.s AS s,
-          md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)
-            || ':graft') AS h
-        FROM d CROSS JOIN unnest(range(0, 11)) AS u(s)),
-      a10 AS (SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard10
-        FROM w WHERE s < 10 GROUP BY 1),
-      a11 AS (SELECT doc_id, CAST(arg_max(s, h) AS BIGINT) AS shard11
-        FROM w GROUP BY 1)
-      SELECT d.doc_id, a10.shard10, a11.shard11,
-        a10.shard10 <> a11.shard11 AS moved
-      FROM d JOIN a10 USING (doc_id) JOIN a11 USING (doc_id)
-      ORDER BY d.doc_id""")
-  )
-
-  private val q211_sorted_neighborhood = Q(
-    "q211_sorted_neighborhood",
-    // The OTHER entity-resolution blocking beside q186's q-gram
-    // filter: sorted-neighborhood — candidates within 32 positions in
-    // sorted dictionary order, levenshtein-verified. O(n*w) total
-    // candidates regardless of content (q-gram blocking can
-    // degenerate); recall cost (leading-char typos sort far away)
-    // documented. Global ranks via range-partition + zipWithIndex —
-    // no global window; the oracle replays rank windows and the
-    // verify exactly.
-    (s, dir) =>
-      graft.operators.Linkage.sortedNeighborhood(
-        table(s, dir, "part"), "p_name", window = 32, maxDist = 2)
-        .withColumn("dist", col("dist").cast("long"))
-        .orderBy("name_a", "name_b"),
-    Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
-      r AS (SELECT name, row_number() OVER (ORDER BY name) - 1
-          AS rank FROM n)
-      SELECT a.name AS name_a, b.name AS name_b,
-        CAST(b.rank - a.rank AS BIGINT) AS rank_gap,
-        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-      FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < 32
-      WHERE levenshtein(a.name, b.name) <= 2
-      ORDER BY name_a, name_b""")
-  )
-
-  private val q212_kmeans = Q(
-    "q212_kmeans",
-    // Distributed Lloyd k-means over the WHOLE embedding corpus
-    // (k=8, 2 assignment passes): deterministic seeds (8 smallest
-    // ids), argmin squared distance with (d, cluster) tiebreak,
-    // id-ordered bitwise recentering — the oracle replays BOTH
-    // iterations (assignment -> fold -> assignment) and must land
-    // on the identical clustering.
-    (s, dir) =>
-      graft.operators.Similarity.kmeansLloyd(
-        table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2)
-        .orderBy("id"),
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      c0 AS (SELECT vec_id AS cluster, list_transform(embedding,
-          x -> CAST(x AS DOUBLE)) AS cv FROM e WHERE vec_id < 8),
-      d1 AS (SELECT e.vec_id, c0.cluster,
-          list_aggregate(list_transform(list_zip(e.embedding, c0.cv),
-            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-            'sum') AS d
-        FROM e CROSS JOIN c0),
-      a1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
-          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
-            AS rn FROM d1) WHERE rn = 1),
-      g1 AS (SELECT a1.cluster, count(*) AS n,
-          list(e.embedding ORDER BY e.vec_id) AS vs
-        FROM a1 JOIN e ON e.vec_id = a1.vec_id GROUP BY 1),
-      c1 AS (SELECT cluster, list_transform(
-          range(1, len(vs[1]) + 1),
-          i -> list_aggregate(list_transform(vs,
-            v -> CAST(v[i] AS DOUBLE)), 'sum') / n) AS cv FROM g1),
-      d2 AS (SELECT e.vec_id, c1.cluster,
-          list_aggregate(list_transform(list_zip(e.embedding, c1.cv),
-            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
-            'sum') AS d
-        FROM e CROSS JOIN c1),
-      a2 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
-          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
-            AS rn FROM d2) WHERE rn = 1),
-      sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
-        FROM a2 GROUP BY 1)
-      SELECT a2.vec_id AS id, a2.cluster, sz.cluster_n
-      FROM a2 JOIN sz USING (cluster) ORDER BY id""")
-  )
-
-  private val q213_stream_psi = Q(
-    "q213_stream_psi",
-    // Continuous drift monitoring, oracle-backed end to end: the
-    // month's first half is the FIXED reference; the second half
-    // arrives as TWO micro-batches (event_id parity) through
-    // psiStream, each batch's per-type PSI landing in the
-    // batch-keyed ledger (idempotent replay by overwrite). The
-    // oracle recomputes every batch's PSI from raw events — the
-    // q208 arithmetic, per half.
-    (s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_q213_").toString
-      try {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val ev = events(s, dir)
-        val ref = ev.filter(dayofmonth(col("ts")) <= 15)
-          .select(col("event_type"), col("value"))
-        val (h1, h2) = cachedFixture(s"q213:$dir") {
-          def half(p: org.apache.spark.sql.Column) =
-            ev.filter(dayofmonth(col("ts")) > 15 && p)
-              .select("event_type", "value")
-              .as[(String, Option[Double])].collect().toSeq
-          (half(col("event_id") % 2 === 0),
-            half(col("event_id") % 2 =!= 0))
-        }
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, Option[Double])]
-        val q = graft.streaming.Streams.psiStream(
-          mem.toDF().toDF("event_type", "value"), ref,
-          Seq("event_type"), "value", s"$base/ledger", s"$base/ckpt")
-        try {
-          mem.addData(h1)
-          q.processAllAvailable()
-          mem.addData(h2)
-          q.processAllAvailable()
-        } finally q.stop()
-        collectToLocal(
-          s.read.parquet(s"$base/ledger")
-            .select(col("batch").cast("long").as("batch_id"),
-              col("event_type"), col("n_ref"), col("n_cur"),
-              col("psi")),
-          "q213 psi ledger")
-          .orderBy("batch_id", "event_type")
-      } finally {
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(base))
-      }
-    },
-    Some("""WITH refr AS (SELECT event_type, value FROM events
-        WHERE date_part('day', ts) <= 15 AND value IS NOT NULL),
-      curb AS (SELECT event_id % 2 AS half, event_type, value
-        FROM events
-        WHERE date_part('day', ts) > 15 AND value IS NOT NULL),
-      b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
-        FROM refr GROUP BY 1),
-      rb AS (SELECT refr.event_type, CASE WHEN b.hi = b.lo THEN 0
-          ELSE greatest(0, least(9, CAST(floor(
-            ((refr.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
-          END AS bin, count(*) AS nr
-        FROM refr JOIN b USING (event_type) GROUP BY 1, 2),
-      cb AS (SELECT curb.half, curb.event_type,
-          CASE WHEN b.hi = b.lo THEN 0
-          ELSE greatest(0, least(9, CAST(floor(
-            ((curb.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
-          END AS bin, count(*) AS nc
-        FROM curb JOIN b USING (event_type) GROUP BY 1, 2, 3),
-      halves AS (SELECT DISTINCT half FROM curb),
-      grid AS (SELECT h.half, b.event_type, u.bin AS bin FROM b
-        CROSS JOIN halves h
-        CROSS JOIN unnest(range(0, 10)) AS u(bin)),
-      cells AS (SELECT g.half, g.event_type, g.bin,
-          COALESCE(rb.nr, 0) AS nr, COALESCE(cb.nc, 0) AS nc
-        FROM grid g
-        LEFT JOIN rb ON rb.event_type = g.event_type
-          AND rb.bin = g.bin
-        LEFT JOIN cb ON cb.half = g.half
-          AND cb.event_type = g.event_type AND cb.bin = g.bin),
-      t AS (SELECT half, event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
-          CAST(sum(nc) AS BIGINT) AS n_cur
-        FROM cells GROUP BY 1, 2),
-      terms AS (SELECT cells.half, cells.event_type, t.n_ref,
-          t.n_cur, cells.bin,
-          (greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE), 1e-6)
-           - greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
-             1e-6))
-          * ln(greatest(CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE),
-              1e-6)
-            / greatest(CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE),
-              1e-6)) AS term
-        FROM cells JOIN t ON t.half = cells.half
-          AND t.event_type = cells.event_type
-        WHERE t.n_ref > 0 AND t.n_cur > 0)
-      SELECT CAST(half AS BIGINT) AS batch_id, event_type, n_ref,
-        n_cur,
-        round(list_aggregate(list(term ORDER BY bin), 'sum'), 6)
-          AS psi
-      FROM terms GROUP BY half, event_type, n_ref, n_cur
-      ORDER BY batch_id, event_type""")
-  )
-
-  private val q214_audio_dedup = Q(
-    "q214_audio_dedup",
-    // Acoustic-fingerprint dedup, completing the modality triad
-    // (text digests, image aHash q194, audio here): docs 0..299
-    // synthesize PCM keyed by doc_id % 128 — ids 128 apart render
-    // BYTE-IDENTICAL audio — wrapped in real WAV containers and
-    // fingerprinted through the production codec (16 RMS segments
-    // quantized to 4 bits each). DuckDB recomputes every RMS,
-    // every quantized nibble, and every duplicate group from the
-    // sample formula.
-    (s, dir) => {
-      val fpUdf = udf((id: Long) => {
-        val nFrames = 160
-        val key = id % 128
-        val data = new Array[Byte](nFrames * 2)
-        var t = 0
-        while (t < nFrames) {
-          val base = ((key * 31 + t * 17) % 2001 - 1000).toInt
-          val sv = if ((key + t / 10) % 4 == 0) 0 else base
-          data(2 * t) = (sv & 0xff).toByte
-          data(2 * t + 1) = ((sv >> 8) & 0xff).toByte
-          t += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Multimodal.audioFingerprint64(bos.toByteArray)
-      })
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("_fp")
-      table(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 300)
-        .withColumn("_fp", fpUdf(col("doc_id")))
-        .select(col("doc_id"),
-          shiftrightunsigned(col("_fp"), 32).as("fp_hi"),
-          col("_fp").bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
-          count(lit(1)).over(w).as("group_n"),
-          min(col("doc_id")).over(w).as("canonical_id"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH d AS (SELECT doc_id FROM documents
-        WHERE doc_id < 300),
-      t AS (SELECT doc_id, u.t AS t, u.t // 10 AS seg,
-          CASE WHEN ((doc_id % 128) + u.t // 10) % 4 = 0 THEN 0
-            ELSE ((doc_id % 128)*31 + u.t*17) % 2001 - 1000 END AS s
-        FROM d CROSS JOIN unnest(range(0, 160)) AS u(t)),
-      q AS (SELECT doc_id, seg, CAST(sqrt(list_aggregate(list(
-          (CAST(s AS DOUBLE)/32768.0) * (CAST(s AS DOUBLE)/32768.0)
-          ORDER BY t), 'sum') / 10) AS REAL) AS rms
-        FROM t GROUP BY doc_id, seg),
-      f AS (SELECT doc_id,
-          CAST(sum(CASE WHEN seg < 8 THEN
-            least(15, CAST(floor(CAST(rms AS DOUBLE) * 512)
-              AS BIGINT)) << (4 * seg) ELSE 0 END) AS BIGINT)
-            AS fp_lo,
-          CAST(sum(CASE WHEN seg >= 8 THEN
-            least(15, CAST(floor(CAST(rms AS DOUBLE) * 512)
-              AS BIGINT)) << (4 * (seg - 8)) ELSE 0 END) AS BIGINT)
-            AS fp_hi
-        FROM q GROUP BY doc_id),
-      g AS (SELECT fp_hi, fp_lo, CAST(count(*) AS BIGINT) AS group_n,
-          min(doc_id) AS canonical_id FROM f GROUP BY 1, 2)
-      SELECT f.doc_id, f.fp_hi, f.fp_lo, g.group_n, g.canonical_id
-      FROM f JOIN g ON g.fp_hi = f.fp_hi AND g.fp_lo = f.fp_lo
-      ORDER BY f.doc_id""")
-  )
-
-  private val q215_benford = Q(
-    "q215_benford",
-    // Benford first-digit forensic audit of extended prices per
-    // returnflag: digits extracted in exact integer space (decimal
-    // cents -> first char of the BIGINT rendering — no log10 near
-    // power-of-10 boundaries), Benford expectation and chi-squared
-    // cells at the 6-decimal ln face. The fabricated-data screen,
-    // emitted as cells per the chiSquaredCells discipline.
-    (s, dir) =>
-      graft.operators.Profile.benford(
-        table(s, dir, "lineitem"), Seq("l_returnflag"),
-        "l_extendedprice", scale = 2)
-        .orderBy("l_returnflag", "digit"),
-    Some("""WITH v AS (SELECT l_returnflag AS k,
-        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-          AS cents
-        FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
-          AND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-            AS BIGINT) >= 1),
-      c AS (SELECT k,
-          CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
-            AS digit,
-          CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY 1, 2),
-      t AS (SELECT k, CAST(sum(n_obs) AS BIGINT) AS n FROM c
-        GROUP BY 1),
-      g AS (SELECT t.k, t.n, u.digit AS digit FROM t
-        CROSS JOIN unnest(range(1, 10)) AS u(digit)),
-      j AS (SELECT g.k, g.digit, g.n, COALESCE(c.n_obs, 0) AS n_obs
-        FROM g LEFT JOIN c ON c.k = g.k AND c.digit = g.digit)
-      SELECT k AS l_returnflag, CAST(digit AS BIGINT) AS digit,
-        n_obs, n AS n_total,
-        round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
-        round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
-          AS benford_share,
-        round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
-            * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
-          * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
-            * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
-          / (CAST(n AS DOUBLE)
-            * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 6)
-          AS chi2_term
-      FROM j ORDER BY l_returnflag, digit""")
-  )
-
-  private val q218_filter_overlap = Q(
-    "q218_filter_overlap",
-    // Quality-policy Venn planning: three filters (short docs,
-    // repetitive docs, low-stopword docs) evaluated as one
-    // conditional-aggregation pass, reported as the FULL 2^3 mask
-    // grid — zero cells included, because "no doc trips exactly
-    // {short, lowstop}" is policy signal. The oracle rebuilds every
-    // flag (exact integer/rational comparisons) and every cell.
-    (s, dir) =>
-      graft.operators.Curation.filterOverlap(
-        table(s, dir, "documents"), Seq(
-          "short" -> (TextFunctions.tokenCount(col("text")) < 60),
-          "repetitive" ->
-            (TextFunctions.repetitionRatio(col("text")) > 0.5),
-          "lowstop" ->
-            (TextFunctions.stopwordRatio(col("text")) < 0.06)))
-        .orderBy("mask"),
-    Some(s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
-      f AS (SELECT doc_id,
-          (CASE WHEN len(ws) < 60 THEN 1 ELSE 0 END)
-          + (CASE WHEN len(ws) > 0 AND 1.0 -
-              CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.5
-              THEN 2 ELSE 0 END)
-          + (CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(ws,
-                x -> list_contains($stopList, x))) AS DOUBLE)
-                / len(ws) END) < 0.06 THEN 4 ELSE 0 END) AS mask
-        FROM w),
-      c AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_docs FROM f
-        GROUP BY 1),
-      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
-      g AS (SELECT u.mask AS mask FROM unnest(range(0, 8)) AS u(mask))
-      SELECT CAST(g.mask AS BIGINT) AS mask,
-        concat_ws(',',
-          CASE WHEN g.mask & 1 <> 0 THEN 'short' END,
-          CASE WHEN g.mask & 2 <> 0 THEN 'repetitive' END,
-          CASE WHEN g.mask & 4 <> 0 THEN 'lowstop' END) AS filters,
-        COALESCE(c.n_docs, 0) AS n_docs,
-        round(CAST(COALESCE(c.n_docs, 0) AS DOUBLE)
-          / CAST(t.total AS DOUBLE), 6) AS share
-      FROM g LEFT JOIN c ON c.mask = g.mask CROSS JOIN t
-      ORDER BY g.mask""")
-  )
-
-  private val q219_ks_test = Q(
-    "q219_ks_test",
-    // Two-sample Kolmogorov-Smirnov on click vs view values — the
-    // distribution-SHAPE screen completing the classical family
-    // (Welch means q209, rank-sum dominance q190, chi-squared
-    // categories q155): D's numerator is max |cumA*n_b - cumB*n_a|
-    // in exact DECIMAL(38,0) over two-phase bucketed prefix sums —
-    // no global window, no float accumulation; the oracle's global
-    // window replays it bitwise.
-    (s, dir) =>
-      graft.operators.Profile.ksTest(
-        events(s, dir), "event_type", "value", "click", "view"),
-    Some("""WITH a AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
-          AS BIGINT) AS v FROM events
-        WHERE event_type = 'click' AND value IS NOT NULL),
-      b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
-          AS BIGINT) AS v FROM events
-        WHERE event_type = 'view' AND value IS NOT NULL),
-      ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM a
-        GROUP BY 1),
-      cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b
-        GROUP BY 1),
-      j AS (SELECT COALESCE(ca.v, cb.v) AS v,
-          COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
-        FROM ca FULL OUTER JOIN cb ON cb.v = ca.v),
-      c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
-          sum(cb) OVER (ORDER BY v) AS cumb FROM j),
-      n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-          CAST(sum(cb) AS BIGINT) AS n_b FROM j),
-      m AS (SELECT max(abs(CAST(cuma AS DECIMAL(38,0)) * n.n_b
-            - CAST(cumb AS DECIMAL(38,0)) * n.n_a)) AS d_num,
-          any_value(n.n_a) AS n_a, any_value(n.n_b) AS n_b
-        FROM c CROSS JOIN n)
-      SELECT n_a, n_b, CAST(d_num AS DOUBLE) AS d_num,
-        CAST(d_num AS DOUBLE)
-          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
-        CAST(d_num AS DOUBLE)
-          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-          > 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-          AS significant
-      FROM m""")
-  )
-
-  private val q220_seasonal_decompose = Q(
-    "q220_seasonal_decompose",
-    // STL-lite: per-type daily volume = centered-7-day trend +
-    // day-of-week seasonal (day-ordered bitwise fold of the
-    // detrended series) + residual; edges without a full window
-    // emit honest nulls. Anomaly screens belong on the RESIDUAL —
-    // a Sunday dip is seasonality, not an incident. The oracle
-    // replays trend windows, folds, and residuals at the 6-decimal
-    // face.
-    (s, dir) =>
-      graft.operators.TimeSeries.seasonalDecompose(
-        events(s, dir), Seq("event_type"), "ts")
-        .orderBy("event_type", "day"),
-    Some("""WITH d AS (SELECT event_type,
-        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
-          AS BIGINT) AS day,
-        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
-        FROM d GROUP BY 1),
-      grid AS (SELECT event_type, u.day AS day FROM sp
-        CROSS JOIN unnest(range(d0, d1 + 1)) AS u(day)),
-      c AS (SELECT g.event_type, g.day, (g.day + 4) % 7 AS dow,
-          COALESCE(d.cnt, 0) AS cnt
-        FROM grid g LEFT JOIN d ON d.event_type = g.event_type
-          AND d.day = g.day),
-      t AS (SELECT *, CASE WHEN count(*) OVER w7 = 7
-            THEN round(CAST(sum(cnt) OVER w7 AS DOUBLE) / 7.0, 6)
-            END AS trend
-        FROM c WINDOW w7 AS (PARTITION BY event_type ORDER BY day
-          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-      det AS (SELECT *, CAST(cnt AS DOUBLE) - trend AS det FROM t),
-      se AS (SELECT event_type, dow,
-          round(list_aggregate(list(det ORDER BY day), 'sum')
-            / CAST(count(*) AS DOUBLE), 6) AS seasonal
-        FROM det WHERE det IS NOT NULL GROUP BY 1, 2)
-      SELECT det.event_type, det.day, det.dow, det.cnt, det.trend,
-        CASE WHEN det.trend IS NOT NULL THEN se.seasonal END
-          AS seasonal,
-        CASE WHEN det.trend IS NOT NULL THEN
-          round(CAST(det.cnt AS DOUBLE) - det.trend - se.seasonal, 6)
-          END AS residual
-      FROM det LEFT JOIN se ON se.event_type = det.event_type
-        AND se.dow = det.dow
-      ORDER BY det.event_type, det.day""")
-  )
-
-  private val q221_dedup_threshold_sweep = Q(
-    "q221_dedup_threshold_sweep",
-    // Dedup-cutoff ablation BEFORE committing to a threshold: the
-    // exact prefix-filtered pair set at minJ=0.4 histogrammed into
-    // similarity bands, with per-band pair/doc counts and the
-    // cumulative pairs a cutoff at each band would remove. Exact
-    // recall by the AllPairs theorem (an LSH sweep would undercount
-    // the low bands); the cumulative uses a 6-row triangular join,
-    // never a global window.
-    (s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(
-        table(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJ = 0.4)
-        .select(col("id_a"), col("id_b"),
-          least(floor(col("jaccard") * 10).cast("long"), lit(9L))
-            .as("band"))
-      val hist = pairs.groupBy("band")
-        .agg(count(lit(1)).as("n_pairs"))
-      val docsB = pairs
-        .select(col("band"),
-          explode(array(col("id_a"), col("id_b"))).as("_d"))
-        .distinct()
-        .groupBy("band").agg(count(lit(1)).as("n_docs"))
-      val grid = s.range(4, 10).select(col("id").as("band"))
-      val z = grid
-        .join(hist, Seq("band"), "left")
-        .join(docsB, Seq("band"), "left")
-        .na.fill(0L, Seq("n_pairs", "n_docs"))
-      val cum = z.as("x")
-        .join(z.select(col("band").as("_b2"),
-          col("n_pairs").as("_np2")), col("_b2") >= col("band"))
-        .groupBy("band").agg(sum("_np2").as("cum_pairs"))
-      z.join(cum, "band")
-        .select(col("band"),
-          (col("band").cast("double") / 10.0).as("threshold"),
-          col("n_pairs"), col("n_docs"), col("cum_pairs"))
-        .orderBy("band")
-    },
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
-        FROM documents),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            AS j
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-          >= 0.4),
-      pb AS (SELECT id_a, id_b,
-          least(CAST(floor(j * 10) AS BIGINT), 9) AS band FROM p),
-      h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
-        FROM pb GROUP BY 1),
-      db AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs FROM (
-          SELECT DISTINCT band, d FROM (
-            SELECT band, unnest([id_a, id_b]) AS d FROM pb))
-        GROUP BY 1),
-      grid AS (SELECT u.band AS band FROM unnest(range(4, 10))
-        AS u(band)),
-      z AS (SELECT g.band, COALESCE(h.n_pairs, 0) AS n_pairs,
-          COALESCE(db.n_docs, 0) AS n_docs
-        FROM grid g LEFT JOIN h ON h.band = g.band
-        LEFT JOIN db ON db.band = g.band),
-      c AS (SELECT x.band, CAST(sum(y.n_pairs) AS BIGINT)
-          AS cum_pairs
-        FROM z x JOIN z y ON y.band >= x.band GROUP BY 1)
-      SELECT z.band, CAST(z.band AS DOUBLE) / 10.0 AS threshold,
-        z.n_pairs, z.n_docs, c.cum_pairs
-      FROM z JOIN c ON c.band = z.band ORDER BY z.band""")
-  )
-
-  def all: Seq[Q] = Seq(
-    q25_json_funcs, q30_text_stats, q31_text_quality, q32_text_langid,
-    q33_text_fingerprint, q53_text_repetition, q61_text_scrub,
-    q34_dedup_exact, q35_dedup_ngram_jaccard,
-    q36_dedup_minhash_lsh, q37_dedup_simhash, q38_dedup_embedding,
-    q56_dedup_embedding_ann, q65_dedup_clusters, q66_dedup_incremental,
-    q39_sim_bruteforce_topk, q40_sim_ann_lsh, q48_sim_ann_ivf,
-    q62_embedding_quantize, q63_sim_ann_int8,
-    q41_multimodal_meta,
-    q42_multimodal_features, q57_multimodal_frames,
-    q43_stream_windowed, q52_stream_join,
-    q58_sessionize, q59_stream_dedup, q60_topk_aggregator,
-    q64_sql_text, q67_profile, q68_sample_crossengine, q69_token_budget,
-    q70_decontaminate, q71_tfidf, q72_cluster_split, q73_boilerplate,
-    q74_pack_sequences, q75_quality_quantile,
-    q76_dedup_minhash_incremental, q77_percentiles_approx,
-    q78_source_overlap, q79_dedup_clusters_incremental,
-    q80_percentiles_tokens, q81_mixture_sample, q82_duplicated_spans,
-    q83_chunk_overlap, q84_weighted_sample, q85_salted_join,
-    q86_index_compaction, q87_route_quality, q90_label_centroids,
-    q91_centroid_outliers, q92_ivf_index_probe, q93_vocab,
-    q94_bigram_surprisal, q95_remove_spans, q96_profile_drift,
-    q97_centroids_twophase, q98_multimodal_decode, q99_shuffle_shards,
-    q100_length_batches, q101_stream_ingest_dedup, q102_snapshot_diff,
-    q103_schema_evolution, q104_ivf_compaction, q105_stream_ingest_ann,
-    q106_decontaminate_bloom, q107_ivf_probe_int8, q108_heavy_hitters, q109_epoch_mixture, q110_decontaminate_semantic, q111_bm25_search, q112_bpe_pair_stats, q113_funnel, q114_random_projection,
-    q115_sim_ann_projected, q116_domain_cap, q117_decontaminate_fuzzy,
-    q118_hll_ledger, q119_resample_fill, q120_phrase_search, q121_bpe_encode, q122_zorder, q123_scd2_history, q124_interleave_order, q125_kll_ledger, q126_retention, q127_resolve_best, q128_jaccard_search, q129_mad_outliers,
-    q130_trailing_window, q131_filter_attrition, q132_gini,
-    q133_mutual_info, q134_incremental_agg, q135_stream_ingest_agg,
-    q136_feature_scale, q137_weighted_median, q138_sliding_distinct,
-    q139_heavy_keys, q140_normalize_text, q141_integrity_audit,
-    q142_mixture_plan, q143_snapshot_at, q144_join_size_audit,
-    q145_dedup_attrition, q146_exact_k_sample, q147_histogram,
-    q148_group_trend, q149_cooccurrence, q150_expectations,
-    q151_transitions, q152_compaction_plan, q153_range_bounds,
-    q154_winsorize, q155_chi_squared, q156_nucleus_coverage,
-    q157_attribution, q158_oov_rate, q159_volume_anomaly,
-    q160_kfold, q161_langid_confusion, q162_interarrival,
-    q163_trailing_pit, q164_mixture_diagnostics, q165_novelty_rate,
-    q166_motifs, q167_period_change, q168_activity_profile,
-    q169_triangle_stats, q170_quantile_map, q171_tail_index,
-    q172_transition_entropy, q173_temperature_mix,
-    q174_distinctive_terms, q175_survival_curve, q176_containment,
-    q177_gram_novelty, q178_crosssource_dups, q179_burstiness,
-    q180_stream_expectations, q181_join_advisor, q182_provenance,
-    q183_skyline, q184_cusum, q185_pagerank, q186_name_links,
-    q187_rrf_fusion, q188_pit_enrich, q189_encoding_advisor,
-    q190_rank_sum, q191_acf, q192_basket_rules, q193_abc_revenue,
-    q194_image_dedup, q195_audio_silence, q196_interval_overlap,
-    q197_neyman_allocation, q198_char_entropy, q199_assortativity,
-    q200_dp_release, q201_readability, q202_url_canonical,
-    q203_cdc_chunks, q204_cluster_quality, q205_watermark_audit,
-    q206_format_roundtrip, q207_ewma, q208_psi, q209_welch_ttest,
-    q210_rendezvous_shard, q211_sorted_neighborhood, q212_kmeans,
-    q213_stream_psi, q214_audio_dedup, q215_benford,
-    q218_filter_overlap, q219_ks_test, q220_seasonal_decompose,
-    q221_dedup_threshold_sweep,
-    q44_curation_pipeline, q45_source_audit)
+  /** Every extension query, concatenated across the per-family files
+    * (ExtText / ExtDedup / ExtSimilarity / ExtStreaming /
+    * ExtMultimodal / ExtCuration / ExtProfile / ExtAnalytics /
+    * ExtGovernance). The split is navigational only; the registry
+    * SparkEntry builds from this is unchanged. */
+  def all: Seq[Q] =
+    ExtText.all ++ ExtDedup.all ++ ExtSimilarity.all ++
+      ExtStreaming.all ++ ExtMultimodal.all ++ ExtCuration.all ++
+      ExtProfile.all ++ ExtAnalytics.all ++ ExtGovernance.all
 }

@@ -758,4 +758,101 @@ class ProfileSpec extends AnyFunSuite {
       Profile.latenessAudit(rows, Seq.empty, "t", "seq")
     }
   }
+
+  test("spearmanCorr: monotone ±1, ties vs hand value, degenerate " +
+      "null, partitioning invariance") {
+    import spark.implicits._
+    // strictly increasing nonlinear map: rho exactly 1
+    val inc = (1 to 50).map(i => (i.toDouble, i.toDouble * i))
+      .toDF("x", "y")
+    assert(Profile.spearmanCorr(inc, "x", "y").head().getDouble(1)
+      == 1.0)
+    // strictly decreasing: exactly -1
+    val dec = (1 to 50).map(i => (i.toDouble, 1.0 / i)).toDF("x", "y")
+    assert(Profile.spearmanCorr(dec, "x", "y", scale = 6).head()
+      .getDouble(1) == -1.0)
+    // ties: x = (1,1,2), y = (1,2,3) — average ranks (1.5,1.5,3)
+    // vs (1,2,3): hand Pearson = Σdxdy/sqrt(Σdx²·Σdy²)
+    // = 1.5/sqrt(1.5·2) = 1.5/sqrt(3)
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    val rho = Profile.spearmanCorr(tied, "x", "y").head().getDouble(1)
+    assert(math.abs(rho - 1.5 / math.sqrt(3.0)) < 1e-12)
+    // zero rank variance on one side -> null
+    val flat = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    assert(Profile.spearmanCorr(flat, "x", "y").head().isNullAt(1))
+    // repartition changes nothing (exact integer moments)
+    val a = Profile.spearmanCorr(inc.repartition(7), "x", "y").head()
+    assert(a.getLong(0) == 50L && a.getDouble(1) == 1.0)
+    intercept[IllegalArgumentException] {
+      Profile.spearmanCorr(inc, "x", "y", scale = 9)
+    }
+  }
+
+  test("ksTestByKey: each key's one-vs-rest D equals the pairwise " +
+      "ksTest on the same split; asymptotic p matches the formula") {
+    import spark.implicits._
+    // three keys with visibly different distributions
+    val rows = ((1 to 40).map(i => ("a", i.toDouble)) ++
+      (1 to 30).map(i => ("b", i.toDouble + 15.0)) ++
+      (1 to 30).map(i => ("c", (i % 7).toDouble))).toDF("k", "v")
+    val byKey = Profile.ksTestByKey(rows, "k", "v", scale = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    for (key <- Seq("a", "b", "c")) {
+      val split = rows.withColumn("g",
+        when(col("k") === key, "one").otherwise("rest"))
+      val ref = Profile.ksTest(split, "g", "v", "one", "rest",
+        scale = 2).head()
+      val (n, nRest, d, p) = byKey(key)
+      assert(n == ref.getLong(0) && nRest == ref.getLong(1), key)
+      assert(d == ref.getDouble(3), key)
+      val e = n.toDouble * nRest.toDouble / (n.toDouble + nRest.toDouble)
+      val expP = math.min(1.0, 2.0 * math.exp(-2.0 * e * d * d))
+      assert(math.abs(p - expP) < 1e-6, key)
+    }
+    // the shifted key deviates more than the uniform-ish one
+    assert(byKey("c")._3 > 0.2)
+    intercept[IllegalArgumentException] {
+      Profile.ksTestByKey(rows, "k", "v", maxKeys = 2)
+    }
+  }
+
+  test("bhFdr: textbook step-up, tie block rejects together, " +
+      "no-rejection and loud contracts") {
+    import spark.implicits._
+    // classic example: m=5, q=0.25; sorted p = .01 .02 .04 .30 .50
+    // thresholds i*q/m = .05 .10 .15 .20 .25 -> k*=3, reject p<=.04
+    val df = Seq(("t1", 0.01), ("t2", 0.30), ("t3", 0.04),
+      ("t4", 0.02), ("t5", 0.50)).toDF("id", "p")
+    val out = Profile.bhFdr(df, "id", "p", q = 0.25)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("t1") == ((1L, true)))
+    assert(out("t4") == ((2L, true)))
+    assert(out("t3") == ((3L, true)))
+    assert(out("t2") == ((4L, false)))
+    assert(out("t5") == ((5L, false)))
+    // tied block: p = .04 .04 with m=2, q=.05 — at the max-tie rank
+    // 2 the threshold is .05, so BOTH reject (the tie must not split)
+    val ties = Seq(("a", 0.04), ("b", 0.04)).toDF("id", "p")
+    val to = Profile.bhFdr(ties, "id", "p", q = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(to("a") == ((2L, true)) && to("b") == ((2L, true)))
+    // nothing clears: rejected all-false, never null
+    val none = Profile.bhFdr(
+      Seq(("a", 0.9), ("b", 0.8)).toDF("id", "p"), "id", "p", 0.05)
+      .collect()
+    assert(none.forall(!_.getBoolean(3)))
+    intercept[IllegalArgumentException] {
+      Profile.bhFdr(Seq(("a", 1.5)).toDF("id", "p"), "id", "p", 0.05)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.bhFdr(df, "id", "p", q = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.bhFdr(df, "id", "p", 0.05, maxTests = 3L)
+    }
+  }
 }
