@@ -800,4 +800,103 @@ object Sampling {
         s.cast("long").as("s")))
     df.withColumn(outCol, array_max(weights).getField("s"))
   }
+
+  /** Cumulative Poisson(1) probabilities for k = 0..9 (e⁻¹·Σ 1/j!),
+    * shared verbatim with the SQL oracle — both engines compare the
+    * same deterministic uniform against the same double literals, so
+    * every (row, replicate) draws the identical weight. */
+  private[operators] val PoissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974021,
+    0.9999998885745217)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean —
+    * the AT-SCALE bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams"): instead of materializing B resampled
+    * datasets (B shuffles of the corpus), every row draws B
+    * independent Poisson(1) weights — the limit of Binomial(n, 1/n)
+    * resampling — so the whole procedure is ONE map-side fan-out and
+    * one (key, replicate) partial agg; nothing row-scaled shuffles
+    * more than the keys × B frame.
+    *
+    * Determinism contract (the dpCounts posture): the weight for
+    * (row, replicate) is the inverse-CDF Poisson(1) transform of the
+    * repo's cross-engine uniform md5(id ":" b ":" salt) — same rows,
+    * same salt, same CI, on any engine, partitioning, or retry.
+    *
+    * Exactness: values decimal-scale to integers; each replicate's
+    * Σw·x accumulates in DECIMAL(38,0) (order-free); a replicate
+    * mean is ONE IEEE division; the CI bounds are the exact
+    * interpolated percentiles over the B replicate means (the
+    * q77/q80 cross-engine `percentile` == `quantile_cont` contract).
+    * Replicates that draw a zero total weight (P = e⁻ⁿ, negligible
+    * past tiny groups) are excluded and visible via `b_used`.
+    *
+    * Output per key: (keys*, n_rows, mean, b_used, ci_lo, ci_hi).
+    *
+    * Reference analog: none (SURVEY §2.2 — no uncertainty
+    * quantification of any kind); north-star pipeline surface. */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 200,
+      ciPct: Int = 95,
+      scale: Int = 2,
+      salt: String = "graft"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(replicates >= 10 && replicates <= 10000,
+      s"replicates must be in [10, 10000], got $replicates")
+    require(ciPct >= 50 && ciPct <= 99,
+      s"ciPct must be in [50, 99], got $ciPct")
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    val cdf = PoissonCdf1
+    val saltLocal = salt
+    val wUdf = udf((id: String, b: Int) => {
+      val m = Kernels.md5Lower64(id + ":" + b + ":" + saltLocal) >>> 11
+      val u = (m.toDouble + 0.5) / 9007199254740992.0
+      var k = 0
+      while (k < cdf.length && u >= cdf(k)) k += 1
+      k // 10 in the ~1e-7 tail beyond the table
+    })
+    val keyC = keyCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(keyC :+ col(idCol).cast("string").as("_id") :+
+        (col(valueCol).cast(dec) * mult).cast("long").as("_x6"): _*)
+    val rep = base
+      .withColumn("_b",
+        explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("_w", wUdf(col("_id"), col("_b")))
+    val perRep = rep
+      .groupBy(keyC :+ col("_b"): _*)
+      .agg(sum((col("_w").cast(dec38)) * col("_x6")).as("_s"),
+        sum(col("_w").cast("long")).as("_n"))
+      .filter(col("_n") > 0L)
+      .withColumn("_m", col("_s").cast("double")
+        / (col("_n").cast("double") * mult.toDouble))
+    // spelled as integer-ratio divisions so the doubles print as the
+    // same shortest literals the SQL oracle uses (0.025 / 0.975 —
+    // not 1.0-x chains that can land 1 ulp off the literal)
+    val lo = (100 - ciPct) / 200.0
+    val hi = (100 + ciPct) / 200.0
+    val ci = perRep.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("b_used"),
+        expr(s"percentile(_m, $lo)").as("ci_lo"),
+        expr(s"percentile(_m, $hi)").as("ci_hi"))
+    val point = base.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_x6").cast(dec38)).as("_sx"))
+      .withColumn("mean", col("_sx").cast("double")
+        / (col("n_rows").cast("double") * mult.toDouble))
+    point.join(ci, keyCols)
+      .select(keyC ++ Seq(col("n_rows"), col("mean"), col("b_used"),
+        col("ci_lo"), col("ci_hi")): _*)
+  }
 }

@@ -817,6 +817,62 @@ private[queries] object ExtCuration {
       ORDER BY g.mask""")
   )
 
+
+  private val q225_bootstrap_ci = Q(
+    "q225_bootstrap_ci",
+    // Poisson-bootstrap 95% CI for the per-event-type mean value:
+    // every row draws 200 deterministic Poisson(1) weights (the
+    // inverse-CDF transform of the md5 uniform against the shared
+    // literal CDF table), replicate sums stay exact integers, CI
+    // bounds are the exact interpolated percentiles over replicate
+    // means — the q77/q80 percentile==quantile_cont contract. One
+    // map-side fan-out; only the keys x 200 frame shuffles.
+    (s, dir) =>
+      graft.operators.Sampling.bootstrapMeanCI(
+        events(s, dir), Seq("event_type"), "event_id", "value",
+        replicates = 200, ciPct = 95, scale = 2, salt = "graft")
+        .orderBy("event_type"),
+    Some("""WITH r AS (SELECT event_type AS k,
+        CAST(event_id AS VARCHAR) AS id,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x6
+        FROM events WHERE value IS NOT NULL),
+      rep AS (SELECT k, id, x6, CAST(u.b AS INTEGER) AS b
+        FROM r CROSS JOIN unnest(range(200)) AS u(b)),
+      uu AS (SELECT k, b, x6,
+          (CAST(md5_number_lower(id || ':' || b || ':graft')
+            >> 11 AS DOUBLE) + 0.5) / 9007199254740992.0 AS u
+        FROM rep),
+      ww AS (SELECT k, b, x6, CASE
+          WHEN u < 0.36787944117144233 THEN 0
+          WHEN u < 0.7357588823428847 THEN 1
+          WHEN u < 0.9196986029286058 THEN 2
+          WHEN u < 0.9810118431238462 THEN 3
+          WHEN u < 0.9963401531726563 THEN 4
+          WHEN u < 0.9994058151824183 THEN 5
+          WHEN u < 0.9999167588507119 THEN 6
+          WHEN u < 0.9999897508033253 THEN 7
+          WHEN u < 0.9999988747974021 THEN 8
+          WHEN u < 0.9999998885745217 THEN 9
+          ELSE 10 END AS w FROM uu),
+      pr AS (SELECT k, b, sum(w * x6) AS s,
+          CAST(sum(w) AS BIGINT) AS n
+        FROM ww GROUP BY 1, 2),
+      mn AS (SELECT k, b,
+          CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS m
+        FROM pr WHERE n > 0),
+      ci AS (SELECT k, CAST(count(*) AS BIGINT) AS b_used,
+          quantile_cont(m, 0.025) AS ci_lo,
+          quantile_cont(m, 0.975) AS ci_hi
+        FROM mn GROUP BY 1),
+      pt AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(x6) AS DOUBLE)
+            / (CAST(count(*) AS DOUBLE) * 100.0) AS mean
+        FROM r GROUP BY 1)
+      SELECT pt.k AS event_type, pt.n_rows, pt.mean, ci.b_used,
+        ci.ci_lo, ci.ci_hi
+      FROM pt JOIN ci ON ci.k = pt.k ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(
     q68_sample_crossengine,
     q99_shuffle_shards,
@@ -843,5 +899,7 @@ private[queries] object ExtCuration {
     q80_percentiles_tokens,
     q197_neyman_allocation,
     q210_rendezvous_shard,
-    q218_filter_overlap)
+    q218_filter_overlap,
+    q225_bootstrap_ci)
+
 }

@@ -569,4 +569,57 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("strata"))
   }
+
+  test("bootstrapMeanCI: deterministic, partition-invariant, CI " +
+      "brackets the mean, salt re-draws, loud contracts") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i =>
+      ("g" + (i % 2), i.toLong, 10.0 + (i % 17))).toDF("k", "id", "v")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String = "s7") =
+      Sampling.bootstrapMeanCI(df, Seq("k"), "id", "v",
+        replicates = 100, ciPct = 95, scale = 2, salt = salt)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5))).toMap
+    val a = run(rows)
+    // retry-proof: identical on re-run and under repartitioning
+    assert(run(rows) == a)
+    assert(run(rows.repartition(13)) == a)
+    a.foreach { case (k, (n, mean, bUsed, lo, hi)) =>
+      assert(n == 200L, k)
+      assert(bUsed == 100L, k) // no zero-weight replicate at n=200
+      // CI brackets the point estimate and is sane for a bounded
+      // metric: half-width well under the value spread
+      assert(lo <= mean && mean <= hi, k)
+      assert(hi - lo > 0.0 && hi - lo < 5.0, k)
+    }
+    // a different salt draws different replicates -> different CI
+    assert(run(rows, salt = "other") != a)
+    // the weight table IS Poisson(1): across rows x replicates the
+    // average weight concentrates at 1 (law of large numbers on a
+    // deterministic sequence)
+    val mw = rows.select(col("id").cast("string").as("i"))
+      .withColumn("b", explode(sequence(lit(0), lit(99))))
+      .select((col("i")).as("i"), col("b"))
+      .collect().map { r =>
+        val m = Kernels.md5Lower64(
+          r.getString(0) + ":" + r.getInt(1) + ":s7") >>> 11
+        val u = (m.toDouble + 0.5) / 9007199254740992.0
+        Sampling.PoissonCdf1.indexWhere(u < _) match {
+          case -1 => 10; case k => k
+        }
+      }
+    val avg = mw.map(_.toDouble).sum / mw.length
+    assert(math.abs(avg - 1.0) < 0.02, s"mean weight $avg")
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapMeanCI(rows, Seq.empty, "id", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapMeanCI(rows, Seq("k"), "id", "v",
+        replicates = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapMeanCI(rows, Seq("k"), "id", "v", ciPct = 100)
+    }
+  }
 }
