@@ -68,11 +68,20 @@ object Bench {
       val mn = ts.min; val mx = ts.max
       mx > 1.5 * mn && mx - mn > 0.3
     }
+    // global escalation budget: ~2 extra runs per query on average
+    // (an idle box consumes well under this; a PERSISTENTLY
+    // contended box would otherwise escalate everywhere and blow the
+    // suite wall to maxRuns/nRuns x — bound it so the artifact still
+    // lands, with the contamination visible in `runs` + loadavg)
+    var extraBudget = 2 * queries.size
     val perRun: Seq[(String, Seq[Double])] = queries.map { case (name, fn) =>
       var times: Vector[Double] =
         (1 to nRuns).map(_ => timeOnce(fn)).toVector
-      while (times.length < maxRuns && unstable(times))
+      while (times.length < maxRuns && extraBudget > 0 &&
+          unstable(times)) {
         times = times :+ timeOnce(fn)
+        extraBudget -= 1
+      }
       name -> (times: Seq[Double])
     }
     def median(ts: Seq[Double]): Double = {

@@ -736,7 +736,58 @@ private[queries] object ExtAnalytics {
       FROM nn CROSS JOIN ne CROSS JOIN m""")
   )
 
+  private val q226_triangles_capped = Q(
+    "q226_triangles_capped",
+    // Hub-excluded triangle stats on the part co-purchase graph
+    // (parts sharing an order) — a genuinely dense graph where the
+    // maxDegree knob matters: degree > 160 hubs (the staple parts
+    // every order touches) leave the counting subgraph and report
+    // NULL counts; everyone else counts the capped subgraph, a
+    // documented lower bound. The oracle rebuilds the edges, the
+    // hub set, and every capped count by three-way self-join.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .filter(col("p").isNotNull)
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b"))
+      graft.operators.Graphs.triangleStats(
+        edges, "id_a", "id_b", maxDegree = Some(160L))
+        .orderBy("node")
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      e AS (SELECT DISTINCT least(a.p, b.p) AS x,
+          greatest(a.p, b.p) AS y
+        FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+      d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        GROUP BY 1),
+      hubs AS (SELECT node FROM d WHERE degree > 160),
+      ec AS (SELECT x, y FROM e
+        WHERE x NOT IN (SELECT node FROM hubs)
+          AND y NOT IN (SELECT node FROM hubs)),
+      t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM ec e1 JOIN ec e2 ON e2.x = e1.y
+        JOIN ec e3 ON e3.x = e1.x AND e3.y = e2.y),
+      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+        (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+         UNION ALL SELECT c FROM t) GROUP BY 1)
+      SELECT d.node, d.degree,
+        CASE WHEN d.degree <= 160
+          THEN CAST(COALESCE(tc.triangles, 0) AS BIGINT) END
+          AS triangles,
+        CASE WHEN d.degree >= 2 AND d.degree <= 160
+          THEN CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+          END AS clustering_coeff
+      FROM d LEFT JOIN tc ON tc.node = d.node ORDER BY d.node""")
+  )
+
   val all: Seq[Q] = Seq(
+    q226_triangles_capped,
     q60_topk_aggregator,
     q123_scd2_history,
     q126_retention,

@@ -414,4 +414,38 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Window ["),
       s"k-means should need no window:\n${p.take(2000)}")
   }
+
+  test("round-7 stats: every window partitioned (spearman/ks-by-key/" +
+      "BH prefix sums are bucket- or key-partitioned, never global)") {
+    // spearman + bhFdr ride cumulativeCounts (bucket-partitioned
+    // cumsums); ksTestByKey's prefix sums partition by key over the
+    // VALUES frame. An empty partition spec anywhere here would be
+    // the single-reducer global sort these spellings exist to avoid.
+    for (q <- Seq("q222_spearman", "q223_ks_by_key", "q224_bh_fdr")) {
+      val p = plan(q)
+      val ws = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(ws.nonEmpty, s"$q: expected a window:\n${p.take(2000)}")
+      ws.foreach { l =>
+        assert(windowPartitioned(l),
+          s"$q plans an UNPARTITIONED window:\n$l")
+      }
+    }
+  }
+
+  test("q225: bootstrap is window-free and replicate sums aggregate " +
+      "partially before the shuffle") {
+    // the whole procedure is map-side fan-out + (key, b) partial agg
+    // + a keys-sized percentile agg — no window anywhere, and the
+    // replicate sum must combine map-side (the fan-out is B x rows;
+    // shuffling it unreduced would defeat the Poisson design)
+    val p = plan("q225_bootstrap_ci")
+    assert(!p.contains("Window ["),
+      s"bootstrap should need no window:\n${p.take(2000)}")
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("partial")),
+      s"replicate sums should pre-aggregate map-side:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian stage:\n${p.take(2000)}")
+  }
 }
