@@ -1310,6 +1310,144 @@ object Profile {
         .as("rho"))
   }
 
+  /** Pairwise Pearson correlation matrix over k numeric columns in
+    * ONE aggregate pass — the metric-redundancy screen a feature/
+    * quality dashboard needs ("length, token count, and byte count
+    * are 0.98-correlated; keep one"). Rows with a null in ANY of the
+    * listed columns are dropped (listwise-complete — the matrix is
+    * then positive semi-definite over a single common row set, which
+    * pairwise deletion cannot guarantee).
+    *
+    * EXACT spelling: values decimal-scale to integers; all k sums,
+    * k square-sums, and k(k−1)/2 cross-sums accumulate in
+    * DECIMAL(38,0) in the SAME single aggregate (one scan, no per-
+    * pair jobs); each r is ONE fixed IEEE expression over exact
+    * moments (the [[spearmanCorr]] spelling — bit-identical cross-
+    * engine, no rounding face). Sums of squares reach n·x², so with
+    * |x| ≤ 10^p the exactness bound is n ≤ 10^(38−2p) rows — fails
+    * loudly (ANSI decimal overflow) past it, never silently.
+    *
+    * `cols` is loudly bounded (2..20): the agg width is k(k+5)/2
+    * expressions, a driver-side constant.
+    *
+    * Output: (col_a, col_b, n, r) for every pair col_a < col_b in
+    * the given order; r null when either side has zero variance. */
+  def corrMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 20,
+      s"cols must number 2..20, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "cols must be distinct")
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    val base = df
+      .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c =>
+        (col(c).cast(dec) * mult).cast("long").as(s"_$c")): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(col(s"_$c").cast(dec38)).as(s"_s_$c")) ++
+      cols.map(c => sum(col(s"_$c").cast(dec38) *
+        col(s"_$c").cast(dec38)).as(s"_q_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(col(s"_$a").cast(dec38) * col(s"_$b").cast(dec38))
+          .as(s"_x_${a}_$b")
+      }
+    val m = base.agg(count(lit(1)).as("_n"), aggs: _*)
+    val rows = array(pairs.map { case (a, b) =>
+      val num = (col("_n") * col(s"_x_${a}_$b")
+        - col(s"_s_$a") * col(s"_s_$b")).cast("double")
+      val va = (col("_n") * col(s"_q_$a")
+        - col(s"_s_$a") * col(s"_s_$a")).cast("double")
+      val vb = (col("_n") * col(s"_q_$b")
+        - col(s"_s_$b") * col(s"_s_$b")).cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("_n").as("n"),
+        when(va > 0.0 && vb > 0.0, num / sqrt(va * vb)).as("r"))
+    }: _*)
+    m.select(explode(rows).as("_p")).select(col("_p.*"))
+  }
+
+  /** Cramér's V association between two categorical columns — the
+    * contingency-strength one-number beside [[chiSquaredCells]]'s
+    * diagnosis grid: V = sqrt(χ² / (n·(min(r,c)−1))) ∈ [0,1],
+    * the "are source and language entangled" screen a mixture
+    * designer runs before treating dimensions as independent.
+    *
+    * Exactness: observed counts and marginals are exact integers
+    * (one (a,b) partial agg + two marginal aggs); each cell's
+    * expected value and χ² term is a fixed IEEE chain; the χ² SUM —
+    * the one order-sensitive step — folds over cells in SORTED
+    * (a, b) order via the repo's sort_array + aggregate idiom (the
+    * charEntropy discipline), deterministic on any partitioning and
+    * reproduced exactly by list_aggregate in SQL. The fold collects
+    * the FULL r×c grid (zero cells included — they carry χ² mass)
+    * into one row, so levels are loudly bounded by `maxLevels` per
+    * side. χ²/V emit at 6 decimals (the ln/exp face discipline).
+    *
+    * Null levels are dropped (no association mass in "unknown" —
+    * spell an explicit sentinel level if nulls should count).
+    *
+    * Output: one row (n, levels_a, levels_b, chi2, v). */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxLevels: Int = 1000): DataFrame = {
+    require(maxLevels >= 2 && maxLevels <= 10000,
+      s"maxLevels must be in [2, 10000], got $maxLevels")
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+    val obs = base.groupBy("_a", "_b").agg(count(lit(1)).as("_o"))
+    val ra = base.groupBy("_a").agg(count(lit(1)).as("_ta"))
+    val rb = base.groupBy("_b").agg(count(lit(1)).as("_tb"))
+    val la = ra.limit(maxLevels + 1).count()
+    val lb = rb.limit(maxLevels + 1).count()
+    require(la <= maxLevels && lb <= maxLevels,
+      s"cramersV folds the FULL ${la}x$lb contingency grid into one " +
+        s"row; a side exceeds maxLevels=$maxLevels — raise it only " +
+        "if the level count is genuinely bounded")
+    val n = base.agg(count(lit(1)).as("_n"))
+    // full grid: every (a, b) level pair, zero cells included
+    val grid = ra.crossJoin(rb)
+      .join(obs, Seq("_a", "_b"), "left")
+      .na.fill(0L, Seq("_o"))
+    val cells = grid.crossJoin(broadcast(n))
+      .select(col("_a"), col("_b"),
+        ((col("_o").cast("double")
+          - col("_ta").cast("double") * col("_tb").cast("double")
+            / col("_n").cast("double"))
+          * (col("_o").cast("double")
+            - col("_ta").cast("double") * col("_tb").cast("double")
+              / col("_n").cast("double"))
+          / (col("_ta").cast("double") * col("_tb").cast("double")
+            / col("_n").cast("double"))).as("_t"))
+    val folded = cells
+      .agg(sort_array(collect_list(struct(col("_a"), col("_b"),
+        col("_t")))).as("_cs"))
+      .select(aggregate(transform(col("_cs"), s => s.getField("_t")),
+        lit(0.0), (acc, t) => acc + t).as("_chi2"))
+    folded.crossJoin(broadcast(n))
+      .crossJoin(broadcast(ra.agg(count(lit(1)).as("_la"))))
+      .crossJoin(broadcast(rb.agg(count(lit(1)).as("_lb"))))
+      .select(col("_n").as("n"), col("_la").as("levels_a"),
+        col("_lb").as("levels_b"),
+        round(col("_chi2"), 6).as("chi2"),
+        round(
+          when(least(col("_la"), col("_lb")) > 1L,
+            sqrt(col("_chi2") / (col("_n").cast("double")
+              * (least(col("_la"), col("_lb")) - 1L).cast("double")))),
+          6).as("v"))
+  }
+
   /** One-vs-rest Kolmogorov–Smirnov per key with the asymptotic
     * p-value — [[ksTest]] run for EVERY key against the pooled rest
     * in one pass: "which sources' length distributions deviate from

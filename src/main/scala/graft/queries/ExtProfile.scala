@@ -1316,7 +1316,127 @@ private[queries] object ExtProfile {
       ORDER BY source""")
   )
 
+  private val q227_corr_matrix = Q(
+    "q227_corr_matrix",
+    // Pairwise Pearson matrix over the four lineitem money/rate
+    // columns in ONE aggregate pass: 4 sums + 4 square-sums + 6
+    // cross-sums, all exact DECIMAL(38,0)/HUGEINT, each r one fixed
+    // IEEE expression — bit-identical cross-engine, no rounding
+    // face. The metric-redundancy screen.
+    (s, dir) =>
+      graft.operators.Profile.corrMatrix(
+        table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 2)
+        .orderBy("col_a", "col_b"),
+    Some("""WITH r AS (SELECT
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS e,
+        CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+        CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(q) AS sq, sum(e) AS se, sum(d) AS sd, sum(t) AS st,
+        sum(q*q) AS qq, sum(e*e) AS ee, sum(d*d) AS dd,
+        sum(t*t) AS tt, sum(q*e) AS qe, sum(q*d) AS qd,
+        sum(q*t) AS qt, sum(e*d) AS ed, sum(e*t) AS et,
+        sum(d*t) AS dt FROM r),
+      p AS (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+          CASE WHEN CAST(n*qq - sq*sq AS DOUBLE) > 0.0
+            AND CAST(n*ee - se*se AS DOUBLE) > 0.0
+            THEN CAST(n*qe - sq*se AS DOUBLE)
+              / sqrt(CAST(n*qq - sq*sq AS DOUBLE)
+                * CAST(n*ee - se*se AS DOUBLE)) END AS r FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', n,
+          CASE WHEN CAST(n*qq - sq*sq AS DOUBLE) > 0.0
+            AND CAST(n*dd - sd*sd AS DOUBLE) > 0.0
+            THEN CAST(n*qd - sq*sd AS DOUBLE)
+              / sqrt(CAST(n*qq - sq*sq AS DOUBLE)
+                * CAST(n*dd - sd*sd AS DOUBLE)) END FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', n,
+          CASE WHEN CAST(n*qq - sq*sq AS DOUBLE) > 0.0
+            AND CAST(n*tt - st*st AS DOUBLE) > 0.0
+            THEN CAST(n*qt - sq*st AS DOUBLE)
+              / sqrt(CAST(n*qq - sq*sq AS DOUBLE)
+                * CAST(n*tt - st*st AS DOUBLE)) END FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', n,
+          CASE WHEN CAST(n*ee - se*se AS DOUBLE) > 0.0
+            AND CAST(n*dd - sd*sd AS DOUBLE) > 0.0
+            THEN CAST(n*ed - se*sd AS DOUBLE)
+              / sqrt(CAST(n*ee - se*se AS DOUBLE)
+                * CAST(n*dd - sd*sd AS DOUBLE)) END FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax', n,
+          CASE WHEN CAST(n*ee - se*se AS DOUBLE) > 0.0
+            AND CAST(n*tt - st*st AS DOUBLE) > 0.0
+            THEN CAST(n*et - se*st AS DOUBLE)
+              / sqrt(CAST(n*ee - se*se AS DOUBLE)
+                * CAST(n*tt - st*st AS DOUBLE)) END FROM m
+        UNION ALL
+        SELECT 'l_discount', 'l_tax', n,
+          CASE WHEN CAST(n*dd - sd*sd AS DOUBLE) > 0.0
+            AND CAST(n*tt - st*st AS DOUBLE) > 0.0
+            THEN CAST(n*dt - sd*st AS DOUBLE)
+              / sqrt(CAST(n*dd - sd*sd AS DOUBLE)
+                * CAST(n*tt - st*st AS DOUBLE)) END FROM m)
+      SELECT col_a, col_b, n, r FROM p ORDER BY col_a, col_b""")
+  )
+
+  private val q228_cramers_v = Q(
+    "q228_cramers_v",
+    // Cramér's V between language and source: exact integer
+    // contingency counts, chi-squared folded over the FULL grid in
+    // sorted (lang, source) order (zero cells carry mass), V at the
+    // 6-decimal face — the "are these dimensions entangled" screen
+    // a mixture designer runs before treating them as independent.
+    (s, dir) =>
+      graft.operators.Profile.cramersV(
+        table(s, dir, "documents"), "lang", "source"),
+    Some("""WITH b AS (SELECT CAST(lang AS VARCHAR) AS a,
+        CAST(source AS VARCHAR) AS bb FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL),
+      obs AS (SELECT a, bb, CAST(count(*) AS BIGINT) AS o FROM b
+        GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(count(*) AS BIGINT) AS ta FROM b
+        GROUP BY 1),
+      rb AS (SELECT bb, CAST(count(*) AS BIGINT) AS tb FROM b
+        GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      g AS (SELECT ra.a, rb.bb, ra.ta, rb.tb,
+          COALESCE(obs.o, 0) AS o
+        FROM ra CROSS JOIN rb
+        LEFT JOIN obs ON obs.a = ra.a AND obs.bb = rb.bb),
+      c AS (SELECT a, bb,
+          (CAST(o AS DOUBLE) - CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(ta AS DOUBLE)
+            * CAST(tb AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(n AS DOUBLE)) AS t
+        FROM g CROSS JOIN nn),
+      f AS (SELECT list_aggregate(list(t ORDER BY a, bb), 'sum')
+          AS chi2 FROM c),
+      la AS (SELECT CAST(count(*) AS BIGINT) AS levels_a FROM ra),
+      lb AS (SELECT CAST(count(*) AS BIGINT) AS levels_b FROM rb)
+      SELECT nn.n, la.levels_a, lb.levels_b,
+        round(f.chi2, 6) AS chi2,
+        CASE WHEN least(la.levels_a, lb.levels_b) > 1
+          THEN round(sqrt(f.chi2 / (CAST(nn.n AS DOUBLE)
+            * CAST(least(la.levels_a, lb.levels_b) - 1 AS DOUBLE))),
+            6) END AS v
+      FROM f CROSS JOIN nn CROSS JOIN la CROSS JOIN lb""")
+  )
+
   val all: Seq[Q] = Seq(
+    q227_corr_matrix,
+    q228_cramers_v,
     q67_profile,
     q118_hll_ledger,
     q119_resample_fill,

@@ -788,6 +788,69 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("corrMatrix: exact ±1, hand value, listwise deletion, " +
+      "zero-variance null, loud contracts") {
+    import spark.implicits._
+    val df = (1 to 30).map(i =>
+      (i.toDouble, 2.0 * i + 1.0, -i.toDouble)).toDF("x", "y", "z")
+    val m = Profile.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.size == 3)
+    assert(m(("x", "y")) == ((30L, 1.0)))   // affine: exactly 1
+    assert(m(("x", "z")) == ((30L, -1.0)))  // negated: exactly -1
+    assert(m(("y", "z")) == ((30L, -1.0)))
+    // hand value: (1,2,3) vs (1,3,2) -> r = 0.5
+    val hand = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("a", "b")
+    val r = Profile.corrMatrix(hand, Seq("a", "b")).head().getDouble(3)
+    assert(math.abs(r - 0.5) < 1e-12)
+    // listwise: one null row drops from EVERY pair (common n)
+    val withNull = df.union(
+      spark.sql("SELECT 99.0 AS x, CAST(NULL AS DOUBLE) AS y, 1.0 AS z"))
+    val m2 = Profile.corrMatrix(withNull, Seq("x", "y", "z"))
+      .collect().map(r2 => r2.getLong(2)).distinct.toSeq
+    assert(m2 == Seq(30L)) // the null row is out of ALL pairs
+    // zero variance -> null
+    val flat = Seq((1.0, 1.0), (1.0, 2.0)).toDF("a", "b")
+    assert(Profile.corrMatrix(flat, Seq("a", "b")).head().isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Profile.corrMatrix(df, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.corrMatrix(df, Seq("x", "x"))
+    }
+  }
+
+  test("cramersV: perfect association 1, independence 0, " +
+      "single-level null, loud level bound") {
+    import spark.implicits._
+    // a == b up to renaming: V exactly 1 (chi2 = n*(min-1) = 5)
+    val perfect = (Seq.fill(2)(("x", "x")) ++ Seq.fill(3)(("y", "y")))
+      .toDF("a", "b")
+    val p = Profile.cramersV(perfect, "a", "b").head()
+    assert(p.getLong(0) == 5L && p.getDouble(3) == 5.0)
+    assert(p.getDouble(4) == 1.0)
+    // uniform grid: chi2 0, V 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Profile.cramersV(indep, "a", "b").head()
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+    // one level on a side: V undefined -> null; nulls drop from n
+    val one = Seq(("x", "p"), ("x", "q"),
+      (null.asInstanceOf[String], "r")).toDF("a", "b")
+    val o = Profile.cramersV(one, "a", "b").head()
+    assert(o.getLong(0) == 2L && o.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Profile.cramersV(indep, "a", "b", maxLevels = 1)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Profile.cramersV(
+        (1 to 40).map(i2 => (s"a$i2", "x")).toDF("a", "b"),
+        "a", "b", maxLevels = 10)
+    }
+    assert(e.getMessage.contains("maxLevels"))
+  }
+
   test("ksTestByKey: each key's one-vs-rest D equals the pairwise " +
       "ksTest on the same split; asymptotic p matches the formula") {
     import spark.implicits._
