@@ -193,4 +193,72 @@ object LanguageModel {
         expr("CAST(n_new_types AS DOUBLE) / CAST(n_types AS DOUBLE)"))
   }
 
+  /** Heaps-law vocabulary growth curve — the corpus-planning
+    * measurement behind "how much NEW vocabulary does the next 10×
+    * of data bring": at each id cutoff, the cumulative token
+    * incidences T, the cumulative vocabulary size V (types whose
+    * FIRST document id is ≤ the cutoff), and the empirical Heaps
+    * exponent β between consecutive cutoffs (V ∝ T^β;
+    * β = ln(V_i/V_{i−1}) / ln(T_i/T_{i−1}) — English corpora run
+    * β ≈ 0.4–0.6; a β near 1 screams boilerplate-free synthetic
+    * text, a collapsing β screams duplication). The ID-prefix twin
+    * of [[gramNovelty]]'s per-period rates.
+    *
+    * Shape: one token explode → per-type (first_seen = min id) agg,
+    * one per-doc token count agg, then ONE conditional aggregation
+    * per frame over the ≤ 32 (loud) cutoffs — no window, no
+    * per-cutoff jobs; cutoff rows assemble from two 1-row frames.
+    * Everything is an exact integer until β's ln division (emitted
+    * at 6 decimals, the ln-face discipline).
+    *
+    * Output per cutoff, ascending: (cutoff, n_docs, n_tokens,
+    * vocab_size, beta — null on the first row and wherever a log
+    * ratio degenerates). */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.size <= 32,
+      s"cutoffs must number 1..32, got ${cutoffs.size}")
+    require(cutoffs == cutoffs.sorted && cutoffs.distinct == cutoffs,
+      "cutoffs must be strictly increasing")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        words(textCol).as("_ws"))
+    val firstSeen = base
+      .select(col("_id"), explode(col("_ws")).as("_w"))
+      .groupBy("_w").agg(min("_id").as("_fs"))
+    val vocabAggs = cutoffs.zipWithIndex.map { case (c, i) =>
+      sum(when(col("_fs") <= c, 1L).otherwise(0L)).as(s"_v$i")
+    }
+    val vRow = firstSeen.agg(vocabAggs.head, vocabAggs.tail: _*)
+    val docAggs = cutoffs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col("_id") <= c, 1L).otherwise(0L)).as(s"_d$i"),
+        sum(when(col("_id") <= c, size(col("_ws")).cast("long"))
+          .otherwise(0L)).as(s"_t$i"))
+    }
+    val dRow = base.agg(docAggs.head, docAggs.tail: _*)
+    val rows = array(cutoffs.zipWithIndex.map { case (c, i) =>
+      val beta =
+        if (i == 0) lit(null).cast("double")
+        else {
+          val lv = log(col(s"_v$i").cast("double") /
+            col(s"_v${i - 1}").cast("double"))
+          val lt = log(col(s"_t$i").cast("double") /
+            col(s"_t${i - 1}").cast("double"))
+          when(col(s"_v${i - 1}") > 0L && col(s"_v$i") > 0L &&
+            col(s"_t${i - 1}") > 0L && col(s"_t$i") > 0L &&
+            lt =!= 0.0, round(lv / lt, 6))
+        }
+      struct(lit(c).as("cutoff"), col(s"_d$i").as("n_docs"),
+        col(s"_t$i").as("n_tokens"), col(s"_v$i").as("vocab_size"),
+        beta.as("beta"))
+    }: _*)
+    vRow.crossJoin(dRow)
+      .select(explode(rows).as("_r")).select(col("_r.*"))
+  }
+
 }

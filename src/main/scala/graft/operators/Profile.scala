@@ -1310,6 +1310,87 @@ object Profile {
         .as("rho"))
   }
 
+  /** Normal quantiles for the delta-method CI levels this operator
+    * supports — double literals shared verbatim with the SQL oracle
+    * (no erf/quantile function exists portably in both engines). */
+  private val ZByCi: Map[Int, Double] = Map(
+    90 -> 1.6448536269514722,
+    95 -> 1.959963984540054,
+    99 -> 2.5758293035489004)
+
+  /** Delta-method confidence interval for a per-group RATIO metric
+    * Σx/Σy over analysis units — the closed-form sibling of
+    * [[Sampling.bootstrapMeanCI]] and the standard A/B-platform
+    * spelling for per-user ratios (clicks per session, revenue per
+    * order): a ratio of sums is NOT a mean of per-unit ratios, and
+    * its variance needs the covariance term,
+    * var(r) ≈ (s²_x + r²·s²_y − 2r·s_xy) / (n·ȳ²).
+    *
+    * Exactness: per-unit x/y decimal-scale to integers; the five
+    * moments (Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL(38,0) —
+    * order-free, partition-proof; ratio/se/bounds are one fixed IEEE
+    * chain over the exact moments, emitted at 6 decimals (the sqrt
+    * face). z comes from a literal table shared with the oracle
+    * (ciPct ∈ {90, 95, 99} — no portable normal quantile exists),
+    * anything else is loudly rejected.
+    *
+    * Output per key: (keys*, n_units, ratio, se, ci_lo, ci_hi) —
+    * null ratio/se/bounds when Σy = 0 or n < 2. Units with a null
+    * in either column are dropped. */
+  def ratioMetricCI(
+      df: DataFrame,
+      keyCols: Seq[String],
+      numCol: String,
+      denCol: String,
+      ciPct: Int = 95,
+      scale: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(ZByCi.contains(ciPct),
+      s"ciPct must be one of ${ZByCi.keys.toSeq.sorted.mkString("/")} " +
+        s"(normal quantile literal table), got $ciPct")
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    val z = ZByCi(ciPct)
+    val keyC = keyCols.map(col)
+    val base = df
+      .filter(col(numCol).isNotNull && col(denCol).isNotNull)
+      .select(keyC :+
+        (col(numCol).cast(dec) * mult).cast("long").as("_x") :+
+        (col(denCol).cast(dec) * mult).cast("long").as("_y"): _*)
+    val m = base.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_x").cast(dec38)).as("_sx"),
+        sum(col("_y").cast(dec38)).as("_sy"),
+        sum(col("_x").cast(dec38) * col("_x").cast(dec38)).as("_sxx"),
+        sum(col("_y").cast(dec38) * col("_y").cast(dec38)).as("_syy"),
+        sum(col("_x").cast(dec38) * col("_y").cast(dec38)).as("_sxy"))
+    val n = col("n_units").cast("double")
+    val sx = col("_sx").cast("double")
+    val sy = col("_sy").cast("double")
+    // sample (co)variances from the exact moments:
+    // s² = (n·Σaa − Σa·Σb-form) / (n·(n−1)) — each term narrows to
+    // double once, then one fixed chain
+    val vx = (col("n_units") * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("double") / (n * (n - 1.0))
+    val vy = (col("n_units") * col("_syy") - col("_sy") * col("_sy"))
+      .cast("double") / (n * (n - 1.0))
+    val cxy = (col("n_units") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double") / (n * (n - 1.0))
+    val ratio = sx / sy
+    val yBar = sy / n
+    val se = sqrt((vx + ratio * ratio * vy - lit(2.0) * ratio * cxy)
+      / (n * yBar * yBar))
+    val ok = col("_sy") =!= 0L && col("n_units") >= 2L
+    m.select(keyC ++ Seq(col("n_units"),
+      round(when(ok, ratio), 6).as("ratio"),
+      round(when(ok, se), 6).as("se"),
+      round(when(ok, ratio - lit(z) * se), 6).as("ci_lo"),
+      round(when(ok, ratio + lit(z) * se), 6).as("ci_hi")): _*)
+  }
+
   /** Pairwise Pearson correlation matrix over k numeric columns in
     * ONE aggregate pass — the metric-redundancy screen a feature/
     * quality dashboard needs ("length, token count, and byte count

@@ -1434,9 +1434,63 @@ private[queries] object ExtProfile {
       FROM f CROSS JOIN nn CROSS JOIN la CROSS JOIN lb""")
   )
 
+  private val q229_ratio_ci = Q(
+    "q229_ratio_ci",
+    // Delta-method 95% CI for the per-arm clicks-per-event ratio
+    // over per-user units (user_id % 2 as the synthetic A/B arm):
+    // a ratio of sums is not a mean of ratios — the variance needs
+    // the covariance term. Five exact DECIMAL moments per arm, one
+    // fixed IEEE chain, z from the shared literal table. The
+    // closed-form sibling of q225's bootstrap.
+    (s, dir) => {
+      val units = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(sum(when(col("event_type") === "click", 1L)
+          .otherwise(0L)).as("clicks"),
+          count(lit(1)).as("n_events"))
+      graft.operators.Profile.ratioMetricCI(
+        units, Seq("arm"), "clicks", "n_events",
+        ciPct = 95, scale = 0)
+        .orderBy("arm")
+    },
+    Some("""WITH u AS (SELECT user_id,
+        CAST(user_id % 2 AS BIGINT) AS arm,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        sum(y*y) AS syy, sum(x*y) AS sxy FROM u GROUP BY 1),
+      f AS (SELECT arm, n,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+        CAST(n*sxx - sx*sx AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vx,
+        CAST(n*syy - sy*sy AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vy,
+        CAST(n*sxy - sx*sy AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cxy,
+        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+        (sy <> 0 AND n >= 2) AS ok FROM m),
+      g AS (SELECT arm, n, ok, ratio,
+        sqrt((vx + ratio * ratio * vy - 2.0 * ratio * cxy)
+          / (nd * ybar * ybar)) AS se FROM f)
+      SELECT arm, n AS n_units,
+        CASE WHEN ok THEN round(ratio, 6) END AS ratio,
+        CASE WHEN ok THEN round(se, 6) END AS se,
+        CASE WHEN ok THEN round(ratio - 1.959963984540054 * se, 6)
+          END AS ci_lo,
+        CASE WHEN ok THEN round(ratio + 1.959963984540054 * se, 6)
+          END AS ci_hi
+      FROM g ORDER BY arm""")
+  )
+
   val all: Seq[Q] = Seq(
     q227_corr_matrix,
     q228_cramers_v,
+    q229_ratio_ci,
     q67_profile,
     q118_hll_ledger,
     q119_resample_fill,

@@ -1021,7 +1021,50 @@ private[queries] object ExtText {
       FROM u JOIN g USING (canonical_url) ORDER BY u.doc_id""")
   )
 
+  private val q230_vocab_growth = Q(
+    "q230_vocab_growth",
+    // Heaps-law vocabulary growth: cumulative token incidences T,
+    // vocabulary size V (types first seen at doc_id <= cutoff), and
+    // the empirical Heaps exponent beta = ln(V ratio)/ln(T ratio)
+    // between consecutive cutoffs — the "how much new vocab does the
+    // next 10x bring" planning curve. Exact integers throughout; the
+    // geometric cutoff ladder saturates past the corpus end (flat V,
+    // beta null by the lt=0 guard) at small SFs by design.
+    (s, dir) =>
+      graft.operators.LanguageModel.vocabGrowth(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq(62L, 125L, 250L, 500L, 1000L, 2000L, 4000L))
+        .orderBy("cutoff"),
+    Some(s"""WITH b AS (SELECT doc_id, $W AS ws FROM documents
+        WHERE doc_id IS NOT NULL),
+      fs AS (SELECT w, min(doc_id) AS fsid FROM
+        (SELECT doc_id, unnest(ws) AS w FROM b) GROUP BY 1),
+      cts AS (SELECT * FROM (VALUES (0, 62), (1, 125), (2, 250),
+        (3, 500), (4, 1000), (5, 2000), (6, 4000)) AS t(i, c)),
+      v AS (SELECT cts.i, cts.c,
+        (SELECT CAST(count(*) AS BIGINT) FROM b
+          WHERE doc_id <= cts.c) AS n_docs,
+        (SELECT CAST(COALESCE(sum(len(ws)), 0) AS BIGINT) FROM b
+          WHERE doc_id <= cts.c) AS n_tokens,
+        (SELECT CAST(count(*) AS BIGINT) FROM fs
+          WHERE fsid <= cts.c) AS vocab_size
+        FROM cts)
+      SELECT CAST(a.c AS BIGINT) AS cutoff, a.n_docs, a.n_tokens,
+        a.vocab_size,
+        CASE WHEN p.i IS NOT NULL AND p.vocab_size > 0
+          AND a.vocab_size > 0 AND p.n_tokens > 0 AND a.n_tokens > 0
+          AND ln(CAST(a.n_tokens AS DOUBLE)
+            / CAST(p.n_tokens AS DOUBLE)) <> 0.0
+          THEN round(ln(CAST(a.vocab_size AS DOUBLE)
+              / CAST(p.vocab_size AS DOUBLE))
+            / ln(CAST(a.n_tokens AS DOUBLE)
+              / CAST(p.n_tokens AS DOUBLE)), 6) END AS beta
+      FROM v a LEFT JOIN v p ON p.i = a.i - 1
+      ORDER BY cutoff""")
+  )
+
   val all: Seq[Q] = Seq(
+    q230_vocab_growth,
     q25_json_funcs,
     q30_text_stats,
     q31_text_quality,

@@ -136,4 +136,40 @@ class LanguageModelSpec extends AnyFunSuite {
       LanguageModel.oovReport(docs, "source", "text", 0L)
     }
   }
+
+  test("vocabGrowth: hand curve, Heaps beta, saturation past the " +
+      "corpus end, loud contracts") {
+    import spark.implicits._
+    // doc 1: a b        (T=2, V={a,b})
+    // doc 2: a c c      (T=5, V={a,b,c})
+    // doc 3: d          (T=6, V={a,b,c,d})
+    // doc 4: a b        (T=8, V unchanged)
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c c"), (3L, "d"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.vocabGrowth(
+      docs, "doc_id", "text", Seq(1L, 2L, 4L, 10L))
+      .orderBy("cutoff")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got(0) == ((1L, 1L, 2L, 2L, None))) // first row: no beta
+    // cutoff 2: V 2->3, T 2->5; beta = ln(1.5)/ln(2.5)
+    assert(got(1)._1 == 2L && got(1)._2 == 2L &&
+      got(1)._3 == 5L && got(1)._4 == 3L)
+    val b2 = math.floor(
+      math.log(3.0 / 2.0) / math.log(5.0 / 2.0) * 1e6 + 0.5) / 1e6
+    assert(got(1)._5.contains(b2))
+    // cutoff 4: V 3->4, T 5->8
+    val b3 = math.floor(
+      math.log(4.0 / 3.0) / math.log(8.0 / 5.0) * 1e6 + 0.5) / 1e6
+    assert(got(2) == ((4L, 4L, 8L, 4L, Some(b3))))
+    // cutoff 10 saturates: same totals, beta null (log ratio 0)
+    assert(got(3) == ((10L, 4L, 8L, 4L, None)))
+    intercept[IllegalArgumentException] {
+      LanguageModel.vocabGrowth(docs, "doc_id", "text", Seq(4L, 2L))
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.vocabGrowth(docs, "doc_id", "text", Seq.empty)
+    }
+  }
 }

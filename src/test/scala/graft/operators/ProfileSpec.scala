@@ -851,6 +851,46 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxLevels"))
   }
 
+  test("ratioMetricCI: proportional units collapse to zero width, " +
+      "hand delta variance, degenerate nulls, loud contracts") {
+    import spark.implicits._
+    // x exactly = y/2 per unit: the covariance term cancels the
+    // variance EXACTLY -> se 0, CI = [ratio, ratio]
+    val prop = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+      .toDF("k", "x", "y")
+    val p = Profile.ratioMetricCI(prop, Seq("k"), "x", "y").head()
+    assert(p.getLong(1) == 3L && p.getDouble(2) == 0.5)
+    assert(p.getDouble(3) == 0.0)
+    assert(p.getDouble(4) == 0.5 && p.getDouble(5) == 0.5)
+    // hand case: units (1,1),(3,2),(2,3): ratio 1, delta variance by
+    // direct formula over sample moments
+    val h = Seq(("g", 1.0, 1.0), ("g", 3.0, 2.0), ("g", 2.0, 3.0))
+      .toDF("k", "x", "y")
+    val r = Profile.ratioMetricCI(h, Seq("k"), "x", "y").head()
+    val (vx, vy, cxy) = (1.0, 1.0, 0.5) // sample var/cov of the units
+    val ratio = 6.0 / 6.0
+    val se = math.sqrt(
+      (vx + ratio * ratio * vy - 2.0 * ratio * cxy) / (3.0 * 4.0))
+    def r6(d: Double) = math.floor(d * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(3) - r6(se)) < 1e-9)
+    assert(math.abs(r.getDouble(4) -
+      r6(ratio - 1.959963984540054 * se)) < 1e-6 + 1e-9)
+    // sum(y) = 0 or n < 2: null faces, never a division blowup
+    val zy = Seq(("g", 1.0, 0.0), ("g", 2.0, 0.0)).toDF("k", "x", "y")
+    assert(Profile.ratioMetricCI(zy, Seq("k"), "x", "y").head()
+      .isNullAt(2))
+    val single = Seq(("g", 1.0, 2.0)).toDF("k", "x", "y")
+    assert(Profile.ratioMetricCI(single, Seq("k"), "x", "y").head()
+      .isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Profile.ratioMetricCI(h, Seq("k"), "x", "y", ciPct = 80)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.ratioMetricCI(h, Seq.empty, "x", "y")
+    }
+  }
+
   test("ksTestByKey: each key's one-vs-rest D equals the pairwise " +
       "ksTest on the same split; asymptotic p matches the formula") {
     import spark.implicits._
