@@ -359,4 +359,71 @@ object Curation {
       .select(col(groupCol), col(itemCol), col("mass"),
         col("cum_mass"), col("in_nucleus"))
   }
+
+  /** Reliability (calibration) table for a [0,1] score against a
+    * binary outcome — the "does the quality score actually predict
+    * anything" diagram: bin the score into `bins` equal-width cells
+    * and report, per cell, the population, the outcome rate, the
+    * mean score, and the calibration gap (outcome − mean score).
+    * Emitted as CELLS, not a summed ECE number (the chiSquaredCells
+    * discipline — the cells are the diagnosis; a reader can fold
+    * their own Σ n_b/N·|gap| in one line).
+    *
+    * Exact spelling: scores go through the 6-decimal integer face
+    * (score6 = score·1e6 as BIGINT — exact binning, no float-edge
+    * ambiguity at cell boundaries); bin = min(score6·bins div 1e6,
+    * bins−1), so 1.0 lands in the top cell instead of a phantom
+    * bins-th. Counts and score sums are exact integers; rate / mean
+    * / gap are one IEEE chain each, emitted at 6 decimals. The FULL
+    * bin grid materializes (zero cells included — an EMPTY score
+    * band is calibration signal, per the filterOverlap discipline).
+    * Scores outside [0,1] fail loudly; null score or label rows are
+    * dropped.
+    *
+    * Output: (bin, lo, hi, n, n_pos, pos_rate, mean_score, gap),
+    * one row per bin, rate/mean/gap null for empty bins. */
+  def reliabilityTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"bins must be in [2, 1000], got $bins")
+    val spark = df.sparkSession
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = df
+      .filter(col(scoreCol).isNotNull)
+      .select((col(scoreCol).cast(dec6) * 1000000L).cast("long")
+        .as("_s6"), labelCol.cast("boolean").as("_y"))
+      .filter(col("_y").isNotNull)
+    val bad = base.filter(col("_s6") < 0L || col("_s6") > 1000000L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"reliabilityTable: score outside [0,1]: " +
+        s"${if (bad.nonEmpty) bad.head.getLong(0) / 1e6 else ""}")
+    val counts = base
+      .withColumn("_bin", least(
+        expr(s"(_s6 * $bins) div 1000000"), lit(bins - 1L)))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("_s6")).as("_ssum"))
+    val grid = spark.range(bins).select(col("id").as("_bin"))
+    grid.join(counts, Seq("_bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos"))
+      .select(col("_bin").as("bin"),
+        round(col("_bin").cast("double") / bins, 6).as("lo"),
+        round((col("_bin") + 1L).cast("double") / bins, 6).as("hi"),
+        col("n"), col("n_pos"),
+        round(when(col("n") > 0L,
+          col("n_pos").cast("double") / col("n").cast("double")), 6)
+          .as("pos_rate"),
+        round(when(col("n") > 0L, col("_ssum").cast("double")
+          / (col("n").cast("double") * 1000000.0)), 6)
+          .as("mean_score"),
+        round(when(col("n") > 0L,
+          col("n_pos").cast("double") / col("n").cast("double")
+            - col("_ssum").cast("double")
+              / (col("n").cast("double") * 1000000.0)), 6).as("gap"))
+  }
 }

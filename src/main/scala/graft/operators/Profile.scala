@@ -1639,19 +1639,30 @@ object Profile {
     require(maxTests >= 1L && maxTests <= 100000000L,
       s"maxTests must be in [1, 1e8], got $maxTests")
     val q6 = math.round(q * 1e6)
-    val base = df
+    val raw = df
       .filter(col(pCol).isNotNull)
       .select(col(idCol), col(pCol).as("p"),
         (col(pCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
           * 1000000L).cast("long").as("_p6"))
+    // materialize the family ONCE, bounded: checkpointing THROUGH
+    // limit(maxTests+1) caps materialization at maxTests+1 rows in a
+    // single upstream evaluation — the caller's upstream (often a
+    // whole per-key test battery like ksTestByKey) would otherwise
+    // recompute for the guard action, the range check, AND the
+    // three-way self-reference below. The count on the checkpoint
+    // then decides the size guard for free. localCheckpoint blocks
+    // do not survive executor loss — on a real cluster the battery
+    // simply recomputes on the retried lineage, the acceptable
+    // failure mode for a keys-sized frame.
+    val base = raw.limit((maxTests + 1L).toInt).localCheckpoint(true)
+    val over = base.count()
+    require(over <= maxTests,
+      s"bhFdr: more than $maxTests tests — BH is a key-level gate; " +
+        "raise maxTests only if the test family is genuinely bounded")
     val bad = base.filter(col("_p6") < 0L || col("_p6") > 1000000L)
       .limit(1).collect()
     require(bad.isEmpty,
       s"bhFdr: p-value out of [0,1]: ${if (bad.nonEmpty) bad.head else ""}")
-    val over = base.limit((maxTests + 1L).toInt).count()
-    require(over <= maxTests,
-      s"bhFdr: more than $maxTests tests — BH is a key-level gate; " +
-        "raise maxTests only if the test family is genuinely bounded")
     val vals = base.groupBy(col("_p6").as("_v"))
       .agg(count(lit(1)).as("_cnt"))
     val cum = Skew.cumulativeCounts(vals, coarseBuckets)

@@ -786,8 +786,68 @@ private[queries] object ExtAnalytics {
       FROM d LEFT JOIN tc ON tc.node = d.node ORDER BY d.node""")
   )
 
+  private val q232_kcore = Q(
+    "q232_kcore",
+    // 70-core of the part co-purchase graph: iterative peeling
+    // (delete degree<70 nodes, recompute, repeat) to fixpoint —
+    // converges in 2 rounds on this graph; the Spark side loudly
+    // bounds rounds at 8 and the oracle unrolls the SAME 8 rounds
+    // (monotone peeling: extra rounds past fixpoint are no-ops, so
+    // the unrolled twin is exact). Dense-nucleus extraction above
+    // triangle counting.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .filter(col("p").isNotNull)
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b"))
+      graft.operators.Graphs.kCore(
+        edges, "id_a", "id_b", k = 70, maxRounds = 8)
+        .orderBy("node")
+    },
+    Some {
+      // each round: restrict edges to alive destinations (inner
+      // equi-join), then per-alive-node surviving degree (left
+      // equi-join + count of matches). Every CTE is MATERIALIZED:
+      // DuckDB inlines plain CTEs, and with each round referencing
+      // the previous one twice the 8-round chain would otherwise
+      // expand 2^8 evaluations of the base graph
+      val rounds = (1 to 8).map { i =>
+        s"""m$i AS MATERIALIZED (SELECT dd.s, dd.d FROM dd
+          JOIN a${i - 1} t ON t.node = dd.d),
+        d$i AS MATERIALIZED (SELECT n.node, count(m$i.d) AS c
+          FROM a${i - 1} n
+          LEFT JOIN m$i ON m$i.s = n.node GROUP BY 1),
+        a$i AS MATERIALIZED (SELECT node FROM d$i WHERE c >= 70)"""
+      }.mkString(",\n      ")
+      s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        ee AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS x,
+            greatest(a.p, b.p) AS y
+          FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+        dd AS MATERIALIZED (SELECT x AS s, y AS d FROM ee
+          UNION ALL SELECT y, x FROM ee),
+        fd AS MATERIALIZED (SELECT s AS node,
+            CAST(count(*) AS BIGINT) AS degree
+          FROM dd GROUP BY 1),
+        a0 AS MATERIALIZED (SELECT node FROM fd WHERE degree >= 70),
+        $rounds,
+        cd AS (SELECT dd.s AS node,
+            CAST(count(*) AS BIGINT) AS kcore_degree FROM dd
+          JOIN a8 ts ON ts.node = dd.s
+          JOIN a8 td ON td.node = dd.d GROUP BY 1)
+        SELECT fd.node, fd.degree, (a.node IS NOT NULL) AS in_kcore,
+          cd.kcore_degree
+        FROM fd LEFT JOIN a8 a ON a.node = fd.node
+        LEFT JOIN cd ON cd.node = fd.node ORDER BY fd.node"""
+    }
+  )
+
   val all: Seq[Q] = Seq(
     q226_triangles_capped,
+    q232_kcore,
     q60_topk_aggregator,
     q123_scd2_history,
     q126_retention,

@@ -873,7 +873,68 @@ private[queries] object ExtCuration {
       FROM pt JOIN ci ON ci.k = pt.k ORDER BY event_type""")
   )
 
+  private val q231_reliability = Q(
+    "q231_reliability",
+    // Does the quality score predict duplication? Reliability table
+    // of qualityScore against "document content is duplicated"
+    // (exact-dup membership): 10 equal-width score cells, exact
+    // 6-decimal-integer binning, per-cell population / dup rate /
+    // mean score / calibration gap — cells, not a summed ECE (the
+    // chiSquaredCells discipline). Zero cells materialize.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val dup = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("content_hash"),
+          (col("n_copies") > 1L).as("is_dup"))
+      val scored = docs.select(
+        md5(col("text")).as("content_hash"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      graft.operators.Curation.reliabilityTable(
+        scored.join(dup, "content_hash"), "q", col("is_dup"),
+        bins = 10)
+        .orderBy("bin")
+    },
+    Some(s"""WITH scored AS (SELECT doc_id,
+        round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.5
+          + least((CASE WHEN len($W) = 0 THEN 0.0
+              ELSE CAST(len(list_filter($W, x -> list_contains($stopList, x)))
+                AS DOUBLE) / len($W) END) * 5.0, 1.0) * 0.4
+          + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text,
+                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text) END)
+              * 4.0, 1.0)) * 0.1, 6) AS q,
+        (count(*) OVER (PARTITION BY text)) > 1 AS y
+        FROM documents),
+      b AS (SELECT CAST(CAST(q AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+          AS s6, y FROM scored WHERE q IS NOT NULL AND y IS NOT NULL),
+      c AS (SELECT least((s6 * 10) // 1000000, 9) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          sum(s6) AS ssum
+        FROM b GROUP BY 1),
+      g AS (SELECT CAST(u.b AS BIGINT) AS bin
+        FROM unnest(range(10)) AS u(b))
+      SELECT g.bin,
+        round(CAST(g.bin AS DOUBLE) / 10, 6) AS lo,
+        round(CAST(g.bin + 1 AS DOUBLE) / 10, 6) AS hi,
+        CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        CAST(COALESCE(c.n_pos, 0) AS BIGINT) AS n_pos,
+        CASE WHEN COALESCE(c.n, 0) > 0 THEN
+          round(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+          END AS pos_rate,
+        CASE WHEN COALESCE(c.n, 0) > 0 THEN
+          round(CAST(c.ssum AS DOUBLE)
+            / (CAST(c.n AS DOUBLE) * 1000000.0), 6) END AS mean_score,
+        CASE WHEN COALESCE(c.n, 0) > 0 THEN
+          round(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE)
+            - CAST(c.ssum AS DOUBLE)
+              / (CAST(c.n AS DOUBLE) * 1000000.0), 6) END AS gap
+      FROM g LEFT JOIN c ON c.bin = g.bin ORDER BY g.bin""")
+  )
+
   val all: Seq[Q] = Seq(
+    q231_reliability,
     q68_sample_crossengine,
     q99_shuffle_shards,
     q100_length_batches,

@@ -288,4 +288,41 @@ class CurationSpec extends AnyFunSuite {
         Seq("a" -> lit(true), "a" -> lit(false)))
     }
   }
+
+  test("reliabilityTable: hand cells, 1.0 in the top cell, exact " +
+      "boundary binning, zero cells materialize, loud range") {
+    import spark.implicits._
+    val df = Seq(
+      (0.05, false), (0.05, true), // bin 0
+      (0.10, false),               // exactly 0.1 -> bin 1, not 0
+      (0.95, true), (1.00, true))  // bin 9 (1.0 clamps to top)
+      .toDF("score", "y")
+    val out = Curation.reliabilityTable(df, "score", col("y"),
+      bins = 10)
+      .orderBy("bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    assert(out.size == 10) // full grid, zero cells included
+    assert(out(0L) == ((2L, 1L, Some(0.5), Some(0.05), Some(0.45))))
+    assert(out(1L) == ((1L, 0L, Some(0.0), Some(0.1), Some(-0.1))))
+    assert(out(9L) == ((2L, 2L, Some(1.0), Some(0.975), Some(0.025))))
+    assert(out(5L) == ((0L, 0L, None, None, None)))
+    // null score or label rows drop; out-of-range fails loudly
+    val withNull = df.union(
+      spark.sql("SELECT CAST(NULL AS DOUBLE) AS score, true AS y"))
+    assert(Curation.reliabilityTable(withNull, "score", col("y"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      == 5L)
+    val e = intercept[IllegalArgumentException] {
+      Curation.reliabilityTable(
+        Seq((1.5, true)).toDF("score", "y"), "score", col("y"))
+    }
+    assert(e.getMessage.contains("outside"))
+    intercept[IllegalArgumentException] {
+      Curation.reliabilityTable(df, "score", col("y"), bins = 1)
+    }
+  }
 }

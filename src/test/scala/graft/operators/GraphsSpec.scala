@@ -105,6 +105,48 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: peeling cascade to fixpoint, survivors' in-core " +
+      "degrees, loud non-convergence, checkpoint-cadence equality") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 16,
+        every: Int = 4) =
+      Graphs.kCore(edges.toDF("a", "b"), "a", "b", k, maxRounds,
+        checkpointEvery = every)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // triangle 1-2-3 + pendant 3-4: 2-core = the triangle; node 3
+    // keeps its FULL degree 3 but an in-core degree of 2
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val m = run(tri, 2)
+    assert(m(1L) == ((2L, true, Some(2L))))
+    assert(m(2L) == ((2L, true, Some(2L))))
+    assert(m(3L) == ((3L, true, Some(2L))))
+    assert(m(4L) == ((1L, false, None)))
+    // a path cascades empty at k=2 — ends peel, middles follow,
+    // MULTIPLE rounds required
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val pm = run(path, 2)
+    assert(pm.values.forall(v => !v._2 && v._3.isEmpty))
+    // the same cascade cannot finish in 1 round: loud, not silent
+    val e = intercept[IllegalArgumentException] {
+      run(path, 2, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // K4 + tail survives at k=3 exactly as the clique
+    val k4 = (for { i <- 1L to 4L; j <- (i + 1) to 4L }
+      yield (i, j)) ++ Seq((4L, 9L))
+    val km = run(k4, 3)
+    assert((1L to 4L).forall(i => km(i)._2 && km(i)._3.contains(3L)))
+    assert(km(9L) == ((1L, false, None)))
+    // checkpoint cadence is an implementation detail: every=1 and
+    // every=100 produce the identical map
+    assert(run(tri, 2, every = 1) == run(tri, 2, every = 100))
+    intercept[IllegalArgumentException] {
+      run(tri, 0)
+    }
+  }
+
   // ---- pageRank (fixed-point) ----
 
   private val Scale = 1000000000000L
