@@ -524,7 +524,98 @@ private[queries] object ExtStreaming {
       ORDER BY batch_id, event_type""")
   )
 
+  private val q233_stream_ratio_ci = Q(
+    "q233_stream_ratio_ci",
+    // Continuous experiment monitoring, oracle-backed end to end:
+    // the month's second half arrives as TWO micro-batches
+    // (event_id parity) of per-user units (arm = user_id % 2,
+    // clicks, events) through ratioCiStream; each batch's per-arm
+    // delta-method CI lands in the batch-keyed ledger (idempotent
+    // replay by overwrite). The oracle recomputes every batch's
+    // units and the q229 arithmetic per (batch, arm).
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q233_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          s.sqlContext
+        val ev = events(s, dir)
+        val halves = cachedFixture(s"q233:$dir") {
+          def half(p: org.apache.spark.sql.Column) =
+            ev.filter(dayofmonth(col("ts")) > 15 && p &&
+              col("user_id").isNotNull)
+              .groupBy(col("user_id"),
+                (col("user_id") % 2).as("arm"))
+              .agg(sum(when(col("event_type") === "click", 1L)
+                .otherwise(0L)).as("clicks"),
+                count(lit(1)).as("n_events"))
+              .select("arm", "clicks", "n_events")
+              .as[(Long, Long, Long)].collect().toSeq
+          (half(col("event_id") % 2 === 0),
+            half(col("event_id") % 2 =!= 0))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        val q = graft.streaming.Streams.ratioCiStream(
+          mem.toDF().toDF("arm", "clicks", "n_events"),
+          Seq("arm"), "clicks", "n_events",
+          s"$base/ledger", s"$base/ckpt", ciPct = 95, scale = 0)
+        try {
+          mem.addData(halves._1)
+          q.processAllAvailable()
+          mem.addData(halves._2)
+          q.processAllAvailable()
+        } finally q.stop()
+        collectToLocal(
+          s.read.parquet(s"$base/ledger")
+            .select(col("batch").cast("long").as("batch_id"),
+              col("arm"), col("n_units"), col("ratio"), col("se"),
+              col("ci_lo"), col("ci_hi")),
+          "q233 ratio-ci ledger")
+          .orderBy("batch_id", "arm")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+      }
+    },
+    Some("""WITH u AS (SELECT event_id % 2 AS half, user_id,
+        CAST(user_id % 2 AS BIGINT) AS arm,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(count(*) AS BIGINT) AS y
+        FROM events
+        WHERE date_part('day', ts) > 15 AND user_id IS NOT NULL
+        GROUP BY 1, 2, 3),
+      m AS (SELECT half, arm, CAST(count(*) AS BIGINT) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        sum(y*y) AS syy, sum(x*y) AS sxy FROM u GROUP BY 1, 2),
+      f AS (SELECT half, arm, n,
+        CAST(n AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+        CAST(n*sxx - sx*sx AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vx,
+        CAST(n*syy - sy*sy AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vy,
+        CAST(n*sxy - sx*sy AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cxy,
+        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+        (sy <> 0 AND n >= 2) AS ok FROM m),
+      g AS (SELECT half, arm, n, ok, ratio,
+        sqrt((vx + ratio * ratio * vy - 2.0 * ratio * cxy)
+          / (nd * ybar * ybar)) AS se FROM f)
+      SELECT CAST(half AS BIGINT) AS batch_id, arm, n AS n_units,
+        CASE WHEN ok THEN round(ratio, 6) END AS ratio,
+        CASE WHEN ok THEN round(se, 6) END AS se,
+        CASE WHEN ok THEN round(ratio - 1.959963984540054 * se, 6)
+          END AS ci_lo,
+        CASE WHEN ok THEN round(ratio + 1.959963984540054 * se, 6)
+          END AS ci_hi
+      FROM g ORDER BY batch_id, arm""")
+  )
+
   val all: Seq[Q] = Seq(
+    q233_stream_ratio_ci,
     q101_stream_ingest_dedup,
     q105_stream_ingest_ann,
     q43_stream_windowed,

@@ -685,6 +685,50 @@ object Streams {
       f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
   }
 
+  /** Continuous experiment monitoring — the streaming face of
+    * [[graft.operators.Profile.ratioMetricCI]]: each micro-batch
+    * carries UNIT-level observations (one row per analysis unit with
+    * its numerator/denominator), and the batch's per-key delta-method
+    * CI lands in a batch-keyed parquet ledger. Idempotent replay by
+    * overwrite of the batch subdir (the [[psiStream]] contract): a
+    * re-delivered batch rewrites the identical rows, so the ledger
+    * is exactly-once under retry. Two separated arms' CIs drifting
+    * apart IS the experiment readout; a widening CI flags unit
+    * starvation. */
+  def ratioCiStream(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      numCol: String,
+      denCol: String,
+      ledgerDir: String,
+      checkpointDir: String,
+      ciPct: Int = 95,
+      scale: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ratioCiBatch(batch, batchId, keyCols, numCol, denCol,
+          ledgerDir, ciPct, scale)
+      }
+      .start()
+
+  /** One [[ratioCiStream]] micro-batch, factored out so the replay
+    * contract is directly testable. */
+  private[streaming] def ratioCiBatch(
+      batch: DataFrame,
+      batchId: Long,
+      keyCols: Seq[String],
+      numCol: String,
+      denCol: String,
+      ledgerDir: String,
+      ciPct: Int,
+      scale: Int): Unit = {
+    graft.operators.Profile.ratioMetricCI(
+      batch, keyCols, numCol, denCol, ciPct, scale)
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+  }
+
   /** The maintained view over every delta [[ingestAggStream]] has
     * written: one partition-discovered read + one state-sized merge.
     * Also the compaction step — its result re-written as a single

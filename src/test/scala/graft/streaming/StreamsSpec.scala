@@ -621,4 +621,48 @@ class StreamsSpec extends AnyFunSuite {
         new java.io.File(base))
     }
   }
+
+  test("ratioCiBatch: per-batch CI == direct ratioMetricCI; replay " +
+      "idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ratio_ledger_").toString
+    try {
+      val b0 = (1 to 60).map(i =>
+        ("a", (i % 5).toDouble, (3 + i % 4).toDouble))
+        .toDF("arm", "x", "y")
+      val b1 = (1 to 60).map(i =>
+        ("a", (2 + i % 3).toDouble, (3 + i % 4).toDouble))
+        .toDF("arm", "x", "y")
+      graft.streaming.Streams.ratioCiBatch(b0, 0L, Seq("arm"),
+        "x", "y", s"$base/ledger", 95, 2)
+      graft.streaming.Streams.ratioCiBatch(b1, 1L, Seq("arm"),
+        "x", "y", s"$base/ledger", 95, 2)
+      def ledger() = spark.read.parquet(s"$base/ledger")
+        .select(col("batch").cast("long"), col("arm"), col("n_units"),
+          col("ratio"), col("se"), col("ci_lo"), col("ci_hi"))
+        .as[(Long, String, Long, Double, Double, Double, Double)]
+        .collect().sorted.toSeq
+      val first = ledger()
+      assert(first.length == 2)
+      // each ledger row == the batch operator run directly
+      val direct1 = graft.operators.Profile
+        .ratioMetricCI(b1, Seq("arm"), "x", "y", 95, 2).head()
+      assert(first(1)._4 == direct1.getDouble(2))
+      assert(first(1)._6 == direct1.getDouble(4))
+      // the batches genuinely differ and each CI brackets its ratio
+      assert(first(0)._4 != first(1)._4)
+      first.foreach { r =>
+        assert(r._6 <= r._4 && r._4 <= r._7)
+      }
+      // crash replay of batch 1 -> byte-identical ledger
+      graft.streaming.Streams.ratioCiBatch(b1, 1L, Seq("arm"),
+        "x", "y", s"$base/ledger", 95, 2)
+      assert(ledger() == first, "replay changed the ledger")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
 }
