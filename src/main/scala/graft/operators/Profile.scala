@@ -1310,6 +1310,164 @@ object Profile {
         .as("rho"))
   }
 
+  /** Jensen–Shannon divergence between a reference and a current
+    * snapshot, per key — [[psi]]'s zero-safe sibling: where PSI
+    * needs an empty-bin floor to keep ln finite, JSD handles empty
+    * bins NATIVELY (each term is p·ln(p/m) with m = (p+q)/2, and
+    * 0·ln(0/m) ≡ 0 — a bin empty on one side contributes
+    * p·ln 2 ≤ ln 2, never infinity), is symmetric in the two
+    * histograms (operationally the ROLES differ: bins are sized
+    * from `ref`'s range, so swap the frames and the binning moves
+    * too), and is bounded in [0, ln 2] — the preferred drift number
+    * when snapshots can have disjoint support (new-category
+    * launches, cold starts).
+    *
+    * Same shape and determinism as psi: bins sized from the
+    * REFERENCE's per-key min/max (current values clamp into the edge
+    * bins), exact integer bin counts, each term one fixed IEEE
+    * chain, the sum folded in bin order (sorted fold — engine- and
+    * partition-stable), face at 6 decimals (the ln discipline).
+    *
+    * Output per key: (n_ref, n_cur, jsd). Keys missing from either
+    * side are dropped. */
+  def jsDivergence(
+      ref: DataFrame,
+      cur: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(bins >= 2 && bins <= 10000,
+      s"bins must be in [2, 10000], got $bins")
+    val keyC = keyCols.map(col)
+    val x = col(valueCol).cast("double")
+    val bounds = ref.filter(x.isNotNull)
+      .groupBy(keyC: _*)
+      .agg(min(x).as("_lo"), max(x).as("_hi"))
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.filter(x.isNotNull)
+        .join(bounds, keyCols)
+        .withColumn("_bin",
+          when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+            greatest(lit(0L), least(lit(bins - 1L),
+              floor_(((x - col("_lo")) / (col("_hi") - col("_lo")))
+                * bins).cast("long")))))
+        .groupBy(keyC :+ col("_bin"): _*)
+        .agg(count(lit(1)).as(s"_n_$side"))
+    val grid = bounds
+      .select(keyC :+ explode(sequence(lit(0L),
+        lit(bins - 1L))).as("_bin"): _*)
+    val cells = grid
+      .join(binned(ref, "ref"), keyCols :+ "_bin", "left")
+      .join(binned(cur, "cur"), keyCols :+ "_bin", "left")
+      .withColumn("_n_ref", coalesce(col("_n_ref"), lit(0L)))
+      .withColumn("_n_cur", coalesce(col("_n_cur"), lit(0L)))
+    val totals = cells.groupBy(keyC: _*)
+      .agg(sum("_n_ref").as("n_ref"), sum("_n_cur").as("n_cur"))
+    val terms = cells.join(totals, keyCols)
+      .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      .withColumn("_p",
+        col("_n_ref").cast("double") / col("n_ref").cast("double"))
+      .withColumn("_q",
+        col("_n_cur").cast("double") / col("n_cur").cast("double"))
+      .withColumn("_m", (col("_p") + col("_q")) / 2.0)
+      // 0·ln(0/m) ≡ 0 spelled explicitly — log(0) would be null/-inf
+      .withColumn("_term",
+        when(col("_p") > 0.0,
+          lit(0.5) * col("_p") * log(col("_p") / col("_m")))
+          .otherwise(lit(0.0)) +
+        when(col("_q") > 0.0,
+          lit(0.5) * col("_q") * log(col("_q") / col("_m")))
+          .otherwise(lit(0.0)))
+    terms
+      .groupBy(keyC :+ col("n_ref") :+ col("n_cur"): _*)
+      .agg(sort_array(collect_list(struct(col("_bin"), col("_term"))))
+        .as("_ts"))
+      .withColumn("jsd", round(
+        aggregate(transform(col("_ts"), s => s.getField("_term")),
+          lit(0.0), (acc, t) => acc + t), 6))
+      .select(keyC ++ Seq(col("n_ref"), col("n_cur"), col("jsd")): _*)
+  }
+
+  /** Wilson-score comparison of two proportions per key — the
+    * conversion-rate readout beside [[ratioMetricCI]] (which handles
+    * per-unit RATIO metrics; this one handles row-level Bernoulli
+    * outcomes): each group's success share gets the Wilson score
+    * interval (the standard small-n-safe interval — a plain normal
+    * interval can leave [0,1]; Wilson cannot), plus the pooled
+    * two-proportion z statistic. Exact integer counts; every
+    * emitted number is one fixed IEEE chain at 6 decimals; z comes
+    * from the shared literal table (ciPct ∈ {90, 95, 99}).
+    *
+    * Input: rows with a key, a group column with EXACTLY the two
+    * values `groupA`/`groupB` of interest (others ignored), and a
+    * boolean success column. Output per key: (n_a, k_a, p_a,
+    * a_lo, a_hi, n_b, k_b, p_b, b_lo, b_hi, z_stat) — null faces
+    * where a side is empty or the pooled variance degenerates. */
+  def proportionTest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      successCol: Column,
+      ciPct: Int = 95): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(ZByCi.contains(ciPct),
+      s"ciPct must be one of ${ZByCi.keys.toSeq.sorted.mkString("/")} " +
+        s"(normal quantile literal table), got $ciPct")
+    require(groupA != groupB, "groupA and groupB must differ")
+    val z = ZByCi(ciPct)
+    val keyC = keyCols.map(col)
+    val m = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        successCol.isNotNull)
+      .groupBy(keyC: _*)
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col(groupCol) === groupA && successCol, 1L)
+          .otherwise(0L)).as("k_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L))
+          .as("n_b"),
+        sum(when(col(groupCol) === groupB && successCol, 1L)
+          .otherwise(0L)).as("k_b"))
+    def wilson(n: Column, k: Column, lower: Boolean): Column = {
+      val nd = n.cast("double")
+      val p = k.cast("double") / nd
+      val z2 = lit(z * z)
+      val center = p + z2 / (lit(2.0) * nd)
+      val spread = lit(z) * sqrt(
+        (p * (lit(1.0) - p) + z2 / (lit(4.0) * nd)) / nd)
+      val denom = lit(1.0) + z2 / nd
+      if (lower) (center - spread) / denom
+      else (center + spread) / denom
+    }
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val seP = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast("double")
+        + lit(1.0) / col("n_b").cast("double")))
+    m.select(keyC ++ Seq(
+      col("n_a"), col("k_a"),
+      round(when(col("n_a") > 0L, pa), 6).as("p_a"),
+      round(when(col("n_a") > 0L,
+        wilson(col("n_a"), col("k_a"), lower = true)), 6).as("a_lo"),
+      round(when(col("n_a") > 0L,
+        wilson(col("n_a"), col("k_a"), lower = false)), 6).as("a_hi"),
+      col("n_b"), col("k_b"),
+      round(when(col("n_b") > 0L, pb), 6).as("p_b"),
+      round(when(col("n_b") > 0L,
+        wilson(col("n_b"), col("k_b"), lower = true)), 6).as("b_lo"),
+      round(when(col("n_b") > 0L,
+        wilson(col("n_b"), col("k_b"), lower = false)), 6).as("b_hi"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L &&
+        pPool > 0.0 && pPool < 1.0, (pa - pb) / seP), 6)
+        .as("z_stat")): _*)
+  }
+
   /** Normal quantiles for the delta-method CI levels this operator
     * supports — double literals shared verbatim with the SQL oracle
     * (no erf/quantile function exists portably in both engines). */

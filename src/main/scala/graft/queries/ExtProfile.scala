@@ -1487,10 +1487,144 @@ private[queries] object ExtProfile {
       FROM g ORDER BY arm""")
   )
 
+  private val q234_js_divergence = Q(
+    "q234_js_divergence",
+    // Jensen-Shannon divergence per event type between the month's
+    // halves — PSI's zero-safe symmetric sibling (empty bins carry
+    // p·ln2, never an infinity or a floor), bounded in [0, ln 2].
+    // Same reference-ranged bins, bin-ordered fold, 6-decimal face;
+    // DuckDB rebuilds every bin and term.
+    (s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.Profile.jsDivergence(
+        ev.filter(dayofmonth(col("ts")) <= 15),
+        ev.filter(dayofmonth(col("ts")) > 15),
+        Seq("event_type"), "value", bins = 10)
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (SELECT event_type, value FROM events
+        WHERE date_part('day', ts) <= 15 AND value IS NOT NULL),
+      c AS (SELECT event_type, value FROM events
+        WHERE date_part('day', ts) > 15 AND value IS NOT NULL),
+      b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM r GROUP BY 1),
+      rb AS (SELECT r.event_type, CASE WHEN b.hi = b.lo THEN 0
+          ELSE greatest(0, least(9, CAST(floor(
+            ((r.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
+          END AS bin, count(*) AS nr
+        FROM r JOIN b USING (event_type) GROUP BY 1, 2),
+      cb AS (SELECT c.event_type, CASE WHEN b.hi = b.lo THEN 0
+          ELSE greatest(0, least(9, CAST(floor(
+            ((c.value - b.lo) / (b.hi - b.lo)) * 10) AS BIGINT)))
+          END AS bin, count(*) AS nc
+        FROM c JOIN b USING (event_type) GROUP BY 1, 2),
+      grid AS (SELECT event_type, u.bin AS bin FROM b
+        CROSS JOIN unnest(range(0, 10)) AS u(bin)),
+      cells AS (SELECT g.event_type, g.bin,
+          COALESCE(rb.nr, 0) AS nr, COALESCE(cb.nc, 0) AS nc
+        FROM grid g
+        LEFT JOIN rb ON rb.event_type = g.event_type
+          AND rb.bin = g.bin
+        LEFT JOIN cb ON cb.event_type = g.event_type
+          AND cb.bin = g.bin),
+      t AS (SELECT event_type, CAST(sum(nr) AS BIGINT) AS n_ref,
+          CAST(sum(nc) AS BIGINT) AS n_cur FROM cells GROUP BY 1),
+      pq AS (SELECT cells.event_type, t.n_ref, t.n_cur, cells.bin,
+          CAST(nr AS DOUBLE) / CAST(n_ref AS DOUBLE) AS p,
+          CAST(nc AS DOUBLE) / CAST(n_cur AS DOUBLE) AS q
+        FROM cells JOIN t ON t.event_type = cells.event_type
+        WHERE t.n_ref > 0 AND t.n_cur > 0),
+      terms AS (SELECT event_type, n_ref, n_cur, bin,
+          (CASE WHEN p > 0.0
+            THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+          + (CASE WHEN q > 0.0
+            THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+          AS term
+        FROM pq)
+      SELECT event_type, n_ref, n_cur,
+        round(list_aggregate(list(term ORDER BY bin), 'sum'), 6)
+          AS jsd
+      FROM terms GROUP BY event_type, n_ref, n_cur
+      ORDER BY event_type""")
+  )
+
+  private val q235_proportion_test = Q(
+    "q235_proportion_test",
+    // Two-proportion comparison with Wilson score intervals: per
+    // month half, the click share of each synthetic arm
+    // (user_id % 2) with small-n-safe CIs and the pooled z — the
+    // conversion-rate readout beside q229's ratio CIs. Exact
+    // integer counts, one fixed IEEE chain per number, shared z
+    // literal.
+    (s, dir) =>
+      graft.operators.Profile.proportionTest(
+        events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .withColumn("half",
+            when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2"))
+          .withColumn("arm", (col("user_id") % 2).cast("string")),
+        Seq("half"), "arm", "0", "1",
+        col("event_type") === "click", ciPct = 95)
+        .orderBy("half"),
+    Some("""WITH e AS (SELECT
+        CASE WHEN date_part('day', ts) <= 15 THEN 'h1' ELSE 'h2' END
+          AS half,
+        CAST(user_id % 2 AS VARCHAR) AS arm,
+        (event_type = 'click') AS s
+        FROM events WHERE user_id IS NOT NULL),
+      m AS (SELECT half,
+        CAST(sum(CASE WHEN arm = '0' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN arm = '0' AND s THEN 1 ELSE 0 END)
+          AS BIGINT) AS k_a,
+        CAST(sum(CASE WHEN arm = '1' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(sum(CASE WHEN arm = '1' AND s THEN 1 ELSE 0 END)
+          AS BIGINT) AS k_b
+        FROM e WHERE arm IN ('0', '1') GROUP BY 1),
+      w AS (SELECT half, n_a, k_a, n_b, k_b,
+        CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+          AS pp,
+        1.959963984540054 AS z FROM m)
+      SELECT half, n_a, k_a,
+        round(pa, 6) AS p_a,
+        round((pa + z*z / (2.0 * CAST(n_a AS DOUBLE))
+          - z * sqrt((pa * (1.0 - pa)
+            + z*z / (4.0 * CAST(n_a AS DOUBLE)))
+            / CAST(n_a AS DOUBLE)))
+          / (1.0 + z*z / CAST(n_a AS DOUBLE)), 6) AS a_lo,
+        round((pa + z*z / (2.0 * CAST(n_a AS DOUBLE))
+          + z * sqrt((pa * (1.0 - pa)
+            + z*z / (4.0 * CAST(n_a AS DOUBLE)))
+            / CAST(n_a AS DOUBLE)))
+          / (1.0 + z*z / CAST(n_a AS DOUBLE)), 6) AS a_hi,
+        n_b, k_b,
+        round(pb, 6) AS p_b,
+        round((pb + z*z / (2.0 * CAST(n_b AS DOUBLE))
+          - z * sqrt((pb * (1.0 - pb)
+            + z*z / (4.0 * CAST(n_b AS DOUBLE)))
+            / CAST(n_b AS DOUBLE)))
+          / (1.0 + z*z / CAST(n_b AS DOUBLE)), 6) AS b_lo,
+        round((pb + z*z / (2.0 * CAST(n_b AS DOUBLE))
+          + z * sqrt((pb * (1.0 - pb)
+            + z*z / (4.0 * CAST(n_b AS DOUBLE)))
+            / CAST(n_b AS DOUBLE)))
+          / (1.0 + z*z / CAST(n_b AS DOUBLE)), 6) AS b_hi,
+        CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+          round((pa - pb) / sqrt(pp * (1.0 - pp)
+            * (1.0 / CAST(n_a AS DOUBLE)
+              + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS z_stat
+      FROM w ORDER BY half""")
+  )
+
   val all: Seq[Q] = Seq(
     q227_corr_matrix,
     q228_cramers_v,
     q229_ratio_ci,
+    q234_js_divergence,
+    q235_proportion_test,
     q67_profile,
     q118_hll_ledger,
     q119_resample_fill,

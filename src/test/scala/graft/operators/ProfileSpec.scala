@@ -851,6 +851,77 @@ class ProfileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxLevels"))
   }
 
+  test("jsDivergence: identical 0, hand two-bin value, zero-safe " +
+      "empty bins, bounded by ln 2") {
+    import spark.implicits._
+    val ref = Seq(0.0, 0.0, 1.0, 1.0).map(("k", _)).toDF("g", "v")
+    // identical snapshots: exactly 0
+    assert(Profile.jsDivergence(ref, ref, Seq("g"), "v", bins = 2)
+      .head().getDouble(3) == 0.0)
+    // hand case: p=(.5,.5) vs q=(1,0) at 2 bins
+    // JSD = .5[.5 ln(.5/.75)+.5 ln(.5/.25)] + .5[1 ln(1/.75)]
+    val cur = Seq(("k", 0.0)).toDF("g", "v")
+    val expected = 0.5 * (0.5 * math.log(0.5 / 0.75)
+      + 0.5 * math.log(0.5 / 0.25)) + 0.5 * math.log(1.0 / 0.75)
+    val got = Profile.jsDivergence(ref, cur, Seq("g"), "v", bins = 2)
+      .head()
+    assert(got.getLong(1) == 4L && got.getLong(2) == 1L)
+    assert(math.abs(got.getDouble(3)
+      - math.floor(expected * 1e6 + 0.5) / 1e6) < 1e-9)
+    // bounded: even adversarial shift clamping all mass into one
+    // edge bin stays <= ln 2
+    val far = Seq.fill(50)(("k", 999.0)).toDF("g", "v")
+    val j = Profile.jsDivergence(ref, far, Seq("g"), "v").head()
+      .getDouble(3)
+    assert(j > 0.0 && j <= math.log(2.0) + 1e-9)
+    intercept[IllegalArgumentException] {
+      Profile.jsDivergence(ref, cur, Seq("g"), "v", bins = 1)
+    }
+  }
+
+  test("proportionTest: hand Wilson bounds and pooled z, empty-side " +
+      "nulls, stray groups ignored, loud contracts") {
+    import spark.implicits._
+    val rows = ((1 to 7).map(_ => ("h", "a", true)) ++
+      (1 to 3).map(_ => ("h", "a", false)) ++
+      (1 to 3).map(_ => ("h", "b", true)) ++
+      (1 to 7).map(_ => ("h", "b", false)) ++
+      Seq(("h", "zzz", true))) // stray group: ignored entirely
+      .toDF("k", "grp", "s")
+    val r = Profile.proportionTest(rows, Seq("k"), "grp", "a", "b",
+      col("s")).head()
+    def r6(d: Double) = math.floor(d * 1e6 + 0.5) / 1e6
+    val z = 1.959963984540054
+    def wilson(n: Double, p: Double, sign: Double) =
+      (p + z * z / (2 * n) + sign * z *
+        math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) /
+        (1 + z * z / n)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == 0.7)
+    assert(math.abs(r.getDouble(4) - r6(wilson(10, 0.7, -1))) < 1e-9)
+    assert(math.abs(r.getDouble(5) - r6(wilson(10, 0.7, 1))) < 1e-9)
+    assert(r.getLong(6) == 10L && r.getLong(7) == 3L)
+    // pooled z: (0.7-0.3)/sqrt(0.5*0.5*(0.1+0.1))
+    val zExp = 0.4 / math.sqrt(0.5 * 0.5 * 0.2)
+    assert(math.abs(r.getDouble(11) - r6(zExp)) < 1e-9)
+    // the Wilson interval stays inside [0,1] even at p = 1, and the
+    // degenerate pooled proportion (everything true) nulls the z
+    val ext = (Seq.fill(3)(("h", "a", true)) ++
+      Seq.fill(3)(("h", "b", true))).toDF("k", "grp", "s")
+    val e = Profile.proportionTest(ext, Seq("k"), "grp", "a", "b",
+      col("s")).head()
+    assert(e.getDouble(4) >= 0.0 && e.getDouble(5) <= 1.0)
+    assert(e.getDouble(3) == 1.0)
+    assert(e.isNullAt(11)) // pooled p = 1: no variance, null not NaN
+    intercept[IllegalArgumentException] {
+      Profile.proportionTest(rows, Seq("k"), "grp", "a", "a", col("s"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.proportionTest(rows, Seq("k"), "grp", "a", "b",
+        col("s"), ciPct = 80)
+    }
+  }
+
   test("ratioMetricCI: proportional units collapse to zero width, " +
       "hand delta variance, degenerate nulls, loud contracts") {
     import spark.implicits._
