@@ -1249,7 +1249,11 @@ object Profile {
     * five moments (Σx, Σy, Σx², Σy², Σxy over doubled ranks)
     * accumulate in DECIMAL(38,0) — order-free, bit-identical on any
     * engine or partitioning. ρ is ONE fixed IEEE expression over the
-    * exact moments. Moment magnitudes reach ~4n⁴, so DECIMAL(38,0)
+    * exact moments, emitted at 6 decimals: the moments exceed 2^53,
+    * and the decimal→double narrowing is a measured 1-ULP
+    * cross-engine seam (BigDecimal.doubleValue vs DuckDB's
+    * hugeint cast — observed at sf0.1), exactly the class the
+    * repo's 6-decimal face exists for. Moment magnitudes reach ~4n⁴, so DECIMAL(38,0)
     * is exact to ~2e9 rows and fails loudly (ANSI overflow) past it —
     * at that scale rank correlation should ride a sampled frame
     * anyway.
@@ -1301,12 +1305,13 @@ object Profile {
           .cast("double") > 0.0 &&
         (col("n") * col("_syy") - col("_sy") * col("_sy"))
           .cast("double") > 0.0,
-        (col("n") * col("_sxy") - col("_sx") * col("_sy"))
-          .cast("double") /
-          sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx"))
-            .cast("double") *
-            (col("n") * col("_syy") - col("_sy") * col("_sy"))
-              .cast("double")))
+        round(
+          (col("n") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double") /
+            sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double") *
+              (col("n") * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double")), 6))
         .as("rho"))
   }
 
@@ -1555,7 +1560,8 @@ object Profile {
     * are 0.98-correlated; keep one"). Rows with a null in ANY of the
     * listed columns are dropped (listwise-complete — the matrix is
     * then positive semi-definite over a single common row set, which
-    * pairwise deletion cannot guarantee).
+    * pairwise deletion cannot guarantee). Each r emits at 6 decimals
+    * (the spearmanCorr decimal→double narrowing seam).
     *
     * EXACT spelling: values decimal-scale to integers; all k sums,
     * k square-sums, and k(k−1)/2 cross-sums accumulate in
@@ -1608,7 +1614,8 @@ object Profile {
         - col(s"_s_$b") * col(s"_s_$b")).cast("double")
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
         col("_n").as("n"),
-        when(va > 0.0 && vb > 0.0, num / sqrt(va * vb)).as("r"))
+        round(when(va > 0.0 && vb > 0.0, num / sqrt(va * vb)), 6)
+          .as("r"))
     }: _*)
     m.select(explode(rows).as("_p")).select(col("_p.*"))
   }

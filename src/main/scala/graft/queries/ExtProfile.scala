@@ -1177,8 +1177,8 @@ private[queries] object ExtProfile {
     // doubled average ranks (2·cum − cnt + 1, integer — the tie .5
     // cleared, the factor cancels in rho) from the window-free
     // two-phase prefix sum, five exact DECIMAL(38,0)/HUGEINT
-    // moments, rho as ONE fixed IEEE expression — bit-identical on
-    // both engines with no rounding face needed.
+    // moments, rho as ONE fixed IEEE expression at the 6-decimal
+    // face (>2^53 decimal→double narrowing is a 1-ULP seam).
     (s, dir) =>
       graft.operators.Profile.spearmanCorr(
         table(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
@@ -1203,9 +1203,9 @@ private[queries] object ExtProfile {
       SELECT n, CASE WHEN
           CAST(n * sxx - sx * sx AS DOUBLE) > 0.0 AND
           CAST(n * syy - sy * sy AS DOUBLE) > 0.0
-        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-            * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho
+            * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho
       FROM m""")
   )
 
@@ -1321,8 +1321,8 @@ private[queries] object ExtProfile {
     // Pairwise Pearson matrix over the four lineitem money/rate
     // columns in ONE aggregate pass: 4 sums + 4 square-sums + 6
     // cross-sums, all exact DECIMAL(38,0)/HUGEINT, each r one fixed
-    // IEEE expression — bit-identical cross-engine, no rounding
-    // face. The metric-redundancy screen.
+    // IEEE expression at the 6-decimal face (the spearman
+    // narrowing seam). The metric-redundancy screen.
     (s, dir) =>
       graft.operators.Profile.corrMatrix(
         table(s, dir, "lineitem"),
@@ -1348,44 +1348,44 @@ private[queries] object ExtProfile {
         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
           CASE WHEN CAST(n*qq - sq*sq AS DOUBLE) > 0.0
             AND CAST(n*ee - se*se AS DOUBLE) > 0.0
-            THEN CAST(n*qe - sq*se AS DOUBLE)
+            THEN round(CAST(n*qe - sq*se AS DOUBLE)
               / sqrt(CAST(n*qq - sq*sq AS DOUBLE)
-                * CAST(n*ee - se*se AS DOUBLE)) END AS r FROM m
+                * CAST(n*ee - se*se AS DOUBLE)), 6) END AS r FROM m
         UNION ALL
         SELECT 'l_quantity', 'l_discount', n,
           CASE WHEN CAST(n*qq - sq*sq AS DOUBLE) > 0.0
             AND CAST(n*dd - sd*sd AS DOUBLE) > 0.0
-            THEN CAST(n*qd - sq*sd AS DOUBLE)
+            THEN round(CAST(n*qd - sq*sd AS DOUBLE)
               / sqrt(CAST(n*qq - sq*sq AS DOUBLE)
-                * CAST(n*dd - sd*sd AS DOUBLE)) END FROM m
+                * CAST(n*dd - sd*sd AS DOUBLE)), 6) END FROM m
         UNION ALL
         SELECT 'l_quantity', 'l_tax', n,
           CASE WHEN CAST(n*qq - sq*sq AS DOUBLE) > 0.0
             AND CAST(n*tt - st*st AS DOUBLE) > 0.0
-            THEN CAST(n*qt - sq*st AS DOUBLE)
+            THEN round(CAST(n*qt - sq*st AS DOUBLE)
               / sqrt(CAST(n*qq - sq*sq AS DOUBLE)
-                * CAST(n*tt - st*st AS DOUBLE)) END FROM m
+                * CAST(n*tt - st*st AS DOUBLE)), 6) END FROM m
         UNION ALL
         SELECT 'l_extendedprice', 'l_discount', n,
           CASE WHEN CAST(n*ee - se*se AS DOUBLE) > 0.0
             AND CAST(n*dd - sd*sd AS DOUBLE) > 0.0
-            THEN CAST(n*ed - se*sd AS DOUBLE)
+            THEN round(CAST(n*ed - se*sd AS DOUBLE)
               / sqrt(CAST(n*ee - se*se AS DOUBLE)
-                * CAST(n*dd - sd*sd AS DOUBLE)) END FROM m
+                * CAST(n*dd - sd*sd AS DOUBLE)), 6) END FROM m
         UNION ALL
         SELECT 'l_extendedprice', 'l_tax', n,
           CASE WHEN CAST(n*ee - se*se AS DOUBLE) > 0.0
             AND CAST(n*tt - st*st AS DOUBLE) > 0.0
-            THEN CAST(n*et - se*st AS DOUBLE)
+            THEN round(CAST(n*et - se*st AS DOUBLE)
               / sqrt(CAST(n*ee - se*se AS DOUBLE)
-                * CAST(n*tt - st*st AS DOUBLE)) END FROM m
+                * CAST(n*tt - st*st AS DOUBLE)), 6) END FROM m
         UNION ALL
         SELECT 'l_discount', 'l_tax', n,
           CASE WHEN CAST(n*dd - sd*sd AS DOUBLE) > 0.0
             AND CAST(n*tt - st*st AS DOUBLE) > 0.0
-            THEN CAST(n*dt - sd*st AS DOUBLE)
+            THEN round(CAST(n*dt - sd*st AS DOUBLE)
               / sqrt(CAST(n*dd - sd*sd AS DOUBLE)
-                * CAST(n*tt - st*st AS DOUBLE)) END FROM m)
+                * CAST(n*tt - st*st AS DOUBLE)), 6) END FROM m)
       SELECT col_a, col_b, n, r FROM p ORDER BY col_a, col_b""")
   )
 

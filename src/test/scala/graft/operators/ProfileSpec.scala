@@ -776,7 +776,8 @@ class ProfileSpec extends AnyFunSuite {
     // = 1.5/sqrt(1.5·2) = 1.5/sqrt(3)
     val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
     val rho = Profile.spearmanCorr(tied, "x", "y").head().getDouble(1)
-    assert(math.abs(rho - 1.5 / math.sqrt(3.0)) < 1e-12)
+    assert(math.abs(rho -
+      math.floor(1.5 / math.sqrt(3.0) * 1e6 + 0.5) / 1e6) < 1e-9)
     // zero rank variance on one side -> null
     val flat = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
     assert(Profile.spearmanCorr(flat, "x", "y").head().isNullAt(1))
