@@ -1348,6 +1348,63 @@ object Similarity {
     * (M = 0) are excluded from the max rather than emitting inf.
     *
     * Output: (group, n, scatter, db_component) per group. */
+  /** Embedding drift between two corpus snapshots, per group — the
+    * encoder-rollout / ingest-shift monitor: each label's (or
+    * cell's) centroid is computed on BOTH snapshots and compared by
+    * cosine and L2. A cosine sliding from 1 flags direction drift
+    * (encoder change, population shift); L2 adds magnitude. The
+    * embedding-space sibling of [[graft.operators.Profile.psi]].
+    *
+    * Determinism: both centroids ride [[groupCentroids]] (vec-id
+    * ordered bitwise fold, maxGroupSize-guarded); dot/norm/L2 fold
+    * in dim order; faces at 6 decimals (sqrt/division chains over
+    * derived doubles). Groups present in only one snapshot are
+    * dropped (no drift to measure); mismatched dimensionalities
+    * fail loudly (corruption, not drift).
+    *
+    * Shape: two centroid passes + a groups-sized join; nothing
+    * row-scaled after the folds.
+    *
+    * Output per group: (group, n_ref, n_cur, cosine, l2_dist). */
+  def centroidDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      maxGroupSize: Long = 1L << 20): DataFrame = {
+    def cents(df: DataFrame, nName: String, vName: String): DataFrame =
+      groupCentroids(df, groupCol, idCol, vecCol, maxGroupSize)
+        .groupBy(col("group"))
+        .agg(first(col("n")).as(nName),
+          sort_array(collect_list(struct(col("dim"), col("c"))))
+            .as("_cs"))
+        .select(col("group"), col(nName),
+          transform(col("_cs"), s => s.getField("c")).as(vName))
+    val joined = cents(ref, "n_ref", "_va")
+      .join(cents(cur, "n_cur", "_vb"), "group")
+    val badDims = joined
+      .filter(size(col("_va")) =!= size(col("_vb")))
+      .limit(1).collect()
+    require(badDims.isEmpty, {
+      val r = badDims.head
+      s"centroidDrift: group '${r.get(0)}' has ${r.getSeq(2).size}-dim " +
+        s"ref vs ${r.getSeq(4).size}-dim cur centroids — snapshot " +
+        "dimensionalities must match (corruption, not drift)"
+    })
+    def fold(c: Column): Column =
+      aggregate(c, lit(0.0), (acc, t) => acc + t)
+    val dot = fold(zip_with(col("_va"), col("_vb"), (x, y) => x * y))
+    val na = sqrt(fold(transform(col("_va"), x => x * x)))
+    val nb = sqrt(fold(transform(col("_vb"), x => x * x)))
+    val l2 = sqrt(fold(zip_with(col("_va"), col("_vb"),
+      (x, y) => (x - y) * (x - y))))
+    joined.select(col("group"), col("n_ref"), col("n_cur"),
+      round(when(na > 0.0 && nb > 0.0, dot / (na * nb)), 6)
+        .as("cosine"),
+      round(l2, 6).as("l2_dist"))
+  }
+
   def daviesBouldin(
       df0: DataFrame,
       groupCol: String,

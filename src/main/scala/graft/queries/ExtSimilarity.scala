@@ -563,7 +563,59 @@ private[queries] object ExtSimilarity {
       FROM a2 JOIN sz USING (cluster) ORDER BY id""")
   )
 
+  private val q236_centroid_drift = Q(
+    "q236_centroid_drift",
+    // Embedding drift per label between two snapshot halves
+    // (vec_id parity): cosine + L2 between the halves' centroids,
+    // both built by the q90 vec-id-ordered bitwise fold; all
+    // dot/norm folds run in dim order, faces at 6 decimals. The
+    // encoder-rollout monitor in embedding space.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0),
+        "label", "vec_id", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy("label")
+    },
+    Some("""WITH r AS (SELECT label, vec_id, embedding
+        FROM embeddings WHERE vec_id % 2 = 0),
+      c AS (SELECT label, vec_id, embedding
+        FROM embeddings WHERE vec_id % 2 <> 0),
+      gr AS (SELECT label, CAST(count(*) AS BIGINT) AS n_ref,
+          list(embedding ORDER BY vec_id) AS vs FROM r GROUP BY 1),
+      centr AS (SELECT label, n_ref,
+          list_transform(range(1, len(vs[1]) + 1),
+            i -> list_aggregate(list_transform(vs,
+              v -> CAST(v[i] AS DOUBLE)), 'sum') / n_ref) AS va
+        FROM gr),
+      gc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_cur,
+          list(embedding ORDER BY vec_id) AS vs FROM c GROUP BY 1),
+      centc AS (SELECT label, n_cur,
+          list_transform(range(1, len(vs[1]) + 1),
+            i -> list_aggregate(list_transform(vs,
+              v -> CAST(v[i] AS DOUBLE)), 'sum') / n_cur) AS vb
+        FROM gc),
+      j AS (SELECT a.label, a.n_ref, b.n_cur, a.va, b.vb
+        FROM centr a JOIN centc b USING (label))
+      SELECT label, n_ref, n_cur,
+        round(list_aggregate(list_transform(
+            range(1, len(va) + 1), i -> va[i] * vb[i]), 'sum')
+          / (sqrt(list_aggregate(list_transform(
+              range(1, len(va) + 1), i -> va[i] * va[i]), 'sum'))
+            * sqrt(list_aggregate(list_transform(
+              range(1, len(vb) + 1), i -> vb[i] * vb[i]), 'sum'))),
+          6) AS cosine,
+        round(sqrt(list_aggregate(list_transform(
+            range(1, len(va) + 1),
+            i -> (va[i] - vb[i]) * (va[i] - vb[i])), 'sum')), 6)
+          AS l2_dist
+      FROM j ORDER BY label""")
+  )
+
   val all: Seq[Q] = Seq(
+    q236_centroid_drift,
     q39_sim_bruteforce_topk,
     q40_sim_ann_lsh,
     q48_sim_ann_ivf,

@@ -620,6 +620,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("centroidDrift: identical -> (1, 0), orthogonal hand case, " +
+      "one-sided groups dropped, dim mismatch loud") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, "A", Seq(1f, 0f)), (2L, "A", Seq(0f, 1f)),
+      (3L, "B", Seq(2f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val same = Similarity.centroidDrift(snap, snap,
+      "label", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(same("A") == ((1.0, 0.0)) && same("B") == ((1.0, 0.0)))
+    // orthogonal centroids: ref A -> (1,0), cur A -> (0,1)
+    val ref = Seq((1L, "A", Seq(1f, 0f)), (9L, "C", Seq(1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val cur = Seq((2L, "A", Seq(0f, 1f)), (8L, "D", Seq(1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(ref, cur,
+      "label", "vec_id", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // C (ref-only) and D (cur-only) drop — no drift to measure
+    assert(got.keySet == Set("A"))
+    assert(got("A")._1 == 1L && got("A")._2 == 1L)
+    assert(got("A")._3 == 0.0)
+    assert(math.abs(got("A")._4 -
+      math.floor(math.sqrt(2.0) * 1e6 + 0.5) / 1e6) < 1e-9)
+    // mismatched dimensionalities are corruption, not drift
+    val threeD = Seq((5L, "A", Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidDrift(ref, threeD,
+        "label", "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("daviesBouldin: the SCATTER path's group bound is direct — " +
       "an oversized group fails loudly naming this operator") {
     import spark.implicits._
