@@ -432,6 +432,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 drift/graph queries: q226/q234/q236 window-free, " +
+      "q231 window-free grid, no cartesian anywhere") {
+    for (q <- Seq("q226_triangles_capped", "q231_reliability",
+        "q234_js_divergence", "q236_centroid_drift")) {
+      val p = plan(q)
+      assert(!p.contains("Window ["),
+        s"$q should plan no window:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n${p.take(2000)}")
+    }
+  }
+
   test("q225: bootstrap is window-free and replicate sums aggregate " +
       "partially before the shuffle") {
     // the whole procedure is map-side fan-out + (key, b) partial agg
