@@ -1473,6 +1473,54 @@ object Profile {
         .as("z_stat")): _*)
   }
 
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement, the inter-annotator / metadata-vs-classifier trust
+    * number ([[cramersV]] measures association strength; kappa
+    * measures AGREEMENT on the same label space): κ = (p_o − p_e) /
+    * (1 − p_e) with p_o the observed agreement share and p_e the
+    * chance agreement Σ_l (rowTot_l·colTot_l)/n².
+    *
+    * Exactness with NO fold at all: the diagonal count and every
+    * marginal are exact integers; p_e's numerator Σ ta·tb
+    * accumulates in DECIMAL(38,0) (products exact, sum order-free),
+    * so p_o, p_e, and κ are each ONE IEEE division/chain over exact
+    * integers — no order-sensitive double summation anywhere. Faces
+    * at 6 decimals. Null-label rows drop; κ is null when p_e = 1
+    * (degenerate single-label case).
+    *
+    * Shape: one (a,b) partial agg + two marginal aggs + one
+    * broadcast-joined scalar attach. Levels are NOT bounded — only
+    * marginal frames flow, never a grid.
+    *
+    * Output: one row (n, po, pe, kappa). */
+  def cohensKappa(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("_diag"))
+    val ta = base.groupBy("_a").agg(count(lit(1)).as("_ta"))
+    val tb = base.groupBy("_b").agg(count(lit(1)).as("_tb"))
+    val peNum = ta
+      .join(tb, ta("_a") === tb("_b"))
+      .agg(coalesce(sum(col("_ta").cast(dec38) *
+        col("_tb").cast(dec38)), lit(0L).cast(dec38)).as("_pe_num"))
+    val j = stats.crossJoin(broadcast(peNum))
+    val po = col("_diag").cast("double") / col("n").cast("double")
+    val pe = col("_pe_num").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    j.select(col("n"),
+      round(when(col("n") > 0L, po), 6).as("po"),
+      round(when(col("n") > 0L, pe), 6).as("pe"),
+      round(when(col("n") > 0L && pe < 1.0,
+        (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
   /** Normal quantiles for the delta-method CI levels this operator
     * supports — double literals shared verbatim with the SQL oracle
     * (no erf/quantile function exists portably in both engines). */

@@ -1063,7 +1063,49 @@ private[queries] object ExtText {
       ORDER BY cutoff""")
   )
 
+  private val q237_cohens_kappa = Q(
+    "q237_cohens_kappa",
+    // Chance-corrected agreement between declared lang and the
+    // n-gram-marker prediction — the one-number trust readout over
+    // q161's confusion matrix: kappa = (po - pe)/(1 - pe) with pe's
+    // numerator an exact DECIMAL sum of marginal products (no
+    // order-sensitive double fold anywhere), faces at 6 decimals.
+    (s, dir) =>
+      graft.operators.Profile.cohensKappa(
+        table(s, dir, "documents")
+          .select(col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred")),
+        "lang", "lang_pred"),
+    Some(s"""WITH p AS ($langPredSelect),
+      b AS (SELECT lang AS a, lang_pred AS bb FROM p
+        WHERE lang IS NOT NULL AND lang_pred IS NOT NULL),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS BIGINT)
+          AS diag FROM b),
+      ta AS (SELECT a, CAST(count(*) AS BIGINT) AS ta FROM b
+        GROUP BY 1),
+      tb AS (SELECT bb, CAST(count(*) AS BIGINT) AS tb FROM b
+        GROUP BY 1),
+      pe AS (SELECT COALESCE(sum(ta.ta * tb.tb), 0) AS pe_num
+        FROM ta JOIN tb ON tb.bb = ta.a)
+      SELECT s.n,
+        round(CAST(s.diag AS DOUBLE) / CAST(s.n AS DOUBLE), 6)
+          AS po,
+        round(CAST(pe.pe_num AS DOUBLE)
+          / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)), 6) AS pe,
+        CASE WHEN CAST(pe.pe_num AS DOUBLE)
+            / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)) < 1.0
+          THEN round((CAST(s.diag AS DOUBLE) / CAST(s.n AS DOUBLE)
+            - CAST(pe.pe_num AS DOUBLE)
+              / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
+            / (1.0 - CAST(pe.pe_num AS DOUBLE)
+              / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE))), 6)
+          END AS kappa
+      FROM s CROSS JOIN pe""")
+  )
+
   val all: Seq[Q] = Seq(
+    q237_cohens_kappa,
     q230_vocab_growth,
     q25_json_funcs,
     q30_text_stats,

@@ -923,6 +923,37 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("cohensKappa: textbook value, perfect 1, chance-level 0, " +
+      "degenerate null, nulls drop") {
+    import spark.implicits._
+    // classic 2x2 example: diag 45, n 70, marginals a:(50,20)
+    // b:(45,25) -> po = 45/70... use the standard (20,5 / 10,15):
+    // po = 0.7, pe = (25*30 + 25*40... hand-build:
+    // a rows: 20 (x,x), 5 (x,y), 10 (y,x), 15 (y,y): n=50
+    // po = 35/50 = 0.7; ta = x:25, y:25; tb = x:30, y:20
+    // pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.2/0.5 = 0.4
+    val rows = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y")))
+      .toDF("a", "b")
+    val r = Profile.cohensKappa(rows, "a", "b").head()
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+    // perfect agreement -> 1 (as long as pe < 1)
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"))
+      .toDF("a", "b")
+    assert(Profile.cohensKappa(perfect, "a", "b").head()
+      .getDouble(3) == 1.0)
+    // single shared label on both sides: pe = 1 -> kappa null
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Profile.cohensKappa(degen, "a", "b").head().isNullAt(3))
+    // null labels drop from n
+    val withNull = rows.union(
+      Seq((null.asInstanceOf[String], "x")).toDF("a", "b"))
+    assert(Profile.cohensKappa(withNull, "a", "b").head()
+      .getLong(0) == 50L)
+  }
+
   test("ratioMetricCI: proportional units collapse to zero width, " +
       "hand delta variance, degenerate nulls, loud contracts") {
     import spark.implicits._
