@@ -107,6 +107,59 @@ object LanguageModel {
           col("n_bigrams"), 6).as("surprisal"))
   }
 
+  /** Pointwise-mutual-information collocations over adjacent token
+    * pairs — the classic corpus-linguistics "these two words are a
+    * unit" score (Church & Hanks): PMI = ln(P(a,b)/(P(a)·P(b))) with
+    * P(a,b) from the bigram stream and P(·) from the unigram stream.
+    * High-PMI pairs are multi-word entities ("new york") — the
+    * candidates a tokenizer-training or phrase-mining pass promotes
+    * to single units; `minPairCount` cuts the unstable singleton
+    * tail, where PMI is all noise.
+    *
+    * Exactness: all counts and both totals are exact integers; PMI
+    * is ONE IEEE chain per pair — ln((cab·Tu·Tu)/(Tb·ca·cb)) with
+    * every factor cast to double in the same order on both engines —
+    * at the 6-decimal face.
+    *
+    * Shape: one token explode → unigram partial agg; one bigram
+    * kernel pass → pair partial agg; two token-keyed joins of the
+    * pair frame against the vocab frame (AQE broadcasts when the
+    * vocab fits); two broadcast scalar attaches. Everything is
+    * vocab-sized after the first aggregates; no windows, no
+    * quadratic stage.
+    *
+    * Output: (a, b, pair_count, ca, cb, pmi). */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minPairCount: Long = 5L): DataFrame = {
+    require(minPairCount >= 1L,
+      s"minPairCount must be >= 1, got $minPairCount")
+    val uni = df.select(explode(words(textCol)).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val tu = uni.agg(coalesce(sum(col("ca")), lit(0L)).as("_tu"))
+    val bigramsUdf = udf((t: String) =>
+      if (t == null) Array.empty[Kernels.Bigram] else Kernels.bigrams(t))
+    val bi = df
+      .select(explode(bigramsUdf(col(textCol))).as("_bg"))
+      .select(col("_bg.a").as("a"),
+        element_at(split(col("_bg.ab"), " "), 2).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_count"))
+    val tb = bi.agg(coalesce(sum(col("pair_count")), lit(0L)).as("_tb"))
+    bi.filter(col("pair_count") >= minPairCount)
+      .join(uni.select(col("a"), col("ca")), "a")
+      .join(uni.select(col("a").as("b"), col("ca").as("cb")), "b")
+      .crossJoin(broadcast(tu))
+      .crossJoin(broadcast(tb))
+      .select(col("a"), col("b"), col("pair_count"), col("ca"),
+        col("cb"),
+        round(log(
+          (col("pair_count").cast("double") * col("_tu").cast("double")
+            * col("_tu").cast("double")) /
+            (col("_tb").cast("double") * col("ca").cast("double")
+              * col("cb").cast("double"))), 6).as("pmi"))
+  }
+
   /** Out-of-vocabulary rate per group — the tokenizer-health /
     * domain-shift gauge: what fraction of a source's token
     * OCCURRENCES (and how many distinct token TYPES) fall outside

@@ -1521,6 +1521,81 @@ object Profile {
         (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
+  /** Fleiss' kappa over a long-format ratings frame (one row per
+    * (item, label) rating) — chance-corrected agreement for r ≥ 2
+    * raters per item ([[cohensKappa]] handles exactly two NAMED
+    * raters; Fleiss handles any fixed panel size without caring
+    * which rater said what — the multi-labeler QA readout for an
+    * annotation pipeline): κ = (P̄ − P̄_e)/(1 − P̄_e) with
+    * P̄ = [Σ_i Σ_j n_ij² − n·r] / [n·r·(r−1)] and
+    * P̄_e = Σ_j c_j² / (n·r)².
+    *
+    * Fleiss requires a FIXED rating count per item; a ragged panel
+    * fails loudly (min ≠ max ratings — there is no silently-correct
+    * answer). Null-label ratings drop their whole item (a partial
+    * panel is a ragged panel). Exactness: n_ij, Σn_ij², and the
+    * category totals are exact integers; c_j² accumulates in
+    * DECIMAL(38,0) ([[cohensKappa]]'s p_e discipline — order-free,
+    * no float fold anywhere); P̄, P̄_e, κ are each ONE IEEE chain at
+    * the 6-decimal face. κ is null when P̄_e = 1 (single category).
+    *
+    * Shape: one (item, label) partial agg, one per-item agg, one
+    * per-category agg, three broadcast scalar attaches. Items and
+    * categories both unbounded — only aggregate frames flow.
+    *
+    * Output: one row (n_items, n_raters, n_categories, p_bar, p_e,
+    * kappa). */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rated = df.select(col(itemCol).as("_i"),
+      col(labelCol).cast("string").as("_l"))
+    val dropped = rated
+      .groupBy("_i")
+      .agg(sum(when(col("_l").isNull, 1L).otherwise(0L)).as("_bad"))
+      .filter(col("_bad") === 0L)
+      .select("_i")
+    val base = rated.join(dropped, Seq("_i"), "left_semi")
+    val nij = base.groupBy("_i", "_l").agg(count(lit(1)).as("_c"))
+    val perItem = nij.groupBy("_i")
+      .agg(sum(col("_c") * col("_c")).as("_s2"),
+        sum(col("_c")).as("_r"))
+    val panel = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("_r")).as("_rmin"), max(col("_r")).as("_rmax"),
+      sum(col("_s2").cast(dec38)).as("_s2sum"))
+    val cats = nij.groupBy("_l")
+      .agg(sum(col("_c")).as("_cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("_cj").cast(dec38) * col("_cj").cast(dec38)),
+          lit(0L).cast(dec38)).as("_pe_num"))
+    val head = panel.head()
+    if (!head.isNullAt(1)) {
+      val (rMin, rMax) = (head.getLong(1), head.getLong(2))
+      require(rMin == rMax,
+        s"fleissKappa needs a fixed panel: items carry between $rMin " +
+          s"and $rMax non-null ratings — complete or drop the ragged " +
+          "items upstream")
+      require(rMin >= 2L,
+        s"fleissKappa needs >= 2 raters per item, got $rMin")
+    }
+    val j = panel.crossJoin(broadcast(cats))
+    val nr = col("n_items").cast("double") * col("_rmin").cast("double")
+    val pBar = (col("_s2sum").cast("double") -
+      col("n_items").cast("double") * col("_rmin").cast("double")) /
+      (nr * (col("_rmin").cast("double") - lit(1.0)))
+    val pE = col("_pe_num").cast("double") / (nr * nr)
+    j.select(col("n_items"),
+      col("_rmin").as("n_raters"),
+      col("n_categories"),
+      round(when(col("n_items") > 0L, pBar), 6).as("p_bar"),
+      round(when(col("n_items") > 0L, pE), 6).as("p_e"),
+      round(when(col("n_items") > 0L && pE < 1.0,
+        (pBar - pE) / (lit(1.0) - pE)), 6).as("kappa"))
+  }
+
   /** Normal quantiles for the delta-method CI levels this operator
     * supports — double literals shared verbatim with the SQL oracle
     * (no erf/quantile function exists portably in both engines). */

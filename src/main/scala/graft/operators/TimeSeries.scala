@@ -905,4 +905,127 @@ object TimeSeries {
       .join(folded.select(keyC ++ Seq(col("day"), col("ewma")): _*),
         keyCols :+ "day")
   }
+
+  /** Mann–Kendall trend test + Theil–Sen slope per key over daily
+    * event volume — the robust is-this-series-actually-growing
+    * readout ([[groupTrend]]'s OLS slope is leverage-sensitive; one
+    * backfill day drags it, while the rank statistic and the median
+    * slope shrug). The day grid is gap-free (zero-filled) like
+    * [[cusumVolume]] — a silent day IS evidence about the trend.
+    *
+    * EXACT INTEGER core: S = Σ_{i<j} sign(c_j − c_i) and the
+    * tie-corrected variance numerator
+    * V = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are 64-bit integers
+    * (n ≤ 5000 keeps V under 2.6e11). The normal-approx z with
+    * continuity correction, z = (S∓1)/√(V/18), is ONE IEEE chain at
+    * the 6-decimal face; `trend` is 'up'/'down'/'none' at the shared
+    * two-sided 5% literal 1.959964, decided on the ROUNDED z so both
+    * engines compare the same number. Constant series (V = 0) emit
+    * null z/trend — no trend is decidable, which is different from
+    * 'none'.
+    *
+    * Theil–Sen: the exact interpolated median (the q77/q80
+    * `percentile` == `quantile_cont` contract) over all pairwise
+    * slopes (c_j − c_i)/(d_j − d_i), each ONE IEEE division.
+    *
+    * Shape & scale: the corpus collapses to (key, day) in one fully
+    * partial aggregate; everything after runs on series of ≤ maxDays
+    * rows per key — the pair self-join is O(keys · maxDays²) rows
+    * and the per-key median collects ≤ maxDays²/2 slopes
+    * (≈ 2M doubles at the default cap — the documented memory
+    * contract; raise it deliberately). The span guard fails loudly
+    * above maxDays, same contract as [[ewma]].
+    *
+    * Output: (key..., n_days, n_pairs, s_stat, z, trend, sen_slope). */
+  def trendTest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      maxDays: Int = 2000): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(maxDays >= 2 && maxDays <= 5000,
+      s"maxDays must be in [2, 5000], got $maxDays")
+    Seq("day", "cnt", "n_days", "n_pairs", "s_stat", "z", "trend",
+      "sen_slope").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by trendTest")
+    }
+    val keyC = keyCols.map(col)
+    val day = datediff(col(tsCol).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val daily = df
+      .select(keyC :+ day.as("day"): _*)
+      .groupBy(keyC :+ col("day"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(keyC: _*)
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+    val worst = span
+      .agg(max(col("_d1") - col("_d0") + 1).as("nd")).head()
+    if (!worst.isNullAt(0)) {
+      require(worst.getLong(0) <= maxDays,
+        s"trendTest: a key spans ${worst.getLong(0)} days > maxDays=" +
+          s"$maxDays — the pair stage is O(days^2) per key; " +
+          "pre-aggregate to a coarser grain or raise the bound " +
+          "deliberately")
+    }
+    val grid = span
+      .select(keyC ++ Seq(col("_d0"), col("_d1"), explode(
+        sequence(col("_d0"), col("_d1"))).as("day")): _*)
+    val full = grid
+      .join(daily, keyCols :+ "day", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .select(keyC ++ Seq(col("day"), col("cnt")): _*)
+    val nDays = full.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("n_days"))
+    // All i<j pairs of the (≤ maxDays)-row per-key series: the S
+    // statistic's sign sum and the Theil–Sen slope sample.
+    val a = full.select(
+      keyC ++ Seq(col("day").as("_da"), col("cnt").as("_ca")): _*)
+    val b = full.select(
+      keyC ++ Seq(col("day").as("_db"), col("cnt").as("_cb")): _*)
+    val pairs = a.join(b, keyCols)
+      .filter(col("_db") > col("_da"))
+      .withColumn("_sign",
+        when(col("_cb") > col("_ca"), lit(1L))
+          .when(col("_cb") < col("_ca"), lit(-1L))
+          .otherwise(lit(0L)))
+      .withColumn("_slope",
+        (col("_cb") - col("_ca")).cast("double") /
+          (col("_db") - col("_da")).cast("double"))
+    val pairAgg = pairs.groupBy(keyC: _*)
+      .agg(sum(col("_sign")).as("s_stat"),
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(_slope, 0.5)").as("_sen_raw"))
+    // Tie groups over the zero-filled grid: t days sharing a value
+    // contribute t(t−1)(2t+5) to the variance correction.
+    val ties = full.groupBy(keyC :+ col("cnt"): _*)
+      .agg(count(lit(1)).as("_tt"))
+      .groupBy(keyC: _*)
+      .agg(sum(col("_tt") * (col("_tt") - 1L) *
+        (lit(2L) * col("_tt") + 5L)).as("_tie"))
+    val joined = nDays
+      .join(pairAgg, keyCols, "left")
+      .join(ties, keyCols, "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("_vn",
+        col("n_days") * (col("n_days") - 1L) *
+          (lit(2L) * col("n_days") + 5L) -
+          coalesce(col("_tie"), lit(0L)))
+    joined
+      .withColumn("z",
+        when(col("_vn") > 0L, round(
+          when(col("s_stat") > 0L, col("s_stat") - 1L)
+            .when(col("s_stat") < 0L, col("s_stat") + 1L)
+            .otherwise(lit(0L)).cast("double") /
+            sqrt(col("_vn").cast("double") / lit(18.0)), 6)))
+      .withColumn("trend",
+        when(col("_vn") > 0L,
+          when(col("z") > 1.959964, lit("up"))
+            .when(col("z") < -1.959964, lit("down"))
+            .otherwise(lit("none"))))
+      .withColumn("sen_slope", round(col("_sen_raw"), 6))
+      .select(keyC ++ Seq(col("n_days"), col("n_pairs"),
+        col("s_stat"), col("z"), col("trend"), col("sen_slope")): _*)
+  }
 }

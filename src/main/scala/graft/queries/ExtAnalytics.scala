@@ -270,6 +270,62 @@ private[queries] object ExtAnalytics {
       ORDER BY c.event_type, dow, hour""")
   )
 
+  private val q239_link_prediction = Q(
+    "q239_link_prediction",
+    // Distance-2 link prediction on the part co-purchase graph
+    // (q226's genuinely dense fixture): parts never co-ordered but
+    // sharing >= 2 co-purchase partners — common-neighbor count,
+    // Jaccard of neighborhoods, and Adamic–Adar with hub-discounted
+    // 1/ln(deg) weights folded in (degree, node) sorted order so
+    // the float sum is bitwise cross-engine. The maxDegree=64
+    // center cap (the O(deg²) wedge knob) is live in BOTH engines —
+    // on this graph it admits only the sparse fringe (min degree
+    // 42), exactly the hub-exclusion regime the knob exists for.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .filter(col("p").isNotNull)
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b"))
+      graft.operators.Graphs.linkPrediction(
+        edges, "id_a", "id_b", minCommon = 2, maxDegree = 64L)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      p AS (SELECT DISTINCT least(a.p, b.p) AS a,
+          greatest(a.p, b.p) AS b
+        FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+      e AS (SELECT a AS src, b AS dst FROM p
+        UNION ALL SELECT b, a FROM p),
+      dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        FROM e GROUP BY 1),
+      ann AS (SELECT e.src, e.dst, dc.deg AS dcen
+        FROM e JOIN dg dc ON dc.src = e.src
+        WHERE dc.deg <= 64),
+      w AS (SELECT e1.dst AS id_a, e2.dst AS id_b, e1.src AS v,
+          e1.dcen AS dv
+        FROM ann e1 JOIN ann e2 ON e2.src = e1.src
+          AND e1.dst < e2.dst),
+      sc AS (SELECT id_a, id_b,
+          CAST(count(*) AS BIGINT) AS common_neighbors,
+          list_aggregate(list(1.0 / ln(CAST(dv AS DOUBLE))
+            ORDER BY dv, v), 'sum') AS aa
+        FROM w GROUP BY 1, 2 HAVING count(*) >= 2),
+      ne AS (SELECT sc.* FROM sc LEFT JOIN p
+        ON p.a = sc.id_a AND p.b = sc.id_b WHERE p.a IS NULL)
+      SELECT ne.id_a, ne.id_b, ne.common_neighbors,
+        round(CAST(ne.common_neighbors AS DOUBLE)
+          / CAST(da.deg + db.deg - ne.common_neighbors AS DOUBLE),
+          6) AS jaccard,
+        round(ne.aa, 6) AS adamic_adar
+      FROM ne JOIN dg da ON da.src = ne.id_a
+      JOIN dg db ON db.src = ne.id_b
+      ORDER BY 1, 2""")
+  )
+
   private val q169_triangle_stats = Q(
     "q169_triangle_stats",
     // Structure of the near-dup graph: per-node degree, triangle
@@ -869,5 +925,6 @@ private[queries] object ExtAnalytics {
     q192_basket_rules,
     q193_abc_revenue,
     q196_interval_overlap,
-    q199_assortativity)
+    q199_assortativity,
+    q239_link_prediction)
 }

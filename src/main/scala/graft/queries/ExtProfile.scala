@@ -1171,6 +1171,67 @@ private[queries] object ExtProfile {
   )
 
 
+  private val q238_trend_test = Q(
+    "q238_trend_test",
+    // Mann–Kendall + Theil–Sen per event type over the zero-filled
+    // daily grid: exact-integer S and tie-corrected variance
+    // numerator, continuity-corrected z at the 6-decimal face,
+    // trend decided on the ROUNDED z at the shared 1.959964
+    // literal, sen slope via the percentile==quantile_cont
+    // contract. The robust twin of q148's OLS group trend.
+    (s, dir) =>
+      graft.operators.TimeSeries.trendTest(
+        events(s, dir), Seq("event_type"), "ts")
+        .orderBy("event_type"),
+    Some("""WITH d AS (SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT) AS day,
+        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM d GROUP BY 1),
+      grid AS (SELECT event_type, u.day AS day FROM sp
+        CROSS JOIN unnest(range(d0, d1 + 1)) AS u(day)),
+      c AS (SELECT g.event_type, g.day, COALESCE(d.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN d ON d.event_type = g.event_type
+          AND d.day = g.day),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM c GROUP BY 1),
+      p AS (SELECT a.event_type,
+          CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+            WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT)
+            AS s_stat,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          quantile_cont(CAST(b.cnt - a.cnt AS DOUBLE)
+            / CAST(b.day - a.day AS DOUBLE), 0.5) AS sen_raw
+        FROM c a JOIN c b ON b.event_type = a.event_type
+          AND b.day > a.day GROUP BY 1),
+      t AS (SELECT event_type,
+          CAST(COALESCE(sum(tt * (tt - 1) * (2 * tt + 5)), 0)
+            AS BIGINT) AS tie
+        FROM (SELECT event_type, cnt,
+            CAST(count(*) AS BIGINT) AS tt
+          FROM c GROUP BY 1, 2) GROUP BY 1),
+      j AS (SELECT n.event_type, n.n_days,
+          COALESCE(p.n_pairs, 0) AS n_pairs,
+          COALESCE(p.s_stat, 0) AS s_stat, p.sen_raw,
+          n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+            - COALESCE(t.tie, 0) AS vn
+        FROM n LEFT JOIN p ON p.event_type = n.event_type
+        LEFT JOIN t ON t.event_type = n.event_type),
+      zc AS (SELECT *, CASE WHEN vn > 0 THEN
+          round(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+              WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+            / sqrt(CAST(vn AS DOUBLE) / 18.0), 6) END AS z
+        FROM j)
+      SELECT event_type, n_days, n_pairs, s_stat, z,
+        CASE WHEN vn > 0 THEN
+          CASE WHEN z > 1.959964 THEN 'up'
+            WHEN z < -1.959964 THEN 'down' ELSE 'none' END
+          END AS trend,
+        round(sen_raw, 6) AS sen_slope
+      FROM zc ORDER BY event_type""")
+  )
+
   private val q222_spearman = Q(
     "q222_spearman",
     // Spearman rank correlation of quantity vs extended price:
@@ -1620,6 +1681,7 @@ private[queries] object ExtProfile {
   )
 
   val all: Seq[Q] = Seq(
+    q238_trend_test,
     q227_corr_matrix,
     q228_cramers_v,
     q229_ratio_ci,

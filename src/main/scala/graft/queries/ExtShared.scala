@@ -26,9 +26,10 @@ private[queries] object ExtShared {
     TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** The DuckDB twin of `TextFunctions.langId` as a per-document
-    * SELECT (doc_id, lang, lang_pred) — shared by the q32 oracle and
-    * the q161 confusion-matrix oracle. */
-  lazy val langPredSelect: String = {
+    * SELECT (doc_id, lang, lang_pred) over any (doc_id, lang, text)
+    * source — `src` is a table name or parenthesized subquery, so
+    * the q240 half-document rater can reuse the exact marker logic. */
+  def langPredSelectFrom(src: String): String = {
     val markers = TextFunctions.LangMarkers.map { case (l, ms) =>
       l -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
     }
@@ -39,12 +40,16 @@ private[queries] object ExtShared {
     val pick = markers.map { case (l, _) =>
       s"WHEN s_$l = $best THEN '$l'"
     }.mkString(" ")
-    s"""WITH lt AS (SELECT doc_id, lang, text, $scores FROM documents)
+    s"""WITH lt AS (SELECT doc_id, lang, text, $scores FROM $src)
       SELECT doc_id, lang,
         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
           WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS lang_pred
       FROM lt"""
   }
+
+  /** The original full-document langid twin — shared by the q32
+    * oracle, the q161 confusion-matrix oracle, and q237. */
+  lazy val langPredSelect: String = langPredSelectFrom("documents")
 
   val jaccardOracle =
     s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s FROM documents)

@@ -1104,7 +1104,108 @@ private[queries] object ExtText {
       FROM s CROSS JOIN pe""")
   )
 
+  private val q240_fleiss_kappa = Q(
+    "q240_fleiss_kappa",
+    // Fleiss' kappa over a 3-rater language panel per document —
+    // declared lang, the n-gram-marker prediction, and the same
+    // predictor shown only the FIRST HALF of the words (the
+    // truncated-context annotator): fixed panel enforced loudly,
+    // all integer/DECIMAL moments, one IEEE chain per face. The
+    // multi-rater generalization of q237's two-rater kappa.
+    (s, dir) => {
+      val half = "array_join(slice(filter(split(text, ' '), " +
+        "x -> x != ''), 1, size(filter(split(text, ' '), " +
+        "x -> x != '')) div 2), ' ')"
+      val docs = table(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+      val ratings = docs.select(col("doc_id").as("item"),
+        col("lang").as("label"))
+        .unionAll(docs.select(col("doc_id").as("item"),
+          TextFunctions.langId(col("text")).as("label")))
+        .unionAll(docs.select(col("doc_id").as("item"),
+          TextFunctions.langId(expr(half)).as("label")))
+      graft.operators.Profile.fleissKappa(ratings, "item", "label")
+    },
+    Some {
+      val langSrc =
+        "(SELECT doc_id, lang, text FROM documents " +
+          "WHERE lang IS NOT NULL)"
+      val halfSrc =
+        s"(SELECT doc_id, lang, array_to_string(w[1:len(w)//2], ' ') " +
+          s"AS text FROM (SELECT doc_id, lang, $W AS w " +
+          "FROM documents WHERE lang IS NOT NULL))"
+      s"""WITH r2 AS (${langPredSelectFrom(langSrc)}),
+        r3 AS (${langPredSelectFrom(halfSrc)}),
+        ratings AS (
+          SELECT doc_id AS i, lang AS l FROM documents
+            WHERE lang IS NOT NULL
+          UNION ALL SELECT doc_id, lang_pred FROM r2
+          UNION ALL SELECT doc_id, lang_pred FROM r3),
+        nij AS (SELECT i, l, CAST(count(*) AS BIGINT) AS c
+          FROM ratings GROUP BY 1, 2),
+        pi AS (SELECT i, sum(c * c) AS s2, sum(c) AS r
+          FROM nij GROUP BY 1),
+        pan AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(min(r) AS BIGINT) AS rr, sum(s2) AS s2sum FROM pi),
+        cj AS (SELECT l, sum(c) AS cj FROM nij GROUP BY 1),
+        cats AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          sum(cj * cj) AS pe_num FROM cj),
+        f AS (SELECT pan.n_items, pan.rr, cats.n_categories,
+            (CAST(pan.s2sum AS DOUBLE)
+              - CAST(pan.n_items AS DOUBLE) * CAST(pan.rr AS DOUBLE))
+            / ((CAST(pan.n_items AS DOUBLE) * CAST(pan.rr AS DOUBLE))
+              * (CAST(pan.rr AS DOUBLE) - 1.0)) AS p_bar_raw,
+            CAST(cats.pe_num AS DOUBLE)
+            / ((CAST(pan.n_items AS DOUBLE) * CAST(pan.rr AS DOUBLE))
+              * (CAST(pan.n_items AS DOUBLE) * CAST(pan.rr AS DOUBLE)))
+              AS p_e_raw
+          FROM pan CROSS JOIN cats)
+        SELECT n_items, rr AS n_raters, n_categories,
+          round(p_bar_raw, 6) AS p_bar, round(p_e_raw, 6) AS p_e,
+          CASE WHEN p_e_raw < 1.0 THEN
+            round((p_bar_raw - p_e_raw) / (1.0 - p_e_raw), 6)
+            END AS kappa
+        FROM f"""
+    }
+  )
+
+  private val q241_collocations = Q(
+    "q241_collocations",
+    // PMI collocations over adjacent token pairs (Church & Hanks):
+    // exact integer counts and totals, one IEEE ln chain per pair
+    // at the 6-decimal face, minPairCount=3 cutting the singleton
+    // noise floor. The phrase-mining candidates a tokenizer pass
+    // would promote to single units.
+    (s, dir) =>
+      graft.operators.LanguageModel.collocations(
+        table(s, dir, "documents"), "text", minPairCount = 3L)
+        .orderBy("a", "b"),
+    Some(s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+      uni AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM
+        (SELECT unnest(w) AS a FROM toks) GROUP BY a),
+      tu AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS t
+        FROM uni),
+      pos AS (SELECT w[u.i] AS a, w[u.i + 1] AS b FROM toks
+        CROSS JOIN unnest(range(1, len(w))) AS u(i)),
+      bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+        FROM pos GROUP BY 1, 2),
+      tb AS (SELECT CAST(COALESCE(sum(pair_count), 0) AS BIGINT) AS t
+        FROM bi)
+      SELECT bi.a, bi.b, bi.pair_count, ua.ca, ub.ca AS cb,
+        round(ln((CAST(bi.pair_count AS DOUBLE) * CAST(tu.t AS DOUBLE)
+            * CAST(tu.t AS DOUBLE))
+          / (CAST(tb.t AS DOUBLE) * CAST(ua.ca AS DOUBLE)
+            * CAST(ub.ca AS DOUBLE))), 6) AS pmi
+      FROM bi JOIN uni ua ON ua.a = bi.a
+      JOIN uni ub ON ub.a = bi.b
+      CROSS JOIN tu CROSS JOIN tb
+      WHERE bi.pair_count >= 3
+      ORDER BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(
+    q241_collocations,
+    q240_fleiss_kappa,
     q237_cohens_kappa,
     q230_vocab_growth,
     q25_json_funcs,

@@ -290,4 +290,72 @@ class GraphsSpec extends AnyFunSuite {
     val doubled = edges ++ edges.map(_.swap)
     assert(assortativity(doubled).getDouble(3) == got.getDouble(3))
   }
+
+  private def predict(
+      edges: Seq[(Long, Long)],
+      minCommon: Int = 1,
+      maxDegree: Long = 1000L) =
+    Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+      minCommon, maxDegree)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  test("linkPrediction: path wedge and square diagonals, hand Adamic-Adar") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // path 1-2-3: the only distance-2 pair is (1,3) through center 2
+    val path = predict(Seq((1L, 2L), (2L, 3L)))
+    assert(path.keySet == Set((1L, 3L)))
+    assert(path((1L, 3L)) == ((1L, 1.0, r6(1.0 / math.log(2.0)))))
+    // square 1-2-3-4-1: both diagonals, two shared degree-2 corners
+    val sq = predict(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sq.keySet == Set((1L, 3L), (2L, 4L)))
+    val aa2 = r6(1.0 / math.log(2.0) + 1.0 / math.log(2.0))
+    assert(sq((1L, 3L)) == ((2L, 1.0, aa2)))
+    assert(sq((2L, 4L)) == ((2L, 1.0, aa2)))
+    // triangle: every pair adjacent — nothing at distance 2
+    assert(predict(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+  }
+
+  test("linkPrediction: hub cap silences wedges; minCommon filters") {
+    val star = (1L to 5L).map(i => (100L, i))
+    // center degree 5 > cap 4: no evidence survives
+    assert(predict(star, maxDegree = 4L).isEmpty)
+    // cap admits the center: all C(5,2) leaf pairs appear
+    val full = predict(star, maxDegree = 5L)
+    assert(full.size == 10)
+    assert(full.values.forall(_._1 == 1L))
+    // jaccard for two degree-1 leaves sharing their only neighbor
+    assert(full((1L, 2L))._2 == 1.0)
+    // two centers 100, 200 over leaves 1..3: leaf pairs share the 2
+    // centers, the center pair shares all 3 leaves — minCommon slices
+    // between them
+    val twoC = (1L to 3L).flatMap(i => Seq((100L, i), (200L, i)))
+    assert(predict(twoC, minCommon = 3).keySet == Set((100L, 200L)))
+    val kept = predict(twoC, minCommon = 2)
+    assert(kept.keySet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (100L, 200L)))
+    assert(kept((1L, 2L))._1 == 2L && kept((100L, 200L))._1 == 3L)
+  }
+
+  test("linkPrediction: deterministic under repartition; loud contracts") {
+    val edges = (0 until 300).map { i =>
+      (i.toLong % 23L, 23L + (i * 7L) % 31L)
+    }
+    val a = Graphs.linkPrediction(
+      edges.toDF("a", "b").repartition(1), "a", "b")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = Graphs.linkPrediction(
+      edges.toDF("a", "b").repartition(13), "a", "b")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+        minCommon = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+        maxDegree = 1L)
+    }
+  }
 }

@@ -172,4 +172,36 @@ class LanguageModelSpec extends AnyFunSuite {
       LanguageModel.vocabGrowth(docs, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("collocations: hand PMI values, threshold, empty docs, determinism") {
+    import spark.implicits._
+    // tokens x:3 y:3 z:1 (Tu=7); bigrams (x,y):3 (y,z):1 (Tb=4)
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y z"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = LanguageModel.collocations(docs, "text", 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(all.keySet == Set(("x", "y"), ("y", "z")))
+    assert(all(("x", "y")) ==
+      ((3L, 3L, 3L, r6(math.log(3.0 * 49.0 / (4.0 * 9.0))))))
+    assert(all(("y", "z")) ==
+      ((1L, 3L, 1L, r6(math.log(49.0 / 12.0)))))
+    // threshold cuts the singleton pair
+    val cut = LanguageModel.collocations(docs, "text", 2L).collect()
+    assert(cut.length == 1 && cut.head.getString(0) == "x")
+    // repartition-invariant
+    val a = LanguageModel.collocations(docs.repartition(1), "text", 1L)
+      .orderBy("a", "b").collect().toSeq
+    val b = LanguageModel.collocations(docs.repartition(7), "text", 1L)
+      .orderBy("a", "b").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      LanguageModel.collocations(docs, "text", 0L)
+    }
+  }
 }

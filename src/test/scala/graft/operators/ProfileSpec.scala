@@ -1061,4 +1061,53 @@ class ProfileSpec extends AnyFunSuite {
       Profile.bhFdr(df, "id", "p", 0.05, maxTests = 3L)
     }
   }
+
+  test("fleissKappa: textbook value, perfect 1, degenerate null, " +
+      "null drops the item, ragged panel loud") {
+    import spark.implicits._
+    // 4 items x 3 raters, two categories:
+    //  i1 aaa (s2=9), i2 aab (5), i3 bbb (9), i4 abb (5)
+    //  P-bar = (28-12)/24 = 2/3; c_a = c_b = 6 -> Pe = 72/144 = 0.5
+    //  kappa = (2/3 - 1/2)/(1/2) = 1/3
+    val panel = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "b")).toDF("item", "label")
+    val r = Profile.fleissKappa(panel, "item", "label").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L &&
+      r.getLong(2) == 2L)
+    assert(r.getDouble(3) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == 0.5)
+    assert(r.getDouble(5) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    // unanimous panels over >= 2 categories: kappa exactly 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    assert(Profile.fleissKappa(perfect, "item", "label").head()
+      .getDouble(5) == 1.0)
+    // single category everywhere: Pe = 1 -> kappa null
+    val degen = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    assert(Profile.fleissKappa(degen, "item", "label").head()
+      .isNullAt(5))
+    // a null rating removes its whole item (else the panel is ragged)
+    val withNull = panel.union(
+      Seq((5L, "a"), (5L, null.asInstanceOf[String]), (5L, "b"))
+        .toDF("item", "label"))
+    val rn = Profile.fleissKappa(withNull, "item", "label").head()
+    assert(rn.getLong(0) == 4L &&
+      rn.getDouble(5) == r.getDouble(5))
+    // ragged panel (an item with 2 ratings among 3-rating items)
+    intercept[IllegalArgumentException] {
+      Profile.fleissKappa(
+        panel.union(Seq((9L, "a"), (9L, "b")).toDF("item", "label")),
+        "item", "label").head()
+    }
+    // single-rater panel
+    intercept[IllegalArgumentException] {
+      Profile.fleissKappa(
+        Seq((1L, "a"), (2L, "b")).toDF("item", "label"),
+        "item", "label").head()
+    }
+  }
 }

@@ -643,4 +643,82 @@ class TimeSeriesSpec extends AnyFunSuite {
         Seq(("a", ts(0L))).toDF("cnt", "t"), Seq("cnt"), "t")
     }
   }
+
+  private def trendRows(key: String, countsByDay: Seq[Int]) =
+    countsByDay.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((key, ts(d * 86400L)))
+    }
+
+  test("trendTest: monotone series — exact S, continuity-corrected z, unit Sen slope") {
+    // counts 1..10 over 10 days: S = 45, no ties, V = 10*9*25 = 2250,
+    // z = 44 / sqrt(125), sen slope exactly 1.
+    val df = trendRows("up", (1 to 10)) .toDF("k", "t")
+    val r = TimeSeries.trendTest(df, Seq("k"), "t").collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 45L) // n_days, n_pairs
+    assert(r.getLong(3) == 45L)                        // s_stat
+    val zExp = math.rint(44.0 / math.sqrt(2250.0 / 18.0) * 1e6) / 1e6
+    assert(r.getDouble(4) == zExp)
+    assert(r.getString(5) == "up")
+    assert(r.getDouble(6) == 1.0)
+    // mirrored: counts 10..1 — everything flips sign
+    val d = TimeSeries.trendTest(
+      trendRows("dn", (1 to 10).reverse).toDF("k", "t"),
+      Seq("k"), "t").collect().head
+    assert(d.getLong(3) == -45L && d.getString(5) == "down")
+    assert(d.getDouble(4) == -zExp && d.getDouble(6) == -1.0)
+  }
+
+  test("trendTest: constant series is undecidable (V=0 -> null z/trend), short series 'none'") {
+    val df = trendRows("c", Seq(2, 2, 2, 2, 2)).toDF("k", "t")
+    val r = TimeSeries.trendTest(df, Seq("k"), "t").collect().head
+    assert(r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5)) // z, trend
+    assert(r.getDouble(6) == 0.0)          // all pairwise slopes are 0
+    // two days, distinct values: V = 3·2·... wait n=2: V = 2*1*9 = 18,
+    // S = 1, z = 0 (continuity correction eats |S|=1) -> 'none'
+    val s = TimeSeries.trendTest(
+      trendRows("s", Seq(1, 2)).toDF("k", "t"), Seq("k"), "t")
+      .collect().head
+    assert(s.getLong(3) == 1L && s.getDouble(4) == 0.0 &&
+      s.getString(5) == "none")
+  }
+
+  test("trendTest: silent days zero-fill into the grid and the tie correction") {
+    // events on day 0 (3) and day 2 (3); day 1 materializes as 0.
+    // pairs: (3,0)->-1, (3,3)->0, (0,3)->+1  => S=0, z=0, 'none';
+    // slopes {-3, 0, 3} -> median 0; ties: two 3s -> V = 66-18 = 48.
+    val df = Seq.fill(3)(("g", ts(0L))) ++ Seq.fill(3)(("g", ts(2 * 86400L)))
+    val r = TimeSeries.trendTest(df.toDF("k", "t"), Seq("k"), "t")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 0.0 && r.getString(5) == "none")
+    assert(r.getDouble(6) == 0.0)
+  }
+
+  test("trendTest: keys independent, repartition-invariant, loud contracts") {
+    val mixed = trendRows("a", (1 to 8)) ++ trendRows("b", Seq(5, 5, 5))
+    val base = mixed.toDF("k", "t")
+    val one = TimeSeries.trendTest(base.repartition(1), Seq("k"), "t")
+      .orderBy("k").collect().toSeq
+    val many = TimeSeries.trendTest(base.repartition(7), Seq("k"), "t")
+      .orderBy("k").collect().toSeq
+    assert(one == many)
+    assert(one.map(_.getString(0)) == Seq("a", "b"))
+    assert(one.head.getString(5) == "up" && one(1).isNullAt(5))
+    intercept[IllegalArgumentException] {
+      TimeSeries.trendTest(base, Seq("k"), "t", maxDays = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.trendTest(base, Seq("k"), "t", maxDays = 6000)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.trendTest(
+        trendRows("a", Seq(1, 2, 3, 4)).toDF("k", "t"),
+        Seq("k"), "t", maxDays = 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.trendTest(
+        Seq(("x", ts(0L))).toDF("s_stat", "t"), Seq("s_stat"), "t")
+    }
+  }
 }
