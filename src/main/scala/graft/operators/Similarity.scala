@@ -1325,6 +1325,69 @@ object Similarity {
       .select(col("id"), col("cluster"), col("cluster_n"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: Lloyd k-means
+    * partitions the corpus, then exact cosine runs ONLY within each
+    * cluster — the published cluster-bounded spelling (Abbas et al.
+    * 2023, "SemDeDup") of embedding dedup at scale, where all-pairs
+    * is impossible and LSH recall on high thresholds is wasteful:
+    * two semantic duplicates sit near each other, hence in the same
+    * k-means cell, and the pair stage drops from O(n²) to
+    * O(Σ m_c²) with m_c ≈ n/k chosen by the caller's k.
+    *
+    * By construction this only reports WITHIN-cluster pairs — a pair
+    * straddling a cell boundary is missed (the method's documented
+    * recall trade; raise k slower than n, or run
+    * [[Dedup.embeddingNearDupPairs]] when cross-cell recall
+    * matters). Determinism: clustering is [[kmeansLloyd]]
+    * (deterministic seeds, (d, cluster) argmin tie-break, id-ordered
+    * bitwise recentering); cosine is the [[Kernels.cosineArrays]]
+    * dim-ordered fold, bitwise equal to the oracle's sequential
+    * list fold — the emitted cosine needs no rounding.
+    *
+    * Shape: the k-means passes (broadcast centroids, no corpus
+    * shuffle per pass), one id-keyed join to re-attach vectors, one
+    * cluster-keyed self-join bounded by `maxClusterSize` (loud — a
+    * collapsed clustering would otherwise quietly go quadratic).
+    *
+    * Output: (cluster, id_a, id_b, cos), id_a < id_b. */
+  def semanticDedupPairs(
+      df0: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      minCos: Double = 0.9,
+      maxClusterSize: Long = 100000L): DataFrame = {
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"minCos must be in (0, 1], got $minCos")
+    require(maxClusterSize >= 2L,
+      s"maxClusterSize must be >= 2, got $maxClusterSize")
+    val assigned = kmeansLloyd(df0, idCol, vecCol, k, iters)
+    val worst = assigned.agg(max(col("cluster_n"))).head()
+    if (!worst.isNullAt(0)) {
+      require(worst.getLong(0) <= maxClusterSize,
+        s"semanticDedupPairs: a cluster holds ${worst.getLong(0)} " +
+          s"vectors > maxClusterSize=$maxClusterSize — the in-cell " +
+          "pair stage is O(m²); raise k, or raise the bound " +
+          "deliberately")
+    }
+    val v = df0.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+    val withVec = assigned.select("id", "cluster").join(v, "id")
+    val cosUdf = udf((a: scala.collection.Seq[Float],
+        b: scala.collection.Seq[Float]) =>
+      Kernels.cosineArrays(a.toArray, b.toArray))
+    withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosUdf(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Davies–Bouldin cluster-quality components per group — the
     * clustering diagnostic that needs NO pairwise point distances
     * (unlike silhouette's O(n²)): per-cluster scatter S_i (mean

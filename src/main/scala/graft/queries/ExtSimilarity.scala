@@ -516,21 +516,12 @@ private[queries] object ExtSimilarity {
       ORDER BY c.label""")
   )
 
-  private val q212_kmeans = Q(
-    "q212_kmeans",
-    // Distributed Lloyd k-means over the WHOLE embedding corpus
-    // (k=8, 2 assignment passes): deterministic seeds (8 smallest
-    // ids), argmin squared distance with (d, cluster) tiebreak,
-    // id-ordered bitwise recentering — the oracle replays BOTH
-    // iterations (assignment -> fold -> assignment) and must land
-    // on the identical clustering.
-    (s, dir) =>
-      graft.operators.Similarity.kmeansLloyd(
-        table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2)
-        .orderBy("id"),
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      c0 AS (SELECT vec_id AS cluster, list_transform(embedding,
+  /** The q212 two-pass Lloyd replay over a CTE `e(vec_id,
+    * embedding)` — seeds = the 8 ids < 8, (d, cluster) argmin
+    * tie-break, id-ordered recentering; yields a2(vec_id, cluster).
+    * Shared verbatim by the q242 SemDeDup oracle. */
+  private val kmeans2PassCtes: String =
+    """c0 AS (SELECT vec_id AS cluster, list_transform(embedding,
           x -> CAST(x AS DOUBLE)) AS cv FROM e WHERE vec_id < 8),
       d1 AS (SELECT e.vec_id, c0.cluster,
           list_aggregate(list_transform(list_zip(e.embedding, c0.cv),
@@ -556,7 +547,23 @@ private[queries] object ExtSimilarity {
         FROM e CROSS JOIN c1),
       a2 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster)
-            AS rn FROM d2) WHERE rn = 1),
+            AS rn FROM d2) WHERE rn = 1)"""
+
+  private val q212_kmeans = Q(
+    "q212_kmeans",
+    // Distributed Lloyd k-means over the WHOLE embedding corpus
+    // (k=8, 2 assignment passes): deterministic seeds (8 smallest
+    // ids), argmin squared distance with (d, cluster) tiebreak,
+    // id-ordered bitwise recentering — the oracle replays BOTH
+    // iterations (assignment -> fold -> assignment) and must land
+    // on the identical clustering.
+    (s, dir) =>
+      graft.operators.Similarity.kmeansLloyd(
+        table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .orderBy("id"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      $kmeans2PassCtes,
       sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_n
         FROM a2 GROUP BY 1)
       SELECT a2.vec_id AS id, a2.cluster, sz.cluster_n
@@ -614,7 +621,52 @@ private[queries] object ExtSimilarity {
       FROM j ORDER BY label""")
   )
 
+  private val q242_semantic_dedup = Q(
+    "q242_semantic_dedup",
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the exact
+    // cosine stage — within-cluster pairs only, the published
+    // recall trade. The fixture plants an identical copy of each
+    // vec_id<50 vector (L2 distance 0 => provably same cell, so
+    // the planted pairs are structurally recall-1); the oracle
+    // replays the exact two-pass Lloyd (q212's shared CTEs) over
+    // the same augmented corpus and the bitwise cosine fold.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val aug = e.unionAll(
+        e.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      graft.operators.Similarity.semanticDedupPairs(
+        aug, "vec_id", "embedding", k = 8, iters = 2, minCos = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      e AS (SELECT vec_id, embedding FROM base
+        UNION ALL SELECT vec_id + 1000000, embedding FROM base
+          WHERE vec_id < 50),
+      $kmeans2PassCtes,
+      wv AS (SELECT a2.vec_id, a2.cluster, e.embedding
+        FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+      p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+          list_aggregate(list_transform(
+            list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+            'sum') AS d,
+          sqrt(list_aggregate(list_transform(a.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+            AS na,
+          sqrt(list_aggregate(list_transform(b.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+            AS nb
+        FROM wv a JOIN wv b ON a.cluster = b.cluster
+          AND a.vec_id < b.vec_id)
+      SELECT cluster, id_a, id_b, d / (na * nb) AS cos FROM p
+      WHERE d / (na * nb) >= 0.9 ORDER BY id_a, id_b""")
+  )
+
   val all: Seq[Q] = Seq(
+    q242_semantic_dedup,
     q236_centroid_drift,
     q39_sim_bruteforce_topk,
     q40_sim_ann_lsh,

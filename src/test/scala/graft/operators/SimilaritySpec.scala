@@ -676,4 +676,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("daviesBouldin"))
     assert(ex.getMessage.contains("scatter"))
   }
+
+  test("semanticDedupPairs: within-cluster only — a perfect cross-cell " +
+      "pair is the documented miss; identical copy lands in-cell; loud") {
+    // one direction, two magnitudes: cells split by L2, so (0,1)
+    // has cosine 1.0 with id 1 yet sits in the other cell
+    val vecs = Seq(
+      (0L, Array(0f, 1f)), (1L, Array(0f, 200f)),
+      (2L, Array(0f, 1.01f)), (3L, Array(0f, 199f)),
+      (4L, Array(0f, 1f))) // identical to id 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupPairs(
+      df, "vec_id", "embedding", k = 2, iters = 2, minCos = 0.9)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // cell A = {0, 2, 4}, cell B = {1, 3}
+    assert(got.keySet ==
+      Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L)))
+    assert(got((0L, 4L)) == 1.0) // identical vectors: exactly 1
+    assert(got.values.forall(_ > 0.999))
+    // every cross-cell pair is absent even at cosine ~1.0
+    assert(!got.contains((0L, 1L)) && !got.contains((0L, 3L)))
+    // collapsed clustering fails loudly at the pair stage
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+        k = 2, iters = 2, minCos = 0.9, maxClusterSize = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+        k = 2, minCos = 0.0)
+    }
+  }
 }
