@@ -135,6 +135,105 @@ object Sketches {
     exact
   }
 
+  /** Pairwise distinct-overlap matrix across sources — the
+    * audience/vocabulary overlap readout ("how many users do event
+    * types X and Y share", "how much vocabulary do two crawls
+    * share") — with the AT-SCALE path being HLL inclusion–exclusion
+    * over per-source sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    * where est(A∪B) unions two kilobyte sketches instead of joining
+    * two corpora. As everywhere in this ledger, the sketch path is
+    * GATED, not trusted: the exact overlap (one value-keyed
+    * distinct + self-join) runs in the same job and the
+    * inclusion-exclusion estimate must land within
+    * relErr · (|A| + |B|) of it — differencing error scales with
+    * the SET sizes, not the overlap, which is why a small-overlap
+    * estimate is the first thing to blow past a naive gate. Emitted
+    * values are the EXACT counts (oracle-checkable); disjoint pairs
+    * emit n_overlap = 0 (the zero-cells-carry-mass discipline), and
+    * `jaccard` is one IEEE division at the 6-decimal face.
+    *
+    * Shape: one distinct shuffle + one value-keyed self-join for
+    * exact; one sketch agg + a k²-row sketch-pair union for the
+    * estimates; sources bounded loudly by `maxSources` (the pair
+    * grid is k²). At 100 TB the exact path is the expensive one —
+    * production keeps the sketch ledger and runs this gate on
+    * samples/fixtures; the operator IS that gate.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_overlap, jaccard),
+    * src_a < src_b. */
+  def gatedOverlapReport(
+      df: DataFrame,
+      sourceCol: String,
+      valueCol: String,
+      lgK: Int = 12,
+      relErr: Double = 0.05,
+      maxSources: Int = 64): DataFrame = {
+    require(relErr > 0.0, s"relErr must be positive, got $relErr")
+    require(maxSources >= 2 && maxSources <= 1024,
+      s"maxSources must be in [2, 1024], got $maxSources")
+    val vals = df
+      .filter(col(sourceCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(sourceCol).as("s"), col(valueCol).as("u"))
+      .distinct()
+    val d = vals.groupBy("s").agg(count(lit(1)).as("n"))
+    val k = d.count()
+    require(k <= maxSources,
+      s"gatedOverlapReport: $k sources > maxSources=$maxSources — " +
+        "the pair grid is k²; coarsen the source key or raise the " +
+        "bound deliberately")
+    val ov = vals.as("a")
+      .join(vals.as("b"),
+        col("a.u") === col("b.u") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("src_a"), col("b.s").as("src_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val grid = d.select(col("s").as("src_a"), col("n").as("n_a"))
+      .join(d.select(col("s").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val exact = grid
+      .join(ov, Seq("src_a", "src_b"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    // sketch path: per-source sketches, k² pair unions, gate
+    val sk = hllSketch(
+      df.filter(col(sourceCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(sourceCol).as("s"), col(valueCol).as("u")),
+      Seq("s"), "u", lgK)
+    val skEst = sk.select(col("s"), estimate(col("sketch")).as("_e"))
+    val skU = sk.as("x")
+      .join(sk.as("y"), col("x.s") < col("y.s"))
+      .select(col("x.s").as("src_a"), col("y.s").as("src_b"),
+        explode(array(col("x.sketch"), col("y.sketch"))).as("sketch"))
+      .groupBy("src_a", "src_b")
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sku"))
+      .select(col("src_a"), col("src_b"),
+        estimate(col("sku")).as("_eu"))
+    val checks = exact
+      .join(skEst.select(col("s").as("src_a"), col("_e").as("_ea")),
+        "src_a")
+      .join(skEst.select(col("s").as("src_b"), col("_e").as("_eb")),
+        "src_b")
+      .join(skU, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_overlap"), col("_ea"), col("_eb"), col("_eu"))
+      .collect() // k² rows — bounded by the report itself
+    checks.foreach { r =>
+      val estOv = r.getAs[Long]("_ea") + r.getAs[Long]("_eb") -
+        r.getAs[Long]("_eu")
+      val exactOv = r.getAs[Long]("n_overlap")
+      val bound = relErr *
+        (r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).toDouble
+      require(math.abs(estOv - exactOv).toDouble <= math.max(bound, 1.0),
+        f"HLL overlap at (${r.getAs[Any]("src_a")}, " +
+          f"${r.getAs[Any]("src_b")}): inclusion-exclusion $estOv vs " +
+          f"exact $exactOv (bound ${math.max(bound, 1.0)}%.1f) — " +
+          "sketch differencing regressed")
+    }
+    exact.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+      col("n_overlap"),
+      round(col("n_overlap").cast("double") /
+        (col("n_a") + col("n_b") - col("n_overlap")).cast("double"),
+        6).as("jaccard"))
+  }
+
   // -------------------------------------------------------------------
   // KLL quantile ledger — the distribution twin of the HLL count
   // ledger: per-shard KLL sketches (native Catalyst aggregates,

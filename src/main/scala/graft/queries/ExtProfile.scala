@@ -1171,6 +1171,39 @@ private[queries] object ExtProfile {
   )
 
 
+  private val q243_overlap_matrix = Q(
+    "q243_overlap_matrix",
+    // Audience-overlap matrix: distinct-user overlap for every
+    // event-type pair, zero-overlap pairs included. The at-scale
+    // path — HLL inclusion-exclusion over per-source sketches — runs
+    // and is gated in the same job (error bound relErr·(|A|+|B|),
+    // the differencing-scales-with-set-size contract); the emitted
+    // counts are exact, so the oracle is cross-engine-checkable.
+    (s, dir) =>
+      graft.operators.Sketches.gatedOverlapReport(
+        events(s, dir), "event_type", "user_id",
+        lgK = 12, relErr = 0.05)
+        .orderBy("src_a", "src_b"),
+    Some("""WITH v AS (SELECT DISTINCT event_type AS s, user_id AS u
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      d AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM v
+        GROUP BY 1),
+      o AS (SELECT a.s AS src_a, b.s AS src_b,
+          CAST(count(*) AS BIGINT) AS n_overlap
+        FROM v a JOIN v b ON a.u = b.u AND a.s < b.s GROUP BY 1, 2),
+      g AS (SELECT da.s AS src_a, db.s AS src_b, da.n AS n_a,
+          db.n AS n_b
+        FROM d da JOIN d db ON da.s < db.s)
+      SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+        CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        round(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+          / CAST(g.n_a + g.n_b - COALESCE(o.n_overlap, 0) AS DOUBLE),
+          6) AS jaccard
+      FROM g LEFT JOIN o ON o.src_a = g.src_a AND o.src_b = g.src_b
+      ORDER BY 1, 2""")
+  )
+
   private val q238_trend_test = Q(
     "q238_trend_test",
     // Mann–Kendall + Theil–Sen per event type over the zero-filled
@@ -1681,6 +1714,7 @@ private[queries] object ExtProfile {
   )
 
   val all: Seq[Q] = Seq(
+    q243_overlap_matrix,
     q238_trend_test,
     q227_corr_matrix,
     q228_cramers_v,

@@ -204,4 +204,36 @@ class SketchesSpec extends AnyFunSuite {
       vrows.filter(lit(false)), Seq("event_type"), "shard", "value",
       Seq(0.5)).count() == 0L)
   }
+
+  test("gatedOverlapReport: hand overlaps, disjoint pair emits 0, " +
+      "duplicates collapse, loud contracts") {
+    import spark.implicits._
+    // A: users 1..10; B: users 6..15 (overlap 5); C: 100..104
+    // (disjoint from both); duplicate rows must not inflate counts
+    val rows = ((1L to 10L).map(("A", _)) ++
+      (6L to 15L).map(("B", _)) ++ (100L to 104L).map(("C", _)) ++
+      Seq(("A", 1L), ("B", 6L))).toDF("src", "user")
+    val got = Sketches.gatedOverlapReport(rows, "src", "user")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B")) == ((10L, 10L, 5L,
+      BigDecimal(5.0 / 15.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(("A", "C")) == ((10L, 5L, 0L, 0.0)))
+    assert(got(("B", "C")) == ((10L, 5L, 0L, 0.0)))
+    // null sources drop before counting (no 4th source appears)
+    val withNullSrc = rows.union(
+      Seq((null.asInstanceOf[String], 999L)).toDF("src", "user"))
+    assert(Sketches.gatedOverlapReport(withNullSrc, "src", "user")
+      .count() == 3L)
+    intercept[IllegalArgumentException] {
+      Sketches.gatedOverlapReport(rows, "src", "user", maxSources = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.gatedOverlapReport(rows, "src", "user", relErr = 0.0)
+    }
+  }
 }
