@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed training for the classic LLM-corpus quality filter —
+  * a logistic-regression classifier over cheap surface features (the
+  * fastText-style quality/junk screen every published pretraining
+  * pipeline runs somewhere between dedup and tokenization). Training
+  * is full-batch gradient descent: one aggregate job per iteration,
+  * weights live on the driver as a handful of scalars, the corpus is
+  * never collected. The reference engine could express one gradient
+  * step as a map+reduce pass (`Imagine_MapReduce/MapTask.h` +
+  * `ReduceTask.h`); the iteration loop is exactly the job-chaining
+  * its users hand-roll — here it is the operator.
+  *
+  * DETERMINISM (the whole design): a float gradient SUM over a
+  * shuffled corpus is order-nondeterministic, so naive distributed
+  * GD is unreproducible run-to-run, let alone cross-engine. This
+  * operator quantizes instead:
+  *
+  *   - features arrive as 6-decimal faces (exact DECIMAL(18,6));
+  *   - per-row sigmoid σ(z) is rounded to 6 decimals (the repo's
+  *     exp face — z itself is one fixed IEEE chain over exact
+  *     doubles);
+  *   - per-row gradient terms (σ₆ − y)·x_j are EXACT decimal
+  *     products, summed in DECIMAL(38,12) — order-free,
+  *     partition-proof, bitwise cross-engine;
+  *   - the weight update w′ = round(w − lr·(Σ/n), 6) is one IEEE
+  *     chain per weight, re-quantized to 6 decimals so the next
+  *     iteration starts from a cross-engine-identical literal.
+  *
+  * This is quantized GD: each step's direction is the exact batch
+  * gradient of the true loss at 6-decimal weight resolution — the
+  * quantization noise (≤ 5e-7 per weight per step) is orders of
+  * magnitude below any learning-relevant signal for O(1)-scaled
+  * features, and what it buys is an oracle that can replay TRAINING
+  * ITSELF, iteration by iteration, to hash equality.
+  *
+  * Scale shape: per iteration ONE fully partial-aggregated pass
+  * (k+2 decimal sums), nothing else; the input is cached across
+  * iterations (iterations ≤ 10, loud). At 100 TB the cost is
+  * `iterations` scans of the feature frame — which is why the
+  * feature frame should be the slim projected one, not the corpus.
+  *
+  * Output: one row per iteration, (iter, n, mae, b0,
+  * w_<feature>...) — mae is the mean |σ₆ − y| training residual the
+  * step descended on (iteration start); the weights are POST-step,
+  * so the last row is the trained model. */
+object Classify {
+
+  def logisticGD(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      lr: Double = 0.5,
+      iterations: Int = 3): DataFrame = {
+    require(featureCols.nonEmpty && featureCols.size <= 16,
+      s"featureCols must have 1..16 entries, got ${featureCols.size}")
+    require(lr > 0.0 && lr <= 10.0, s"lr must be in (0, 10], got $lr")
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1, 10], got $iterations")
+    val spark = df.sparkSession
+    val dec = DecimalType(18, 6)
+    val keep = featureCols.map(col(_).isNotNull)
+      .foldLeft(col(labelCol).isNotNull)(_ && _)
+    val base = df.filter(keep)
+      .select(col(labelCol).cast("long").as("_y") +:
+        featureCols.zipWithIndex.map { case (f, i) =>
+          col(f).cast("double").as(s"_x$i")
+        }: _*)
+      .persist()
+    try {
+      val stats = base.agg(count(lit(1)).as("n"),
+        min(col("_y")).as("lo"), max(col("_y")).as("hi")).head()
+      val n = stats.getLong(0)
+      require(n > 0L, "logisticGD: no complete rows to train on")
+      require(stats.getLong(1) >= 0L && stats.getLong(2) <= 1L,
+        s"logisticGD: label must be 0/1, saw [${stats.getLong(1)}, " +
+          s"${stats.getLong(2)}]")
+      def q6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      var w = Array.fill(featureCols.size + 1)(0.0)
+      val out = Seq.newBuilder[Row]
+      for (it <- 1 to iterations) {
+        // z: one fixed left-associated IEEE chain over exact doubles
+        var z: Column = lit(w(0))
+        featureCols.indices.foreach { j =>
+          z = z + lit(w(j + 1)) * col(s"_x$j")
+        }
+        val s6 = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+        val diff = s6.cast(dec) - col("_y").cast(dec)
+        val aggCols =
+          sum(diff).as("_g0") +:
+            featureCols.indices.map { j =>
+              sum(diff * col(s"_x$j").cast(dec)).as(s"_g$j")
+            } :+ sum(abs(diff)).as("_mae")
+        val r = base.agg(aggCols.head, aggCols.tail: _*).head()
+        val mae = q6(
+          r.getDecimal(0 + featureCols.size + 1).doubleValue / n)
+        val g = (0 to featureCols.size).map { j =>
+          r.getDecimal(j).doubleValue / n
+        }
+        w = w.indices.map(j => q6(w(j) - lr * g(j))).toArray
+        // the row reports the POST-step weights next to the mae the
+        // step descended on — the final row IS the trained model
+        out += Row(
+          (it.toLong +: n.toLong +: mae +: w.toSeq): _*)
+      }
+      val schema = StructType(
+        Seq(StructField("iter", LongType, nullable = false),
+          StructField("n", LongType, nullable = false),
+          StructField("mae", DoubleType, nullable = false),
+          StructField("b0", DoubleType, nullable = false)) ++
+          featureCols.map(f =>
+            StructField(s"w_$f", DoubleType, nullable = false)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.result(): _*), schema)
+    } finally base.unpersist()
+  }
+}

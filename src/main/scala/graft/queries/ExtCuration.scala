@@ -14,6 +14,103 @@ import graft.queries.ExtShared._
   * concatenates every family. */
 private[queries] object ExtCuration {
 
+  private val q244_quality_classifier = Q(
+    "q244_quality_classifier",
+    // Distributed logistic-regression training (Classify.logisticGD,
+    // 3 full-batch quantized-GD steps, lr=0.5): surface features at
+    // 6-decimal faces (scaled token count, punct ratio, stopword
+    // ratio, scaled mean word length) predict exact-duplicate
+    // membership — the fastText-style quality/redundancy screen.
+    // Gradient sums are exact DECIMAL(38,12) (order-free), sigmoids
+    // ride the 6-decimal exp face, weights re-quantize to 6 decimals
+    // per step — so the oracle replays TRAINING ITSELF, iteration by
+    // iteration, to hash equality. Output: the 3-row training trace;
+    // the last row is the model.
+    (s, dir) => {
+      val withH = table(s, dir, "documents")
+        .select(col("text"), md5(col("text")).as("_h"))
+      val dupc = withH.groupBy("_h").agg(count(lit(1)).as("_c"))
+      val f = withH.join(dupc, "_h")
+        .select(
+          when(col("_c") >= 2, 1L).otherwise(0L).as("y"),
+          round(TextFunctions.tokenCount(col("text")).cast("double")
+            / 400.0, 6).as("x1"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("x2"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("x3"),
+          round(TextFunctions.meanWordLen(col("text")) / 10.0, 6)
+            .as("x4"))
+      graft.operators.Classify.logisticGD(
+        f, "y", Seq("x1", "x2", "x3", "x4"),
+        lr = 0.5, iterations = 3)
+        .orderBy("iter")
+    },
+    Some {
+      val sig = (p: String) =>
+        s"round(1.0/(1.0+exp(-($p.b0 + $p.w1*f.x1 + $p.w2*f.x2 " +
+          s"+ $p.w3*f.x3 + $p.w4*f.x4))), 6)"
+      val d6 = (c: String) => s"CAST($c AS DECIMAL(18,6))"
+      def gradCtes(k: Int): String = {
+        val p = s"w${k - 1}"
+        s"""s$k AS (SELECT f.y, f.x1, f.x2, f.x3, f.x4,
+            ${sig(p)} AS s6
+          FROM f CROSS JOIN $p),
+        g$k AS (SELECT
+            sum(${d6("s6")} - ${d6("y")}) AS g0,
+            sum((${d6("s6")} - ${d6("y")}) * ${d6("x1")}) AS gx1,
+            sum((${d6("s6")} - ${d6("y")}) * ${d6("x2")}) AS gx2,
+            sum((${d6("s6")} - ${d6("y")}) * ${d6("x3")}) AS gx3,
+            sum((${d6("s6")} - ${d6("y")}) * ${d6("x4")}) AS gx4,
+            sum(abs(${d6("s6")} - ${d6("y")})) AS mae
+          FROM s$k),
+        w$k AS (SELECT
+            round(p.b0 - 0.5 * (CAST(g.g0 AS DOUBLE)
+              / CAST(nn.n AS DOUBLE)), 6) AS b0,
+            round(p.w1 - 0.5 * (CAST(g.gx1 AS DOUBLE)
+              / CAST(nn.n AS DOUBLE)), 6) AS w1,
+            round(p.w2 - 0.5 * (CAST(g.gx2 AS DOUBLE)
+              / CAST(nn.n AS DOUBLE)), 6) AS w2,
+            round(p.w3 - 0.5 * (CAST(g.gx3 AS DOUBLE)
+              / CAST(nn.n AS DOUBLE)), 6) AS w3,
+            round(p.w4 - 0.5 * (CAST(g.gx4 AS DOUBLE)
+              / CAST(nn.n AS DOUBLE)), 6) AS w4,
+            round(CAST(g.mae AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+              AS mae
+          FROM g$k g CROSS JOIN w${k - 1} p CROSS JOIN nn)"""
+      }
+      def outRow(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS iter, nn.n, w$k.mae,
+          w$k.b0, w$k.w1 AS w_x1, w$k.w2 AS w_x2, w$k.w3 AS w_x3,
+          w$k.w4 AS w_x4 FROM w$k CROSS JOIN nn"""
+      s"""WITH t AS (SELECT text, $W AS w, md5(text) AS h
+          FROM documents),
+        dup AS (SELECT h, count(*) AS c FROM t GROUP BY 1),
+        f AS (SELECT
+            CASE WHEN dup.c >= 2 THEN 1 ELSE 0 END AS y,
+            round(CAST(len(t.w) AS DOUBLE) / 400.0, 6) AS x1,
+            round(CASE WHEN length(t.text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(t.text,
+                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(t.text)
+              END, 6) AS x2,
+            round(CASE WHEN len(t.w) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t.w,
+                x -> list_contains($stopList, x))) AS DOUBLE)
+                / len(t.w) END, 6) AS x3,
+            round(CASE WHEN len(t.w) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(t.w,
+                x -> length(x)), 'sum') AS DOUBLE) / len(t.w) END
+              / 10.0, 6) AS x4
+          FROM t JOIN dup USING (h)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+        w0 AS (SELECT 0.0 AS b0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+          0.0 AS w4),
+        ${gradCtes(1)},
+        ${gradCtes(2)},
+        ${gradCtes(3)}
+        ${outRow(1)} UNION ALL ${outRow(2)} UNION ALL ${outRow(3)}
+        ORDER BY iter"""
+    }
+  )
+
   private val q68_sample_crossengine = Q(
     "q68_sample_crossengine",
     // Cross-engine deterministic sampling: the md5-threshold decision
@@ -934,6 +1031,7 @@ private[queries] object ExtCuration {
   )
 
   val all: Seq[Q] = Seq(
+    q244_quality_classifier,
     q231_reliability,
     q68_sample_crossengine,
     q99_shuffle_shards,
