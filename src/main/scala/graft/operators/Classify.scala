@@ -120,4 +120,48 @@ object Classify {
         java.util.Arrays.asList(out.result(): _*), schema)
     } finally base.unpersist()
   }
+
+  /** Apply a trained model: appends `score` = σ₆(b0 + Σ w_j·x_j) —
+    * the same quantized sigmoid spelling training used, so a scored
+    * corpus is reproducible by the oracle that replayed training.
+    * `weights` is (b0, w_1..w_k) aligned with `featureCols` — the
+    * tail of [[logisticGD]]'s last row. */
+  def score(
+      df: DataFrame,
+      featureCols: Seq[String],
+      weights: Seq[Double]): DataFrame = {
+    require(weights.size == featureCols.size + 1,
+      s"weights must be (b0, one per feature): expected " +
+        s"${featureCols.size + 1}, got ${weights.size}")
+    var z: Column = lit(weights.head)
+    featureCols.zipWithIndex.foreach { case (f, j) =>
+      z = z + lit(weights(j + 1)) * col(f).cast("double")
+    }
+    df.withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
+  /** ROC AUC of a score against a 0/1 label — the classifier-quality
+    * readout, computed as the midrank Mann–Whitney identity
+    * AUC = U/(n₊·n₋) over [[Profile.rankSumTest]]'s exact-integer
+    * doubled-rank machinery (window-free two-phase prefix sums, tie
+    * midranks exact): the AUC itself is ONE IEEE division at the
+    * 6-decimal face. Null scores are rejected loudly by the rank
+    * machinery; auc is null when either class is empty.
+    *
+    * Output: one row (n_pos, n_neg, auc). */
+  def aucReport(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val lbl = df.select(
+      when(col(labelCol).cast("long") === 1L, lit("pos"))
+        .otherwise(lit("neg")).as("_g"),
+      col(scoreCol).as("_s"))
+    Profile.rankSumTest(lbl, "_g", "_s", "pos", "neg")
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("u2_a").cast("double") /
+            (lit(2.0) * (col("n_a") * col("n_b")).cast("double")), 6))
+          .as("auc"))
+  }
 }

@@ -14,101 +14,175 @@ import graft.queries.ExtShared._
   * concatenates every family. */
 private[queries] object ExtCuration {
 
+  /** Spark-side q244/q245 training frame: rule-distillation label +
+    * four 6-decimal-face surface features over documents. The label
+    * is the hand-written quality rule's verdict (qualityScore ≥ 0.6
+    * — ~51/49 balanced on this corpus), so training DISTILLS the
+    * saturating hand rule into a linear model — the standard way a
+    * rule-based corpus filter gets replaced by a learned one, and a
+    * genuinely learnable task here (the corpus's metadata labels are
+    * uncorrelated with its synthetic text, measured: every surface
+    * and marker feature is class-flat for `lang`; the trained AUC on
+    * this label is ≈0.99 where the lang label gave ≈0.51). Features
+    * deliberately differ from the rule's inputs where natural
+    * (token count vs the rule's char count; mean word length as a
+    * nuisance feature). */
+  private def qualityFeatures(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    table(s, dir, "documents")
+      .select(
+        when(TextFunctions.qualityScore(col("text")) >= 0.6, 1L)
+          .otherwise(0L).as("y"),
+        round(TextFunctions.tokenCount(col("text")).cast("double")
+          / 400.0, 6).as("x1"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("x2"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("x3"),
+        round(TextFunctions.meanWordLen(col("text")) / 10.0, 6)
+          .as("x4"))
+  }
+
+  /** Oracle twin of [[qualityFeatures]] + the unrolled 3-iteration
+    * quantized-GD chain (w0 → w3): CTEs t, dup, f, nn, w0, s1..w3.
+    * Shared by the q244 (training trace) and q245 (scoring + AUC)
+    * oracles. */
+  private val qualityTrainCtes: String = {
+    val sig = (p: String) =>
+      s"round(1.0/(1.0+exp(-($p.b0 + $p.w1*f.x1 + $p.w2*f.x2 " +
+        s"+ $p.w3*f.x3 + $p.w4*f.x4))), 6)"
+    val d6 = (c: String) => s"CAST($c AS DECIMAL(18,6))"
+    def gradCtes(k: Int): String = {
+      val p = s"w${k - 1}"
+      s"""s$k AS (SELECT f.y, f.x1, f.x2, f.x3, f.x4,
+          ${sig(p)} AS s6
+        FROM f CROSS JOIN $p),
+      g$k AS (SELECT
+          sum(${d6("s6")} - ${d6("y")}) AS g0,
+          sum((${d6("s6")} - ${d6("y")}) * ${d6("x1")}) AS gx1,
+          sum((${d6("s6")} - ${d6("y")}) * ${d6("x2")}) AS gx2,
+          sum((${d6("s6")} - ${d6("y")}) * ${d6("x3")}) AS gx3,
+          sum((${d6("s6")} - ${d6("y")}) * ${d6("x4")}) AS gx4,
+          sum(abs(${d6("s6")} - ${d6("y")})) AS mae
+        FROM s$k),
+      w$k AS (SELECT
+          round(p.b0 - 2.0 * (CAST(g.g0 AS DOUBLE)
+            / CAST(nn.n AS DOUBLE)), 6) AS b0,
+          round(p.w1 - 2.0 * (CAST(g.gx1 AS DOUBLE)
+            / CAST(nn.n AS DOUBLE)), 6) AS w1,
+          round(p.w2 - 2.0 * (CAST(g.gx2 AS DOUBLE)
+            / CAST(nn.n AS DOUBLE)), 6) AS w2,
+          round(p.w3 - 2.0 * (CAST(g.gx3 AS DOUBLE)
+            / CAST(nn.n AS DOUBLE)), 6) AS w3,
+          round(p.w4 - 2.0 * (CAST(g.gx4 AS DOUBLE)
+            / CAST(nn.n AS DOUBLE)), 6) AS w4,
+          round(CAST(g.mae AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+            AS mae
+        FROM g$k g CROSS JOIN w${k - 1} p CROSS JOIN nn)"""
+    }
+    s"""t AS (SELECT text, $W AS w,
+        CASE WHEN length(text) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text,
+            '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text)
+          END AS pr,
+        CASE WHEN len($W) = 0 THEN 0.0
+          ELSE CAST(len(list_filter($W,
+            x -> list_contains($stopList, x))) AS DOUBLE)
+            / len($W) END AS sr
+        FROM documents),
+      f AS (SELECT
+          CASE WHEN round(least(CAST(length(t.text) AS DOUBLE)
+              / 400.0, 1.0) * 0.5
+            + least(t.sr * 5.0, 1.0) * 0.4
+            + (1.0 - least(t.pr * 4.0, 1.0)) * 0.1, 6) >= 0.6
+            THEN 1 ELSE 0 END AS y,
+          round(CAST(len(t.w) AS DOUBLE) / 400.0, 6) AS x1,
+          round(t.pr, 6) AS x2,
+          round(t.sr, 6) AS x3,
+          round(CASE WHEN len(t.w) = 0 THEN 0.0
+            ELSE CAST(list_aggregate(list_transform(t.w,
+              x -> length(x)), 'sum') AS DOUBLE) / len(t.w) END
+            / 10.0, 6) AS x4
+        FROM t),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      w0 AS (SELECT 0.0 AS b0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+        0.0 AS w4),
+      ${gradCtes(1)},
+      ${gradCtes(2)},
+      ${gradCtes(3)}"""
+  }
+
   private val q244_quality_classifier = Q(
     "q244_quality_classifier",
     // Distributed logistic-regression training (Classify.logisticGD,
-    // 3 full-batch quantized-GD steps, lr=0.5): surface features at
+    // 3 full-batch quantized-GD steps, lr=2.0): surface features at
     // 6-decimal faces (scaled token count, punct ratio, stopword
-    // ratio, scaled mean word length) predict exact-duplicate
-    // membership — the fastText-style quality/redundancy screen.
+    // ratio, scaled mean word length) distill the hand-written
+    // quality rule's verdict — the fastText-style quality screen,
+    // trained instead of hand-tuned.
     // Gradient sums are exact DECIMAL(38,12) (order-free), sigmoids
     // ride the 6-decimal exp face, weights re-quantize to 6 decimals
     // per step — so the oracle replays TRAINING ITSELF, iteration by
     // iteration, to hash equality. Output: the 3-row training trace;
     // the last row is the model.
-    (s, dir) => {
-      val withH = table(s, dir, "documents")
-        .select(col("text"), md5(col("text")).as("_h"))
-      val dupc = withH.groupBy("_h").agg(count(lit(1)).as("_c"))
-      val f = withH.join(dupc, "_h")
-        .select(
-          when(col("_c") >= 2, 1L).otherwise(0L).as("y"),
-          round(TextFunctions.tokenCount(col("text")).cast("double")
-            / 400.0, 6).as("x1"),
-          round(TextFunctions.punctRatio(col("text")), 6).as("x2"),
-          round(TextFunctions.stopwordRatio(col("text")), 6).as("x3"),
-          round(TextFunctions.meanWordLen(col("text")) / 10.0, 6)
-            .as("x4"))
+    (s, dir) =>
       graft.operators.Classify.logisticGD(
-        f, "y", Seq("x1", "x2", "x3", "x4"),
-        lr = 0.5, iterations = 3)
-        .orderBy("iter")
-    },
+        qualityFeatures(s, dir), "y", Seq("x1", "x2", "x3", "x4"),
+        lr = 2.0, iterations = 3)
+        .orderBy("iter"),
     Some {
-      val sig = (p: String) =>
-        s"round(1.0/(1.0+exp(-($p.b0 + $p.w1*f.x1 + $p.w2*f.x2 " +
-          s"+ $p.w3*f.x3 + $p.w4*f.x4))), 6)"
-      val d6 = (c: String) => s"CAST($c AS DECIMAL(18,6))"
-      def gradCtes(k: Int): String = {
-        val p = s"w${k - 1}"
-        s"""s$k AS (SELECT f.y, f.x1, f.x2, f.x3, f.x4,
-            ${sig(p)} AS s6
-          FROM f CROSS JOIN $p),
-        g$k AS (SELECT
-            sum(${d6("s6")} - ${d6("y")}) AS g0,
-            sum((${d6("s6")} - ${d6("y")}) * ${d6("x1")}) AS gx1,
-            sum((${d6("s6")} - ${d6("y")}) * ${d6("x2")}) AS gx2,
-            sum((${d6("s6")} - ${d6("y")}) * ${d6("x3")}) AS gx3,
-            sum((${d6("s6")} - ${d6("y")}) * ${d6("x4")}) AS gx4,
-            sum(abs(${d6("s6")} - ${d6("y")})) AS mae
-          FROM s$k),
-        w$k AS (SELECT
-            round(p.b0 - 0.5 * (CAST(g.g0 AS DOUBLE)
-              / CAST(nn.n AS DOUBLE)), 6) AS b0,
-            round(p.w1 - 0.5 * (CAST(g.gx1 AS DOUBLE)
-              / CAST(nn.n AS DOUBLE)), 6) AS w1,
-            round(p.w2 - 0.5 * (CAST(g.gx2 AS DOUBLE)
-              / CAST(nn.n AS DOUBLE)), 6) AS w2,
-            round(p.w3 - 0.5 * (CAST(g.gx3 AS DOUBLE)
-              / CAST(nn.n AS DOUBLE)), 6) AS w3,
-            round(p.w4 - 0.5 * (CAST(g.gx4 AS DOUBLE)
-              / CAST(nn.n AS DOUBLE)), 6) AS w4,
-            round(CAST(g.mae AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
-              AS mae
-          FROM g$k g CROSS JOIN w${k - 1} p CROSS JOIN nn)"""
-      }
       def outRow(k: Int): String =
         s"""SELECT CAST($k AS BIGINT) AS iter, nn.n, w$k.mae,
           w$k.b0, w$k.w1 AS w_x1, w$k.w2 AS w_x2, w$k.w3 AS w_x3,
           w$k.w4 AS w_x4 FROM w$k CROSS JOIN nn"""
-      s"""WITH t AS (SELECT text, $W AS w, md5(text) AS h
-          FROM documents),
-        dup AS (SELECT h, count(*) AS c FROM t GROUP BY 1),
-        f AS (SELECT
-            CASE WHEN dup.c >= 2 THEN 1 ELSE 0 END AS y,
-            round(CAST(len(t.w) AS DOUBLE) / 400.0, 6) AS x1,
-            round(CASE WHEN length(t.text) = 0 THEN 0.0
-              ELSE CAST(len(regexp_extract_all(t.text,
-                '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(t.text)
-              END, 6) AS x2,
-            round(CASE WHEN len(t.w) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(t.w,
-                x -> list_contains($stopList, x))) AS DOUBLE)
-                / len(t.w) END, 6) AS x3,
-            round(CASE WHEN len(t.w) = 0 THEN 0.0
-              ELSE CAST(list_aggregate(list_transform(t.w,
-                x -> length(x)), 'sum') AS DOUBLE) / len(t.w) END
-              / 10.0, 6) AS x4
-          FROM t JOIN dup USING (h)),
-        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
-        w0 AS (SELECT 0.0 AS b0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
-          0.0 AS w4),
-        ${gradCtes(1)},
-        ${gradCtes(2)},
-        ${gradCtes(3)}
+      s"""WITH $qualityTrainCtes
         ${outRow(1)} UNION ALL ${outRow(2)} UNION ALL ${outRow(3)}
         ORDER BY iter"""
     }
+  )
+
+  private val q245_classifier_auc = Q(
+    "q245_classifier_auc",
+    // Train-then-evaluate: the q244 model's final weights score the
+    // corpus (same quantized sigmoid), and ROC AUC comes from the
+    // exact-integer midrank identity AUC = U/(n+·n-) over the
+    // rankSumTest machinery — one IEEE division at the 6-decimal
+    // face. The oracle replays training to w3, rescores, and
+    // rebuilds the midrank sum over distinct score values.
+    (s, dir) => {
+      val f = qualityFeatures(s, dir)
+      val last = graft.operators.Classify.logisticGD(
+        f, "y", Seq("x1", "x2", "x3", "x4"),
+        lr = 2.0, iterations = 3)
+        .orderBy("iter").collect().last
+      val w = (3 to 7).map(last.getDouble)
+      graft.operators.Classify.aucReport(
+        graft.operators.Classify.score(
+          f, Seq("x1", "x2", "x3", "x4"), w),
+        "y", "score")
+    },
+    Some(s"""WITH $qualityTrainCtes,
+      sc AS (SELECT f.y,
+          round(1.0/(1.0+exp(-(w3.b0 + w3.w1*f.x1 + w3.w2*f.x2
+            + w3.w3*f.x3 + w3.w4*f.x4))), 6) AS s
+        FROM f CROSS JOIN w3),
+      cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cp
+        FROM sc GROUP BY 1),
+      cum AS (SELECT s, c, cp, sum(c) OVER (ORDER BY s) AS cm
+        FROM cnt),
+      agg AS (SELECT
+          CAST(COALESCE(sum(cp), 0) AS BIGINT) AS n_pos,
+          CAST(COALESCE(sum(c - cp), 0) AS BIGINT) AS n_neg,
+          CAST(COALESCE(sum(cp * (2 * cm - c + 1)), 0) AS BIGINT)
+            AS r2a
+        FROM cum)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(r2a - n_pos * (n_pos + 1) AS DOUBLE)
+            / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6)
+          END AS auc
+      FROM agg""")
   )
 
   private val q68_sample_crossengine = Q(
@@ -1031,6 +1105,7 @@ private[queries] object ExtCuration {
   )
 
   val all: Seq[Q] = Seq(
+    q245_classifier_auc,
     q244_quality_classifier,
     q231_reliability,
     q68_sample_crossengine,
