@@ -164,4 +164,53 @@ object Classify {
             (lit(2.0) * (col("n_a") * col("n_b")).cast("double")), 6))
           .as("auc"))
   }
+
+  /** Per-subgroup ROC AUC — the model FAIRNESS audit for a corpus
+    * filter: a quality classifier whose AUC collapses on one
+    * language or source is silently deleting that slice, which is
+    * the number a curator needs BEFORE applying the filter, not
+    * after. Same exact-integer midrank identity as [[aucReport]],
+    * partitioned: counts collapse to (group, distinct score) rows —
+    * at most 1e6+1 six-decimal score faces per group, so the
+    * per-group cumulative window runs over a structurally bounded
+    * frame, never raw rows. One-class groups (all-positive /
+    * all-negative) emit null auc — undecidable, not 0.5. Null
+    * groups drop; null scores fail loudly (ranks cannot order
+    * them).
+    *
+    * Output per group: (group, n_pos, n_neg, auc). */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull)
+    val nNull = base.filter(col(scoreCol).isNull).limit(1).count()
+    require(nNull == 0L,
+      s"aucByGroup: null $scoreCol values — ranks cannot order " +
+        "nulls; filter or impute them explicitly")
+    val counts = base
+      .groupBy(col(groupCol).as("_g"), col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(when(col(labelCol).cast("long") === 1L, 1L)
+          .otherwise(0L)).as("_cp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy("_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .groupBy("_g")
+      .agg(sum(col("_cp")).as("n_pos"),
+        sum(col("_cnt") - col("_cp")).as("n_neg"),
+        sum(col("_cp") * (lit(2L) * col("_cum") - col("_cnt") + 1L))
+          .as("_r2a"))
+      .select(col("_g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round((col("_r2a") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") /
+            (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double")),
+            6)).as("auc"))
+  }
 }

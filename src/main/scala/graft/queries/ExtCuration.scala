@@ -32,6 +32,7 @@ private[queries] object ExtCuration {
       dir: String): org.apache.spark.sql.DataFrame = {
     table(s, dir, "documents")
       .select(
+        col("source"),
         when(TextFunctions.qualityScore(col("text")) >= 0.6, 1L)
           .otherwise(0L).as("y"),
         round(TextFunctions.tokenCount(col("text")).cast("double")
@@ -79,7 +80,7 @@ private[queries] object ExtCuration {
             AS mae
         FROM g$k g CROSS JOIN w${k - 1} p CROSS JOIN nn)"""
     }
-    s"""t AS (SELECT text, $W AS w,
+    s"""t AS (SELECT text, source, $W AS w,
         CASE WHEN length(text) = 0 THEN 0.0
           ELSE CAST(len(regexp_extract_all(text,
             '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text)
@@ -89,7 +90,7 @@ private[queries] object ExtCuration {
             x -> list_contains($stopList, x))) AS DOUBLE)
             / len($W) END AS sr
         FROM documents),
-      f AS (SELECT
+      f AS (SELECT t.source,
           CASE WHEN round(least(CAST(length(t.text) AS DOUBLE)
               / 400.0, 1.0) * 0.5
             + least(t.sr * 5.0, 1.0) * 0.4
@@ -1104,7 +1105,53 @@ private[queries] object ExtCuration {
       FROM g LEFT JOIN c ON c.bin = g.bin ORDER BY g.bin""")
   )
 
+  private val q246_classifier_fairness = Q(
+    "q246_classifier_fairness",
+    // Per-source ROC AUC of the q244 model — the fairness audit a
+    // corpus filter needs BEFORE deployment: a slice where AUC
+    // collapses is a slice the filter silently deletes. Same
+    // exact-integer midrank identity as q245, partitioned by
+    // source over the (group, distinct-score-face) frame.
+    (s, dir) => {
+      val f = qualityFeatures(s, dir)
+      val last = graft.operators.Classify.logisticGD(
+        f, "y", Seq("x1", "x2", "x3", "x4"),
+        lr = 2.0, iterations = 3)
+        .orderBy("iter").collect().last
+      val w = (3 to 7).map(last.getDouble)
+      graft.operators.Classify.aucByGroup(
+        graft.operators.Classify.score(
+          f, Seq("x1", "x2", "x3", "x4"), w),
+        "source", "y", "score")
+        .orderBy("source")
+    },
+    Some(s"""WITH $qualityTrainCtes,
+      sc AS (SELECT f.source, f.y,
+          round(1.0/(1.0+exp(-(w3.b0 + w3.w1*f.x1 + w3.w2*f.x2
+            + w3.w3*f.x3 + w3.w4*f.x4))), 6) AS s
+        FROM f CROSS JOIN w3 WHERE f.source IS NOT NULL),
+      cnt AS (SELECT source, s, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cp
+        FROM sc GROUP BY 1, 2),
+      cum AS (SELECT source, s, c, cp,
+          sum(c) OVER (PARTITION BY source ORDER BY s) AS cm
+        FROM cnt),
+      agg AS (SELECT source,
+          CAST(sum(cp) AS BIGINT) AS n_pos,
+          CAST(sum(c - cp) AS BIGINT) AS n_neg,
+          CAST(sum(cp * (2 * cm - c + 1)) AS BIGINT) AS r2a
+        FROM cum GROUP BY 1)
+      SELECT source, n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(r2a - n_pos * (n_pos + 1) AS DOUBLE)
+            / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6)
+          END AS auc
+      FROM agg ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(
+    q246_classifier_fairness,
     q245_classifier_auc,
     q244_quality_classifier,
     q231_reliability,

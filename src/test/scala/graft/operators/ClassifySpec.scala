@@ -62,6 +62,55 @@ class ClassifySpec extends AnyFunSuite {
     assert(rn.getLong(1) == 500L)
   }
 
+  test("score + aucReport: sigmoid value, perfect/chance/degenerate AUC") {
+    val df = Seq((1L, 1.0), (0L, 0.0)).toDF("y", "x")
+    // score with b0=0, w=1: sigma(1) and sigma(0) at the 6-dec face
+    val s = Classify.score(df, Seq("x"), Seq(0.0, 1.0))
+      .orderBy("x").collect().map(_.getDouble(2))
+    assert(s(0) == 0.5)
+    assert(s(1) == BigDecimal(1.0 / (1.0 + math.exp(-1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // perfect separation
+    val perfect = Seq((0L, 0.1), (0L, 0.2), (1L, 0.8), (1L, 0.9))
+      .toDF("y", "s")
+    assert(Classify.aucReport(perfect, "y", "s").head().getDouble(2)
+      == 1.0)
+    // all scores equal: midranks give exactly 0.5
+    val flat = Seq((0L, 0.5), (1L, 0.5), (0L, 0.5), (1L, 0.5))
+      .toDF("y", "s")
+    assert(Classify.aucReport(flat, "y", "s").head().getDouble(2)
+      == 0.5)
+    // one-class input: auc undecidable -> null
+    val oneClass = Seq((1L, 0.1), (1L, 0.9)).toDF("y", "s")
+    assert(Classify.aucReport(oneClass, "y", "s").head().isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Classify.score(df, Seq("x"), Seq(0.0))
+    }
+  }
+
+  test("aucByGroup: per-group hand AUCs, ties, one-class null, null handling") {
+    val df = Seq(
+      ("a", 0L, 0.1), ("a", 0L, 0.2), ("a", 1L, 0.8), ("a", 1L, 0.9),
+      ("b", 1L, 0.5), ("b", 0L, 0.5),
+      ("c", 1L, 0.3), ("c", 1L, 0.7),
+      (null.asInstanceOf[String], 0L, 0.4))
+      .toDF("g", "y", "s")
+    val got = Classify.aucByGroup(df, "g", "y", "s")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.keySet == Set("a", "b", "c")) // null group dropped
+    assert(got("a") == ((2L, 2L, Some(1.0))))
+    assert(got("b") == ((1L, 1L, Some(0.5)))) // tied scores: midrank
+    assert(got("c") == ((2L, 0L, None)))      // one-class: undecidable
+    intercept[IllegalArgumentException] {
+      Classify.aucByGroup(
+        Seq(("a", 1L, null.asInstanceOf[java.lang.Double]))
+          .toDF("g", "y", "s"), "g", "y", "s")
+    }
+  }
+
   test("logisticGD: loud contracts") {
     val df = Seq((1L, 1.0), (0L, 0.0)).toDF("y", "x")
     intercept[IllegalArgumentException] {
