@@ -165,6 +165,63 @@ object Classify {
           .as("auc"))
   }
 
+  /** Operating-point sweep — precision/recall/F1 at each candidate
+    * threshold, the table a curator reads to PICK the cutoff (AUC
+    * says the model ranks well; it does not say where to cut).
+    * All four confusion counts are exact integers from ONE
+    * conditional-aggregation pass over a bounded threshold fan-out
+    * (k ≤ 64 thresholds ride an exploded literal array — k·n rows
+    * into a fully partial agg, no per-threshold jobs); precision,
+    * recall, and F1 = 2tp/(2tp+fp+fn) are each ONE IEEE division at
+    * the 6-decimal face, null when their denominator is empty
+    * (undecidable, not 0). Predictions are `score >= t` over
+    * 6-decimal score faces, so the comparison is cross-engine
+    * stable.
+    *
+    * Output per threshold: (threshold, tp, fp, fn, tn, precision,
+    * recall, f1). */
+  def thresholdSweep(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64,
+      s"thresholds must have 1..64 entries, got ${thresholds.size}")
+    require(thresholds.forall(t => t >= 0.0 && t <= 1.0),
+      "thresholds must lie in [0, 1]")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholds must be distinct")
+    val fan = df.select(
+      col(labelCol).cast("long").as("_y"),
+      col(scoreCol).cast("double").as("_s"),
+      explode(array(thresholds.map(lit): _*)).as("threshold"))
+    fan.groupBy("threshold")
+      .agg(
+        sum(when(col("_s") >= col("threshold") && col("_y") === 1L,
+          1L).otherwise(0L)).as("tp"),
+        sum(when(col("_s") >= col("threshold") && col("_y") =!= 1L,
+          1L).otherwise(0L)).as("fp"),
+        sum(when(col("_s") < col("threshold") && col("_y") === 1L,
+          1L).otherwise(0L)).as("fn"),
+        sum(when(col("_s") < col("threshold") && col("_y") =!= 1L,
+          1L).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        when(col("tp") + col("fp") > 0L,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          round((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))
+              .cast("double"), 6))
+          .as("f1"))
+  }
+
   /** Per-subgroup ROC AUC — the model FAIRNESS audit for a corpus
     * filter: a quality classifier whose AUC collapses on one
     * language or source is silently deleting that slice, which is

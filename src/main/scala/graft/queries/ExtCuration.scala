@@ -1150,7 +1150,62 @@ private[queries] object ExtCuration {
       FROM agg ORDER BY source""")
   )
 
+  private val q247_threshold_sweep = Q(
+    "q247_threshold_sweep",
+    // Operating-point table for the q244 model: exact confusion
+    // counts at 9 thresholds from one conditional-aggregation pass
+    // over a bounded fan-out; precision/recall/F1 one IEEE division
+    // each at the 6-decimal face, null when undecidable. AUC (q245)
+    // says the ranking is good; this table says where to cut.
+    (s, dir) => {
+      val f = qualityFeatures(s, dir)
+      val last = graft.operators.Classify.logisticGD(
+        f, "y", Seq("x1", "x2", "x3", "x4"),
+        lr = 2.0, iterations = 3)
+        .orderBy("iter").collect().last
+      val w = (3 to 7).map(last.getDouble)
+      graft.operators.Classify.thresholdSweep(
+        graft.operators.Classify.score(
+          f, Seq("x1", "x2", "x3", "x4"), w),
+        "y", "score",
+        (6 to 14).map(_ / 20.0))
+        .orderBy("threshold")
+    },
+    Some(s"""WITH $qualityTrainCtes,
+      sc AS (SELECT f.y,
+          round(1.0/(1.0+exp(-(w3.b0 + w3.w1*f.x1 + w3.w2*f.x2
+            + w3.w3*f.x3 + w3.w4*f.x4))), 6) AS s
+        FROM f CROSS JOIN w3),
+      fan AS (SELECT sc.y, sc.s, CAST(u.threshold AS DOUBLE)
+          AS threshold FROM sc
+        CROSS JOIN unnest([0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6,
+          0.65, 0.7]) AS u(threshold)),
+      cm AS (SELECT threshold,
+          CAST(sum(CASE WHEN s >= threshold AND y = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN s >= threshold AND y <> 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN s < threshold AND y = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN s < threshold AND y <> 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM fan GROUP BY 1)
+      SELECT threshold, tp, fp, fn, tn,
+        CASE WHEN tp + fp > 0 THEN
+          round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+          END AS precision,
+        CASE WHEN tp + fn > 0 THEN
+          round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+          END AS recall,
+        CASE WHEN 2 * tp + fp + fn > 0 THEN
+          round(CAST(2 * tp AS DOUBLE)
+            / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+          END AS f1
+      FROM cm ORDER BY threshold""")
+  )
+
   val all: Seq[Q] = Seq(
+    q247_threshold_sweep,
     q246_classifier_fairness,
     q245_classifier_auc,
     q244_quality_classifier,

@@ -111,6 +111,37 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("thresholdSweep: hand confusion counts, edge thresholds, loud contracts") {
+    val df = Seq((1L, 0.9), (1L, 0.4), (0L, 0.6), (0L, 0.1))
+      .toDF("y", "s")
+    val got = Classify.thresholdSweep(df, "y", "s",
+      Seq(0.0, 0.5, 1.0))
+      .orderBy("threshold").collect()
+    // t=0.0: all predicted positive
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L &&
+      got(0).getLong(3) == 0L && got(0).getLong(4) == 0L)
+    assert(got(0).getDouble(5) == 0.5 && got(0).getDouble(6) == 1.0)
+    assert(got(0).getDouble(7) == BigDecimal(4.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // t=0.5: one of each cell
+    assert((1 to 4).map(got(1).getLong) == Seq(1L, 1L, 1L, 1L))
+    assert(got(1).getDouble(5) == 0.5 && got(1).getDouble(6) == 0.5 &&
+      got(1).getDouble(7) == 0.5)
+    // t=1.0: nothing predicted positive -> precision null, recall 0
+    assert(got(2).getLong(1) == 0L && got(2).getLong(2) == 0L)
+    assert(got(2).isNullAt(5))
+    assert(got(2).getDouble(6) == 0.0 && got(2).getDouble(7) == 0.0)
+    intercept[IllegalArgumentException] {
+      Classify.thresholdSweep(df, "y", "s", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Classify.thresholdSweep(df, "y", "s", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Classify.thresholdSweep(df, "y", "s", Seq(0.5, 0.5))
+    }
+  }
+
   test("logisticGD: loud contracts") {
     val df = Seq((1L, 1.0), (0L, 0.0)).toDF("y", "x")
     intercept[IllegalArgumentException] {
