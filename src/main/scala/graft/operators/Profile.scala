@@ -1596,6 +1596,77 @@ object Profile {
         (pBar - pE) / (lit(1.0) - pE)), 6).as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal) over a long-format ratings frame
+    * — the agreement coefficient that TOLERATES missing ratings,
+    * which is the regime real annotation pipelines live in
+    * ([[fleissKappa]] demands a fixed panel and fails loudly on
+    * ragged data; here a rater abstaining just shrinks that item's
+    * panel): α = 1 − D_o/D_e over the coincidence matrix, in the
+    * computational form A_o = Σ_u Σ_c n_uc(n_uc−1)/(m_u−1) and
+    * A_e = Σ_c n_c(n_c−1)/(n−1), α = 1 − (n−A_o)/(n−A_e).
+    *
+    * Determinism: all n_uc / m_u / n_c moments are exact integers.
+    * The per-item term I_u/(m_u−1) is a rational, so its sum would
+    * be float-order-sensitive — instead each item's term is
+    * quantized to the 6-decimal face (ONE IEEE division + round)
+    * and summed as exact DECIMAL(18,6) — order-free and
+    * bitwise cross-engine; the quantization perturbs α from the
+    * textbook value by ≤ 5e-7 per item, far below reporting
+    * resolution, and identically on both engines. A_e's single
+    * global division and the final α are each one IEEE chain at the
+    * 6-decimal face.
+    *
+    * Null-label ratings drop (that IS the missing-data case); items
+    * left with < 2 ratings carry no pairable information and drop.
+    * α is null when D_e = 0 (single category — undecidable).
+    *
+    * Shape: one (item, label) partial agg, one per-item agg, one
+    * per-category agg, broadcast scalar attaches. Items, raters,
+    * and categories all unbounded.
+    *
+    * Output: one row (n_items, n_ratings, n_categories, a_obs,
+    * a_exp, alpha) — n_ratings counts only pairable ratings. */
+  def krippendorffAlpha(
+      df: DataFrame,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val rated = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(itemCol).as("_i"),
+        col(labelCol).cast("string").as("_l"))
+    val nuc = rated.groupBy("_i", "_l").agg(count(lit(1)).as("_c"))
+    val perItem = nuc.groupBy("_i")
+      .agg(sum(col("_c")).as("_m"),
+        sum(col("_c") * (col("_c") - 1L)).as("_iu"))
+      .filter(col("_m") >= 2L)
+    val items = perItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("_m")), lit(0L)).as("_n"),
+      coalesce(sum(
+        round(col("_iu").cast("double") /
+          (col("_m") - 1L).cast("double"), 6).cast(dec6)),
+        lit(0L).cast(dec38)).as("_ao"))
+    // marginals over PAIRABLE items only
+    val cats = nuc.join(perItem.select("_i"), Seq("_i"), "left_semi")
+      .groupBy("_l").agg(sum(col("_c")).as("_nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("_nc") * (col("_nc") - 1L)), lit(0L))
+          .as("_ae_num"))
+    val j = items.crossJoin(broadcast(cats))
+    val nD = col("_n").cast("double")
+    val aO = col("_ao").cast("double")
+    val aE = col("_ae_num").cast("double") /
+      (col("_n") - 1L).cast("double")
+    j.select(col("n_items"), col("_n").as("n_ratings"),
+      col("n_categories"),
+      round(when(col("n_items") > 0L, aO), 6).as("a_obs"),
+      round(when(col("n_items") > 0L, aE), 6).as("a_exp"),
+      round(when(col("n_items") > 0L && nD - aE =!= 0.0,
+        lit(1.0) - (nD - aO) / (nD - aE)), 6).as("alpha"))
+  }
+
   /** Normal quantiles for the delta-method CI levels this operator
     * supports — double literals shared verbatim with the SQL oracle
     * (no erf/quantile function exists portably in both engines). */

@@ -1203,7 +1203,74 @@ private[queries] object ExtText {
       ORDER BY 1, 2""")
   )
 
+  private val q248_krippendorff = Q(
+    "q248_krippendorff",
+    // Krippendorff's alpha over a RAGGED language panel — the
+    // missing-tolerant coefficient (q240's Fleiss demands a fixed
+    // panel): declared lang, the marker prediction, and a
+    // half-document rater that ABSTAINS on short docs (< 20
+    // tokens), so items carry 2 or 3 ratings. Per-item rational
+    // terms at the 6-decimal face summed in exact DECIMAL, one
+    // IEEE chain per emitted number.
+    (s, dir) => {
+      val half = "array_join(slice(filter(split(text, ' '), " +
+        "x -> x != ''), 1, size(filter(split(text, ' '), " +
+        "x -> x != '')) div 2), ' ')"
+      val docs = table(s, dir, "documents")
+      val ratings = docs.select(col("doc_id").as("item"),
+        col("lang").as("label"))
+        .unionAll(docs.select(col("doc_id").as("item"),
+          TextFunctions.langId(col("text")).as("label")))
+        .unionAll(docs
+          .filter(TextFunctions.tokenCount(col("text")) >= 20)
+          .select(col("doc_id").as("item"),
+            TextFunctions.langId(expr(half)).as("label")))
+      graft.operators.Profile.krippendorffAlpha(
+        ratings, "item", "label")
+    },
+    Some {
+      val halfSrc =
+        s"(SELECT doc_id, lang, array_to_string(w[1:len(w)//2], ' ') " +
+          s"AS text FROM (SELECT doc_id, lang, $W AS w " +
+          "FROM documents) WHERE len(w) >= 20)"
+      s"""WITH r2 AS ($langPredSelect),
+        r3 AS (${langPredSelectFrom(halfSrc)}),
+        ratings AS (
+          SELECT doc_id AS i, lang AS l FROM documents
+          UNION ALL SELECT doc_id, lang_pred FROM r2
+          UNION ALL SELECT doc_id, lang_pred FROM r3),
+        nuc AS (SELECT i, l, CAST(count(*) AS BIGINT) AS c
+          FROM ratings WHERE l IS NOT NULL GROUP BY 1, 2),
+        pi AS (SELECT i, sum(c) AS m, sum(c * (c - 1)) AS iu
+          FROM nuc GROUP BY 1 HAVING sum(c) >= 2),
+        it AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          CAST(COALESCE(sum(m), 0) AS BIGINT) AS n,
+          COALESCE(sum(CAST(round(CAST(iu AS DOUBLE)
+            / CAST(m - 1 AS DOUBLE), 6) AS DECIMAL(18,6))), 0)
+            AS ao FROM pi),
+        ct AS (SELECT l, sum(c) AS nc FROM nuc
+          JOIN pi USING (i) GROUP BY l),
+        cats AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          CAST(COALESCE(sum(nc * (nc - 1)), 0) AS BIGINT) AS ae_num
+          FROM ct)
+        SELECT it.n_items, it.n AS n_ratings, cats.n_categories,
+          round(CAST(it.ao AS DOUBLE), 6) AS a_obs,
+          round(CAST(cats.ae_num AS DOUBLE)
+            / CAST(it.n - 1 AS DOUBLE), 6) AS a_exp,
+          CASE WHEN CAST(it.n AS DOUBLE)
+              - CAST(cats.ae_num AS DOUBLE)
+                / CAST(it.n - 1 AS DOUBLE) <> 0.0 THEN
+            round(1.0 - (CAST(it.n AS DOUBLE)
+                - CAST(it.ao AS DOUBLE))
+              / (CAST(it.n AS DOUBLE)
+                - CAST(cats.ae_num AS DOUBLE)
+                  / CAST(it.n - 1 AS DOUBLE)), 6) END AS alpha
+        FROM it CROSS JOIN cats"""
+    }
+  )
+
   val all: Seq[Q] = Seq(
+    q248_krippendorff,
     q241_collocations,
     q240_fleiss_kappa,
     q237_cohens_kappa,

@@ -1062,6 +1062,41 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("krippendorffAlpha: hand value with ragged panel, unpairable " +
+      "items drop, perfect 1, single-category null") {
+    import spark.implicits._
+    // i1 aa (term 2), i2 ab (0), i3 bbb (3), i4 b (drops),
+    // i5 a+null (drops after null filter)
+    // n = 7, A_o = 5; marginals a:3 b:4 -> A_e = 18/6 = 3
+    // alpha = 1 - (7-5)/(7-3) = 0.5
+    val panel = Seq(
+      (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "b"),
+      (5L, "a"), (5L, null.asInstanceOf[String]))
+      .toDF("item", "label")
+    val r = Profile.krippendorffAlpha(panel, "item", "label").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 7L &&
+      r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 3.0)
+    assert(r.getDouble(5) == 0.5)
+    // unanimous items over >= 2 categories: alpha exactly 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    assert(Profile.krippendorffAlpha(perfect, "item", "label")
+      .head().getDouble(5) == 1.0)
+    // single category: D_e = 0 -> null
+    val degen = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    assert(Profile.krippendorffAlpha(degen, "item", "label")
+      .head().isNullAt(5))
+    // only unpairable items: empty panel faces are null
+    val thin = Seq((1L, "a"), (2L, "b")).toDF("item", "label")
+    val t = Profile.krippendorffAlpha(thin, "item", "label").head()
+    assert(t.getLong(0) == 0L && t.isNullAt(3) && t.isNullAt(5))
+  }
+
   test("fleissKappa: textbook value, perfect 1, degenerate null, " +
       "null drops the item, ragged panel loud") {
     import spark.implicits._
