@@ -1325,6 +1325,96 @@ object Similarity {
       .select(col("id"), col("cluster"), col("cluster_n"))
   }
 
+  /** Per-DIMENSION embedding drift between two snapshots, per group
+    * — the diagnostic UNDER [[centroidDrift]]'s aggregate cosine:
+    * when the rollout monitor fires, this table says WHICH
+    * dimensions moved (a truncated projection head, a re-normalized
+    * block, one poisoned feature) instead of one opaque angle. Per
+    * (group, dim): n, mean, population variance on BOTH snapshots,
+    * and the standardized mean shift
+    * effect = |μ_ref − μ_cur| / √((σ²_ref + σ²_cur)/2) — Cohen's-d
+    * shaped, unit-free across dimensions of different scales.
+    *
+    * Determinism: per (group, dim) the values fold IN ID ORDER
+    * (sort_array over (id, x) structs — the [[groupCentroids]]
+    * bitwise discipline, maxGroupSize-guarded loudly), once for Σx
+    * and once for Σx² — both sequential IEEE chains the oracle
+    * replays with `list(... ORDER BY id)` folds; mean/var/effect
+    * are fixed IEEE chains at the 6-decimal face. Groups present on
+    * one side only drop (no drift to measure); a snapshot pair with
+    * different dimensionalities fails loudly (corruption, not
+    * drift). Zero-variance dims emit null effect (undecidable).
+    *
+    * Shape: one posexplode + (group, dim)-keyed agg per side —
+    * each task holds ONE dimension's n doubles, never whole
+    * vectors — then a (groups·dim)-sized join. Row-scaled work ends
+    * at the folds.
+    *
+    * Output: (group, dim, n_ref, n_cur, mean_ref, mean_cur,
+    * var_ref, var_cur, effect). */
+  def dimDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      maxGroupSize: Long = 1L << 20): DataFrame = {
+    def side(df0: DataFrame, tag: String): DataFrame = {
+      val df = df0.filter(col(vecCol).isNotNull)
+      val oversized = df.groupBy(col(groupCol).as("group"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxGroupSize)
+        .limit(1).collect()
+      require(oversized.isEmpty, {
+        val r = oversized.head
+        s"dimDrift folds each (group, dim) in one task: group " +
+          s"'${r.get(0)}' has ${r.getLong(1)} rows > maxGroupSize=" +
+          s"$maxGroupSize on the $tag side. Pre-sample the group " +
+          "or raise the bound deliberately."
+      })
+      df.select(col(groupCol).as("group"),
+          col(idCol).cast("long").as("_id"),
+          posexplode(col(vecCol).cast("array<float>"))
+            .as(Seq("_d0", "_xf")))
+        .select(col("group"), (col("_d0") + 1).cast("long").as("dim"),
+          col("_id"), col("_xf").cast("double").as("_x"))
+        .groupBy("group", "dim")
+        .agg(sort_array(collect_list(struct(col("_id"), col("_x"))))
+          .as("_vs"), count(lit(1)).as(s"n_$tag"))
+        .withColumn(s"_sx_$tag",
+          aggregate(transform(col("_vs"), s => s.getField("_x")),
+            lit(0.0), (a, x) => a + x))
+        .withColumn(s"_sxx_$tag",
+          aggregate(transform(col("_vs"),
+            s => s.getField("_x") * s.getField("_x")),
+            lit(0.0), (a, x) => a + x))
+        .drop("_vs")
+    }
+    val a = side(ref, "ref")
+    val b = side(cur, "cur")
+    val dimsA = a.agg(max("dim")).head()
+    val dimsB = b.agg(max("dim")).head()
+    if (!dimsA.isNullAt(0) && !dimsB.isNullAt(0)) {
+      require(dimsA.getLong(0) == dimsB.getLong(0),
+        s"dimDrift: snapshot dimensionalities differ — ref has " +
+          s"${dimsA.getLong(0)} dims, cur has ${dimsB.getLong(0)}; " +
+          "that is corruption (or an encoder swap), not drift")
+    }
+    def meanC(t: String) = col(s"_sx_$t") / col(s"n_$t")
+    def varC(t: String) =
+      col(s"_sxx_$t") / col(s"n_$t") - meanC(t) * meanC(t)
+    val den = sqrt((varC("ref") + varC("cur")) / lit(2.0))
+    a.join(b, Seq("group", "dim"))
+      .select(col("group"), col("dim"), col("n_ref"), col("n_cur"),
+        round(meanC("ref"), 6).as("mean_ref"),
+        round(meanC("cur"), 6).as("mean_cur"),
+        round(varC("ref"), 6).as("var_ref"),
+        round(varC("cur"), 6).as("var_cur"),
+        when(den > 0.0,
+          round(abs(meanC("ref") - meanC("cur")) / den, 6))
+          .as("effect"))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: Lloyd k-means
     * partitions the corpus, then exact cosine runs ONLY within each
     * cluster — the published cluster-bounded spelling (Abbas et al.

@@ -665,7 +665,60 @@ private[queries] object ExtSimilarity {
       WHERE d / (na * nb) >= 0.9 ORDER BY id_a, id_b""")
   )
 
+  private val q249_dim_drift = Q(
+    "q249_dim_drift",
+    // The dimension-level diagnostic under q236's aggregate cosine:
+    // per (label, dim) means/variances of both snapshot halves via
+    // id-ordered bitwise folds, and the standardized mean shift
+    // (Cohen's-d shaped). When the rollout monitor fires, this
+    // table says WHICH dimension moved.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      graft.operators.Similarity.dimDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0),
+        "label", "vec_id", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy("label", "dim")
+    },
+    Some("""WITH r AS (SELECT label, vec_id, embedding
+        FROM embeddings WHERE vec_id % 2 = 0),
+      c AS (SELECT label, vec_id, embedding
+        FROM embeddings WHERE vec_id % 2 <> 0),
+      xr AS (SELECT label, vec_id, CAST(u.d AS BIGINT) AS dim,
+          CAST(embedding[u.d] AS DOUBLE) AS x
+        FROM r CROSS JOIN unnest(range(1, len(embedding) + 1))
+          AS u(d)),
+      xc AS (SELECT label, vec_id, CAST(u.d AS BIGINT) AS dim,
+          CAST(embedding[u.d] AS DOUBLE) AS x
+        FROM c CROSS JOIN unnest(range(1, len(embedding) + 1))
+          AS u(d)),
+      ar AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_ref,
+          list_aggregate(list(x ORDER BY vec_id), 'sum') AS sx,
+          list_aggregate(list(x * x ORDER BY vec_id), 'sum') AS sxx
+        FROM xr GROUP BY 1, 2),
+      ac AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_cur,
+          list_aggregate(list(x ORDER BY vec_id), 'sum') AS sx,
+          list_aggregate(list(x * x ORDER BY vec_id), 'sum') AS sxx
+        FROM xc GROUP BY 1, 2),
+      j AS (SELECT ar.label, ar.dim, ar.n_ref, ac.n_cur,
+          ar.sx / ar.n_ref AS mr, ac.sx / ac.n_cur AS mc,
+          ar.sxx / ar.n_ref - (ar.sx / ar.n_ref) * (ar.sx / ar.n_ref)
+            AS vr,
+          ac.sxx / ac.n_cur - (ac.sx / ac.n_cur) * (ac.sx / ac.n_cur)
+            AS vc
+        FROM ar JOIN ac ON ac.label = ar.label AND ac.dim = ar.dim)
+      SELECT label, dim, n_ref, n_cur,
+        round(mr, 6) AS mean_ref, round(mc, 6) AS mean_cur,
+        round(vr, 6) AS var_ref, round(vc, 6) AS var_cur,
+        CASE WHEN sqrt((vr + vc) / 2.0) > 0.0 THEN
+          round(abs(mr - mc) / sqrt((vr + vc) / 2.0), 6) END
+          AS effect
+      FROM j ORDER BY label, dim""")
+  )
+
   val all: Seq[Q] = Seq(
+    q249_dim_drift,
     q242_semantic_dedup,
     q236_centroid_drift,
     q39_sim_bruteforce_topk,

@@ -677,6 +677,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("scatter"))
   }
 
+  test("dimDrift: hand means/vars/effect, planted per-dim shift, " +
+      "one-sided drop, dim mismatch loud") {
+    // group g, dim1: ref {1,3} (mean 2, var 1) vs cur {5,7}
+    // (mean 6, var 1): effect = 4/1 = 4. dim2 constant both sides:
+    // var 0 -> effect null.
+    val ref = Seq((0L, "g", Array(1f, 9f)), (1L, "g", Array(3f, 9f)),
+      (2L, "only_ref", Array(1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val cur = Seq((0L, "g", Array(5f, 9f)), (1L, "g", Array(7f, 9f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.dimDrift(ref, cur, "label", "vec_id",
+      "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7),
+          if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toMap
+    assert(got.keySet == Set(("g", 1L), ("g", 2L))) // one-sided drops
+    assert(got(("g", 1L)) == ((2.0, 6.0, 1.0, 1.0, Some(4.0))))
+    assert(got(("g", 2L)) == ((9.0, 9.0, 0.0, 0.0, None)))
+    intercept[IllegalArgumentException] {
+      Similarity.dimDrift(ref,
+        Seq((0L, "g", Array(1f, 2f, 3f)))
+          .toDF("vec_id", "label", "embedding"),
+        "label", "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.dimDrift(ref, cur, "label", "vec_id", "embedding",
+        maxGroupSize = 1L)
+    }
+  }
+
   test("semanticDedupPairs: within-cluster only — a perfect cross-cell " +
       "pair is the documented miss; identical copy lands in-cell; loud") {
     // one direction, two magnitudes: cells split by L2, so (0,1)
