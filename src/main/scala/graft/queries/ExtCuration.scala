@@ -27,12 +27,12 @@ private[queries] object ExtCuration {
     * deliberately differ from the rule's inputs where natural
     * (token count vs the rule's char count; mean word length as a
     * nuisance feature). */
-  private def qualityFeatures(
+  private[queries] def qualityFeatures(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     table(s, dir, "documents")
       .select(
-        col("source"),
+        col("doc_id"), col("source"),
         when(TextFunctions.qualityScore(col("text")) >= 0.6, 1L)
           .otherwise(0L).as("y"),
         round(TextFunctions.tokenCount(col("text")).cast("double")
@@ -47,7 +47,7 @@ private[queries] object ExtCuration {
     * quantized-GD chain (w0 → w3): CTEs t, dup, f, nn, w0, s1..w3.
     * Shared by the q244 (training trace) and q245 (scoring + AUC)
     * oracles. */
-  private val qualityTrainCtes: String = {
+  private[queries] val qualityTrainCtes: String = {
     val sig = (p: String) =>
       s"round(1.0/(1.0+exp(-($p.b0 + $p.w1*f.x1 + $p.w2*f.x2 " +
         s"+ $p.w3*f.x3 + $p.w4*f.x4))), 6)"
@@ -80,7 +80,7 @@ private[queries] object ExtCuration {
             AS mae
         FROM g$k g CROSS JOIN w${k - 1} p CROSS JOIN nn)"""
     }
-    s"""t AS (SELECT text, source, $W AS w,
+    s"""t AS (SELECT doc_id, text, source, $W AS w,
         CASE WHEN length(text) = 0 THEN 0.0
           ELSE CAST(len(regexp_extract_all(text,
             '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE) / length(text)
@@ -90,7 +90,7 @@ private[queries] object ExtCuration {
             x -> list_contains($stopList, x))) AS DOUBLE)
             / len($W) END AS sr
         FROM documents),
-      f AS (SELECT t.source,
+      f AS (SELECT t.doc_id, t.source,
           CASE WHEN round(least(CAST(length(t.text) AS DOUBLE)
               / 400.0, 1.0) * 0.5
             + least(t.sr * 5.0, 1.0) * 0.4

@@ -14,6 +14,85 @@ import graft.queries.ExtShared._
   * concatenates every family. */
 private[queries] object ExtStreaming {
 
+  private val q250_stream_auc = Q(
+    "q250_stream_auc",
+    // Streaming model-performance monitor, oracle-backed end to
+    // end: the q244-trained model's scored corpus arrives as TWO
+    // micro-batches (doc_id parity) through aucStream; each batch's
+    // exact-midrank ROC AUC lands in the batch-keyed ledger
+    // (idempotent replay by overwrite). The oracle replays training
+    // to w3, rescores, and rebuilds each half's midrank sum — a
+    // deployed filter whose per-batch AUC slides is drifting.
+    (s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q250_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          s.sqlContext
+        val halves = cachedFixture(s"q250:$dir") {
+          val f = ExtCuration.qualityFeatures(s, dir)
+          val feats = Seq("x1", "x2", "x3", "x4")
+          val last = graft.operators.Classify.logisticGD(
+            f, "y", feats, lr = 2.0, iterations = 3)
+            .orderBy("iter").collect().last
+          val w = (3 to 7).map(last.getDouble)
+          val scored = graft.operators.Classify
+            .score(f, feats, w)
+            .select(col("doc_id"), col("y"), col("score"))
+          def half(p: org.apache.spark.sql.Column) =
+            scored.filter(p).select("y", "score")
+              .as[(Long, Double)].collect().toSeq
+          (half(col("doc_id") % 2 === 0),
+            half(col("doc_id") % 2 =!= 0))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Double)]
+        val q = graft.streaming.Streams.aucStream(
+          mem.toDF().toDF("y", "score"), "y", "score",
+          s"$base/ledger", s"$base/ckpt")
+        try {
+          mem.addData(halves._1)
+          q.processAllAvailable()
+          mem.addData(halves._2)
+          q.processAllAvailable()
+        } finally q.stop()
+        collectToLocal(
+          s.read.parquet(s"$base/ledger")
+            .select(col("batch").cast("long").as("batch_id"),
+              col("n_pos"), col("n_neg"), col("auc")),
+          "q250 auc ledger")
+          .orderBy("batch_id")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+      }
+    },
+    Some(s"""WITH ${ExtCuration.qualityTrainCtes},
+      sc AS (SELECT f.doc_id % 2 AS batch_id, f.y,
+          round(1.0/(1.0+exp(-(w3.b0 + w3.w1*f.x1 + w3.w2*f.x2
+            + w3.w3*f.x3 + w3.w4*f.x4))), 6) AS s
+        FROM f CROSS JOIN w3),
+      cnt AS (SELECT batch_id, s, CAST(count(*) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS cp
+        FROM sc GROUP BY 1, 2),
+      cum AS (SELECT batch_id, s, c, cp,
+          sum(c) OVER (PARTITION BY batch_id ORDER BY s) AS cm
+        FROM cnt),
+      agg AS (SELECT batch_id,
+          CAST(sum(cp) AS BIGINT) AS n_pos,
+          CAST(sum(c - cp) AS BIGINT) AS n_neg,
+          CAST(sum(cp * (2 * cm - c + 1)) AS BIGINT) AS r2a
+        FROM cum GROUP BY 1)
+      SELECT CAST(batch_id AS BIGINT) AS batch_id, n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(r2a - n_pos * (n_pos + 1) AS DOUBLE)
+            / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6)
+          END AS auc
+      FROM agg ORDER BY batch_id""")
+  )
+
   private val q101_stream_ingest_dedup = Q(
     "q101_stream_ingest_dedup",
     // Continuous near-dup ingestion, oracle-backed end to end: the
@@ -615,6 +694,7 @@ private[queries] object ExtStreaming {
   )
 
   val all: Seq[Q] = Seq(
+    q250_stream_auc,
     q233_stream_ratio_ci,
     q101_stream_ingest_dedup,
     q105_stream_ingest_ann,

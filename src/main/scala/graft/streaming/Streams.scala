@@ -729,6 +729,39 @@ object Streams {
       .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
   }
 
+  /** Streaming model-performance monitor — the MLOps face of
+    * [[graft.operators.Classify.aucReport]]: each micro-batch
+    * carries (label, score) rows for freshly labeled traffic, and
+    * the batch's exact-midrank ROC AUC lands in a batch-keyed
+    * parquet ledger (idempotent replay by overwrite — the
+    * [[psiStream]] contract). A deployed corpus filter whose
+    * per-batch AUC slides is drifting against live data; the ledger
+    * is the alarm feed, read without touching raw traffic. */
+  def aucStream(
+      rows: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      ledgerDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        aucBatch(batch, batchId, labelCol, scoreCol, ledgerDir)
+      }
+      .start()
+
+  /** One [[aucStream]] micro-batch, factored out so the replay
+    * contract is directly testable. */
+  private[streaming] def aucBatch(
+      batch: DataFrame,
+      batchId: Long,
+      labelCol: String,
+      scoreCol: String,
+      ledgerDir: String): Unit =
+    graft.operators.Classify.aucReport(batch, labelCol, scoreCol)
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+
   /** The maintained view over every delta [[ingestAggStream]] has
     * written: one partition-discovered read + one state-sized merge.
     * Also the compaction step — its result re-written as a single

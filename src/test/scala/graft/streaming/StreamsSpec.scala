@@ -665,4 +665,42 @@ class StreamsSpec extends AnyFunSuite {
         new java.io.File(base))
     }
   }
+
+  test("aucBatch: per-batch AUC == direct aucReport; degrading model " +
+      "visible across batches; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_auc_ledger_").toString
+    try {
+      // batch 0: clean separation; batch 1: scores scrambled (drift)
+      val b0 = (1 to 40).map(i =>
+        (if (i <= 20) 0L else 1L, if (i <= 20) 0.2 else 0.8))
+        .toDF("y", "s")
+      val b1 = (1 to 40).map(i =>
+        ((i % 2).toLong, 0.1 + (i % 7) / 10.0)).toDF("y", "s")
+      graft.streaming.Streams.aucBatch(b0, 0L, "y", "s",
+        s"$base/ledger")
+      graft.streaming.Streams.aucBatch(b1, 1L, "y", "s",
+        s"$base/ledger")
+      def ledger() = spark.read.parquet(s"$base/ledger")
+        .select(col("batch").cast("long"), col("n_pos"),
+          col("n_neg"), col("auc"))
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val first = ledger()
+      assert(first.length == 2)
+      assert(first(0)._4 == 1.0) // clean batch: perfect ranking
+      val direct1 = graft.operators.Classify
+        .aucReport(b1, "y", "s").head().getDouble(2)
+      assert(first(1)._4 == direct1)
+      assert(first(1)._4 < first(0)._4) // the drift is visible
+      // crash replay of batch 1 -> byte-identical ledger
+      graft.streaming.Streams.aucBatch(b1, 1L, "y", "s",
+        s"$base/ledger")
+      assert(ledger() == first, "replay changed the ledger")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
 }
