@@ -87,4 +87,68 @@ object Privacy {
         round(greatest(col("n").cast("double") + noise(key), lit(0.0)),
           6))
   }
+
+  /** Luhn checksum validity of a digit string — the discriminator
+    * that separates a real payment-card number from an arbitrary
+    * digit run (a bare `[0-9]{13,19}` regex overfires on order ids,
+    * timestamps, phone numbers; virtually all card schemes carry
+    * the ISO/IEC 7812 Luhn check digit). Pure declarative Catalyst:
+    * one `transform` over the reversed digits with the
+    * double-every-second rule and a sequential fold — no UDF, and
+    * the oracle replays the identical fold. Returns false for
+    * empty/non-digit input only insofar as CAST noise would —
+    * callers pass regex-extracted digit runs. */
+  def luhnValid(s: Column): Column = {
+    val rev = reverse(s)
+    val total = aggregate(
+      transform(sequence(lit(1), length(s)), i => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** Payment-card exposure audit per key — the governance screen a
+    * training corpus needs BEFORE the text ships ([[graft.functions
+    * .TextFunctions]]' scrubbers handle emails/URLs/IPs; card
+    * numbers are the class where a regex alone overfires, so the
+    * count that matters is the LUHN-VALID one): per key, document
+    * and candidate counts, how many candidates pass the Luhn check,
+    * and the valid share. Everything is exact integers from one
+    * partial-aggregated pass (the per-doc extract + fold is
+    * map-side); the share is one IEEE division at the 6-decimal
+    * face, null when there are no candidates.
+    *
+    * Output per key: (keys*, n_docs, n_docs_flagged, n_candidates,
+    * n_luhn_valid, valid_share). */
+  def ccAudit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      textCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    Seq("n_docs", "n_docs_flagged", "n_candidates", "n_luhn_valid",
+      "valid_share").foreach { r =>
+      require(!keyCols.contains(r),
+        s"key column name $r is reserved by ccAudit")
+    }
+    val cands = expr(
+      s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)")
+    val perDoc = df.select(
+      keyCols.map(col) ++ Seq(
+        coalesce(size(cands), lit(0)).as("_nc"),
+        coalesce(size(filter(cands, c => luhnValid(c))), lit(0))
+          .as("_nv")): _*)
+    perDoc.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_nc") > 0, 1L).otherwise(0L))
+          .as("n_docs_flagged"),
+        sum(col("_nc").cast("long")).as("n_candidates"),
+        sum(col("_nv").cast("long")).as("n_luhn_valid"))
+      .withColumn("valid_share",
+        when(col("n_candidates") > 0L,
+          round(col("n_luhn_valid").cast("double") /
+            col("n_candidates").cast("double"), 6)))
+  }
 }

@@ -1187,6 +1187,98 @@ object Profile {
         col("significant"))
   }
 
+  /** Two-sample 1-D Wasserstein (earth-mover) distance — the
+    * MAGNITUDE-sensitive drift metric beside [[ksTest]]'s sup-norm
+    * (KS says "the CDFs separate somewhere"; W₁ says "by how much
+    * mass × distance" — a tiny uniform shift of every value moves
+    * W₁ by exactly the shift but barely moves D, and a spike in one
+    * bin moves D but barely W₁; drift triage wants both):
+    * W₁ = ∫|F_A − F_B| dv over the merged value grid.
+    *
+    * EXACT INTEGER core (the [[ksTest]] discipline): values
+    * integerize through DECIMAL(18,scale)·10^scale; on each
+    * constant-difference interval [v_i, v_{i+1}) the term
+    * |cumA·n_b − cumB·n_a| · Δv accumulates in DECIMAL(38,0) —
+    * order-free, bitwise cross-engine; the single final IEEE chain
+    * divides by n_a·n_b·10^scale to land back in value units, at
+    * the 6-decimal face.
+    *
+    * Shape: two (value)-keyed count aggs, the bucketed two-phase
+    * prefix sum ([[Skew.cumulativeCounts]] — no global window), and
+    * the successor value via the SAME bucketing: lead within each
+    * coarse bucket + a ≤coarseBuckets-row boundary frame for the
+    * last value of each bucket. Nothing row-scaled after the count
+    * aggs.
+    *
+    * Output: one row (n_a, n_b, w1_num, w1) — w1 null when either
+    * side is empty. */
+  def wasserstein1(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      scale: Int = 2,
+      coarseBuckets: Int = 64): DataFrame = {
+    require(scale >= 0 && scale <= 6,
+      s"scale must be in [0, 6], got $scale")
+    require(coarseBuckets > 0,
+      s"coarseBuckets must be positive, got $coarseBuckets")
+    val dec = org.apache.spark.sql.types.DecimalType(18, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = math.pow(10, scale).toLong
+    def side(g: String, tag: String): DataFrame =
+      df.filter(col(groupCol) === g && col(valueCol).isNotNull)
+        .select((col(valueCol).cast(dec) * mult).cast("long").as("_v"))
+        .groupBy("_v").agg(count(lit(1)).as(tag))
+    val a = side(groupA, "_ca")
+    val b = side(groupB, "_cb")
+    val joined = a.join(b, Seq("_v"), "outer")
+      .na.fill(0L, Seq("_ca", "_cb"))
+    def cum(cnt: String, out: String): DataFrame =
+      Skew.cumulativeCounts(
+        joined.select(col("_v"), col(cnt).as("_cnt")), coarseBuckets)
+        .select(col("_v"), col("_cum").as(out))
+    // successor of each value on the merged grid, via the same
+    // coarse bucketing as the prefix sums: lead within the bucket,
+    // bucket-boundary rows read the next non-empty bucket's min
+    val mm = joined.agg(min("_v").as("_mn"), max("_v").as("_mx"))
+    val bucketed = joined.select("_v").crossJoin(broadcast(mm))
+      .withColumn("_b",
+        expr(s"((_v - _mn) * $coarseBuckets) div (_mx - _mn + 1)"))
+      .select("_v", "_b")
+    val bmin = bucketed.groupBy("_b").agg(min("_v").as("_bmin"))
+    val nxt = bmin.as("x")
+      .join(bmin.as("y"), col("x._b") < col("y._b"))
+      .groupBy(col("x._b").as("_b"))
+      .agg(min(col("y._bmin")).as("_next_start"))
+    val wLead = Window.partitionBy("_b").orderBy("_v")
+    val leads = bucketed
+      .join(broadcast(nxt), Seq("_b"), "left")
+      .withColumn("_vnext",
+        coalesce(lead(col("_v"), 1).over(wLead), col("_next_start")))
+      .select(col("_v"), col("_vnext"))
+    val merged = cum("_ca", "_cuma").join(cum("_cb", "_cumb"), "_v")
+      .join(leads, "_v")
+    val ns = joined.agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"))
+    merged.crossJoin(broadcast(ns))
+      // the global last value has no span: its term is 0 (and its
+      // CDF difference is identically 0 anyway)
+      .withColumn("_term", abs(
+        col("_cuma").cast(dec38) * col("n_b")
+          - col("_cumb").cast(dec38) * col("n_a"))
+        * coalesce(col("_vnext") - col("_v"), lit(0L)).cast(dec38))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(coalesce(sum(col("_term")), lit(0L).cast(dec38))
+        .as("_w1num"))
+      .select(col("n_a"), col("n_b"),
+        col("_w1num").cast("double").as("w1_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("_w1num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")
+              * lit(mult.toDouble)), 6)).as("w1"))
+  }
+
   /** Watermark/late-data audit — the measurement that SIZES a
     * streaming job's watermark before it exists: replaying a day of
     * events in arrival order (`seqCol` — an ingest sequence or

@@ -451,6 +451,55 @@ private[queries] object ExtGovernance {
     }
   )
 
+  private val q251_cc_audit = Q(
+    "q251_cc_audit",
+    // Payment-card exposure audit per source: Luhn-validated
+    // candidates, not bare regex hits (the corpus plants a valid
+    // card on doc_id%10==0 and a checksum-broken one on
+    // doc_id%10==5, so the discriminator is visibly load-bearing:
+    // half the candidates fail). Pure declarative Catalyst — the
+    // Luhn fold is a transform+aggregate the oracle replays
+    // digit-for-digit.
+    (s, dir) => {
+      val planted = table(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(" 4532015112830366"))
+            .when(col("doc_id") % 10 === 5,
+              lit(" 4111111111111112"))
+            .otherwise(lit(""))))
+      graft.operators.Privacy.ccAudit(
+        planted, Seq("source"), "text")
+        .orderBy("source")
+    },
+    Some("""WITH p AS (SELECT source, text ||
+        CASE WHEN doc_id % 10 = 0 THEN ' 4532015112830366'
+          WHEN doc_id % 10 = 5 THEN ' 4111111111111112'
+          ELSE '' END AS t FROM documents),
+      c AS (SELECT source, regexp_extract_all(t, '[0-9]{13,19}')
+        AS cs FROM p),
+      d AS (SELECT source, len(cs) AS nc,
+          len(list_filter(cs, x ->
+            list_aggregate(list_transform(range(1, length(x) + 1),
+              i -> CASE WHEN i % 2 = 1
+                THEN CAST(substr(reverse(x), i, 1) AS INT)
+                ELSE CASE
+                  WHEN CAST(substr(reverse(x), i, 1) AS INT) * 2 > 9
+                  THEN CAST(substr(reverse(x), i, 1) AS INT) * 2 - 9
+                  ELSE CAST(substr(reverse(x), i, 1) AS INT) * 2
+                  END END),
+            'sum') % 10 = 0)) AS nv
+        FROM c)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_flagged,
+        CAST(sum(nc) AS BIGINT) AS n_candidates,
+        CAST(sum(nv) AS BIGINT) AS n_luhn_valid,
+        CASE WHEN sum(nc) > 0 THEN
+          round(CAST(sum(nv) AS DOUBLE) / CAST(sum(nc) AS DOUBLE),
+            6) END AS valid_share
+      FROM d GROUP BY 1 ORDER BY 1""")
+  )
+
   private val q200_dp_release = Q(
     "q200_dp_release",
     // Differentially-private corpus statistics release: per
@@ -541,5 +590,6 @@ private[queries] object ExtGovernance {
     q103_schema_evolution,
     q189_encoding_advisor,
     q200_dp_release,
+    q251_cc_audit,
     q206_format_roundtrip)
 }

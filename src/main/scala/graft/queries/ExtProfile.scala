@@ -1204,6 +1204,47 @@ private[queries] object ExtProfile {
       ORDER BY 1, 2""")
   )
 
+  private val q252_wasserstein = Q(
+    "q252_wasserstein",
+    // 1-D Wasserstein on click vs view values — the
+    // magnitude-sensitive drift number beside q219's KS sup-norm
+    // (a uniform shift moves W1 by the shift but barely moves D):
+    // interval terms |cumA·n_b − cumB·n_a|·Δv in exact
+    // DECIMAL(38,0) over the bucketed two-phase machinery, one
+    // final IEEE chain back to value units. The oracle replays it
+    // with global windows, bitwise.
+    (s, dir) =>
+      graft.operators.Profile.wasserstein1(
+        events(s, dir), "event_type", "value", "click", "view"),
+    Some("""WITH a AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS v FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL),
+      b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+          AS BIGINT) AS v FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL),
+      ca AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM a
+        GROUP BY 1),
+      cb AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b
+        GROUP BY 1),
+      j AS (SELECT COALESCE(ca.v, cb.v) AS v,
+          COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        FROM ca FULL JOIN cb ON cb.v = ca.v),
+      w AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+          sum(cb) OVER (ORDER BY v) AS cumb,
+          lead(v) OVER (ORDER BY v) AS vnext FROM j),
+      n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          CAST(sum(cb) AS BIGINT) AS nb FROM j),
+      t AS (SELECT COALESCE(sum(abs(cuma * n.nb - cumb * n.na)
+          * COALESCE(vnext - v, 0)), 0) AS w1num
+        FROM w CROSS JOIN n)
+      SELECT n.na AS n_a, n.nb AS n_b,
+        CAST(t.w1num AS DOUBLE) AS w1_num,
+        CASE WHEN n.na > 0 AND n.nb > 0 THEN
+          round(CAST(t.w1num AS DOUBLE) / (CAST(n.na AS DOUBLE)
+            * CAST(n.nb AS DOUBLE) * 100.0), 6) END AS w1
+      FROM n CROSS JOIN t""")
+  )
+
   private val q238_trend_test = Q(
     "q238_trend_test",
     // Mann–Kendall + Theil–Sen per event type over the zero-filled
@@ -1714,6 +1755,7 @@ private[queries] object ExtProfile {
   )
 
   val all: Seq[Q] = Seq(
+    q252_wasserstein,
     q243_overlap_matrix,
     q238_trend_test,
     q227_corr_matrix,

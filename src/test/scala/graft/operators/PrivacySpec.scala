@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -78,6 +79,34 @@ class PrivacySpec extends AnyFunSuite {
     // the salt keys the noise: an empty salt is refused loudly
     intercept[IllegalArgumentException] {
       Privacy.dpCounts(df, Seq("src"), 1.0, 1L, "")
+    }
+  }
+
+  test("luhnValid: known card checksums; ccAudit hand counts") {
+    import spark.implicits._
+    val checks = Seq("4532015112830366", "4111111111111111",
+      "4111111111111112", "5500005555555559", "1234567890123")
+      .toDF("s")
+      .select(col("s"), Privacy.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(checks("4532015112830366") && checks("4111111111111111")
+      && checks("5500005555555559"))
+    assert(!checks("4111111111111112") && !checks("1234567890123"))
+    // audit: src a has one valid + one invalid candidate doc, one
+    // clean doc; src b is clean
+    val docs = Seq(
+      ("a", "pay 4111111111111111 now"),
+      ("a", "ref 4111111111111112 bad"),
+      ("a", "no digits here"),
+      ("b", "clean")).toDF("src", "text")
+    val got = Privacy.ccAudit(docs, Seq("src"), "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got("a") == ((3L, 2L, 2L, 1L, Some(0.5))))
+    assert(got("b") == ((1L, 0L, 0L, 0L, None)))
+    intercept[IllegalArgumentException] {
+      Privacy.ccAudit(docs, Seq("n_docs"), "text")
     }
   }
 }

@@ -1062,6 +1062,51 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("wasserstein1: shift = distance, disjoint mass, naive reference, " +
+      "degenerate edges") {
+    import spark.implicits._
+    def w1(rows: Seq[(String, Double)], scale: Int = 0) =
+      Profile.wasserstein1(rows.toDF("g", "v"), "g", "v", "A", "B",
+        scale)
+    // B is A shifted by exactly 1: W1 == 1
+    val shift = Seq(0.0, 1.0, 2.0).map(("A", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("B", _))
+    assert(w1(shift).head().getDouble(3) == 1.0)
+    // identical distributions: 0; single shared value still emits
+    val same = Seq(("A", 5.0), ("A", 7.0), ("B", 5.0), ("B", 7.0))
+    assert(w1(same).head().getDouble(3) == 0.0)
+    val point = Seq(("A", 5.0), ("B", 5.0))
+    val p = w1(point).head()
+    assert(p.getLong(0) == 1L && p.getDouble(3) == 0.0)
+    // disjoint point masses: distance between them
+    assert(w1(Seq(("A", 0.0), ("B", 10.0))).head().getDouble(3)
+      == 10.0)
+    // sub-unit values via scale
+    assert(w1(Seq(("A", 0.5), ("B", 1.0)), scale = 2)
+      .head().getDouble(3) == 0.5)
+    // one empty side: null w1
+    val oneSided = w1(Seq(("A", 1.0), ("A", 2.0))).head()
+    assert(oneSided.getLong(1) == 0L && oneSided.isNullAt(3))
+    // pseudo-random data vs the naive O(n log n) reference, under
+    // adversarial repartition
+    val rows = (0 until 400).map { i =>
+      (if (i % 2 == 0) "A" else "B", ((i * 37) % 23).toDouble)
+    }
+    val got = Profile.wasserstein1(
+      rows.toDF("g", "v").repartition(13), "g", "v", "A", "B", 0)
+      .head().getDouble(3)
+    val av = rows.filter(_._1 == "A").map(_._2.toLong).sorted
+    val bv = rows.filter(_._1 == "B").map(_._2.toLong).sorted
+    val grid = (av ++ bv).distinct.sorted
+    var ref = 0.0
+    grid.zip(grid.tail).foreach { case (v, vn) =>
+      val fa = av.count(_ <= v).toDouble / av.size
+      val fb = bv.count(_ <= v).toDouble / bv.size
+      ref += math.abs(fa - fb) * (vn - v)
+    }
+    assert(math.abs(got - ref) < 1e-6, s"$got vs $ref")
+  }
+
   test("krippendorffAlpha: hand value with ragged panel, unpairable " +
       "items drop, perfect 1, single-category null") {
     import spark.implicits._
