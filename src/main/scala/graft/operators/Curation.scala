@@ -426,4 +426,99 @@ object Curation {
             - col("_ssum").cast("double")
               / (col("n").cast("double") * 1000000.0)), 6).as("gap"))
   }
+
+  /** The Gopher "required stopwords" inventory (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1.2): a document of
+    * real prose should contain at least `minStopHits` of these. A
+    * DISTINCT-match count — repeating "the" 50 times buys one hit. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style multi-rule quality gate — the MassiveText document
+    * filter (Rae et al. 2021 §A1.1.2) re-expressed as ONE codegen'd
+    * projection: every signal is a pure column expression over the
+    * whitespace token array, so the 100 TB pass is a single scan with
+    * no shuffle, no UDF, and no per-rule subquery. The C4-style line
+    * rules (bullet/ellipsis lines) are omitted deliberately: they
+    * need line structure this corpus' single-line documents don't
+    * have, and [[graft.functions.TextFunctions.qualityScore]] already
+    * covers the punctuation axis.
+    *
+    * Signals (all exact integer ratios cast to double, so any SQL
+    * engine reproduces them bitwise):
+    *   - `word_count`        whitespace tokens
+    *   - `mean_word_len`     chars per token
+    *   - `alpha_frac`        tokens containing [A-Za-z]
+    *   - `stop_hits`         distinct [[GopherStopwords]] present
+    *   - `dup2_frac`         1 − distinct/total word 2-grams (the
+    *                         Gopher duplicate-n-gram fraction)
+    *   - `top2_frac`         share of 2-gram slots taken by the single
+    *                         most frequent 2-gram (the "top n-gram
+    *                         character fraction" rule, token-weighted).
+    *                         Computed as the longest equal-run of the
+    *                         SORTED gram array — an O(grams) fold, no
+    *                         explode, no per-doc group-by.
+    *
+    * Per-rule booleans (`r_*`) and the conjunction `passed` ride
+    * along so downstream attrition reports (cf. [[filterAttrition]])
+    * can attribute every kill to a rule. Empty docs fail the
+    * word-count rule and define the ratio signals as 0. */
+  def gopherGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      maxDup2Frac: Double = 0.2,
+      maxTop2Frac: Double = 0.2): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val c = col(textCol)
+    val w = TextFunctions.words(c)
+    val grams2 = TextFunctions.wordNgramsAll(c, 2)
+    val alphaFrac = when(size(w) === 0, lit(0.0)).otherwise(
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / size(w))
+    val stopHits = size(array_intersect(
+      array_distinct(w), array(GopherStopwords.map(lit): _*)))
+    val dup2 = when(size(grams2) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams2)).cast("double") /
+        size(grams2))
+    // longest run in the sorted gram array == max multiplicity; the
+    // fold carries (previous gram, current run, best run)
+    val maxRun = aggregate(
+      array_sort(grams2),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+    val top2 = when(size(grams2) === 0, lit(0.0)).otherwise(
+      maxRun.cast("double") / size(grams2))
+    df.select(
+        col(idCol),
+        size(w).cast("long").as("word_count"),
+        TextFunctions.meanWordLen(c).as("mean_word_len"),
+        alphaFrac.as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"),
+        dup2.as("dup2_frac"),
+        top2.as("top2_frac"))
+      .withColumn("r_words",
+        col("word_count").between(minWords, maxWords))
+      .withColumn("r_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("r_stop", col("stop_hits") >= minStopHits)
+      .withColumn("r_dup2", col("dup2_frac") <= maxDup2Frac)
+      .withColumn("r_top2", col("top2_frac") <= maxTop2Frac)
+      .withColumn("passed",
+        col("r_words") && col("r_word_len") && col("r_alpha") &&
+          col("r_stop") && col("r_dup2") && col("r_top2"))
+  }
 }

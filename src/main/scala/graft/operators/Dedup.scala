@@ -349,6 +349,79 @@ object Dedup {
     * just the band self-join + verify. Callers reusing the index
     * across several consumers should persist it once (parquet-backed
     * indexes already are). */
+  /** Contrastive pair-set builder — the training set for a LEARNED
+    * dedup/similarity model (bi-encoder, cross-encoder, or a
+    * re-ranking head over [[minHashLshPairs]]' candidates): every
+    * LSH-verified near-dup pair becomes a POSITIVE, and each
+    * positive is matched with one deterministic LENGTH-MATCHED
+    * negative — a document from the partner's token-length bucket
+    * that is NOT a near-dup of the anchor. Length matching is the
+    * standard anti-shortcut: without it the model learns "similar
+    * length ⇒ duplicate" instead of content similarity.
+    *
+    * The negative pick is DETERMINISTIC (min doc id in the bucket
+    * after exclusions), not random — reproducible builds, and the
+    * oracle replays the exact same choice. Positives without any
+    * eligible bucket partner emit no negative (visible as a
+    * label-count asymmetry, not silently re-bucketed).
+    *
+    * Shape: the LSH pair stage (banded, bucket-capped — never
+    * all-pairs), one token-count pass, then a pairs×bucket join
+    * whose fan-out is bounded by the largest length bucket —
+    * guarded loudly by `maxBucketDocs` — an anti-join against the
+    * positive set, and a min partial agg.
+    *
+    * Output: (anchor, partner, label) — label 1 for near-dup
+    * positives (anchor < partner), 0 for the matched negatives. */
+  def contrastivePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      minJ: Double = 0.5,
+      lenBucket: Int = 16,
+      maxBucketDocs: Long = 100000L): DataFrame = {
+    require(lenBucket >= 1, s"lenBucket must be >= 1, got $lenBucket")
+    require(maxBucketDocs >= 1L,
+      s"maxBucketDocs must be >= 1, got $maxBucketDocs")
+    val pos = minHashLshPairs(df, idCol, textCol, n, bands,
+      rowsPerBand, minJ)
+      .select(col("id_a"), col("id_b"))
+    val buckets = df.select(col(idCol).cast("long").as("_id"),
+      floor(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("double") / lenBucket).cast("long").as("_bkt"))
+    val worst = buckets.groupBy("_bkt").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    if (!worst.isNullAt(0)) {
+      require(worst.getLong(0) <= maxBucketDocs,
+        s"contrastivePairs: a length bucket holds " +
+          s"${worst.getLong(0)} docs > maxBucketDocs=$maxBucketDocs " +
+          "— the negative-candidate join fans out per bucket; widen " +
+          "lenBucket or raise the bound deliberately")
+    }
+    val cand = pos
+      .join(buckets.select(col("_id").as("id_b"),
+        col("_bkt").as("_tb")), "id_b")
+      .join(buckets.select(col("_id").as("_cand"),
+        col("_bkt").as("_tb")), "_tb")
+      .filter(col("_cand") =!= col("id_a") &&
+        col("_cand") =!= col("id_b"))
+    // a candidate already near-dup with the anchor is not a negative
+    val negs = cand
+      .join(pos.select(col("id_a").as("_pa"), col("id_b").as("_pb")),
+        least(col("id_a"), col("_cand")) === col("_pa") &&
+          greatest(col("id_a"), col("_cand")) === col("_pb"),
+        "left_anti")
+      .groupBy("id_a", "id_b")
+      .agg(min(col("_cand")).as("_neg"))
+    pos.select(col("id_a").as("anchor"), col("id_b").as("partner"),
+      lit(1L).as("label"))
+      .unionAll(negs.select(col("id_a").as("anchor"),
+        col("_neg").as("partner"), lit(0L).as("label")))
+  }
+
   def minHashLshPairsFromIndex(
       index: DataFrame,
       minJ: Double = 0.5,

@@ -1204,7 +1204,65 @@ private[queries] object ExtCuration {
       FROM cm ORDER BY threshold""")
   )
 
+  private val q254_gopher_gate = Q(
+    "q254_gopher_gate",
+    // Gopher/MassiveText multi-rule document filter as one codegen'd
+    // scan: word-count bounds, mean-word-length band, alphabetic-word
+    // fraction, required-stopword hits, duplicate-2-gram fraction,
+    // and top-2-gram share (longest equal-run of the sorted gram
+    // array — no explode). Thresholds tightened to this corpus'
+    // observed ranges so every rule column carries both outcomes;
+    // all signals are exact integer ratios, so DuckDB reproduces
+    // them bitwise.
+    (s, dir) =>
+      graft.operators.Curation.gopherGate(
+        table(s, dir, "documents"), "doc_id", "text",
+        minWords = 30L, maxWords = 100000L,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minAlphaFrac = 0.8, minStopHits = 2,
+        maxDup2Frac = 0.05, maxTop2Frac = 0.05)
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+      g AS (SELECT doc_id, w,
+        list_transform(range(greatest(len(w) - 1, 0)),
+          i -> w[i+1] || ' ' || w[i+2]) AS g2 FROM t),
+      mx AS (SELECT doc_id, max(cnt) AS mxc FROM (
+          SELECT doc_id, gram, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+          GROUP BY 1, 2) GROUP BY 1),
+      s AS (SELECT g.doc_id,
+        CAST(len(w) AS BIGINT) AS word_count,
+        CASE WHEN len(w) = 0 THEN 0.0
+          ELSE CAST(list_sum(list_transform(w, x -> len(x)))
+            AS DOUBLE) / len(w) END AS mean_word_len,
+        CASE WHEN len(w) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(w,
+            x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+          END AS alpha_frac,
+        CAST(len(list_intersect(list_distinct(w),
+          ['the','be','to','of','and','that','have','with']))
+          AS BIGINT) AS stop_hits,
+        CASE WHEN len(g2) = 0 THEN 0.0
+          ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+          END AS dup2_frac,
+        CASE WHEN len(g2) = 0 THEN 0.0
+          ELSE CAST(coalesce(mx.mxc, 0) AS DOUBLE) / len(g2)
+          END AS top2_frac
+        FROM g LEFT JOIN mx ON mx.doc_id = g.doc_id)
+      SELECT *, r_words AND r_word_len AND r_alpha AND r_stop
+          AND r_dup2 AND r_top2 AS passed
+      FROM (SELECT s.*,
+        word_count BETWEEN 30 AND 100000 AS r_words,
+        mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+        alpha_frac >= 0.8 AS r_alpha,
+        stop_hits >= 2 AS r_stop,
+        dup2_frac <= 0.05 AS r_dup2,
+        top2_frac <= 0.05 AS r_top2 FROM s)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
+    q254_gopher_gate,
     q247_threshold_sweep,
     q246_classifier_fairness,
     q245_classifier_auc,

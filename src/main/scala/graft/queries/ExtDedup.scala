@@ -33,6 +33,45 @@ private[queries] object ExtDedup {
     Some(jaccardOracle)
   )
 
+  private val q253_contrastive_pairs = Q(
+    "q253_contrastive_pairs",
+    // Training set for a LEARNED dedup model: every LSH-verified
+    // near-dup pair is a positive; each positive gets one
+    // deterministic LENGTH-MATCHED negative (min doc id in the
+    // partner's token-length bucket, excluding the anchor's
+    // near-dups) — the anti-shortcut matching that stops a model
+    // from learning "similar length => duplicate". The oracle
+    // rebuilds positives from exact Jaccard and replays the exact
+    // same negative pick.
+    (s, dir) =>
+      Dedup.contrastivePairs(
+        table(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 32, rowsPerBand = 4, minJ = 0.5,
+        lenBucket = 16)
+        .orderBy("label", "anchor", "partner"),
+    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= 0.5),
+      bk AS (SELECT doc_id, len($W) // 16 AS bkt FROM documents),
+      cand AS (SELECT p.a, p.b, c.doc_id AS cand FROM p
+        JOIN bk tb ON tb.doc_id = p.b
+        JOIN bk c ON c.bkt = tb.bkt AND c.doc_id <> p.a
+          AND c.doc_id <> p.b),
+      negc AS (SELECT cand.* FROM cand LEFT JOIN p pp
+          ON pp.a = least(cand.a, cand.cand)
+          AND pp.b = greatest(cand.a, cand.cand)
+        WHERE pp.a IS NULL),
+      neg AS (SELECT a, b, min(cand) AS neg FROM negc GROUP BY 1, 2)
+      SELECT a AS anchor, b AS partner, CAST(1 AS BIGINT) AS label
+        FROM p
+      UNION ALL SELECT a, neg, CAST(0 AS BIGINT) FROM neg
+      ORDER BY label, anchor, partner""")
+  )
+
   private val q36_dedup_minhash_lsh = Q(
     "q36_dedup_minhash_lsh",
     // LSH candidates + exact verification: with bands=32, rows=4 a
@@ -770,6 +809,7 @@ private[queries] object ExtDedup {
     q34_dedup_exact,
     q35_dedup_ngram_jaccard,
     q36_dedup_minhash_lsh,
+    q253_contrastive_pairs,
     q37_dedup_simhash,
     q66_dedup_incremental,
     q65_dedup_clusters,

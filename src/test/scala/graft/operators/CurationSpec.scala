@@ -325,4 +325,53 @@ class CurationSpec extends AnyFunSuite {
       Curation.reliabilityTable(df, "score", col("y"), bins = 1)
     }
   }
+
+  test("gopherGate: each rule kills exactly its target doc; " +
+      "signals exact; empty doc defines ratios as 0") {
+    import spark.implicits._
+    def doc(ws: Seq[String]) = ws.mkString(" ")
+    val clean = Seq("the", "of") ++ (1 to 33).map(i => f"word$i%02d")
+    val spam = Seq("the", "of") ++ Seq.fill(20)(Seq("spam", "ham")).flatten
+    val nums = Seq("the", "be") ++ (1000 until 1030).map(_.toString)
+    val noStop = (1 to 30).map(i => f"token$i%02d")
+    val longW = Seq("the", "be") ++ (1 to 30).map(i => f"abcdefghij$i%02d")
+    val docs = Seq(
+      1L -> doc(clean), // passes all
+      2L -> doc(clean.take(10)), // too short
+      3L -> doc(spam), // repeated phrase: dup2 + top2
+      4L -> doc(nums), // numeric: alpha
+      5L -> doc(noStop), // no required stopwords
+      6L -> doc(longW), // mean word length over band
+      7L -> "").toDF("doc_id", "text")
+    val out = Curation.gopherGate(docs, "doc_id", "text",
+        minWords = 30L, maxWords = 100000L,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minAlphaFrac = 0.8, minStopHits = 2,
+        maxDup2Frac = 0.2, maxTop2Frac = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rules(id: Long): Seq[Boolean] =
+      (7 to 12).map(i => out(id).getBoolean(i))
+    assert(out(1L).getBoolean(13) && rules(1L).forall(identity))
+    assert(rules(2L) == Seq(false, true, true, true, true, true))
+    // spam doc: 42 words, 41 grams, 4 distinct, top gram 20x
+    assert(out(3L).getLong(1) == 42L)
+    assert(out(3L).getDouble(5) == 1.0 - 4.0 / 41.0)
+    assert(out(3L).getDouble(6) == 20.0 / 41.0)
+    assert(rules(3L) == Seq(true, true, true, true, false, false))
+    assert(out(4L).getDouble(3) == 2.0 / 32.0)
+    assert(rules(4L) == Seq(true, true, false, true, true, true))
+    assert(out(5L).getLong(4) == 0L)
+    assert(rules(5L) == Seq(true, true, true, false, true, true))
+    assert(out(6L).getDouble(2) > 10.0)
+    assert(rules(6L) == Seq(true, false, true, true, true, true))
+    val empty = out(7L)
+    assert(empty.getLong(1) == 0L && empty.getDouble(2) == 0.0 &&
+      empty.getDouble(3) == 0.0 && empty.getDouble(5) == 0.0 &&
+      empty.getDouble(6) == 0.0 && !empty.getBoolean(13))
+    assert((2L to 7L).forall(id => !out(id).getBoolean(13)))
+    intercept[IllegalArgumentException] {
+      Curation.gopherGate(docs, "doc_id", "text",
+        minWords = 10L, maxWords = 5L)
+    }
+  }
 }

@@ -791,4 +791,43 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     assert(selfOut.forall(_.getLong(5) == 0L))
   }
+
+  test("contrastivePairs: pos from LSH, deterministic length-matched " +
+      "negative skips the anchor's other dups; no-candidate pairs " +
+      "emit no negative; loud contracts") {
+    import spark.implicits._
+    // 1, 2, 5 are mutual near-dups (J >= 0.5 on 3-grams); 3, 4 are
+    // unrelated, all in the same <16-token length bucket
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (5L, "a b c d e f g y"),
+      (3L, "p q r s t u v w"),
+      (4L, "z y x w v u t s")).toDF("doc_id", "text")
+    val rows = Dedup.contrastivePairs(docs, "doc_id", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows.toSet
+    // positives: the dup triangle
+    assert(got.filter(_._3 == 1L) ==
+      Set((1L, 2L, 1L), (1L, 5L, 1L), (2L, 5L, 1L)))
+    // negatives: min bucket id that is NOT a near-dup of the anchor
+    // (doc 5 / doc 2 / doc 1 are each excluded for their anchors);
+    // one negative PER POSITIVE, so (1,3,0) appears twice
+    assert(rows.count(_._3 == 0L) == 3)
+    assert(got.filter(_._3 == 0L) ==
+      Set((1L, 3L, 0L), (2L, 3L, 0L)))
+    // only the dup pair in the corpus: positive emitted, no negative
+    val bare = Dedup.contrastivePairs(
+      docs.filter(col("doc_id").isin(1L, 2L)), "doc_id", "text")
+      .collect()
+    assert(bare.length == 1 && bare.head.getLong(2) == 1L)
+    intercept[IllegalArgumentException] {
+      Dedup.contrastivePairs(docs, "doc_id", "text", lenBucket = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.contrastivePairs(docs, "doc_id", "text",
+        maxBucketDocs = 2L)
+    }
+  }
 }
