@@ -2129,4 +2129,51 @@ object Profile {
         (col("_pstar").isNotNull && col("_p6") <= col("_pstar"))
           .as("rejected"))
   }
+
+  /** The encoding artifacts [[encodingAudit]] hunts, each a LITERAL
+    * byte sequence so both engines count via substring replacement —
+    * no regex, hence no Java-vs-RE2 dialect risk:
+    *   - `latin1_utf8` "Ã" — UTF-8 bytes re-decoded as Latin-1 (the
+    *     classic café→cafÃ© double-encoding tell)
+    *   - `smart_quote` "â€™" — a Windows-1252 right quote after the
+    *     same double-decode
+    *   - `replacement` U+FFFD — a decoder already gave up
+    *   - `zwsp` U+200B — zero-width space (copy-paste shrapnel that
+    *     breaks tokenizers invisibly)
+    *   - `ctl` U+0001 — a C0 control byte that survived extraction */
+  val EncodingArtifacts: Seq[(String, String)] = Seq(
+    "latin1_utf8" -> "\u00C3",
+    "smart_quote" -> "\u00E2\u20AC\u2122",
+    "replacement" -> "\uFFFD",
+    "zwsp" -> "\u200B",
+    "ctl" -> "\u0001")
+
+  /** Per-document encoding-artifact audit — the mojibake screen every
+    * web-scraped corpus needs before tokenization (double-encoded
+    * UTF-8, replacement chars, zero-width and control bytes all
+    * inflate token counts and poison dedup fingerprints while being
+    * invisible in most viewers).
+    *
+    * One codegen'd projection per document: each artifact count is
+    * `(len(text) − len(replace(text, artifact))) / len(artifact)` —
+    * exact integer arithmetic over literal substrings, a single scan,
+    * no shuffle, no UDF, and bitwise-reproducible in any SQL engine.
+    * `clean` flags documents with zero artifacts; the per-source
+    * aggregate is one `groupBy` away and deliberately not baked in.
+    *
+    * Output: (id, n_latin1_utf8, n_smart_quote, n_replacement,
+    * n_zwsp, n_ctl, n_artifacts, clean). */
+  def encodingAudit(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val c = coalesce(col(textCol), lit("")) // null text = clean, not null flags
+    val counts = EncodingArtifacts.map { case (name, pat) =>
+      ((length(c) - length(replace(c, lit(pat), lit("")))) /
+        pat.length).cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("n_artifacts",
+        EncodingArtifacts.map { case (n, _) => col(s"n_$n") }
+          .reduce(_ + _))
+      .withColumn("clean", col("n_artifacts") === 0L)
+  }
 }

@@ -1306,6 +1306,64 @@ private[queries] object ExtProfile {
       FROM zc ORDER BY event_type""")
   )
 
+  private val q255_encoding_audit = Q(
+    "q255_encoding_audit",
+    // Mojibake screen: the fixture text is clean ASCII, so the query
+    // plants deterministic doc_id-derived artifacts first (Latin-1
+    // double-decode "Ã", Windows-1252 smart quote "â€™", U+FFFD,
+    // zero-width space, a C0 control byte) and the audit must count
+    // exactly what was planted. Counts are literal-substring
+    // replacement arithmetic — no regex, so no Java-vs-RE2 dialect
+    // risk — and the oracle replays the same planting with chr().
+    (s, dir) => {
+      val id = col("doc_id")
+      val art = graft.operators.Profile.EncodingArtifacts.toMap
+      val doctored = table(s, dir, "documents").select(
+        id,
+        concat(
+          col("text"),
+          when(id % 3 === 1, lit(art("latin1_utf8")))
+            .when(id % 3 === 2, lit(art("latin1_utf8") * 2))
+            .otherwise(lit("")),
+          when(id % 4 === 0, lit(art("smart_quote"))).otherwise(lit("")),
+          when(id % 5 === 0, lit(art("replacement") * 2))
+            .otherwise(lit("")),
+          when(id % 7 === 0, lit(art("zwsp"))).otherwise(lit("")),
+          when(id % 11 === 0, lit(art("ctl"))).otherwise(lit("")))
+          .as("text"))
+      graft.operators.Profile
+        .encodingAudit(doctored, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 1 THEN chr(195)
+          WHEN doc_id % 3 = 2 THEN chr(195) || chr(195)
+          ELSE '' END ||
+        CASE WHEN doc_id % 4 = 0
+          THEN chr(226) || chr(8364) || chr(8482) ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+          THEN chr(65533) || chr(65533) ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(8203) ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN chr(1) ELSE '' END AS t
+        FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(t) - len(replace(t, chr(195), '')) AS BIGINT)
+          AS n_latin1_utf8,
+        CAST((len(t) - len(replace(t,
+          chr(226) || chr(8364) || chr(8482), ''))) // 3 AS BIGINT)
+          AS n_smart_quote,
+        CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT)
+          AS n_replacement,
+        CAST(len(t) - len(replace(t, chr(8203), '')) AS BIGINT)
+          AS n_zwsp,
+        CAST(len(t) - len(replace(t, chr(1), '')) AS BIGINT) AS n_ctl
+        FROM d)
+      SELECT *, n_artifacts = 0 AS clean FROM (SELECT c.*,
+        n_latin1_utf8 + n_smart_quote + n_replacement + n_zwsp + n_ctl
+          AS n_artifacts FROM c)
+      ORDER BY doc_id""")
+  )
+
   private val q222_spearman = Q(
     "q222_spearman",
     // Spearman rank correlation of quantity vs extended price:
@@ -1798,6 +1856,7 @@ private[queries] object ExtProfile {
     q220_seasonal_decompose,
     q222_spearman,
     q223_ks_by_key,
-    q224_bh_fdr)
+    q224_bh_fdr,
+    q255_encoding_audit)
 
 }

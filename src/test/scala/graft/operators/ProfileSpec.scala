@@ -1190,4 +1190,35 @@ class ProfileSpec extends AnyFunSuite {
         "item", "label").head()
     }
   }
+
+  test("encodingAudit: counts each planted artifact exactly, " +
+      "multi-codepoint pattern counted per occurrence, clean and " +
+      "null docs report zero") {
+    import spark.implicits._
+    val art = Profile.EncodingArtifacts.toMap
+    val docs = Seq(
+      (1L, Some("plain ascii prose")),
+      (2L, Some("caf" + art("latin1_utf8") + "© and " +
+        art("latin1_utf8"))), // 2x latin1 tell
+      (3L, Some("it" + art("smart_quote") + "s it" +
+        art("smart_quote") + "s")), // 2x 3-codepoint quote
+      (4L, Some(art("replacement") * 3)),
+      (5L, Some("a" + art("zwsp") + "b" + art("ctl"))),
+      (6L, None)).toDF("doc_id", "text")
+    val out = Profile.encodingAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(r.getLong).toList).toMap
+    assert(out(1L) == List(0, 0, 0, 0, 0, 0))
+    assert(out(2L) == List(2, 0, 0, 0, 0, 2))
+    // the smart-quote bytes contain no stray "Ã" (U+00C3) — the
+    // latin1 counter must not fire on U+00E2
+    assert(out(3L) == List(0, 2, 0, 0, 0, 2))
+    assert(out(4L) == List(0, 0, 3, 0, 0, 3))
+    assert(out(5L) == List(0, 0, 0, 1, 1, 2))
+    assert(out(6L) == List(0, 0, 0, 0, 0, 0))
+    val clean = Profile.encodingAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(clean == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> true))
+  }
 }
