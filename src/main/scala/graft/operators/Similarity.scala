@@ -1622,4 +1622,129 @@ object Similarity {
     comp.select(col("group"), col("n"), col("scatter"),
       col("db_component"))
   }
+
+  /** Top principal component of the embedding corpus — the dominant
+    * covariance eigenvector, i.e. the direction a drift monitor or a
+    * whitening pass cares about first, with its explained-variance
+    * share. Computed by FIXED-COUNT power iteration so the result is
+    * a pure function of the data (no convergence test, no RNG):
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Determinism contract (the corrMatrix + q39 disciplines
+    * combined):
+    *   1. Components quantize to integers qᵢ = floor(xᵢ·2^bits) — a
+    *      power-of-TWO scale on purpose: a float widened to double is
+    *      exact, a double times 2^k is exact (IEEE exponent shift),
+    *      and floor is exact, so the quantization has ZERO rounding
+    *      seam across engines (a 10^k scale would hit each engine's
+    *      own float→decimal rounding). All second moments Σqᵢqⱼ,
+    *      first moments Σqᵢ and n are then EXACT DECIMAL(38,0) group
+    *      sums — order-free, partition-free, and overflow fails
+    *      loudly (ANSI), never silently.
+    *   2. The scaled covariance Cᵢⱼ = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ narrows to
+    *      double ONCE per cell; every subsequent float op (the d-term
+    *      matrix·vector folds, the L2 norms, the Rayleigh quotient)
+    *      is an ORDERED fold in ascending index order — bit-identical
+    *      to SQL's list_aggregate over index-ordered lists.
+    *
+    * Shape at 100 TB: one scan explodes each row into its
+    * d(d+3)/2 + 1 moment terms, map-side partial aggregation
+    * collapses every partition to that many rows, one d²-key shuffle,
+    * and the d(d+1)/2-cell moment frame (loudly bounded by `maxDim`)
+    * comes to the driver — the corpus itself is never collected,
+    * re-scanned, or iterated over. The power iteration runs on the
+    * driver's d×d matrix: d ≤ 128 ⇒ ≤ 200k multiplies per pass,
+    * microseconds. Iterating IN Spark would shuffle d² rows per pass
+    * for a matrix that fits in a cache line budget — wrong tool.
+    *
+    * Output: (dim 1..d, component, ev_share) — the unit-L2
+    * eigenvector at 6 decimals and its λ/trace(C) share (same value
+    * every row, a deliberate scalar attach). Zero-variance corpora
+    * fail loudly (the iterate annihilates). */
+  def principalComponent(
+      df0: DataFrame,
+      vecCol: String,
+      iterations: Int = 12,
+      bits: Int = 20,
+      maxDim: Int = 128): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64], got $iterations")
+    require(bits >= 8 && bits <= 30,
+      s"bits must be in [8, 30], got $bits")
+    val spark = df0.sparkSession
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mult = (1L << bits).toDouble
+    val df = df0.filter(col(vecCol).isNotNull)
+    val dims = df.select(size(col(vecCol)).as("d")).distinct()
+      .limit(3).collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"principalComponent needs one uniform dimension, saw " +
+        dims.sorted.mkString("{", ",", "}"))
+    val d = dims.head
+    require(d >= 2 && d <= maxDim,
+      s"dimension $d outside [2, $maxDim] — the moment frame is " +
+        "d(d+1)/2 cells and the driver matrix d×d; raise maxDim " +
+        "deliberately if the cells still fit comfortably")
+    val q = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * mult).cast("long")).as("q"))
+    def qAt(i: Column) = element_at(col("q"), i + 1).cast(dec38)
+    val iSeq = sequence(lit(0), lit(d - 1))
+    val quad = flatten(transform(iSeq, i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (qAt(i) * qAt(j)).cast(dec38).as("m")))))
+    val lin = transform(iSeq, i =>
+      struct(i.cast("int").as("i"), lit(-1).as("j"),
+        qAt(i).as("m")))
+    val cnt = array(struct(lit(-2).as("i"), lit(-2).as("j"),
+      lit(1L).cast(dec38).as("m")))
+    val mom = q
+      .select(explode(concat(quad, lin, cnt)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.m")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigDecimal(r.getDecimal(2)))
+      .toMap
+    val n = mom((-2, -2))
+    require(n >= 2, s"principalComponent needs >= 2 rows, got $n")
+    val c = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val cij = (n * mom((i, j)) - mom((i, -1)) * mom((j, -1))).toDouble
+      c(i)(j) = cij; c(j)(i) = cij
+    }
+    var trace = 0.0
+    for (i <- 0 until d) trace += c(i)(i)
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+    def l2(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to iterations) {
+      val w = matVec(v)
+      val norm = l2(w)
+      require(norm > 0.0,
+        "principalComponent: the iterate annihilated — zero-variance " +
+          "corpus (or a vector in the covariance null space)")
+      v = w.map(_ / norm)
+    }
+    val w = matVec(v)
+    var vw = 0.0
+    var vv = 0.0
+    for (i <- 0 until d) { vw += v(i) * w(i); vv += v(i) * v(i) }
+    val lambda = vw / vv
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (x, i) => ((i + 1).toLong, x, lambda / trace) }
+      .toDF("dim", "_c", "_e")
+      .select(col("dim"), round(col("_c"), 6).as("component"),
+        round(col("_e"), 6).as("ev_share"))
+  }
 }

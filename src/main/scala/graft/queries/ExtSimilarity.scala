@@ -717,7 +717,95 @@ private[queries] object ExtSimilarity {
       FROM j ORDER BY label, dim""")
   )
 
+  private val q256_principal_component = Q(
+    "q256_principal_component",
+    // Top covariance eigenvector of the embedding corpus by
+    // FIXED-COUNT power iteration (12 passes from the all-ones
+    // start) — the whitening/drift direction, with its explained-
+    // variance share. Engine-agnostic by construction: components
+    // quantize by floor(x*2^20) (float*2^k is IEEE-exact — no
+    // float->decimal rounding seam), moments are exact integer sums,
+    // and the d x d iteration is ordered double folds that the
+    // oracle replays verbatim (recursive CTE + list_aggregate).
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.principalComponent(e, "embedding")
+        .orderBy("dim")
+    },
+    Some("""WITH RECURSIVE qq AS (
+        SELECT list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+          AS q
+        FROM embeddings WHERE embedding IS NOT NULL),
+      terms AS (
+        SELECT u.t.i AS i, u.t.j AS j, u.t.m AS m
+        FROM qq, UNNEST(list_concat(list_concat(
+          flatten(list_transform(range(0, len(q)), i ->
+            list_transform(range(i, len(q)), j ->
+              {'i': CAST(i AS INT), 'j': CAST(j AS INT),
+                'm': CAST(q[CAST(i AS INT) + 1] AS HUGEINT)
+                  * q[CAST(j AS INT) + 1]}))),
+          list_transform(range(0, len(q)), i ->
+            {'i': CAST(i AS INT), 'j': -1,
+              'm': CAST(q[CAST(i AS INT) + 1] AS HUGEINT)})),
+          [{'i': -2, 'j': -2, 'm': CAST(1 AS HUGEINT)}])) AS u(t)),
+      mom AS (SELECT i, j, sum(m) AS s FROM terms GROUP BY 1, 2),
+      nn AS (SELECT s AS n FROM mom WHERE i = -2),
+      m1 AS (SELECT i, s FROM mom WHERE j = -1),
+      cells AS (
+        SELECT a.i, a.j, CAST(nn.n * a.s - b1.s * b2.s AS DOUBLE) AS c
+        FROM mom a, nn, m1 b1, m1 b2
+        WHERE a.j >= 0 AND b1.i = a.i AND b2.i = a.j),
+      sym AS (SELECT i, j, c FROM cells
+        UNION ALL SELECT j, i, c FROM cells WHERE i <> j),
+      crows AS (SELECT i, list(c ORDER BY j) AS r FROM sym GROUP BY i),
+      cmat AS (SELECT list(r ORDER BY i) AS c,
+        CAST(count(*) AS INT) AS d FROM crows),
+      tr AS (SELECT list_aggregate(list_transform(range(1, d + 1),
+          i -> c[CAST(i AS INT)][CAST(i AS INT)]), 'sum') AS trace
+        FROM cmat),
+      it(k, v) AS (
+        SELECT 0, (SELECT list_transform(range(0, d),
+            x -> CAST(1 AS DOUBLE)) FROM cmat)
+        UNION ALL
+        SELECT it.k + 1,
+          list_transform(
+            list_transform(range(1, cmat.d + 1), i ->
+              list_aggregate(list_transform(range(1, cmat.d + 1),
+                j -> cmat.c[CAST(i AS INT)][CAST(j AS INT)]
+                  * it.v[CAST(j AS INT)]), 'sum')),
+            x -> x / sqrt(list_aggregate(list_transform(
+              list_transform(range(1, cmat.d + 1), i ->
+                list_aggregate(list_transform(range(1, cmat.d + 1),
+                  j -> cmat.c[CAST(i AS INT)][CAST(j AS INT)]
+                    * it.v[CAST(j AS INT)]), 'sum')),
+              y -> y * y), 'sum')))
+        FROM it, cmat WHERE it.k < 12),
+      fin AS (SELECT v FROM it WHERE k = 12),
+      ray AS (
+        SELECT fin.v AS v,
+          list_transform(range(1, cmat.d + 1), i ->
+            list_aggregate(list_transform(range(1, cmat.d + 1),
+              j -> cmat.c[CAST(i AS INT)][CAST(j AS INT)]
+                * fin.v[CAST(j AS INT)]), 'sum')) AS w
+        FROM fin, cmat),
+      lam AS (
+        SELECT v,
+          list_aggregate(list_transform(range(1, len(v) + 1),
+            i -> v[CAST(i AS INT)] * w[CAST(i AS INT)]), 'sum')
+          / list_aggregate(list_transform(range(1, len(v) + 1),
+            i -> v[CAST(i AS INT)] * v[CAST(i AS INT)]), 'sum')
+          AS lambda
+        FROM ray)
+      SELECT CAST(u.d AS BIGINT) AS dim,
+        round(v[CAST(u.d AS INT)], 6) AS component,
+        round(lambda / tr.trace, 6) AS ev_share
+      FROM lam, tr, UNNEST(range(1, len(v) + 1)) AS u(d)
+      ORDER BY dim""")
+  )
+
   val all: Seq[Q] = Seq(
+    q256_principal_component,
     q249_dim_drift,
     q242_semantic_dedup,
     q236_centroid_drift,

@@ -739,4 +739,81 @@ class SimilaritySpec extends AnyFunSuite {
         k = 2, minCos = 0.0)
     }
   }
+
+  test("principalComponent: exact hand geometry — axis, diagonal, " +
+      "rank-1 plant — and ev_share") {
+    // all variance on dim 1: eigenvector (1, 0), share 1
+    val axis = Seq(Array(1f, 0f), Array(-1f, 0f), Array(2f, 0f),
+      Array(-2f, 0f)).map(Tuple1(_)).toDF("embedding")
+    val a = Similarity.principalComponent(axis, "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(a.toSeq == Seq((1L, 1.0, 1.0), (2L, 0.0, 1.0)))
+    // perfectly correlated diagonal: (1, 1)/sqrt(2)
+    val diag = Seq(Array(1f, 1f), Array(-1f, -1f), Array(2f, 2f),
+      Array(-2f, -2f)).map(Tuple1(_)).toDF("embedding")
+    val b = Similarity.principalComponent(diag, "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(b.toSeq == Seq((0.707107, 1.0), (0.707107, 1.0)))
+    // rank-1 plant along (1,2,2)/3: exact thirds at 6 decimals
+    val plant = Seq(3f, -3f, 6f, -6f)
+      .map(t => Tuple1(Array(t, 2 * t, 2 * t))).toDF("embedding")
+    val c = Similarity.principalComponent(plant, "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(c.toSeq ==
+      Seq((0.333333, 1.0), (0.666667, 1.0), (0.666667, 1.0)))
+  }
+
+  test("principalComponent: loud on annihilation, zero variance, " +
+      "ragged dims, oversized dim, tiny corpus") {
+    // start vector (1,1) is orthogonal to the only eigen direction
+    // (1,-1): the iterate annihilates and must fail loudly
+    val anti = Seq(Array(1f, -1f), Array(-1f, 1f), Array(2f, -2f),
+      Array(-2f, 2f)).map(Tuple1(_)).toDF("embedding")
+    val e1 = intercept[Exception] {
+      Similarity.principalComponent(anti, "embedding").collect()
+    }
+    assert(e1.getMessage.contains("annihilated"))
+    // zero-variance corpus: C = 0, same loud path
+    val const = Seq(Array(1f, 2f), Array(1f, 2f), Array(1f, 2f))
+      .map(Tuple1(_)).toDF("embedding")
+    val e2 = intercept[Exception] {
+      Similarity.principalComponent(const, "embedding").collect()
+    }
+    assert(e2.getMessage.contains("annihilated"))
+    intercept[IllegalArgumentException] { // ragged dimensions
+      Similarity.principalComponent(
+        Seq(Array(1f, 2f), Array(1f, 2f, 3f)).map(Tuple1(_))
+          .toDF("embedding"), "embedding")
+    }
+    intercept[IllegalArgumentException] { // d > maxDim
+      Similarity.principalComponent(
+        Seq(Array.fill(8)(1f), Array.fill(8)(2f)).map(Tuple1(_))
+          .toDF("embedding"), "embedding", maxDim = 4)
+    }
+    intercept[IllegalArgumentException] { // n < 2 after null drop
+      Similarity.principalComponent(
+        Seq(Option(Array(1f, 2f)), Option.empty[Array[Float]])
+          .map(Tuple1(_)).toDF("embedding"), "embedding")
+    }
+  }
+
+  test("principalComponent: fixture corpus — unit norm, ev_share in " +
+      "(0,1], bitwise determinism under repartition") {
+    val one = Similarity.principalComponent(emb, "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(one.length == 64)
+    val norm2 = one.map { case (_, v, _) => v * v }.sum
+    assert(math.abs(norm2 - 1.0) < 1e-4) // 6-decimal rounding slack
+    assert(one.forall { case (_, _, s) => s > 0.0 && s <= 1.0 })
+    assert(one.map(_._3).distinct.length == 1) // scalar attach
+    val two = Similarity.principalComponent(
+      emb.repartition(13), "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(one.toSeq == two.toSeq) // order-free exact moments
+  }
 }
