@@ -210,4 +210,51 @@ object Bpe {
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("_nt").as("n_tokens"))
   }
+
+  /** Tokenizer-FERTILITY audit per group (usually `source`): tokens
+    * emitted per word and characters per token under a fixed merge
+    * table — the number a tokenizer owner watches per data source,
+    * because high fertility on one source means the vocabulary
+    * under-serves it (an under-merged language or domain pays more
+    * sequence length per word, i.e. more training compute for the
+    * same text).
+    *
+    * At-scale shape, same as [[encodeDocs]]: the corpus collapses to
+    * a per-(group, word) frequency table (one shuffle, vocab-sized
+    * output per group), DISTINCT words encode exactly once through
+    * the merge chain, and the vocab-sized (word → token count) table
+    * broadcasts back onto the group frequencies. Corpus size enters
+    * only the initial wordcount; the encode work is vocabulary-
+    * bounded no matter how many times each word repeats.
+    *
+    * Determinism: counts and sums are exact integers; fertility and
+    * chars_per_token are each ONE IEEE division rounded to 6
+    * decimals. Every word encodes to >= 1 token, so the divisor is
+    * never 0.
+    *
+    * Output: (source, n_words, n_tokens, n_chars, fertility,
+    * chars_per_token) per group. */
+  def fertilityReport(
+      df: DataFrame, groupCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wf = df.select(col(groupCol).as("source"),
+        explode(TextFunctions.words(col(textCol))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+    val perWord = wf.select("word").distinct()
+      .withColumn("_toks", encodeUdf(merges)(col("word")))
+      .select(col("word"),
+        size(col("_toks")).cast("long").as("_nt"),
+        length(col("word")).cast("long").as("_nc"))
+    wf.join(broadcast(perWord), Seq("word"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("_nt")).as("n_tokens"),
+        sum(col("freq") * col("_nc")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"))
+  }
 }

@@ -61,4 +61,113 @@ object Retrieval {
     Ranks.rankBounded(top, col("rrf").desc, col("id"))
       .select(Seq(col("rank"), col("id"), col("rrf")) ++ rankCols: _*)
   }
+
+  /** Retrieve-then-rerank cascade, stage two: a cross-encoder-style
+    * blended scorer over the FUSED CANDIDATE LIST ONLY — the shape
+    * every production hybrid-retrieval stack uses (cheap retrievers
+    * generate, an expensive pair scorer re-orders a k-bounded list).
+    * The scorer here is a deterministic stand-in for a model: it
+    * reads the (query, candidate) PAIR CONTENT fresh — full-text
+    * term coverage and density plus the exact query-vector cosine —
+    * rather than reusing retriever scores, which is exactly the
+    * cross-encoder contract (late interaction over the pair, no
+    * score calibration between the upstream lists).
+    *
+    * score = wCos·(cos+1)/2 + wCov·coverage + wDen·den/(1+den),
+    * where coverage = |query terms present| / |query terms| and
+    * den = term occurrences / word count. A candidate missing its
+    * vector (or its document row) contributes 0 for that feature —
+    * COALESCE'd identically on both engines. Every feature is exact
+    * integers + one IEEE division (or the [[Kernels.cosineArrays]]
+    * dim-ordered fold), the blend is ONE fixed left-associated IEEE
+    * expression, emitted at 6 decimals: bitwise cross-engine.
+    *
+    * Shape — the 100 TB argument IS the cascade: the candidate list
+    * is topK-of-fusion bounded (tens of rows), so the expensive
+    * stage broadcasts the CANDIDATE IDS against corpus and
+    * embeddings (two broadcast joins that prune to candidate-sized
+    * frames at the scan) and scores only those rows. Corpus size
+    * never enters stage two; nothing driver-side, no window.
+    *
+    * Output: (rank, id, score, cos, coverage, density, rank_fused),
+    * rank 1-based by (score DESC, id), topK rows. */
+  def rerankBlend(
+      fused: DataFrame,
+      fusedIdCol: String,
+      fusedRankCol: String,
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      emb: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVecId: Long,
+      topK: Int = 10,
+      wCos: Double = 0.5,
+      wCov: Double = 0.3,
+      wDen: Double = 0.2): DataFrame = {
+    require(queryTerms.nonEmpty, "rerankBlend needs query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "query terms must be distinct")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(wCos >= 0 && wCov >= 0 && wDen >= 0 &&
+      wCos + wCov + wDen > 0, "weights must be >= 0, sum > 0")
+    // fixed term order: the hit sum folds identically cross-engine
+    val terms = queryTerms.sorted
+    val cand = fused.select(
+      col(fusedIdCol).cast("long").as("id"),
+      col(fusedRankCol).cast("long").as("rank_fused"))
+    // text features, candidate-pruned at the scan: broadcast the
+    // k-bounded candidate ids INTO the corpus join, never the corpus
+    val words = graft.functions.TextFunctions.words(col(textCol))
+    val docSide = docs
+      .join(broadcast(cand.select("id")),
+        col(docIdCol).cast("long") === col("id"))
+      .select(col("id"), words.as("_w"))
+    val hits = terms.map(t =>
+      size(filter(col("_w"), w => w === lit(t))).cast("long"))
+      .reduce(_ + _)
+    val covered = terms.map(t =>
+      when(exists(col("_w"), w => w === lit(t)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val textFeat = docSide.select(col("id"),
+      (covered.cast("double") / lit(terms.size.toDouble))
+        .as("_coverage"),
+      (hits.cast("double") /
+        greatest(size(col("_w")), lit(1)).cast("double")).as("_den"))
+    // pair cosine against the ONE query vector (broadcast single row)
+    val cosUdf = udf((a: scala.collection.Seq[Float],
+        b: scala.collection.Seq[Float]) =>
+      Kernels.cosineArrays(a.toArray, b.toArray))
+    val qv = emb.filter(col(vecIdCol).cast("long") === queryVecId)
+      .select(col(vecCol).cast("array<float>").as("_qv"))
+    val vecFeat = emb
+      .join(broadcast(cand.select("id")),
+        col(vecIdCol).cast("long") === col("id"))
+      .crossJoin(broadcast(qv))
+      .select(col("id"),
+        cosUdf(col("_qv"), col(vecCol).cast("array<float>"))
+          .as("_cos"))
+    val feat = cand
+      .join(broadcast(textFeat), Seq("id"), "left")
+      .join(broadcast(vecFeat), Seq("id"), "left")
+      .select(col("id"), col("rank_fused"),
+        coalesce(col("_cos"), lit(-1.0)).as("_c"),
+        coalesce(col("_coverage"), lit(0.0)).as("_cov"),
+        coalesce(col("_den"), lit(0.0)).as("_d"))
+    val blended = feat.select(col("id"), col("rank_fused"),
+      round(lit(wCos) * ((col("_c") + lit(1.0)) / lit(2.0)) +
+        lit(wCov) * col("_cov") +
+        lit(wDen) * (col("_d") / (lit(1.0) + col("_d"))), 6)
+        .as("score"),
+      round(col("_c"), 6).as("cos"),
+      round(col("_cov"), 6).as("coverage"),
+      round(col("_d"), 6).as("density"))
+    val top = blended.orderBy(col("score").desc, col("id"))
+      .limit(topK)
+    Ranks.rankBounded(top, col("score").desc, col("id"))
+      .select(col("rank"), col("id"), col("score"), col("cos"),
+        col("coverage"), col("density"), col("rank_fused"))
+  }
 }

@@ -1436,8 +1436,14 @@ object Similarity {
     *
     * Shape: the k-means passes (broadcast centroids, no corpus
     * shuffle per pass), one id-keyed join to re-attach vectors, one
-    * cluster-keyed self-join bounded by `maxClusterSize` (loud — a
-    * collapsed clustering would otherwise quietly go quadratic).
+    * cluster-keyed self-join bounded TWO ways (both loud): the worst
+    * single cell ≤ `maxClusterSize`, and the DERIVED total work
+    * Σ_c m_c·(m_c−1)/2 — the exact in-cell pair count the self-join
+    * will generate, computed from the same cluster_n the assignment
+    * already carries — ≤ `maxPairs`. The per-cell cap alone is not a
+    * work bound (many mid-size cells multiply), and a flat cap
+    * generous enough for a big corpus quietly admits a quadratic
+    * cell on a small one; the pair budget is scale-free.
     *
     * Output: (cluster, id_a, id_b, cos), id_a < id_b. */
   def semanticDedupPairs(
@@ -1447,19 +1453,33 @@ object Similarity {
       k: Int,
       iters: Int = 2,
       minCos: Double = 0.9,
-      maxClusterSize: Long = 100000L): DataFrame = {
+      maxClusterSize: Long = 10000L,
+      maxPairs: Long = 50000000L): DataFrame = {
     require(minCos > 0.0 && minCos <= 1.0,
       s"minCos must be in (0, 1], got $minCos")
     require(maxClusterSize >= 2L,
       s"maxClusterSize must be >= 2, got $maxClusterSize")
+    require(maxPairs >= 1L, s"maxPairs must be >= 1, got $maxPairs")
     val assigned = kmeansLloyd(df0, idCol, vecCol, k, iters)
-    val worst = assigned.agg(max(col("cluster_n"))).head()
-    if (!worst.isNullAt(0)) {
-      require(worst.getLong(0) <= maxClusterSize,
-        s"semanticDedupPairs: a cluster holds ${worst.getLong(0)} " +
+    // exact m·(m−1) in DECIMAL(38,0) — no long overflow however
+    // large a cell gets, same exact-moment discipline as the
+    // correlation family
+    val cn = col("cluster_n")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val stats = assigned.select("cluster", "cluster_n").distinct()
+      .agg(max(col("cluster_n")), sum(cn * (cn - lit(1)))).head()
+    if (!stats.isNullAt(0)) {
+      require(stats.getLong(0) <= maxClusterSize,
+        s"semanticDedupPairs: a cluster holds ${stats.getLong(0)} " +
           s"vectors > maxClusterSize=$maxClusterSize — the in-cell " +
           "pair stage is O(m²); raise k, or raise the bound " +
           "deliberately")
+      val pairs = BigDecimal(stats.getDecimal(1)) / 2
+      require(pairs <= BigDecimal(maxPairs),
+        s"semanticDedupPairs: the clustering yields $pairs in-cell " +
+          s"pairs > maxPairs=$maxPairs — the exact-cosine stage " +
+          "would do exactly that much work; raise k (smaller " +
+          "cells), or raise the budget deliberately")
     }
     val v = df0.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),

@@ -891,6 +891,160 @@ private[queries] object ExtText {
       FROM f ORDER BY rrf DESC, id LIMIT 20""")
   )
 
+  private val q257_rerank_fusion = Q(
+    "q257_rerank_fusion",
+    // Retrieve-then-rerank cascade over q187's hybrid candidates: the
+    // RRF top-20 feeds a cross-encoder-style blended scorer that
+    // re-reads the (query, candidate) PAIR CONTENT — term coverage
+    // and density from the full text, exact query-vector cosine —
+    // and re-orders the list. The expensive stage touches only the
+    // k-bounded candidate set (broadcast-pruned at both scans), which
+    // is the 100 TB cascade shape. All features are exact ints + one
+    // IEEE division or the bitwise cosine fold; the blend is one
+    // fixed left-associated expression at 6 decimals.
+    (s, dir) => {
+      val bm = graft.operators.TfIdf.bm25TopK(
+        table(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "hash", "scan"), k = 50)
+        .select(col("id"), col("rank"))
+      val e = table(s, dir, "embeddings")
+      val cos = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("id"), col("rank"))
+      val fused = graft.operators.Retrieval.rrfFuse(
+        Seq("bm25" -> bm, "cos" -> cos), "id", "rank",
+        rrfK = 60, topK = 20)
+      graft.operators.Retrieval.rerankBlend(
+        fused, "id", "rank",
+        table(s, dir, "documents"), "doc_id", "text",
+        e, "vec_id", "embedding",
+        Seq("join", "hash", "scan"), queryVecId = 0L, topK = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    },
+    Some {
+      val cosExpr = (a: String, b: String) =>
+        s"""list_aggregate(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform($a,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform($b,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
+      val hit = (t: String) => s"len(list_filter(d.w, x -> x = '$t'))"
+      s"""WITH docs AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
+        $W AS w FROM documents),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+        CAST(count(*) AS BIGINT) AS n FROM docs),
+      toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+      c AS (SELECT tf.doc_id, tf.term,
+        ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) *
+        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 *
+          ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) /
+            (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
+        FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id)
+        CROSS JOIN stats),
+      sbm AS (SELECT doc_id,
+        list_aggregate(list(contrib ORDER BY term), 'sum') AS score
+        FROM c GROUP BY doc_id),
+      bm AS (SELECT doc_id AS id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank_bm25
+        FROM sbm ORDER BY score DESC, doc_id LIMIT 50),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      sc AS (SELECT c2.vec_id AS id,
+        ${cosExpr("q.embedding", "c2.embedding")} AS cos
+        FROM e c2 JOIN e q ON q.vec_id = 0 AND c2.vec_id <> 0),
+      cosl AS (SELECT id,
+        CAST(row_number() OVER (ORDER BY cos DESC, id)
+          AS BIGINT) AS rank_cos
+        FROM sc ORDER BY cos DESC, id LIMIT 50),
+      u AS (SELECT id FROM bm UNION SELECT id FROM cosl),
+      f AS (SELECT u.id,
+        COALESCE(1.0 / (60 + bm.rank_bm25), 0.0)
+          + COALESCE(1.0 / (60 + cosl.rank_cos), 0.0) AS rrf
+        FROM u LEFT JOIN bm ON bm.id = u.id
+        LEFT JOIN cosl ON cosl.id = u.id),
+      fused AS (SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id)
+          AS BIGINT) AS rank_fused, id
+        FROM f ORDER BY rrf DESC, id LIMIT 20),
+      tfeat AS (SELECT fu.id,
+        CAST((CASE WHEN ${hit("hash")} > 0 THEN 1 ELSE 0 END +
+              CASE WHEN ${hit("join")} > 0 THEN 1 ELSE 0 END +
+              CASE WHEN ${hit("scan")} > 0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 3.0 AS coverage,
+        CAST(${hit("hash")} + ${hit("join")} + ${hit("scan")}
+          AS DOUBLE) / CAST(greatest(len(d.w), 1) AS DOUBLE) AS den
+        FROM fused fu JOIN docs d ON d.doc_id = fu.id),
+      vfeat AS (SELECT fu.id,
+        ${cosExpr("q.embedding", "c2.embedding")} AS cos
+        FROM fused fu JOIN e c2 ON c2.vec_id = fu.id
+        JOIN e q ON q.vec_id = 0),
+      g AS (SELECT fu.id, fu.rank_fused,
+        COALESCE(v.cos, -1.0) AS cr,
+        COALESCE(t.coverage, 0.0) AS cov,
+        COALESCE(t.den, 0.0) AS d
+        FROM fused fu LEFT JOIN tfeat t ON t.id = fu.id
+        LEFT JOIN vfeat v ON v.id = fu.id),
+      s2 AS (SELECT id, rank_fused,
+        round(0.5 * ((cr + 1.0) / 2.0) + 0.3 * cov
+          + 0.2 * (d / (1.0 + d)), 6) AS score,
+        round(cr, 6) AS cos, round(cov, 6) AS coverage,
+        round(d, 6) AS density
+        FROM g)
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, id)
+        AS BIGINT) AS rank, id AS doc_id, score, cos, coverage,
+        density, rank_fused
+      FROM s2 ORDER BY score DESC, id LIMIT 10"""
+    }
+  )
+
+  private val q258_tokenizer_fertility = Q(
+    "q258_tokenizer_fertility",
+    // Tokenizer-fertility audit per source under q121's fixed merge
+    // table: tokens per word and chars per token — the per-source
+    // number that says which slice of the corpus the vocabulary
+    // under-serves (high fertility = more sequence length, hence
+    // more training compute, per word). Distinct words encode ONCE
+    // (vocab-sized work); the oracle replays the identical merge
+    // chain via separator-prefixed replaces, and both divisions are
+    // one IEEE op over exact integer sums.
+    (s, dir) =>
+      graft.operators.Bpe.fertilityReport(
+        table(s, dir, "documents"), "source", "text", bpeMerges)
+        .orderBy("source"),
+    Some {
+      val enc = bpeMerges.foldLeft(
+        s"regexp_replace(word, '(.)', chr(31) || '\\1', 'g')") {
+        case (acc, (l, r)) =>
+          s"replace($acc, chr(31)||'$l'||chr(31)||'$r', chr(31)||'$l$r')"
+      }
+      s"""WITH toks AS (SELECT source, unnest($W) AS word FROM documents),
+      wf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY 1, 2),
+      dw AS (SELECT DISTINCT word FROM wf),
+      enc AS (SELECT word,
+        CAST(len(list_filter(str_split($enc, chr(31)), x -> x <> ''))
+          AS BIGINT) AS nt,
+        CAST(length(word) AS BIGINT) AS nc FROM dw),
+      a AS (SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
+        CAST(sum(freq * nt) AS BIGINT) AS n_tokens,
+        CAST(sum(freq * nc) AS BIGINT) AS n_chars
+        FROM wf JOIN enc USING (word) GROUP BY 1)
+      SELECT source, n_words, n_tokens, n_chars,
+        round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+          AS fertility,
+        round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS chars_per_token
+      FROM a ORDER BY source"""
+    }
+  )
+
   private val q198_char_entropy = Q(
     "q198_char_entropy",
     // Character-entropy quality screen: Shannon entropy (nats) per
@@ -1306,5 +1460,7 @@ private[queries] object ExtText {
     q187_rrf_fusion,
     q198_char_entropy,
     q201_readability,
-    q202_url_canonical)
+    q202_url_canonical,
+    q257_rerank_fusion,
+    q258_tokenizer_fertility)
 }

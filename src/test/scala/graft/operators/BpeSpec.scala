@@ -125,4 +125,25 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(docs == Map(1L -> ((3L, 3L)), 2L -> ((1L, 3L))))
   }
+
+  test("fertilityReport: hand counts per source, shared words encode " +
+      "once, exact divisions") {
+    // src A: "table hash table" -> words 3; table=1 tok (x2),
+    // hash=1 tok -> tokens 3; chars 5+4+5 = 14
+    // src B: "cat table" -> words 2; cat -> c,a,t = 3 toks,
+    // table -> 1 tok -> tokens 4; chars 3+5 = 8
+    val df = Seq(("A", "table hash table"), ("B", "cat table"))
+      .toDF("source", "text")
+    val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l",
+      "tabl" -> "e", "h" -> "a", "ha" -> "s", "has" -> "h")
+    val got = Bpe.fertilityReport(df, "source", "text", merges)
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 3L, 14L,
+      BigDecimal(3.0 / 3.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(14.0 / 3.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("B") == (("B", 2L, 4L, 8L, 2.0, 2.0)))
+  }
 }

@@ -147,6 +147,27 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: broadcast-vs-shuffled alive-set paths are equal across " +
+      "the bound; guard loud") {
+    import spark.implicits._
+    // K4 + pendant: alive set is 4–5 nodes, so broadcastMaxNodes=1
+    // forces the UN-HINTED (shuffle) semi-join on every round while
+    // the default takes the broadcast path — same fixpoint required
+    val k4 = (for { i <- 1L to 4L; j <- (i + 1) to 4L }
+      yield (i, j)) ++ Seq((4L, 9L))
+    def run(bound: Long) =
+      Graphs.kCore(k4.toDF("a", "b"), "a", "b", k = 3,
+        broadcastMaxNodes = bound)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(run(1L) == run(10000000L))
+    intercept[IllegalArgumentException] {
+      Graphs.kCore(k4.toDF("a", "b"), "a", "b", k = 3,
+        broadcastMaxNodes = 0L)
+    }
+  }
+
   // ---- pageRank (fixed-point) ----
 
   private val Scale = 1000000000000L
@@ -357,5 +378,29 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
         maxDegree = 1L)
     }
+    intercept[IllegalArgumentException] {
+      Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+        maxCommon = 0L)
+    }
+  }
+
+  test("linkPrediction: per-pair common-neighbor count over maxCommon " +
+      "raises at execution with the offending pair") {
+    // star through 3 low-degree centers: pair (100, 200) shares all
+    // 3 of them — every center passes maxDegree, so only maxCommon
+    // can catch the count-unbounded fold
+    val edges = (1L to 3L).flatMap(c => Seq((100L, c), (200L, c)))
+    val ok = Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+      maxCommon = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ok((100L, 200L)) == 3L) // exactly at the bound: fine
+    val e = intercept[Exception] {
+      Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+        maxCommon = 2L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxCommon=2")))
   }
 }

@@ -74,4 +74,70 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.rrfFuse(Seq("a" -> df), "id", "rank", topK = 0)
     }
   }
+
+  // ---- rerankBlend ----
+
+  private def blend(cos: Double, cov: Double, den: Double): Double =
+    BigDecimal(0.5 * ((cos + 1.0) / 2.0) + 0.3 * cov
+      + 0.2 * (den / (1.0 + den)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rerankBlend: hand features, missing vector and missing doc " +
+      "coalesce, final order by blended score") {
+    val docs = Seq(
+      (1L, "join hash scan join"), // coverage 1, den 4/4
+      (2L, "hash only here"),      // coverage 1/3, den 1/3
+      (3L, "nothing relevant"))    // coverage 0, den 0
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f)),  // the query vector
+      (1L, Array(1f, 0f)),  // cos 1 with the query
+      (2L, Array(0f, 1f)),  // cos 0
+      (4L, Array(1f, 0f)))  // vector-only candidate, no doc row
+      .toDF("vec_id", "embedding")
+    val fused = Seq((1L, 3L), (2L, 1L), (3L, 2L), (4L, 4L))
+      .toDF("id", "rank")
+    val got = Retrieval.rerankBlend(
+      fused, "id", "rank", docs, "doc_id", "text",
+      emb, "vec_id", "embedding",
+      Seq("join", "hash", "scan"), queryVecId = 0L, topK = 10)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6)))).toMap
+    // id 1: full coverage + cos 1 -> 0.5 + 0.3 + 0.2*0.5 = 0.9
+    assert(got(1L) == ((1L, 0.9, 1.0, 1.0, 1.0, 3L)))
+    // id 4: no doc row -> text features 0; cos 1 -> 0.5
+    assert(got(4L)._2 == blend(1.0, 0.0, 0.0) &&
+      got(4L)._1 == 2L && got(4L)._6 == 4L)
+    // id 2: cos 0, coverage 1/3, den 1/3
+    assert(got(2L)._2 == blend(0.0, 1.0 / 3.0, 1.0 / 3.0))
+    assert(got(2L)._4 == BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // id 3: no vector -> cos coalesces to -1, all features 0 -> 0.0
+    assert(got(3L) == ((4L, 0.0, -1.0, 0.0, 0.0, 2L)))
+    // reranked order 1 > 4 > 2 > 3 differs from the fused order
+    assert(got.toSeq.sortBy(_._2._1).map(_._1) ==
+      Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("rerankBlend: loud contracts") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val emb = Seq((0L, Array(1f))).toDF("vec_id", "embedding")
+    val fused = Seq((1L, 1L)).toDF("id", "rank")
+    def call(terms: Seq[String], topK: Int = 10,
+        wCos: Double = 0.5, wCov: Double = 0.3, wDen: Double = 0.2) =
+      Retrieval.rerankBlend(fused, "id", "rank", docs, "doc_id",
+        "text", emb, "vec_id", "embedding", terms, 0L, topK,
+        wCos, wCov, wDen)
+    intercept[IllegalArgumentException] { call(Seq.empty) }
+    intercept[IllegalArgumentException] { call(Seq("a", "a")) }
+    intercept[IllegalArgumentException] { call(Seq("a"), topK = 0) }
+    intercept[IllegalArgumentException] {
+      call(Seq("a"), wCos = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      call(Seq("a"), wCos = 0, wCov = 0, wDen = 0)
+    }
+  }
 }

@@ -738,6 +738,17 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.semanticDedupPairs(df, "vec_id", "embedding",
         k = 2, minCos = 0.0)
     }
+    // DERIVED pair budget: cells {0,2,4} and {1,3} → C(3,2)+C(2,2)
+    // = 4 in-cell pairs; every cell passes maxClusterSize yet the
+    // Σ m·(m−1)/2 budget still fails loudly at 3 and passes at 4
+    val eBudget = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+        k = 2, iters = 2, minCos = 0.9, maxPairs = 3L)
+    }
+    assert(eBudget.getMessage.contains("4 in-cell pairs") &&
+      eBudget.getMessage.contains("maxPairs=3"))
+    assert(Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+      k = 2, iters = 2, minCos = 0.9, maxPairs = 4L).count() == 4L)
   }
 
   test("principalComponent: exact hand geometry — axis, diagonal, " +
