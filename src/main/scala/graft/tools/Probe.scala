@@ -22,6 +22,10 @@ import graft.operators.{Dedup, Similarity}
   *                             self top-k, LSH, IVF, int8, near-dup)
   *   lsh-tune                  recall + wall time over a tables×bits
   *                             grid for the q40 path
+  *   semdedup [k] [runs]       q242's semanticDedupPairs fixture at a
+  *                             caller-chosen k — measures the SemDeDup
+  *                             scale knob (k ∝ n keeps cells, hence
+  *                             the in-cell pair stage, constant-sized)
   *
   * env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32).
   */
@@ -43,6 +47,7 @@ object Probe {
       case "ann-stages" => annStages(spark, sfDir, rest)
       case "components" => components(spark, sfDir)
       case "lsh-tune" => lshTune(spark, sfDir)
+      case "semdedup" => semdedup(spark, sfDir, rest)
       case other =>
         System.err.println(s"unknown probe mode '$other' " +
           "(queries | ann-stages | components | lsh-tune)")
@@ -159,6 +164,34 @@ object Probe {
       Dedup.embeddingNearDupPairs(base.unionByName(planted),
         "vec_id", "embedding", minCos = 0.99, tables = 8, bits = 12).count()
     }
+  }
+
+  /** q242's SemDeDup fixture at a caller-chosen k: the published
+    * method's scale knob is k ∝ n (cells stay constant-sized, so the
+    * exact in-cell pair stage stays linear in corpus size); at FIXED
+    * k a c× corpus grows the pair stage c² — this mode measures both
+    * regimes for SCALING.md's slope table. */
+  private def semdedup(
+      spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
+    val k = rest.headOption.flatMap(_.toIntOption).getOrElse(8)
+    val runs = rest.drop(1).headOption.flatMap(_.toIntOption)
+      .getOrElse(3)
+    val e = emb(spark, sfDir).select("vec_id", "embedding")
+    val aug = e.unionAll(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+    def once(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Similarity.semanticDedupPairs(
+        aug, "vec_id", "embedding", k = k, iters = 2, minCos = 0.9)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm
+    val ts = (1 to runs).map(_ => once()).sorted
+    println(f"semdedup k=$k%-4d median ${ts(ts.length / 2)}%7.3f s  " +
+      ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
   }
 
   /** Recall + wall time for LSH parameter variants of the q40 path. */

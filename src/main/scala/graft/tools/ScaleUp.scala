@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *   - lineitem/orders: the shared orderkey domain is shifted per
   *     copy (join keys stay consistent); dimension-style columns are
   *     left alone — facts grow, dims don't, like real warehouses.
-  *   - every other table: byte-copied unchanged.
+  *   - events: event_id shifted per copy, every other column kept —
+  *     more events per (type, user, time) key, the way real traffic
+  *     grows, so per-key statistics see genuinely scaled data.
+  *   - every other table (dims): byte-copied unchanged.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -85,9 +88,19 @@ object ScaleUp {
       d.withColumn("l_orderkey", col("l_orderkey") + c * okShift))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // everything else rides along unchanged (dims + events)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "events")) {
+    // events: id-shifted copies — event_type/user/ts domains stay
+    // fixed (like real traffic growth: more events per key, not new
+    // keys), so per-key statistics (q225 bootstrap, funnels, windows)
+    // see genuinely 3x data. Read through Catalog.events so both ts
+    // encodings the driver has shipped normalize identically.
+    val ev = graft.queries.Catalog.events(spark, src)
+    val evShift = ev.agg(max("event_id")).first().getLong(0) + 1
+    shifted(ev, (d, c) =>
+      d.withColumn("event_id", col("event_id") + c * evShift))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // everything else rides along unchanged (dims)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val from = new java.io.File(s"$src/$t.parquet")
       if (from.exists())
         org.apache.commons.io.FileUtils.copyFile(
