@@ -85,6 +85,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // interleaving side effect, measured: with the suite's ~258
+      // queries per pass, the default 100-entry codegen cache evicts
+      // every compiled class between one query's samples, so every
+      // interleaved sample re-compiles and re-JITs what a
+      // consecutive-runs bench measured hot — a systematic ~1.5–2×
+      // on sub-second queries (the first interleaved capture read
+      // 2.5× on q219-class queries with zero plan change). Size the
+      // cache to the suite so interleaved samples measure the same
+      // warm code consecutive samples did.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
