@@ -114,33 +114,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // unstable = the spread is both RELATIVELY wide (>1.5×) and
-    // ABSOLUTELY material (>0.3 s) — either alone is scheduler noise
-    def unstable(ts: Seq[Double]): Boolean = {
-      val mn = ts.min; val mx = ts.max
-      mx > 1.5 * mn && mx - mn > 0.3
-    }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
-    // trimmed median: symmetric trim scaled to sample count, so up
-    // to 2 contaminated runs out of 7 (or 1 of 5) cannot move it
-    def robustMedian(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      val trim = if (s.length >= 7) 2 else if (s.length >= 5) 1 else 0
-      median(s.slice(trim, s.length - trim))
-    }
-    // median > 3× the prior-artifact median AND > 0.3 s over it:
-    // same rel+abs double test as `unstable`, anchored to history
-    // instead of in-run spread, so STABLE-slow readings (every sample
-    // inside one contention window) are also challenged
+    // the measurement statistics live in BenchStats (spec-pinned:
+    // BenchStatsSpec) — trimmed median, rel+abs instability, and the
+    // one-sided prior cross-check that challenges STABLE-slow
+    // readings (every sample inside one contention window)
+    import BenchStats.{unstable, robustMedian}
     def divergent(name: String, ts: Seq[Double]): Boolean =
-      prior.get(name).exists { p =>
-        val m = robustMedian(ts)
-        p > 0 && m > 3 * p && m - p > 0.3
-      }
+      BenchStats.divergent(ts, prior.get(name))
     // Base samples: nRuns round-robin PASSES over the whole suite
     // (not nRuns consecutive runs per query) — see the interleaving
     // note in the header. Insertion order of `acc` stays the sorted
