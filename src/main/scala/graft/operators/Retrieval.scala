@@ -115,23 +115,25 @@ object Retrieval {
       wCos + wCov + wDen > 0, "weights must be >= 0, sum > 0")
     // fixed term order: the hit sum folds identically cross-engine
     val terms = queryTerms.sorted
+    // internal join key carries a reserved name so a caller's own
+    // "id" column in docs/emb can never collide with the candidate id
     val cand = fused.select(
-      col(fusedIdCol).cast("long").as("id"),
+      col(fusedIdCol).cast("long").as("_cand_id"),
       col(fusedRankCol).cast("long").as("rank_fused"))
     // text features, candidate-pruned at the scan: broadcast the
     // k-bounded candidate ids INTO the corpus join, never the corpus
     val words = graft.functions.TextFunctions.words(col(textCol))
     val docSide = docs
-      .join(broadcast(cand.select("id")),
-        col(docIdCol).cast("long") === col("id"))
-      .select(col("id"), words.as("_w"))
+      .join(broadcast(cand.select("_cand_id")),
+        col(docIdCol).cast("long") === col("_cand_id"))
+      .select(col("_cand_id"), words.as("_w"))
     val hits = terms.map(t =>
       size(filter(col("_w"), w => w === lit(t))).cast("long"))
       .reduce(_ + _)
     val covered = terms.map(t =>
       when(exists(col("_w"), w => w === lit(t)), 1L).otherwise(0L))
       .reduce(_ + _)
-    val textFeat = docSide.select(col("id"),
+    val textFeat = docSide.select(col("_cand_id"),
       (covered.cast("double") / lit(terms.size.toDouble))
         .as("_coverage"),
       (hits.cast("double") /
@@ -143,20 +145,21 @@ object Retrieval {
     val qv = emb.filter(col(vecIdCol).cast("long") === queryVecId)
       .select(col(vecCol).cast("array<float>").as("_qv"))
     val vecFeat = emb
-      .join(broadcast(cand.select("id")),
-        col(vecIdCol).cast("long") === col("id"))
+      .join(broadcast(cand.select("_cand_id")),
+        col(vecIdCol).cast("long") === col("_cand_id"))
       .crossJoin(broadcast(qv))
-      .select(col("id"),
+      .select(col("_cand_id"),
         cosUdf(col("_qv"), col(vecCol).cast("array<float>"))
           .as("_cos"))
     val feat = cand
-      .join(broadcast(textFeat), Seq("id"), "left")
-      .join(broadcast(vecFeat), Seq("id"), "left")
-      .select(col("id"), col("rank_fused"),
+      .join(broadcast(textFeat), Seq("_cand_id"), "left")
+      .join(broadcast(vecFeat), Seq("_cand_id"), "left")
+      .select(col("_cand_id"), col("rank_fused"),
         coalesce(col("_cos"), lit(-1.0)).as("_c"),
         coalesce(col("_coverage"), lit(0.0)).as("_cov"),
         coalesce(col("_den"), lit(0.0)).as("_d"))
-    val blended = feat.select(col("id"), col("rank_fused"),
+    val blended = feat.select(col("_cand_id").as("id"),
+      col("rank_fused"),
       round(lit(wCos) * ((col("_c") + lit(1.0)) / lit(2.0)) +
         lit(wCov) * col("_cov") +
         lit(wDen) * (col("_d") / (lit(1.0) + col("_d"))), 6)
