@@ -72,13 +72,20 @@ object Bench {
           java.nio.file.Paths.get(priorPath)),
           java.nio.charset.StandardCharsets.UTF_8)
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-        val qs = root.get("queries")
-        val it = qs.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+        // medians are only comparable at the same scale factor: a
+        // prior captured at another sf would mass-flag (or mass-mask)
+        // divergence, so a mismatch degrades to "no prior"
+        if (root.get("sf") == null || root.get("sf").asText() != sfDir)
+          Map.empty
+        else {
+          val qs = root.get("queries")
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
         }
-        b.result()
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
