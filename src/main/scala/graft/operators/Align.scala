@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space alignment mining — the margin criterion of
+  * Artetxe & Schwenk ("Margin-based Parallel Corpus Mining with
+  * Multilingual Sentence Embeddings", ACL'19), the standard recipe
+  * for mining bitext / aligned pairs between two embedded corpora
+  * (CCMatrix-style): a candidate pair (x, y) is kept not when its
+  * raw cosine is high but when the cosine BEATS the density of each
+  * endpoint's own neighborhood,
+  *
+  *   margin(x, y) = cos(x, y) / ((meanTopK(x→B) + meanTopK(y→A)) / 2)
+  *
+  * — a hubness correction: a vector sitting in a dense region scores
+  * high cosine against everything, and the ratio normalizes that
+  * away. The reference has no vector machinery at all (its closest
+  * analog is the RPC function registry dispatching named kernels,
+  * `Imagine_Rpc/RpcServer.cpp:218-223`); this is north-star pipeline
+  * surface (SURVEY §7.2 M4).
+  *
+  * The operator takes the two k-NN LISTS, not the corpora: the
+  * margin criterion is independent of how neighbors were found, so
+  * fixtures/oracles feed it [[Similarity.bruteForceTopK]] (exact)
+  * while a 100 TB run feeds it [[Similarity.ivfTopK]] /
+  * [[Similarity.annTopK]] (sub-quadratic candidates) — the same
+  * exact-vs-ANN split every other similarity query in the catalog
+  * uses. Everything downstream of the k-NN frames is equi-joins and
+  * per-query-bounded folds; nothing here is quadratic.
+  */
+object Align {
+
+  /** Score forward k-NN candidates by the ratio margin and keep each
+    * query's best partner above `minMargin`.
+    *
+    * `fwd` (x→B) and `bwd` (y→A) carry the [[Similarity.bruteForceTopK]]
+    * contract: (query_id, rank, nn_id, cos) with rank 1..k dense and
+    * deterministic (cos desc, nn_id tiebreak). The neighborhood means
+    * fold the k cosines IN RANK ORDER (sort_array over (rank, cos)
+    * structs, then a sequential `aggregate`) so the double sum is
+    * bitwise-reproducible by the oracle's `list(cos ORDER BY r)` fold
+    * — a distributed SUM over 4 doubles would be cheaper but
+    * order-nondeterministic. Per-query state is k structs, loudly
+    * bounded.
+    *
+    * Shape at scale: one k-bounded fold per side keyed by query id,
+    * then two equi-joins of the forward candidate list against the
+    * two mean frames (candidate-list-sized, shuffle-partitioned on
+    * the join keys), one per-query window over <= k rows. No
+    * all-pairs stage; the quadratic risk lives (and is guarded) in
+    * whichever k-NN supplier the caller picked.
+    *
+    * Output: (src_id, dst_id, cos, margin) — x's best-margin partner,
+    * margin >= minMargin, one row per surviving src_id. */
+  def marginScore(
+      fwd: DataFrame,
+      bwd: DataFrame,
+      k: Int,
+      minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(minMargin >= 0.0 && minMargin.isFinite,
+      s"minMargin must be finite and >= 0, got $minMargin")
+
+    // mean of the top-k cosines, folded in rank order (bitwise
+    // deterministic; k-bounded per-query state)
+    def neighborhoodMean(knn: DataFrame): DataFrame =
+      knn.filter(col("rank") <= k)
+        .select(col("query_id"),
+          struct(col("rank"), col("cos")).as("s"))
+        .groupBy("query_id")
+        .agg(sort_array(collect_list(col("s"))).as("ss"))
+        .select(col("query_id"),
+          (aggregate(transform(col("ss"), s => s.getField("cos")),
+            lit(0.0), (acc, x) => acc + x) / size(col("ss"))).as("m"))
+
+    val mf = neighborhoodMean(fwd)
+      .select(col("query_id").as("_x"), col("m").as("_mf"))
+    val mb = neighborhoodMean(bwd)
+      .select(col("query_id").as("_y"), col("m").as("_mb"))
+
+    val scored = fwd.filter(col("rank") <= k)
+      .join(mf, col("query_id") === col("_x"))
+      .join(mb, col("nn_id") === col("_y"))
+      .select(col("query_id"), col("nn_id"), col("cos"),
+        (col("cos") / ((col("_mf") + col("_mb")) / lit(2.0)))
+          .as("margin"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col("nn_id"))
+    scored.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1 && col("margin") >= minMargin)
+      .select(col("query_id").as("src_id"), col("nn_id").as("dst_id"),
+        col("cos"), col("margin"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -312,6 +312,63 @@ object LanguageModel {
     }: _*)
     vRow.crossJoin(dRow)
       .select(explode(rows).as("_r")).select(col("_r.*"))
+  }
+
+  /** Zipf rank–frequency fit: OLS of ln(freq) on ln(rank) over the
+    * whole vocabulary — slope ≈ −1 is the Zipf signature of natural
+    * language; a flat slope flags synthetic/templated corpora and a
+    * cliff flags boilerplate domination. The static complement to
+    * [[vocabGrowth]]'s Heaps law (growth measures NEW types per
+    * token, Zipf measures how the mass concentrates across existing
+    * types).
+    *
+    * Rank comes from [[vocab]]'s two-phase global order (never a
+    * single-partition window). The four OLS moments (Σx, Σy, Σx²,
+    * Σxy over x = ln rank, y = ln cnt) each fold IN RANK ORDER over
+    * one collected (rank, cnt) array so the double sums are
+    * bitwise-reproducible by the oracle's `list(... ORDER BY rank)`
+    * folds — the array is vocab-sized, so the fold is guarded by a
+    * loud `maxVocab` count (same contract as the group folds in
+    * [[Similarity.groupCentroids]]; the at-scale escape is the
+    * two-phase partial-sum spelling at a documented reordering
+    * tolerance, which this exact-oracle face deliberately does not
+    * take). ln is one libm call per term composed identically on
+    * both engines; faces round to 6 decimals (the q94 discipline).
+    *
+    * Output: ONE row (n_tokens, slope, intercept). */
+  def zipfSlope(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 1L,
+      maxVocab: Long = 1L << 20): DataFrame = {
+    val v = vocab(df, textCol, minCount)
+    val n = v.count()
+    require(n >= 2L,
+      s"zipfSlope needs >= 2 vocabulary types to fit a line, got $n")
+    require(n <= maxVocab,
+      s"zipfSlope folds the whole vocabulary ($n types) into ONE " +
+        s"task for the ordered OLS moments > maxVocab=$maxVocab. " +
+        "Raise the bound deliberately or pre-filter with minCount.")
+    def fold(arr: Column, term: Column => Column): Column =
+      aggregate(transform(arr, term), lit(0.0), (acc, t) => acc + t)
+    val x = (s: Column) => log(s.getField("token_id").cast("double"))
+    val y = (s: Column) => log(s.getField("cnt").cast("double"))
+    v.select(struct(col("token_id"), col("cnt")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("ss"))
+      .select(
+        size(col("ss")).cast("long").as("n_tokens"),
+        fold(col("ss"), x).as("_sx"),
+        fold(col("ss"), y).as("_sy"),
+        fold(col("ss"), s => x(s) * x(s)).as("_sxx"),
+        fold(col("ss"), s => x(s) * y(s)).as("_sxy"))
+      .withColumn("_nd", col("n_tokens").cast("double"))
+      .withColumn("_slope",
+        (col("_sxy") - col("_sx") * col("_sy") / col("_nd")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("_nd")))
+      .select(col("n_tokens"),
+        round(col("_slope"), 6).as("slope"),
+        round((col("_sy") - col("_slope") * col("_sx")) / col("_nd"), 6)
+          .as("intercept"))
   }
 
 }

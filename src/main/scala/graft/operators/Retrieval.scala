@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Rank fusion across retrieval modalities — the standard way a
@@ -172,5 +173,80 @@ object Retrieval {
     Ranks.rankBounded(top, col("score").desc, col("id"))
       .select(col("rank"), col("id"), col("score"), col("cos"),
         col("coverage"), col("density"), col("rank_fused"))
+  }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    * greedily re-rank each query's candidate shortlist so picks are
+    * relevant AND mutually diverse — step score = wRel·cos −
+    * wDiv·max(sim to anything already picked). The training-data
+    * read: a near-dup cluster in an ANN shortlist collapses to one
+    * representative, so a retrieval-built batch doesn't spend m slots
+    * on m copies.
+    *
+    * Greedy selection is inherently sequential in m, so the m steps
+    * are UNROLLED into the plan (the q232 k-core discipline: loops
+    * the engine can't express become fixed-count stages both engines
+    * replay identically; `m` is loudly bounded because each step
+    * appends joins to the lineage). Everything per step is bounded
+    * by the shortlist: one anti-join against the ≤(t−1)-row selected
+    * set, one equi-join + MAX over the k²-row pair-sim frame, one
+    * per-query window over ≤ k rows. Corpus size never appears —
+    * the quadratic candidate problem belongs to whichever k-NN
+    * supplier built the shortlist.
+    *
+    * `candidates` carries the [[Similarity.bruteForceTopK]] contract
+    * (query_id, rank, nn_id, cos); `pairSims` carries BOTH directions
+    * of every within-query candidate pair as (query_id, id_a, id_b,
+    * sim). Determinism: step products/differences are single IEEE
+    * ops on bitwise-reproducible cosines, MAX is order-free, ties
+    * break by nn_id; faces round to 6 decimals. wRel/wDiv are BOTH
+    * explicit (never 1−λ computed at runtime: 1.0−0.7 is
+    * 0.30000000000000004 in IEEE and would diverge from a SQL 0.3
+    * literal).
+    *
+    * Output: (query_id, step 1..m, nn_id, mmr_score) — step 1 is the
+    * raw-cosine top hit; queries with fewer than m candidates emit
+    * shorter lists. */
+  def mmrDiversify(
+      candidates: DataFrame,
+      pairSims: DataFrame,
+      m: Int,
+      wRel: Double = 0.7,
+      wDiv: Double = 0.3): DataFrame = {
+    require(m >= 1 && m <= 8,
+      s"m must be in [1, 8] (each step unrolls into the plan), got $m")
+    require(wRel >= 0.0 && wDiv >= 0.0 && (wRel + wDiv) > 0.0,
+      s"weights must be non-negative and not both zero, got " +
+        s"wRel=$wRel wDiv=$wDiv")
+    val cand = candidates
+      .select(col("query_id"), col("nn_id"), col("cos"), col("rank"))
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("query_id"), lit(1L).as("step"), col("nn_id"),
+        round(col("cos"), 6).as("mmr_score"))
+    for (t <- 2 to m) {
+      val selIds = sel
+        .select(col("query_id").as("_q"), col("nn_id").as("_sid"))
+      val rem = cand.join(selIds,
+        col("query_id") === col("_q") && col("nn_id") === col("_sid"),
+        "left_anti")
+      val pen = pairSims.join(selIds,
+        pairSims("query_id") === col("_q") &&
+          pairSims("id_b") === col("_sid"))
+        .groupBy(pairSims("query_id").as("_pq"), pairSims("id_a"))
+        .agg(max(col("sim")).as("_pen"))
+      val scored = rem.join(pen,
+        col("query_id") === col("_pq") && col("nn_id") === col("id_a"))
+        .select(col("query_id"), col("nn_id"),
+          (lit(wRel) * col("cos") - lit(wDiv) * col("_pen"))
+            .as("_sc"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_sc").desc, col("nn_id"))
+      val pick = scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("query_id"), lit(t.toLong).as("step"),
+          col("nn_id"), round(col("_sc"), 6).as("mmr_score"))
+      sel = sel.unionByName(pick)
+    }
+    sel
   }
 }

@@ -1643,6 +1643,82 @@ object Similarity {
       col("db_component"))
   }
 
+  /** Mean centroid-silhouette per cluster — the membership-quality
+    * complement to [[daviesBouldin]] (which scores cluster
+    * separation/compactness at the centroid level): per vector,
+    * a = distance to its OWN centroid, b = distance to the NEAREST
+    * OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]; positive
+    * means the vector sits closer to its own prototype, negative
+    * means it would rather live in another cluster. This is the
+    * linear-scan centroid variant (the "simplified silhouette") —
+    * the classical pairwise silhouette is O(n²) in the corpus and
+    * un-runnable at 100 TB, while this shape is one broadcast of the
+    * g centroid vectors against one corpus scan.
+    *
+    * Determinism: centroids come from [[groupCentroids]]' id-ordered
+    * fold (the q90 contract); each vector→centroid distance folds
+    * (xᵢ−cᵢ)² in ascending index order; a is a single selected value
+    * and b a MIN (order-free); the per-cluster mean folds s IN ID
+    * ORDER, guarded by the same direct `maxGroupSize` count as
+    * daviesBouldin's scatter (an edit to the centroid source must
+    * not silently unguard this fold). Face rounded to 6 decimals.
+    *
+    * Output: (group, n, silhouette), one row per cluster. */
+  def centroidSilhouette(
+      df0: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      maxGroupSize: Long = 1L << 20): DataFrame = {
+    val oversizedHere = df0.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxGroupSize)
+      .limit(1).collect()
+    require(oversizedHere.isEmpty, {
+      val r = oversizedHere.head
+      s"centroidSilhouette's per-cluster mean collects each group's " +
+        s"scores into ONE task: group '${r.get(0)}' has " +
+        s"${r.getLong(1)} rows > maxGroupSize=$maxGroupSize. " +
+        "Pre-sample the group or raise the bound deliberately."
+    })
+    val cent = groupCentroids(df0, groupCol, idCol, vecCol, maxGroupSize)
+      .groupBy(col("group"), col("n"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+        .as("cs"))
+      .select(col("group").as("_cg"),
+        transform(col("cs"), s => s.getField("c")).as("cvec"))
+    require(cent.limit(2).count() == 2L,
+      "centroidSilhouette needs at least 2 clusters: with one " +
+        "centroid there is no 'nearest other' term b")
+    def sqDist(a: Column, b: Column): Column =
+      sqrt(aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t))
+    val dist = df0.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol).cast("array<float>"),
+          x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("group"), col("id"), col("_cg"),
+        sqDist(col("v"), col("cvec")).as("d"))
+    val perVec = dist.groupBy(col("group"), col("id"))
+      .agg(max(when(col("_cg") === col("group"), col("d"))).as("a"),
+        min(when(col("_cg") =!= col("group"), col("d"))).as("b"))
+      .select(col("group"), col("id"),
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) /
+            greatest(col("a"), col("b"))).as("s"))
+    perVec.groupBy("group")
+      .agg(sort_array(collect_list(struct(col("id"), col("s"))))
+        .as("ss"), count(lit(1)).as("n"))
+      .select(col("group"), col("n"),
+        round(aggregate(transform(col("ss"), s => s.getField("s")),
+          lit(0.0), (acc, t) => acc + t) / col("n").cast("double"), 6)
+          .as("silhouette"))
+  }
+
   /** Top principal component of the embedding corpus — the dominant
     * covariance eigenvector, i.e. the direction a drift monitor or a
     * whitening pass cares about first, with its explained-variance

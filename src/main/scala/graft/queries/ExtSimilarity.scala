@@ -516,6 +516,205 @@ private[queries] object ExtSimilarity {
       ORDER BY c.label""")
   )
 
+  private val q259_bitext_margin = Q(
+    "q259_bitext_margin",
+    // Margin-criterion alignment mining (the CCMatrix/LASER bitext
+    // recipe): split the corpus into two sides, exact top-4 cosine
+    // k-NN in BOTH directions, then keep each left vector's
+    // best-margin partner where margin = cos / (mean of the two
+    // endpoints' neighborhood cosines) >= 1.05 — the hubness
+    // correction raw cosine thresholds lack. The k-NN supplier here
+    // is the exact bruteForceTopK (oracle-replayable); at corpus
+    // scale the same marginScore consumes ivfTopK/annTopK lists.
+    // Neighborhood means fold the 4 cosines in rank order, so every
+    // double is bitwise-reproducible in SQL.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.bruteForceTopK(
+        b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+      val bwd = Similarity.bruteForceTopK(
+        a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
+      graft.operators.Align.marginScore(fwd, bwd, k = 4,
+        minMargin = 1.05).orderBy("src_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      c AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(x.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(y.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM a x JOIN b y ON true),
+      fwd AS (SELECT xid, yid, cos, row_number() OVER (
+          PARTITION BY xid ORDER BY cos DESC, yid) AS r FROM c),
+      bwd AS (SELECT xid, yid, cos, row_number() OVER (
+          PARTITION BY yid ORDER BY cos DESC, xid) AS r FROM c),
+      mf AS (SELECT xid,
+          list_aggregate(list(cos ORDER BY r), 'sum') / count(*) AS m
+        FROM fwd WHERE r <= 4 GROUP BY xid),
+      mb AS (SELECT yid,
+          list_aggregate(list(cos ORDER BY r), 'sum') / count(*) AS m
+        FROM bwd WHERE r <= 4 GROUP BY yid),
+      sc AS (SELECT f.xid, f.yid, f.cos,
+          f.cos / ((mf.m + mb.m) / 2) AS margin
+        FROM fwd f JOIN mf USING (xid) JOIN mb USING (yid)
+        WHERE f.r <= 4),
+      t AS (SELECT xid, yid, cos, margin, row_number() OVER (
+          PARTITION BY xid ORDER BY margin DESC, yid) AS mr FROM sc)
+      SELECT xid AS src_id, yid AS dst_id, cos, margin
+      FROM t WHERE mr = 1 AND margin >= 1.05 ORDER BY src_id""")
+  )
+
+  private val q260_silhouette = Q(
+    "q260_silhouette",
+    // Centroid-silhouette membership quality per label — the
+    // complement to q204's Davies-Bouldin separation: per vector
+    // s = (b - a)/max(a, b) against own vs nearest-other centroid,
+    // averaged per cluster. Linear in the corpus (the pairwise
+    // silhouette is O(n^2) and un-runnable at scale); every fold is
+    // dim- or id-ordered so DuckDB rebuilds each double bitwise.
+    (s, dir) =>
+      graft.operators.Similarity.centroidSilhouette(
+        table(s, dir, "embeddings"), "label", "vec_id", "embedding")
+        .withColumnRenamed("group", "label")
+        .orderBy("label"),
+    Some("""WITH g AS (SELECT label, count(*) AS n,
+        list(embedding ORDER BY vec_id) AS vs
+        FROM embeddings GROUP BY label),
+      cent AS (SELECT label, n, list_transform(
+          range(1, len(vs[1]) + 1),
+          i -> list_aggregate(list_transform(vs,
+            v -> CAST(v[i] AS DOUBLE)), 'sum') / n) AS cv FROM g),
+      d AS (SELECT e.vec_id, e.label AS vl, c.label AS cl,
+          sqrt(list_aggregate(list_transform(
+            list_zip(e.embedding, c.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+              * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            'sum')) AS d
+        FROM embeddings e CROSS JOIN cent c),
+      pv AS (SELECT vec_id, vl AS label,
+          max(CASE WHEN cl = vl THEN d END) AS a,
+          min(CASE WHEN cl <> vl THEN d END) AS b
+        FROM d GROUP BY vec_id, vl),
+      si AS (SELECT vec_id, label,
+          CASE WHEN greatest(a, b) = 0 THEN 0.0
+            ELSE (b - a) / greatest(a, b) END AS s
+        FROM pv)
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+        round(list_aggregate(list(s ORDER BY vec_id), 'sum')
+          / count(*), 6) AS silhouette
+      FROM si GROUP BY label ORDER BY label""")
+  )
+
+  private val q262_mmr_diversify = Q(
+    "q262_mmr_diversify",
+    // Diversified retrieval: MMR-greedy top-4 from each query's exact
+    // top-8 shortlist (0.7·relevance − 0.3·max-sim-to-picked) — the
+    // rerank that stops an ANN shortlist from spending m slots on one
+    // near-dup cluster. The greedy loop is unrolled (m=4 stages) in
+    // BOTH engines, the q232 discipline; candidate and pairwise
+    // cosines are the bitwise q39 folds, MAX is order-free, ties
+    // break by nn_id, faces at 6 decimals.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val cand = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding", k = 8)
+      val ids = cand.select(col("query_id"), col("nn_id"))
+      val withVec = e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(ids), col("vec_id") === col("nn_id"))
+        .select(col("query_id"), col("nn_id"), col("embedding"))
+      val a = withVec.select(col("query_id"), col("nn_id").as("id_a"),
+        col("embedding").as("_va"))
+      val b = withVec.select(col("query_id").as("_q2"),
+        col("nn_id").as("id_b"), col("embedding").as("_vb"))
+      val pairs = a.join(b,
+        col("query_id") === col("_q2") && col("id_a") =!= col("id_b"))
+        .select(col("query_id"), col("id_a"), col("id_b"),
+          Similarity.cosine(col("_va"), col("_vb")).as("sim"))
+      graft.operators.Retrieval.mmrDiversify(cand, pairs, m = 4)
+        .orderBy("query_id", "step")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      co AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      c8 AS (SELECT query_id, nn_id, cos, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, nn_id) AS r
+        FROM co),
+      cand AS (SELECT * FROM c8 WHERE r <= 8),
+      p AS (SELECT a.query_id, a.nn_id AS id_a, b.nn_id AS id_b,
+        list_aggregate(list_transform(list_zip(ea.embedding, eb.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(ea.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(eb.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.nn_id <> b.nn_id
+        JOIN e ea ON ea.vec_id = a.nn_id
+        JOIN e eb ON eb.vec_id = b.nn_id),
+      s1 AS (SELECT query_id, CAST(1 AS BIGINT) AS step, nn_id,
+          round(cos, 6) AS mmr_score FROM cand WHERE r = 1),
+      sel1 AS (SELECT query_id, nn_id FROM s1),
+      pen2 AS (SELECT p.query_id, p.id_a, max(p.sim) AS pen FROM p
+        JOIN sel1 s ON s.query_id = p.query_id AND s.nn_id = p.id_b
+        GROUP BY 1, 2),
+      sc2 AS (SELECT c.query_id, c.nn_id,
+          0.7 * c.cos - 0.3 * pen2.pen AS sc
+        FROM cand c JOIN pen2
+          ON pen2.query_id = c.query_id AND pen2.id_a = c.nn_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+          WHERE s.query_id = c.query_id AND s.nn_id = c.nn_id)),
+      s2 AS (SELECT query_id, CAST(2 AS BIGINT) AS step, nn_id,
+          round(sc, 6) AS mmr_score FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY sc DESC, nn_id) AS rr FROM sc2) WHERE rr = 1),
+      sel2 AS (SELECT query_id, nn_id FROM s1
+        UNION ALL SELECT query_id, nn_id FROM s2),
+      pen3 AS (SELECT p.query_id, p.id_a, max(p.sim) AS pen FROM p
+        JOIN sel2 s ON s.query_id = p.query_id AND s.nn_id = p.id_b
+        GROUP BY 1, 2),
+      sc3 AS (SELECT c.query_id, c.nn_id,
+          0.7 * c.cos - 0.3 * pen3.pen AS sc
+        FROM cand c JOIN pen3
+          ON pen3.query_id = c.query_id AND pen3.id_a = c.nn_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+          WHERE s.query_id = c.query_id AND s.nn_id = c.nn_id)),
+      s3 AS (SELECT query_id, CAST(3 AS BIGINT) AS step, nn_id,
+          round(sc, 6) AS mmr_score FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY sc DESC, nn_id) AS rr FROM sc3) WHERE rr = 1),
+      sel3 AS (SELECT query_id, nn_id FROM sel2
+        UNION ALL SELECT query_id, nn_id FROM s3),
+      pen4 AS (SELECT p.query_id, p.id_a, max(p.sim) AS pen FROM p
+        JOIN sel3 s ON s.query_id = p.query_id AND s.nn_id = p.id_b
+        GROUP BY 1, 2),
+      sc4 AS (SELECT c.query_id, c.nn_id,
+          0.7 * c.cos - 0.3 * pen4.pen AS sc
+        FROM cand c JOIN pen4
+          ON pen4.query_id = c.query_id AND pen4.id_a = c.nn_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel3 s
+          WHERE s.query_id = c.query_id AND s.nn_id = c.nn_id)),
+      s4 AS (SELECT query_id, CAST(4 AS BIGINT) AS step, nn_id,
+          round(sc, 6) AS mmr_score FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY sc DESC, nn_id) AS rr FROM sc4) WHERE rr = 1)
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      ORDER BY query_id, step""")
+  )
+
   /** The q212 two-pass Lloyd replay over a CTE `e(vec_id,
     * embedding)` — seeds = the 8 ids < 8, (d, cluster) argmin
     * tie-break, id-ordered recentering; yields a2(vec_id, cluster).
@@ -824,5 +1023,8 @@ private[queries] object ExtSimilarity {
     q91_centroid_outliers,
     q97_centroids_twophase,
     q204_cluster_quality,
-    q212_kmeans)
+    q212_kmeans,
+    q259_bitext_margin,
+    q260_silhouette,
+    q262_mmr_diversify)
 }

@@ -1217,6 +1217,38 @@ private[queries] object ExtText {
       ORDER BY cutoff""")
   )
 
+  private val q261_zipf_slope = Q(
+    "q261_zipf_slope",
+    // Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the
+    // whole vocabulary — slope near -1 is the natural-language
+    // signature; flat flags templated/synthetic corpora (this
+    // fixture's 31-token synthetic vocab reads ~-0.18 by design).
+    // The static complement to q230's Heaps growth curve. Rank from
+    // vocab's two-phase global order; the four OLS moments fold in
+    // rank order so DuckDB rebuilds every double bitwise; faces at
+    // 6 decimals (the q94 ln discipline).
+    (s, dir) =>
+      graft.operators.LanguageModel.zipfSlope(
+        table(s, dir, "documents"), "text"),
+    Some(s"""WITH t AS (SELECT unnest($W) AS token FROM documents),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
+        GROUP BY token),
+      r AS (SELECT token, cnt, row_number() OVER (
+          ORDER BY cnt DESC, token) AS rank FROM c),
+      l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        list_aggregate(list(ln(rank) ORDER BY rank), 'sum') AS sx,
+        list_aggregate(list(ln(cnt) ORDER BY rank), 'sum') AS sy,
+        list_aggregate(list(ln(rank) * ln(rank) ORDER BY rank),
+          'sum') AS sxx,
+        list_aggregate(list(ln(rank) * ln(cnt) ORDER BY rank),
+          'sum') AS sxy FROM r)
+      SELECT n AS n_tokens,
+        round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+        round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx)
+          / n, 6) AS intercept
+      FROM l""")
+  )
+
   private val q237_cohens_kappa = Q(
     "q237_cohens_kappa",
     // Chance-corrected agreement between declared lang and the
@@ -1462,5 +1494,6 @@ private[queries] object ExtText {
     q201_readability,
     q202_url_canonical,
     q257_rerank_fusion,
-    q258_tokenizer_fertility)
+    q258_tokenizer_fertility,
+    q261_zipf_slope)
 }

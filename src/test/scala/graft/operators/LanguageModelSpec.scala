@@ -204,4 +204,42 @@ class LanguageModelSpec extends AnyFunSuite {
       LanguageModel.collocations(docs, "text", 0L)
     }
   }
+
+  test("zipfSlope: hand corpus matches the closed-form OLS fit") {
+    // freqs a=4, b=2, c=1 -> ranks 1,2,3
+    val docs = Seq("a a a a b b c").toDF("text")
+    val got = LanguageModel.zipfSlope(docs, "text").collect().head
+    val x = Seq(1.0, 2.0, 3.0).map(math.log)
+    val y = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxx = x.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(got.getLong(0) == 3L)
+    assert(math.abs(got.getDouble(1) - r6(slope)) < 2e-6)
+    assert(math.abs(got.getDouble(2) - r6((sy - slope * sx) / n)) < 2e-6)
+    // a perfectly Zipfian corpus (freq = 8/rank for ranks 1,2,4,8)
+    // is NOT constructible with integer consecutive ranks; the sign
+    // and monotone-decreasing face is the portable property
+    assert(got.getDouble(1) < 0.0)
+  }
+
+  test("zipfSlope: loud guards and minCount pre-filter") {
+    intercept[IllegalArgumentException] { // one type: no line
+      LanguageModel.zipfSlope(Seq("a a a").toDF("text"), "text")
+    }
+    intercept[IllegalArgumentException] { // vocab over the fold bound
+      LanguageModel.zipfSlope(
+        Seq("a a b c").toDF("text"), "text", maxVocab = 2L)
+    }
+    // minCount drops the singleton: fit runs over {a:4, b:2}
+    val got = LanguageModel.zipfSlope(
+      Seq("a a a a b b c").toDF("text"), "text", minCount = 2L)
+      .collect().head
+    assert(got.getLong(0) == 2L)
+    // two points: slope = ln(2/4)/ln(2/1) = -1 (to rounding)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 2e-6)
+  }
 }

@@ -140,4 +140,53 @@ class RetrievalSpec extends AnyFunSuite {
       call(Seq("a"), wCos = 0, wCov = 0, wDen = 0)
     }
   }
+
+  // (query_id, rank, nn_id, cos) / (query_id, id_a, id_b, sim)
+  private def mmrCand(rows: (Long, Long, Long, Double)*) =
+    rows.toDF("query_id", "rank", "nn_id", "cos")
+  private def mmrSims(rows: (Long, Long, Long, Double)*) =
+    rows.toDF("query_id", "id_a", "id_b", "sim")
+
+  test("mmrDiversify: the diversity penalty skips the near-dup of " +
+      "the first pick") {
+    // A (.9) picked first; B (.88) is A's near-dup (sim .99), C (.5)
+    // is diverse (sim .1): step 2 takes C despite the lower cosine
+    val cand = mmrCand(
+      (1L, 1L, 11L, 0.9), (1L, 2L, 12L, 0.88), (1L, 3L, 13L, 0.5))
+    val sims = mmrSims(
+      (1L, 11L, 12L, 0.99), (1L, 12L, 11L, 0.99),
+      (1L, 11L, 13L, 0.1), (1L, 13L, 11L, 0.1),
+      (1L, 12L, 13L, 0.1), (1L, 13L, 12L, 0.1))
+    val got = Retrieval.mmrDiversify(cand, sims, m = 3)
+      .orderBy("step")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(got.map(t => (t._2, t._3)) ==
+      Seq((1L, 11L), (2L, 13L), (3L, 12L)))
+    assert(got(0)._4 == 0.9)
+    // C: .7*.5 - .3*.1 = .32 ; B after {A,C}: .7*.88 - .3*.99
+    assert(math.abs(got(1)._4 - r6(0.7 * 0.5 - 0.3 * 0.1)) < 2e-6)
+    assert(math.abs(got(2)._4 - r6(0.7 * 0.88 - 0.3 * 0.99)) < 2e-6)
+  }
+
+  test("mmrDiversify: m=1 is the raw top hit; short lists stay " +
+      "short; loud contracts") {
+    val cand = mmrCand((1L, 1L, 11L, 0.9), (1L, 2L, 12L, 0.8))
+    val sims = mmrSims((1L, 11L, 12L, 0.5), (1L, 12L, 11L, 0.5))
+    val one = Retrieval.mmrDiversify(cand, sims, m = 1).collect()
+    assert(one.length == 1 && one.head.getLong(2) == 11L)
+    // two candidates, m=4: steps 3 and 4 have nothing to pick
+    val short = Retrieval.mmrDiversify(cand, sims, m = 4)
+      .orderBy("step").collect()
+    assert(short.length == 2)
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrDiversify(cand, sims, m = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrDiversify(cand, sims, m = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrDiversify(cand, sims, m = 2, wRel = 0.0, wDiv = 0.0)
+    }
+  }
 }

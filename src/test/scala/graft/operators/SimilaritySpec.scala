@@ -827,4 +827,55 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(one.toSeq == two.toSeq) // order-free exact moments
   }
+
+  test("centroidSilhouette: separated clusters score high, a " +
+      "mislabeled point scores negative") {
+    // cluster 0 at x~0, cluster 1 at x~10; id 5 sits AT cluster 1
+    // but carries label 0
+    val df = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(0f, 1f)),
+      (3L, 1, Array(10f, 0f)), (4L, 1, Array(10f, 1f)),
+      (5L, 0, Array(10f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val per = Similarity.centroidSilhouette(
+      df.filter(col("vec_id") < 5), "label", "vec_id", "embedding")
+      .orderBy("group").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(per.map(_._1).toSeq == Seq(0, 1))
+    assert(per.forall(_._2 == 2L))
+    // a = 0.5 (to own centroid), b = sqrt(100 + .25)^.5 distance to
+    // the other centroid => s = (b-a)/b ~ 0.9500x for every point
+    per.foreach { case (_, _, s) => assert(s > 0.94 && s < 0.96) }
+    // with the mislabeled point, label 0's mean drops: point 5's own
+    // centroid moves but it still sits 10-ish from it vs ~0.5 from
+    // cluster 1's => strongly negative s drags the label-0 mean down
+    val withBad = Similarity.centroidSilhouette(
+      df, "label", "vec_id", "embedding")
+      .orderBy("group").collect()
+      .map(r => (r.getInt(0), r.getDouble(2)))
+    assert(withBad.find(_._1 == 0).get._2 < per.head._3 - 0.3)
+  }
+
+  test("centroidSilhouette: loud guards — single cluster, oversized " +
+      "group; fixture determinism under repartition") {
+    val one = Seq((1L, 0, Array(0f)), (2L, 0, Array(1f)))
+      .toDF("vec_id", "label", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.centroidSilhouette(one, "label", "vec_id", "embedding")
+    }
+    val two = Seq((1L, 0, Array(0f)), (2L, 0, Array(1f)),
+      (3L, 1, Array(5f)))
+      .toDF("vec_id", "label", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.centroidSilhouette(two, "label", "vec_id", "embedding",
+        maxGroupSize = 1L)
+    }
+    val a = Similarity.centroidSilhouette(
+      emb, "label", "vec_id", "embedding")
+      .orderBy("group").collect().toSeq
+    val b = Similarity.centroidSilhouette(
+      emb.repartition(11), "label", "vec_id", "embedding")
+      .orderBy("group").collect().toSeq
+    assert(a == b) // id-ordered folds
+  }
 }
