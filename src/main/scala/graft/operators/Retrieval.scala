@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,5 +248,79 @@ object Retrieval {
       sel = sel.unionByName(pick)
     }
     sel
+  }
+
+  /** Label-relevance retrieval evaluation — P@k, MRR and nDCG@k per
+    * query, with "relevant" = the candidate carries the query's
+    * label: the standard way to score an embedding space (or an ANN
+    * index) when graded judgments don't exist but class labels do.
+    * Like [[mmrDiversify]], this takes the k-NN LIST, not the
+    * corpus: feed it [[Similarity.bruteForceTopK]] to score the
+    * embedding space itself, or an ANN supplier's list to score the
+    * index (metric drop vs the exact list = recall loss priced in
+    * ranking terms).
+    *
+    * nDCG's ideal is the TRUE ideal: n_rel = min(corpus size of the
+    * query's label − 1 self, k) — so a query whose label has 3
+    * members is not punished for k−2 unfillable slots. DCG folds
+    * rel_r/(ln(r+1)/ln 2) in ascending rank order and IDCG folds the
+    * same r=1..n_rel prefix, both bitwise-reproducible sequential
+    * sums (the q94 ln discipline); P@k and MRR are exact-integer
+    * ratios. Shape: two equi-joins against the (id → label) frame,
+    * one label-count aggregate, one k-bounded per-query fold — the
+    * quadratic work lives in whichever supplier built the list.
+    *
+    * Output: (query_id, n_rel, p_at_k, mrr, ndcg), faces at 6
+    * decimals; mrr 0 when nothing relevant ranked, ndcg null when
+    * the corpus holds no other member of the label. */
+  def labelEval(
+      knn: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String,
+      k: Int,
+      selfExcluded: Boolean = true): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val lab = labels.select(col(idCol).as("_lid"),
+      col(labelCol).as("_lab"))
+    val counts = lab.groupBy(col("_lab"))
+      .agg(count(lit(1)).as("_lc"))
+    val self = if (selfExcluded) 1L else 0L
+    val qLab = knn.filter(col("rank") <= k)
+      .join(lab, col("query_id") === col("_lid"))
+      .select(col("query_id"), col("rank"), col("nn_id"),
+        col("_lab").as("_qlab"))
+    val rel = qLab
+      .join(lab.select(col("_lid").as("_cid"), col("_lab").as("_clab")),
+        col("nn_id") === col("_cid"))
+      .select(col("query_id"), col("_qlab"), col("rank"),
+        when(col("_clab") === col("_qlab"), 1L).otherwise(0L)
+          .as("_rel"))
+    val logTerm = (r: Column) =>
+      lit(1.0) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val perQ = rel
+      .groupBy(col("query_id"), col("_qlab"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("_rel"))))
+        .as("_rr"),
+        sum(col("_rel")).as("_nhit"),
+        min(when(col("_rel") === 1L, col("rank"))).as("_first"))
+      .join(counts, col("_qlab") === col("_lab"))
+      .select(col("query_id"),
+        least(col("_lc") - lit(self), lit(k.toLong)).as("n_rel"),
+        col("_rr"), col("_nhit"), col("_first"))
+    perQ.select(
+      col("query_id"), col("n_rel"),
+      round(col("_nhit").cast("double") / lit(k.toDouble), 6)
+        .as("p_at_k"),
+      round(when(col("_first").isNull, lit(0.0))
+        .otherwise(lit(1.0) / col("_first").cast("double")), 6)
+        .as("mrr"),
+      round(
+        aggregate(col("_rr"), lit(0.0), (acc, s) =>
+          acc + when(s.getField("_rel") === 1L,
+            logTerm(s.getField("rank"))).otherwise(lit(0.0))) /
+        when(col("n_rel") >= 1L,
+          aggregate(sequence(lit(1L), col("n_rel")), lit(0.0),
+            (acc, r) => acc + logTerm(r))), 6).as("ndcg"))
   }
 }

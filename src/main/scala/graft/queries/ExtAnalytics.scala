@@ -901,9 +901,58 @@ private[queries] object ExtAnalytics {
     }
   )
 
+  private val q264_label_propagation = Q(
+    "q264_label_propagation",
+    // Community detection on the part co-purchase graph: 4 rounds of
+    // SYNCHRONOUS label propagation (adopt the most frequent neighbor
+    // label, ties to the MIN label — fully deterministic, unlike the
+    // classic randomized LPA). Fixed rounds, never convergence-tested,
+    // so the oracle unrolls the SAME 4 rounds MATERIALIZED (the q232
+    // discipline; un-materialized, DuckDB would inline the chain and
+    // re-evaluate the base graph 2^4 times). No floats anywhere —
+    // integer counts and id ties — so equality is structural.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .filter(col("p").isNotNull)
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b"))
+      graft.operators.Graphs.labelPropagation(
+        edges, "id_a", "id_b", rounds = 4)
+        .orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT dd.s AS node, l${i - 1}.label,
+          count(*) AS c FROM dd
+          JOIN l${i - 1} ON l${i - 1}.node = dd.d GROUP BY 1, 2),
+        l$i AS MATERIALIZED (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS r FROM n$i) WHERE r = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        ee AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS x,
+            greatest(a.p, b.p) AS y
+          FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+        dd AS MATERIALIZED (SELECT x AS s, y AS d FROM ee
+          UNION ALL SELECT y, x FROM ee),
+        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
+          FROM dd),
+        $rounds,
+        sz AS (SELECT label, CAST(count(*) AS BIGINT) AS size
+          FROM l4 GROUP BY 1)
+        SELECT l4.node, l4.label AS community, sz.size
+        FROM l4 JOIN sz ON sz.label = l4.label ORDER BY l4.node"""
+    }
+  )
+
   val all: Seq[Q] = Seq(
     q226_triangles_capped,
     q232_kcore,
+    q264_label_propagation,
     q60_topk_aggregator,
     q123_scd2_history,
     q126_retention,

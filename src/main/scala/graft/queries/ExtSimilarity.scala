@@ -611,6 +611,62 @@ private[queries] object ExtSimilarity {
       FROM si GROUP BY label ORDER BY label""")
   )
 
+  private val q263_retrieval_eval = Q(
+    "q263_retrieval_eval",
+    // Label-relevance eval of the embedding space: exact top-10 for
+    // every 10th vector (the q40/q48 sampled-gate population), P@10 /
+    // MRR / nDCG@10 with relevant = same label. nDCG's ideal is the
+    // true ideal (label population − self, capped at k); DCG and
+    // IDCG fold ln-terms in rank order (the q94 discipline). The
+    // operator takes the k-NN list, so the same scorer prices an ANN
+    // index's recall loss in ranking terms.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val knn = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        k = 10)
+      graft.operators.Retrieval.labelEval(
+        knn, e, "vec_id", "label", k = 10)
+        .orderBy("query_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      co AS (SELECT q.vec_id AS query_id, q.label AS qlab,
+        c.vec_id AS nn_id, c.label AS clab,
+        list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(q.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(c.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM e q JOIN e c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+      r AS (SELECT query_id, qlab, nn_id, clab, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+        FROM co),
+      t AS (SELECT query_id, qlab, rank,
+          CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel
+        FROM r WHERE rank <= 10),
+      lc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM e
+        GROUP BY 1),
+      p AS (SELECT t.query_id, least(lc.c - 1, 10) AS n_rel,
+          CAST(sum(t.rel) AS BIGINT) AS nhit,
+          min(CASE WHEN t.rel = 1 THEN t.rank END) AS first,
+          list_aggregate(list(CASE WHEN t.rel = 1
+            THEN 1.0 / (ln(t.rank + 1.0) / ln(2.0)) ELSE 0.0 END
+            ORDER BY t.rank), 'sum') AS dcg
+        FROM t JOIN lc ON lc.label = t.qlab
+        GROUP BY t.query_id, lc.c)
+      SELECT query_id, n_rel,
+        round(nhit / 10.0, 6) AS p_at_k,
+        round(CASE WHEN first IS NULL THEN 0.0
+          ELSE 1.0 / first END, 6) AS mrr,
+        round(dcg / CASE WHEN n_rel >= 1 THEN
+          list_aggregate(list_transform(range(1, n_rel + 1),
+            r -> 1.0 / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0))),
+            'sum') END, 6) AS ndcg
+      FROM p ORDER BY query_id""")
+  )
+
   private val q262_mmr_diversify = Q(
     "q262_mmr_diversify",
     // Diversified retrieval: MMR-greedy top-4 from each query's exact
@@ -1026,5 +1082,6 @@ private[queries] object ExtSimilarity {
     q212_kmeans,
     q259_bitext_margin,
     q260_silhouette,
-    q262_mmr_diversify)
+    q262_mmr_diversify,
+    q263_retrieval_eval)
 }

@@ -403,4 +403,41 @@ class GraphsSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("maxCommon=2")))
   }
+
+  test("labelPropagation: two triangles over a weak bridge settle " +
+      "into two communities; swap parity pinned; dupes collapse") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),           // triangle A
+      (4L, 5L), (5L, 6L), (4L, 6L),           // triangle B
+      (3L, 4L),                               // weak bridge
+      (7L, 8L),                               // isolated pair
+      (2L, 1L), (1L, 2L)                      // dupes + reverse: one edge
+    )
+    val got = Graphs.labelPropagation(
+      edges.toDF("a", "b"), "a", "b", rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // hand-traced 4 synchronous rounds (min-label ties):
+    // {1,2,3} -> community 1, {4,5,6} -> community 3; the two-node
+    // component swaps labels each round and lands on identity at
+    // even parity
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L),
+      (7L, 7L, 1L), (8L, 8L, 1L)))
+    // repartition-invariant: integer counts + id ties only
+    val again = Graphs.labelPropagation(
+      edges.toDF("a", "b").repartition(7), "a", "b", rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Graphs.labelPropagation(edges.toDF("a", "b"), "a", "b",
+        rounds = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.labelPropagation(edges.toDF("a", "b"), "a", "b",
+        rounds = 0)
+    }
+  }
 }

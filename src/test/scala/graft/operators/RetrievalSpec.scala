@@ -189,4 +189,34 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.mmrDiversify(cand, sims, m = 2, wRel = 0.0, wDiv = 0.0)
     }
   }
+
+  test("labelEval: hand P@k / MRR / nDCG against the closed forms") {
+    // corpus labels: A = {1, 11, 13}, B = {12, 14}, C = {2}
+    val labels = Seq((1L, "A"), (11L, "A"), (12L, "B"), (13L, "A"),
+      (14L, "B"), (2L, "C")).toDF("id", "lab")
+    // query 1 (A): hits at ranks 2 and 3; query 2 (C): no other C
+    val knn = Seq(
+      (1L, 1L, 12L, 0.9), (1L, 2L, 11L, 0.8),
+      (1L, 3L, 13L, 0.7), (1L, 4L, 14L, 0.6),
+      (2L, 1L, 11L, 0.9), (2L, 2L, 12L, 0.8),
+      (2L, 3L, 13L, 0.7), (2L, 4L, 14L, 0.6)
+    ).toDF("query_id", "rank", "nn_id", "cos")
+    val got = Retrieval.labelEval(knn, labels, "id", "lab", k = 4)
+      .orderBy("query_id").collect()
+    def lg(r: Double) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val q1 = got(0)
+    assert(q1.getLong(1) == 2L)                       // n_rel = min(3-1, 4)
+    assert(q1.getDouble(2) == 0.5)                    // p@4 = 2/4
+    assert(q1.getDouble(3) == 0.5)                    // mrr = 1/2
+    val ndcg = (lg(2) + lg(3)) / (lg(1) + lg(2))
+    assert(math.abs(q1.getDouble(4) - r6(ndcg)) < 2e-6)
+    val q2 = got(1)
+    assert(q2.getLong(1) == 0L)                       // no other C member
+    assert(q2.getDouble(2) == 0.0 && q2.getDouble(3) == 0.0)
+    assert(q2.isNullAt(4))                            // ndcg undecidable
+    intercept[IllegalArgumentException] {
+      Retrieval.labelEval(knn, labels, "id", "lab", k = 0)
+    }
+  }
 }
