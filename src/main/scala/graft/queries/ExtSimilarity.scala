@@ -530,6 +530,16 @@ private[queries] object ExtSimilarity {
     // double is bitwise-reproducible in SQL.
     (s, dir) => {
       val e = table(s, dir, "embeddings")
+      // the EXACT dual k-NN supplier below is n²/4 cosines — the
+      // oracle-replayable fixture spelling, enforced bounded (the
+      // exactSelfTopK contract): past the bound, swap in ivfTopK /
+      // annTopK per side; marginScore is supplier-agnostic
+      val corpusN = corpusCountCache.computeIfAbsent(
+        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      require(corpusN <= 32768L,
+        s"q259's exact dual-kNN supplier scores corpusN²/4 pairs: " +
+          s"$corpusN rows > 32768. Feed marginScore ivfTopK/annTopK " +
+          "lists at this scale (the operator is supplier-agnostic).")
       val a = e.filter(col("vec_id") % 2 === 0)
       val b = e.filter(col("vec_id") % 2 === 1)
       val fwd = Similarity.bruteForceTopK(
@@ -622,9 +632,21 @@ private[queries] object ExtSimilarity {
     // index's recall loss in ranking terms.
     (s, dir) => {
       val e = table(s, dir, "embeddings")
+      // the recallGatedSampled modulus discipline: the eval query
+      // population stays a few thousand rows at ANY corpus size
+      // (effMod grows past 50k vectors), and a corpus big enough to
+      // change the modulus FAILS FAST instead of hash-mismatching
+      // the static %10 oracle three stages later
+      val corpusN = corpusCountCache.computeIfAbsent(
+        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      val effMod = math.max(10L, corpusN / 5000L)
+      require(effMod == 10L,
+        s"q263 eval-population modulus derived as $effMod (corpus " +
+          s"$corpusN rows) != the static oracle's 10 — regenerate " +
+          "the oracle SQL with the derived modulus at this scale.")
       val knn = Similarity.bruteForceTopK(
         e, "vec_id", "embedding",
-        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding",
         k = 10)
       graft.operators.Retrieval.labelEval(
         knn, e, "vec_id", "label", k = 10)
