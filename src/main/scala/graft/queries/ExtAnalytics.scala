@@ -924,24 +924,7 @@ private[queries] object ExtAnalytics {
         .orderBy("node")
     },
     Some {
-      val rounds = (1 to 4).map { i =>
-        s"""n$i AS MATERIALIZED (SELECT dd.s AS node, l${i - 1}.label,
-          count(*) AS c FROM dd
-          JOIN l${i - 1} ON l${i - 1}.node = dd.d GROUP BY 1, 2),
-        l$i AS MATERIALIZED (SELECT node, label FROM (
-          SELECT node, label, row_number() OVER (PARTITION BY node
-            ORDER BY c DESC, label) AS r FROM n$i) WHERE r = 1)"""
-      }.mkString(",\n      ")
-      s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p
-          FROM lineitem WHERE l_partkey IS NOT NULL),
-        ee AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS x,
-            greatest(a.p, b.p) AS y
-          FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
-        dd AS MATERIALIZED (SELECT x AS s, y AS d FROM ee
-          UNION ALL SELECT y, x FROM ee),
-        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
-          FROM dd),
-        $rounds,
+      s"""WITH $lpaChainSql,
         sz AS (SELECT label, CAST(count(*) AS BIGINT) AS size
           FROM l4 GROUP BY 1)
         SELECT l4.node, l4.label AS community, sz.size
@@ -949,10 +932,88 @@ private[queries] object ExtAnalytics {
     }
   )
 
+  /** The co-purchase LPA chain shared by q264 (the partition) and
+    * q265 (its modularity): li → simple graph ee/dd → l0 → four
+    * MATERIALIZED synchronous rounds ending at l4. */
+  private def lpaChainSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT dd.s AS node, l${i - 1}.label,
+        count(*) AS c FROM dd
+        JOIN l${i - 1} ON l${i - 1}.node = dd.d GROUP BY 1, 2),
+      l$i AS MATERIALIZED (SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (PARTITION BY node
+          ORDER BY c DESC, label) AS r FROM n$i) WHERE r = 1)"""
+    }.mkString(",\n      ")
+    s"""li AS (SELECT l_orderkey AS k, l_partkey AS p
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      ee AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS x,
+          greatest(a.p, b.p) AS y
+        FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+      dd AS MATERIALIZED (SELECT x AS s, y AS d FROM ee
+        UNION ALL SELECT y, x FROM ee),
+      l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label
+        FROM dd),
+      $rounds"""
+  }
+
+  private val q265_modularity = Q(
+    "q265_modularity",
+    // Newman modularity of the q264 LPA partition — "did LPA find
+    // structure or noise" as one exact-rational number per community
+    // (Q = sum of q_contrib): within-community edge share minus the
+    // degree-preserving random expectation. Exact integers up to ONE
+    // double division per row (4mL_c − d_c² over 4m², DECIMAL(38,0)
+    // cast BEFORE the multiply, the q197 discipline); the oracle
+    // replays the full LPA chain then the same integer algebra.
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .filter(col("p").isNotNull)
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b"))
+      val comm = graft.operators.Graphs.labelPropagation(
+        edges, "id_a", "id_b", rounds = 4)
+        .select(col("node"), col("community"))
+      graft.operators.Graphs.modularity(edges, "id_a", "id_b", comm)
+        .orderBy("community")
+    },
+    Some {
+      s"""WITH $lpaChainSql,
+        deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+          FROM dd GROUP BY 1),
+        dc AS (SELECT l4.label AS community,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(sum(deg.dg) AS BIGINT) AS d_c
+          FROM l4 JOIN deg ON deg.node = l4.node GROUP BY 1),
+        lcc AS (SELECT ca.label AS community,
+            CAST(count(*) AS BIGINT) AS l_c
+          FROM ee JOIN l4 ca ON ca.node = ee.x
+          JOIN l4 cb ON cb.node = ee.y
+          WHERE ca.label = cb.label GROUP BY 1),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ee)
+        SELECT dc.community, dc.n_nodes,
+          COALESCE(lcc.l_c, CAST(0 AS BIGINT)) AS l_c, dc.d_c,
+          round(CAST(CAST(4 AS DECIMAL(38,0))
+              * CAST(mm.m AS DECIMAL(38,0))
+              * CAST(COALESCE(lcc.l_c, 0) AS DECIMAL(38,0))
+              - CAST(dc.d_c AS DECIMAL(38,0))
+              * CAST(dc.d_c AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(4 AS DECIMAL(38,0))
+              * CAST(mm.m AS DECIMAL(38,0))
+              * CAST(mm.m AS DECIMAL(38,0)) AS DOUBLE), 6)
+            AS q_contrib
+        FROM dc LEFT JOIN lcc USING (community) CROSS JOIN mm
+        ORDER BY dc.community"""
+    }
+  )
+
   val all: Seq[Q] = Seq(
     q226_triangles_capped,
     q232_kcore,
     q264_label_propagation,
+    q265_modularity,
     q60_topk_aggregator,
     q123_scd2_history,
     q126_retention,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -439,5 +440,32 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.labelPropagation(edges.toDF("a", "b"), "a", "b",
         rounds = 0)
     }
+  }
+
+  test("modularity: hand rationals on the two-triangle fixture; " +
+      "all-one-community partition scores exactly zero") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (7L, 8L)
+    ).toDF("a", "b")
+    val comm = Graphs.labelPropagation(edges, "a", "b", rounds = 4)
+      .select(col("node"), col("community"))
+    val got = Graphs.modularity(edges, "a", "b", comm)
+      .orderBy("community").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // m=8; triangles: L=3, d=7 -> (96-49)/256; singletons: (0-1)/256
+    assert(got == Seq(            // 47/256 and -1/256 at the 6-dp face
+      (1L, 3L, 3L, 7L, 0.183594),
+      (3L, 3L, 3L, 7L, 0.183594),
+      (7L, 1L, 0L, 1L, -0.003906),
+      (8L, 1L, 0L, 1L, -0.003906)))
+    // Q = 2*(47/256) - 2*(1/256) = 0.359375: strong structure
+    assert(math.abs(got.map(_._5).sum - 0.359375) < 1e-5)
+    // the degenerate one-community partition is exactly Q = 0
+    val one = comm.select(col("node"), lit(0L).as("community"))
+    val flat = Graphs.modularity(edges, "a", "b", one).collect()
+    assert(flat.length == 1 && flat.head.getDouble(4) == 0.0)
   }
 }
