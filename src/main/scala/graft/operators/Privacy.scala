@@ -151,4 +151,39 @@ object Privacy {
           round(col("n_luhn_valid").cast("double") /
             col("n_candidates").cast("double"), 6)))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the pre-release check on any record-level export:
+    * every combination of the quasi-identifier columns must be shared
+    * by at least k rows (or an attacker joins the export against a
+    * public register and re-identifies), and each such group should
+    * carry at least l distinct sensitive values (or membership alone
+    * leaks the attribute even at k-anonymous sizes). This audits; it
+    * does not suppress — the remediation (generalize a quasi column,
+    * drop the group) is a policy decision the caller makes on the
+    * report.
+    *
+    * Shape: ONE partial-aggregable groupBy over the quasi columns
+    * (count + exact distinct-count of the sensitive attribute) —
+    * group-cardinality-sized output, order-free exact integers, no
+    * fold discipline needed. NULL quasi values form their own audit
+    * group deliberately (a NULL pattern is itself re-identifying).
+    *
+    * Output: (quasi..., n, l_diversity, at_risk = n < k). */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && quasiCols.size <= 16,
+      s"quasiCols must number 1..16, got ${quasiCols.size}")
+    require(k >= 2L, s"k must be >= 2 (k=1 audits nothing), got $k")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a " +
+        "quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("at_risk", col("n") < k)
+  }
 }

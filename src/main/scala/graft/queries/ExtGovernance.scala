@@ -451,6 +451,31 @@ private[queries] object ExtGovernance {
     }
   )
 
+  private val q266_k_anonymity = Q(
+    "q266_k_anonymity",
+    // k-anonymity / l-diversity audit of a record-level export:
+    // every (nation, segment) quasi-identifier cell must hold >= 10
+    // customers or it is re-identifiable by a public-register join;
+    // l_diversity counts distinct account-balance bands per cell
+    // (low l leaks the attribute even at k-anonymous sizes). One
+    // partial-aggregable groupBy; exact integers only.
+    (s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(
+        table(s, dir, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment"),
+    Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer)
+      SELECT c_nationkey, c_mktsegment,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT bal_band) AS BIGINT) AS l_diversity,
+        count(*) < 10 AS at_risk
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   private val q251_cc_audit = Q(
     "q251_cc_audit",
     // Payment-card exposure audit per source: Luhn-validated
@@ -591,5 +616,6 @@ private[queries] object ExtGovernance {
     q189_encoding_advisor,
     q200_dp_release,
     q251_cc_audit,
+    q266_k_anonymity,
     q206_format_roundtrip)
 }

@@ -109,4 +109,32 @@ class PrivacySpec extends AnyFunSuite {
       Privacy.ccAudit(docs, Seq("n_docs"), "text")
     }
   }
+
+  test("kAnonymityAudit: hand groups, NULL quasi audits as its own " +
+      "cell, loud contracts") {
+    val rows = Seq(
+      (Option("nyc"), "flu"), (Option("nyc"), "flu"),
+      (Option("nyc"), "cold"),                      // n=3, l=2
+      (Option("sf"), "flu"),                        // n=1 -> at risk
+      (Option.empty[String], "flu"),
+      (Option.empty[String], "flu")                 // NULL cell, l=1
+    ).toDF("city", "dx")
+    val got = Privacy.kAnonymityAudit(rows, Seq("city"), "dx", k = 2L)
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("_null") ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "nyc" -> ((3L, 2L, false)),
+      "sf" -> ((1L, 1L, true)),
+      "_null" -> ((2L, 1L, false))))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityAudit(rows, Seq.empty, "dx", k = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityAudit(rows, Seq("city"), "dx", k = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityAudit(rows, Seq("dx"), "dx", k = 2L)
+    }
+  }
 }
