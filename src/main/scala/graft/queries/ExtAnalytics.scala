@@ -973,13 +973,9 @@ private[queries] object ExtAnalytics {
         .join(li.as("b"),
           col("a.k") === col("b.k") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("id_a"), col("b.p").as("id_b"))
-      // modularity joins the assignment TWICE (degree mass + inner
-      // edges): truncate the 4-round LPA lineage once here or the
-      // un-checkpointed tail rounds execute twice
       val comm = graft.operators.Graphs.labelPropagation(
         edges, "id_a", "id_b", rounds = 4)
         .select(col("node"), col("community"))
-        .localCheckpoint(true)
       graft.operators.Graphs.modularity(edges, "id_a", "id_b", comm)
         .orderBy("community")
     },

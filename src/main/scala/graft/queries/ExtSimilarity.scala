@@ -542,6 +542,12 @@ private[queries] object ExtSimilarity {
           "lists at this scale (the operator is supplier-agnostic).")
       val a = e.filter(col("vec_id") % 2 === 0)
       val b = e.filter(col("vec_id") % 2 === 1)
+      // marginScore consumes fwd TWICE (neighborhood mean + the
+      // scored candidates), so the exact k-NN subtree executes twice
+      // (plan-audited). MEASURED: localCheckpoint'ing fwd to dedupe
+      // the work ran 1.5x SLOWER at sf0.1 (3.5 s vs 2.3 s — eager
+      // materialization costs more than re-running the cheap
+      // broadcast scan); recompute wins, so no truncation here.
       val fwd = Similarity.bruteForceTopK(
         b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
       val bwd = Similarity.bruteForceTopK(
