@@ -467,5 +467,12 @@ class GraphsSpec extends AnyFunSuite {
     val one = comm.select(col("node"), lit(0L).as("community"))
     val flat = Graphs.modularity(edges, "a", "b", one).collect()
     assert(flat.length == 1 && flat.head.getDouble(4) == 0.0)
+    // a PARTIAL assignment would silently drop edges from L_c:
+    // loud failure instead
+    val partial = comm.filter(col("node") =!= 7L)
+    val e = intercept[IllegalArgumentException] {
+      Graphs.modularity(edges, "a", "b", partial).collect()
+    }
+    assert(e.getMessage.contains("TOTAL community assignment"))
   }
 }
