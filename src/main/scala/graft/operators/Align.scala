@@ -79,6 +79,24 @@ object Align {
       .select(col("query_id").as("_x"), col("m").as("_mf"))
     val mb = neighborhoodMean(bwd)
       .select(col("query_id").as("_y"), col("m").as("_mb"))
+    // the ratio margin PRESUMES positive neighborhood means (the
+    // Artetxe-Schwenk setting): a negative mean INVERTS the ranking
+    // (cos -0.8 / mean -0.5 = 1.6 beats cos -0.2 / -0.5 = 0.4) and a
+    // zero mean divides to Infinity/NaN — both would silently emit
+    // nonsense "aligned" pairs, so fail loudly on the first
+    // non-positive mean (one cheap agg over the query-sized frames;
+    // the at-scale caller on an anisotropic space should re-center or
+    // use a DIFFERENCE margin before mining)
+    val badMean = mf.select(col("_mf").as("_m"))
+      .unionAll(mb.select(col("_mb").as("_m")))
+      .filter(col("_m") <= 0.0 || isnan(col("_m")))
+      .limit(1).collect()
+    require(badMean.isEmpty,
+      s"marginScore: a neighborhood mean cosine is " +
+        s"${badMean.headOption.map(_.get(0)).getOrElse("")} <= 0 — " +
+        "the ratio margin inverts (or divides to Infinity) on " +
+        "non-positive means. Re-center the embedding space or use a " +
+        "difference margin for this corpus.")
 
     val scored = fwd.filter(col("rank") <= k)
       .join(mf, col("query_id") === col("_x"))

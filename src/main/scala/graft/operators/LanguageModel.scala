@@ -341,14 +341,19 @@ object LanguageModel {
       textCol: String,
       minCount: Long = 1L,
       maxVocab: Long = 1L << 20): DataFrame = {
-    val v = vocab(df, textCol, minCount)
-    val n = v.count()
+    // guard count from the CHEAP unranked count table — counting
+    // vocab() itself would re-run its global-ordering stage
+    // (range repartition + zipWithIndex) just to discard it
+    val n = df.select(explode(words(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).count()
     require(n >= 2L,
       s"zipfSlope needs >= 2 vocabulary types to fit a line, got $n")
     require(n <= maxVocab,
       s"zipfSlope folds the whole vocabulary ($n types) into ONE " +
         s"task for the ordered OLS moments > maxVocab=$maxVocab. " +
         "Raise the bound deliberately or pre-filter with minCount.")
+    val v = vocab(df, textCol, minCount)
     def fold(arr: Column, term: Column => Column): Column =
       aggregate(transform(arr, term), lit(0.0), (acc, t) => acc + t)
     val x = (s: Column) => log(s.getField("token_id").cast("double"))

@@ -246,6 +246,14 @@ object Retrieval {
         .select(col("query_id"), lit(t.toLong).as("step"),
           col("nn_id"), round(col("_sc"), 6).as("mmr_score"))
       sel = sel.unionByName(pick)
+      // sel_t references sel_{t-1} THREE times (anti-join, penalty
+      // semi, union), so an untruncated unroll replicates the
+      // candidate-supplier subtree ~3^(m-1) times — 2187 copies at
+      // the allowed m=8, a catalyst-analysis explosion. Truncate the
+      // (queries × t rows, tiny) selection every 4 steps: plan copies
+      // stay bounded at 3^3 per segment while m<=4 unrolls (the
+      // catalog case) keep their pure single-plan spelling.
+      if (t % 4 == 0 && t < m) sel = sel.localCheckpoint(true)
     }
     sel
   }

@@ -120,6 +120,30 @@ private[queries] object ExtShared {
   val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** The ONE derivation of every sampled population's modulus (the
+    * ANN gates, q263's eval population): the effective modulus grows
+    * with the corpus so the sample stays ~5000 rows at ANY size, and
+    * because the static DuckDB oracles hardcode the floor modulus,
+    * a corpus big enough to CHANGE it FAILS FAST here instead of
+    * hash-mismatching three stages later (advisor r5: a stderr note
+    * can be swallowed by a bench run) — regenerating the oracle SQL
+    * with the derived modulus is a deliberate fixture change. One
+    * count job per dir per session (cached). */
+  def derivedSampleMod(
+      e: org.apache.spark.sql.DataFrame, dir: String,
+      floorMod: Long, what: String): Long = {
+    val corpusN = corpusCountCache.computeIfAbsent(
+      dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+    val effMod = math.max(floorMod, corpusN / 5000L)
+    require(effMod == floorMod,
+      s"$what modulus derived as $effMod (corpus $corpusN rows) != " +
+        s"static oracle modulus $floorMod — the emitted fixture " +
+        "would hash-mismatch the static DuckDB oracle. Regenerate " +
+        "the oracle SQL with the derived modulus for this corpus " +
+        "size, then pass it as the floor.")
+    effMod
+  }
+
   def recallGatedSampled(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int,
       ann: org.apache.spark.sql.DataFrame, floor: Double,
@@ -134,23 +158,7 @@ private[queries] object ExtShared {
     // at every fixture SF corpusN/targetSample < sampleMod, so the
     // effective modulus equals the floor and the static DuckDB oracle
     // (which hardcodes the same modulus) stays bitwise-aligned.
-    val corpusN = corpusCountCache.computeIfAbsent(
-      dir, _ => java.lang.Long.valueOf(e.count())).longValue()
-    val targetSample = 5000L
-    val effMod = math.max(sampleMod, corpusN / targetSample)
-    // the static DuckDB oracles hardcode the floor modulus — the
-    // derivation changes the emitted fixture the moment a corpus
-    // outgrows floor·5000 rows, and the result would be a confusing
-    // hash mismatch three stages later. FAIL FAST here instead
-    // (advisor r5: a stderr note can be swallowed by a bench run):
-    // a corpus that big needs its oracle SQL regenerated with the
-    // derived modulus, which is a deliberate fixture change.
-    require(effMod == sampleMod,
-      s"sampled-gate modulus derived as $effMod (corpus $corpusN " +
-        s"rows) != static oracle modulus $sampleMod — the emitted " +
-        "fixture would hash-mismatch the static DuckDB oracle. " +
-        "Regenerate the oracle SQL with the derived modulus for this " +
-        "corpus size, then pass it as sampleMod.")
+    val effMod = derivedSampleMod(e, dir, sampleMod, "sampled-gate")
     val exactRows = Similarity.bruteForceTopK(
       e, "vec_id", "embedding",
       e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding", k)

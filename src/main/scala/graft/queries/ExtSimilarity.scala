@@ -638,18 +638,10 @@ private[queries] object ExtSimilarity {
     // index's recall loss in ranking terms.
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      // the recallGatedSampled modulus discipline: the eval query
-      // population stays a few thousand rows at ANY corpus size
-      // (effMod grows past 50k vectors), and a corpus big enough to
-      // change the modulus FAILS FAST instead of hash-mismatching
-      // the static %10 oracle three stages later
-      val corpusN = corpusCountCache.computeIfAbsent(
-        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
-      val effMod = math.max(10L, corpusN / 5000L)
-      require(effMod == 10L,
-        s"q263 eval-population modulus derived as $effMod (corpus " +
-          s"$corpusN rows) != the static oracle's 10 — regenerate " +
-          "the oracle SQL with the derived modulus at this scale.")
+      // the shared sampled-population discipline: the eval query set
+      // stays ~5000 rows at ANY corpus size, fail-fast past the
+      // static %10 oracle's reach (ONE derivation — ExtShared)
+      val effMod = derivedSampleMod(e, dir, 10L, "q263 eval-population")
       val knn = Similarity.bruteForceTopK(
         e, "vec_id", "embedding",
         e.filter(col("vec_id") % effMod === 0), "vec_id", "embedding",

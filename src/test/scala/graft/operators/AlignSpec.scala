@@ -82,4 +82,18 @@ class AlignSpec extends AnyFunSuite {
       Align.marginScore(f, f, k = 65)
     }
   }
+
+  test("marginScore: non-positive neighborhood mean fails loudly " +
+      "(the ratio margin inverts on negative means)") {
+    // y=13's mean is (-0.2 + -0.4)/2 < 0: a ratio margin would rank
+    // the WORST candidate first — loud failure instead
+    val fwd = knn((1L, 1L, 11L, 0.9), (1L, 2L, 13L, 0.5))
+    val bwd = knn(
+      (11L, 1L, 1L, 0.9), (11L, 2L, 2L, 0.7),
+      (13L, 1L, 1L, -0.2), (13L, 2L, 2L, -0.4))
+    val e = intercept[IllegalArgumentException] {
+      Align.marginScore(fwd, bwd, k = 2, minMargin = 0.0).collect()
+    }
+    assert(e.getMessage.contains("non-positive"))
+  }
 }

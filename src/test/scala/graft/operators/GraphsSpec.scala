@@ -474,5 +474,13 @@ class GraphsSpec extends AnyFunSuite {
       Graphs.modularity(edges, "a", "b", partial).collect()
     }
     assert(e.getMessage.contains("TOTAL community assignment"))
+    // a node assigned TWICE would double-count degree mass and edges
+    val doubled = comm.unionByName(
+      comm.filter(col("node") === 1L)
+        .select(col("node"), lit(99L).as("community")))
+    val e2 = intercept[IllegalArgumentException] {
+      Graphs.modularity(edges, "a", "b", doubled).collect()
+    }
+    assert(e2.getMessage.contains("single community per node"))
   }
 }
