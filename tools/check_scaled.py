@@ -7,10 +7,12 @@ sf0.1 in sane time — the SPARK side of those queries is fine; the
 timeout prices the ORACLE, not the engine. A timeout is recorded as
 SKIP, never a failure.
 
-Measured round 8 at sf0.1 (90 s budget): 241 OK, 0 FAIL; the skip set
-was q35/q36/q65/q72/q76/q79 (the documented quadratic-Jaccard twins),
-q86, q127, q145, q169, q176, q178, q185, q221, q226, q232, q253 and
-nothing else.
+Measured round 8 at sf0.1 over the full 266-query catalog (90 s
+budget): 249 OK, 0 FAIL, 17 SKIP. The core skip set is the
+quadratic-Jaccard twins (q35/q36/q65/q72/q76/q79) plus q86, q127,
+q145, q169, q176, q178, q185, q221, q253; boundary-cost oracles
+(q101, q117, q226, q232) drift in and out of the set with box load
+at the 90 s budget.
 
 Usage: python3 tools/check_scaled.py <sfDir> <verifyOutDir> [timeoutSec]
 """
