@@ -43,4 +43,11 @@ object BenchStats {
       val m = robustMedian(ts)
       p > 0 && m > 3 * p && m - p > 0.3
     }
+
+  /** Sample selection under budget shedding: measured samples win;
+    * the quarantined pass-1 warmup sample is quoted only when it is
+    * all a query has (a shed run still reports a full-suite line
+    * instead of dropping the query — the r8 rc=124 lesson). */
+  def effective(warm: Option[Double], measured: Seq[Double]): Seq[Double] =
+    if (measured.nonEmpty) measured else warm.toSeq
 }

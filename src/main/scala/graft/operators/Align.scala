@@ -83,27 +83,33 @@ object Align {
     // Artetxe-Schwenk setting): a negative mean INVERTS the ranking
     // (cos -0.8 / mean -0.5 = 1.6 beats cos -0.2 / -0.5 = 0.4) and a
     // zero mean divides to Infinity/NaN — both would silently emit
-    // nonsense "aligned" pairs, so fail loudly on the first
-    // non-positive mean (one cheap agg over the query-sized frames;
-    // the at-scale caller on an anisotropic space should re-center or
-    // use a DIFFERENCE margin before mining)
-    val badMean = mf.select(col("_mf").as("_m"))
-      .unionAll(mb.select(col("_mb").as("_m")))
-      .filter(col("_m") <= 0.0 || isnan(col("_m")))
-      .limit(1).collect()
-    require(badMean.isEmpty,
-      s"marginScore: a neighborhood mean cosine is " +
-        s"${badMean.headOption.map(_.get(0)).getOrElse("")} <= 0 — " +
-        "the ratio margin inverts (or divides to Infinity) on " +
-        "non-positive means. Re-center the embedding space or use a " +
-        "difference margin for this corpus.")
+    // nonsense "aligned" pairs. The guard is FOLDED INTO the scored
+    // plan (raise_error at execution on the first non-positive mean a
+    // margin would consume) so it costs ZERO extra passes — the
+    // previous build-time collect forced one full extra execution of
+    // BOTH k-NN supplier subtrees, for q259 an additional ~n²/4
+    // cosine pass per side. A mean the candidate joins never consume
+    // is not checked: it influences no emitted margin. The at-scale
+    // caller on an anisotropic space should re-center or use a
+    // DIFFERENCE margin before mining.
+    def positiveMean(c: org.apache.spark.sql.Column) =
+      when(c <= 0.0 || isnan(c),
+        raise_error(concat(
+          lit("marginScore: a neighborhood mean cosine is "),
+          c.cast("string"),
+          lit(" <= 0 — the ratio margin inverts (or divides to " +
+            "Infinity) on non-positive means. Re-center the " +
+            "embedding space or use a difference margin for this " +
+            "corpus."))).cast("double"))
+        .otherwise(c)
 
     val scored = fwd.filter(col("rank") <= k)
       .join(mf, col("query_id") === col("_x"))
       .join(mb, col("nn_id") === col("_y"))
       .select(col("query_id"), col("nn_id"), col("cos"),
-        (col("cos") / ((col("_mf") + col("_mb")) / lit(2.0)))
-          .as("margin"))
+        (col("cos") /
+          ((positiveMean(col("_mf")) + positiveMean(col("_mb"))) /
+            lit(2.0))).as("margin"))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("margin").desc, col("nn_id"))

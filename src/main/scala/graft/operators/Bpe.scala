@@ -195,18 +195,42 @@ object Bpe {
       .select("rank", "token", "cnt")
   }
 
+  /** The counted broadcast gate shared by [[encodeDocs]] and
+    * [[fertilityReport]] (the kCore `broadcastMaxNodes` discipline,
+    * Graphs.scala): an explicit broadcast() hint is honored PAST
+    * autoBroadcastJoinThreshold, and at web scale the distinct-word
+    * table (typos, URLs, code) is not Heaps-law-small — an
+    * unconditional hint would pin a vocab-sized frame on the driver.
+    * The fallback is CODE, not planner hope: the vocab frame is
+    * persisted (the count below materializes it ONCE for both the
+    * gate and the join — no second encode pass), counted, and hinted
+    * only while the count stays ≤ `broadcastMaxVocab`; above that
+    * the equi-join goes un-hinted and the planner shuffles both
+    * word-keyed sides — the right plan at that size. */
+  private def gatedVocabSide(
+      perWord: DataFrame, broadcastMaxVocab: Long): DataFrame = {
+    require(broadcastMaxVocab >= 1L,
+      s"broadcastMaxVocab must be >= 1, got $broadcastMaxVocab")
+    val cached = perWord
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cached.count() <= broadcastMaxVocab) broadcast(cached) else cached
+  }
+
   /** Per-document token counts under the merge table:
     * (id, n_words, n_tokens) — the sequence-length input the packing
     * family (q74/q100) consumes. Distinct words encode once; docs
-    * join the vocab-sized (word → n_tokens) table broadcast. */
+    * join the vocab-sized (word → n_tokens) table, broadcast only
+    * while its counted size stays ≤ `broadcastMaxVocab`
+    * ([[gatedVocabSide]]). */
   def encodeDocs(
       df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      broadcastMaxVocab: Long = 10000000L): DataFrame = {
     val perWord = encodeVocab(df, textCol, merges)
       .select(col("word"), size(col("tokens")).cast("long").as("_nt"))
     df.select(col(idCol).as("id"),
       explode(TextFunctions.words(col(textCol))).as("word"))
-      .join(broadcast(perWord), Seq("word"))
+      .join(gatedVocabSide(perWord, broadcastMaxVocab), Seq("word"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("_nt").as("n_tokens"))
   }
@@ -223,9 +247,11 @@ object Bpe {
     * a per-(group, word) frequency table (one shuffle, vocab-sized
     * output per group), DISTINCT words encode exactly once through
     * the merge chain, and the vocab-sized (word → token count) table
-    * broadcasts back onto the group frequencies. Corpus size enters
-    * only the initial wordcount; the encode work is vocabulary-
-    * bounded no matter how many times each word repeats.
+    * joins back onto the group frequencies — broadcast only while
+    * its counted size stays ≤ `broadcastMaxVocab`
+    * ([[gatedVocabSide]]). Corpus size enters only the initial
+    * wordcount; the encode work is vocabulary-bounded no matter how
+    * many times each word repeats.
     *
     * Determinism: counts and sums are exact integers; fertility and
     * chars_per_token are each ONE IEEE division rounded to 6
@@ -236,7 +262,8 @@ object Bpe {
     * chars_per_token) per group. */
   def fertilityReport(
       df: DataFrame, groupCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      broadcastMaxVocab: Long = 10000000L): DataFrame = {
     val wf = df.select(col(groupCol).as("source"),
         explode(TextFunctions.words(col(textCol))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("freq"))
@@ -245,7 +272,7 @@ object Bpe {
       .select(col("word"),
         size(col("_toks")).cast("long").as("_nt"),
         length(col("word")).cast("long").as("_nc"))
-    wf.join(broadcast(perWord), Seq("word"))
+    wf.join(gatedVocabSide(perWord, broadcastMaxVocab), Seq("word"))
       .groupBy("source")
       .agg(sum(col("freq")).as("n_words"),
         sum(col("freq") * col("_nt")).as("n_tokens"),

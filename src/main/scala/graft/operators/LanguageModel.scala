@@ -329,18 +329,28 @@ object LanguageModel {
     * bitwise-reproducible by the oracle's `list(... ORDER BY rank)`
     * folds — the array is vocab-sized, so the fold is guarded by a
     * loud `maxVocab` count (same contract as the group folds in
-    * [[Similarity.groupCentroids]]; the at-scale escape is the
-    * two-phase partial-sum spelling at a documented reordering
-    * tolerance, which this exact-oracle face deliberately does not
-    * take). ln is one libm call per term composed identically on
-    * both engines; faces round to 6 decimals (the q94 discipline).
+    * [[Similarity.groupCentroids]]). ln is one libm call per term
+    * composed identically on both engines; faces round to 6 decimals
+    * (the q94 discipline).
+    *
+    * `twoPhase = true` is the AT-SCALE escape (r8 verdict note made
+    * executable): the four moments become DISTRIBUTED partial sums
+    * (plain codegen'd `sum` over ln columns — map-side combine, no
+    * single-task fold, no `maxVocab` bound). The cost is
+    * shuffle-order float reassociation: each moment differs from the
+    * ordered fold by O(n·ε) relative error — for a 1M-type vocabulary
+    * of O(10)-magnitude ln terms that is ~1e-9 absolute, far inside
+    * the 6-decimal face, but NOT bitwise — so the exact-oracle face
+    * stays the default and the spec pins the two spellings within
+    * tolerance (ZipfSpec).
     *
     * Output: ONE row (n_tokens, slope, intercept). */
   def zipfSlope(
       df: DataFrame,
       textCol: String,
       minCount: Long = 1L,
-      maxVocab: Long = 1L << 20): DataFrame = {
+      maxVocab: Long = 1L << 20,
+      twoPhase: Boolean = false): DataFrame = {
     // guard count from the CHEAP unranked count table — counting
     // vocab() itself would re-run its global-ordering stage
     // (range repartition + zipWithIndex) just to discard it
@@ -349,23 +359,37 @@ object LanguageModel {
       .filter(col("cnt") >= minCount).count()
     require(n >= 2L,
       s"zipfSlope needs >= 2 vocabulary types to fit a line, got $n")
-    require(n <= maxVocab,
+    require(twoPhase || n <= maxVocab,
       s"zipfSlope folds the whole vocabulary ($n types) into ONE " +
         s"task for the ordered OLS moments > maxVocab=$maxVocab. " +
-        "Raise the bound deliberately or pre-filter with minCount.")
+        "Raise the bound deliberately, pre-filter with minCount, or " +
+        "take the twoPhase partial-sum spelling (reordering " +
+        "tolerance documented in the scaladoc).")
     val v = vocab(df, textCol, minCount)
     def fold(arr: Column, term: Column => Column): Column =
       aggregate(transform(arr, term), lit(0.0), (acc, t) => acc + t)
     val x = (s: Column) => log(s.getField("token_id").cast("double"))
     val y = (s: Column) => log(s.getField("cnt").cast("double"))
-    v.select(struct(col("token_id"), col("cnt")).as("s"))
-      .agg(sort_array(collect_list(col("s"))).as("ss"))
-      .select(
-        size(col("ss")).cast("long").as("n_tokens"),
-        fold(col("ss"), x).as("_sx"),
-        fold(col("ss"), y).as("_sy"),
-        fold(col("ss"), s => x(s) * x(s)).as("_sxx"),
-        fold(col("ss"), s => x(s) * y(s)).as("_sxy"))
+    val moments =
+      if (twoPhase)
+        v.select(log(col("token_id").cast("double")).as("_x"),
+            log(col("cnt").cast("double")).as("_y"))
+          .agg(
+            count(lit(1)).cast("long").as("n_tokens"),
+            sum(col("_x")).as("_sx"),
+            sum(col("_y")).as("_sy"),
+            sum(col("_x") * col("_x")).as("_sxx"),
+            sum(col("_x") * col("_y")).as("_sxy"))
+      else
+        v.select(struct(col("token_id"), col("cnt")).as("s"))
+          .agg(sort_array(collect_list(col("s"))).as("ss"))
+          .select(
+            size(col("ss")).cast("long").as("n_tokens"),
+            fold(col("ss"), x).as("_sx"),
+            fold(col("ss"), y).as("_sy"),
+            fold(col("ss"), s => x(s) * x(s)).as("_sxx"),
+            fold(col("ss"), s => x(s) * y(s)).as("_sxy"))
+    moments
       .withColumn("_nd", col("n_tokens").cast("double"))
       .withColumn("_slope",
         (col("_sxy") - col("_sx") * col("_sy") / col("_nd")) /

@@ -145,6 +145,19 @@ object Retrieval {
       Kernels.cosineArrays(a.toArray, b.toArray))
     val qv = emb.filter(col(vecIdCol).cast("long") === queryVecId)
       .select(col(vecCol).cast("array<float>").as("_qv"))
+    // exactly ONE query vector, verified before the plan is built: an
+    // absent id would make the crossJoin yield no vecFeat rows and
+    // every candidate's cosine would coalesce to -1.0 — a
+    // wrong-but-plausible ranking instead of a loud failure — and a
+    // duplicated id would fan every candidate out into multiple rows.
+    // The check is a pushed-down id-filter + limit(2): candidate-scan
+    // cost, fail-fast (the repo's limit-guard discipline).
+    val qvN = qv.limit(2).collect().length
+    require(qvN == 1,
+      s"rerankBlend: queryVecId=$queryVecId matched $qvN rows in the " +
+        "embedding frame (expected exactly 1) — an absent id silently " +
+        "scores every candidate's cosine as -1, a duplicate fans " +
+        "candidates out")
     val vecFeat = emb
       .join(broadcast(cand.select("_cand_id")),
         col(vecIdCol).cast("long") === col("_cand_id"))
@@ -250,10 +263,13 @@ object Retrieval {
       // semi, union), so an untruncated unroll replicates the
       // candidate-supplier subtree ~3^(m-1) times — 2187 copies at
       // the allowed m=8, a catalyst-analysis explosion. Truncate the
-      // (queries × t rows, tiny) selection every 4 steps: plan copies
-      // stay bounded at 3^3 per segment while m<=4 unrolls (the
-      // catalog case) keep their pure single-plan spelling.
-      if (t % 4 == 0 && t < m) sel = sel.localCheckpoint(true)
+      // (queries × t rows, tiny) selection every 3 steps: the longest
+      // post-checkpoint segment is then 3 un-truncated steps (steps
+      // 4–6 after the t=3 checkpoint), bounding plan copies at 3^3
+      // for every allowed m, while m<=3 unrolls keep their pure
+      // single-plan spelling. (The previous every-4 cadence left
+      // steps 5–8 un-truncated at m=8 — a 3^4 worst case.)
+      if (t % 3 == 0 && t < m) sel = sel.localCheckpoint(true)
     }
     sel
   }

@@ -1079,6 +1079,111 @@ private[queries] object ExtSimilarity {
       ORDER BY dim""")
   )
 
+  private val q267_crosslingual_dedup = Q(
+    "q267_crosslingual_dedup",
+    // Cross-lingual dedup — the SCALING.md note on q259 made
+    // executable: the corpus splits into two embedded "languages"
+    // (even/odd vec_id), and a pair is a cross-lingual DUPLICATE only
+    // when it is the MUTUAL best-margin partner in both mining
+    // directions with margin >= 1.05 (the forward∩backward
+    // intersection filter from the bitext literature — one-direction
+    // best-margin keeps hubs' one-sided matches; mutuality kills
+    // them). The margin value is direction-symmetric bitwise (same
+    // cos, IEEE + commutes in the mean), so one margin column is
+    // emitted. The oracle face consumes the EXACT dual k-NN lists;
+    // the AT-SCALE candidate path runs IN-JOB too: an IVF self-search
+    // (k=8) filtered to cross-parity pairs is recall-gated against
+    // the sampled exact lists — the recallGatedSampled discipline, so
+    // swapping the exact supplier for the gated ANN lists at 100 TB
+    // is a measured step, not a hope. Exact k-NN frames are
+    // localCheckpoint'ed: the two marginScore calls + the gate
+    // consume each side 3x (vs q259's 2x, where recompute measured
+    // faster — the break-even flips at 3 consumptions; measured in
+    // SCALING.md r9).
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpusN = corpusCountCache.computeIfAbsent(
+        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      require(corpusN <= 32768L,
+        s"q267's exact dual-kNN supplier scores corpusN²/4 pairs: " +
+          s"$corpusN rows > 32768. Feed marginScore the gated ANN " +
+          "lists at this scale (the in-job recall gate prices that " +
+          "swap).")
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.bruteForceTopK(
+        b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+        .localCheckpoint(true)
+      val bwd = Similarity.bruteForceTopK(
+        a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
+        .localCheckpoint(true)
+      // at-scale candidate stage, gated in-job: IVF self-search
+      // candidates restricted to cross-parity pairs must recover the
+      // exact cross-side top-4 for the sampled query population
+      val effMod = derivedSampleMod(e, dir, 10L, "q267 gate")
+      val annCross = Similarity.ivfTopK(e, "vec_id", "embedding", k = 8)
+        .filter((col("query_id") % 2) =!= (col("nn_id") % 2))
+      val exactSample = collectToLocal(
+        fwd.unionByName(bwd)
+          .filter(col("query_id") % effMod === 0)
+          .select("query_id", "nn_id"),
+        "q267 sampled exact reference (raise sampleMod)")
+      val recall = graft.operators.Gates.pairRecall(
+        annCross.filter(col("query_id") % effMod === 0), exactSample)
+      graft.operators.Gates.requireFloor(recall, 0.30,
+        s"q267 cross-parity IVF candidate recall@4 (every ${effMod}th query)")
+      val mfwd = graft.operators.Align.marginScore(
+        fwd, bwd, k = 4, minMargin = 1.05)
+      val mbwd = graft.operators.Align.marginScore(
+        bwd, fwd, k = 4, minMargin = 1.05)
+      mfwd.as("f").join(mbwd.as("b"),
+          col("f.src_id") === col("b.dst_id") &&
+            col("f.dst_id") === col("b.src_id"))
+        .select(col("f.src_id").as("keep_id"),
+          col("f.dst_id").as("drop_id"),
+          col("f.cos"), col("f.margin"))
+        .orderBy("keep_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      c AS MATERIALIZED (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(x.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(y.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM a x JOIN b y ON true),
+      fwd AS MATERIALIZED (SELECT xid, yid, cos, row_number() OVER (
+          PARTITION BY xid ORDER BY cos DESC, yid) AS r FROM c),
+      bwd AS MATERIALIZED (SELECT xid, yid, cos, row_number() OVER (
+          PARTITION BY yid ORDER BY cos DESC, xid) AS r FROM c),
+      mf AS (SELECT xid,
+          list_aggregate(list(cos ORDER BY r), 'sum') / count(*) AS m
+        FROM fwd WHERE r <= 4 GROUP BY xid),
+      mb AS (SELECT yid,
+          list_aggregate(list(cos ORDER BY r), 'sum') / count(*) AS m
+        FROM bwd WHERE r <= 4 GROUP BY yid),
+      sc AS (SELECT f.xid, f.yid, f.cos,
+          f.cos / ((mf.m + mb.m) / 2) AS margin
+        FROM fwd f JOIN mf USING (xid) JOIN mb USING (yid)
+        WHERE f.r <= 4),
+      tf AS (SELECT xid, yid, cos, margin, row_number() OVER (
+          PARTITION BY xid ORDER BY margin DESC, yid) AS mr FROM sc),
+      scb AS (SELECT w.xid, w.yid, w.cos,
+          w.cos / ((mb.m + mf.m) / 2) AS margin
+        FROM bwd w JOIN mb USING (yid) JOIN mf USING (xid)
+        WHERE w.r <= 4),
+      tb AS (SELECT xid, yid, margin, row_number() OVER (
+          PARTITION BY yid ORDER BY margin DESC, xid) AS mr FROM scb)
+      SELECT f.xid AS keep_id, f.yid AS drop_id, f.cos, f.margin
+      FROM tf f JOIN tb g ON g.xid = f.xid AND g.yid = f.yid
+      WHERE f.mr = 1 AND g.mr = 1
+        AND f.margin >= 1.05 AND g.margin >= 1.05
+      ORDER BY keep_id""")
+  )
+
   val all: Seq[Q] = Seq(
     q256_principal_component,
     q249_dim_drift,
@@ -1103,5 +1208,6 @@ private[queries] object ExtSimilarity {
     q259_bitext_margin,
     q260_silhouette,
     q262_mmr_diversify,
-    q263_retrieval_eval)
+    q263_retrieval_eval,
+    q267_crosslingual_dedup)
 }

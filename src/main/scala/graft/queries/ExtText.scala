@@ -1455,6 +1455,173 @@ private[queries] object ExtText {
     }
   )
 
+  private val q268_rerank_quality = Q(
+    "q268_rerank_quality",
+    // Rerank-quality eval — q257's cascade joined to q263's scorer:
+    // the SAME label-relevance metrics (P@10 / MRR / nDCG@10,
+    // relevant = candidate shares query vec 0's label) computed for
+    // BOTH cascade stages — the RRF-fused candidate list and the
+    // blended rerank of it — so the rerank's contribution is a
+    // measured before/after delta, not a narrative. This is the
+    // number a retrieval owner watches when tuning the blend weights:
+    // a rerank that loses nDCG against its own candidate list is
+    // doing harm. Candidates without an embedding row can never be
+    // relevant (no label) and drop from the fold identically in both
+    // engines; a self-hit (the query doc retrieved by BM25) counts
+    // relevant, while n_rel's ideal excludes self — both faces
+    // replay that convention exactly. Shape: the cascade is
+    // k-bounded end to end (q257's argument); each eval is two
+    // candidate-sized equi-joins + one label count + a 10-bounded
+    // rank-ordered fold.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val e = table(s, dir, "embeddings")
+      val bm = graft.operators.TfIdf.bm25TopK(
+        docs, "doc_id", "text", Seq("join", "hash", "scan"), k = 50)
+        .select(col("id"), col("rank"))
+      val cos = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("id"), col("rank"))
+      val fused = graft.operators.Retrieval.rrfFuse(
+        Seq("bm25" -> bm, "cos" -> cos), "id", "rank",
+        rrfK = 60, topK = 20)
+      val reranked = graft.operators.Retrieval.rerankBlend(
+        fused, "id", "rank",
+        docs, "doc_id", "text",
+        e, "vec_id", "embedding",
+        Seq("join", "hash", "scan"), queryVecId = 0L, topK = 10)
+      def knnOf(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("rank") <= 10)
+          .select(lit(0L).as("query_id"),
+            col("rank").cast("long").as("rank"),
+            col("id").cast("long").as("nn_id"))
+      def evalOf(df: org.apache.spark.sql.DataFrame, stage: String) =
+        graft.operators.Retrieval.labelEval(
+          knnOf(df), e, "vec_id", "label", k = 10)
+          .select(lit(stage).as("stage"), col("n_rel"),
+            col("p_at_k"), col("mrr"), col("ndcg"))
+      evalOf(fused, "fused")
+        .unionByName(evalOf(reranked, "reranked"))
+        .orderBy("stage")
+    },
+    Some {
+      val cosExpr = (a: String, b: String) =>
+        s"""list_aggregate(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform($a,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform($b,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"""
+      val hit = (t: String) => s"len(list_filter(d.w, x -> x = '$t'))"
+      val evalTail = (list: String) =>
+        s"""(SELECT least((SELECT c FROM lc) - 1, 10) AS n_rel,
+          CAST(sum(rel) AS BIGINT) AS nhit,
+          min(CASE WHEN rel = 1 THEN rank END) AS first,
+          list_aggregate(list(CASE WHEN rel = 1
+            THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0.0 END
+            ORDER BY rank), 'sum') AS dcg
+        FROM $list)"""
+      val metrics = (src: String) =>
+        s"""n_rel,
+        round(nhit / 10.0, 6) AS p_at_k,
+        round(CASE WHEN first IS NULL THEN 0.0
+          ELSE 1.0 / first END, 6) AS mrr,
+        round(dcg / CASE WHEN n_rel >= 1 THEN
+          list_aggregate(list_transform(range(1, n_rel + 1),
+            r -> 1.0 / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0))),
+            'sum') END, 6) AS ndcg
+      FROM $src"""
+      s"""WITH docs AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS dl,
+        $W AS w FROM documents),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+        CAST(count(*) AS BIGINT) AS n FROM docs),
+      toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+      c AS (SELECT tf.doc_id, tf.term,
+        ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+          (CAST(df AS DOUBLE) + 0.5)) *
+        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 *
+          ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) /
+            (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS contrib
+        FROM tf JOIN dfreq USING (term) JOIN docs USING (doc_id)
+        CROSS JOIN stats),
+      sbm AS (SELECT doc_id,
+        list_aggregate(list(contrib ORDER BY term), 'sum') AS score
+        FROM c GROUP BY doc_id),
+      bm AS (SELECT doc_id AS id,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank_bm25
+        FROM sbm ORDER BY score DESC, doc_id LIMIT 50),
+      e AS (SELECT vec_id, embedding FROM embeddings),
+      scv AS (SELECT c2.vec_id AS id,
+        ${cosExpr("q.embedding", "c2.embedding")} AS cos
+        FROM e c2 JOIN e q ON q.vec_id = 0 AND c2.vec_id <> 0),
+      cosl AS (SELECT id,
+        CAST(row_number() OVER (ORDER BY cos DESC, id)
+          AS BIGINT) AS rank_cos
+        FROM scv ORDER BY cos DESC, id LIMIT 50),
+      u AS (SELECT id FROM bm UNION SELECT id FROM cosl),
+      f AS (SELECT u.id,
+        COALESCE(1.0 / (60 + bm.rank_bm25), 0.0)
+          + COALESCE(1.0 / (60 + cosl.rank_cos), 0.0) AS rrf
+        FROM u LEFT JOIN bm ON bm.id = u.id
+        LEFT JOIN cosl ON cosl.id = u.id),
+      fused AS MATERIALIZED (SELECT
+          CAST(row_number() OVER (ORDER BY rrf DESC, id)
+          AS BIGINT) AS rank, id
+        FROM f ORDER BY rrf DESC, id LIMIT 20),
+      tfeat AS (SELECT fu.id,
+        CAST((CASE WHEN ${hit("hash")} > 0 THEN 1 ELSE 0 END +
+              CASE WHEN ${hit("join")} > 0 THEN 1 ELSE 0 END +
+              CASE WHEN ${hit("scan")} > 0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 3.0 AS coverage,
+        CAST(${hit("hash")} + ${hit("join")} + ${hit("scan")}
+          AS DOUBLE) / CAST(greatest(len(d.w), 1) AS DOUBLE) AS den
+        FROM fused fu JOIN docs d ON d.doc_id = fu.id),
+      vfeat AS (SELECT fu.id,
+        ${cosExpr("q.embedding", "c2.embedding")} AS cos
+        FROM fused fu JOIN e c2 ON c2.vec_id = fu.id
+        JOIN e q ON q.vec_id = 0),
+      g AS (SELECT fu.id,
+        COALESCE(v.cos, -1.0) AS cr,
+        COALESCE(t.coverage, 0.0) AS cov,
+        COALESCE(t.den, 0.0) AS d
+        FROM fused fu LEFT JOIN tfeat t ON t.id = fu.id
+        LEFT JOIN vfeat v ON v.id = fu.id),
+      s2 AS (SELECT id,
+        round(0.5 * ((cr + 1.0) / 2.0) + 0.3 * cov
+          + 0.2 * (d / (1.0 + d)), 6) AS score
+        FROM g),
+      rr AS MATERIALIZED (SELECT
+          CAST(row_number() OVER (ORDER BY score DESC, id)
+          AS BIGINT) AS rank, id
+        FROM s2 ORDER BY score DESC, id LIMIT 10),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      qlab AS MATERIALIZED (SELECT label FROM lab WHERE vec_id = 0),
+      lc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS c
+        FROM lab, qlab WHERE lab.label = qlab.label),
+      evf AS (SELECT fu.rank,
+          CASE WHEN l.label = q.label THEN 1 ELSE 0 END AS rel
+        FROM fused fu JOIN lab l ON l.vec_id = fu.id
+        CROSS JOIN qlab q WHERE fu.rank <= 10),
+      evr AS (SELECT rr.rank,
+          CASE WHEN l.label = q.label THEN 1 ELSE 0 END AS rel
+        FROM rr JOIN lab l ON l.vec_id = rr.id
+        CROSS JOIN qlab q),
+      pvf AS ${evalTail("evf")},
+      pvr AS ${evalTail("evr")}
+      SELECT * FROM (
+        SELECT 'fused' AS stage, ${metrics("pvf")}
+        UNION ALL
+        SELECT 'reranked' AS stage, ${metrics("pvr")}
+      ) ORDER BY stage"""
+    }
+  )
+
   val all: Seq[Q] = Seq(
     q248_krippendorff,
     q241_collocations,
@@ -1495,5 +1662,6 @@ private[queries] object ExtText {
     q202_url_canonical,
     q257_rerank_fusion,
     q258_tokenizer_fertility,
-    q261_zipf_slope)
+    q261_zipf_slope,
+    q268_rerank_quality)
 }

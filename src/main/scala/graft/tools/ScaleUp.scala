@@ -51,53 +51,75 @@ object ScaleUp {
                 build: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
       (0 until copies).map(c => build(df, c)).reduce(_ unionByName _)
 
+    // a fixture dir need not carry every table (the byte-copy dim
+    // path below always skipped absentees) — each fact block guards
+    // on existence, and an EMPTY table's null max degrades to shift 0
+    // (copies of empty are empty; no NPE from getLong on null)
+    def has(t: String) = new java.io.File(s"$src/$t.parquet").exists()
+    def maxId(df: org.apache.spark.sql.DataFrame, c: String): Long = {
+      val r = df.agg(max(c)).first()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+
     // documents: distinct-token near-dup copies
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docShift = docs.agg(max("doc_id")).first().getLong(0) + 1
-    shifted(docs, (d, c) =>
-      if (c == 0) d
-      else d.select(
-        (col("doc_id") + c * docShift).as("doc_id"),
-        concat(lit(s"copym$c "), col("text")).as("text"),
-        col("lang"), col("source"), col("n_chars")))
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    if (has("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val docShift = maxId(docs, "doc_id") + 1
+      shifted(docs, (d, c) =>
+        if (c == 0) d
+        else d.select(
+          (col("doc_id") + c * docShift).as("doc_id"),
+          concat(lit(s"copym$c "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
 
     // embeddings: rotated-direction copies
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val vecShift = emb.agg(max("vec_id")).first().getLong(0) + 1
-    val rotate = udf((v: scala.collection.Seq[Float], by: Int) => {
-      val n = v.length
-      if (n == 0) v else Seq.tabulate(n)(i => v((i + by) % n))
-    })
-    shifted(emb, (d, c) =>
-      if (c == 0) d
-      else d.select(
-        (col("vec_id") + c * vecShift).as("vec_id"),
-        rotate(col("embedding"), lit(c)).cast("array<float>").as("embedding"),
-        col("label")))
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    if (has("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val vecShift = maxId(emb, "vec_id") + 1
+      val rotate = udf((v: scala.collection.Seq[Float], by: Int) => {
+        val n = v.length
+        if (n == 0) v else Seq.tabulate(n)(i => v((i + by) % n))
+      })
+      shifted(emb, (d, c) =>
+        if (c == 0) d
+        else d.select(
+          (col("vec_id") + c * vecShift).as("vec_id"),
+          rotate(col("embedding"), lit(c)).cast("array<float>").as("embedding"),
+          col("label")))
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
 
-    // lineitem + orders: consistent orderkey-domain shift
-    val orders = spark.read.parquet(s"$src/orders.parquet")
-    val okShift = orders.agg(max("o_orderkey")).first().getLong(0) + 1
-    shifted(orders, (d, c) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + c * okShift))
-      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    shifted(li, (d, c) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + c * okShift))
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    // lineitem + orders: consistent orderkey-domain shift (lineitem
+    // rides only with orders present — its shift IS the orders key
+    // domain; an orphan lineitem is skipped like any absent table)
+    if (has("orders")) {
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val okShift = maxId(orders, "o_orderkey") + 1
+      shifted(orders, (d, c) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + c * okShift))
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      if (has("lineitem")) {
+        val li = spark.read.parquet(s"$src/lineitem.parquet")
+        shifted(li, (d, c) =>
+          d.withColumn("l_orderkey", col("l_orderkey") + c * okShift))
+          .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      }
+    }
 
     // events: id-shifted copies — event_type/user/ts domains stay
     // fixed (like real traffic growth: more events per key, not new
     // keys), so per-key statistics (q225 bootstrap, funnels, windows)
     // see genuinely 3x data. Read through Catalog.events so both ts
     // encodings the driver has shipped normalize identically.
-    val ev = graft.queries.Catalog.events(spark, src)
-    val evShift = ev.agg(max("event_id")).first().getLong(0) + 1
-    shifted(ev, (d, c) =>
-      d.withColumn("event_id", col("event_id") + c * evShift))
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    if (has("events")) {
+      val ev = graft.queries.Catalog.events(spark, src)
+      val evShift = maxId(ev, "event_id") + 1
+      shifted(ev, (d, c) =>
+        d.withColumn("event_id", col("event_id") + c * evShift))
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }
 
     // everything else rides along unchanged (dims)
     for (t <- Seq("region", "nation", "customer", "supplier", "part")) {

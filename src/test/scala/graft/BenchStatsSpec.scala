@@ -50,4 +50,11 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(!divergent(slow, Some(0.0)))
     assert(!divergent(slow, Some(-1.0)))
   }
+
+  test("effective: measured samples win; warmup only as a fallback") {
+    assert(effective(Some(2.0), Seq(1.0, 1.1)) == Seq(1.0, 1.1))
+    assert(effective(Some(2.0), Nil) == Seq(2.0))
+    assert(effective(None, Nil) == Nil)
+    assert(effective(None, Seq(0.5)) == Seq(0.5))
+  }
 }

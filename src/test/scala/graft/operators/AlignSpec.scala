@@ -86,14 +86,33 @@ class AlignSpec extends AnyFunSuite {
   test("marginScore: non-positive neighborhood mean fails loudly " +
       "(the ratio margin inverts on negative means)") {
     // y=13's mean is (-0.2 + -0.4)/2 < 0: a ratio margin would rank
-    // the WORST candidate first — loud failure instead
+    // the WORST candidate first — loud failure instead. The guard is
+    // in-plan (raise_error), so it surfaces at the ACTION, not at
+    // build — the r9 zero-extra-pass spelling.
     val fwd = knn((1L, 1L, 11L, 0.9), (1L, 2L, 13L, 0.5))
     val bwd = knn(
       (11L, 1L, 1L, 0.9), (11L, 2L, 2L, 0.7),
       (13L, 1L, 1L, -0.2), (13L, 2L, 2L, -0.4))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Align.marginScore(fwd, bwd, k = 2, minMargin = 0.0).collect()
     }
-    assert(e.getMessage.contains("non-positive"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("neighborhood mean cosine")))
+  }
+
+  test("marginScore: a bad mean never joined into a margin does not " +
+      "fire the in-plan guard (it influences no emitted pair)") {
+    // y=99 has a negative mean in bwd but is nobody's forward
+    // candidate — the scored join never consumes it, so the mine
+    // succeeds (the r8 build-time collect would have failed here)
+    val fwd = knn((1L, 1L, 11L, 0.9))
+    val bwd = knn(
+      (11L, 1L, 1L, 0.9), (11L, 2L, 2L, 0.7),
+      (99L, 1L, 1L, -0.5))
+    val got = Align.marginScore(fwd, bwd, k = 2, minMargin = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1 && got.head._2 == 11L)
   }
 }

@@ -146,4 +146,35 @@ class BpeSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(got("B") == (("B", 2L, 4L, 8L, 2.0, 2.0)))
   }
+
+  test("broadcastMaxVocab gate: hinted and un-hinted paths agree " +
+      "exactly on both sides of the bound") {
+    // vocab here is 4 distinct words; bound 1 forces the un-hinted
+    // shuffle join, the default leaves the broadcast hint — results
+    // must be identical (the gate changes the PLAN, never the rows)
+    val df = Seq((1L, "table hash table"), (2L, "cat table"))
+      .toDF("doc_id", "text")
+    val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l",
+      "tabl" -> "e", "h" -> "a", "ha" -> "s", "has" -> "h")
+    val hinted = Bpe.encodeDocs(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val shuffled = Bpe.encodeDocs(df, "doc_id", "text", merges,
+        broadcastMaxVocab = 1L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(hinted == shuffled)
+    val src = df.withColumnRenamed("doc_id", "sid")
+      .withColumn("source", concat(lit("s"), col("sid")))
+    val fh = Bpe.fertilityReport(src, "source", "text", merges)
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val fs = Bpe.fertilityReport(src, "source", "text", merges,
+        broadcastMaxVocab = 1L)
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(fh == fs)
+    intercept[IllegalArgumentException] {
+      Bpe.encodeDocs(df, "doc_id", "text", merges,
+        broadcastMaxVocab = 0L)
+    }
+  }
 }

@@ -405,6 +405,26 @@ class GraphsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("maxCommon=2")))
   }
 
+  test("linkPrediction preCountGuard: fails at BUILD before any list " +
+      "materializes; agrees with the default path when clean") {
+    val edges = (1L to 3L).flatMap(c => Seq((100L, c), (200L, c)))
+    // the opt-in count-only pre-pass raises at operator build
+    // (IllegalArgumentException from require), not at the action
+    val e = intercept[IllegalArgumentException] {
+      Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+        maxCommon = 2L, preCountGuard = true)
+    }
+    assert(e.getMessage.contains("pre-count guard") &&
+      e.getMessage.contains("maxCommon=2"))
+    // clean run: guarded and unguarded paths emit identical rows
+    val base = Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val guarded = Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
+        preCountGuard = true)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(base == guarded && base.nonEmpty)
+  }
+
   test("labelPropagation: two triangles over a weak bridge settle " +
       "into two communities; swap parity pinned; dupes collapse") {
     val edges = Seq(

@@ -242,4 +242,27 @@ class LanguageModelSpec extends AnyFunSuite {
     // two points: slope = ln(2/4)/ln(2/1) = -1 (to rounding)
     assert(math.abs(got.getDouble(1) - (-1.0)) < 2e-6)
   }
+
+  test("zipfSlope twoPhase: partial-sum spelling agrees with the " +
+      "ordered-fold face within tolerance and lifts the vocab bound") {
+    // a spread of frequencies across 26 types, several partitions so
+    // the distributed sums genuinely reassociate
+    val docs = ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      (Seq.fill(i + 1)(c.toString) ++ Seq.fill((i * 7) % 5 + 1)(
+        s"$c$c")).mkString(" ")
+    }.toDF("text").repartition(7)
+    val exact = LanguageModel.zipfSlope(docs, "text").collect().head
+    val two = LanguageModel.zipfSlope(docs, "text", twoPhase = true)
+      .collect().head
+    assert(exact.getLong(0) == two.getLong(0))
+    // reassociation error is O(n·eps) on the raw moments — far inside
+    // the 6-decimal face; allow one ulp of the rounded face
+    assert(math.abs(exact.getDouble(1) - two.getDouble(1)) <= 2e-6)
+    assert(math.abs(exact.getDouble(2) - two.getDouble(2)) <= 2e-6)
+    // twoPhase lifts the one-task fold bound (no maxVocab raise)
+    val lifted = LanguageModel.zipfSlope(
+      Seq("a a b c").toDF("text"), "text", maxVocab = 2L,
+      twoPhase = true).collect().head
+    assert(lifted.getLong(0) == 3L)
+  }
 }

@@ -141,6 +141,24 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("rerankBlend: absent or duplicated queryVecId fails loudly " +
+      "instead of silently scoring every cosine as -1") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val fused = Seq((1L, 1L)).toDF("id", "rank")
+    def call(emb: org.apache.spark.sql.DataFrame) =
+      Retrieval.rerankBlend(fused, "id", "rank", docs, "doc_id",
+        "text", emb, "vec_id", "embedding", Seq("a"), 0L, 10)
+    // absent: id 0 not in the frame
+    val absent = Seq((1L, Array(1f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] { call(absent) }
+    assert(e1.getMessage.contains("matched 0 rows"))
+    // duplicated: id 0 twice would fan candidates out
+    val dup = Seq((0L, Array(1f)), (0L, Array(0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] { call(dup) }
+    assert(e2.getMessage.contains("matched 2 rows"))
+  }
+
   // (query_id, rank, nn_id, cos) / (query_id, id_a, id_b, sim)
   private def mmrCand(rows: (Long, Long, Long, Double)*) =
     rows.toDF("query_id", "rank", "nn_id", "cos")

@@ -7,12 +7,20 @@ sf0.1 in sane time — the SPARK side of those queries is fine; the
 timeout prices the ORACLE, not the engine. A timeout is recorded as
 SKIP, never a failure.
 
+The skip set is PINNED (round-9 verdict item: the gate's OK/SKIP
+counts must not move with box load): PINNED_SKIP names the oracles
+whose SQL is structurally quadratic at sf0.1 (all-pairs Jaccard
+twins, recursive closures, unrolled graph chains — q127 alone runs
+20+ min); they are recorded SKIP without spending their timeout.
+BOUNDARY names the four oracles measured near the 90 s line whose
+outcome drifted with load in r8 — they run with a 4x budget so they
+land OK deterministically. Everything else keeps the base budget; a
+NEW query drifting over it shows up as a (loud, investigable) SKIP
+rather than silently joining a pinned list.
+
 Measured round 8 at sf0.1 over the full 266-query catalog (90 s
-budget): 249 OK, 0 FAIL, 17 SKIP. The core skip set is the
-quadratic-Jaccard twins (q35/q36/q65/q72/q76/q79) plus q86, q127,
-q145, q169, q176, q178, q185, q221, q253; boundary-cost oracles
-(q101, q117, q226, q232) drift in and out of the set with box load
-at the 90 s budget.
+budget): 249 OK, 0 FAIL, 17 SKIP — the 15 PINNED_SKIP entries plus
+2 of the four boundary oracles on a loaded box.
 
 Usage: python3 tools/check_scaled.py <sfDir> <verifyOutDir> [timeoutSec]
 """
@@ -20,6 +28,25 @@ import json, subprocess, sys, os
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 90
+
+# structurally quadratic DuckDB SQL at sf0.1 — never attempted; the
+# Spark side of every one of these passes in the same Verify run
+PINNED_SKIP = {
+    "q35_dedup_ngram_jaccard", "q36_dedup_minhash_lsh",
+    "q65_dedup_clusters", "q72_cluster_split",
+    "q76_dedup_minhash_incremental", "q79_dedup_clusters_incremental",
+    "q86_index_compaction", "q127_resolve_best",
+    "q145_dedup_attrition", "q169_triangle_stats",
+    "q176_containment", "q178_crosssource_dups",
+    "q185_pagerank", "q221_dedup_threshold_sweep",
+    "q253_contrastive_pairs",
+}
+# measured near the budget line in r8 (drifted OK<->SKIP with load):
+# a 4x budget lands them OK on any plausible box
+BOUNDARY = {
+    "q101_stream_ingest_dedup", "q117_decontaminate_fuzzy",
+    "q226_triangles_capped", "q232_kcore",
+}
 
 WORKER = r'''
 import json, sys, glob, os
@@ -53,11 +80,17 @@ print(f"OK   {qname} ({len(got)} rows)")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = skip = 0
 for q in sorted(oracle):
+    if q in PINNED_SKIP:
+        print(f"SKIP {q}: pinned (structurally quadratic oracle SQL, "
+              "not a Spark-side issue)", flush=True)
+        skip += 1
+        continue
+    q_timeout = timeout * 4 if q in BOUNDARY else timeout
     try:
         r = subprocess.run([sys.executable, "-c", WORKER,
                             sf_dir, out_dir, q],
                            capture_output=True, text=True,
-                           timeout=timeout)
+                           timeout=q_timeout)
         out = (r.stdout or "") + (r.stderr or "")
         line = (out.strip().splitlines()[-1] if out.strip()
                 else f"FAIL {q}: no output")
@@ -67,7 +100,7 @@ for q in sorted(oracle):
         else:
             fail += 1
     except subprocess.TimeoutExpired:
-        print(f"SKIP {q}: oracle exceeded {timeout}s "
+        print(f"SKIP {q}: oracle exceeded {q_timeout}s "
               "(quadratic SQL, not a Spark-side issue)", flush=True)
         skip += 1
 print(f"done: {ok} OK, {fail} FAIL, {skip} SKIP")
