@@ -550,8 +550,10 @@ private[queries] object ExtSimilarity {
       // broadcast scan); recompute wins, so no truncation here.
       val fwd = Similarity.bruteForceTopK(
         b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+        .localCheckpoint(true)
       val bwd = Similarity.bruteForceTopK(
         a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
+        .localCheckpoint(true)
       graft.operators.Align.marginScore(fwd, bwd, k = 4,
         minMargin = 1.05).orderBy("src_id")
     },
@@ -1098,8 +1100,8 @@ private[queries] object ExtSimilarity {
     // is a measured step, not a hope. Exact k-NN frames are
     // localCheckpoint'ed: the two marginScore calls + the gate
     // consume each side 3x (vs q259's 2x, where recompute measured
-    // faster — the break-even flips at 3 consumptions; measured in
-    // SCALING.md r9).
+    // faster — the break-even flips at 3 consumptions: lc 5.87 s vs
+    // recompute 7.03 s median at sf0.1, Probe queries 3, r9).
     (s, dir) => {
       val e = table(s, dir, "embeddings")
       val corpusN = corpusCountCache.computeIfAbsent(

@@ -488,19 +488,26 @@ class GraphsSpec extends AnyFunSuite {
     val flat = Graphs.modularity(edges, "a", "b", one).collect()
     assert(flat.length == 1 && flat.head.getDouble(4) == 0.0)
     // a PARTIAL assignment would silently drop edges from L_c:
-    // loud failure instead
+    // loud failure instead — in-plan since r9 (raise_error at the
+    // action; the old build-time collects re-ran the caller's LPA
+    // chain twice), so the error surfaces wrapped by Spark
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val partial = comm.filter(col("node") =!= 7L)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Graphs.modularity(edges, "a", "b", partial).collect()
     }
-    assert(e.getMessage.contains("TOTAL community assignment"))
+    assert(messages(e).exists(
+      _.contains("exactly one community per graph node")))
     // a node assigned TWICE would double-count degree mass and edges
     val doubled = comm.unionByName(
       comm.filter(col("node") === 1L)
         .select(col("node"), lit(99L).as("community")))
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = intercept[Exception] {
       Graphs.modularity(edges, "a", "b", doubled).collect()
     }
-    assert(e2.getMessage.contains("single community per node"))
+    assert(messages(e2).exists(
+      _.contains("exactly one community per graph node")))
   }
 }
