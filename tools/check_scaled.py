@@ -29,22 +29,27 @@ import json, subprocess, sys, os
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 90
 
-# structurally quadratic DuckDB SQL at sf0.1 — never attempted; the
-# Spark side of every one of these passes in the same Verify run
+# structurally quadratic (or otherwise unbounded-cost) DuckDB SQL at
+# sf0.1 — never attempted; the Spark side of every one of these
+# passes in the same Verify run. q101 graduated here in r9: its
+# oracle was timed DIRECTLY at > 600 s on an idle box (not a load
+# drift — it never fit the 90 s budget).
 PINNED_SKIP = {
     "q35_dedup_ngram_jaccard", "q36_dedup_minhash_lsh",
     "q65_dedup_clusters", "q72_cluster_split",
     "q76_dedup_minhash_incremental", "q79_dedup_clusters_incremental",
-    "q86_index_compaction", "q127_resolve_best",
+    "q86_index_compaction", "q101_stream_ingest_dedup",
+    "q127_resolve_best",
     "q145_dedup_attrition", "q169_triangle_stats",
     "q176_containment", "q178_crosssource_dups",
     "q185_pagerank", "q221_dedup_threshold_sweep",
     "q253_contrastive_pairs",
 }
 # measured near the budget line in r8 (drifted OK<->SKIP with load):
-# a 4x budget lands them OK on any plausible box
+# a 4x budget lands them OK on any plausible box (r9 run 1: all
+# three OK at 4x)
 BOUNDARY = {
-    "q101_stream_ingest_dedup", "q117_decontaminate_fuzzy",
+    "q117_decontaminate_fuzzy",
     "q226_triangles_capped", "q232_kcore",
 }
 
