@@ -65,14 +65,70 @@ import org.apache.spark.sql.SparkSession
   *    overrunning. Budget priority (first kept, first shed from the
   *    tail): warmup + first measured pass (always attempted, aborted
   *    per-query when the clock actually runs out), the bucket-join
-  *    diagnostic, later measured passes (projection-gated on the
-  *    measured per-query minima +10% margin), escalation. A query a
+  *    diagnostic, later measured passes (per-query projection skips
+  *    on the measured per-query minima +10% margin, in information-
+  *    ranked order), escalation. A query a
   *    shed leaves short falls back through [[BenchStats.effective]]
   *    (measured samples if any, else the warmup sample), so even a
   *    catastrophically slow box yields a full-suite artifact with
-  *    the shedding named in `shed`. */
+  *    the shedding named in `shed`.
+  *
+  * Load-poisoning defense (the r9 lesson — the driver's capture
+  * finally survived its wall budget, rc=0 with a full artifact, but
+  * it STARTED at loadavg 2.90 and lone 75–96 s contention spikes
+  * owned medians that measure 2–3 s clean):
+  * 1. PRE-FLIGHT LOAD GATE. Before the wall clock starts, wait
+  *    (bounded: SPARK_GRAFT_BENCH_LOAD_WAIT_SECS, default 120 s; 0
+  *    disables) for the 1-min loadavg to drop below
+  *    SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0) — attacking the root
+  *    cause (the box still draining the previous job) instead of
+  *    mopping up downstream. `loadavg_entry` and `load_waited_s` in
+  *    the artifact make a still-contended start diagnosable.
+  * 2. DIVERGENCE-AWARE QUOTING ([[BenchStats.selected]]). A query
+  *    left with a SINGLE measured sample that diverges >= 3x (and
+  *    > 0.3 s) from both its quarantined warmup and the clean
+  *    committed prior quotes min(measured, warmup) — a lone
+  *    contended sample never owns the official median. Raw samples
+  *    still drive escalation and the `prior_divergent` flag;
+  *    rescued queries are named in `rescued`.
+  * 3. INFORMATION-RANKED SHEDDING. Under wall pressure, remaining
+  *    budget goes to zero-measured-sample queries first, then
+  *    prior-divergent ones, then the clean tail — never
+  *    alphabetically — and shedding is per-query (a too-expensive
+  *    query skips; cheaper queries behind it still measure). A
+  *    shed-but-completed run's final line is `partial:true` and a
+  *    shed prior is rejected by the parser, so warmup-quality
+  *    medians never become the next round's reference. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    def loadavg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    def load1: Double =
+      loadavg.split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+    // ---- pre-flight load gate (the r9 root cause: the driver's
+    // capture STARTED at loadavg 2.90 — its own correctness run still
+    // draining — and every defense downstream was mopping up that
+    // contamination). A bounded wait attacks the cause: poll until
+    // the 1-min loadavg drops below SPARK_GRAFT_BENCH_LOAD_MAX
+    // (default 2.0) or SPARK_GRAFT_BENCH_LOAD_WAIT_SECS (default 120,
+    // 0 disables) elapses, then proceed regardless — the gate may
+    // only delay, never block, and both the entry load and the time
+    // spent waiting land in the artifact (`loadavg_entry`,
+    // `load_waited_s`) so a still-contended start is diagnosable.
+    // The wall budget clock starts AFTER the gate: waiting must buy
+    // cleanliness, not eat measurement budget. ----
+    val loadEntry = loadavg
+    val loadGateMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_SECS", "120").toDouble
+    val loadGateThresh =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0").toDouble
+    var loadWaited = 0.0
+    while (loadWaited < loadGateMax && load1 >= loadGateThresh) {
+      Thread.sleep(5000)
+      loadWaited += 5.0
+    }
     val t0Wall = System.nanoTime()
     def wallS: Double = (System.nanoTime() - t0Wall) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,10 +142,6 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "7").toInt)
     val wallBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SECS", "1380").toDouble
-    def loadavg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split(" ").take(3).mkString(" ")
-      catch { case scala.util.control.NonFatal(_) => "" }
     val loadStart = loadavg
     // Prior artifact medians, read BEFORE this run overwrites the
     // default output path. Parsed with the Jackson shipped in Spark;
@@ -106,10 +158,16 @@ object Bench {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
         // medians are only comparable at the same scale factor (a
         // prior captured at another sf would mass-flag or mass-mask
-        // divergence) and only from a COMPLETE capture — a partial
-        // line's medians may be warmup samples
+        // divergence) and only from a COMPLETE, UNSHED capture — a
+        // partial line's medians may be warmup samples, and (the r9
+        // advisor catch) a run that COMPLETED but shed passes or
+        // queries quotes warmup-only samples (~1.5× overestimates)
+        // for the shed tail, which would one-sidedly mask the 3×
+        // cross-check; a non-empty `shed` array degrades to "no
+        // prior" just like partial:true does
         if (root.get("sf") == null || root.get("sf").asText() != sfDir ||
-            (root.get("partial") != null && root.get("partial").asBoolean()))
+            (root.get("partial") != null && root.get("partial").asBoolean()) ||
+            (root.get("shed") != null && root.get("shed").size() > 0))
           Map.empty
         else {
           val qs = root.get("queries")
@@ -161,8 +219,21 @@ object Bench {
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       queries.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    // RAW sample selection — what the harness's own decisions
+    // (escalation, divergence bookkeeping, projections) see; the
+    // QUOTED medians additionally pass through the lone-sample
+    // divergence rescue (quotedOf below) so a single contended
+    // sample can never own the official number while the raw view
+    // still drives the escalation that would outvote it properly
     def samplesOf(name: String): Seq[Double] =
       effective(warm.get(name), acc(name))
+    def quotedOf(name: String): Seq[Double] =
+      BenchStats.selected(warm.get(name), acc(name), prior.get(name))
+    def rescued(name: String): Boolean = (acc(name), warm.get(name)) match {
+      case (Vector(m), Some(w)) =>
+        BenchStats.rescueWorthy(m, w, prior.get(name))
+      case _ => false
+    }
     def divergent(name: String): Boolean = {
       val ts = samplesOf(name)
       ts.nonEmpty && BenchStats.divergent(ts, prior.get(name))
@@ -183,8 +254,14 @@ object Bench {
       "/root/repo/bench_out.json")
     def emit(partial: Boolean): Unit = {
       val seen = queries.map(_._1).filter(n => samplesOf(n).nonEmpty)
-      val results = seen.map(n => n -> robustMedian(samplesOf(n)))
+      // quoted median: the divergence-aware selection (a rescued
+      // query quotes min(measured, warmup)); the prior_divergent
+      // flag stays computed on the RAW samples so a rescue is
+      // visible, never laundered — rescued names also land in their
+      // own `rescued` array
+      val results = seen.map(n => n -> robustMedian(quotedOf(n)))
       val stillDivergent = seen.filter(divergent)
+      val rescuedNames = seen.filter(rescued)
       val qs = (results ++ bucketEntries)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -200,9 +277,11 @@ object Bench {
       val total = results.map(_._2).sum
       val divJson = stillDivergent
         .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+      val rescJson = rescuedNames
+        .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
       val shedJson = shed.map(s => s"\"" + s + "\"").mkString("[", ",", "]")
       val line =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":${nPasses - 1},"max_runs":$maxRuns,"stat":"trimmed_median_interleaved","partial":$partial,"queries_measured":${seen.size},"wall_s":${fmt(wallS)},"wall_budget_s":${fmt(wallBudget)},"shed":$shedJson,"prior_divergent":$divJson,"runs":$runsJson,"warmup":$warmJson,"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":${nPasses - 1},"max_runs":$maxRuns,"stat":"trimmed_median_interleaved","partial":$partial,"queries_measured":${seen.size},"wall_s":${fmt(wallS)},"wall_budget_s":${fmt(wallBudget)},"shed":$shedJson,"prior_divergent":$divJson,"rescued":$rescJson,"runs":$runsJson,"warmup":$warmJson,"loadavg_entry":"$loadEntry","load_waited_s":${fmt(loadWaited)},"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
       println(line)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -216,19 +295,44 @@ object Bench {
     // attempt (a measured sample beats any projection — warmup times
     // overestimate a measured pass by ~1.5×, so a whole-pass shed
     // decided on them would trade real samples for a guess), aborting
-    // per-query when the clock actually runs out; the bucket
-    // diagnostic next (unique evidence); then later measured passes,
-    // projection-gated on the now-accurate measured minima (+10% load
-    // margin) and per-query aborted; escalation last (it only buys
-    // redundancy). A query skipped by an abort keeps its earlier
-    // samples and falls back through [[BenchStats.effective]].
+    // per-query when the clock actually runs out (EVERY pass,
+    // including the warmup — the r9 advisor catch: a pass-1-only
+    // exemption let a catastrophically slow box overrun the budget
+    // for the remainder of the warmup); the bucket diagnostic next
+    // (unique evidence); then later measured passes (per-query
+    // projection skips on the now-accurate measured minima, +10%
+    // load margin, ranked order); then escalation (it only buys
+    // redundancy).
+    //
+    // Within a measured pass the work is INFORMATION-RANKED, not
+    // alphabetical (the r9 lesson: an alphabetical tail shed left 74
+    // queries quoting contended warmup samples): queries with ZERO
+    // measured samples run first (each buys a median that nothing
+    // else supplies), then prior-divergent ones (history says their
+    // current samples are least trustworthy), then the clean rest —
+    // alphabetical within a class for determinism. Shedding is
+    // PER-QUERY: a query whose projected cost no longer fits is
+    // skipped (counted in `shed`) while cheaper queries behind it
+    // still get their sample; only an actually-exhausted clock
+    // aborts the pass. A shed query keeps its earlier samples and
+    // falls back through [[BenchStats.effective]]/[[BenchStats.selected]].
     var aborted = false
     def runPass(p: Int): Unit = {
+      val order =
+        if (p <= 2) queries // no measured samples exist yet to rank on
+        else queries.sortBy { case (n, _) =>
+          (if (acc(n).isEmpty) 0 else if (divergent(n)) 1 else 2, n)
+        }
       var i = 0
-      for ((name, fn) <- queries if !aborted) {
-        if (p > 1 && wallS + 1.1 * minTime(name) > wallBudget) {
+      var shedCount = 0
+      var shedFirst: String = null
+      for ((name, fn) <- order if !aborted) {
+        if (wallS > wallBudget) {
           aborted = true
-          shed += s"pass_${p}_tail_from_$name"
+          shed += s"pass_${p}_wall_from_$name"
+        } else if (p > 1 && wallS + 1.1 * minTime(name) > wallBudget) {
+          shedCount += 1
+          if (shedFirst == null) shedFirst = name
         } else {
           val t = timeOnce(fn)
           if (p == 1) warm(name) = t else acc(name) = acc(name) :+ t
@@ -236,10 +340,11 @@ object Bench {
           if (i % 64 == 0) emit(partial = true)
         }
       }
+      if (shedCount > 0) shed += s"pass_${p}_shed_${shedCount}q_from_$shedFirst"
       emit(partial = true)
     }
     runPass(1)
-    runPass(2)
+    if (!aborted) runPass(2)
     // ---- bucketed-join evidence (SCALING.md): the same big-big join
     // shape as q11, shuffled vs co-bucketed. Table writes are one-time
     // layout cost and untimed; the bucketed timing only counts if the
@@ -295,20 +400,23 @@ object Bench {
       }
       emit(partial = true)
     }
-    // ---- later measured passes, projection-gated on measured minima ----
-    for (p <- 3 to nPasses if !aborted) {
-      val projected = 1.1 * queries.map { case (n, _) => minTime(n) }.sum
-      if (wallS + projected > wallBudget) shed += s"pass_$p"
-      else runPass(p)
-    }
+    // ---- later measured passes: information-ranked with per-query
+    // projection skips (the r9 whole-pass gate shed an ENTIRE pass
+    // when its projected sum did not fit — a partial ranked pass
+    // measures the zero-sample and divergent queries that fit, which
+    // is strictly more information for the same clock) ----
+    for (p <- 3 to nPasses if !aborted) runPass(p)
     // ---- escalation: global budget of ~2 extra runs per query on
     // average (an idle box consumes well under this; a PERSISTENTLY
     // contended box would otherwise escalate everywhere and blow the
     // suite wall to maxRuns x — bound it so the artifact still lands,
     // with the contamination visible in `runs` + loadavg). Escalation
     // is itself interleaved: each iteration is one pass over every
-    // query that still needs samples, divergent-vs-prior first, so
-    // the budget buys time-separated samples where history says the
+    // query that still needs samples, information-ranked (r10):
+    // ZERO-measured-sample queries first (a pass-2 per-query shed
+    // can leave them behind, and their first sample buys a median
+    // nothing else supplies), then divergent-vs-prior, then merely
+    // unstable — so the budget buys time-separated samples where the
     // current median is least trustworthy. The wall budget cuts it
     // off per-sample — redundancy is the first thing to shed. ----
     var extraBudget = if (aborted) 0 else 2 * queries.size
@@ -316,25 +424,40 @@ object Bench {
     var wallStop = false
     while (escalating && extraBudget > 0 && !wallStop) {
       val needy = queries.filter { case (name, _) =>
-        acc(name).nonEmpty && acc(name).length < maxRuns &&
-          (divergent(name) || unstable(acc(name)))
+        acc(name).length < maxRuns &&
+          (acc(name).isEmpty || divergent(name) || unstable(acc(name)))
       }
       val ordered = needy.sortBy { case (name, _) =>
-        if (divergent(name)) 0 else 1
+        (if (acc(name).isEmpty) 0 else if (divergent(name)) 1 else 2, name)
       }
       escalating = ordered.nonEmpty
-      for ((name, fn) <- ordered if extraBudget > 0 && !wallStop) {
-        if (wallS + 1.1 * minTime(name) > wallBudget) {
-          wallStop = true
-          shed += "escalation_tail"
-        } else {
+      // per-query skip, not hard stop (the pass-shedding rule): an
+      // unaffordable needy query must not block a cheaper one behind
+      // it; an iteration that could afford NOTHING ends escalation
+      // (every projection will keep failing — the clock is out)
+      var tookAny = false
+      var skippedAny = false
+      for ((name, fn) <- ordered if extraBudget > 0) {
+        if (wallS + 1.1 * minTime(name) > wallBudget) skippedAny = true
+        else {
           acc(name) = acc(name) :+ timeOnce(fn)
           extraBudget -= 1
+          tookAny = true
         }
+      }
+      if (!tookAny) {
+        wallStop = true
+        if (skippedAny) shed += "escalation_tail"
       }
       emit(partial = true)
     }
-    emit(partial = false)
+    // the final line is partial too when anything was shed (the r9
+    // advisor catch: a shed-but-completed run's medians include
+    // warmup-only samples — publishing them partial:false would hand
+    // the next round's prior cross-check a ~1.5× inflated reference
+    // that one-sidedly masks real divergence; the prior parser also
+    // rejects shed priors, so this is belt-and-braces)
+    emit(partial = shed.nonEmpty)
     spark.stop()
   }
 }

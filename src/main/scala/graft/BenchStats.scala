@@ -50,4 +50,52 @@ object BenchStats {
     * instead of dropping the query — the r8 rc=124 lesson). */
   def effective(warm: Option[Double], measured: Seq[Double]): Seq[Double] =
     if (measured.nonEmpty) measured else warm.toSeq
+
+  /** Divergence-aware sample selection for the QUOTED median (the r9
+    * lesson: the driver's capture survived its wall budget, but the
+    * pass-2 tail shed left 74 queries with a single measured sample
+    * each, and lone 75–96 s contention spikes owned medians that
+    * measure 2–3 s on an idle box — q227 quoted 75.4 s against a
+    * 3.2 s warmup and a 1.7 s committed prior).
+    *
+    * Rule: when a query's ONLY measured sample diverges (>3× AND
+    * >0.3 s absolute — the [[divergent]] thresholds) from BOTH its
+    * own quarantined warmup and the committed clean prior, the
+    * quoted samples become min(measured, warmup) — load only ever
+    * ADDS, so the minimum is the best clean estimate either sample
+    * can give. The warmup check is the load-bearing one: it ran the
+    * same code in the same process minutes earlier, and warmup
+    * samples systematically OVERestimate measured ones (codegen +
+    * JIT), so a lone measured sample 3× above its own warmup cannot
+    * be a code regression; when no prior exists (first capture at an
+    * sf, or the prior was partial/shed) the warmup divergence alone
+    * decides. When a prior EXISTS and corroborates the slow reading
+    * (the sample does NOT diverge from it), the reading is believed
+    * — that is what a real regression looks like.
+    *
+    * Scope: exactly-one-measured-sample only. With >= 2 samples the
+    * trimmed median plus divergent-first escalation are the defense
+    * (extra clean samples outvote a spike); a rescue that overrode
+    * repeated measurements would hide genuine slowdowns. The rescue
+    * changes only what is QUOTED — the harness's escalation and
+    * divergence bookkeeping must keep seeing the raw samples, so a
+    * rescued query still escalates and still lands in
+    * `prior_divergent`/`rescued` in the artifact. */
+  def selected(
+      warm: Option[Double],
+      measured: Seq[Double],
+      prior: Option[Double]): Seq[Double] =
+    (measured, warm) match {
+      case (Seq(m), Some(w)) if rescueWorthy(m, w, prior) =>
+        Seq(math.min(m, w))
+      case _ => effective(warm, measured)
+    }
+
+  /** True when [[selected]] would quote min(measured, warmup) instead
+    * of the lone measured sample (factored out so Bench can list the
+    * rescued queries in the artifact). */
+  def rescueWorthy(m: Double, warm: Double, prior: Option[Double]): Boolean = {
+    def div(ref: Double) = ref > 0 && m > 3 * ref && m - ref > 0.3
+    div(warm) && prior.forall(div)
+  }
 }

@@ -57,4 +57,47 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(effective(None, Nil) == Nil)
     assert(effective(None, Seq(0.5)) == Seq(0.5))
   }
+
+  test("selected: a lone measured sample diverging from BOTH warmup " +
+      "and prior quotes min(measured, warmup) — the r9 driver q227 " +
+      "shape (75.4 s sample, 3.2 s warmup, 1.7 s prior)") {
+    assert(selected(Some(3.2), Seq(75.4), Some(1.7)) == Seq(3.2))
+    // the min matters, not "the warmup": a poisoned WARMUP with a
+    // clean measured sample keeps the measured one (the r9 q248
+    // shape: warmup 72.4, sample 3.1 — no divergence, nothing to do)
+    assert(selected(Some(72.4), Seq(3.1), Some(2.8)) == Seq(3.1))
+  }
+
+  test("selected: rescue needs divergence from the warmup AND from " +
+      "an existing prior — a corroborating prior means regression, " +
+      "not contention") {
+    // prior agrees with the slow sample: believe it (real slowdown)
+    assert(selected(Some(1.0), Seq(9.0), Some(8.5)) == Seq(9.0))
+    // no prior: the same-process warmup divergence alone decides
+    assert(selected(Some(1.0), Seq(9.0), None) == Seq(1.0))
+    // under the 3x ratio vs warmup: no rescue
+    assert(selected(Some(4.0), Seq(9.0), Some(1.0)) == Seq(9.0))
+    // over 3x vs warmup but under the 0.3 s absolute floor
+    assert(selected(Some(0.05), Seq(0.2), None) == Seq(0.2))
+  }
+
+  test("selected: scope is exactly-one-measured-sample — repeated " +
+      "measurements are never overridden, and the warmup fallback " +
+      "survives") {
+    // two samples, one a spike: trimming/escalation own this case
+    assert(selected(Some(1.0), Seq(9.0, 1.1), Some(1.0)) == Seq(9.0, 1.1))
+    assert(selected(Some(2.0), Nil, Some(1.0)) == Seq(2.0))
+    assert(selected(None, Seq(9.0), Some(1.0)) == Seq(9.0)) // no warmup
+    assert(selected(None, Nil, None) == Nil)
+  }
+
+  test("rescueWorthy: the flag Bench uses to name rescued queries") {
+    assert(rescueWorthy(75.4, 3.2, Some(1.7)))
+    assert(rescueWorthy(9.0, 1.0, None))
+    assert(!rescueWorthy(9.0, 1.0, Some(8.5)))
+    assert(!rescueWorthy(9.0, 4.0, Some(1.0)))
+    assert(!rescueWorthy(0.2, 0.05, None))
+    // a zero/negative warmup (clock glitch) never rescues
+    assert(!rescueWorthy(9.0, 0.0, None))
+  }
 }
