@@ -201,20 +201,28 @@ object Bpe {
     * autoBroadcastJoinThreshold, and at web scale the distinct-word
     * table (typos, URLs, code) is not Heaps-law-small — an
     * unconditional hint would pin a vocab-sized frame on the driver.
-    * The fallback is CODE, not planner hope: the vocab frame is
-    * persisted (the count below materializes it ONCE for both the
-    * gate and the join — no second encode pass), counted, and hinted
-    * only while the count stays ≤ `broadcastMaxVocab`; above that
-    * the equi-join goes un-hinted and the planner shuffles both
-    * word-keyed sides — the right plan at that size. */
+    * The fallback is CODE, not planner hope: the vocab is counted,
+    * and the hint applies only while the count stays ≤
+    * `broadcastMaxVocab`; above that the equi-join goes un-hinted
+    * and the planner shuffles both word-keyed sides — the right plan
+    * at that size.
+    *
+    * `nVocab` is the caller's DISTINCT-WORD count, computed from the
+    * un-encoded word table — the same number as a count of the
+    * encoded frame, but its action runs no encode UDF and, unlike
+    * the r9 spelling (persist + count the ENCODED vocab), leaves no
+    * cached frame behind: the r9 advisor caught that the
+    * MEMORY_AND_DISK vocab frame was never unpersisted, leaking one
+    * CacheManager entry per call into a long-lived session. Now
+    * nothing persists: the encode UDF runs exactly once, inside the
+    * single consuming action (materialized by the broadcast exchange
+    * under the bound, by the shuffle above it), and the gate's whole
+    * cost is one partial-aggregated wordcount pass whose shuffle
+    * output is vocab-sized (BpeSpec pins that no persisted RDD and
+    * no cache entry outlive the call). */
   private def gatedVocabSide(
-      perWord: DataFrame, broadcastMaxVocab: Long): DataFrame = {
-    require(broadcastMaxVocab >= 1L,
-      s"broadcastMaxVocab must be >= 1, got $broadcastMaxVocab")
-    val cached = perWord
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (cached.count() <= broadcastMaxVocab) broadcast(cached) else cached
-  }
+      perWord: DataFrame, nVocab: Long, broadcastMaxVocab: Long): DataFrame =
+    if (nVocab <= broadcastMaxVocab) broadcast(perWord) else perWord
 
   /** Per-document token counts under the merge table:
     * (id, n_words, n_tokens) — the sequence-length input the packing
@@ -226,11 +234,14 @@ object Bpe {
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)],
       broadcastMaxVocab: Long = 10000000L): DataFrame = {
+    require(broadcastMaxVocab >= 1L,
+      s"broadcastMaxVocab must be >= 1, got $broadcastMaxVocab")
+    val nVocab = wordFreq(df, textCol).count()
     val perWord = encodeVocab(df, textCol, merges)
       .select(col("word"), size(col("tokens")).cast("long").as("_nt"))
     df.select(col(idCol).as("id"),
       explode(TextFunctions.words(col(textCol))).as("word"))
-      .join(gatedVocabSide(perWord, broadcastMaxVocab), Seq("word"))
+      .join(gatedVocabSide(perWord, nVocab, broadcastMaxVocab), Seq("word"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("_nt").as("n_tokens"))
   }
@@ -264,6 +275,9 @@ object Bpe {
       df: DataFrame, groupCol: String, textCol: String,
       merges: Seq[(String, String)],
       broadcastMaxVocab: Long = 10000000L): DataFrame = {
+    require(broadcastMaxVocab >= 1L,
+      s"broadcastMaxVocab must be >= 1, got $broadcastMaxVocab")
+    val nVocab = wordFreq(df, textCol).count()
     val wf = df.select(col(groupCol).as("source"),
         explode(TextFunctions.words(col(textCol))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("freq"))
@@ -272,7 +286,7 @@ object Bpe {
       .select(col("word"),
         size(col("_toks")).cast("long").as("_nt"),
         length(col("word")).cast("long").as("_nc"))
-    wf.join(gatedVocabSide(perWord, broadcastMaxVocab), Seq("word"))
+    wf.join(gatedVocabSide(perWord, nVocab, broadcastMaxVocab), Seq("word"))
       .groupBy("source")
       .agg(sum(col("freq")).as("n_words"),
         sum(col("freq") * col("_nt")).as("n_tokens"),

@@ -177,4 +177,25 @@ class BpeSpec extends AnyFunSuite {
         broadcastMaxVocab = 0L)
     }
   }
+
+  test("gate leaves nothing cached behind: no persisted RDD and no " +
+      "CacheManager entry outlives an encodeDocs/fertilityReport " +
+      "call (the r9 advisor leak — one MEMORY_AND_DISK vocab frame " +
+      "per call accumulated for the session's lifetime)") {
+    val df = Seq((1L, "table hash table"), (2L, "cat table"))
+      .toDF("doc_id", "text")
+    val merges = Seq("t" -> "a", "ta" -> "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // both gate branches, both operators, consumed to completion
+    Bpe.encodeDocs(df, "doc_id", "text", merges).count()
+    Bpe.encodeDocs(df, "doc_id", "text", merges,
+      broadcastMaxVocab = 1L).count()
+    val src = df.withColumn("source", concat(lit("s"), col("doc_id")))
+    Bpe.fertilityReport(src, "source", "text", merges).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"persisted RDDs leaked by the vocab gate: $leaked")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "CacheManager entry leaked by the vocab gate")
+  }
 }

@@ -386,10 +386,12 @@ class GraphsSpec extends AnyFunSuite {
   }
 
   test("linkPrediction: per-pair common-neighbor count over maxCommon " +
-      "raises at execution with the offending pair") {
+      "raises at execution with the offending pair — and since r10 " +
+      "the aggregation buffer never materialized past the cap") {
     // star through 3 low-degree centers: pair (100, 200) shares all
     // 3 of them — every center passes maxDegree, so only maxCommon
-    // can catch the count-unbounded fold
+    // can catch the count-unbounded fold (state boundedness itself
+    // is pinned by the CappedSortedLongs unit spec below)
     val edges = (1L to 3L).flatMap(c => Seq((100L, c), (200L, c)))
     val ok = Graphs.linkPrediction(edges.toDF("a", "b"), "a", "b",
       maxCommon = 3L).collect()
@@ -403,6 +405,29 @@ class GraphsSpec extends AnyFunSuite {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("maxCommon=2")))
+  }
+
+  test("CappedSortedLongs: state hard-stops at the cap, overflow " +
+      "finishes empty, within-cap groups finish sorted regardless of " +
+      "merge order") {
+    import graft.functions.TypedAggregators.CappedSortedLongs
+    val agg = new CappedSortedLongs(3L)
+    // within cap: values out of order across two partial buffers
+    val a = Seq(5L, 2L).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(7L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b)).toSeq == Seq(2L, 5L, 7L))
+    // overflow via reduce: buffer stops growing at the cap and the
+    // exact count keeps counting; finish is unambiguously empty
+    val over = (1L to 10L).foldLeft(agg.zero)(agg.reduce)
+    assert(over.n == 10L && over.vs.size <= 3)
+    assert(over.vs.isEmpty) // dropped eagerly once the cap tripped
+    assert(agg.finish(over).isEmpty)
+    // overflow via merge of two within-cap partials
+    val c = Seq(1L, 2L).foldLeft(agg.zero)(agg.reduce)
+    val d = Seq(3L, 4L).foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(c, d)
+    assert(m.n == 4L && m.vs.isEmpty && agg.finish(m).isEmpty)
+    intercept[IllegalArgumentException] { new CappedSortedLongs(0L) }
   }
 
   test("linkPrediction preCountGuard: fails at BUILD before any list " +

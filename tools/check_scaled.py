@@ -12,9 +12,11 @@ counts must not move with box load): PINNED_SKIP names the oracles
 whose SQL is structurally quadratic at sf0.1 (all-pairs Jaccard
 twins, recursive closures, unrolled graph chains — q127 alone runs
 20+ min); they are recorded SKIP without spending their timeout.
-BOUNDARY names the four oracles measured near the 90 s line whose
+BOUNDARY names the three oracles measured near the 90 s line whose
 outcome drifted with load in r8 — they run with a 4x budget so they
-land OK deterministically. Everything else keeps the base budget; a
+land OK deterministically. (r8 measured four such oracles; the
+fourth, q101, graduated to PINNED_SKIP in r9 after its oracle was
+timed directly at > 600 s on an idle box.) Everything else keeps the base budget; a
 NEW query drifting over it shows up as a (loud, investigable) SKIP
 rather than silently joining a pinned list.
 
@@ -44,6 +46,9 @@ PINNED_SKIP = {
     "q176_containment", "q178_crosssource_dups",
     "q185_pagerank", "q221_dedup_threshold_sweep",
     "q253_contrastive_pairs",
+    # r10: same all-pairs-Jaccard CTE as q221 (plus the sampled eval
+    # on top) — quadratic by construction, like its parent
+    "q270_dedup_sweep_eval",
 }
 # measured near the budget line in r8 (drifted OK<->SKIP with load):
 # a 4x budget lands them OK on any plausible box (r9 run 1: all
