@@ -294,17 +294,27 @@ object Retrieval {
     * one label-count aggregate, one k-bounded per-query fold — the
     * quadratic work lives in whichever supplier built the list.
     *
-    * Output: (query_id, n_rel, p_at_k, mrr, ndcg), faces at 6
-    * decimals; mrr 0 when nothing relevant ranked, ndcg null when
-    * the corpus holds no other member of the label. */
+    * Output: (extraKeys..., query_id, n_rel, p_at_k, mrr, ndcg),
+    * faces at 6 decimals; mrr 0 when nothing relevant ranked, ndcg
+    * null when the corpus holds no other member of the label.
+    *
+    * `extraKeys` (r10) widens the grouping so ONE pass scores a
+    * whole grid of evals — e.g. q270's dedup-threshold sweep keys
+    * the same query population by `band`, evaluating seven candidate
+    * corpora in one aggregation instead of seven plans re-scoring
+    * the k-NN supplier. The keys ride through every join and land
+    * first in the output; the empty default is exactly the r9
+    * per-query eval. */
   def labelEval(
       knn: DataFrame,
       labels: DataFrame,
       idCol: String,
       labelCol: String,
       k: Int,
-      selfExcluded: Boolean = true): DataFrame = {
+      selfExcluded: Boolean = true,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val keys = extraKeys.map(col)
     val lab = labels.select(col(idCol).as("_lid"),
       col(labelCol).as("_lab"))
     val counts = lab.groupBy(col("_lab"))
@@ -312,28 +322,28 @@ object Retrieval {
     val self = if (selfExcluded) 1L else 0L
     val qLab = knn.filter(col("rank") <= k)
       .join(lab, col("query_id") === col("_lid"))
-      .select(col("query_id"), col("rank"), col("nn_id"),
-        col("_lab").as("_qlab"))
+      .select(keys ++ Seq(col("query_id"), col("rank"), col("nn_id"),
+        col("_lab").as("_qlab")): _*)
     val rel = qLab
       .join(lab.select(col("_lid").as("_cid"), col("_lab").as("_clab")),
         col("nn_id") === col("_cid"))
-      .select(col("query_id"), col("_qlab"), col("rank"),
+      .select(keys ++ Seq(col("query_id"), col("_qlab"), col("rank"),
         when(col("_clab") === col("_qlab"), 1L).otherwise(0L)
-          .as("_rel"))
+          .as("_rel")): _*)
     val logTerm = (r: Column) =>
       lit(1.0) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0)))
     val perQ = rel
-      .groupBy(col("query_id"), col("_qlab"))
+      .groupBy(keys ++ Seq(col("query_id"), col("_qlab")): _*)
       .agg(sort_array(collect_list(struct(col("rank"), col("_rel"))))
         .as("_rr"),
         sum(col("_rel")).as("_nhit"),
         min(when(col("_rel") === 1L, col("rank"))).as("_first"))
       .join(counts, col("_qlab") === col("_lab"))
-      .select(col("query_id"),
+      .select(keys ++ Seq(col("query_id"),
         least(col("_lc") - lit(self), lit(k.toLong)).as("n_rel"),
-        col("_rr"), col("_nhit"), col("_first"))
+        col("_rr"), col("_nhit"), col("_first")): _*)
     perQ.select(
-      col("query_id"), col("n_rel"),
+      keys ++ Seq(col("query_id"), col("n_rel"),
       round(col("_nhit").cast("double") / lit(k.toDouble), 6)
         .as("p_at_k"),
       round(when(col("_first").isNull, lit(0.0))
@@ -345,6 +355,6 @@ object Retrieval {
             logTerm(s.getField("rank"))).otherwise(lit(0.0))) /
         when(col("n_rel") >= 1L,
           aggregate(sequence(lit(1L), col("n_rel")), lit(0.0),
-            (acc, r) => acc + logTerm(r))), 6).as("ndcg"))
+            (acc, r) => acc + logTerm(r))), 6).as("ndcg")): _*)
   }
 }

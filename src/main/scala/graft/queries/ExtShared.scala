@@ -61,6 +61,53 @@ private[queries] object ExtShared {
           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
       ORDER BY id_a, id_b"""
 
+  /** The q267 cross-lingual mutual best-margin oracle, shared with
+    * its streaming twin q269 (the streamed pair set equals the batch
+    * result bitwise after the final micro-batch — see
+    * [[graft.streaming.Streams.ingestCrossLingualStream]]): exact
+    * dual k-NN over the even/odd parity split, ratio margins against
+    * the mean of both endpoints' top-4 neighborhood cosines, mutual
+    * rank-1 filter at margin >= 1.05. */
+  val crossLingualOracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      c AS MATERIALIZED (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(x.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(y.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM a x JOIN b y ON true),
+      fwd AS MATERIALIZED (SELECT xid, yid, cos, row_number() OVER (
+          PARTITION BY xid ORDER BY cos DESC, yid) AS r FROM c),
+      bwd AS MATERIALIZED (SELECT xid, yid, cos, row_number() OVER (
+          PARTITION BY yid ORDER BY cos DESC, xid) AS r FROM c),
+      mf AS (SELECT xid,
+          list_aggregate(list(cos ORDER BY r), 'sum') / count(*) AS m
+        FROM fwd WHERE r <= 4 GROUP BY xid),
+      mb AS (SELECT yid,
+          list_aggregate(list(cos ORDER BY r), 'sum') / count(*) AS m
+        FROM bwd WHERE r <= 4 GROUP BY yid),
+      sc AS (SELECT f.xid, f.yid, f.cos,
+          f.cos / ((mf.m + mb.m) / 2) AS margin
+        FROM fwd f JOIN mf USING (xid) JOIN mb USING (yid)
+        WHERE f.r <= 4),
+      tf AS (SELECT xid, yid, cos, margin, row_number() OVER (
+          PARTITION BY xid ORDER BY margin DESC, yid) AS mr FROM sc),
+      scb AS (SELECT w.xid, w.yid, w.cos,
+          w.cos / ((mb.m + mf.m) / 2) AS margin
+        FROM bwd w JOIN mb USING (yid) JOIN mf USING (xid)
+        WHERE w.r <= 4),
+      tb AS (SELECT xid, yid, margin, row_number() OVER (
+          PARTITION BY yid ORDER BY margin DESC, xid) AS mr FROM scb)
+      SELECT f.xid AS keep_id, f.yid AS drop_id, f.cos, f.margin
+      FROM tf f JOIN tb g ON g.xid = f.xid AND g.yid = f.yid
+      WHERE f.mr = 1 AND g.mr = 1
+        AND f.margin >= 1.05 AND g.margin >= 1.05
+      ORDER BY keep_id"""
+
   /** Driver-side micro-batch fixtures for the streaming-ingestion
     * queries (q101/q105), cached per sf dir: the corpus halves are
     * fixture PREP, not the operator under test, and the bench drives

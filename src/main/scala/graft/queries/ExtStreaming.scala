@@ -237,6 +237,81 @@ private[queries] object ExtStreaming {
       WHERE d / (na * nb) >= 0.99 ORDER BY id_a, id_b""")
   )
 
+  private val q269_stream_crosslingual = Q(
+    "q269_stream_crosslingual",
+    // Continuous CROSS-LINGUAL dedup, oracle-backed end to end — the
+    // streaming twin of q267 (the r9 verdict's suggested pull): the
+    // embedding corpus arrives as TWO micro-batches (each mixing
+    // both parities) through ingestCrossLingualStream. Exact k-NN
+    // LISTS are the maintained state — cos(x, y) never changes, so
+    // batch N scores only batch×prior + batch×batch cross-parity
+    // pairs and merges them into the k-bounded per-query lists; the
+    // margin+mutual stage re-runs over the LISTS (O(n·k)) and
+    // publishes the current mutual best-margin pair set per batch.
+    // After the final batch the lists equal the one-shot exact dual
+    // k-NN bitwise (same (cos desc, id) tie-break, cos bitwise
+    // direction-symmetric), so the streamed pair set equals q267's
+    // batch result and the SAME oracle applies unchanged. The exact
+    // batch×state scorer is the bounded oracle face (q267's loud
+    // 32768 bound, enforced here on the same corpus count); the
+    // at-scale candidate swap is the IVF probe q267's in-job recall
+    // gate prices and q105 already streams. Scratch state (vector
+    // deltas, list states, pairs, checkpoint) is fresh per run and
+    // dies with the invocation on every path.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpusN = corpusCountCache.computeIfAbsent(
+        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      require(corpusN <= 32768L,
+        s"q269's exact batch×state supplier scores corpusN²/4 pairs " +
+          s"across its batches: $corpusN rows > 32768. Swap in the " +
+          "gated ANN candidate stage at this scale (q267's in-job " +
+          "recall gate prices that swap).")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q269_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val (h1, h2) = cachedFixture(s"q269:$dir") {
+          val cut = e.agg(max(col("vec_id"))).first().getLong(0) / 2
+          def half(pred: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+            e.select("vec_id", "embedding").filter(pred)
+              .as[(Long, Seq[Float])].collect().toSeq
+          (half(col("vec_id") <= cut), half(col("vec_id") > cut))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Float])]
+        // restore source parallelism (see q101 — one local partition
+        // is not the shape a production stream arrives in)
+        val q = graft.streaming.Streams.ingestCrossLingualStream(
+          mem.toDF().toDF("vec_id", "embedding")
+            .repartition(s.sparkContext.defaultParallelism),
+          "vec_id", "embedding",
+          vecsDir = s"$base/vecs", listsDir = s"$base/lists",
+          pairsDir = s"$base/pairs", checkpointDir = s"$base/ckpt",
+          k = 4, minMargin = 1.05)
+        try {
+          mem.addData(h1)
+          q.processAllAvailable() // batch 0: first half, no state yet
+          mem.addData(h2)
+          q.processAllAvailable() // batch 1: second half vs the lists
+        } finally q.stop()
+        // the FINAL batch's published set is the current mutual
+        // best-margin mining over the whole corpus — mutual pair
+        // sets are tiny next to their corpora (collectToLocal bound)
+        collectToLocal(
+          s.read.parquet(s"$base/pairs/batch=1")
+            .select("keep_id", "drop_id", "cos", "margin"),
+          "q269 mutual pair set")
+          .orderBy("keep_id")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    },
+    // q267's oracle verbatim: the streamed result IS the batch result
+    Some(crossLingualOracle)
+  )
+
   private val q43_stream_windowed = Q(
     "q43_stream_windowed",
     // Batch twin of Streams.windowedTypeCounts (identical logical
@@ -698,6 +773,7 @@ private[queries] object ExtStreaming {
     q233_stream_ratio_ci,
     q101_stream_ingest_dedup,
     q105_stream_ingest_ann,
+    q269_stream_crosslingual,
     q43_stream_windowed,
     q52_stream_join,
     q58_sessionize,

@@ -543,6 +543,162 @@ object Streams {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Continuous CROSS-LINGUAL mining — the streaming spelling of the
+    * q267 mutual best-margin dedup (Artetxe & Schwenk margin filter;
+    * reference analog: the chained-job shape, Imagine_MapReduce
+    * README §chained jobs): vectors from two embedded "languages"
+    * (even/odd id parity) arrive as micro-batches, and after each
+    * batch the current mutual best-margin pair set is published to
+    * `pairsDir/batch=N`.
+    *
+    * The INCREMENTAL insight is that exact k-NN LISTS are
+    * maintainable state: cos(x, y) never changes once both vectors
+    * exist, so the exact cross-parity top-k over a growing corpus is
+    * top-k(previous top-k ∪ pairs involving the new batch) — each
+    * batch scores only batch×prior + batch×batch cross-parity pairs
+    * (every unordered pair exactly once; cos is bitwise symmetric,
+    * the dot/norm folds run in index order regardless of
+    * orientation), merges them into the k-bounded per-query lists,
+    * and re-runs the margin+mutual stage over the LISTS (O(n·k),
+    * never the corpus square). After the final batch the lists equal
+    * the one-shot exact dual k-NN bitwise (same (cos desc, id)
+    * tie-break), so the streamed pair set equals q267's batch result
+    * and the same oracle applies unchanged — StreamsSpec pins the
+    * equality.
+    *
+    * A production deployment would re-mine only queries whose lists
+    * (or whose partners' lists) changed in the batch; the full-list
+    * re-mine here keeps the published set exactly q267's at every
+    * step. The exact batch×state scorer is the bounded ORACLE face
+    * (same loud 32768-row bound as q267, enforced by the caller);
+    * the at-scale swap is the IVF-probe candidate stage that q267's
+    * in-job recall gate prices and [[ingestVectorStream]] already
+    * runs in streaming form.
+    *
+    * Replay safety follows the family contract: the batch reads
+    * vector deltas strictly below its batchId plus the previous
+    * batch's list state, and all three writes (vector delta, list
+    * state, pairs) go to batch-id-deterministic subdirectories with
+    * `overwrite` — exactly-once by idempotence; a crash-replay
+    * rewrites every output value-identically. */
+  def ingestCrossLingualStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      vecsDir: String,
+      listsDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      k: Int = 4,
+      minMargin: Double = 1.05): org.apache.spark.sql.streaming.StreamingQuery = {
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestCrossLingualBatch(batch, batchId, idCol, vecCol,
+          vecsDir, listsDir, pairsDir, k, minMargin)
+      }
+      .start()
+  }
+
+  /** One [[ingestCrossLingualStream]] micro-batch — factored out so
+    * the crash-replay contract is directly testable (StreamsSpec
+    * replays committed batches and pins value-identical outputs). */
+  private[streaming] def ingestCrossLingualBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      vecsDir: String,
+      listsDir: String,
+      pairsDir: String,
+      k: Int,
+      minMargin: Double): Unit = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val t0 = System.nanoTime()
+    val spark = batch.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // replay safety: score against vector deltas 0..N-1 ONLY (the
+      // family rule — reading the batch's own already-written delta
+      // would score its pairs twice)
+      val vPath = new org.apache.hadoop.fs.Path(vecsDir)
+      val fs = vPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasPrior = fs.exists(vPath) && fs.listStatus(vPath)
+        .exists { st =>
+          val name = st.getPath.getName
+          name.startsWith("delta=") &&
+            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
+        }
+      // every NEW unordered cross-parity pair exactly once:
+      // batch×prior (disjoint id sets) + batch×batch (id_a < id_b);
+      // the batch side broadcasts — it is the micro-batch, the small
+      // side by construction
+      def crossParity(x: DataFrame, y: DataFrame, dedupe: Boolean) = {
+        val cond = (col("x.id") % 2 =!= col("y.id") % 2) &&
+          (if (dedupe) col("x.id") < col("y.id") else lit(true))
+        broadcast(x.as("x")).join(y.as("y"), cond)
+          .select(col("x.id").as("qa"), col("y.id").as("qb"),
+            call_function("graft_cosine", col("x.v"), col("y.v"))
+              .as("cos"))
+      }
+      val newPairs =
+        if (hasPrior) {
+          val prior = spark.read.parquet(vecsDir)
+            .filter(col("delta") < batchId).select("id", "v")
+          crossParity(b, prior, dedupe = false)
+            .unionByName(crossParity(b, b, dedupe = true))
+        } else crossParity(b, b, dedupe = true)
+      // both orientations feed the per-query lists (cos symmetric)
+      val oriented = newPairs
+        .select(col("qa").as("query_id"), col("qb").as("nn_id"),
+          col("cos"))
+        .unionByName(newPairs.select(col("qb").as("query_id"),
+          col("qa").as("nn_id"), col("cos")))
+      // exact incremental top-k: previous lists ∪ new candidates,
+      // (cos desc, nn_id) — bruteForceTopK's exact tie-break, which
+      // is what makes the final lists bitwise-equal to the one-shot
+      // dual k-NN. Prior lists and new pairs are disjoint by
+      // construction (every new pair involves a batch vector).
+      val carried =
+        if (batchId > 0L)
+          spark.read.parquet(s"$listsDir/state=${batchId - 1}")
+            .select("query_id", "nn_id", "cos")
+            .unionByName(oriented)
+        else oriented
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("nn_id"))
+      val lists = carried
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+      lists.write.mode("overwrite")
+        .parquet(s"$listsDir/state=$batchId")
+      // margin + mutual stage over the k-bounded lists — read back
+      // from the state just written, so the mining stage consumes
+      // exactly what a restart would
+      val st = spark.read.parquet(s"$listsDir/state=$batchId")
+      val fwd = st.filter(col("query_id") % 2 === 0)
+      val bwd = st.filter(col("query_id") % 2 === 1)
+      val mfwd = graft.operators.Align.marginScore(fwd, bwd, k, minMargin)
+      val mbwd = graft.operators.Align.marginScore(bwd, fwd, k, minMargin)
+      mfwd.as("f").join(mbwd.as("b"),
+          col("f.src_id") === col("b.dst_id") &&
+            col("f.dst_id") === col("b.src_id"))
+        .select(col("f.src_id").as("keep_id"),
+          col("f.dst_id").as("drop_id"),
+          col("f.cos"), col("f.margin"))
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      b.select(col("id"), col("v"))
+        .write.mode("overwrite").parquet(s"$vecsDir/delta=$batchId")
+      // attributable per-batch operator cost (see ingestNearDupBatch)
+      System.err.println(f"[graft] ingestCrossLingualBatch batch=$batchId " +
+        f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    } finally b.unpersist(blocking = false)
+  }
+
   /** Continuous AGGREGATE-VIEW maintenance — the streaming spelling
     * of [[graft.operators.Incremental]]: each micro-batch folds into
     * its own state delta (`stateDir/delta=N`, one

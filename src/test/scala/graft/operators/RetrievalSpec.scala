@@ -237,4 +237,37 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.labelEval(knn, labels, "id", "lab", k = 0)
     }
   }
+
+  test("labelEval extraKeys: one grouped pass equals per-key separate " +
+      "calls (the q270 grid discipline)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val labels = Seq((1L, "A"), (11L, "A"), (12L, "B"), (13L, "A"),
+      (14L, "B"), (2L, "C")).toDF("id", "lab")
+    // two bands over the same queries with different candidate lists
+    val knn = Seq(
+      (4L, 1L, 1L, 12L, 0.9), (4L, 1L, 2L, 11L, 0.8),
+      (4L, 2L, 1L, 11L, 0.9), (4L, 2L, 2L, 13L, 0.8),
+      (5L, 1L, 1L, 11L, 0.9), (5L, 1L, 2L, 13L, 0.8),
+      (5L, 2L, 1L, 12L, 0.9)
+    ).toDF("band", "query_id", "rank", "nn_id", "cos")
+    val grouped = Retrieval.labelEval(
+        knn, labels, "id", "lab", k = 2, extraKeys = Seq("band"))
+      .orderBy("band", "query_id")
+      .collect().map(_.toSeq).toSeq
+    val separate = Seq(4L, 5L).flatMap { bd =>
+      Retrieval.labelEval(
+          knn.filter(col("band") === bd).drop("band"),
+          labels, "id", "lab", k = 2)
+        .withColumn("band", lit(bd))
+        .select("band", "query_id", "n_rel", "p_at_k", "mrr", "ndcg")
+        .orderBy("query_id")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(grouped.nonEmpty && grouped == separate)
+    // empty default unchanged: no keys -> the r9 shape
+    assert(Retrieval.labelEval(
+        knn.filter(col("band") === 4L).drop("band"),
+        labels, "id", "lab", k = 2).columns.toSeq ==
+      Seq("query_id", "n_rel", "p_at_k", "mrr", "ndcg"))
+  }
 }

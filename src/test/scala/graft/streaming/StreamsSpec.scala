@@ -545,6 +545,84 @@ class StreamsSpec extends AnyFunSuite {
     assert(pairRows() == before, "batch-0 replay changed the pair set")
   }
 
+  test("ingestCrossLingualStream: maintained lists equal the one-shot " +
+      "dual k-NN bitwise; the final pair set equals the batch mutual-" +
+      "margin mining; replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cut = e.agg(max($"vec_id")).first().getLong(0) / 2
+    def half(p: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_xling_").toString
+    try {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val query = ingestCrossLingualStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        vecsDir = s"$base/vecs", listsDir = s"$base/lists",
+        pairsDir = s"$base/pairs", checkpointDir = s"$base/ckpt",
+        k = 4, minMargin = 1.05)
+      try {
+        mem.addData(half($"vec_id" <= cut)); query.processAllAvailable()
+        mem.addData(half($"vec_id" > cut)); query.processAllAvailable()
+      } finally query.stop()
+      // incremental lists == one-shot exact dual k-NN, bitwise (cos
+      // is direction-symmetric; same (cos desc, id) tie-break)
+      def listRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rank", "nn_id", "cos")
+          .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val a = e.filter($"vec_id" % 2 === 0)
+      val b = e.filter($"vec_id" % 2 === 1)
+      val fwd = graft.operators.Similarity.bruteForceTopK(
+        b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+      val bwd = graft.operators.Similarity.bruteForceTopK(
+        a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
+      val streamedLists = listRows(
+        spark.read.parquet(s"$base/lists/state=1"))
+      assert(streamedLists.nonEmpty)
+      assert(streamedLists == listRows(fwd.unionByName(bwd)),
+        "maintained lists diverged from the one-shot dual k-NN")
+      // final published pairs == the q267 batch mining on the corpus
+      def pairRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("keep_id", "drop_id", "cos", "margin")
+          .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+      val mfwd = graft.operators.Align.marginScore(fwd, bwd, 4, 1.05)
+      val mbwd = graft.operators.Align.marginScore(bwd, fwd, 4, 1.05)
+      val expected = pairRows(mfwd.as("f").join(mbwd.as("b"),
+          col("f.src_id") === col("b.dst_id") &&
+            col("f.dst_id") === col("b.src_id"))
+        .select(col("f.src_id").as("keep_id"),
+          col("f.dst_id").as("drop_id"), col("f.cos"), col("f.margin")))
+      val streamedPairs = pairRows(
+        spark.read.parquet(s"$base/pairs/batch=1"))
+      assert(streamedPairs.nonEmpty && streamedPairs == expected,
+        "streamed mutual-margin pairs diverged from the batch mining")
+      // crash-replay: re-running committed batches rewrites
+      // value-identical state, lists and pairs
+      Streams.ingestCrossLingualBatch(
+        half($"vec_id" > cut).toDF("vec_id", "embedding"), 1L,
+        "vec_id", "embedding", s"$base/vecs", s"$base/lists",
+        s"$base/pairs", 4, 1.05)
+      assert(listRows(spark.read.parquet(s"$base/lists/state=1"))
+        == streamedLists, "batch-1 replay changed the lists")
+      assert(pairRows(spark.read.parquet(s"$base/pairs/batch=1"))
+        == streamedPairs, "batch-1 replay changed the pairs")
+      val lists0 = listRows(spark.read.parquet(s"$base/lists/state=0"))
+      Streams.ingestCrossLingualBatch(
+        half($"vec_id" <= cut).toDF("vec_id", "embedding"), 0L,
+        "vec_id", "embedding", s"$base/vecs", s"$base/lists",
+        s"$base/pairs", 4, 1.05)
+      assert(listRows(spark.read.parquet(s"$base/lists/state=0"))
+        == lists0, "batch-0 replay changed the lists")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
   test("expectationsBatch: ledger accumulates per batch; replay is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
