@@ -823,13 +823,18 @@ private[queries] object ExtDedup {
     // shrink with it. Band 10 is the no-dedup baseline (pair bands
     // cap at 9), so the before/after delta is read off adjacent
     // rows. Shape: ONE exact scoring pass for the sampled queries
-    // (the q263 population), lists kept to 10 + |D_0.4| rows — the
-    // slack is the WHOLE drop set's size attached in-plan (a
-    // broadcast single-row attach, no build-time count), and since
-    // every band removes at most |D_0.4| candidates, the top-10
-    // survivors per band are exactly the global top-10 over that
-    // band's corpus; the 7-band expansion multiplies only the
-    // k-bounded lists, never the scoring, and ONE labelEval keyed by
+    // (the q263 population), then per-band top-10 from ONE window
+    // pass: the (cos desc, id) sort the ranking needs anyway also
+    // computes SEVEN running survivor counts (one conditional sum
+    // per band over the same window frame), and a row is band b's
+    // rank-r survivor exactly when it survives b and its running
+    // count is <= 10. Nothing scales with the DROP SET's size - the
+    // first spelling kept 10 + |D_0.4| rows per query and expanded
+    // those x7, which MEASURED superlinear (x3 corpus -> 5.7x wall:
+    // |D| grows with the corpus and multiplies the query
+    // population); this one adds only 7 aggregates to the sort it
+    // already pays, and the x7 band expansion runs pipelined on the
+    // sorted rows with <= 70 kept per query. ONE labelEval keyed by
     // band scores the whole grid ([[graft.operators.Retrieval
     // .labelEval]]'s extraKeys). At 100 TB the pair supplier is the
     // same prefix-filtered AllPairs as q221 and the scorer swaps for
@@ -854,8 +859,13 @@ private[queries] object ExtDedup {
         .groupBy("band").agg(count(col("did")).as("_ndrop"))
         .crossJoin(broadcast(total))
         .select(col("band"), (col("_tot") - col("_ndrop")).as("n_docs"))
-      // one exact scoring pass, slack-bounded lists (see the header)
-      val slack = drops.agg(count(lit(1)).as("_slack"))
+      // one exact scoring pass; the (cos desc, id) window computes
+      // SEVEN running survivor counts alongside the sort it already
+      // owes (explicit ROWS frame — both engines' unique ordering
+      // makes RANGE equal, but say what is meant), so per-band
+      // top-10 costs no slack expansion and nothing here scales
+      // with |drops| (see the header: the slack-list spelling
+      // measured 5.7x wall at x3 corpus)
       val qs = e.filter(col("vec_id") % effMod === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val scored = e.select(col("vec_id").as("nn_id"),
@@ -863,22 +873,27 @@ private[queries] object ExtDedup {
         .join(broadcast(qs), col("nn_id") =!= col("query_id"))
         .select(col("query_id"), col("nn_id"),
           call_function("graft_cosine", col("qv"), col("cv")).as("cos"))
+        .join(drops.select(col("did"), col("mb")),
+          col("nn_id") === col("did"), "left")
+        .withColumn("_mb", coalesce(col("mb"), lit(-1L)))
       val w0 = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("nn_id"))
-      val knn = scored
-        .withColumn("_r0", row_number().over(w0).cast("long"))
-        .crossJoin(broadcast(slack))
-        .filter(col("_r0") <= lit(10L) + col("_slack"))
-        .select("query_id", "nn_id", "cos")
-      // band expansion over k-bounded lists only; survivors re-rank
-      val wb = Window.partitionBy("band", "query_id")
-        .orderBy(col("cos").desc, col("nn_id"))
-      val top = knn.crossJoin(broadcast(grid))
-        .join(drops, col("nn_id") === col("did"), "left")
-        .filter(col("mb").isNull || col("mb") < col("band"))
-        .withColumn("rank", row_number().over(wb).cast("long"))
-        .filter(col("rank") <= 10L)
-        .select("band", "query_id", "rank", "nn_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bands = (4 to 10).map(_.toLong)
+      val counted = scored.select(
+        Seq(col("query_id"), col("nn_id"), col("_mb")) ++
+          bands.map(b => sum(when(col("_mb") < b, 1L).otherwise(0L))
+            .over(w0).as(s"_rb$b")): _*)
+      // a row is band b's rank-r survivor iff it survives b and its
+      // running survivor count is <= 10; the x7 expansion runs
+      // pipelined on the sorted output, keeping <= 70 rows per query
+      val top = counted
+        .select(col("query_id"), col("nn_id"), col("_mb"),
+          explode(array(bands.map(b => struct(lit(b).as("band"),
+            col(s"_rb$b").as("rank"))): _*)).as("_s"))
+        .filter(col("_mb") < col("_s.band") && col("_s.rank") <= 10L)
+        .select(col("_s.band").as("band"), col("query_id"),
+          col("_s.rank").as("rank"), col("nn_id"))
       val perQ = graft.operators.Retrieval.labelEval(
         top, e, "vec_id", "label", k = 10, extraKeys = Seq("band"))
       // per-band means, folded in query_id order (bitwise: the q94
@@ -922,7 +937,6 @@ private[queries] object ExtDedup {
             CAST(count(d.did) AS BIGINT) AS n_docs
         FROM grid g2 LEFT JOIN drops d ON d.mb >= g2.band
         GROUP BY g2.band),
-      slack AS (SELECT CAST(count(*) AS BIGINT) AS sl FROM drops),
       e AS (SELECT vec_id, embedding, label FROM embeddings),
       co AS (SELECT q.vec_id AS query_id, q.label AS qlab,
         c.vec_id AS nn_id, c.label AS clab,
@@ -933,17 +947,30 @@ private[queries] object ExtDedup {
          sqrt(list_aggregate(list_transform(c.embedding,
           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
         FROM e q JOIN e c ON q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
-      r AS (SELECT query_id, qlab, nn_id, clab, cos, row_number() OVER (
-          PARTITION BY query_id ORDER BY cos DESC, nn_id) AS r0
-        FROM co),
-      rs AS MATERIALIZED (SELECT * FROM r
-        WHERE r0 <= 10 + (SELECT sl FROM slack)),
-      b AS (SELECT g2.band, rs.query_id, rs.qlab, rs.nn_id, rs.clab,
-          row_number() OVER (PARTITION BY g2.band, rs.query_id
-            ORDER BY rs.cos DESC, rs.nn_id) AS rank
-        FROM grid g2 JOIN rs ON true
-        LEFT JOIN drops d ON d.did = rs.nn_id
-        WHERE d.did IS NULL OR d.mb < g2.band),
+      r AS MATERIALIZED (SELECT co.query_id, co.qlab, co.nn_id,
+          co.clab, coalesce(d.mb, -1) AS mb,
+          sum(CASE WHEN coalesce(d.mb, -1) < 4 THEN 1 ELSE 0 END)
+            OVER wq AS rb4,
+          sum(CASE WHEN coalesce(d.mb, -1) < 5 THEN 1 ELSE 0 END)
+            OVER wq AS rb5,
+          sum(CASE WHEN coalesce(d.mb, -1) < 6 THEN 1 ELSE 0 END)
+            OVER wq AS rb6,
+          sum(CASE WHEN coalesce(d.mb, -1) < 7 THEN 1 ELSE 0 END)
+            OVER wq AS rb7,
+          sum(CASE WHEN coalesce(d.mb, -1) < 8 THEN 1 ELSE 0 END)
+            OVER wq AS rb8,
+          sum(CASE WHEN coalesce(d.mb, -1) < 9 THEN 1 ELSE 0 END)
+            OVER wq AS rb9,
+          sum(CASE WHEN coalesce(d.mb, -1) < 10 THEN 1 ELSE 0 END)
+            OVER wq AS rb10
+        FROM co LEFT JOIN drops d ON d.did = co.nn_id
+        WINDOW wq AS (PARTITION BY co.query_id
+          ORDER BY co.cos DESC, co.nn_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      b AS (SELECT g2.band, r.query_id, r.qlab, r.clab,
+          list_extract([rb4, rb5, rb6, rb7, rb8, rb9, rb10],
+            CAST(g2.band - 3 AS INTEGER)) AS rank
+        FROM grid g2 JOIN r ON r.mb < g2.band),
       t AS (SELECT band, query_id, qlab, rank,
           CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel
         FROM b WHERE rank <= 10),

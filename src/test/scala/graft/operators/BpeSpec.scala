@@ -185,6 +185,10 @@ class BpeSpec extends AnyFunSuite {
     val df = Seq((1L, "table hash table"), (2L, "cat table"))
       .toDF("doc_id", "text")
     val merges = Seq("t" -> "a", "ta" -> "b")
+    // the session is shared across suites — start from a clean slate
+    // so the assertion scopes to THIS test's calls (an earlier suite's
+    // legitimately cached frame is not the leak under test)
+    spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // both gate branches, both operators, consumed to completion
     Bpe.encodeDocs(df, "doc_id", "text", merges).count()
