@@ -73,27 +73,39 @@ object BenchStats {
     * (the sample does NOT diverge from it), the reading is believed
     * — that is what a real regression looks like.
     *
-    * Scope: exactly-one-measured-sample only. With >= 2 samples the
-    * trimmed median plus divergent-first escalation are the defense
-    * (extra clean samples outvote a spike); a rescue that overrode
-    * repeated measurements would hide genuine slowdowns. The rescue
-    * changes only what is QUOTED — the harness's escalation and
-    * divergence bookkeeping must keep seeing the raw samples, so a
-    * rescued query still escalates and still lands in
+    * Scope (generalized r10, after review): the filter applies PER
+    * SAMPLE at any count — each measured sample is judged against
+    * the warmup+prior rule individually, spikey samples drop, and
+    * the surviving samples own the median. The original
+    * exactly-one-sample scope left the n=2 case defenseless: with
+    * samples [75.4, 2.5] the trimmed median is their MEAN (trim
+    * needs >= 5), so a spike still owned half the quote whenever the
+    * wall budget cut escalation off — the exact contended-box case
+    * the rescue targets. Dropping a sample 3x above its own
+    * same-process warmup is sound at any n by the same argument as
+    * n=1 (a code regression inflates the warmup identically, so
+    * divergence from the warmup can only be contention); if EVERY
+    * sample spiked, min(samples, warmup) is the sanest quote
+    * available (for n=1 that is the original min(measured, warmup)).
+    * The rescue changes only what is QUOTED — the harness's
+    * escalation and divergence bookkeeping must keep seeing the raw
+    * samples, so a rescued query still escalates and still lands in
     * `prior_divergent`/`rescued` in the artifact. */
   def selected(
       warm: Option[Double],
       measured: Seq[Double],
       prior: Option[Double]): Seq[Double] =
-    (measured, warm) match {
-      case (Seq(m), Some(w)) if rescueWorthy(m, w, prior) =>
-        Seq(math.min(m, w))
+    warm match {
+      case Some(w) if measured.nonEmpty =>
+        val kept = measured.filterNot(m => rescueWorthy(m, w, prior))
+        if (kept.nonEmpty) kept
+        else Seq(math.min(measured.min, w))
       case _ => effective(warm, measured)
     }
 
-  /** True when [[selected]] would quote min(measured, warmup) instead
-    * of the lone measured sample (factored out so Bench can list the
-    * rescued queries in the artifact). */
+  /** True when [[selected]] would drop this measured sample as a
+    * contention spike (factored out so Bench can list the rescued
+    * queries in the artifact). */
   def rescueWorthy(m: Double, warm: Double, prior: Option[Double]): Boolean = {
     def div(ref: Double) = ref > 0 && m > 3 * ref && m - ref > 0.3
     div(warm) && prior.forall(div)

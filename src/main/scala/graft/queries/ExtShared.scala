@@ -167,6 +167,12 @@ private[queries] object ExtShared {
   val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** The one spelling of the cached per-dir corpus count (r10 review:
+    * the computeIfAbsent idiom had grown three inline copies). */
+  def corpusCount(df: org.apache.spark.sql.DataFrame, dir: String): Long =
+    corpusCountCache.computeIfAbsent(
+      dir, _ => java.lang.Long.valueOf(df.count())).longValue()
+
   /** The ONE derivation of every sampled population's modulus (the
     * ANN gates, q263's eval population): the effective modulus grows
     * with the corpus so the sample stays ~5000 rows at ANY size, and
@@ -179,8 +185,7 @@ private[queries] object ExtShared {
   def derivedSampleMod(
       e: org.apache.spark.sql.DataFrame, dir: String,
       floorMod: Long, what: String): Long = {
-    val corpusN = corpusCountCache.computeIfAbsent(
-      dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+    val corpusN = corpusCount(e, dir)
     val effMod = math.max(floorMod, corpusN / 5000L)
     require(effMod == floorMod,
       s"$what modulus derived as $effMod (corpus $corpusN rows) != " +

@@ -534,8 +534,7 @@ private[queries] object ExtSimilarity {
       // oracle-replayable fixture spelling, enforced bounded (the
       // exactSelfTopK contract): past the bound, swap in ivfTopK /
       // annTopK per side; marginScore is supplier-agnostic
-      val corpusN = corpusCountCache.computeIfAbsent(
-        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      val corpusN = corpusCount(e, dir)
       require(corpusN <= 32768L,
         s"q259's exact dual-kNN supplier scores corpusN²/4 pairs: " +
           s"$corpusN rows > 32768. Feed marginScore ivfTopK/annTopK " +
@@ -1104,8 +1103,7 @@ private[queries] object ExtSimilarity {
     // recompute 7.03 s median at sf0.1, Probe queries 3, r9).
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      val corpusN = corpusCountCache.computeIfAbsent(
-        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      val corpusN = corpusCount(e, dir)
       require(corpusN <= 32768L,
         s"q267's exact dual-kNN supplier scores corpusN²/4 pairs: " +
           s"$corpusN rows > 32768. Feed marginScore the gated ANN " +

@@ -260,8 +260,7 @@ private[queries] object ExtStreaming {
     // dies with the invocation on every path.
     (s, dir) => {
       val e = table(s, dir, "embeddings")
-      val corpusN = corpusCountCache.computeIfAbsent(
-        dir, _ => java.lang.Long.valueOf(e.count())).longValue()
+      val corpusN = corpusCount(e, dir)
       require(corpusN <= 32768L,
         s"q269's exact batch×state supplier scores corpusN²/4 pairs " +
           s"across its batches: $corpusN rows > 32768. Swap in the " +

@@ -81,11 +81,22 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(selected(Some(0.05), Seq(0.2), None) == Seq(0.2))
   }
 
-  test("selected: scope is exactly-one-measured-sample — repeated " +
-      "measurements are never overridden, and the warmup fallback " +
-      "survives") {
-    // two samples, one a spike: trimming/escalation own this case
-    assert(selected(Some(1.0), Seq(9.0, 1.1), Some(1.0)) == Seq(9.0, 1.1))
+  test("selected: the filter is PER SAMPLE at any count — a spike " +
+      "among clean samples drops instead of owning half a 2-sample " +
+      "mean (the review catch: trim needs >= 5, so at n=2 the median " +
+      "IS the spike's average when escalation was wall-cut)") {
+    // two samples, one a spike corroborated by warmup AND prior as
+    // contention: the clean sample owns the quote
+    assert(selected(Some(1.0), Seq(9.0, 1.1), Some(1.0)) == Seq(1.1))
+    // the same pair where the prior AGREES with the slow reading:
+    // nothing drops (regression, not contention)
+    assert(selected(Some(1.0), Seq(9.0, 1.1), Some(8.5)) == Seq(9.0, 1.1))
+    // every sample spiked: the warmup is the sanest quote available
+    // (a spikey sample is > 3x the warmup by definition, so
+    // min(samples, warmup) is always the warmup here)
+    assert(selected(Some(1.0), Seq(9.0, 12.0), Some(1.0)) == Seq(1.0))
+    assert(selected(Some(10.0), Seq(41.0, 45.0), Some(1.0))
+      == Seq(10.0))
     assert(selected(Some(2.0), Nil, Some(1.0)) == Seq(2.0))
     assert(selected(None, Seq(9.0), Some(1.0)) == Seq(9.0)) // no warmup
     assert(selected(None, Nil, None) == Nil)
