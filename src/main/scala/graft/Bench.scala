@@ -90,8 +90,12 @@ import scala.jdk.CollectionConverters._
   *    > 0.3 s) from both its quarantined warmup and the clean
   *    committed prior quotes min(measured, warmup) — a lone
   *    contended sample never owns the official median. Raw samples
-  *    still drive escalation and the `prior_divergent` flag;
-  *    rescued queries are named in `rescued`.
+  *    still drive escalation and the `prior_divergent` flag.
+  *    `rescued` names the queries whose QUOTE is the fallback
+  *    (every sample dropped — those void from the next prior);
+  *    `sample_filtered` names queries that dropped some spikes but
+  *    quote a surviving clean median (measured-quality, kept as
+  *    priors).
   * 3. INFORMATION-RANKED SHEDDING. Under wall pressure, remaining
   *    budget goes to zero-measured-sample queries first, then
   *    prior-divergent ones, then the clean tail — never
@@ -244,28 +248,42 @@ object Bench {
       effective(warm.get(name), acc(name))
     def quotedOf(name: String): Seq[Double] =
       BenchStats.selected(warm.get(name), acc(name), prior.get(name))
-    def rescued(name: String): Boolean = (acc(name), warm.get(name)) match {
-      case (ms, Some(w)) if ms.nonEmpty =>
-        ms.exists(m => BenchStats.rescueWorthy(m, w, prior.get(name)))
-      case _ => false
-    }
+    // `rescued` = the QUOTE came from the rescue fallback (every
+    // measured sample dropped — warmup-quality, so the name must
+    // void in the next prior). A query that dropped SOME samples but
+    // quoted a surviving clean median is `sampleFiltered` instead:
+    // measured-quality, a valid prior, but the filtering stays
+    // visible. (r10 self-review: flagging ANY rescue-worthy sample
+    // as `rescued` voided clean-quoted queries from the prior — one
+    // spike per query across 50 queries would have silently disabled
+    // the 3× cross-check for all 50.)
+    def rescued(name: String): Boolean =
+      BenchStats.quoteRescued(warm.get(name), acc(name), prior.get(name))
+    def sampleFiltered(name: String): Boolean =
+      BenchStats.partiallyFiltered(warm.get(name), acc(name), prior.get(name))
     def divergent(name: String): Boolean = {
       val ts = samplesOf(name)
       ts.nonEmpty && BenchStats.divergent(ts, prior.get(name))
     }
-    // best estimate of a query's clean cost = min MEASURED sample
-    // seen (load only ever adds). Before any measured sample exists
-    // the only evidence is the warmup, which systematically
-    // OVERestimates a measured pass by ~1.5x (codegen + JIT — the
-    // header's number): projecting with the raw warmup made pass 2
-    // shed queries that actually fit (r10 review: at wallS=1290 of
-    // 1380, a query warming at 85 s but measuring ~57 s was shed and
-    // quoted its warmup — trading a real sample for the guess this
-    // harness exists to avoid), so the warmup-only estimate is
-    // discounted by that documented factor
-    def minTime(name: String): Double =
-      if (acc(name).nonEmpty) acc(name).min
-      else warm.get(name).map(_ / 1.5).getOrElse(0.0)
+    // per-query admission projection for shed decisions. With
+    // measured samples: min sample + 10% load margin (load only ever
+    // adds, so the min is the clean-cost estimate). With only a
+    // warmup sample: the RAW warmup, no margin and no discount — the
+    // warmup already overestimates the clean cost by ~1.5× (codegen
+    // + JIT, the header's number), which both absorbs the load
+    // margin AND keeps the r10 fix (a query warming at 85 s but
+    // measuring ~57 s is admitted at wallS=1290/1380 where the old
+    // 1.1×warmup rule shed it), while still upper-bounding the
+    // CONTENDED-case cost: a measured run on a still-loaded box gets
+    // no JIT win and takes ≈ its warmup, so the earlier warmup/1.5
+    // discount could admit a 120 s query at wallS=1290 and overrun
+    // the wall by ~30 s — breaking the "degrade, never overrun"
+    // contract exactly on the contended box it defends against
+    // (r10 self-review). Admission rule: run iff even the
+    // no-JIT-win cost fits.
+    def projCost(name: String): Double =
+      if (acc(name).nonEmpty) 1.1 * acc(name).min
+      else warm.getOrElse(name, 0.0)
     var bucketEntries: Seq[(String, Double)] = Seq.empty
     val shed = scala.collection.mutable.ArrayBuffer[String]()
     // ---- artifact emission: a COMPLETE line from samples-so-far ----
@@ -283,6 +301,7 @@ object Bench {
       val results = seen.map(n => n -> robustMedian(quotedOf(n)))
       val stillDivergent = seen.filter(divergent)
       val rescuedNames = seen.filter(rescued)
+      val filteredNames = seen.filter(sampleFiltered)
       val qs = (results ++ bucketEntries)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -300,9 +319,11 @@ object Bench {
         .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
       val rescJson = rescuedNames
         .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
+      val filtJson = filteredNames
+        .map(n => s"\"" + n + "\"").mkString("[", ",", "]")
       val shedJson = shed.map(s => s"\"" + s + "\"").mkString("[", ",", "]")
       val line =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":${nPasses - 1},"max_runs":$maxRuns,"stat":"trimmed_median_interleaved","partial":$partial,"queries_measured":${seen.size},"wall_s":${fmt(wallS)},"wall_budget_s":${fmt(wallBudget)},"shed":$shedJson,"prior_divergent":$divJson,"rescued":$rescJson,"runs":$runsJson,"warmup":$warmJson,"loadavg_entry":"$loadEntry","load_waited_s":${fmt(loadWaited)},"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_per_query":${nPasses - 1},"max_runs":$maxRuns,"stat":"trimmed_median_interleaved","partial":$partial,"queries_measured":${seen.size},"wall_s":${fmt(wallS)},"wall_budget_s":${fmt(wallBudget)},"shed":$shedJson,"prior_divergent":$divJson,"rescued":$rescJson,"sample_filtered":$filtJson,"runs":$runsJson,"warmup":$warmJson,"loadavg_entry":"$loadEntry","load_waited_s":${fmt(loadWaited)},"loadavg_start":"$loadStart","loadavg_end":"$loadavg","sf":"$sfDir"}"""
       println(line)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -351,7 +372,7 @@ object Bench {
         if (wallS > wallBudget) {
           aborted = true
           shed += s"pass_${p}_wall_from_$name"
-        } else if (p > 1 && wallS + 1.1 * minTime(name) > wallBudget) {
+        } else if (p > 1 && wallS + projCost(name) > wallBudget) {
           shedCount += 1
           if (shedFirst == null) shedFirst = name
         } else {
@@ -459,7 +480,7 @@ object Bench {
       var tookAny = false
       var skippedAny = false
       for ((name, fn) <- ordered if extraBudget > 0) {
-        if (wallS + 1.1 * minTime(name) > wallBudget) skippedAny = true
+        if (wallS + projCost(name) > wallBudget) skippedAny = true
         else {
           acc(name) = acc(name) :+ timeOnce(fn)
           extraBudget -= 1

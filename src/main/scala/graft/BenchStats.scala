@@ -110,4 +110,35 @@ object BenchStats {
     def div(ref: Double) = ref > 0 && m > 3 * ref && m - ref > 0.3
     div(warm) && prior.forall(div)
   }
+
+  /** True when [[selected]] quoted the RESCUE FALLBACK — every
+    * measured sample dropped, quote = min(measured.min, warmup).
+    * This is the predicate that must gate prior-voiding: only a
+    * fallback quote is warmup-quality. The first r10 spelling
+    * flagged a query when ANY sample was rescue-worthy, which voided
+    * queries whose quote came from surviving CLEAN samples — on a
+    * mildly contended box (one spike per query across many queries)
+    * that silently disabled the next round's 3× cross-check for the
+    * whole set, the exact failure the prior hygiene exists to
+    * prevent. */
+  def quoteRescued(
+      warm: Option[Double],
+      measured: Seq[Double],
+      prior: Option[Double]): Boolean =
+    warm.exists(w => measured.nonEmpty &&
+      measured.forall(m => rescueWorthy(m, w, prior)))
+
+  /** True when [[selected]] dropped SOME measured samples but quoted
+    * a median from the surviving clean ones — measured-quality, so a
+    * valid prior, but the filtering should still be visible in the
+    * artifact (`sample_filtered`). Disjoint from [[quoteRescued]] by
+    * construction. */
+  def partiallyFiltered(
+      warm: Option[Double],
+      measured: Seq[Double],
+      prior: Option[Double]): Boolean =
+    warm.exists { w =>
+      val dropped = measured.count(m => rescueWorthy(m, w, prior))
+      dropped > 0 && dropped < measured.size
+    }
 }

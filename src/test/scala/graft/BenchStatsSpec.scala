@@ -111,4 +111,28 @@ class BenchStatsSpec extends AnyFunSuite {
     // a zero/negative warmup (clock glitch) never rescues
     assert(!rescueWorthy(9.0, 0.0, None))
   }
+
+  test("quoteRescued vs partiallyFiltered: prior-voiding tracks the " +
+      "QUOTE's quality, not any-sample spikiness (the r10 self-review " +
+      "catch: one spike per query across 50 queries must not void 50 " +
+      "clean-quoted priors)") {
+    // one spike among clean samples: quote is the surviving clean
+    // median -> NOT rescued (stays a valid prior), but filtered
+    assert(!quoteRescued(Some(1.0), Seq(9.0, 1.1), Some(1.0)))
+    assert(partiallyFiltered(Some(1.0), Seq(9.0, 1.1), Some(1.0)))
+    // every sample spiked: quote is the fallback -> rescued, and the
+    // two predicates are disjoint
+    assert(quoteRescued(Some(1.0), Seq(9.0, 12.0), Some(1.0)))
+    assert(!partiallyFiltered(Some(1.0), Seq(9.0, 12.0), Some(1.0)))
+    // the r9 q227 shape (lone sample): rescued, not filtered
+    assert(quoteRescued(Some(3.2), Seq(75.4), Some(1.7)))
+    assert(!partiallyFiltered(Some(3.2), Seq(75.4), Some(1.7)))
+    // prior corroborates the slow reading: regression, neither flag
+    assert(!quoteRescued(Some(1.0), Seq(9.0, 9.1), Some(8.5)))
+    assert(!partiallyFiltered(Some(1.0), Seq(9.0, 9.1), Some(8.5)))
+    // no samples / no warmup: neither
+    assert(!quoteRescued(Some(2.0), Nil, Some(1.0)))
+    assert(!quoteRescued(None, Seq(9.0), Some(1.0)))
+    assert(!partiallyFiltered(None, Seq(9.0), Some(1.0)))
+  }
 }
