@@ -908,6 +908,63 @@ object Dedup {
     clusters.withColumn("bucket", bucket)
   }
 
+  /** Tombstone blast radius through the dedup layer — the
+    * right-to-be-forgotten query a production corpus owner runs
+    * before honoring a delete batch: which duplicate clusters does
+    * the batch touch, does any cluster lose its canonical
+    * REPRESENTATIVE (the member whose id equals the min-label
+    * `cluster_id` — the row [[resolveDuplicates]] kept and every
+    * downstream index/pack references), and who is the surviving
+    * representative afterwards. Deleting a non-representative
+    * member is metadata-only; deleting the representative
+    * invalidates every derived artifact keyed on it, and a fully
+    * deleted cluster (n_survivors = 0) must propagate the delete
+    * into indexes rather than re-elect.
+    *
+    * `clusters`: (id, cluster_id) — [[duplicateClusters]] output
+    * (singletons self-labeled, so a tombstoned unique doc shows up
+    * as its own fully-deleted cluster). `tombstones`: delete-request
+    * ids (first column). Ids in `tombstones` absent from `clusters`
+    * are ignored — they deleted nothing the dedup layer tracks.
+    *
+    * Output, one row per cluster the batch touches (n_deleted >= 1):
+    * (cluster_id, n_members, n_deleted, n_survivors, rep_deleted,
+    * new_rep) — `rep_deleted` is 0/1 (BIGINT, the repo's
+    * cross-engine spelling), `new_rep` the min SURVIVING id (equal
+    * to cluster_id when the representative survives; NULL when the
+    * cluster is fully deleted).
+    *
+    * Shape, and why it holds at 100 TB: one equi-join of the narrow
+    * (id, cluster_id) frame against the tombstone ids — a delete
+    * batch is small next to the corpus, so Catalyst broadcasts it
+    * (AQE converts at runtime when the static estimate misses) —
+    * then ONE partial-aggregable groupBy(cluster_id); conditional
+    * min/max/sum, no windows, no collect, row bodies never move.
+    * The HAVING-style touched-cluster filter runs post-aggregate on
+    * cluster-sized data. */
+  def deletePropagation(
+      clusters: DataFrame,
+      tombstones: DataFrame): DataFrame = {
+    val tombName = tombstones.columns.head
+    val tomb = tombstones
+      .select(col(tombName).cast("long").as("_tid")).distinct()
+    clusters
+      .select(col("id").cast("long").as("id"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .join(tomb, col("id") === col("_tid"), "left")
+      .withColumn("_del",
+        when(col("_tid").isNotNull, 1L).otherwise(0L))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("_del")).as("n_deleted"),
+        sum(lit(1L) - col("_del")).as("n_survivors"),
+        max(when(col("id") === col("cluster_id"), col("_del"))
+          .otherwise(0L)).as("rep_deleted"),
+        min(when(col("_del") === 0L, col("id"))).as("new_rep"))
+      .filter(col("n_deleted") >= 1L)
+  }
+
   /** Apply cluster labels back to the data: keep exactly the rows
     * whose id IS its cluster's representative (the min id). The
     * "delete the duplicates" end of the pair→cluster pipeline:

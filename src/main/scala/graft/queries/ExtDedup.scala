@@ -1010,6 +1010,64 @@ private[queries] object ExtDedup {
       FROM agg a JOIN nd ON nd.band = a.band ORDER BY a.band""")
   )
 
+  private val q271_delete_propagation = Q(
+    "q271_delete_propagation",
+    // Right-to-be-forgotten blast radius (GDPR art. 17 — the delete
+    // batch a production corpus owner must honor): which duplicate
+    // clusters does a tombstone set touch, does any cluster lose its
+    // canonical REPRESENTATIVE (the min-label member every
+    // resolveDuplicates output, index entry, and pack references),
+    // and who represents the survivors afterwards. Deleting a
+    // non-representative member is metadata-only; a deleted
+    // representative invalidates derived artifacts; a fully-deleted
+    // cluster (n_survivors = 0, new_rep NULL) must propagate into
+    // the indexes rather than re-elect. Tombstones are the
+    // deterministic doc_id % 97 batch (~1% of the corpus — delete
+    // batches are small next to their corpora, which is exactly why
+    // the operator's tombstone join broadcasts). Clusters come from
+    // the same LSH pair graph as q65 (== exact Jaccard on the
+    // fixture, proven by q36); the oracle recomputes components with
+    // the recursive transitive-closure CTE and replays the
+    // re-election in SQL.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      val clusters = Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+      val tomb = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 97 === 0)
+      Dedup.deletePropagation(clusters, tomb)
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      cl AS (SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      j AS (SELECT cl.id, cl.cluster_id,
+          CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS del
+        FROM cl LEFT JOIN (SELECT doc_id FROM documents
+          WHERE doc_id % 97 = 0) t ON t.doc_id = cl.id)
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        CAST(sum(del) AS BIGINT) AS n_deleted,
+        CAST(count(*) - sum(del) AS BIGINT) AS n_survivors,
+        CAST(max(CASE WHEN id = cluster_id THEN del ELSE 0 END)
+          AS BIGINT) AS rep_deleted,
+        min(CASE WHEN del = 0 THEN id END) AS new_rep
+      FROM j GROUP BY cluster_id HAVING sum(del) >= 1
+      ORDER BY cluster_id""")
+  )
+
   val all: Seq[Q] = Seq(
     q34_dedup_exact,
     q35_dedup_ngram_jaccard,
@@ -1034,5 +1092,6 @@ private[queries] object ExtDedup {
     q203_cdc_chunks,
     q211_sorted_neighborhood,
     q221_dedup_threshold_sweep,
-    q270_dedup_sweep_eval)
+    q270_dedup_sweep_eval,
+    q271_delete_propagation)
 }

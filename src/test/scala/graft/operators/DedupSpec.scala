@@ -567,6 +567,24 @@ class DedupSpec extends AnyFunSuite {
       (4L, 1L, 8L, "a b c d e f g h")))
   }
 
+  test("deletePropagation: per-cluster counts, rep re-election, " +
+      "full-delete NULL, untouched clusters absent") {
+    import spark.implicits._
+    // clusters: {1,2,3} rep 1; {5} singleton; {7,8} rep 7
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (7L, 7L), (8L, 7L)).toDF("id", "cluster_id")
+    // tombstones: the rep of {1,2,3}, the whole of {5}, the
+    // NON-rep of {7,8}, and an id the dedup layer never saw (99)
+    val tomb = Seq(1L, 5L, 8L, 99L).toDF("doc_id")
+    val got = Dedup.deletePropagation(cl, tomb)
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 2L, 1L, Some(2L)),   // rep deleted -> re-elect 2
+      (5L, 1L, 1L, 0L, 1L, None),       // fully deleted -> NULL rep
+      (7L, 2L, 1L, 1L, 0L, Some(7L)))) // rep survives, new_rep == rep
+  }
+
   test("removeDuplicatedSpans: excises exactly the detected spans, everywhere") {
     import spark.implicits._
     val fx = Seq(
