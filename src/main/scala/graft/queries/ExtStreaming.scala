@@ -311,6 +311,109 @@ private[queries] object ExtStreaming {
     Some(crossLingualOracle)
   )
 
+  private val q272_stream_delete_propagation = Q(
+    "q272_stream_delete_propagation",
+    // Continuous right-to-be-forgotten ingestion, oracle-backed end
+    // to end — the streaming twin of q271: tombstone batches arrive
+    // through ingestDeleteStream and each publishes the blast radius
+    // it causes AS OF the deletes already honored (per touched
+    // cluster: surviving-member counts against the PRE-batch state,
+    // whether THIS batch deleted the canonical representative, the
+    // new surviving representative). State is the family's delta
+    // layout — the base cluster map is written once and never
+    // rewritten; each batch appends only its own ids, and the
+    // pre-batch survivor view subtracts deltas strictly below the
+    // batch id (the q101/q105/q269 replay rule). Two batches:
+    // doc_id % 97, then doc_id % 89 — doc 0 sits in BOTH, so the
+    // double-delete no-op and the rep-already-dead attribution
+    // (rep_deleted names exactly one batch) are exercised on the
+    // oracle-checked path, not just in specs. The oracle rebuilds
+    // the clusters with the recursive-closure CTE and replays both
+    // batches sequentially in SQL. Scratch state dies with the
+    // invocation.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      val clusters = Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q272_").toString
+      try {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        clusters.write.parquet(s"$base/clusters")
+        val (t0, t1) = cachedFixture(s"q272:$dir") {
+          val ids = docs.select(col("doc_id")).as[Long].collect().sorted.toSeq
+          (ids.filter(_ % 97 == 0), ids.filter(_ % 89 == 0))
+        }
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Long]
+        // restore source parallelism (see q101 — one local partition
+        // is not the shape a production stream arrives in)
+        val q = graft.streaming.Streams.ingestDeleteStream(
+          mem.toDF().toDF("doc_id")
+            .repartition(s.sparkContext.defaultParallelism),
+          clustersDir = s"$base/clusters", deltaDir = s"$base/deltas",
+          reportDir = s"$base/reports", checkpointDir = s"$base/ckpt")
+        try {
+          mem.addData(t0)
+          q.processAllAvailable() // batch 0: % 97 against the full map
+          mem.addData(t1)
+          q.processAllAvailable() // batch 1: % 89 against the survivors
+        } finally q.stop()
+        // touched-cluster reports are delete-batch-sized, tiny next
+        // to their corpora (collectToLocal bound)
+        collectToLocal(
+          s.read.parquet(s"$base/reports")
+            .select(col("batch").cast("long").as("batch"),
+              col("cluster_id"), col("n_members"), col("n_deleted"),
+              col("n_survivors"), col("rep_deleted"), col("new_rep")),
+          "q272 per-batch blast-radius reports")
+          .orderBy("batch", "cluster_id")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      cl AS (SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      r0 AS (SELECT CAST(0 AS BIGINT) AS batch, cluster_id,
+          CAST(count(*) AS BIGINT) AS n_members,
+          CAST(sum(del) AS BIGINT) AS n_deleted,
+          CAST(count(*) - sum(del) AS BIGINT) AS n_survivors,
+          CAST(max(CASE WHEN id = cluster_id THEN del ELSE 0 END)
+            AS BIGINT) AS rep_deleted,
+          min(CASE WHEN del = 0 THEN id END) AS new_rep
+        FROM (SELECT id, cluster_id,
+            CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END AS del FROM cl) x
+        GROUP BY cluster_id HAVING sum(del) >= 1),
+      s1 AS (SELECT id, cluster_id FROM cl WHERE id % 97 <> 0),
+      r1 AS (SELECT CAST(1 AS BIGINT) AS batch, cluster_id,
+          CAST(count(*) AS BIGINT) AS n_members,
+          CAST(sum(del) AS BIGINT) AS n_deleted,
+          CAST(count(*) - sum(del) AS BIGINT) AS n_survivors,
+          CAST(max(CASE WHEN id = cluster_id THEN del ELSE 0 END)
+            AS BIGINT) AS rep_deleted,
+          min(CASE WHEN del = 0 THEN id END) AS new_rep
+        FROM (SELECT id, cluster_id,
+            CASE WHEN id % 89 = 0 THEN 1 ELSE 0 END AS del FROM s1) y
+        GROUP BY cluster_id HAVING sum(del) >= 1)
+      SELECT * FROM r0 UNION ALL SELECT * FROM r1
+      ORDER BY batch, cluster_id""")
+  )
+
   private val q43_stream_windowed = Q(
     "q43_stream_windowed",
     // Batch twin of Streams.windowedTypeCounts (identical logical
@@ -773,6 +876,7 @@ private[queries] object ExtStreaming {
     q101_stream_ingest_dedup,
     q105_stream_ingest_ann,
     q269_stream_crosslingual,
+    q272_stream_delete_propagation,
     q43_stream_windowed,
     q52_stream_join,
     q58_sessionize,

@@ -699,6 +699,106 @@ object Streams {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Continuous DELETE ingestion — the streaming twin of
+    * [[graft.operators.Dedup.deletePropagation]] (q271): tombstone
+    * batches (right-to-be-forgotten requests) arrive as a stream,
+    * and each micro-batch publishes the blast radius it causes
+    * against the dedup layer AS OF the deletes already honored —
+    * per touched cluster, surviving-member counts, whether THIS
+    * batch deleted the canonical representative, and the new
+    * surviving representative.
+    *
+    * State is the DELTA layout the ingest family settled on (the
+    * [[ingestNearDupStream]] lesson): the base cluster map
+    * (`clustersDir`, a one-time [[graft.operators.Dedup
+    * .duplicateClusters]] product) is never rewritten, and each
+    * batch appends only its own tombstone ids as `deltaDir/delta=N`
+    * — a full-snapshot survivor state would rewrite O(corpus) per
+    * batch, while the delta spelling writes O(batch).
+    *
+    * Per-batch cost is bounded by the TOUCHED clusters' members,
+    * never the corpus: the batch ids semi-join the cluster map to
+    * the touched cluster_ids (batch-sized, broadcast), only those
+    * clusters' members are read back, and the pre-batch survivor
+    * view subtracts the accumulated tombstone deltas STRICTLY BELOW
+    * the batch id — the family's replay rule, which also makes a
+    * crash-replay of batch N (its own delta=N already on disk but
+    * excluded by the bound) byte-identical. Both writes are
+    * batch-keyed `overwrite`: exactly-once by idempotence.
+    *
+    * An id deleted twice (re-sent, or present in two batches) is a
+    * no-op the second time — it is no longer in the pre-batch
+    * survivor view, so [[graft.operators.Dedup.deletePropagation]]
+    * ignores it; ids the dedup layer never saw are likewise ignored.
+    * A cluster whose representative died in an EARLIER batch
+    * reports rep_deleted = 0 thereafter (this batch did not delete
+    * it) — rep_deleted attributes the re-election event to exactly
+    * one batch. */
+  def ingestDeleteStream(
+      tombstones: DataFrame,
+      clustersDir: String,
+      deltaDir: String,
+      reportDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    tombstones.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestDeleteBatch(batch, batchId, clustersDir, deltaDir, reportDir)
+      }
+      .start()
+  }
+
+  /** One [[ingestDeleteStream]] micro-batch — factored out so the
+    * crash-replay contract is directly testable (StreamsSpec replays
+    * a committed batch and pins value-identical outputs). */
+  private[streaming] def ingestDeleteBatch(
+      batch: DataFrame,
+      batchId: Long,
+      clustersDir: String,
+      deltaDir: String,
+      reportDir: String): Unit = {
+    val t0 = System.nanoTime()
+    val spark = batch.sparkSession
+    val idName = batch.columns.head
+    val t = batch.select(col(idName).cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clusters = spark.read.parquet(clustersDir)
+        .select(col("id"), col("cluster_id"))
+      // blast radius never scans the corpus map into the aggregate:
+      // batch ids -> touched cluster_ids (batch-sized) -> only those
+      // clusters' members survive the semi-joins below
+      val touched = clusters.join(broadcast(t), Seq("id"))
+        .select("cluster_id").distinct()
+      val members = clusters
+        .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      // replay safety: subtract tombstone deltas 0..N-1 ONLY (the
+      // family rule — subtracting the batch's own already-written
+      // delta on a replay would empty its report)
+      val dPath = new org.apache.hadoop.fs.Path(deltaDir)
+      val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasPrior = fs.exists(dPath) && fs.listStatus(dPath)
+        .exists { st =>
+          val name = st.getPath.getName
+          name.startsWith("delta=") &&
+            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
+        }
+      val preState =
+        if (hasPrior) {
+          val prior = spark.read.parquet(deltaDir)
+            .filter(col("delta") < batchId).select("id")
+          members.join(prior, Seq("id"), "left_anti")
+        } else members
+      graft.operators.Dedup.deletePropagation(preState, t)
+        .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
+      t.write.mode("overwrite").parquet(s"$deltaDir/delta=$batchId")
+      // attributable per-batch operator cost (see ingestNearDupBatch)
+      System.err.println(f"[graft] ingestDeleteBatch batch=$batchId " +
+        f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    } finally t.unpersist(blocking = false)
+  }
+
   /** Continuous AGGREGATE-VIEW maintenance — the streaming spelling
     * of [[graft.operators.Incremental]]: each micro-batch folds into
     * its own state delta (`stateDir/delta=N`, one

@@ -623,6 +623,71 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestDeleteStream: per-batch reports == direct deletePropagation " +
+      "on the evolving survivor view; final survivors == batch anti-join; " +
+      "replay and double-delete are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    // clusters: {1,2,3} rep 1; {5}; {7,8}; {10,11,12} rep 10
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (7L, 7L), (8L, 7L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("id", "cluster_id")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_del_").toString
+    try {
+      clusters.write.parquet(s"$base/clusters")
+      val mem = MemoryStream[Long]
+      val query = ingestDeleteStream(
+        mem.toDF().toDF("doc_id"),
+        clustersDir = s"$base/clusters", deltaDir = s"$base/deltas",
+        reportDir = s"$base/reports", checkpointDir = s"$base/ckpt")
+      // batch 0 deletes rep 1 and all of {5}; batch 1 re-deletes 1
+      // (a no-op — already gone), finishes cluster 1 (2,3) and takes
+      // the non-rep 11; 99 was never in the dedup layer
+      try {
+        mem.addData(Seq(1L, 5L)); query.processAllAvailable()
+        mem.addData(Seq(1L, 2L, 3L, 11L, 99L)); query.processAllAvailable()
+      } finally query.stop()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("cluster_id", "n_members", "n_deleted", "n_survivors",
+            "rep_deleted", "new_rep")
+          .as[(Long, Long, Long, Long, Long, Option[Long])]
+          .collect().sorted.toSeq
+      val r0 = rows(spark.read.parquet(s"$base/reports/batch=0"))
+      assert(r0 == Seq(
+        (1L, 3L, 1L, 2L, 1L, Some(2L)),   // rep deleted -> re-elect 2
+        (5L, 1L, 1L, 0L, 1L, None)))      // fully deleted
+      val r1 = rows(spark.read.parquet(s"$base/reports/batch=1"))
+      assert(r1 == Seq(
+        // pre-batch survivors (2,3); rep_deleted = 0: batch 0 owns
+        // that event, this batch only finished the cluster off
+        (1L, 2L, 2L, 0L, 0L, None),
+        (10L, 3L, 1L, 2L, 0L, Some(10L)))) // non-rep delete
+      // per-batch report == direct deletePropagation on the pre-state
+      assert(r0 == rows(graft.operators.Dedup.deletePropagation(
+        clusters, Seq(1L, 5L).toDF("id"))))
+      val s1 = clusters.join(Seq(1L, 5L).toDF("id"), Seq("id"), "left_anti")
+      assert(r1 == rows(graft.operators.Dedup.deletePropagation(
+        s1, Seq(1L, 2L, 3L, 11L, 99L).toDF("id"))))
+      // crash-replay of batch 1 (its own delta=1 on disk, excluded by
+      // the strictly-below bound): value-identical report and delta
+      Streams.ingestDeleteBatch(
+        Seq(1L, 2L, 3L, 11L, 99L).toDF("doc_id"), 1L,
+        s"$base/clusters", s"$base/deltas", s"$base/reports")
+      assert(rows(spark.read.parquet(s"$base/reports/batch=1")) == r1,
+        "batch-1 replay changed the report")
+      // final survivors (clusters minus all deltas) == batch anti-join
+      val deltas = spark.read.parquet(s"$base/deltas").select("id")
+      val survivors = clusters.join(deltas, Seq("id"), "left_anti")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(survivors == Seq((7L, 7L), (8L, 7L), (10L, 10L), (12L, 10L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
   test("expectationsBatch: ledger accumulates per batch; replay is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -51,7 +51,7 @@ PINNED_SKIP = {
     "q270_dedup_sweep_eval",
     # r10: same all-pairs-Jaccard + recursive-closure CTE as q65 —
     # quadratic by construction, like its parent
-    "q271_delete_propagation",
+    "q271_delete_propagation", "q272_stream_delete_propagation",
 }
 # measured near the budget line in r8 (drifted OK<->SKIP with load):
 # a 4x budget lands them OK on any plausible box (r9 run 1: all
