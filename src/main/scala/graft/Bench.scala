@@ -333,18 +333,18 @@ object Bench {
       }
     }
     // ---- base passes (pass 1 = warmup), budget-aware ----
-    // Budget priority: the warmup and the FIRST measured pass always
-    // attempt (a measured sample beats any projection — warmup times
-    // overestimate a measured pass by ~1.5×, so a whole-pass shed
-    // decided on them would trade real samples for a guess), aborting
-    // per-query when the clock actually runs out (EVERY pass,
-    // including the warmup — the r9 advisor catch: a pass-1-only
-    // exemption let a catastrophically slow box overrun the budget
-    // for the remainder of the warmup); the bucket diagnostic next
-    // (unique evidence); then later measured passes (per-query
-    // projection skips on the now-accurate measured minima, +10%
-    // load margin, ranked order); then escalation (it only buys
-    // redundancy).
+    // Budget priority: the warmup always attempts every query,
+    // aborting per-query only when the clock actually runs out (the
+    // r9 advisor catch: a pass-1-only exemption let a slow box
+    // overrun the budget for the remainder of the warmup). Measured
+    // passes — INCLUDING pass 2 — additionally apply the per-query
+    // admission projection ([[projCost]]: raw warmup before any
+    // measured sample exists, measured min +10% after): a pass-2
+    // query whose no-JIT-win cost cannot fit is shed to its warmup
+    // quote rather than risked past the wall — the deliberate
+    // r10 tradeoff projCost documents. The bucket diagnostic next
+    // (unique evidence); then later measured passes (ranked order);
+    // then escalation (it only buys redundancy).
     //
     // Within a measured pass the work is INFORMATION-RANKED, not
     // alphabetical (the r9 lesson: an alphabetical tail shed left 74

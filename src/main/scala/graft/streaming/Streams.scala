@@ -339,6 +339,26 @@ object Streams {
     * via `minHashLshPairs`. StreamsSpec pins stream == batch: the
     * union of all batches' pairs equals the full-corpus pair set, and
     * the compacted delta index equals a fresh rebuild. */
+  /** The ingest family's one replay-safety probe: does `dir` hold a
+    * state delta STRICTLY BELOW `batchId`? A crash AFTER delta=N
+    * landed but BEFORE the checkpoint committed replays batch N,
+    * which must consume exactly the state the original run saw —
+    * deltas 0..N-1 only; reading the batch's own already-written
+    * delta would double its rows. Every `ingest*Batch` bounds its
+    * prior-state read through this predicate so the rule cannot
+    * drift per family member. */
+  private def hasPriorDeltas(
+      dir: String, batchId: Long,
+      spark: SparkSession): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val name = st.getPath.getName
+      name.startsWith("delta=") &&
+        name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
+    }
+  }
+
   def ingestNearDupStream(
       docs: DataFrame,
       idCol: String,
@@ -379,22 +399,9 @@ object Streams {
     val spark = batch.sparkSession
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-      // replay safety: a crash AFTER delta=N landed but BEFORE the
-      // checkpoint committed replays batch N — which must probe
-      // exactly the index state the original run saw, deltas
-      // 0..N-1 ONLY. Reading its own (already-written) delta
-      // would union every batch-N id into the index twice and
-      // double-emit its pairs; bounding the probe by batchId makes
-      // the replay byte-identical instead (and a replayed batch 0
-      // correctly takes the self-pair branch again).
-      val hasIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
-        .exists { st =>
-          val name = st.getPath.getName
-          name.startsWith("delta=") &&
-            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
-        }
+      // replay safety: probe deltas 0..N-1 only ([[hasPriorDeltas]];
+      // a replayed batch 0 correctly takes the self-pair branch again)
+      val hasIndex = hasPriorDeltas(indexDir, batchId, spark)
       // the batch index feeds BOTH outputs (the probe and the delta
       // write) — build it once and persist, so the batch is shingled
       // and minhashed once per cycle, not once per consumer (measured
@@ -512,18 +519,9 @@ object Streams {
       val own = Similarity.ivfAssign(b, idCol, vecCol, cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // replay safety: probe exactly the index state the original
-        // run saw — deltas 0..N-1 — plus the batch's own assignments
-        // (the same-batch pairs); reading its own already-written
-        // delta would double its rows into the probe.
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val hasPrior = fs.exists(idxPath) && fs.listStatus(idxPath)
-          .exists { st =>
-            val name = st.getPath.getName
-            name.startsWith("delta=") &&
-              name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
-          }
+        // replay safety: probe deltas 0..N-1 plus the batch's own
+        // assignments (the same-batch pairs) — [[hasPriorDeltas]]
+        val hasPrior = hasPriorDeltas(indexDir, batchId, spark)
         val index =
           if (hasPrior)
             spark.read.parquet(indexDir)
@@ -622,17 +620,10 @@ object Streams {
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // replay safety: score against vector deltas 0..N-1 ONLY (the
-      // family rule — reading the batch's own already-written delta
-      // would score its pairs twice)
-      val vPath = new org.apache.hadoop.fs.Path(vecsDir)
-      val fs = vPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val hasPrior = fs.exists(vPath) && fs.listStatus(vPath)
-        .exists { st =>
-          val name = st.getPath.getName
-          name.startsWith("delta=") &&
-            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
-        }
+      // replay safety: score against vector deltas 0..N-1 ONLY
+      // ([[hasPriorDeltas]] — scoring the batch's own delta would
+      // double its pairs)
+      val hasPrior = hasPriorDeltas(vecsDir, batchId, spark)
       // every NEW unordered cross-parity pair exactly once:
       // batch×prior (disjoint id sets) + batch×batch (id_a < id_b);
       // the batch side broadcasts — it is the micro-batch, the small
@@ -716,15 +707,28 @@ object Streams {
     * — a full-snapshot survivor state would rewrite O(corpus) per
     * batch, while the delta spelling writes O(batch).
     *
-    * Per-batch cost is bounded by the TOUCHED clusters' members,
-    * never the corpus: the batch ids semi-join the cluster map to
-    * the touched cluster_ids (batch-sized, broadcast), only those
-    * clusters' members are read back, and the pre-batch survivor
-    * view subtracts the accumulated tombstone deltas STRICTLY BELOW
-    * the batch id — the family's replay rule, which also makes a
-    * crash-replay of batch N (its own delta=N already on disk but
-    * excluded by the bound) byte-identical. Both writes are
-    * batch-keyed `overwrite`: exactly-once by idempotence.
+    * Per-batch SHUFFLE/AGGREGATE cost is bounded by the TOUCHED
+    * clusters' members, never the corpus: the batch ids semi-join
+    * the cluster map to the touched cluster_ids (batch-sized,
+    * broadcast), only those clusters' members flow into the report,
+    * and the pre-batch survivor view subtracts the accumulated
+    * tombstone deltas STRICTLY BELOW the batch id — the family's
+    * replay rule, which also makes a crash-replay of batch N (its
+    * own delta=N already on disk but excluded by the bound)
+    * byte-identical. Both writes are batch-keyed `overwrite`:
+    * exactly-once by idempotence. The per-batch I/O term, said out
+    * loud: TWO scans of the base cluster map (the touched lookup
+    * keys on id, the member fetch on cluster_id — at production
+    * scale the map should be stored twice, sorted/bucketed by each
+    * key, so both scans prune to the broadcast keys' buckets
+    * instead of reading the corpus) plus the accumulated delta
+    * history, which grows with TOTAL deletes ever honored; deltas
+    * are the same maintenance problem the LSH/IVF indexes have, and
+    * the same answer applies — periodically compact them into one
+    * merged delete set written as a single delta (a distinct-union
+    * of tombstone ids is a valid state; the strictly-below bound is
+    * unaffected as long as compaction rewrites only FULLY-committed
+    * deltas).
     *
     * An id deleted twice (re-sent, or present in two batches) is a
     * no-op the second time — it is no longer in the pre-batch
@@ -773,17 +777,10 @@ object Streams {
         .select("cluster_id").distinct()
       val members = clusters
         .join(broadcast(touched), Seq("cluster_id"), "left_semi")
-      // replay safety: subtract tombstone deltas 0..N-1 ONLY (the
-      // family rule — subtracting the batch's own already-written
-      // delta on a replay would empty its report)
-      val dPath = new org.apache.hadoop.fs.Path(deltaDir)
-      val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val hasPrior = fs.exists(dPath) && fs.listStatus(dPath)
-        .exists { st =>
-          val name = st.getPath.getName
-          name.startsWith("delta=") &&
-            name.stripPrefix("delta=").toLongOption.exists(_ < batchId)
-        }
+      // replay safety: subtract tombstone deltas 0..N-1 ONLY
+      // ([[hasPriorDeltas]] — subtracting the batch's own
+      // already-written delta on a replay would empty its report)
+      val hasPrior = hasPriorDeltas(deltaDir, batchId, spark)
       val preState =
         if (hasPrior) {
           val prior = spark.read.parquet(deltaDir)

@@ -36,6 +36,10 @@ SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=8 \
   SPARK_GRAFT_BENCH_OUT=$OUT SPARK_GRAFT_BENCH_PRIOR=$PRIOR \
   sbt -batch "runMain graft.Bench" >/tmp/drill_phase2.log 2>&1 &
 BENCH_PID=$!
+SPIN_PIDS=()
+# an interrupted drill must not leave 192 busy-loops (or the detached
+# bench) pinning the box for every later measurement
+trap 'kill "${SPIN_PIDS[@]:-}" "$BENCH_PID" 2>/dev/null' EXIT INT TERM
 
 # wait for pass 2 to START (some query shows a measured sample)
 while sleep 5; do
@@ -49,7 +53,6 @@ except Exception: print(-1)" 2>/dev/null)
   [ "$n" -ge 1 ] 2>/dev/null && break
 done
 echo "pass 2 started -> spinning up 192 spinners"
-SPIN_PIDS=()
 for i in $(seq 192); do (while :; do :; done) & SPIN_PIDS+=($!); done
 
 # wait for pass 2 to COMPLETE (>= 95% of queries have >= 1 sample;
