@@ -724,11 +724,11 @@ object Streams {
     * instead of reading the corpus) plus the accumulated delta
     * history, which grows with TOTAL deletes ever honored; deltas
     * are the same maintenance problem the LSH/IVF indexes have, and
-    * the same answer applies — periodically compact them into one
-    * merged delete set written as a single delta (a distinct-union
-    * of tombstone ids is a valid state; the strictly-below bound is
-    * unaffected as long as compaction rewrites only FULLY-committed
-    * deltas).
+    * the same answer applies — [[compactTombstoneDeltas]] folds the
+    * committed history into one distinct delete set (the
+    * strictly-below bound is unaffected as long as compaction
+    * rewrites only FULLY-committed deltas; the spec performs the
+    * swap and pins post-compaction equivalence).
     *
     * An id deleted twice (re-sent, or present in two batches) is a
     * no-op the second time — it is no longer in the pre-batch
@@ -794,6 +794,36 @@ object Streams {
       System.err.println(f"[graft] ingestDeleteBatch batch=$batchId " +
         f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
     } finally t.unpersist(blocking = false)
+  }
+
+  /** Tombstone-delta compaction — the maintenance operator
+    * [[ingestDeleteBatch]]'s scaladoc promises: the delta history
+    * grows with TOTAL deletes ever honored, and this folds deltas
+    * 0..upTo into ONE distinct id set — the replacement content for
+    * `delta=upTo` once every lower delta directory is removed.
+    *
+    * Pure frame in, frame out (the [[graft.operators.Similarity
+    * .ivfCompact]] altitude): the CALLER owns the directory swap —
+    * materialize this frame fully (its lineage reads the very
+    * directories the swap rewrites), then overwrite `delta=upTo`
+    * and delete the lower delta dirs, with the stream STOPPED and
+    * only over batches the checkpoint has committed. The
+    * strictly-below replay bound survives compaction: a future
+    * batch N > upTo subtracts the same id SET either way (the
+    * anti-join is set-semantics, and a distinct union of committed
+    * tombstone ids is a valid state); a batch <= upTo can no longer
+    * replay, which is exactly why only checkpoint-committed deltas
+    * may compact. StreamsSpec performs the swap and pins that
+    * post-compaction reports and survivor views are value-identical
+    * to the raw history's. */
+  def compactTombstoneDeltas(
+      spark: SparkSession,
+      deltaDir: String,
+      upTo: Long): DataFrame = {
+    require(upTo >= 0L, s"upTo must be >= 0, got $upTo")
+    spark.read.parquet(deltaDir)
+      .filter(col("delta") <= upTo)
+      .select("id").distinct()
   }
 
   /** Continuous AGGREGATE-VIEW maintenance — the streaming spelling

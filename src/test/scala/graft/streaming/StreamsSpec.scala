@@ -682,6 +682,34 @@ class StreamsSpec extends AnyFunSuite {
       val survivors = clusters.join(deltas, Seq("id"), "left_anti")
         .as[(Long, Long)].collect().sorted.toSeq
       assert(survivors == Seq((7L, 7L), (8L, 7L), (10L, 10L), (12L, 10L)))
+      // ---- compaction: fold deltas 0..1 into one distinct set and
+      // perform the caller-owned swap; a post-compaction batch must
+      // behave value-identically to one over the raw history ----
+      val rawClone = s"$base/deltas_raw"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$base/deltas"), new java.io.File(rawClone))
+      val merged = compactTombstoneDeltas(spark, s"$base/deltas", 1L)
+        .as[Long].collect().sorted.toSeq // materialized BEFORE the swap
+      assert(merged == Seq(1L, 2L, 3L, 5L, 11L, 99L))
+      merged.toDF("id").write.mode("overwrite")
+        .parquet(s"$base/deltas/delta=1")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$base/deltas/delta=0"))
+      // batch 2 deletes rep 7 of the surviving {7,8}
+      Streams.ingestDeleteBatch(Seq(7L).toDF("doc_id"), 2L,
+        s"$base/clusters", s"$base/deltas", s"$base/reports")
+      val r2 = rows(spark.read.parquet(s"$base/reports/batch=2"))
+      assert(r2 == Seq((7L, 2L, 1L, 1L, 1L, Some(8L))))
+      Streams.ingestDeleteBatch(Seq(7L).toDF("doc_id"), 2L,
+        s"$base/clusters", rawClone, s"$base/reports_raw")
+      assert(rows(spark.read.parquet(s"$base/reports_raw/batch=2")) == r2,
+        "compacted and raw delta histories diverged")
+      // survivor view identical through either history
+      val sc2 = clusters.join(
+          spark.read.parquet(s"$base/deltas").select("id"),
+          Seq("id"), "left_anti")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(sc2 == Seq((8L, 7L), (10L, 10L), (12L, 10L)))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
