@@ -366,15 +366,13 @@ object Bench {
           (if (acc(n).isEmpty) 0 else if (divergent(n)) 1 else 2, n)
         }
       var i = 0
-      var shedCount = 0
-      var shedFirst: String = null
+      val shedNames = scala.collection.mutable.ArrayBuffer[String]()
       for ((name, fn) <- order if !aborted) {
         if (wallS > wallBudget) {
           aborted = true
           shed += s"pass_${p}_wall_from_$name"
         } else if (p > 1 && wallS + projCost(name) > wallBudget) {
-          shedCount += 1
-          if (shedFirst == null) shedFirst = name
+          shedNames += name
         } else {
           val t = timeOnce(fn)
           if (p == 1) warm(name) = t else acc(name) = acc(name) :+ t
@@ -382,7 +380,19 @@ object Bench {
           if (i % 64 == 0) emit(partial = true)
         }
       }
-      if (shedCount > 0) shed += s"pass_${p}_shed_${shedCount}q_from_$shedFirst"
+      // name every shed query (capped — a pathological shed is still
+      // one bounded artifact entry), so warmup-quality quotes are
+      // directly enumerable by artifact consumers instead of
+      // recoverable only from empty `runs` arrays (r10 advisor);
+      // the `pass_` prefix is load-bearing: it is what voids this
+      // artifact as the next round's prior
+      if (shedNames.nonEmpty) {
+        val cap = 48
+        val listed = shedNames.take(cap).mkString(",") +
+          (if (shedNames.size > cap) s",+${shedNames.size - cap}more"
+           else "")
+        shed += s"pass_${p}_shed_${shedNames.size}q:$listed"
+      }
       emit(partial = true)
     }
     runPass(1)
