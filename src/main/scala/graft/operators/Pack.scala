@@ -148,6 +148,71 @@ object Pack {
         col("_c.chunk_text").as("chunk_text"))
   }
 
+  /** Tombstone blast radius through the PACKED layer — the
+    * right-to-be-forgotten query for the training-data artifacts a
+    * [[sequenceOffsets]] manifest describes (the q271/q274 GDPR story
+    * carried one layer further): a delete batch invalidates every
+    * seqLen chunk that contains any deleted document's tokens, and the
+    * cost of honoring it is RE-PACKING those chunks' surviving tokens.
+    * One row per invalidated (shard, chunk_id): how many docs overlap
+    * the chunk, how many of them are deleted, the deleted and
+    * surviving token counts within the chunk — `surviving_tokens` IS
+    * the rebuild cost (the tokens that must be re-emitted), and
+    * `surviving_tokens = 0` marks a chunk that simply vanishes (the
+    * empty-shard edge — nothing to rebuild, just delete the artifact).
+    *
+    * Zero-token documents occupy no stream positions ([[
+    * sequenceOffsets]]'s contract), so deleting one invalidates
+    * nothing and they contribute no overlap rows.
+    *
+    * Scale shape, and why it holds at 100 TB: the manifest explodes to
+    * one narrow integer row per (doc, chunk-it-overlaps) — O(corpus
+    * tokens / seqLen + n_docs), linear, map-side, no token bodies —
+    * the tombstone join broadcasts (delete batches are small), the
+    * invalidated (shard, chunk_id) set is tombstone-span-sized and
+    * broadcasts into a semi-join that prunes the exploded rows BEFORE
+    * the only aggregate, so the partial-aggregable groupBy sees
+    * touched chunks' rows only, never the corpus. All arithmetic is
+    * integer offset math the oracle replays exactly. */
+  def deleteBlastRadius(
+      manifest: DataFrame,
+      tombstones: DataFrame,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val tombName = tombstones.columns.head
+    val tomb = tombstones
+      .select(col(tombName).cast("long").as("_tid")).distinct()
+    // invalidated chunk set: explode ONLY the tombstoned docs' spans
+    // (tombstone-span-sized) — the corpus-wide explode below runs once
+    val touched = manifest
+      .join(broadcast(tomb), col("id") === col("_tid"), "left_semi")
+      .filter(col("toks") > 0L)
+      .select(col("shard"),
+        explode(sequence(col("first_chunk"), col("last_chunk")))
+          .as("chunk_id"))
+      .distinct()
+    manifest
+      .filter(col("toks") > 0L)
+      .select(col("id"), col("shard"), col("toks"), col("start_offset"),
+        explode(sequence(col("first_chunk"), col("last_chunk")))
+          .as("chunk_id"))
+      .join(broadcast(touched), Seq("shard", "chunk_id"), "left_semi")
+      .withColumn("_ov",
+        least(col("start_offset") + col("toks"),
+          (col("chunk_id") + lit(1L)) * lit(seqLen))
+          - greatest(col("start_offset"), col("chunk_id") * lit(seqLen)))
+      .join(broadcast(tomb), col("id") === col("_tid"), "left")
+      .withColumn("_del", when(col("_tid").isNotNull, 1L).otherwise(0L))
+      .groupBy("shard", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_del")).as("n_deleted"),
+        sum(when(col("_del") === 1L, col("_ov")).otherwise(0L))
+          .as("deleted_tokens"),
+        sum(when(col("_del") === 0L, col("_ov")).otherwise(0L))
+          .as("surviving_tokens"))
+  }
+
   /** Shard-level chunk accounting: how many full seqLen chunks each
     * shard yields and how many tail tokens fall off the end —
     * the "how much data do I actually have" number that drives

@@ -994,6 +994,42 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** RAW IVF candidate pairs for a query batch against a persisted
+    * index — the un-ranked, un-thresholded sibling of [[ivfProbe]]
+    * (which top-ks before a caller can filter) and
+    * [[ivfNearDupPairsAgainst]] (whose smaller-id ingestion-order
+    * rule drops cross-batch pairs whose INDEX id is larger): every
+    * (query, index-row) pair sharing one of the query's `nprobe`
+    * probed cells, scored exactly, emitted as (query_id, nn_id, cos)
+    * with no rank and no floor — the candidate feed for consumers
+    * that apply their OWN predicate before ranking (the cross-parity
+    * filter of [[graft.streaming.Streams.ingestCrossLingualAnnStream]]
+    * is the motivating case: filtering after a top-k would let
+    * same-parity neighbors evict the cross-parity ones the caller
+    * actually wants). Pair-unique by construction when index ids are
+    * unique (an index row lives in exactly one cell). Per-batch cost
+    * is the IVF contract: |queries| · corpus/nlist · nprobe. */
+  def ivfCandidates(
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      index: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.expressions.GraftFunctions.register(queries.sparkSession)
+    val cents = collectCentroids(centroids, "ivfCandidates")
+    val probesUdf = udf((x: scala.collection.Seq[Float]) =>
+      probeCells(x, cents, nprobe))
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv"))))
+    q.join(index.select(col("id"), col("v"), col("cell")), Seq("cell"))
+      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("id").as("nn_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("cos"))
+  }
+
   /** One-shot spelling of [[ivfNearDupPairsAgainst]] over a whole
     * corpus: assign everything to the given centroids, then let every
     * vector probe for smaller-id neighbors. The batch twin the

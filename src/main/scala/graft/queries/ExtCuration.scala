@@ -732,6 +732,61 @@ private[queries] object ExtCuration {
       FROM o ORDER BY doc_id""")
   )
 
+  private val q275_pack_delete_radius = Q(
+    "q275_pack_delete_radius",
+    // Delete propagation through the PACKED artifacts (r10 verdict
+    // #3 — the layer below q271's clusters and q274's indexes): the
+    // q74 sequence-packing manifest names each doc's token span in
+    // its source shard's 2048-token chunk stream; a tombstone batch
+    // (doc_id % 97 — q271/q274's) invalidates every chunk holding a
+    // deleted doc's tokens, and Pack.deleteBlastRadius reports, per
+    // invalidated (source, chunk): doc/deleted-doc counts and the
+    // deleted vs SURVIVING token split — surviving_tokens is the
+    // re-pack cost, 0 marks a chunk that simply vanishes (the
+    // empty-chunk edge, spec-pinned). Exact integer accounting end
+    // to end (q74's oracle style): the oracle replays the cumsum
+    // offsets, the chunk-span explode, and the min/max overlap
+    // arithmetic in SQL.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("toks"))
+      val manifest = graft.operators.Pack.sequenceOffsets(
+        docs, "doc_id", "source", "doc_id", "toks", seqLen = 2048L)
+      val tomb = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 97 === 0)
+      graft.operators.Pack.deleteBlastRadius(manifest, tomb, 2048L)
+        .select(col("shard").as("source"), col("chunk_id"),
+          col("n_docs"), col("n_deleted"), col("deleted_tokens"),
+          col("surviving_tokens"))
+        .orderBy("source", "chunk_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+        CAST(len($W) AS BIGINT) AS toks FROM documents),
+      o AS (SELECT doc_id, source, toks,
+        CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS s FROM t),
+      x AS (SELECT source, CAST(u.c AS BIGINT) AS chunk_id, doc_id,
+          CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS del,
+          least(s + toks, (CAST(u.c AS BIGINT) + 1) * 2048)
+            - greatest(s, CAST(u.c AS BIGINT) * 2048) AS ov
+        FROM o CROSS JOIN UNNEST(range(s // 2048,
+          (s + toks - 1) // 2048 + 1)) AS u(c)
+        WHERE toks > 0),
+      inv AS (SELECT DISTINCT source, chunk_id FROM x WHERE del = 1)
+      SELECT x.source, x.chunk_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(del) AS BIGINT) AS n_deleted,
+        CAST(sum(CASE WHEN del = 1 THEN ov ELSE 0 END) AS BIGINT)
+          AS deleted_tokens,
+        CAST(sum(CASE WHEN del = 0 THEN ov ELSE 0 END) AS BIGINT)
+          AS surviving_tokens
+      FROM x JOIN inv ON inv.source = x.source
+        AND inv.chunk_id = x.chunk_id
+      GROUP BY x.source, x.chunk_id
+      ORDER BY x.source, x.chunk_id""")
+  )
+
   private val q75_quality_quantile = Q(
     "q75_quality_quantile",
     // FineWeb-style per-source quality cut: keep the best 25% of each
@@ -1286,6 +1341,7 @@ private[queries] object ExtCuration {
     q109_epoch_mixture,
     q116_domain_cap,
     q74_pack_sequences,
+    q275_pack_delete_radius,
     q75_quality_quantile,
     q83_chunk_overlap,
     q84_weighted_sample,

@@ -12,7 +12,7 @@ import graft.queries.ExtShared._
   * Split from the former single Extensions.scala (round 7) for
   * navigability — zero behavior change; [[Extensions.all]] still
   * concatenates every family. */
-private[queries] object ExtDedup {
+private[graft] object ExtDedup {
 
   private val q34_dedup_exact = Q(
     "q34_dedup_exact",
@@ -839,12 +839,29 @@ private[queries] object ExtDedup {
     // .labelEval]]'s extraKeys). At 100 TB the pair supplier is the
     // same prefix-filtered AllPairs as q221 and the scorer swaps for
     // the gated ANN lists (q263's argument applies unchanged).
-    (s, dir) => {
+    (s, dir) => dedupSweepEval(s, dir, pinnedQidBound = None),
+    Some(q270OracleSql)
+  )
+
+  /** q270's pipeline, factored so the SCALING probe can PIN the query
+    * population (`pinnedQidBound`: only vec_id < bound queries — on a
+    * ScaleUp fixture the original-id range, so the population stays
+    * FIXED while the corpus grows and the scorer's post-knee linear
+    * asymptote is measurable instead of argued; the pinned mode skips
+    * the derivedSampleMod fail-fast because it aligns with no static
+    * oracle). The catalog query passes None — behavior unchanged. */
+  private[graft] def dedupSweepEval(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      pinnedQidBound: Option[Long]): org.apache.spark.sql.DataFrame = {
+    {
       graft.expressions.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
       val e = table(s, dir, "embeddings")
-      val effMod = derivedSampleMod(e, dir, 10L, "q270 eval-population")
+      val effMod = pinnedQidBound match {
+        case Some(_) => 10L // probe mode: fixed population, no oracle
+        case None => derivedSampleMod(e, dir, 10L, "q270 eval-population")
+      }
       // banded drop set: did dropped at band b iff mb >= b (monotone)
       val drops = Dedup.ngramJaccardPairs(
           docs, "doc_id", "text", n = 3, minJ = 0.4)
@@ -866,7 +883,8 @@ private[queries] object ExtDedup {
       // top-10 costs no slack expansion and nothing here scales
       // with |drops| (see the header: the slack-list spelling
       // measured 5.7x wall at x3 corpus)
-      val qs = e.filter(col("vec_id") % effMod === 0)
+      val qs = e.filter(col("vec_id") % effMod === 0 &&
+          pinnedQidBound.map(b => col("vec_id") < b).getOrElse(lit(true)))
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val scored = e.select(col("vec_id").as("nn_id"),
           col("embedding").as("cv"))
@@ -916,8 +934,13 @@ private[queries] object ExtDedup {
           when(size(nn) >= 1,
             meanOf("ndcg", nn, size(nn))).as("mean_ndcg"))
         .orderBy("band")
-    },
-    Some(s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
+    }
+  }
+
+  // lazy: referenced by the q270 Q val ABOVE its definition — a plain
+  // val would still be null at that point in the object's init order
+  private lazy val q270OracleSql: String =
+    s"""WITH g AS (SELECT doc_id, ${ngrams3(W)} AS s
         FROM documents),
       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -1007,8 +1030,7 @@ private[queries] object ExtDedup {
         round(sm / CAST(nq AS DOUBLE), 6) AS mean_mrr,
         CASE WHEN nn >= 1 THEN round(sn / CAST(nn AS DOUBLE), 6)
           END AS mean_ndcg
-      FROM agg a JOIN nd ON nd.band = a.band ORDER BY a.band""")
-  )
+      FROM agg a JOIN nd ON nd.band = a.band ORDER BY a.band"""
 
   private val q271_delete_propagation = Q(
     "q271_delete_propagation",
@@ -1068,6 +1090,133 @@ private[queries] object ExtDedup {
       ORDER BY cluster_id""")
   )
 
+  private val q274_delete_compaction_probe = Q(
+    "q274_delete_compaction_probe",
+    // The right-to-be-forgotten loop CLOSED into the indexes (r10
+    // verdict #2 — q271 promises "a fully deleted cluster must
+    // propagate the delete into indexes rather than re-elect",
+    // Dedup.scala deletePropagation scaladoc; this query demonstrates
+    // it end to end): tombstones (doc_id % 97, q271's batch) →
+    // deletePropagation blast radius → the radius DRIVES the index
+    // maintenance — the production MinHash index holds only the
+    // RESOLVED corpus (one entry per cluster representative), so
+    // deleted representatives leave via compactIndex tombstones while
+    // re-elected survivors (new_rep of rep-deleted clusters) enter as
+    // a fresh delta; fully-deleted clusters simply vanish (tombstoned,
+    // nothing re-inserted) — then the POST-DELETE PROBE: the whole
+    // surviving non-representative corpus probes the compacted index
+    // (minHashLshIncrementalFromIndex — the q101 ingestion probe), and
+    // the emitted pair set is exact-Jaccard-oracle-checked over the
+    // independently rebuilt survivor/representative sets. In-job
+    // fail-fast gates (limit-1, never corpus-sized collects) assert no
+    // tombstoned id survives in the compacted index or appears on
+    // either side of a probe pair. The same no-ghost contract runs on
+    // the ANN leg: embeddings tombstones (vec_id % 97) → ivfCompact →
+    // ivfProbe over the q92 sampled queries must return zero
+    // tombstoned neighbors (DedupSpec pins both legs on a planted
+    // fixture). Scale shape: every step is the operators' own (LSH
+    // banding, broadcast tombstone joins, one LWW window keyed by id);
+    // the probe is ingestion-incremental (old↔old pairs never
+    // regenerate).
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      val clusters = Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+        .localCheckpoint(true) // consumed 3x: reps, report, survivors
+      val tomb = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 97 === 0)
+      val report = Dedup.deletePropagation(clusters, tomb)
+        .localCheckpoint(true) // touched-cluster-sized; consumed 2x
+      // the index BEFORE the delete: the resolved corpus — one entry
+      // per cluster representative
+      val reps0 = clusters.filter(col("id") === col("cluster_id"))
+        .select("id")
+      val index0 = Dedup.minHashIndex(
+        docs.join(reps0, docs("doc_id") === reps0("id"), "left_semi"),
+        "doc_id", "text")
+      // report-driven maintenance: re-elected representatives enter
+      // as a delta, the delete batch tombstones (deleted reps leave;
+      // tombstoned non-reps were never indexed — set-semantics no-op)
+      val newReps = report
+        .filter(col("rep_deleted") === 1L && col("new_rep").isNotNull)
+        .select(col("new_rep").as("doc_id"))
+      val delta1 = Dedup.minHashIndex(
+        docs.join(newReps, Seq("doc_id"), "left_semi"),
+        "doc_id", "text")
+      val compacted = Dedup.compactIndex(
+        Seq(index0, delta1), Some(tomb), "doc_id")
+        .localCheckpoint(true) // consumed by the gate and the probe
+      // fail-fast no-ghost gates (limit-1 — never corpus-sized)
+      require(compacted.join(tomb, compacted("id") === tomb("doc_id"),
+          "left_semi").limit(1).isEmpty,
+        "compacted index still holds a tombstoned id")
+      // post-delete probe: every surviving NON-representative doc
+      // probes the compacted index (ids disjoint from the index by
+      // construction — reps are a subset of survivors)
+      val survivors = clusters
+        .join(tomb, clusters("id") === tomb("doc_id"), "left_anti")
+      val postRepIds = compacted.select("id")
+      val probeDocs = docs
+        .join(survivors.select("id"), docs("doc_id") === survivors("id"),
+          "left_semi")
+        .join(postRepIds, docs("doc_id") === postRepIds("id"),
+          "left_anti")
+      val post = Dedup.minHashLshIncremental(
+        probeDocs, "doc_id", "text", compacted, minJ = 0.5)
+        .localCheckpoint(true) // pair-set-sized; gate + emit consume it
+      val ghost = post
+        .join(tomb, post("id_a") === tomb("doc_id") ||
+          post("id_b") === tomb("doc_id"), "left_semi")
+      require(ghost.limit(1).isEmpty,
+        "post-delete probe returned a tombstoned id")
+      // ANN leg: the identical contract through ivfCompact + ivfProbe
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val (assign0, cents) = Similarity.ivfIndex(
+        e, "vec_id", "embedding", nlist = 16)
+      val tombV = e.select(col("vec_id"))
+        .filter(col("vec_id") % 97 === 0)
+      val compactedV = Similarity.ivfCompact(
+        Seq(assign0), Some(tombV), "vec_id")
+      val annPost = Similarity.ivfProbe(
+        e.filter(col("vec_id") % 10 === 1), "vec_id", "embedding",
+        compactedV, cents, k = 10, nprobe = 4)
+      require(annPost.join(tombV,
+          annPost("nn_id") === tombV("vec_id"), "left_semi")
+          .limit(1).isEmpty,
+        "post-delete IVF probe returned a tombstoned vec_id")
+      post.orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      cl AS (SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      surv AS (SELECT id, cluster_id FROM cl WHERE id % 97 <> 0),
+      reps AS (SELECT min(id) AS id FROM surv GROUP BY cluster_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT id FROM surv)
+        AND b.doc_id IN (SELECT id FROM surv)
+        AND NOT (a.doc_id IN (SELECT id FROM reps)
+          AND b.doc_id IN (SELECT id FROM reps))
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      ORDER BY id_a, id_b""")
+  )
+
   val all: Seq[Q] = Seq(
     q34_dedup_exact,
     q35_dedup_ngram_jaccard,
@@ -1093,5 +1242,6 @@ private[queries] object ExtDedup {
     q211_sorted_neighborhood,
     q221_dedup_threshold_sweep,
     q270_dedup_sweep_eval,
-    q271_delete_propagation)
+    q271_delete_propagation,
+    q274_delete_compaction_probe)
 }

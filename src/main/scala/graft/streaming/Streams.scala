@@ -578,7 +578,16 @@ object Streams {
     * batch's list state, and all three writes (vector delta, list
     * state, pairs) go to batch-id-deterministic subdirectories with
     * `overwrite` — exactly-once by idempotence; a crash-replay
-    * rewrites every output value-identically. */
+    * rewrites every output value-identically.
+    *
+    * TRIGGER-SIZING CONTRACT (the whole ingest family, loudest here
+    * because the batch side is broadcast AND exactly scored): size
+    * triggers so a micro-batch stays well under `maxBatchRows`
+    * (`maxOffsetsPerTrigger` on Kafka-like sources,
+    * `maxFilesPerTrigger` on file sources) — a catch-up batch after
+    * downtime inherits every backlogged row otherwise. The guard is
+    * COUNTED, so an oversized batch fails with the fix in the error
+    * text instead of hitting Spark's 8 GB broadcast hard-stop. */
   def ingestCrossLingualStream(
       vecs: DataFrame,
       idCol: String,
@@ -588,13 +597,14 @@ object Streams {
       pairsDir: String,
       checkpointDir: String,
       k: Int = 4,
-      minMargin: Double = 1.05): org.apache.spark.sql.streaming.StreamingQuery = {
+      minMargin: Double = 1.05,
+      maxBatchRows: Long = 65536L): org.apache.spark.sql.streaming.StreamingQuery = {
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestCrossLingualBatch(batch, batchId, idCol, vecCol,
-          vecsDir, listsDir, pairsDir, k, minMargin)
+          vecsDir, listsDir, pairsDir, k, minMargin, maxBatchRows)
       }
       .start()
   }
@@ -611,7 +621,8 @@ object Streams {
       listsDir: String,
       pairsDir: String,
       k: Int,
-      minMargin: Double): Unit = {
+      minMargin: Double,
+      maxBatchRows: Long = 65536L): Unit = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
@@ -620,14 +631,30 @@ object Streams {
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // counted trigger-size guard: "the batch side is small by
+      // construction" holds only when the source bounds its triggers —
+      // a catch-up batch after downtime (or a maxOffsetsPerTrigger-less
+      // source) can be arbitrarily large, and the failure it would hit
+      // otherwise is Spark's 8 GB broadcast hard-stop, whose error says
+      // "broadcast too large" instead of naming the fix. Fail loud and
+      // actionable instead, BEFORE any per-pair work is spent.
+      val bn = b.count()
+      require(bn <= maxBatchRows,
+        s"ingestCrossLingualBatch got a $bn-row micro-batch > " +
+          s"maxBatchRows=$maxBatchRows: the batch side is broadcast " +
+          "and scored batch×corpus exactly. Bound the trigger " +
+          "(maxOffsetsPerTrigger / maxFilesPerTrigger on the source) " +
+          "or swap to the recall-gated ANN candidate mode " +
+          "(ingestCrossLingualAnnStream) at this scale.")
       // replay safety: score against vector deltas 0..N-1 ONLY
       // ([[hasPriorDeltas]] — scoring the batch's own delta would
       // double its pairs)
       val hasPrior = hasPriorDeltas(vecsDir, batchId, spark)
       // every NEW unordered cross-parity pair exactly once:
       // batch×prior (disjoint id sets) + batch×batch (id_a < id_b);
-      // the batch side broadcasts — it is the micro-batch, the small
-      // side by construction
+      // the batch side broadcasts — it is the micro-batch, bounded by
+      // the counted maxBatchRows guard above (small by CONTRACT, not
+      // by hope)
       def crossParity(x: DataFrame, y: DataFrame, dedupe: Boolean) = {
         val cond = (col("x.id") % 2 =!= col("y.id") % 2) &&
           (if (dedupe) col("x.id") < col("y.id") else lit(true))
@@ -690,6 +717,174 @@ object Streams {
     } finally b.unpersist(blocking = false)
   }
 
+  /** [[ingestCrossLingualStream]] in its AT-SCALE candidate mode —
+    * the composition the exact face's error text names: q105's
+    * streamed IVF ingestion supplies the candidate stage, q267's
+    * recall-gate discipline prices it (the q273 oracle gate), and
+    * the margin+mutual mining runs unchanged over the maintained
+    * k-bounded lists. Each micro-batch (1) routes its vectors to the
+    * persisted IVF cells ([[graft.operators.Similarity.ivfAssign]] —
+    * centroids train ONCE on batch 0, deterministically, exactly
+    * [[ingestVectorBatch]]'s rule), (2) probes the accumulated
+    * assignment deltas PLUS itself for cross-parity candidates
+    * ([[graft.operators.Similarity.ivfCandidates]] — raw, so the
+    * parity filter applies BEFORE ranking; per-batch cost is
+    * |batch| · corpus/nlist · nprobe, never batch×corpus), (3) merges
+    * both orientations of the candidates into the k-bounded per-query
+    * lists ((cos desc, nn_id) — the exact mode's tie-break), and
+    * (4) re-mines margin+mutuality over the LISTS (O(n·k)) and
+    * publishes the current pair set to `pairsDir/batch=N`.
+    *
+    * What changes vs the exact mode: nothing is broadcast and nothing
+    * scores batch×corpus, so there is NO maxBatchRows bound — this is
+    * the mode that removes the exact supplier's loud 32768-row limit
+    * from the streamed path. What it costs: the lists are now
+    * recall-gated approximations (a prior vector pairs with a batch
+    * vector only when it lands in one of the batch vector's probed
+    * cells), so consumers gate list recall against a sampled exact
+    * reference — q273 runs that gate in-job at a 0.30 floor, and
+    * StreamsSpec pins that with nprobe >= nlist (every cell probed)
+    * the mode degenerates to the exact lists and pair set bitwise.
+    *
+    * Replay safety is the family contract: batch N reads assignment
+    * deltas strictly below N plus list state N-1; centroids retrain
+    * on a replayed batch 0 (deterministic — byte-identical); all
+    * writes go to batch-id-deterministic subdirectories with
+    * `overwrite` — exactly-once by idempotence. */
+  def ingestCrossLingualAnnStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      vecsDir: String,
+      centroidsDir: String,
+      listsDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      k: Int = 4,
+      minMargin: Double = 1.05,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestCrossLingualAnnBatch(batch, batchId, idCol, vecCol,
+          vecsDir, centroidsDir, listsDir, pairsDir, k, minMargin,
+          nlist, nprobe, sampleSize)
+      }
+      .start()
+  }
+
+  /** One [[ingestCrossLingualAnnStream]] micro-batch — factored out
+    * so the crash-replay contract is directly testable (StreamsSpec
+    * replays committed batches, including the centroid-training
+    * batch 0, and pins value-identical outputs). */
+  private[streaming] def ingestCrossLingualAnnBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      vecsDir: String,
+      centroidsDir: String,
+      listsDir: String,
+      pairsDir: String,
+      k: Int,
+      minMargin: Double,
+      nlist: Int,
+      nprobe: Int,
+      sampleSize: Int): Unit = {
+    import graft.operators.Similarity
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val t0 = System.nanoTime()
+    val spark = batch.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // batch 0 trains, every later batch reads — keyed on batchId,
+      // not directory existence, so a replayed batch 0 RETRAINS over
+      // the same rows (deterministic: hash-ordered bounded sample,
+      // fixed-seed k-means) instead of half-trusting partial state
+      // (ingestVectorBatch's rule, same rationale)
+      val (own0, cents) =
+        if (batchId == 0L) {
+          val (a, c) = Similarity.ivfIndex(
+            b, "id", "v", nlist, sampleSize)
+          c.write.mode("overwrite").parquet(centroidsDir)
+          (a, spark.read.parquet(centroidsDir))
+        } else {
+          val c = spark.read.parquet(centroidsDir)
+          (Similarity.ivfAssign(b, "id", "v", c), c)
+        }
+      // the batch's assignments feed the probe index AND the delta
+      // write — persist across the two consumers
+      val own = own0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // replay safety: probe deltas 0..N-1 plus the batch's own
+        // assignments (the within-batch pairs) — [[hasPriorDeltas]]
+        val hasPrior = hasPriorDeltas(vecsDir, batchId, spark)
+        val index =
+          if (hasPrior)
+            spark.read.parquet(vecsDir)
+              .filter(col("delta") < batchId)
+              .select("id", "v", "cell")
+              .unionByName(own)
+          else own
+        // candidate stage: raw IVF candidates, cross-parity only —
+        // the filter runs BEFORE any ranking so same-parity
+        // neighbors cannot evict the cross-parity ones
+        val cand = Similarity.ivfCandidates(
+          b, "id", "v", index, cents, nprobe)
+          .filter((col("query_id") % 2) =!= (col("nn_id") % 2))
+        // both orientations feed the lists (cos bitwise symmetric);
+        // a within-batch pair found from BOTH sides' probes would
+        // otherwise occupy two of a list's k slots — distinct
+        // collapses the identical rows
+        val oriented = cand
+          .unionByName(cand.select(col("nn_id").as("query_id"),
+            col("query_id").as("nn_id"), col("cos")))
+          .distinct()
+        // merge into the k-bounded lists — prior lists and new
+        // candidates are disjoint (every new pair involves a batch
+        // vector, which no earlier list can reference)
+        val carried =
+          if (batchId > 0L)
+            spark.read.parquet(s"$listsDir/state=${batchId - 1}")
+              .select("query_id", "nn_id", "cos")
+              .unionByName(oriented)
+          else oriented
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("nn_id"))
+        val lists = carried
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+        lists.write.mode("overwrite")
+          .parquet(s"$listsDir/state=$batchId")
+        // margin + mutual stage over the k-bounded lists — read back
+        // from the state just written (a restart consumes the same)
+        val st = spark.read.parquet(s"$listsDir/state=$batchId")
+        val fwd = st.filter(col("query_id") % 2 === 0)
+        val bwd = st.filter(col("query_id") % 2 === 1)
+        val mfwd = graft.operators.Align.marginScore(fwd, bwd, k, minMargin)
+        val mbwd = graft.operators.Align.marginScore(bwd, fwd, k, minMargin)
+        mfwd.as("f").join(mbwd.as("b"),
+            col("f.src_id") === col("b.dst_id") &&
+              col("f.dst_id") === col("b.src_id"))
+          .select(col("f.src_id").as("keep_id"),
+            col("f.dst_id").as("drop_id"),
+            col("f.cos"), col("f.margin"))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        own.write.mode("overwrite").parquet(s"$vecsDir/delta=$batchId")
+      } finally own.unpersist(blocking = false)
+      // attributable per-batch operator cost (see ingestNearDupBatch)
+      System.err.println(f"[graft] ingestCrossLingualAnnBatch batch=$batchId " +
+        f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    } finally b.unpersist(blocking = false)
+  }
+
   /** Continuous DELETE ingestion — the streaming twin of
     * [[graft.operators.Dedup.deletePropagation]] (q271): tombstone
     * batches (right-to-be-forgotten requests) arrive as a stream,
@@ -708,9 +903,15 @@ object Streams {
     * batch, while the delta spelling writes O(batch).
     *
     * Per-batch SHUFFLE/AGGREGATE cost is bounded by the TOUCHED
-    * clusters' members, never the corpus: the batch ids semi-join
-    * the cluster map to the touched cluster_ids (batch-sized,
-    * broadcast), only those clusters' members flow into the report,
+    * clusters' members, never the corpus — and "touched" means
+    * touched by the batch's LIVE ids (the batch anti-joined against
+    * the prior delta history, batch-scaled), so a re-sent id that
+    * earlier batches already honored pulls nothing through the member
+    * fetch (r10 advisor: the raw-batch spelling was correct but its
+    * cost bound went loose under heavily overlapping batches): the
+    * live ids semi-join the cluster map to the touched cluster_ids
+    * (batch-sized, broadcast), only those clusters' members flow into
+    * the report,
     * and the pre-batch survivor view subtracts the accumulated
     * tombstone deltas STRICTLY BELOW the batch id — the family's
     * replay rule, which also makes a crash-replay of batch N (its
@@ -770,24 +971,33 @@ object Streams {
     try {
       val clusters = spark.read.parquet(clustersDir)
         .select(col("id"), col("cluster_id"))
-      // blast radius never scans the corpus map into the aggregate:
-      // batch ids -> touched cluster_ids (batch-sized) -> only those
-      // clusters' members survive the semi-joins below
-      val touched = clusters.join(broadcast(t), Seq("id"))
-        .select("cluster_id").distinct()
-      val members = clusters
-        .join(broadcast(touched), Seq("cluster_id"), "left_semi")
       // replay safety: subtract tombstone deltas 0..N-1 ONLY
       // ([[hasPriorDeltas]] — subtracting the batch's own
       // already-written delta on a replay would empty its report)
       val hasPrior = hasPriorDeltas(deltaDir, batchId, spark)
-      val preState =
-        if (hasPrior) {
-          val prior = spark.read.parquet(deltaDir)
-            .filter(col("delta") < batchId).select("id")
-          members.join(prior, Seq("id"), "left_anti")
-        } else members
-      graft.operators.Dedup.deletePropagation(preState, t)
+      val prior =
+        if (hasPrior)
+          Some(spark.read.parquet(deltaDir)
+            .filter(col("delta") < batchId).select("id"))
+        else None
+      // LIVE batch ids = the batch minus deletes already honored (an
+      // anti-join of the batch-sized frame against the delta history
+      // — batch-scaled, cheap). Without it a re-sent id still pulls
+      // its whole cluster through the member fetch and aggregate
+      // below, only to be discarded by the n_deleted >= 1 filter —
+      // correct, but the "touched clusters' members" cost bound went
+      // loose exactly when batches overlap heavily (r10 advisor).
+      val live = prior.fold(t)(p => t.join(p, Seq("id"), "left_anti"))
+      // blast radius never scans the corpus map into the aggregate:
+      // LIVE batch ids -> touched cluster_ids (batch-sized) -> only
+      // those clusters' members survive the semi-joins below
+      val touched = clusters.join(broadcast(live), Seq("id"))
+        .select("cluster_id").distinct()
+      val members = clusters
+        .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      val preState = prior.fold(members)(p =>
+        members.join(p, Seq("id"), "left_anti"))
+      graft.operators.Dedup.deletePropagation(preState, live)
         .write.mode("overwrite").parquet(s"$reportDir/batch=$batchId")
       t.write.mode("overwrite").parquet(s"$deltaDir/delta=$batchId")
       // attributable per-batch operator cost (see ingestNearDupBatch)
@@ -802,12 +1012,20 @@ object Streams {
     * 0..upTo into ONE distinct id set — the replacement content for
     * `delta=upTo` once every lower delta directory is removed.
     *
-    * Pure frame in, frame out (the [[graft.operators.Similarity
-    * .ivfCompact]] altitude): the CALLER owns the directory swap —
-    * materialize this frame fully (its lineage reads the very
-    * directories the swap rewrites), then overwrite `delta=upTo`
-    * and delete the lower delta dirs, with the stream STOPPED and
-    * only over batches the checkpoint has committed. The
+    * SAFE BY CONSTRUCTION against the read-while-overwrite trap (r10
+    * advisor): the distinct id set is eagerly localCheckpoint'ed
+    * INSIDE this function, so the returned frame's lineage no longer
+    * reads the delta directories — a caller may write it straight
+    * back over `delta=upTo` and delete the lower dirs without a
+    * manual collect-first step (StreamsSpec performs exactly that
+    * direct write-back). The set is delete-history-sized, not
+    * corpus-sized; on a multi-executor cluster prefer writing it to a
+    * fresh sibling path before the swap if executor loss during the
+    * maintenance window is a concern (localCheckpoint blocks are not
+    * recomputable). The CALLER still owns the directory swap —
+    * overwrite `delta=upTo` and delete the lower delta dirs with the
+    * stream STOPPED and only over batches the checkpoint has
+    * committed. The
     * strictly-below replay bound survives compaction: a future
     * batch N > upTo subtracts the same id SET either way (the
     * anti-join is set-semantics, and a distinct union of committed
@@ -824,6 +1042,9 @@ object Streams {
     spark.read.parquet(deltaDir)
       .filter(col("delta") <= upTo)
       .select("id").distinct()
+      // eager: sever the lineage from the directories the caller is
+      // about to rewrite (see the read-while-overwrite note above)
+      .localCheckpoint(true)
   }
 
   /** Continuous AGGREGATE-VIEW maintenance — the streaming spelling

@@ -48,9 +48,11 @@ object Probe {
       case "components" => components(spark, sfDir)
       case "lsh-tune" => lshTune(spark, sfDir)
       case "semdedup" => semdedup(spark, sfDir, rest)
+      case "dedup-knee" => dedupKnee(spark, sfDir, rest)
       case other =>
         System.err.println(s"unknown probe mode '$other' " +
-          "(queries | ann-stages | components | lsh-tune)")
+          "(queries | ann-stages | components | lsh-tune | semdedup " +
+          "| dedup-knee)")
         sys.exit(2)
     }
     spark.stop()
@@ -90,6 +92,36 @@ object Probe {
       println(f"$name%-32s median ${med}%7.3f s  " +
         ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
     }
+  }
+
+  /** q270 past the cap knee (r10 verdict #4): the same pipeline with
+    * the QUERY POPULATION PINNED to a fixed absolute id bound (on a
+    * ScaleUp fixture the original-id range), so the corpus grows while
+    * the sampled eval population stays constant — exactly the regime
+    * derivedSampleMod enforces past 50k vectors, measurable here
+    * without a 50k fixture. usage: dedup-knee [runs] [qidBound]. */
+  private def dedupKnee(
+      spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
+    val runs = rest.headOption.flatMap(_.toIntOption).getOrElse(3)
+    val bound = rest.drop(1).headOption.flatMap(_.toLongOption)
+      .getOrElse(2000L)
+    println(s"embeddings: ${emb(spark, sfDir).count()} rows, " +
+      s"queries pinned to vec_id < $bound (mod 10)")
+    spark.catalog.clearCache()
+    graft.queries.ExtDedup.dedupSweepEval(spark, sfDir, Some(bound))
+      .count() // warm
+    val ts = (1 to runs).map { _ =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.queries.ExtDedup.dedupSweepEval(spark, sfDir, Some(bound))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val med =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+    println(f"dedup-knee(pinned<$bound) median ${med}%7.3f s  " +
+      ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
   }
 
   /** Stage breakdown of the ANN paths (the q63 regression autopsy). */

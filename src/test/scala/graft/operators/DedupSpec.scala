@@ -497,6 +497,56 @@ class DedupSpec extends AnyFunSuite {
     assert(runs.distinct.size == 1, "intra-delta LWW was nondeterministic")
   }
 
+  test("delete propagation into the MinHash index (the q274 loop): " +
+      "deleted reps leave, re-elected reps enter, fully-deleted clusters " +
+      "vanish, and the probe after delete never returns a tombstoned id") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog forever"),
+      (5L, "pack my box with five dozen large liquor jugs now"),
+      (6L, "pack my box with five dozen large liquor jugs here"),
+      (8L, "completely unique text that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text", n = 3)
+    val clusters = Dedup.duplicateClusters(df.select("doc_id"), pairs)
+    // tombstones: rep 1 of {1,2,3} (re-election) and the whole
+    // singleton cluster {8} (fully deleted — must vanish, not re-elect)
+    val tomb = Seq(1L, 8L).toDF("doc_id")
+    val report = Dedup.deletePropagation(clusters, tomb)
+    val rep = report
+      .select("cluster_id", "rep_deleted", "new_rep")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rep == Seq((1L, 1L, Some(2L)), (8L, 1L, None)))
+    // the index holds the resolved corpus; the report drives the swap
+    val reps0 = clusters.filter(col("id") === col("cluster_id"))
+      .select("id")
+    val index0 = Dedup.minHashIndex(
+      df.join(reps0, df("doc_id") === reps0("id"), "left_semi"),
+      "doc_id", "text")
+    val newReps = report
+      .filter(col("rep_deleted") === 1L && col("new_rep").isNotNull)
+      .select(col("new_rep").as("doc_id"))
+    val delta1 = Dedup.minHashIndex(
+      df.join(newReps, Seq("doc_id"), "left_semi"), "doc_id", "text")
+    val compacted = Dedup.compactIndex(
+      Seq(index0, delta1), Some(tomb), "doc_id")
+    // post-delete index content: surviving rep 5, re-elected rep 2 —
+    // never the deleted rep 1 or the vanished cluster 8
+    assert(compacted.select("id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 5L))
+    // probe: surviving non-reps {3, 6} against the compacted index
+    val probeDocs = df.filter(col("doc_id").isin(3L, 6L))
+    val post = Dedup.minHashLshIncremental(
+      probeDocs, "doc_id", "text", compacted, minJ = 0.5)
+    val got = post.select("id_a", "id_b")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((2L, 3L), (5L, 6L)),
+      "probe should pair each survivor with its post-delete rep")
+    assert(!got.exists(p => Set(p._1, p._2).exists(Set(1L, 8L))),
+      "probe after delete returned a tombstoned id")
+  }
+
   test("duplicatedSpans: hand fixture — shared run, positions, maximal merge") {
     import spark.implicits._
     // B embeds A's tokens 1..8 at positions 3..10; nothing else shared.

@@ -46,6 +46,32 @@ class PackSpec extends AnyFunSuite {
     assert(counts == (("A", 9L, 1L, 1L)))
   }
 
+  test("deleteBlastRadius: hand-checked overlap accounting; the fully-" +
+      "deleted chunk reports surviving_tokens 0; zero-token and unknown " +
+      "tombstones invalidate nothing") {
+    val manifest = Pack.sequenceOffsets(docs, "doc_id", "source",
+      "doc_id", "toks", seqLen = 8L)
+    def radius(ids: Long*) =
+      Pack.deleteBlastRadius(manifest, ids.toDF("doc_id"), seqLen = 8L)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // delete d1 (A tokens 0..9): chunk A0 is ALL d1 (vanishes —
+    // surviving 0); chunk A1 holds d1's tail 2 + d3's 5 + d4's 1
+    assert(radius(1L) == Map(
+      ("A", 0L) -> ((1L, 1L, 8L, 0L)),
+      ("A", 1L) -> ((3L, 1L, 2L, 6L))))
+    // a zero-token doc occupies no stream positions: deleting it
+    // invalidates nothing; unknown ids are ignored
+    assert(radius(2L).isEmpty)
+    assert(radius(99L).isEmpty)
+    // delete d6 (B token 8): chunk B1 vanishes, B0 untouched
+    assert(radius(6L) == Map(("B", 1L) -> ((1L, 1L, 1L, 0L))))
+    // whole shard deleted: every chunk reports surviving 0
+    assert(radius(5L, 6L) == Map(
+      ("B", 0L) -> ((1L, 1L, 8L, 0L)),
+      ("B", 1L) -> ((1L, 1L, 1L, 0L))))
+  }
+
   test("chunkCounts agrees with per-doc offsets") {
     val counts = Pack.chunkCounts(docs, "doc_id", "source", "doc_id",
       "toks", seqLen = 8L)

@@ -405,6 +405,13 @@ class SimilaritySpec extends AnyFunSuite {
     // compaction is idempotent: compacting the compacted index alone
     // changes nothing
     assert(key(Similarity.ivfCompact(Seq(compacted))) == c)
+    // the q274 probe-after-delete contract: a probe over the
+    // compacted index never returns a tombstoned neighbor — even for
+    // a deleted user's own query vector
+    val post = Similarity.ivfProbe(
+      e, "vec_id", "embedding", compacted, cents, k = 10, nprobe = 8)
+    assert(post.filter(col("nn_id") % 10 === 0).isEmpty,
+      "post-delete IVF probe returned a tombstoned vec_id")
   }
 
   test("ivfStalenessGate: fresh index passes; a planted centroid/corpus mismatch fails loudly") {
