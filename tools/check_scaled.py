@@ -52,6 +52,9 @@ PINNED_SKIP = {
     # r10: same all-pairs-Jaccard + recursive-closure CTE as q65 —
     # quadratic by construction, like its parent
     "q271_delete_propagation", "q272_stream_delete_propagation",
+    # r11: q271's recursive-closure clusters PLUS a second all-pairs
+    # Jaccard pass for the post-delete probe — quadratic twice over
+    "q274_delete_compaction_probe",
 }
 # measured near the budget line in r8 (drifted OK<->SKIP with load):
 # a 4x budget lands them OK on any plausible box (r9 run 1: all
