@@ -1030,6 +1030,64 @@ object Similarity {
         call_function("graft_cosine", col("qv"), col("v")).as("cos"))
   }
 
+  /** Tombstone blast radius through maintained k-NN LIST state — the
+    * fourth derived artifact the right-to-be-forgotten story touches
+    * (clusters: [[Dedup.deletePropagation]]; indexes:
+    * [[Dedup.compactIndex]]/[[ivfCompact]]; packed chunks:
+    * [[Pack.deleteBlastRadius]]; and here the per-query neighbor
+    * lists a [[graft.streaming.Streams.ingestCrossLingualStream]]-
+    * style pipeline maintains). Deleting a vector does two distinct
+    * things to list state: the deleted QUERY's whole list drops
+    * (own_deleted = 1), and every OTHER query whose list held the
+    * deleted vector as a neighbor loses entries it cannot locally
+    * refill — a k-bounded list does not know its (k+1)th neighbor, so
+    * those queries need a RE-SCORE, not an in-place patch
+    * (needs_rescore = 1). This operator reports exactly that radius,
+    * one row per touched query: (query_id, own_deleted, k_before,
+    * n_lost, k_after, needs_rescore) with k_after = 0 for deleted
+    * queries and k_before − n_lost otherwise.
+    *
+    * Shape (q271's touched-first discipline): the tombstone set
+    * broadcasts, TOUCHED query ids derive from two narrow map-side
+    * semi-join scans (lists hit on nn_id ∪ lists hit on query_id —
+    * tombstone×k-sized), and only those queries' rows enter the one
+    * partial-aggregable groupBy — the corpus-sized list state is
+    * never shuffled. `lists`: any (query_id, nn_id) frame
+    * ([[bruteForceTopK]] output, the streamed `listsDir/state=N`).
+    * Ids in `tombstones` absent from the lists touch nothing. */
+  def listInvalidation(
+      lists: DataFrame,
+      tombstones: DataFrame,
+      tombstoneIdCol: String = "id"): DataFrame = {
+    val tomb = tombstones
+      .select(col(tombstoneIdCol).cast("long").as("_tid")).distinct()
+    val l = lists.select(col("query_id").cast("long").as("query_id"),
+      col("nn_id").cast("long").as("nn_id"))
+    val touched = l
+      .join(broadcast(tomb), col("nn_id") === col("_tid"), "left_semi")
+      .select("query_id")
+      .unionByName(l.join(broadcast(tomb),
+          col("query_id") === col("_tid"), "left_semi")
+        .select("query_id"))
+      .distinct()
+    l.join(broadcast(touched), Seq("query_id"), "left_semi")
+      .join(broadcast(tomb.withColumnRenamed("_tid", "_qtid")),
+        col("query_id") === col("_qtid"), "left")
+      .join(broadcast(tomb), col("nn_id") === col("_tid"), "left")
+      .groupBy("query_id")
+      .agg(
+        max(when(col("_qtid").isNotNull, 1L).otherwise(0L))
+          .as("own_deleted"),
+        count(lit(1)).as("k_before"),
+        sum(when(col("_tid").isNotNull, 1L).otherwise(0L)).as("n_lost"))
+      .select(col("query_id"), col("own_deleted"), col("k_before"),
+        col("n_lost"),
+        when(col("own_deleted") === 1L, 0L)
+          .otherwise(col("k_before") - col("n_lost")).as("k_after"),
+        when(col("own_deleted") === 0L && col("n_lost") >= 1L, 1L)
+          .otherwise(0L).as("needs_rescore"))
+  }
+
   /** One-shot spelling of [[ivfNearDupPairsAgainst]] over a whole
     * corpus: assign everything to the given centroids, then let every
     * vector probe for smaller-id neighbors. The batch twin the

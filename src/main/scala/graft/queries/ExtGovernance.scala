@@ -602,7 +602,114 @@ private[queries] object ExtGovernance {
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
   )
 
+  private val q277_deletion_certificate = Q(
+    "q277_deletion_certificate",
+    // Per-REQUEST deletion certificate — the compliance readout a
+    // right-to-be-forgotten pipeline must produce (GDPR art. 17's
+    // "inform the data subject"): one row per requested id answering
+    // what honoring it actually touched, assembled from the delete
+    // lifecycle's layers on ONE consistent tombstone batch (the
+    // q271/q274/q275/q276 doc_id % 97 request, plus a PLANTED unknown
+    // id 999999 so the was_tracked = 0 path runs on the oracle-checked
+    // path): was the id tracked at all; its duplicate cluster and
+    // whether the id WAS the canonical representative (every derived
+    // artifact keyed on it invalidates); whether the request finishes
+    // the whole cluster (nothing to re-elect — propagate into indexes,
+    // q274's branch); how many packed chunks the id's token span
+    // invalidates (q275's radius, attributed per id) and the token
+    // mass removed. Exact integer/closure accounting end to end; the
+    // oracle replays the recursive-closure clusters, the
+    // deletePropagation aggregate, and the q74 cumsum offsets in SQL.
+    // Shape: the request is small (that is the premise of the delete
+    // family) — every join below broadcasts it; the cluster map and
+    // manifest are scanned once each.
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+        minJ = 0.5)
+      val clusters = Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+        .localCheckpoint(true) // consumed by the report AND the join
+      val tomb = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 97 === 0)
+        .unionByName(s.range(1).select(lit(999999L).as("doc_id")))
+      val report = Dedup.deletePropagation(clusters, tomb)
+      val manifest = graft.operators.Pack.sequenceOffsets(
+        docs.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("toks")),
+        "doc_id", "source", "doc_id", "toks", seqLen = 2048L)
+      tomb.as("t")
+        .join(clusters.as("c"), col("t.doc_id") === col("c.id"), "left")
+        .join(report.select(col("cluster_id").as("_rcid"),
+            when(col("n_survivors") === 0L, 1L).otherwise(0L)
+              .as("cluster_fully_deleted")),
+          col("c.cluster_id") === col("_rcid"), "left")
+        .join(manifest.select(col("id").as("_mid"), col("toks"),
+            col("first_chunk"), col("last_chunk")),
+          col("t.doc_id") === col("_mid"), "left")
+        .select(col("t.doc_id"),
+          when(col("c.id").isNotNull, 1L).otherwise(0L)
+            .as("was_tracked"),
+          col("c.cluster_id"),
+          when(col("c.id") === col("c.cluster_id"), 1L)
+            .otherwise(when(col("c.id").isNotNull, 0L))
+            .as("was_rep"),
+          col("cluster_fully_deleted"),
+          when(col("toks") > 0L,
+            col("last_chunk") - col("first_chunk") + 1L)
+            .otherwise(when(col("toks").isNotNull, 0L))
+            .as("n_chunks_invalidated"),
+          col("toks").as("tokens_removed"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      eg AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+      reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, eg.b FROM reach r JOIN eg ON r.dst = eg.a),
+      cl AS (SELECT src AS id, min(dst) AS cluster_id
+        FROM reach GROUP BY src),
+      tb AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+        UNION ALL SELECT 999999),
+      rep AS (SELECT cluster_id,
+          CASE WHEN count(*) - sum(CASE WHEN id % 97 = 0 THEN 1
+            ELSE 0 END) = 0 THEN 1 ELSE 0 END AS fully
+        FROM cl GROUP BY cluster_id
+        HAVING sum(CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END) >= 1),
+      o AS (SELECT doc_id, source,
+          CAST(len($W) AS BIGINT) AS toks,
+          CAST(sum(CAST(len($W) AS BIGINT)) OVER (PARTITION BY source
+            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - CAST(len($W) AS BIGINT) AS BIGINT) AS so
+        FROM documents)
+      SELECT t.doc_id,
+        CAST(CASE WHEN cl.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+          AS was_tracked,
+        cl.cluster_id,
+        CASE WHEN cl.id IS NULL THEN NULL
+          WHEN cl.id = cl.cluster_id THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS was_rep,
+        CAST(rep.fully AS BIGINT) AS cluster_fully_deleted,
+        CASE WHEN o.toks IS NULL THEN NULL
+          WHEN o.toks = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((o.so + o.toks - 1) // 2048 - o.so // 2048 + 1
+            AS BIGINT) END AS n_chunks_invalidated,
+        o.toks AS tokens_removed
+      FROM tb t LEFT JOIN cl ON cl.id = t.doc_id
+      LEFT JOIN rep ON rep.cluster_id = cl.cluster_id
+      LEFT JOIN o ON o.doc_id = t.doc_id
+      ORDER BY t.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
+    q277_deletion_certificate,
     q122_zorder,
     q143_snapshot_at,
     q144_join_size_audit,

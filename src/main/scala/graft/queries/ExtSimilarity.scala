@@ -1149,7 +1149,77 @@ private[queries] object ExtSimilarity {
     Some(crossLingualOracle)
   )
 
+  private val q276_list_invalidation = Q(
+    "q276_list_invalidation",
+    // Tombstone blast radius through maintained k-NN LIST state — the
+    // fourth derived artifact of the delete lifecycle (clusters q271,
+    // indexes q274, packed chunks q275, and here the per-query
+    // neighbor lists the q269/q273 streams maintain): a deleted QUERY
+    // drops its whole list; every OTHER query whose list held the
+    // deleted vector loses entries a k-bounded list cannot locally
+    // refill (the (k+1)th neighbor was evicted at build time), so
+    // those queries need a RE-SCORE, not a patch — needs_rescore is
+    // the work order a list-maintenance job consumes. Lists are the
+    // exact dual k-NN state (q267's supplier, the state q269
+    // maintains bitwise; same loud 32768-row bound); tombstones are
+    // the q271/q274/q275 batch (vec_id % 97), so the whole delete
+    // story runs on one consistent request across all four layers.
+    // The operator is touched-first (q271's discipline): tombstones
+    // broadcast, touched query ids from two narrow semi-join scans,
+    // only their rows enter the one partial-aggregable groupBy — the
+    // corpus-sized list state never shuffles.
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpusN = corpusCount(e, dir)
+      require(corpusN <= 32768L,
+        s"q276's exact dual-kNN supplier scores corpusN²/4 pairs: " +
+          s"$corpusN rows > 32768. Feed listInvalidation the streamed " +
+          "ANN lists (q273's state) at this scale.")
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 =!= 0)
+      val lists = Similarity.bruteForceTopK(
+          b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+        .unionByName(Similarity.bruteForceTopK(
+          a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4))
+      val tomb = e.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
+      Similarity.listInvalidation(lists, tomb, "vec_id")
+        .orderBy("query_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      c AS MATERIALIZED (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(x.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(y.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM a x JOIN b y ON true),
+      fwd AS (SELECT xid AS query_id, yid AS nn_id, row_number() OVER (
+          PARTITION BY xid ORDER BY cos DESC, yid) AS r FROM c),
+      bwd AS (SELECT yid AS query_id, xid AS nn_id, row_number() OVER (
+          PARTITION BY yid ORDER BY cos DESC, xid) AS r FROM c),
+      l AS (SELECT query_id, nn_id FROM fwd WHERE r <= 4
+        UNION ALL SELECT query_id, nn_id FROM bwd WHERE r <= 4),
+      g AS (SELECT query_id,
+          CAST(max(CASE WHEN query_id % 97 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS own_deleted,
+          CAST(count(*) AS BIGINT) AS k_before,
+          CAST(sum(CASE WHEN nn_id % 97 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lost
+        FROM l GROUP BY query_id)
+      SELECT query_id, own_deleted, k_before, n_lost,
+        CAST(CASE WHEN own_deleted = 1 THEN 0
+          ELSE k_before - n_lost END AS BIGINT) AS k_after,
+        CAST(CASE WHEN own_deleted = 0 AND n_lost >= 1 THEN 1
+          ELSE 0 END AS BIGINT) AS needs_rescore
+      FROM g WHERE own_deleted = 1 OR n_lost >= 1
+      ORDER BY query_id""")
+  )
+
   val all: Seq[Q] = Seq(
+    q276_list_invalidation,
     q256_principal_component,
     q249_dim_drift,
     q242_semantic_dedup,

@@ -107,6 +107,26 @@ object Probe {
       .getOrElse(2000L)
     println(s"embeddings: ${emb(spark, sfDir).count()} rows, " +
       s"queries pinned to vec_id < $bound (mod 10)")
+    // the banded-drop SUPPLIER alone (ngramJaccardPairs @0.4 +
+    // max-band aggregate) — q270's pipeline cost decomposes into
+    // supplier + scorer, and only the scorer's slope is what the
+    // pinned population isolates; timing the supplier separately
+    // attributes the residual
+    val supplierTs = (1 to runs).map { _ =>
+      spark.catalog.clearCache()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val t0 = System.nanoTime()
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.4)
+        .select(col("id_b").as("did"),
+          least(floor(col("jaccard") * 10).cast("long"),
+            lit(9L)).as("pb"))
+        .groupBy("did").agg(max("pb").as("mb"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    println(f"drops supplier alone        median " +
+      f"${supplierTs(supplierTs.length / 2)}%7.3f s  " +
+      supplierTs.map(x => f"$x%.3f").mkString("[", ", ", "]"))
     spark.catalog.clearCache()
     graft.queries.ExtDedup.dedupSweepEval(spark, sfDir, Some(bound))
       .count() // warm

@@ -414,6 +414,31 @@ class SimilaritySpec extends AnyFunSuite {
       "post-delete IVF probe returned a tombstoned vec_id")
   }
 
+  test("listInvalidation: deleted query drops its list; neighbor loss " +
+      "needs a re-score; untouched queries and unknown tombstones are " +
+      "absent no-ops") {
+    import spark.implicits._
+    val lists = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),  // loses nn 4 -> rescore
+      (2L, 1L), (2L, 3L), (2L, 4L), (2L, 5L),  // loses nn 4 -> rescore
+      (4L, 1L), (4L, 2L),                      // deleted query
+      (7L, 1L), (7L, 2L),                      // untouched
+      (9L, 2L), (9L, 4L), (9L, 6L), (9L, 8L)   // deleted AND lost a nn
+    ).toDF("query_id", "nn_id")
+    val tomb = Seq(9L, 4L, 99L).toDF("id") // 99: unknown, a no-op
+    val got = Similarity.listInvalidation(lists, tomb)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, 1L, 3L, 1L),
+      (2L, 0L, 4L, 1L, 3L, 1L),
+      // a deleted query reports k_after 0 and NO rescore — its list
+      // is gone, not under-full (even when it also lost neighbors)
+      (4L, 1L, 2L, 0L, 0L, 0L),
+      (9L, 1L, 4L, 1L, 0L, 0L)))
+    assert(!got.exists(_._1 == 7L), "untouched query leaked a row")
+  }
+
   test("ivfStalenessGate: fresh index passes; a planted centroid/corpus mismatch fails loudly") {
     import org.apache.spark.sql.functions._
     // sf0.01 (2000 vectors): 200 sampled queries — enough statistics

@@ -55,6 +55,11 @@ PINNED_SKIP = {
     # r11: q271's recursive-closure clusters PLUS a second all-pairs
     # Jaccard pass for the post-delete probe — quadratic twice over
     "q274_delete_compaction_probe",
+    # r11: the deletion certificate replays q271's recursive-closure
+    # clusters — quadratic by construction, like its parent. (q276 is
+    # NOT pinned: its oracle is the q267-family materialized cross
+    # product, which lands OK at sf0.1.)
+    "q277_deletion_certificate",
 }
 # measured near the budget line in r8 (drifted OK<->SKIP with load):
 # a 4x budget lands them OK on any plausible box (r9 run 1: all
