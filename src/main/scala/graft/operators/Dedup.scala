@@ -919,7 +919,12 @@ object Dedup {
     * member is metadata-only; deleting the representative
     * invalidates every derived artifact keyed on it, and a fully
     * deleted cluster (n_survivors = 0) must propagate the delete
-    * into indexes rather than re-elect.
+    * into indexes rather than re-elect — demonstrated end to end by
+    * q274 (this report driving [[compactIndex]]/ivfCompact, then a
+    * probe proving no tombstoned id is ever returned), with the
+    * packed layer covered by [[Pack.deleteBlastRadius]] (q275), the
+    * k-NN list layer by [[Similarity.listInvalidation]] (q276), and
+    * the per-request certificate by q277.
     *
     * `clusters`: (id, cluster_id) — [[duplicateClusters]] output
     * (singletons self-labeled, so a tombstoned unique doc shows up

@@ -263,9 +263,10 @@ private[queries] object ExtStreaming {
       val corpusN = corpusCount(e, dir)
       require(corpusN <= 32768L,
         s"q269's exact batch×state supplier scores corpusN²/4 pairs " +
-          s"across its batches: $corpusN rows > 32768. Swap in the " +
-          "gated ANN candidate stage at this scale (q267's in-job " +
-          "recall gate prices that swap).")
+          s"across its batches: $corpusN rows > 32768. Use " +
+          "ingestCrossLingualAnnStream (q273) at this scale — the " +
+          "shipped recall-gated candidate mode; q267's in-job gate " +
+          "prices the swap.")
       val base = java.nio.file.Files
         .createTempDirectory("graft_q269_").toString
       try {
