@@ -762,20 +762,13 @@ object Similarity {
       centroids: DataFrame,
       k: Int,
       nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
-    graft.expressions.GraftFunctions.register(queries.sparkSession)
-    val cents = collectCentroids(centroids, "ivfProbe")
-    val probesUdf = udf((x: scala.collection.Seq[Float]) =>
-      probeCells(x, cents, nprobe))
-    val q = queries.select(col(queryId).as("query_id"),
-        col(queryVec).as("qv"))
-      .withColumn("cell", explode(probesUdf(col("qv"))))
-    val scored = q.join(assignments, Seq("cell"))
-      .filter(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("id").as("nn_id"),
-        call_function("graft_cosine", col("qv"), col("v")).as("cos"))
-    topKScored(scored, k)
-  }
+      excludeSelf: Boolean = true): DataFrame =
+    // exactly the raw candidate feed, ranked — ONE copy of the
+    // probe/cell-join/score sequence (r11 review: the candidate body
+    // existed twice and a probe-semantics fix would have had to land
+    // in both or silently diverge)
+    topKScored(ivfCandidates(queries, queryId, queryVec, assignments,
+      centroids, nprobe, excludeSelf), k)
 
   /** [[ivfProbe]] with int8 candidate scoring — the shuffle-weight
     * composition ([[annTopKInt8]]'s two-stage ladder) applied to the
@@ -1048,11 +1041,16 @@ object Similarity {
     * queries and k_before − n_lost otherwise.
     *
     * Shape (q271's touched-first discipline): the tombstone set
-    * broadcasts, TOUCHED query ids derive from two narrow map-side
-    * semi-join scans (lists hit on nn_id ∪ lists hit on query_id —
-    * tombstone×k-sized), and only those queries' rows enter the one
-    * partial-aggregable groupBy — the corpus-sized list state is
-    * never shuffled. `lists`: any (query_id, nn_id) frame
+    * broadcasts into two narrow map-side semi-join scans that derive
+    * the TOUCHED query ids (lists hit on query_id — tombstone-sized —
+    * ∪ lists hit on nn_id, which is REVERSE-kNN-sized: a deleted hub
+    * vector can appear in a large fraction of all lists, so this side
+    * is NOT tombstone-bounded and the touched set is deliberately
+    * joined WITHOUT a broadcast hint — Catalyst/AQE may still
+    * broadcast a small one, but a hub delete must degrade to a
+    * shuffle semi-join instead of dying at the broadcast hard-stop).
+    * Only touched queries' rows enter the one partial-aggregable
+    * groupBy. `lists`: any (query_id, nn_id) frame
     * ([[bruteForceTopK]] output, the streamed `listsDir/state=N`).
     * Ids in `tombstones` absent from the lists touch nothing. */
   def listInvalidation(
@@ -1070,7 +1068,7 @@ object Similarity {
           col("query_id") === col("_tid"), "left_semi")
         .select("query_id"))
       .distinct()
-    l.join(broadcast(touched), Seq("query_id"), "left_semi")
+    l.join(touched, Seq("query_id"), "left_semi")
       .join(broadcast(tomb.withColumnRenamed("_tid", "_qtid")),
         col("query_id") === col("_qtid"), "left")
       .join(broadcast(tomb), col("nn_id") === col("_tid"), "left")

@@ -338,6 +338,21 @@ private[queries] object ExtStreaming {
     // mode bitwise) and crash-replay idempotence.
     (s, dir) => {
       val e = table(s, dir, "embeddings")
+      // this bounds the FIXTURE TRANSPORT, not the operator: the
+      // MemoryStream harness collects the corpus to the driver to
+      // feed the stream (every streaming query's fixture does — a
+      // production deployment reads a real source and never
+      // collects). The OPERATOR under test carries no such bound —
+      // that is q273's whole point — so the guard names the harness,
+      // loudly, instead of dying in an opaque driver OOM (r11
+      // review: the at-scale query must not inherit an unbounded
+      // collect from its test harness).
+      val corpusN = corpusCount(e, dir)
+      require(corpusN <= 262144L,
+        s"q273's MemoryStream fixture collects the corpus to the " +
+          s"driver: $corpusN rows > 262144. The ingest OPERATOR is " +
+          "unbounded — feed it from a real streaming source at this " +
+          "scale instead of the in-test MemoryStream harness.")
       val base = java.nio.file.Files
         .createTempDirectory("graft_q273_").toString
       try {

@@ -588,6 +588,58 @@ object Streams {
     * downtime inherits every backlogged row otherwise. The guard is
     * COUNTED, so an oversized batch fails with the fix in the error
     * text instead of hitting Spark's 8 GB broadcast hard-stop. */
+  /** The ONE list-merge + margin/mutual-mine + publish tail of the
+    * cross-lingual ingest family, shared by the exact mode
+    * ([[ingestCrossLingualBatch]]) and the ANN candidate mode
+    * ([[ingestCrossLingualAnnBatch]]) — r11 review: this block
+    * existed twice near-verbatim, and a one-sided edit to the
+    * (cos desc, nn_id) tie-break, the k-bound, or the mutual-join
+    * condition would have silently broken the bitwise
+    * exact-degeneration contract StreamsSpec pins. Steps: previous
+    * lists ∪ `oriented` (both-orientation scored pairs involving the
+    * batch — DISJOINT from prior lists by the family's construction),
+    * row_number over (cos desc, nn_id) bounded at k (bruteForceTopK's
+    * exact tie-break — what makes the exact mode's final lists
+    * bitwise-equal to the one-shot dual k-NN), state written to
+    * `listsDir/state=N` and READ BACK so the mining stage consumes
+    * exactly what a restart would, then the margin+mutual stage over
+    * the k-bounded lists publishes to `pairsDir/batch=N`. */
+  private def mergeListsAndMine(
+      spark: SparkSession,
+      oriented: DataFrame,
+      batchId: Long,
+      listsDir: String,
+      pairsDir: String,
+      k: Int,
+      minMargin: Double): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val carried =
+      if (batchId > 0L)
+        spark.read.parquet(s"$listsDir/state=${batchId - 1}")
+          .select("query_id", "nn_id", "cos")
+          .unionByName(oriented)
+      else oriented
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    val lists = carried
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    lists.write.mode("overwrite")
+      .parquet(s"$listsDir/state=$batchId")
+    val st = spark.read.parquet(s"$listsDir/state=$batchId")
+    val fwd = st.filter(col("query_id") % 2 === 0)
+    val bwd = st.filter(col("query_id") % 2 === 1)
+    val mfwd = graft.operators.Align.marginScore(fwd, bwd, k, minMargin)
+    val mbwd = graft.operators.Align.marginScore(bwd, fwd, k, minMargin)
+    mfwd.as("f").join(mbwd.as("b"),
+        col("f.src_id") === col("b.dst_id") &&
+          col("f.dst_id") === col("b.src_id"))
+      .select(col("f.src_id").as("keep_id"),
+        col("f.dst_id").as("drop_id"),
+        col("f.cos"), col("f.margin"))
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+  }
+
   def ingestCrossLingualStream(
       vecs: DataFrame,
       idCol: String,
@@ -627,7 +679,6 @@ object Streams {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -676,39 +727,12 @@ object Streams {
           col("cos"))
         .unionByName(newPairs.select(col("qb").as("query_id"),
           col("qa").as("nn_id"), col("cos")))
-      // exact incremental top-k: previous lists ∪ new candidates,
-      // (cos desc, nn_id) — bruteForceTopK's exact tie-break, which
-      // is what makes the final lists bitwise-equal to the one-shot
-      // dual k-NN. Prior lists and new pairs are disjoint by
-      // construction (every new pair involves a batch vector).
-      val carried =
-        if (batchId > 0L)
-          spark.read.parquet(s"$listsDir/state=${batchId - 1}")
-            .select("query_id", "nn_id", "cos")
-            .unionByName(oriented)
-        else oriented
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("nn_id"))
-      val lists = carried
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-      lists.write.mode("overwrite")
-        .parquet(s"$listsDir/state=$batchId")
-      // margin + mutual stage over the k-bounded lists — read back
-      // from the state just written, so the mining stage consumes
-      // exactly what a restart would
-      val st = spark.read.parquet(s"$listsDir/state=$batchId")
-      val fwd = st.filter(col("query_id") % 2 === 0)
-      val bwd = st.filter(col("query_id") % 2 === 1)
-      val mfwd = graft.operators.Align.marginScore(fwd, bwd, k, minMargin)
-      val mbwd = graft.operators.Align.marginScore(bwd, fwd, k, minMargin)
-      mfwd.as("f").join(mbwd.as("b"),
-          col("f.src_id") === col("b.dst_id") &&
-            col("f.dst_id") === col("b.src_id"))
-        .select(col("f.src_id").as("keep_id"),
-          col("f.dst_id").as("drop_id"),
-          col("f.cos"), col("f.margin"))
-        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      // exact incremental top-k merge + mine + publish — the shared
+      // family tail ([[mergeListsAndMine]]): prior lists and new
+      // pairs are disjoint by construction (every new pair involves
+      // a batch vector)
+      mergeListsAndMine(spark, oriented, batchId, listsDir, pairsDir,
+        k, minMargin)
       b.select(col("id"), col("v"))
         .write.mode("overwrite").parquet(s"$vecsDir/delta=$batchId")
       // attributable per-batch operator cost (see ingestNearDupBatch)
@@ -799,7 +823,6 @@ object Streams {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -847,36 +870,12 @@ object Streams {
           .unionByName(cand.select(col("nn_id").as("query_id"),
             col("query_id").as("nn_id"), col("cos")))
           .distinct()
-        // merge into the k-bounded lists — prior lists and new
-        // candidates are disjoint (every new pair involves a batch
-        // vector, which no earlier list can reference)
-        val carried =
-          if (batchId > 0L)
-            spark.read.parquet(s"$listsDir/state=${batchId - 1}")
-              .select("query_id", "nn_id", "cos")
-              .unionByName(oriented)
-          else oriented
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("nn_id"))
-        val lists = carried
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= k)
-        lists.write.mode("overwrite")
-          .parquet(s"$listsDir/state=$batchId")
-        // margin + mutual stage over the k-bounded lists — read back
-        // from the state just written (a restart consumes the same)
-        val st = spark.read.parquet(s"$listsDir/state=$batchId")
-        val fwd = st.filter(col("query_id") % 2 === 0)
-        val bwd = st.filter(col("query_id") % 2 === 1)
-        val mfwd = graft.operators.Align.marginScore(fwd, bwd, k, minMargin)
-        val mbwd = graft.operators.Align.marginScore(bwd, fwd, k, minMargin)
-        mfwd.as("f").join(mbwd.as("b"),
-            col("f.src_id") === col("b.dst_id") &&
-              col("f.dst_id") === col("b.src_id"))
-          .select(col("f.src_id").as("keep_id"),
-            col("f.dst_id").as("drop_id"),
-            col("f.cos"), col("f.margin"))
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        // merge into the k-bounded lists + mine + publish — the
+        // shared family tail ([[mergeListsAndMine]]): prior lists and
+        // new candidates are disjoint (every new pair involves a
+        // batch vector, which no earlier list can reference)
+        mergeListsAndMine(spark, oriented, batchId, listsDir, pairsDir,
+          k, minMargin)
         own.write.mode("overwrite").parquet(s"$vecsDir/delta=$batchId")
       } finally own.unpersist(blocking = false)
       // attributable per-batch operator cost (see ingestNearDupBatch)

@@ -105,6 +105,13 @@ object Probe {
     val runs = rest.headOption.flatMap(_.toIntOption).getOrElse(3)
     val bound = rest.drop(1).headOption.flatMap(_.toLongOption)
       .getOrElse(2000L)
+    // one median for both timing lines (r11 review: the supplier line
+    // upper-middled even-length runs while the eval line averaged —
+    // incomparable statistics in the probe whose whole point is the
+    // supplier-vs-scorer attribution)
+    def med(ts: Seq[Double]): Double =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
     println(s"embeddings: ${emb(spark, sfDir).count()} rows, " +
       s"queries pinned to vec_id < $bound (mod 10)")
     // the banded-drop SUPPLIER alone (ngramJaccardPairs @0.4 +
@@ -125,7 +132,7 @@ object Probe {
       (System.nanoTime() - t0) / 1e9
     }.sorted
     println(f"drops supplier alone        median " +
-      f"${supplierTs(supplierTs.length / 2)}%7.3f s  " +
+      f"${med(supplierTs)}%7.3f s  " +
       supplierTs.map(x => f"$x%.3f").mkString("[", ", ", "]"))
     spark.catalog.clearCache()
     graft.queries.ExtDedup.dedupSweepEval(spark, sfDir, Some(bound))
@@ -137,10 +144,7 @@ object Probe {
         .count()
       (System.nanoTime() - t0) / 1e9
     }.sorted
-    val med =
-      if (ts.length % 2 == 1) ts(ts.length / 2)
-      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
-    println(f"dedup-knee(pinned<$bound) median ${med}%7.3f s  " +
+    println(f"dedup-knee(pinned<$bound) median ${med(ts)}%7.3f s  " +
       ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
   }
 
