@@ -63,9 +63,39 @@ object Align {
     require(minMargin >= 0.0 && minMargin.isFinite,
       s"minMargin must be finite and >= 0, got $minMargin")
 
-    // mean of the top-k cosines, folded in rank order (bitwise
-    // deterministic; k-bounded per-query state)
-    def neighborhoodMean(knn: DataFrame): DataFrame =
+    val scored = scoreAgainstMeans(fwd, neighborhoodMean(fwd, k),
+      neighborhoodMean(bwd, k), k)
+    bestAboveFloor(scored, minMargin)
+  }
+
+  /** BOTH directions of [[marginScore]] in one pass over a single
+    * frame holding the two sides' k-NN lists together (the
+    * cross-lingual streamed tail's shape — each query's neighbors are
+    * all of the opposite parity): one neighborhood-mean fold over the
+    * whole frame serves as `mf` for a row's query side and as `mb`
+    * for its neighbor side simultaneously, so the two-call spelling's
+    * four mean groupBys collapse to one and its two rank windows to
+    * one. Per query the consumed rows, folds, joins, and tie-breaks
+    * are identical expressions over identical inputs, so the output
+    * is BITWISE the union of marginScore(fwd, bwd) and
+    * marginScore(bwd, fwd) split by side — AlignSpec pins the
+    * equality. Same output contract: (src_id, dst_id, cos, margin),
+    * one row per surviving src_id. */
+  def marginScoreBoth(
+      lists: DataFrame,
+      k: Int,
+      minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(minMargin >= 0.0 && minMargin.isFinite,
+      s"minMargin must be finite and >= 0, got $minMargin")
+    val means = neighborhoodMean(lists, k)
+    val scored = scoreAgainstMeans(lists, means, means, k)
+    bestAboveFloor(scored, minMargin)
+  }
+
+  // mean of the top-k cosines, folded in rank order (bitwise
+  // deterministic; k-bounded per-query state)
+  private def neighborhoodMean(knn: DataFrame, k: Int): DataFrame =
       knn.filter(col("rank") <= k)
         .select(col("query_id"),
           struct(col("rank"), col("cos")).as("s"))
@@ -75,42 +105,52 @@ object Align {
           (aggregate(transform(col("ss"), s => s.getField("cos")),
             lit(0.0), (acc, x) => acc + x) / size(col("ss"))).as("m"))
 
-    val mf = neighborhoodMean(fwd)
-      .select(col("query_id").as("_x"), col("m").as("_mf"))
-    val mb = neighborhoodMean(bwd)
-      .select(col("query_id").as("_y"), col("m").as("_mb"))
-    // the ratio margin PRESUMES positive neighborhood means (the
-    // Artetxe-Schwenk setting): a negative mean INVERTS the ranking
-    // (cos -0.8 / mean -0.5 = 1.6 beats cos -0.2 / -0.5 = 0.4) and a
-    // zero mean divides to Infinity/NaN — both would silently emit
-    // nonsense "aligned" pairs. The guard is FOLDED INTO the scored
-    // plan (raise_error at execution on the first non-positive mean a
-    // margin would consume) so it costs ZERO extra passes — the
-    // previous build-time collect forced one full extra execution of
-    // BOTH k-NN supplier subtrees, for q259 an additional ~n²/4
-    // cosine pass per side. A mean the candidate joins never consume
-    // is not checked: it influences no emitted margin. The at-scale
-    // caller on an anisotropic space should re-center or use a
-    // DIFFERENCE margin before mining.
-    def positiveMean(c: org.apache.spark.sql.Column) =
-      when(c <= 0.0 || isnan(c),
-        raise_error(concat(
-          lit("marginScore: a neighborhood mean cosine is "),
-          c.cast("string"),
-          lit(" <= 0 — the ratio margin inverts (or divides to " +
-            "Infinity) on non-positive means. Re-center the " +
-            "embedding space or use a difference margin for this " +
-            "corpus."))).cast("double"))
-        .otherwise(c)
+  // the ratio margin PRESUMES positive neighborhood means (the
+  // Artetxe-Schwenk setting): a negative mean INVERTS the ranking
+  // (cos -0.8 / mean -0.5 = 1.6 beats cos -0.2 / -0.5 = 0.4) and a
+  // zero mean divides to Infinity/NaN — both would silently emit
+  // nonsense "aligned" pairs. The guard is FOLDED INTO the scored
+  // plan (raise_error at execution on the first non-positive mean a
+  // margin would consume) so it costs ZERO extra passes — the
+  // previous build-time collect forced one full extra execution of
+  // BOTH k-NN supplier subtrees, for q259 an additional ~n²/4
+  // cosine pass per side. A mean the candidate joins never consume
+  // is not checked: it influences no emitted margin. The at-scale
+  // caller on an anisotropic space should re-center or use a
+  // DIFFERENCE margin before mining.
+  private def positiveMean(c: org.apache.spark.sql.Column) =
+    when(c <= 0.0 || isnan(c),
+      raise_error(concat(
+        lit("marginScore: a neighborhood mean cosine is "),
+        c.cast("string"),
+        lit(" <= 0 — the ratio margin inverts (or divides to " +
+          "Infinity) on non-positive means. Re-center the " +
+          "embedding space or use a difference margin for this " +
+          "corpus."))).cast("double"))
+      .otherwise(c)
 
-    val scored = fwd.filter(col("rank") <= k)
+  // margin = cos / ((own mean + neighbor's mean) / 2), one row per
+  // candidate; `fwdMeans` keys the row's query side, `bwdMeans` the
+  // neighbor side (the same frame in the one-pass spelling)
+  private def scoreAgainstMeans(
+      cands: DataFrame,
+      fwdMeans: DataFrame,
+      bwdMeans: DataFrame,
+      k: Int): DataFrame = {
+    val mf = fwdMeans.select(col("query_id").as("_x"), col("m").as("_mf"))
+    val mb = bwdMeans.select(col("query_id").as("_y"), col("m").as("_mb"))
+    cands.filter(col("rank") <= k)
       .join(mf, col("query_id") === col("_x"))
       .join(mb, col("nn_id") === col("_y"))
       .select(col("query_id"), col("nn_id"), col("cos"),
         (col("cos") /
           ((positiveMean(col("_mf")) + positiveMean(col("_mb"))) /
             lit(2.0))).as("margin"))
+  }
 
+  // per-query best by (margin desc, nn_id), floored
+  private def bestAboveFloor(
+      scored: DataFrame, minMargin: Double): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("margin").desc, col("nn_id"))
     scored.withColumn("_r", row_number().over(w))

@@ -168,12 +168,19 @@ object Pack {
     * Scale shape, and why it holds at 100 TB: the manifest explodes to
     * one narrow integer row per (doc, chunk-it-overlaps) — O(corpus
     * tokens / seqLen + n_docs), linear, map-side, no token bodies —
-    * the tombstone join broadcasts (delete batches are small), the
-    * invalidated (shard, chunk_id) set is tombstone-span-sized and
-    * broadcasts into a semi-join that prunes the exploded rows BEFORE
-    * the only aggregate, so the partial-aggregable groupBy sees
-    * touched chunks' rows only, never the corpus. All arithmetic is
-    * integer offset math the oracle replays exactly. */
+    * the tombstone-ID joins broadcast (the id set is the request,
+    * small by contract), and the invalidated (shard, chunk_id) set
+    * prunes the exploded rows in a semi-join BEFORE the only
+    * aggregate, so the partial-aggregable groupBy sees touched
+    * chunks' rows only, never the corpus. That chunk set is
+    * tombstone-TOKEN-MASS-sized, not constant (a %-of-corpus
+    * right-to-be-forgotten batch makes it corpus-shaped), so it is
+    * deliberately NOT broadcast-hinted — AQE broadcasts it when
+    * genuinely small, and a massive delete batch degrades to a
+    * shuffle semi-join instead of dying at Spark's broadcast
+    * hard-stop (the same hub lesson as
+    * [[graft.operators.Similarity.listInvalidation]]). All
+    * arithmetic is integer offset math the oracle replays exactly. */
   def deleteBlastRadius(
       manifest: DataFrame,
       tombstones: DataFrame,
@@ -196,7 +203,7 @@ object Pack {
       .select(col("id"), col("shard"), col("toks"), col("start_offset"),
         explode(sequence(col("first_chunk"), col("last_chunk")))
           .as("chunk_id"))
-      .join(broadcast(touched), Seq("shard", "chunk_id"), "left_semi")
+      .join(touched, Seq("shard", "chunk_id"), "left_semi")
       .withColumn("_ov",
         least(col("start_offset") + col("toks"),
           (col("chunk_id") + lit(1L)) * lit(seqLen))

@@ -1086,6 +1086,100 @@ object Similarity {
           .otherwise(0L).as("needs_rescore"))
   }
 
+  /** CONSUME [[listInvalidation]]'s work order — list REPAIR, the
+    * maintenance job the `needs_rescore` flag exists for (r11
+    * verdict: "an operator that takes needs_rescore queries and
+    * re-scores exactly them against the surviving corpus"). Returns
+    * the fully HEALED list state, (query_id, rank, nn_id, cos):
+    *
+    *   - a deleted query's list drops entirely (own_deleted — the
+    *     query itself left the corpus);
+    *   - an untouched query's list passes through VERBATIM (it
+    *     references no tombstone, and removing non-member vectors
+    *     cannot change a top-k it never contained — so on the
+    *     survivor corpus the old list is still exact, bitwise);
+    *   - a needs_rescore query gets a FULL fresh k-list re-scored
+    *     against the surviving corpus through the IVF candidate
+    *     machinery ([[ivfCandidates]] pointed at the bounded rescore
+    *     set, `candidateFilter` applied BEFORE ranking — q273's
+    *     parity lesson), ranked by the exact (cos desc, nn_id)
+    *     tie-break. A k-bounded list cannot locally refill (the
+    *     (k+1)th neighbor was evicted at build time), so repair is a
+    *     re-score, never a patch.
+    *
+    * With nprobe >= nlist the candidate set is every cross-filter
+    * survivor, so the healed state equals the one-shot exact dual
+    * k-NN over the survivor corpus BITWISE (SimilaritySpec pins it);
+    * at production nprobe the repaired lists are recall-gated
+    * approximations and the caller gates them (q278 runs q267's gate
+    * discipline in-job).
+    *
+    * No-ghost contract (q274's discipline): the survivor `index`
+    * must already exclude the tombstones — checked with a limit-1
+    * fail-fast scan, so a caller who forgot to compact fails loudly
+    * BEFORE healed lists with ghost neighbors are written anywhere.
+    *
+    * Scale shape: tombstones broadcast (request-sized); the rescore
+    * set is reverse-kNN-sized (a hub delete makes it a large
+    * fraction of all queries) so it is deliberately NOT
+    * broadcast-hinted, and neither is the untouched pass-through
+    * anti-join — both degrade to shuffle semi-joins (the
+    * [[listInvalidation]] hub lesson). Per-rescore-query cost is the
+    * IVF contract: survivors/nlist · nprobe candidates. */
+  def listRepair(
+      lists: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tombstones: DataFrame,
+      tombstoneIdCol: String,
+      index: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      candidateFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val tomb = tombstones
+      .select(col(tombstoneIdCol).cast("long").as("_tid")).distinct()
+    // fail-fast no-ghost gate on the index (limit-1 short-circuits)
+    val ghost = index.select(col("id").cast("long").as("id"))
+      .join(broadcast(tomb), col("id") === col("_tid"), "left_semi")
+      .limit(1).collect()
+    require(ghost.isEmpty,
+      s"listRepair: survivor index still contains tombstoned id " +
+        s"${ghost.headOption.map(_.getLong(0)).getOrElse(-1L)} — " +
+        "compact the index first (ivfCompact / compactIndex); " +
+        "repairing against a ghost-bearing index would re-insert " +
+        "deleted vectors as neighbors.")
+    // radius appears in both union branches — a pure lazy plan, so one
+    // action evaluates listInvalidation twice (touched-bounded groupBy
+    // over two semi scans; cheap next to the rescore). Callers running
+    // several actions over the healed state persist the RESULT.
+    val radius = listInvalidation(lists, tombstones, tombstoneIdCol)
+    val untouched = lists
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("nn_id").cast("long").as("nn_id"), col("cos"))
+      .join(radius.select("query_id"), Seq("query_id"), "left_anti")
+    val rescore = radius.filter(col("needs_rescore") === 1L)
+      .select("query_id")
+    val qVecs = corpus
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("_qv"))
+      .join(rescore, Seq("query_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id"))
+    val repaired = ivfCandidates(
+        qVecs, "query_id", "_qv", index, centroids, nprobe)
+      .filter(candidateFilter)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank"), col("nn_id").cast("long").as("nn_id"), col("cos"))
+    untouched.unionByName(repaired)
+  }
+
   /** One-shot spelling of [[ivfNearDupPairsAgainst]] over a whole
     * corpus: assign everything to the given centroids, then let every
     * vector probe for smaller-id neighbors. The batch twin the

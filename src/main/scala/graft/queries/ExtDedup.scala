@@ -836,9 +836,12 @@ private[graft] object ExtDedup {
     // already pays, and the x7 band expansion runs pipelined on the
     // sorted rows with <= 70 kept per query. ONE labelEval keyed by
     // band scores the whole grid ([[graft.operators.Retrieval
-    // .labelEval]]'s extraKeys). At 100 TB the pair supplier is the
-    // same prefix-filtered AllPairs as q221 and the scorer swaps for
-    // the gated ANN lists (q263's argument applies unchanged).
+    // .labelEval]]'s extraKeys). Supplier since r12: MinHash-LSH
+    // candidates -> exact-Jaccard verify (the q36 path; the r11 knee
+    // probe measured the prefix-filter AllPairs supplier at 5.8x per
+    // x3 corpus — bucketed LSH tracks collision mass instead). At
+    // 100 TB the scorer swaps for the gated ANN lists (q263's
+    // argument applies unchanged).
     (s, dir) => dedupSweepEval(s, dir, pinnedQidBound = None),
     Some(q270OracleSql)
   )
@@ -862,9 +865,19 @@ private[graft] object ExtDedup {
         case Some(_) => 10L // probe mode: fixed population, no oracle
         case None => derivedSampleMod(e, dir, 10L, "q270 eval-population")
       }
-      // banded drop set: did dropped at band b iff mb >= b (monotone)
-      val drops = Dedup.ngramJaccardPairs(
-          docs, "doc_id", "text", n = 3, minJ = 0.4)
+      // banded drop set: did dropped at band b iff mb >= b (monotone).
+      // Supplier is LSH candidates → exact-Jaccard verify (r11 verdict
+      // #4: the prefix-filter AllPairs supplier measured 5.8× at ×3 —
+      // its posting self-join grows with collision mass; the banded
+      // LSH join tracks bucket collisions). The verify step keeps
+      // every EMITTED pair's jaccard exact, so the band mapping is
+      // bitwise; completeness is the q36 argument — the fixtures'
+      // true ≥0.4 pairs all sit at J >= 0.8 where a 32×4 LSH miss is
+      // p <= 5e-8 per pair and the hashing is deterministic
+      // (DedupSpec pins LSH == exact at minJ=0.4 on the fixture).
+      val drops = Dedup.minHashLshPairs(
+          docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
+          minJ = 0.4)
         .select(col("id_b").as("did"),
           least(floor(col("jaccard") * 10).cast("long"), lit(9L))
             .as("pb"))

@@ -617,14 +617,49 @@ private[queries] object ExtGovernance {
     // the whole cluster (nothing to re-elect — propagate into indexes,
     // q274's branch); how many packed chunks the id's token span
     // invalidates (q275's radius, attributed per id) and the token
-    // mass removed. Exact integer/closure accounting end to end; the
-    // oracle replays the recursive-closure clusters, the
-    // deletePropagation aggregate, and the q74 cumsum offsets in SQL.
-    // Shape: the request is small (that is the premise of the delete
-    // family) — every join below broadcasts it; the cluster map and
-    // manifest are scanned once each.
+    // mass removed; and — closing the r11 gap — the k-NN LIST layer
+    // (q276's artifact): whether the id's own maintained list drops
+    // (n_lists_dropped) and how many SURVIVING queries' lists held
+    // the id as a neighbor and are therefore forced to re-score
+    // because of it (n_lists_needing_rescore; a list broken by two
+    // requested ids counts in both rows — per-request attribution,
+    // the certificate's whole point). Exact integer/closure
+    // accounting end to end; the oracle replays the recursive-closure
+    // clusters, the deletePropagation aggregate, the q74 cumsum
+    // offsets, AND the exact dual-kNN lists in SQL. Shape: the
+    // request is small (that is the premise of the delete family) —
+    // every join below broadcasts it; the cluster map, manifest, and
+    // list aggregates are scanned once each. The exact dual-kNN list
+    // SUPPLIER is the bounded oracle face (q276's 32768 bound; feed
+    // q273's streamed lists at scale).
     (s, dir) => {
       val docs = table(s, dir, "documents")
+      val e = table(s, dir, "embeddings")
+      val corpusN = corpusCount(e, dir)
+      require(corpusN <= 32768L,
+        s"q277's exact dual-kNN list supplier scores corpusN²/4 " +
+          s"pairs: $corpusN rows > 32768. Feed the certificate's " +
+          "list layer q273's streamed ANN lists at this scale.")
+      val ea = e.filter(col("vec_id") % 2 === 0)
+      val eb = e.filter(col("vec_id") % 2 =!= 0)
+      // persisted for the two list aggregates below; both are
+      // checkpointed (tiny), so the supplier runs once and the cache
+      // is dropped before the query returns
+      val lists = Similarity.bruteForceTopK(
+          eb, "vec_id", "embedding", ea, "vec_id", "embedding", k = 4)
+        .unionByName(Similarity.bruteForceTopK(
+          ea, "vec_id", "embedding", eb, "vec_id", "embedding", k = 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (listOwners, rescoreByNn) =
+        try {
+          val lo = lists.select(col("query_id").as("_lqid")).distinct()
+            .localCheckpoint(true)
+          val rb = lists.filter(col("query_id") % 97 =!= 0)
+            .groupBy(col("nn_id").as("_lnn"))
+            .agg(count(lit(1)).as("_nrescore"))
+            .localCheckpoint(true)
+          (lo, rb)
+        } finally lists.unpersist(blocking = false)
       val pairs = Dedup.minHashLshPairs(
         docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
         minJ = 0.5)
@@ -647,6 +682,8 @@ private[queries] object ExtGovernance {
         .join(manifest.select(col("id").as("_mid"), col("toks"),
             col("first_chunk"), col("last_chunk")),
           col("t.doc_id") === col("_mid"), "left")
+        .join(listOwners, col("t.doc_id") === col("_lqid"), "left")
+        .join(rescoreByNn, col("t.doc_id") === col("_lnn"), "left")
         .select(col("t.doc_id"),
           when(col("c.id").isNotNull, 1L).otherwise(0L)
             .as("was_tracked"),
@@ -659,7 +696,11 @@ private[queries] object ExtGovernance {
             col("last_chunk") - col("first_chunk") + 1L)
             .otherwise(when(col("toks").isNotNull, 0L))
             .as("n_chunks_invalidated"),
-          col("toks").as("tokens_removed"))
+          col("toks").as("tokens_removed"),
+          when(col("_lqid").isNotNull, 1L).otherwise(0L)
+            .as("n_lists_dropped"),
+          coalesce(col("_nrescore"), lit(0L))
+            .as("n_lists_needing_rescore"))
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE gg AS (SELECT doc_id, ${ngrams3(W)} AS s
@@ -688,7 +729,26 @@ private[queries] object ExtGovernance {
           CAST(sum(CAST(len($W) AS BIGINT)) OVER (PARTITION BY source
             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
             - CAST(len($W) AS BIGINT) AS BIGINT) AS so
-        FROM documents)
+        FROM documents),
+      ev AS (SELECT vec_id, embedding FROM embeddings),
+      cv AS MATERIALIZED (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(x.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(y.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM ev x JOIN ev y
+        ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+      fw2 AS (SELECT xid AS query_id, yid AS nn_id, row_number() OVER (
+          PARTITION BY xid ORDER BY cos DESC, yid) AS r FROM cv),
+      bw2 AS (SELECT yid AS query_id, xid AS nn_id, row_number() OVER (
+          PARTITION BY yid ORDER BY cos DESC, xid) AS r FROM cv),
+      ll AS (SELECT query_id, nn_id FROM fw2 WHERE r <= 4
+        UNION ALL SELECT query_id, nn_id FROM bw2 WHERE r <= 4),
+      lq2 AS (SELECT DISTINCT query_id FROM ll),
+      lr2 AS (SELECT nn_id, CAST(count(*) AS BIGINT) AS n_rescore
+        FROM ll WHERE query_id % 97 <> 0 GROUP BY nn_id)
       SELECT t.doc_id,
         CAST(CASE WHEN cl.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
           AS was_tracked,
@@ -701,10 +761,16 @@ private[queries] object ExtGovernance {
           WHEN o.toks = 0 THEN CAST(0 AS BIGINT)
           ELSE CAST((o.so + o.toks - 1) // 2048 - o.so // 2048 + 1
             AS BIGINT) END AS n_chunks_invalidated,
-        o.toks AS tokens_removed
+        o.toks AS tokens_removed,
+        CAST(CASE WHEN lq2.query_id IS NULL THEN 0 ELSE 1 END
+          AS BIGINT) AS n_lists_dropped,
+        CAST(coalesce(lr2.n_rescore, 0) AS BIGINT)
+          AS n_lists_needing_rescore
       FROM tb t LEFT JOIN cl ON cl.id = t.doc_id
       LEFT JOIN rep ON rep.cluster_id = cl.cluster_id
       LEFT JOIN o ON o.doc_id = t.doc_id
+      LEFT JOIN lq2 ON lq2.query_id = t.doc_id
+      LEFT JOIN lr2 ON lr2.nn_id = t.doc_id
       ORDER BY t.doc_id""")
   )
 

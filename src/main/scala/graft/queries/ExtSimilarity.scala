@@ -1218,8 +1218,131 @@ private[queries] object ExtSimilarity {
       ORDER BY query_id""")
   )
 
+  private val q278_list_repair = Q(
+    "q278_list_repair",
+    // CONSUME q276's work order — the delete lifecycle's REPAIR step
+    // (r11 verdict #2): q276 reports which maintained k-NN lists a
+    // right-to-be-forgotten batch breaks (needs_rescore — a k-bounded
+    // list cannot locally refill); this query runs the maintenance
+    // job that heals them. Same vec_id % 97 request as q271–q277, so
+    // the story composes end to end: deleted queries' lists drop,
+    // untouched lists pass through verbatim (still exact on the
+    // survivor corpus — removing non-members cannot change a top-k),
+    // and every needs_rescore query is re-scored against the
+    // SURVIVING corpus through the IVF candidate machinery
+    // (Similarity.listRepair: survivor-trained cells, ivfCandidates
+    // over the bounded rescore set, cross-parity filter BEFORE
+    // ranking — q273's lesson; the index is no-ghost-gated with a
+    // limit-1 fail-fast). The healed lists are recall-gated IN-JOB
+    // against a sampled exact re-score on the survivors (q267's
+    // discipline, floor 0.30) and the query EMITS that sampled exact
+    // reference — the q48/q92 bitwise-oracle contract. SimilaritySpec
+    // pins the degenerate equivalence: nprobe >= nlist makes the
+    // whole healed state equal the one-shot exact dual k-NN on the
+    // survivor corpus, bitwise. The exact dual-kNN list SUPPLIER is
+    // the bounded oracle face (q276's 32768 bound; feed q273's
+    // streamed lists at scale).
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val corpusN = corpusCount(e, dir)
+      require(corpusN <= 32768L,
+        s"q278's exact dual-kNN supplier scores corpusN²/4 pairs: " +
+          s"$corpusN rows > 32768. Feed listRepair the streamed ANN " +
+          "lists (q273's state) at this scale.")
+      // fail-fast oracle alignment BEFORE the expensive supplier
+      val effMod = derivedSampleMod(e, dir, 5L, "q278 gate")
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 =!= 0)
+      // persisted: the n²/4 supplier feeds listRepair (radius +
+      // untouched pass-through) AND the rescore-sample derivation —
+      // lazy plans would re-run the quadratic pass per branch. Every
+      // action completes inside this body (collectToLocal + the
+      // gate), so the unpersist below is safe
+      val lists = Similarity.bruteForceTopK(
+          b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+        .unionByName(Similarity.bruteForceTopK(
+          a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tomb = e.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
+      val survivors = e.filter(col("vec_id") % 97 =!= 0)
+      // survivor-trained IVF (deterministic: hash-ordered bounded
+      // sample, fixed-seed k-means — the family's training rule)
+      val (assign, cents) = Similarity.ivfIndex(
+        survivors, "vec_id", "embedding", nlist = 16, sampleSize = 256)
+      val healed = Similarity.listRepair(
+        lists, e, "vec_id", "embedding", tomb, "vec_id",
+        assign, cents, k = 4, nprobe = 4,
+        candidateFilter = (col("query_id") % 2) =!= (col("nn_id") % 2))
+      // sampled exact re-score on the survivors: the gate's reference
+      // and the emitted oracle rows (never the corpus square — one
+      // survivor scan per direction over the sampled rescore queries)
+      val rescoreSample = Similarity
+        .listInvalidation(lists, tomb, "vec_id")
+        .filter(col("needs_rescore") === 1L &&
+          col("query_id") % effMod === 0)
+        .select("query_id")
+      val qvecs = e.select(col("vec_id").as("query_id"),
+          col("embedding"))
+        .join(rescoreSample, Seq("query_id"), "left_semi")
+      val sa = survivors.filter(col("vec_id") % 2 === 0)
+      val sb = survivors.filter(col("vec_id") % 2 =!= 0)
+      val exact = Similarity.bruteForceTopK(
+          sb, "vec_id", "embedding",
+          qvecs.filter(col("query_id") % 2 === 0), "query_id",
+          "embedding", k = 4)
+        .unionByName(Similarity.bruteForceTopK(
+          sa, "vec_id", "embedding",
+          qvecs.filter(col("query_id") % 2 =!= 0), "query_id",
+          "embedding", k = 4))
+      try {
+        val emitted = collectToLocal(exact,
+          "q278 sampled exact rescore reference (raise sampleMod)")
+        val recall = graft.operators.Gates.pairRecall(
+          healed.filter(col("query_id") % effMod === 0), emitted)
+        graft.operators.Gates.requireFloor(recall, 0.30,
+          s"q278 repaired-list recall@4 (every ${effMod}th rescored query)")
+        emitted.orderBy("query_id", "rank")
+      } finally lists.unpersist(blocking = false)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      a AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      b AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      c AS MATERIALIZED (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        (sqrt(list_aggregate(list_transform(x.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) *
+         sqrt(list_aggregate(list_transform(y.embedding,
+          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))) AS cos
+        FROM a x JOIN b y ON true),
+      fwd AS (SELECT xid AS query_id, yid AS nn_id, row_number() OVER (
+          PARTITION BY xid ORDER BY cos DESC, yid) AS r FROM c),
+      bwd AS (SELECT yid AS query_id, xid AS nn_id, row_number() OVER (
+          PARTITION BY yid ORDER BY cos DESC, xid) AS r FROM c),
+      l AS (SELECT query_id, nn_id FROM fwd WHERE r <= 4
+        UNION ALL SELECT query_id, nn_id FROM bwd WHERE r <= 4),
+      g AS (SELECT query_id,
+          max(CASE WHEN query_id % 97 = 0 THEN 1 ELSE 0 END)
+            AS own_deleted,
+          sum(CASE WHEN nn_id % 97 = 0 THEN 1 ELSE 0 END) AS n_lost
+        FROM l GROUP BY query_id),
+      rs AS (SELECT query_id FROM g
+        WHERE own_deleted = 0 AND n_lost >= 1 AND query_id % 5 = 0),
+      s AS (SELECT xid AS query_id, yid AS nn_id, cos FROM c
+          WHERE xid IN (SELECT query_id FROM rs) AND yid % 97 <> 0
+        UNION ALL
+        SELECT yid AS query_id, xid AS nn_id, cos FROM c
+          WHERE yid IN (SELECT query_id FROM rs) AND xid % 97 <> 0),
+      r2 AS (SELECT query_id, nn_id, cos,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, nn_id) AS BIGINT) AS rank FROM s)
+      SELECT query_id, rank, nn_id, cos FROM r2
+      WHERE rank <= 4 ORDER BY query_id, rank""")
+  )
+
   val all: Seq[Q] = Seq(
     q276_list_invalidation,
+    q278_list_repair,
     q256_principal_component,
     q249_dim_drift,
     q242_semantic_dedup,

@@ -246,8 +246,8 @@ private[queries] object ExtStreaming {
     // LISTS are the maintained state — cos(x, y) never changes, so
     // batch N scores only batch×prior + batch×batch cross-parity
     // pairs and merges them into the k-bounded per-query lists; the
-    // margin+mutual stage re-runs over the LISTS (O(n·k)) and
-    // publishes the current mutual best-margin pair set per batch.
+    // margin+mutual stage re-mines TOUCHED-ONLY (O(touched·k), r12)
+    // and publishes pair add/del deltas folded by crossLingualPairs.
     // After the final batch the lists equal the one-shot exact dual
     // k-NN bitwise (same (cos desc, id) tie-break, cos bitwise
     // direction-symmetric), so the streamed pair set equals q267's
@@ -296,11 +296,11 @@ private[queries] object ExtStreaming {
           mem.addData(h2)
           q.processAllAvailable() // batch 1: second half vs the lists
         } finally q.stop()
-        // the FINAL batch's published set is the current mutual
+        // the folded add/del deltas ARE the current mutual
         // best-margin mining over the whole corpus — mutual pair
         // sets are tiny next to their corpora (collectToLocal bound)
         collectToLocal(
-          s.read.parquet(s"$base/pairs/batch=1")
+          graft.streaming.Streams.crossLingualPairs(s, s"$base/pairs")
             .select("keep_id", "drop_id", "cos", "margin"),
           "q269 mutual pair set")
           .orderBy("keep_id")
@@ -353,6 +353,11 @@ private[queries] object ExtStreaming {
           s"driver: $corpusN rows > 262144. The ingest OPERATOR is " +
           "unbounded — feed it from a real streaming source at this " +
           "scale instead of the in-test MemoryStream harness.")
+      // fail-fast oracle alignment (r11 ADVICE): derivedSampleMod
+      // hard-fails when corpus size pushes the effective modulus past
+      // the static oracle's 5 — check BEFORE building the fixture and
+      // running the two-batch stream, not after all that work is spent
+      val effMod = derivedSampleMod(e, dir, 5L, "q273 gate")
       val base = java.nio.file.Files
         .createTempDirectory("graft_q273_").toString
       try {
@@ -383,11 +388,11 @@ private[queries] object ExtStreaming {
           mem.addData(h2)
           q.processAllAvailable() // batch 1: probes deltas + itself
         } finally q.stop()
-        val st = s.read.parquet(s"$base/lists/state=1")
+        val st = graft.streaming.Streams.crossLingualLists(
+          s, s"$base/lists")
         // sampled exact reference: ONE corpus scan per direction over
         // the sampled queries (O(n·|sample|)) — never the n²/4 the
         // exact streamed supplier pays
-        val effMod = derivedSampleMod(e, dir, 5L, "q273 gate")
         val a = e.filter(col("vec_id") % 2 === 0)
         val b = e.filter(col("vec_id") % 2 =!= 0)
         val exact = Similarity.bruteForceTopK(

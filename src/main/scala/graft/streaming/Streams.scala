@@ -546,8 +546,9 @@ object Streams {
     * reference analog: the chained-job shape, Imagine_MapReduce
     * README §chained jobs): vectors from two embedded "languages"
     * (even/odd id parity) arrive as micro-batches, and after each
-    * batch the current mutual best-margin pair set is published to
-    * `pairsDir/batch=N`.
+    * batch the current mutual best-margin pair set is published as
+    * add/del deltas to `pairsDir/delta=N` (fold with
+    * [[crossLingualPairs]]).
     *
     * The INCREMENTAL insight is that exact k-NN LISTS are
     * maintainable state: cos(x, y) never changes once both vectors
@@ -557,27 +558,27 @@ object Streams {
     * (every unordered pair exactly once; cos is bitwise symmetric,
     * the dot/norm folds run in index order regardless of
     * orientation), merges them into the k-bounded per-query lists,
-    * and re-runs the margin+mutual stage over the LISTS (O(n·k),
-    * never the corpus square). After the final batch the lists equal
-    * the one-shot exact dual k-NN bitwise (same (cos desc, id)
-    * tie-break), so the streamed pair set equals q267's batch result
-    * and the same oracle applies unchanged — StreamsSpec pins the
-    * equality.
+    * and re-mines margin+mutuality TOUCHED-ONLY (see
+    * [[mergeListsAndMine]] — O(touched·k) per batch, never a full
+    * state rewrite or a global re-mine; state and the published pair
+    * set live in latest-wins delta stores folded by
+    * [[crossLingualLists]] / [[crossLingualPairs]]). After the final
+    * batch the folded lists equal the one-shot exact dual k-NN
+    * bitwise (same (cos desc, id) tie-break), so the folded pair set
+    * equals q267's batch result and the same oracle applies
+    * unchanged — StreamsSpec pins the equality.
     *
-    * A production deployment would re-mine only queries whose lists
-    * (or whose partners' lists) changed in the batch; the full-list
-    * re-mine here keeps the published set exactly q267's at every
-    * step. The exact batch×state scorer is the bounded ORACLE face
+    * The exact batch×state scorer is the bounded ORACLE face
     * (same loud 32768-row bound as q267, enforced by the caller);
     * the at-scale swap is the IVF-probe candidate stage that q267's
     * in-job recall gate prices and [[ingestVectorStream]] already
     * runs in streaming form.
     *
     * Replay safety follows the family contract: the batch reads
-    * vector deltas strictly below its batchId plus the previous
-    * batch's list state, and all three writes (vector delta, list
-    * state, pairs) go to batch-id-deterministic subdirectories with
-    * `overwrite` — exactly-once by idempotence; a crash-replay
+    * vector, list, margin, and pair deltas strictly below its
+    * batchId, and all four writes (vector delta, list delta, margin
+    * delta, pair delta) go to batch-id-deterministic subdirectories
+    * with `overwrite` — exactly-once by idempotence; a crash-replay
     * rewrites every output value-identically.
     *
     * TRIGGER-SIZING CONTRACT (the whole ingest family, loudest here
@@ -588,6 +589,93 @@ object Streams {
     * downtime inherits every backlogged row otherwise. The guard is
     * COUNTED, so an oversized batch fails with the fix in the error
     * text instead of hitting Spark's 8 GB broadcast hard-stop. */
+  /** Latest-delta-wins resolution over a `dir/delta=N` store: keep,
+    * per `keys` group, only the rows of that group's highest delta.
+    * Every delta writes a group's FULL replacement rows (a whole
+    * k-list, one margin row, one pair op), so max(delta) is a
+    * group-local semi-filter — nothing across groups, no global
+    * window, partial-aggregable groupBy on the group keys. */
+  private def latestDelta(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // one hash shuffle on the group keys, max over the whole frame
+    // (no sort), group-local filter — cheaper than a groupBy + join
+    // back and exactly as deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("_ldm", max(col("delta")).over(w))
+      .filter(col("delta") === col("_ldm"))
+      .drop("_ldm")
+  }
+
+  /** Current k-NN lists for a BOUNDED query set out of the
+    * cross-lingual delta store — the lookup the touched-only tail
+    * lives on: one semi-join scan of the deltas (no shuffle of the
+    * store, no hint — the qids side is batch-shaped in the ANN mode
+    * and AQE broadcasts it when it is genuinely small; in the exact
+    * mode it is corpus-shaped and must degrade to a shuffle
+    * semi-join, the listInvalidation hub lesson), then latest-wins
+    * over only the matched groups. At 100 TB the store is bucketed
+    * by query_id hash and periodically compacted (the
+    * [[compactTombstoneDeltas]] discipline) so this scan prunes
+    * files instead of reading every delta. */
+  private def listsForQueries(
+      spark: SparkSession,
+      listsDir: String,
+      upTo: Long,
+      qids: DataFrame): DataFrame = {
+    val hit = spark.read.parquet(listsDir)
+      .filter(col("delta") <= upTo)
+      .join(qids.select("query_id"), Seq("query_id"), "left_semi")
+    latestDelta(hit, Seq("query_id"))
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+
+  /** CURRENT maintained k-NN lists of a cross-lingual ingest run —
+    * the consumer-side fold of the delta store [[mergeListsAndMine]]
+    * writes: per query, the rows of its latest `delta=N` (each delta
+    * holds a touched query's full replacement list, so latest wins).
+    * Columns: (query_id, rank, nn_id, cos) — [[graft.operators
+    * .Similarity.bruteForceTopK]]'s contract. `upTo` bounds the fold
+    * to deltas <= upTo (replay inspection); default folds everything. */
+  def crossLingualLists(
+      spark: SparkSession,
+      listsDir: String,
+      upTo: Long = Long.MaxValue): DataFrame =
+    latestDelta(
+      spark.read.parquet(listsDir).filter(col("delta") <= upTo),
+      Seq("query_id"))
+      .select("query_id", "rank", "nn_id", "cos")
+
+  /** CURRENT mutual best-margin pair set of a cross-lingual ingest
+    * run — derived from the per-query MARGIN-ROW deltas the tail
+    * publishes (latest row per query wins, `alive = false` rows are
+    * tombstones): a pair exists iff each side's current best-margin
+    * partner is the other, so the view is one latest-wins fold plus
+    * one self-equi-join — the mutual condition evaluates at READ
+    * time, which is what lets a micro-batch publish only the
+    * re-mined queries' rows and never re-derive pairs whose
+    * endpoints it did not touch. Equals, after every batch, the full
+    * q267 batch mining over the current corpus (StreamsSpec pins the
+    * equality bitwise). Columns: (keep_id, drop_id, cos, margin),
+    * keep = the even-parity side, values from its row. `upTo` bounds
+    * the fold (as-of-batch views, replay inspection). */
+  def crossLingualPairs(
+      spark: SparkSession,
+      pairsDir: String,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val cur = latestDelta(
+        spark.read.parquet(pairsDir).filter(col("delta") <= upTo),
+        Seq("query_id"))
+      .filter(col("alive"))
+      .select("query_id", "partner_id", "cos", "margin")
+    val g = cur.filter(col("query_id") % 2 === 1)
+      .select(col("query_id").as("_gq"), col("partner_id").as("_gp"))
+    cur.filter(col("query_id") % 2 === 0)
+      .join(g, col("query_id") === col("_gp") &&
+        col("partner_id") === col("_gq"))
+      .select(col("query_id").as("keep_id"),
+        col("partner_id").as("drop_id"), col("cos"), col("margin"))
+  }
+
   /** The ONE list-merge + margin/mutual-mine + publish tail of the
     * cross-lingual ingest family, shared by the exact mode
     * ([[ingestCrossLingualBatch]]) and the ANN candidate mode
@@ -595,15 +683,47 @@ object Streams {
     * existed twice near-verbatim, and a one-sided edit to the
     * (cos desc, nn_id) tie-break, the k-bound, or the mutual-join
     * condition would have silently broken the bitwise
-    * exact-degeneration contract StreamsSpec pins. Steps: previous
-    * lists ∪ `oriented` (both-orientation scored pairs involving the
-    * batch — DISJOINT from prior lists by the family's construction),
-    * row_number over (cos desc, nn_id) bounded at k (bruteForceTopK's
-    * exact tie-break — what makes the exact mode's final lists
-    * bitwise-equal to the one-shot dual k-NN), state written to
-    * `listsDir/state=N` and READ BACK so the mining stage consumes
-    * exactly what a restart would, then the margin+mutual stage over
-    * the k-bounded lists publishes to `pairsDir/batch=N`. */
+    * exact-degeneration contract StreamsSpec pins.
+    *
+    * TOUCHED-ONLY since r12 (the r11 verdict's one scale-killer): a
+    * micro-batch costs O(touched·k) compute, never a full
+    * O(corpus·k) state rewrite or a global re-mine. State is two
+    * delta stores, both latest-wins per query:
+    *
+    *   - `listsDir/delta=N` — full replacement k-lists for the
+    *     TOUCHED queries T (query_ids in `oriented`; lists of
+    *     untouched queries are bitwise inert — cos(x,y) never
+    *     changes — so their files are never rewritten);
+    *   - `pairsDir/delta=N` — re-mined best-margin rows
+    *     (query_id, partner_id, cos, margin, alive) for the MINE set
+    *     M = T ∪ {queries whose current lists reference T}: a
+    *     query's margins consume its own neighborhood mean (changes
+    *     only when its list changes ⇒ q ∈ T) and its list members'
+    *     means (change only when THAT list changes ⇒ member ∈ T), so
+    *     every query outside M keeps bitwise-identical margins and
+    *     needs no re-mine. `alive = false` tombstones a query whose
+    *     best fell under minMargin. The PAIR set is not materialized
+    *     per batch at all: mutuality is a read-time equi-join over
+    *     the folded margin rows ([[crossLingualPairs]]), so a batch
+    *     never pays a partner lookup, a prior-pair scan, or a pair
+    *     tombstone diff — the margin rows ARE the pair deltas.
+    *
+    * The published view is [[crossLingualPairs]] / [[crossLingualLists]]
+    * (consumer-side folds). Mine-set lookups use unhinted semi-joins
+    * against the delta stores (scan-shaped, no store shuffle; hub
+    * batches degrade to shuffle semi-joins instead of a broadcast
+    * hard-stop). The reverse-reference lookup for M over-approximates
+    * by scanning superseded delta rows too — re-mining an unaffected
+    * query rewrites bitwise-identical values, so correctness is
+    * unaffected and the skipped global latest-wins pass is the point.
+    *
+    * Merge rule unchanged: prior lists of T ∪ `oriented` (disjoint by
+    * the family's construction — every new pair involves a batch
+    * vector no earlier list can reference), row_number over
+    * (cos desc, nn_id) bounded at k (bruteForceTopK's exact
+    * tie-break — what keeps the final lists bitwise-equal to the
+    * one-shot dual k-NN). Deltas are written and READ BACK before the
+    * mine so it consumes exactly what a restart would. */
   private def mergeListsAndMine(
       spark: SparkSession,
       oriented: DataFrame,
@@ -613,31 +733,107 @@ object Streams {
       k: Int,
       minMargin: Double): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val carried =
-      if (batchId > 0L)
-        spark.read.parquet(s"$listsDir/state=${batchId - 1}")
-          .select("query_id", "nn_id", "cos")
-          .unionByName(oriented)
-      else oriented
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nn_id"))
-    val lists = carried
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-    lists.write.mode("overwrite")
-      .parquet(s"$listsDir/state=$batchId")
-    val st = spark.read.parquet(s"$listsDir/state=$batchId")
-    val fwd = st.filter(col("query_id") % 2 === 0)
-    val bwd = st.filter(col("query_id") % 2 === 1)
-    val mfwd = graft.operators.Align.marginScore(fwd, bwd, k, minMargin)
-    val mbwd = graft.operators.Align.marginScore(bwd, fwd, k, minMargin)
-    mfwd.as("f").join(mbwd.as("b"),
-        col("f.src_id") === col("b.dst_id") &&
-          col("f.dst_id") === col("b.src_id"))
-      .select(col("f.src_id").as("keep_id"),
-        col("f.dst_id").as("drop_id"),
-        col("f.cos"), col("f.margin"))
-      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[graft]   tail/$name ${(now - tPhase) / 1e9}%.3f s")
+      tPhase = now
+    }
+    val o = oriented
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // NOT deduped: every consumer is a semi-join right side or the
+      // deduping m-union below — a distinct here is a wasted shuffle
+      val touched = o.select("query_id")
+      locally {
+        val hasLists = hasPriorDeltas(listsDir, batchId, spark)
+        // 1. merge: prior lists of TOUCHED queries only, plus the new
+        // scored pairs; k-bound with the exact tie-break; write the
+        // touched queries' replacement lists as delta=N. The prior
+        // side's latest-wins fold and the merge rank run as two
+        // Window operators over ONE query_id exchange (the fold keeps
+        // a prior row only when its delta is the query's max PRIOR
+        // delta; new rows always pass), instead of folding in a
+        // separate shuffle before the union
+        val newRows = o.withColumn("delta", lit(batchId))
+        val carried =
+          if (hasLists)
+            spark.read.parquet(listsDir)
+              .filter(col("delta") < batchId)
+              .join(touched, Seq("query_id"), "left_semi")
+              .select("query_id", "nn_id", "cos", "delta")
+              .unionByName(newRows)
+          else newRows
+        val wMax = Window.partitionBy("query_id")
+        val wRank = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("nn_id"))
+        carried
+          .withColumn("_mp",
+            max(when(col("delta") < batchId, col("delta"))).over(wMax))
+          .filter(col("delta") === batchId || col("delta") === col("_mp"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter(col("rank") <= k)
+          .select("query_id", "nn_id", "cos", "rank")
+          .write.mode("overwrite").parquet(s"$listsDir/delta=$batchId")
+        phase("merge")
+        // 2. mine set M = T ∪ reverse-references (queries whose lists
+        // hold a touched query as neighbor — their margins consume
+        // that neighbor's now-changed mean). Scanning superseded rows
+        // over-approximates M: harmless (bitwise-identical re-mine)
+        val rev =
+          if (hasLists)
+            spark.read.parquet(listsDir)
+              .filter(col("delta") < batchId)
+              .join(touched.select(col("query_id").as("nn_id")),
+                Seq("nn_id"), "left_semi")
+              .select("query_id")
+          else touched.limit(0)
+        val m = touched.unionByName(rev).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // 3. re-mine M: frame = current lists of M plus of M's list
+          // members (their means feed M's margins). The member set is
+          // taken from a RAW store scan semi-joined on M (stale rows
+          // over-approximate it — extra means cost a few folds and
+          // change nothing). Margins of those 2-hop frame queries can
+          // drop candidate rows at the mean join — the M semi-join
+          // below discards their outputs, and every row surviving for
+          // q ∈ M consumed complete means
+          val nnOfM = spark.read.parquet(listsDir)
+            .filter(col("delta") <= batchId)
+            .join(m, Seq("query_id"), "left_semi")
+            .select(col("nn_id").as("query_id"))
+          // the frame is a multi-shuffle lookup consumed several times
+          // by the two marginScore passes — persist it (the old tail
+          // re-read a cheap full-state parquet snapshot instead; the
+          // touched-only lookups are narrower but not free to re-run)
+          val frame = listsForQueries(spark, listsDir, batchId,
+            m.unionByName(nnOfM))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // ONE dual-direction margin pass (bitwise the two-call
+            // spelling — AlignSpec pins it); the M semi-filter
+            // discards the 2-hop frame queries' outputs
+            val marginsM = graft.operators.Align
+              .marginScoreBoth(frame, k, minMargin)
+              .join(m.select(col("query_id").as("src_id")),
+                Seq("src_id"), "left_semi")
+              .select(col("src_id").as("query_id"),
+                col("dst_id").as("partner_id"), col("cos"), col("margin"))
+            // every q ∈ M gets a row: alive, or a tombstone when its
+            // best fell under the floor (left join keeps the nulls).
+            // That row IS the pair publish — mutuality resolves at
+            // read time ([[crossLingualPairs]]), so nothing else to do
+            m.join(marginsM, Seq("query_id"), "left")
+              .select(col("query_id"), col("partner_id"), col("cos"),
+                col("margin"), col("partner_id").isNotNull.as("alive"))
+              .write.mode("overwrite")
+              .parquet(s"$pairsDir/delta=$batchId")
+            phase("mine")
+          } finally frame.unpersist(blocking = false)
+        } finally m.unpersist(blocking = false)
+      }
+    } finally o.unpersist(blocking = false)
   }
 
   def ingestCrossLingualStream(
@@ -756,8 +952,12 @@ object Streams {
     * |batch| · corpus/nlist · nprobe, never batch×corpus), (3) merges
     * both orientations of the candidates into the k-bounded per-query
     * lists ((cos desc, nn_id) — the exact mode's tie-break), and
-    * (4) re-mines margin+mutuality over the LISTS (O(n·k)) and
-    * publishes the current pair set to `pairsDir/batch=N`.
+    * (4) re-mines margin+mutuality TOUCHED-ONLY over the lists
+    * ([[mergeListsAndMine]] — O(touched·k) per batch) and publishes
+    * pair add/del deltas to `pairsDir/delta=N` (fold with
+    * [[crossLingualPairs]]). Here "touched" is candidate-bounded —
+    * |batch| · corpus/nlist · nprobe — which is what makes the
+    * maintained-list tail itself batch-shaped, not corpus-shaped.
     *
     * What changes vs the exact mode: nothing is broadcast and nothing
     * scores batch×corpus, so there is NO maxBatchRows bound — this is
@@ -804,7 +1004,7 @@ object Streams {
     * so the crash-replay contract is directly testable (StreamsSpec
     * replays committed batches, including the centroid-training
     * batch 0, and pins value-identical outputs). */
-  private[streaming] def ingestCrossLingualAnnBatch(
+  private[graft] def ingestCrossLingualAnnBatch(
       batch: DataFrame,
       batchId: Long,
       idCol: String,

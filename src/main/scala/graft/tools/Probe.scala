@@ -26,6 +26,14 @@ import graft.operators.{Dedup, Similarity}
   *                             caller-chosen k — measures the SemDeDup
   *                             scale knob (k ∝ n keeps cells, hence
   *                             the in-cell pair stage, constant-sized)
+  *   dedup-knee [runs] [qidBound]  q270 past the derivedSampleMod cap
+  *                             knee: corpus grows, eval population
+  *                             pinned — decomposes supplier vs scorer
+  *   stream-tail [runs] [batchRows]  fixed-size micro-batch against a
+  *                             growing ingested corpus — times the
+  *                             touched-only cross-lingual tail's
+  *                             second batch (nlist scales with the
+  *                             corpus, the production knob)
   *
   * env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32).
   */
@@ -49,10 +57,11 @@ object Probe {
       case "lsh-tune" => lshTune(spark, sfDir)
       case "semdedup" => semdedup(spark, sfDir, rest)
       case "dedup-knee" => dedupKnee(spark, sfDir, rest)
+      case "stream-tail" => streamTail(spark, sfDir, rest)
       case other =>
         System.err.println(s"unknown probe mode '$other' " +
           "(queries | ann-stages | components | lsh-tune | semdedup " +
-          "| dedup-knee)")
+          "| dedup-knee | stream-tail)")
         sys.exit(2)
     }
     spark.stop()
@@ -114,16 +123,18 @@ object Probe {
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
     println(s"embeddings: ${emb(spark, sfDir).count()} rows, " +
       s"queries pinned to vec_id < $bound (mod 10)")
-    // the banded-drop SUPPLIER alone (ngramJaccardPairs @0.4 +
-    // max-band aggregate) — q270's pipeline cost decomposes into
-    // supplier + scorer, and only the scorer's slope is what the
-    // pinned population isolates; timing the supplier separately
-    // attributes the residual
+    // the banded-drop SUPPLIER alone (since r12 the shipped supplier
+    // is minHashLshPairs @0.4 + max-band aggregate — the LSH swap the
+    // r11 knee probe priced; this block times whatever q270 ships) —
+    // q270's pipeline cost decomposes into supplier + scorer, and
+    // only the scorer's slope is what the pinned population isolates;
+    // timing the supplier separately attributes the residual
     val supplierTs = (1 to runs).map { _ =>
       spark.catalog.clearCache()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val t0 = System.nanoTime()
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJ = 0.4)
+      Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3,
+          bands = 32, rowsPerBand = 4, minJ = 0.4)
         .select(col("id_b").as("did"),
           least(floor(col("jaccard") * 10).cast("long"),
             lit(9L)).as("pb"))
@@ -145,6 +156,61 @@ object Probe {
       (System.nanoTime() - t0) / 1e9
     }.sorted
     println(f"dedup-knee(pinned<$bound) median ${med(ts)}%7.3f s  " +
+      ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
+  }
+
+  /** Touched-only streamed tail (r12 — the r11 verdict's #1): a
+    * FIXED-SIZE micro-batch against a growing already-ingested
+    * corpus. The pre-r12 tail rewrote the full O(corpus·k) list
+    * state and re-mined every list per batch, so batch-1 time grew
+    * with the corpus regardless of batch size; the touched-only tail
+    * tracks the batch's candidate set. `nlist` scales with the
+    * corpus (~128 vectors/cell — the production knob the q273 gate
+    * prices), so the candidate stage itself is also batch-shaped and
+    * a flat batch-1 time across a ScaleUp ×3 fixture attributes the
+    * whole per-batch cost to |batch|, not corpus. Per-phase stderr
+    * prints (tail/merge, tail/mine) decompose the tail further.
+    * usage: stream-tail [runs] [batchRows] */
+  private def streamTail(
+      spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
+    def med(ts: Seq[Double]): Double =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+    val runs = rest.headOption.flatMap(_.toIntOption).getOrElse(3)
+    val batchRows = rest.drop(1).headOption.flatMap(_.toIntOption)
+      .getOrElse(256)
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    require(n > 2L * batchRows,
+      s"corpus $n too small for a $batchRows-row probe batch")
+    // count-based cut: the batchRows highest ids form batch 1, so the
+    // batch stays fixed-size on ScaleUp fixtures where ids grow
+    val cut = e.select(col("vec_id")).orderBy(col("vec_id").desc)
+      .limit(batchRows).agg(min(col("vec_id"))).first().getLong(0)
+    val nlist = math.max(16, (n / 128).toInt)
+    println(s"corpus $n rows; batch0 ${n - batchRows} rows, " +
+      s"batch1 $batchRows rows, nlist $nlist, nprobe 4")
+    val ts = (1 to runs).map { _ =>
+      spark.catalog.clearCache()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tailprobe_").toString
+      try {
+        graft.streaming.Streams.ingestCrossLingualAnnBatch(
+          e.filter(col("vec_id") < cut), 0L, "vec_id", "embedding",
+          s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+          4, 1.05, nlist, 4, 256)
+        val t0 = System.nanoTime()
+        graft.streaming.Streams.ingestCrossLingualAnnBatch(
+          e.filter(col("vec_id") >= cut), 1L, "vec_id", "embedding",
+          s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+          4, 1.05, nlist, 4, 256)
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(base))
+      }
+    }.sorted
+    println(f"stream-tail batch1          median ${med(ts)}%7.3f s  " +
       ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
   }
 

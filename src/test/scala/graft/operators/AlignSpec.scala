@@ -102,6 +102,28 @@ class AlignSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("neighborhood mean cosine")))
   }
 
+  test("marginScoreBoth: bitwise equal to the two-call spelling on the " +
+      "real dual k-NN frames (the streamed tail's shape)") {
+    val e = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val a = e.filter($"vec_id" % 2 === 0)
+    val b = e.filter($"vec_id" % 2 === 1)
+    val fwd = Similarity.bruteForceTopK(
+      b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+    val bwd = Similarity.bruteForceTopK(
+      a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src_id", "dst_id", "cos", "margin")
+        .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+    val twoCall = rows(Align.marginScore(fwd, bwd, 4, 1.0)) ++
+      rows(Align.marginScore(bwd, fwd, 4, 1.0))
+    val onePass = rows(Align.marginScoreBoth(fwd.unionByName(bwd), 4, 1.0))
+    assert(onePass.nonEmpty)
+    assert(onePass == twoCall.sorted,
+      "one-pass dual margin diverged from the two-call spelling")
+  }
+
   test("marginScore: a bad mean never joined into a margin does not " +
       "fire the in-plan guard (it influences no emitted pair)") {
     // y=99 has a negative mean in bwd but is nobody's forward

@@ -48,6 +48,26 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("minHashLshPairs == exact ngramJaccardPairs at minJ=0.4 with exact " +
+      "jaccard values (q270's supplier contract after the r12 LSH swap)") {
+    // q270's sweep consumes bands 4..9, so the swap must hold at 0.4,
+    // not just q36's 0.5 — and the VALUES must match bitwise (the
+    // verify step computes exact jaccard on the full shingle sets, so
+    // only completeness is at stake; the fixtures' true >=0.4 pairs
+    // all sit at J >= 0.8 where a 32x4 deterministic LSH miss is
+    // p <= 5e-8 per pair)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 4, 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"LSH@0.4 diverged from exact: missing ${(exact -- lsh).take(5)}, " +
+        s"extra ${(lsh -- exact).take(5)}")
+  }
+
   test("minHashLshPairs caps degenerate buckets without losing the dup mass") {
     // 200 identical documents: every band bucket holds all 200 — the
     // boilerplate pathology that makes one O(n²) straggler task

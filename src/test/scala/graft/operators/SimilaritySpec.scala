@@ -439,6 +439,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 7L), "untouched query leaked a row")
   }
 
+  test("listRepair: with every cell probed the healed state equals the " +
+      "one-shot exact dual k-NN on the survivor corpus bitwise; no-ghost " +
+      "everywhere; untouched lists pass through verbatim; a ghost-bearing " +
+      "index fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val a = e.filter($"vec_id" % 2 === 0)
+    val b = e.filter($"vec_id" % 2 =!= 0)
+    val lists = Similarity.bruteForceTopK(
+        b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+      .unionByName(Similarity.bruteForceTopK(
+        a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4))
+      .persist()
+    val tomb = e.select($"vec_id").filter($"vec_id" % 97 === 0)
+    val survivors = e.filter($"vec_id" % 97 =!= 0)
+    val (assign, cents) = Similarity.ivfIndex(
+      survivors, "vec_id", "embedding", nlist = 4, sampleSize = 256)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nn_id", "cos")
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    // nprobe >= nlist: the candidate set is every cross-parity
+    // survivor, so repair degenerates to exact — and untouched lists
+    // were already exact on the survivors (removing non-members
+    // cannot change a top-k), so the WHOLE healed state must equal
+    // the fresh dual k-NN over the survivor corpus bitwise
+    val healed = rows(Similarity.listRepair(
+      lists, e, "vec_id", "embedding", tomb, "vec_id", assign, cents,
+      k = 4, nprobe = 4,
+      candidateFilter = (col("query_id") % 2) =!= (col("nn_id") % 2)))
+    val sa = survivors.filter($"vec_id" % 2 === 0)
+    val sb = survivors.filter($"vec_id" % 2 =!= 0)
+    val fresh = rows(Similarity.bruteForceTopK(
+        sb, "vec_id", "embedding", sa, "vec_id", "embedding", k = 4)
+      .unionByName(Similarity.bruteForceTopK(
+        sa, "vec_id", "embedding", sb, "vec_id", "embedding", k = 4)))
+    assert(healed.nonEmpty)
+    assert(healed == fresh,
+      "healed state diverged from the fresh exact dual k-NN on survivors")
+    // no-ghost: neither a deleted query nor a deleted neighbor appears
+    assert(!healed.exists(r => r._1 % 97 == 0 || r._3 % 97 == 0))
+    // untouched lists passed through VERBATIM (bitwise row equality
+    // against the pre-delete state for queries outside the radius)
+    val touched = Similarity.listInvalidation(lists, tomb, "vec_id")
+      .select("query_id").as[Long].collect().toSet
+    val before = rows(lists).filterNot(r => touched(r._1))
+    assert(before.nonEmpty &&
+      healed.filterNot(r => touched(r._1)) == before)
+    // a ghost-bearing index (forgot to compact) fails loudly, BEFORE
+    // any healed rows exist
+    val (badAssign, badCents) = Similarity.ivfIndex(
+      e, "vec_id", "embedding", nlist = 4, sampleSize = 256)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.listRepair(lists, e, "vec_id", "embedding", tomb,
+        "vec_id", badAssign, badCents, k = 4, nprobe = 4)
+    }
+    assert(err.getMessage.contains("compact the index first"))
+    lists.unpersist(blocking = false)
+  }
+
   test("ivfStalenessGate: fresh index passes; a planted centroid/corpus mismatch fails loudly") {
     import org.apache.spark.sql.functions._
     // sf0.01 (2000 vectors): 200 sampled queries — enough statistics

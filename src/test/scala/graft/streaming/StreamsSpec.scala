@@ -581,11 +581,11 @@ class StreamsSpec extends AnyFunSuite {
       val bwd = graft.operators.Similarity.bruteForceTopK(
         a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
       val streamedLists = listRows(
-        spark.read.parquet(s"$base/lists/state=1"))
+        Streams.crossLingualLists(spark, s"$base/lists"))
       assert(streamedLists.nonEmpty)
       assert(streamedLists == listRows(fwd.unionByName(bwd)),
         "maintained lists diverged from the one-shot dual k-NN")
-      // final published pairs == the q267 batch mining on the corpus
+      // folded published pairs == the q267 batch mining on the corpus
       def pairRows(df: org.apache.spark.sql.DataFrame) =
         df.select("keep_id", "drop_id", "cos", "margin")
           .as[(Long, Long, Double, Double)].collect().sorted.toSeq
@@ -597,7 +597,7 @@ class StreamsSpec extends AnyFunSuite {
         .select(col("f.src_id").as("keep_id"),
           col("f.dst_id").as("drop_id"), col("f.cos"), col("f.margin")))
       val streamedPairs = pairRows(
-        spark.read.parquet(s"$base/pairs/batch=1"))
+        Streams.crossLingualPairs(spark, s"$base/pairs"))
       assert(streamedPairs.nonEmpty && streamedPairs == expected,
         "streamed mutual-margin pairs diverged from the batch mining")
       // crash-replay: re-running committed batches rewrites
@@ -606,16 +606,18 @@ class StreamsSpec extends AnyFunSuite {
         half($"vec_id" > cut).toDF("vec_id", "embedding"), 1L,
         "vec_id", "embedding", s"$base/vecs", s"$base/lists",
         s"$base/pairs", 4, 1.05)
-      assert(listRows(spark.read.parquet(s"$base/lists/state=1"))
+      assert(listRows(Streams.crossLingualLists(spark, s"$base/lists"))
         == streamedLists, "batch-1 replay changed the lists")
-      assert(pairRows(spark.read.parquet(s"$base/pairs/batch=1"))
+      assert(pairRows(Streams.crossLingualPairs(spark, s"$base/pairs"))
         == streamedPairs, "batch-1 replay changed the pairs")
-      val lists0 = listRows(spark.read.parquet(s"$base/lists/state=0"))
+      val lists0 = listRows(
+        Streams.crossLingualLists(spark, s"$base/lists", upTo = 0L))
       Streams.ingestCrossLingualBatch(
         half($"vec_id" <= cut).toDF("vec_id", "embedding"), 0L,
         "vec_id", "embedding", s"$base/vecs", s"$base/lists",
         s"$base/pairs", 4, 1.05)
-      assert(listRows(spark.read.parquet(s"$base/lists/state=0"))
+      assert(listRows(
+        Streams.crossLingualLists(spark, s"$base/lists", upTo = 0L))
         == lists0, "batch-0 replay changed the lists")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
@@ -662,7 +664,7 @@ class StreamsSpec extends AnyFunSuite {
       val bwd = graft.operators.Similarity.bruteForceTopK(
         a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4)
       val streamedLists = listRows(
-        spark.read.parquet(s"$base/lists/state=1"))
+        Streams.crossLingualLists(spark, s"$base/lists"))
       assert(streamedLists.nonEmpty)
       assert(streamedLists == listRows(fwd.unionByName(bwd)),
         "all-cells-probed candidate lists diverged from exact dual k-NN")
@@ -677,7 +679,7 @@ class StreamsSpec extends AnyFunSuite {
         .select(col("f.src_id").as("keep_id"),
           col("f.dst_id").as("drop_id"), col("f.cos"), col("f.margin")))
       val streamedPairs = pairRows(
-        spark.read.parquet(s"$base/pairs/batch=1"))
+        Streams.crossLingualPairs(spark, s"$base/pairs"))
       assert(streamedPairs.nonEmpty && streamedPairs == expected,
         "all-cells-probed mutual-margin pairs diverged from batch mining")
       // crash-replay: batch 1 (deltas strictly below excluded)
@@ -685,13 +687,14 @@ class StreamsSpec extends AnyFunSuite {
         half($"vec_id" > cut).toDF("vec_id", "embedding"), 1L,
         "vec_id", "embedding", s"$base/vecs", s"$base/cents",
         s"$base/lists", s"$base/pairs", 4, 1.05, 4, 4, 256)
-      assert(listRows(spark.read.parquet(s"$base/lists/state=1"))
+      assert(listRows(Streams.crossLingualLists(spark, s"$base/lists"))
         == streamedLists, "batch-1 replay changed the lists")
-      assert(pairRows(spark.read.parquet(s"$base/pairs/batch=1"))
+      assert(pairRows(Streams.crossLingualPairs(spark, s"$base/pairs"))
         == streamedPairs, "batch-1 replay changed the pairs")
       // crash-replay of the TRAINING batch: centroids retrain
-      // deterministically, state=0 value-identical
-      val lists0 = listRows(spark.read.parquet(s"$base/lists/state=0"))
+      // deterministically, delta=0 fold value-identical
+      val lists0 = listRows(
+        Streams.crossLingualLists(spark, s"$base/lists", upTo = 0L))
       val centsBefore = spark.read.parquet(s"$base/cents")
         .as[(Int, Seq[Float])].collect()
         .map { case (c, v) => (c, v.toList) }.sortBy(_._1).toSeq
@@ -699,12 +702,98 @@ class StreamsSpec extends AnyFunSuite {
         half($"vec_id" <= cut).toDF("vec_id", "embedding"), 0L,
         "vec_id", "embedding", s"$base/vecs", s"$base/cents",
         s"$base/lists", s"$base/pairs", 4, 1.05, 4, 4, 256)
-      assert(listRows(spark.read.parquet(s"$base/lists/state=0"))
+      assert(listRows(
+        Streams.crossLingualLists(spark, s"$base/lists", upTo = 0L))
         == lists0, "batch-0 replay changed the lists")
       val centsAfter = spark.read.parquet(s"$base/cents")
         .as[(Int, Seq[Float])].collect()
         .map { case (c, v) => (c, v.toList) }.sortBy(_._1).toSeq
       assert(centsAfter == centsBefore, "batch-0 replay retrained differently")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
+  test("touched-only tail: a small later batch leaves untouched queries' " +
+      "list delta files byte-identical, rewrites only a strict subset of " +
+      "queries, and the folded view stays complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = e.count()
+    val maxId = e.agg(max($"vec_id")).first().getLong(0)
+    def rows(p: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_xling_touch_").toString
+    try {
+      // batch 0: the whole corpus minus its 4 highest ids; batch 1:
+      // those 4 — a SMALL batch against a large prior corpus, probing
+      // 1 of 16 cells per vector, so the touched set is a strict
+      // subset of the queries
+      Streams.ingestCrossLingualAnnBatch(
+        rows($"vec_id" <= maxId - 4).toDF("vec_id", "embedding"), 0L,
+        "vec_id", "embedding", s"$base/vecs", s"$base/cents",
+        s"$base/lists", s"$base/pairs", 4, 1.05, 16, 1, 256)
+      // byte-level snapshot of the batch-0 list delta — the r11
+      // verdict's pin: untouched lists are bitwise INERT, so a later
+      // batch must not rewrite (or even re-open for write) delta=0
+      def snapshot(dir: String): Map[String, String] = {
+        val d = new java.io.File(dir)
+        d.listFiles().filter(_.isFile).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(bytes).map("%02x".format(_)).mkString
+        }.toMap
+      }
+      val before = snapshot(s"$base/lists/delta=0")
+      assert(before.nonEmpty)
+      Streams.ingestCrossLingualAnnBatch(
+        rows($"vec_id" > maxId - 4).toDF("vec_id", "embedding"), 1L,
+        "vec_id", "embedding", s"$base/vecs", s"$base/cents",
+        s"$base/lists", s"$base/pairs", 4, 1.05, 16, 1, 256)
+      assert(snapshot(s"$base/lists/delta=0") == before,
+        "batch 1 rewrote the batch-0 list delta — untouched lists " +
+          "must be bitwise inert")
+      // delta=1 holds only the touched queries — a strict subset
+      val rewritten = spark.read.parquet(s"$base/lists/delta=1")
+        .select("query_id").distinct().count()
+      assert(rewritten > 0L && rewritten < n,
+        s"batch 1 rewrote $rewritten of $n lists — the tail must be " +
+          "touched-only, not a full state rewrite")
+      // some query untouched by batch 1 exists and keeps its list in
+      // the folded view; every corpus query has exactly one list
+      val folded = Streams.crossLingualLists(spark, s"$base/lists")
+      assert(folded.select("query_id").distinct().count() == n)
+      // latest-wins must yield ONE list per query (no rank collisions
+      // from mixing deltas)
+      assert(folded.groupBy("query_id")
+        .agg(count(lit(1)).as("k_n"), countDistinct(col("rank")).as("k_d"))
+        .filter(col("k_n") =!= col("k_d")).count() == 0L,
+        "folded lists mix deltas — latest-wins fold broke")
+      // the STRONGEST touched-only invariant: the folded pair set
+      // equals the full margin+mutual mining over the folded lists —
+      // pairs whose counterparty was NOT in this batch's mine set must
+      // come out of the persisted margin state, bitwise
+      val fwd = folded.filter($"query_id" % 2 === 0)
+      val bwd = folded.filter($"query_id" % 2 === 1)
+      val mfwd = graft.operators.Align.marginScore(fwd, bwd, 4, 1.05)
+      val mbwd = graft.operators.Align.marginScore(bwd, fwd, 4, 1.05)
+      def pairRows(df: org.apache.spark.sql.DataFrame) =
+        df.select("keep_id", "drop_id", "cos", "margin")
+          .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+      val expected = pairRows(mfwd.as("f").join(mbwd.as("b"),
+          col("f.src_id") === col("b.dst_id") &&
+            col("f.dst_id") === col("b.src_id"))
+        .select(col("f.src_id").as("keep_id"),
+          col("f.dst_id").as("drop_id"), col("f.cos"), col("f.margin")))
+      assert(expected.nonEmpty)
+      assert(pairRows(Streams.crossLingualPairs(spark, s"$base/pairs"))
+        == expected,
+        "folded add/del pair deltas diverged from the full mining " +
+          "over the folded lists")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
@@ -736,7 +825,7 @@ class StreamsSpec extends AnyFunSuite {
       Streams.ingestCrossLingualBatch(
         vecs, 0L, "vec_id", "embedding", s"$base/vecs",
         s"$base/lists", s"$base/pairs", 4, 1.05, maxBatchRows = 8L)
-      assert(new java.io.File(s"$base/lists/state=0").exists())
+      assert(new java.io.File(s"$base/lists/delta=0").exists())
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
