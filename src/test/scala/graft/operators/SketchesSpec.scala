@@ -139,9 +139,18 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("KLL gate fails loudly at an unmeetable rank tolerance") {
+    // rankTol 1e-12 demands the estimate's true-rank interval
+    // brackets q EXACTLY — and the distinct-value rank intervals tile
+    // [0,1], so for any single q there is one value that would
+    // legitimately pass. A compaction happening to retain exactly
+    // that value made the single-q spelling flake (seen once in a
+    // full-suite run, merge order is scheduling-dependent); nine
+    // simultaneous quantiles require nine simultaneous exact hits,
+    // which a k=200 sketch of 1334 values cannot produce
     val e = intercept[IllegalArgumentException] {
       Sketches.gatedQuantileReport(
-        vrows, Seq("event_type"), "shard", "value", Seq(0.5),
+        vrows, Seq("event_type"), "shard", "value",
+        (1 to 9).map(_ / 10.0),
         rankTol = 1e-12)
     }
     assert(e.getMessage.contains("sketch regressed"))
