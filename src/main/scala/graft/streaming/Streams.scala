@@ -676,6 +676,74 @@ object Streams {
         col("partner_id").as("drop_id"), col("cos"), col("margin"))
   }
 
+  /** COMPACT a cross-lingual delta store pair — the maintenance pass
+    * that keeps the touched-only tail's lookups from scanning one
+    * delta directory per historical batch forever (the
+    * [[compactTombstoneDeltas]] discipline, applied to this family's
+    * two stores): the folded state as of `upTo` is rewritten as the
+    * single delta `delta=upTo`, and every superseded `delta<upTo`
+    * directory is deleted. Folds ([[crossLingualLists]],
+    * [[crossLingualPairs]]) are bitwise-unchanged, and a later batch
+    * N > upTo runs against the compacted store unchanged — its
+    * lookups just stop paying for history (StreamsSpec pins both,
+    * against an uncompacted control run).
+    *
+    * Dead margin rows (`alive = false`) are DROPPED during
+    * compaction: in the delta layout they exist to shadow older
+    * alive rows, and a compacted base has nothing left to shadow —
+    * an absent query folds identically to a tombstoned one.
+    *
+    * Crash safety: the folded state is localCheckpoint'ed BEFORE the
+    * overwrite (the compacted target is also a fold INPUT — the
+    * write-back-over-own-source case compactTombstoneDeltas
+    * documents), the compacted delta is written first, superseded
+    * directories are deleted after. A crash between the two leaves
+    * both folds correct (per-query latest-wins: the compacted
+    * `delta=upTo` shadows every older row) and a re-run is
+    * idempotent. Single-writer assumption as everywhere in the
+    * ingest family: run between batches, not concurrently with one.
+    *
+    * COMMITTED-ONLY constraint: `upTo` must be a batch the stream's
+    * checkpoint has committed. A crash-replay of batch N re-reads
+    * deltas strictly below N — compacting upTo = N folds batch N's
+    * own contribution into the state a replay of N would consume
+    * (double-count), which is harmless exactly when N can never
+    * replay, i.e. when it is committed. Compacting upTo = N−1 is
+    * always safe for a pending batch N (its `delta < N` reads see
+    * the folded `delta=N−1`, value-identical to the uncompacted
+    * history). */
+  def compactCrossLingualState(
+      spark: SparkSession,
+      listsDir: String,
+      pairsDir: String,
+      upTo: Long): Unit = {
+    require(upTo >= 0L, s"upTo must be >= 0, got $upTo")
+    def compact(dir: String, folded: DataFrame): Unit = {
+      // eager: sever lineage from the directories about to be
+      // rewritten/deleted
+      val snap = folded.localCheckpoint(true)
+      snap.write.mode("overwrite").parquet(s"$dir/delta=$upTo")
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        val d = name.stripPrefix("delta=")
+        if (name.startsWith("delta=") &&
+            d.toLongOption.exists(_ < upTo))
+          fs.delete(st.getPath, true)
+      }
+    }
+    compact(listsDir,
+      crossLingualLists(spark, listsDir, upTo)
+        .select("query_id", "nn_id", "cos", "rank"))
+    compact(pairsDir,
+      latestDelta(
+        spark.read.parquet(pairsDir).filter(col("delta") <= upTo),
+        Seq("query_id"))
+        .filter(col("alive"))
+        .select("query_id", "partner_id", "cos", "margin", "alive"))
+  }
+
   /** The ONE list-merge + margin/mutual-mine + publish tail of the
     * cross-lingual ingest family, shared by the exact mode
     * ([[ingestCrossLingualBatch]]) and the ANN candidate mode

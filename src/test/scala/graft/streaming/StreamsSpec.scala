@@ -800,6 +800,73 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactCrossLingualState: folds bitwise-unchanged, superseded " +
+      "deltas deleted, and post-compaction batches equal the uncompacted " +
+      "control run bitwise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val maxId = e.agg(max($"vec_id")).first().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    def part(p: org.apache.spark.sql.Column) =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+    def ingest(base: String, b: org.apache.spark.sql.DataFrame, n: Long) =
+      Streams.ingestCrossLingualAnnBatch(b, n, "vec_id", "embedding",
+        s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+        4, 1.05, 8, 2, 256)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_xling_compact_a_").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_xling_compact_b_").toString
+    try {
+      for (base <- Seq(a, b)) {
+        ingest(base, part($"vec_id" <= c1), 0L)
+        ingest(base, part($"vec_id" > c1 && $"vec_id" <= c2), 1L)
+        if (base == a) {
+          // fold snapshots straddling the compaction: bitwise stable
+          val l0 = rows(Streams.crossLingualLists(spark, s"$a/lists"),
+            Seq("query_id", "rank", "nn_id", "cos"))
+          val p0 = rows(Streams.crossLingualPairs(spark, s"$a/pairs"),
+            Seq("keep_id", "drop_id", "cos", "margin"))
+          Streams.compactCrossLingualState(
+            spark, s"$a/lists", s"$a/pairs", upTo = 1L)
+          assert(rows(Streams.crossLingualLists(spark, s"$a/lists"),
+            Seq("query_id", "rank", "nn_id", "cos")) == l0,
+            "compaction changed the folded lists")
+          assert(rows(Streams.crossLingualPairs(spark, s"$a/pairs"),
+            Seq("keep_id", "drop_id", "cos", "margin")) == p0,
+            "compaction changed the folded pairs")
+          // superseded delta=0 gone from both stores
+          assert(!new java.io.File(s"$a/lists/delta=0").exists())
+          assert(!new java.io.File(s"$a/pairs/delta=0").exists())
+        }
+        ingest(base, part($"vec_id" > c2), 2L)
+      }
+      // the compacted run and the untouched control agree bitwise
+      // after a further batch ran on top of the compacted state
+      for ((store, cols) <- Seq(
+          "lists" -> Seq("query_id", "rank", "nn_id", "cos"))) {
+        assert(rows(Streams.crossLingualLists(spark, s"$a/$store"), cols)
+          == rows(Streams.crossLingualLists(spark, s"$b/$store"), cols),
+          s"post-compaction $store fold diverged from the control run")
+      }
+      val pa = rows(Streams.crossLingualPairs(spark, s"$a/pairs"),
+        Seq("keep_id", "drop_id", "cos", "margin"))
+      assert(pa.nonEmpty)
+      assert(pa == rows(Streams.crossLingualPairs(spark, s"$b/pairs"),
+        Seq("keep_id", "drop_id", "cos", "margin")),
+        "post-compaction pairs fold diverged from the control run")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
   test("ingestCrossLingualBatch: an oversized micro-batch fails loud and " +
       "actionable at the counted maxBatchRows guard; q269-sized batches " +
       "are untouched") {
