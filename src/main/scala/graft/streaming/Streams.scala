@@ -683,10 +683,14 @@ object Streams {
     * two stores): the folded state as of `upTo` is rewritten as the
     * single delta `delta=upTo`, and every superseded `delta<upTo`
     * directory is deleted. Folds ([[crossLingualLists]],
-    * [[crossLingualPairs]]) are bitwise-unchanged, and a later batch
-    * N > upTo runs against the compacted store unchanged — its
-    * lookups just stop paying for history (StreamsSpec pins both,
-    * against an uncompacted control run).
+    * [[crossLingualPairs]]) at any horizon >= upTo are
+    * bitwise-unchanged, and a later batch N > upTo runs against the
+    * compacted store unchanged — its lookups just stop paying for
+    * history (StreamsSpec pins both, against an uncompacted control
+    * run). As-of views BELOW upTo are gone by design — compaction
+    * trades historical point-in-time reads for bounded lookup cost;
+    * keep the superseded deltas (don't compact) where those views
+    * are a requirement.
     *
     * Dead margin rows (`alive = false`) are DROPPED during
     * compaction: in the delta layout they exist to shadow older

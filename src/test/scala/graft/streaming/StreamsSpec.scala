@@ -800,6 +800,61 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed lists -> listInvalidation -> listRepair composes: the " +
+      "swap q278's exact-face guard names, pinned end to end — at " +
+      "nprobe >= nlist the healed STREAMED state equals the exact dual " +
+      "k-NN on the survivor corpus bitwise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cut = e.agg(max($"vec_id")).first().getLong(0) / 2
+    def half(p: org.apache.spark.sql.Column) =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_xling_repair_").toString
+    try {
+      // streamed ANN ingest with every cell probed: the maintained
+      // lists degenerate to the exact dual k-NN (the standing pin)
+      for ((b, n) <- Seq(half($"vec_id" <= cut) -> 0L,
+          half($"vec_id" > cut) -> 1L))
+        Streams.ingestCrossLingualAnnBatch(b, n, "vec_id", "embedding",
+          s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+          4, 1.05, 4, 4, 256)
+      val streamed = Streams.crossLingualLists(spark, s"$base/lists")
+        .persist()
+      // the %97 right-to-be-forgotten request, straight onto the
+      // STREAMED artifact: invalidate, then repair against a
+      // survivor-trained index — no exact dual-kNN supplier anywhere
+      val tomb = e.select($"vec_id").filter($"vec_id" % 97 === 0)
+      val survivors = e.filter($"vec_id" % 97 =!= 0)
+      val (assign, cents) = graft.operators.Similarity.ivfIndex(
+        survivors, "vec_id", "embedding", nlist = 4, sampleSize = 256)
+      val healed = graft.operators.Similarity.listRepair(
+        streamed, e, "vec_id", "embedding", tomb, "vec_id",
+        assign, cents, k = 4, nprobe = 4,
+        candidateFilter = (col("query_id") % 2) =!= (col("nn_id") % 2))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rank", "nn_id", "cos")
+          .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val sa = survivors.filter($"vec_id" % 2 === 0)
+      val sb = survivors.filter($"vec_id" % 2 =!= 0)
+      val fresh = rows(graft.operators.Similarity.bruteForceTopK(
+          sb, "vec_id", "embedding", sa, "vec_id", "embedding", k = 4)
+        .unionByName(graft.operators.Similarity.bruteForceTopK(
+          sa, "vec_id", "embedding", sb, "vec_id", "embedding", k = 4)))
+      val got = rows(healed)
+      assert(got.nonEmpty && got == fresh,
+        "streamed-state repair diverged from the fresh exact dual " +
+          "k-NN on the survivors")
+      streamed.unpersist(blocking = false)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
   test("compactCrossLingualState: folds bitwise-unchanged, superseded " +
       "deltas deleted, and post-compaction batches equal the uncompacted " +
       "control run bitwise") {
