@@ -918,16 +918,38 @@ object Streams {
       checkpointDir: String,
       k: Int = 4,
       minMargin: Double = 1.05,
-      maxBatchRows: Long = 65536L): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxBatchRows: Long = 65536L,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestCrossLingualBatch(batch, batchId, idCol, vecCol,
           vecsDir, listsDir, pairsDir, k, minMargin, maxBatchRows)
+        maybeCompact(batch.sparkSession, listsDir, pairsDir,
+          batchId, compactEvery)
       }
       .start()
   }
+
+  /** Opt-in in-stream compaction (`compactEvery` on the two
+    * cross-lingual ingest wrappers): at the end of batch N, batch
+    * N−1 is by construction checkpoint-COMMITTED (N only runs after
+    * N−1 committed), so folding up to N−1 is always replay-safe —
+    * a crash before N's own commit replays N against the folded
+    * `delta=N−1`, value-identical to the uncompacted history, and a
+    * replayed compaction is idempotent. This bounds the touched-only
+    * tail's lookup cost to O(compactEvery) delta directories without
+    * any out-of-band maintenance job. */
+  private def maybeCompact(
+      spark: SparkSession,
+      listsDir: String,
+      pairsDir: String,
+      batchId: Long,
+      compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 &&
+        batchId % compactEvery == 0)
+      compactCrossLingualState(spark, listsDir, pairsDir, batchId - 1)
 
   /** One [[ingestCrossLingualStream]] micro-batch — factored out so
     * the crash-replay contract is directly testable (StreamsSpec
@@ -1060,7 +1082,8 @@ object Streams {
       minMargin: Double = 1.05,
       nlist: Int = 16,
       nprobe: Int = 4,
-      sampleSize: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+      sampleSize: Int = 256,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -1068,6 +1091,8 @@ object Streams {
         ingestCrossLingualAnnBatch(batch, batchId, idCol, vecCol,
           vecsDir, centroidsDir, listsDir, pairsDir, k, minMargin,
           nlist, nprobe, sampleSize)
+        maybeCompact(batch.sparkSession, listsDir, pairsDir,
+          batchId, compactEvery)
       }
       .start()
   }

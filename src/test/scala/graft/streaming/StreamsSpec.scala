@@ -800,6 +800,65 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("in-stream auto-compaction (compactEvery): the running stream " +
+      "bounds its own delta history and the folds equal an uncompacted " +
+      "control run bitwise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val maxId = e.agg(max($"vec_id")).first().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    def part(p: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_xling_autocompact_").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_xling_autocompact_ctl_").toString
+    try {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val query = ingestCrossLingualAnnStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        vecsDir = s"$a/vecs", centroidsDir = s"$a/cents",
+        listsDir = s"$a/lists", pairsDir = s"$a/pairs",
+        checkpointDir = s"$a/ckpt",
+        k = 4, minMargin = 1.05, nlist = 8, nprobe = 2,
+        compactEvery = 1)
+      try {
+        mem.addData(part($"vec_id" <= c1)); query.processAllAvailable()
+        mem.addData(part($"vec_id" > c1 && $"vec_id" <= c2))
+        query.processAllAvailable()
+        mem.addData(part($"vec_id" > c2)); query.processAllAvailable()
+      } finally query.stop()
+      // batch 2 compacted upTo=1: delta=0 gone, history bounded
+      assert(!new java.io.File(s"$a/lists/delta=0").exists())
+      assert(!new java.io.File(s"$a/pairs/delta=0").exists())
+      assert(new java.io.File(s"$a/lists/delta=1").exists())
+      // uncompacted control via direct batch calls, same parameters
+      for ((p, n) <- Seq(($"vec_id" <= c1, 0L),
+          ($"vec_id" > c1 && $"vec_id" <= c2, 1L), ($"vec_id" > c2, 2L)))
+        Streams.ingestCrossLingualAnnBatch(
+          part(p).toDF("vec_id", "embedding"), n, "vec_id", "embedding",
+          s"$b/vecs", s"$b/cents", s"$b/lists", s"$b/pairs",
+          4, 1.05, 8, 2, 256)
+      def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val lc = Seq("query_id", "rank", "nn_id", "cos")
+      assert(rows(Streams.crossLingualLists(spark, s"$a/lists"), lc)
+        == rows(Streams.crossLingualLists(spark, s"$b/lists"), lc),
+        "auto-compacted lists fold diverged from the control run")
+      val pc = Seq("keep_id", "drop_id", "cos", "margin")
+      val pa = rows(Streams.crossLingualPairs(spark, s"$a/pairs"), pc)
+      assert(pa == rows(Streams.crossLingualPairs(spark, s"$b/pairs"), pc),
+        "auto-compacted pairs fold diverged from the control run")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
   test("streamed lists -> listInvalidation -> listRepair composes: the " +
       "swap q278's exact-face guard names, pinned end to end — at " +
       "nprobe >= nlist the healed STREAMED state equals the exact dual " +
