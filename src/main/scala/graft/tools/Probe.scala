@@ -34,6 +34,11 @@ import graft.operators.{Dedup, Similarity}
   *                             touched-only cross-lingual tail's
   *                             second batch (nlist scales with the
   *                             corpus, the production knob)
+  *   repair-stages [runs]      q278's pipeline decomposed: the exact
+  *                             dual-kNN SUPPLIER alone vs the
+  *                             invalidation radius vs the repair
+  *                             (rescore) stage over persisted lists —
+  *                             attributes the whole-query slope
   *
   * env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (32).
   */
@@ -58,10 +63,11 @@ object Probe {
       case "semdedup" => semdedup(spark, sfDir, rest)
       case "dedup-knee" => dedupKnee(spark, sfDir, rest)
       case "stream-tail" => streamTail(spark, sfDir, rest)
+      case "repair-stages" => repairStages(spark, sfDir, rest)
       case other =>
         System.err.println(s"unknown probe mode '$other' " +
           "(queries | ann-stages | components | lsh-tune | semdedup " +
-          "| dedup-knee | stream-tail)")
+          "| dedup-knee | stream-tail | repair-stages)")
         sys.exit(2)
     }
     spark.stop()
@@ -212,6 +218,61 @@ object Probe {
     }.sorted
     println(f"stream-tail batch1          median ${med(ts)}%7.3f s  " +
       ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
+  }
+
+  /** q278's pipeline decomposed (the dedup-knee discipline applied to
+    * the repair story): the whole-query ×3 slope is owned by its
+    * bounded exact dual-kNN SUPPLIER (n²/4 cosines → 9× at ×3, the
+    * oracle face whose swap the guard names); the invalidation radius
+    * and the rescore stage are tombstone- and rescore-set-shaped.
+    * Timing the three separately over PERSISTED lists attributes the
+    * residual. usage: repair-stages [runs] */
+  private def repairStages(
+      spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    def med(ts: Seq[Double]): Double =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+    val runs = rest.headOption.flatMap(_.toIntOption).getOrElse(3)
+    val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
+    println(s"embeddings: ${e.count()} rows; request = vec_id % 97")
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    def lists() = Similarity.bruteForceTopK(
+        b, "vec_id", "embedding", a, "vec_id", "embedding", k = 4)
+      .unionByName(Similarity.bruteForceTopK(
+        a, "vec_id", "embedding", b, "vec_id", "embedding", k = 4))
+    val tomb = e.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
+    val survivors = e.filter(col("vec_id") % 97 =!= 0)
+    // clear = true only for the supplier line — the downstream stages
+    // deliberately run over the persisted lists (clearing would evict
+    // them and re-bill the quadratic pass to every stage)
+    def timed(what: String, clear: Boolean)(body: () => Unit): Unit = {
+      val ts = (1 to runs).map { _ =>
+        if (clear) spark.catalog.clearCache()
+        val t0 = System.nanoTime(); body(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"$what%-27s median ${med(ts)}%7.3f s  " +
+        ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
+    }
+    timed("exact dual-kNN supplier", clear = true)(() => lists().count())
+    // the two downstream stages run over PERSISTED lists so the
+    // supplier's quadratic pass is not re-billed to them
+    val l = lists().persist(StorageLevel.MEMORY_AND_DISK)
+    l.count()
+    timed("invalidation radius", clear = false)(() =>
+      Similarity.listInvalidation(l, tomb, "vec_id").count())
+    val (assign, cents) = Similarity.ivfIndex(
+      survivors, "vec_id", "embedding", nlist = 16, sampleSize = 256)
+    val ap = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    ap.count()
+    timed("repair (rescore+passthru)", clear = false)(() =>
+      Similarity.listRepair(l, e, "vec_id", "embedding", tomb,
+        "vec_id", ap, cents, k = 4, nprobe = 4,
+        candidateFilter = (col("query_id") % 2) =!= (col("nn_id") % 2))
+        .count())
+    ap.unpersist(blocking = false)
+    l.unpersist(blocking = false)
   }
 
   /** Stage breakdown of the ANN paths (the q63 regression autopsy). */
