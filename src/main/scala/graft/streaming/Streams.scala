@@ -592,9 +592,8 @@ object Streams {
   /** Latest-delta-wins resolution over a `dir/delta=N` store: keep,
     * per `keys` group, only the rows of that group's highest delta.
     * Every delta writes a group's FULL replacement rows (a whole
-    * k-list, one margin row, one pair op), so max(delta) is a
-    * group-local semi-filter — nothing across groups, no global
-    * window, partial-aggregable groupBy on the group keys. */
+    * k-list, one margin row), so max(delta) is a group-local
+    * semi-filter — nothing across groups. */
   private def latestDelta(df: DataFrame, keys: Seq[String]): DataFrame = {
     // one hash shuffle on the group keys, max over the whole frame
     // (no sort), group-local filter — cheaper than a groupBy + join
