@@ -739,17 +739,26 @@ class StreamsSpec extends AnyFunSuite {
         s"$base/lists", s"$base/pairs", 4, 1.05, 16, 1, 256)
       // byte-level snapshot of the batch-0 list delta — the r11
       // verdict's pin: untouched lists are bitwise INERT, so a later
-      // batch must not rewrite (or even re-open for write) delta=0
+      // batch must not rewrite (or even re-open for write) delta=0.
+      // Recursive walk: deltas are bucket-partitioned (delta=N/qb=H)
+      // since r13, so the data files live one level down
       def snapshot(dir: String): Map[String, String] = {
-        val d = new java.io.File(dir)
-        d.listFiles().filter(_.isFile).map { f =>
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isFile) Seq(f)
+          else f.listFiles().toSeq.flatMap(walk)
+        walk(new java.io.File(dir)).map { f =>
           val bytes = java.nio.file.Files.readAllBytes(f.toPath)
           val md = java.security.MessageDigest.getInstance("MD5")
-          f.getName -> md.digest(bytes).map("%02x".format(_)).mkString
+          f.toPath.toString.stripPrefix(dir) ->
+            md.digest(bytes).map("%02x".format(_)).mkString
         }.toMap
       }
       val before = snapshot(s"$base/lists/delta=0")
-      assert(before.nonEmpty)
+      // more entries than just the _SUCCESS marker: the pin must
+      // cover real data files, not a vacuous directory
+      assert(before.size > 1)
+      val beforePost = snapshot(s"$base/lists_postings/delta=0")
+      assert(beforePost.size > 1)
       Streams.ingestCrossLingualAnnBatch(
         rows($"vec_id" > maxId - 4).toDF("vec_id", "embedding"), 1L,
         "vec_id", "embedding", s"$base/vecs", s"$base/cents",
@@ -757,6 +766,9 @@ class StreamsSpec extends AnyFunSuite {
       assert(snapshot(s"$base/lists/delta=0") == before,
         "batch 1 rewrote the batch-0 list delta — untouched lists " +
           "must be bitwise inert")
+      assert(snapshot(s"$base/lists_postings/delta=0") == beforePost,
+        "batch 1 rewrote the batch-0 POSTINGS delta — the inverted " +
+          "mirror must be touched-only too")
       // delta=1 holds only the touched queries — a strict subset
       val rewritten = spark.read.parquet(s"$base/lists/delta=1")
         .select("query_id").distinct().count()
@@ -773,6 +785,18 @@ class StreamsSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("k_n"), countDistinct(col("rank")).as("k_d"))
         .filter(col("k_n") =!= col("k_d")).count() == 0L,
         "folded lists mix deltas — latest-wins fold broke")
+      // r13: fold-level postings == lists inverted — each delta's
+      // postings are its replacement lists' k rows, so the same
+      // latest-wins-per-query fold applies and the two stores cannot
+      // disagree after any batch (the reverse-reference lookup's
+      // correctness rests on this containment)
+      val post = Streams.crossLingualPostings(spark, s"$base/lists")
+        .select("query_id", "nn_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(post.nonEmpty && post ==
+        folded.select("query_id", "nn_id")
+          .as[(Long, Long)].collect().sorted.toSeq,
+        "folded postings diverged from the folded lists inverted")
       // the STRONGEST touched-only invariant: the folded pair set
       // equals the full margin+mutual mining over the folded lists —
       // pairs whose counterparty was NOT in this batch's mine set must
@@ -1108,6 +1132,323 @@ class StreamsSpec extends AnyFunSuite {
           Seq("id"), "left_anti")
         .as[(Long, Long)].collect().sorted.toSeq
       assert(sc2 == Seq((8L, 7L), (10L, 10L), (12L, 10L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
+  test("ingestNearDupStream compactEvery: the live stream bounds its own " +
+      "index history; published pairs and the folded index equal an " +
+      "uncompacted control run bitwise") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val (c1, c2) = (170L, 340L)
+    def part(p: org.apache.spark.sql.Column): Seq[(Long, String)] =
+      docs.filter(p).as[(Long, String)].collect().toSeq
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_nd_autocompact_").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_nd_autocompact_ctl_").toString
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val query = ingestNearDupStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        indexDir = s"$a/index", pairsDir = s"$a/pairs",
+        checkpointDir = s"$a/ckpt", compactEvery = 1)
+      try {
+        mem.addData(part($"doc_id" < c1)); query.processAllAvailable()
+        mem.addData(part($"doc_id" >= c1 && $"doc_id" < c2))
+        query.processAllAvailable()
+        mem.addData(part($"doc_id" >= c2)); query.processAllAvailable()
+      } finally query.stop()
+      // batch 2 compacted upTo=1: delta=0 folded away in-stream
+      assert(!new java.io.File(s"$a/index/delta=0").exists())
+      assert(new java.io.File(s"$a/index/delta=1").exists())
+      for ((p, n) <- Seq(($"doc_id" < c1, 0L),
+          ($"doc_id" >= c1 && $"doc_id" < c2, 1L), ($"doc_id" >= c2, 2L)))
+        Streams.ingestNearDupBatch(part(p).toDF("doc_id", "text"), n,
+          "doc_id", "text", s"$b/index", s"$b/pairs", 0.5, 3, 32, 4)
+      // published pairs bitwise (multiset): batch 2 probed the
+      // compacted index — with append-only unique ids the LWW fold IS
+      // the union, so candidates and verified pairs are unchanged
+      def pairRows(base: String) = spark.read.parquet(s"$base/pairs")
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val pa = pairRows(a)
+      assert(pa.nonEmpty && pa == pairRows(b),
+        "auto-compacted run's pairs diverged from the control")
+      // folded index rows equal too
+      def idxRows(base: String) = spark.read.parquet(s"$base/index")
+        .select("id", "ngrams", "bands")
+        .as[(Long, Seq[String], Seq[Long])].collect()
+        .map { case (i, g, bd) => (i, g.toList, bd.toList) }
+        .sortBy(_._1).toSeq
+      assert(idxRows(a) == idxRows(b),
+        "auto-compacted index fold diverged from the control")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
+  test("ingestVectorStream compactEvery: the live stream bounds its own " +
+      "assignment history; published pairs and the folded assignments " +
+      "equal an uncompacted control run bitwise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // planted same-direction near-dups (the q56 construction) so the
+    // >= 0.99 pair set is nonempty and the equality is structural
+    val planted = e.filter($"vec_id" < 100)
+      .select(($"vec_id" + 10000).as("vec_id"),
+        transform($"embedding", x => (x * lit(0.5f)).cast("float"))
+          .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val maxId = e.agg(max($"vec_id")).first().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    def part(p: org.apache.spark.sql.Column): Seq[(Long, Seq[Float])] =
+      corpus.filter(p).as[(Long, Seq[Float])].collect().toSeq
+    // thirds by ORIGINAL id, planted ids ride with their originals so
+    // every planted pair spans a batch boundary or lands in-batch
+    def third(n: Int): org.apache.spark.sql.Column =
+      n match {
+        case 0 => ($"vec_id" <= c1) || ($"vec_id" >= 10000L && $"vec_id" - 10000L <= c1)
+        case 1 => ($"vec_id" > c1 && $"vec_id" <= c2) ||
+          ($"vec_id" >= 10000L && $"vec_id" - 10000L > c1 && $"vec_id" - 10000L <= c2)
+        case _ => ($"vec_id" > c2 && $"vec_id" < 10000L)
+      }
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_vec_autocompact_").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_vec_autocompact_ctl_").toString
+    try {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val query = ingestVectorStream(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        indexDir = s"$a/index", pairsDir = s"$a/pairs",
+        centroidsDir = s"$a/cents", checkpointDir = s"$a/ckpt",
+        compactEvery = 1)
+      try {
+        mem.addData(part(third(0))); query.processAllAvailable()
+        mem.addData(part(third(1))); query.processAllAvailable()
+        mem.addData(part(third(2))); query.processAllAvailable()
+      } finally query.stop()
+      assert(!new java.io.File(s"$a/index/delta=0").exists())
+      assert(new java.io.File(s"$a/index/delta=1").exists())
+      for ((p, n) <- Seq((third(0), 0L), (third(1), 1L), (third(2), 2L)))
+        Streams.ingestVectorBatch(part(p).toDF("vec_id", "embedding"),
+          n, "vec_id", "embedding", s"$b/index", s"$b/pairs",
+          s"$b/cents", 0.99, 16, 4, 256)
+      def pairRows(base: String) = spark.read.parquet(s"$base/pairs")
+        .select("id_a", "id_b", "cos")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val pa = pairRows(a)
+      assert(pa.nonEmpty && pa == pairRows(b),
+        "auto-compacted run's pairs diverged from the control")
+      def assignRows(base: String) = spark.read.parquet(s"$base/index")
+        .select("id", "cell")
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(assignRows(a) == assignRows(b),
+        "auto-compacted assignment fold diverged from the control")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
+  test("ingestDeleteStream compactEvery: the live stream folds its own " +
+      "tombstone history; reports and the survivor view equal an " +
+      "uncompacted control run") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (7L, 7L), (8L, 7L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("id", "cluster_id")
+    val batches = Seq(Seq(1L, 5L), Seq(1L, 2L, 11L), Seq(3L, 7L, 99L))
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_del_autocompact_").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_del_autocompact_ctl_").toString
+    try {
+      clusters.write.parquet(s"$a/clusters")
+      val mem = MemoryStream[Long]
+      val query = ingestDeleteStream(
+        mem.toDF().toDF("doc_id"),
+        clustersDir = s"$a/clusters", deltaDir = s"$a/deltas",
+        reportDir = s"$a/reports", checkpointDir = s"$a/ckpt",
+        compactEvery = 1)
+      try {
+        batches.foreach { t =>
+          mem.addData(t); query.processAllAvailable()
+        }
+      } finally query.stop()
+      assert(!new java.io.File(s"$a/deltas/delta=0").exists())
+      assert(new java.io.File(s"$a/deltas/delta=1").exists())
+      clusters.write.parquet(s"$b/clusters")
+      batches.zipWithIndex.foreach { case (t, n) =>
+        Streams.ingestDeleteBatch(t.toDF("doc_id"), n.toLong,
+          s"$b/clusters", s"$b/deltas", s"$b/reports")
+      }
+      def reports(base: String) = spark.read.parquet(s"$base/reports")
+        .select("cluster_id", "n_members", "n_deleted", "n_survivors",
+          "rep_deleted", "new_rep")
+        .as[(Long, Long, Long, Long, Long, Option[Long])]
+        .collect().sorted.toSeq
+      val ra = reports(a)
+      assert(ra.nonEmpty && ra == reports(b),
+        "auto-compacted run's reports diverged from the control")
+      // folded tombstone set identical (distinct fold == raw history
+      // under anti-join set semantics, and literally here too)
+      def ids(base: String) = spark.read.parquet(s"$base/deltas")
+        .select("id").distinct().as[Long].collect().sorted.toSeq
+      assert(ids(a) == ids(b))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
+  test("staged compaction crash points roll FORWARD: a committed stage " +
+      "with its target renamed away is healed by the consumer fold and " +
+      "by the next batch; an uncommitted stage is discarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val maxId = e.agg(max($"vec_id")).first().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    def part(p: org.apache.spark.sql.Column) =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+    def ingest(base: String, bdf: org.apache.spark.sql.DataFrame, n: Long) =
+      Streams.ingestCrossLingualAnnBatch(bdf, n, "vec_id", "embedding",
+        s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+        4, 1.05, 8, 2, 256)
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val lc = Seq("query_id", "rank", "nn_id", "cos")
+    val pc = Seq("keep_id", "drop_id", "cos", "margin")
+    val a = java.nio.file.Files
+      .createTempDirectory("graft_xling_crash_").toString
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_xling_crash_ctl_").toString
+    try {
+      for (base <- Seq(a, b)) {
+        ingest(base, part($"vec_id" <= c1), 0L)
+        ingest(base, part($"vec_id" > c1 && $"vec_id" <= c2), 1L)
+      }
+      // a real compaction, then rewind its LAST step: the compacted
+      // delta=1 (which IS a committed stage's content — Spark wrote
+      // its _SUCCESS before the forward rename) goes back to being
+      // `_compact_tmp_1`. This is exactly the crash state between
+      // history-delete and the forward rename: stage committed, lower
+      // deltas gone, target missing
+      Streams.compactCrossLingualState(spark, s"$a/lists", s"$a/pairs",
+        upTo = 1L)
+      def crash(dir: String): Unit = {
+        assert(new java.io.File(s"$dir/delta=1").exists())
+        assert(new java.io.File(s"$dir/delta=1/_SUCCESS").exists())
+        assert(new java.io.File(s"$dir/delta=1").renameTo(
+          new java.io.File(s"$dir/_compact_tmp_1")))
+      }
+      crash(s"$a/lists")
+      crash(s"$a/pairs")
+      // plus an UNCOMMITTED stage (no _SUCCESS): junk to be discarded
+      val junk = new java.io.File(s"$a/pairs/_compact_tmp_99")
+      junk.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(junk, "part-junk.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      // consumer folds heal the swap on their own (recoverStores runs
+      // before the file listing resolves) and equal the control's
+      val ctlLists1 = rows(
+        Streams.crossLingualLists(spark, s"$b/lists"), lc)
+      assert(rows(Streams.crossLingualLists(spark, s"$a/lists"), lc)
+        == ctlLists1, "fold over the crash state diverged")
+      assert(new java.io.File(s"$a/lists/delta=1").exists() &&
+        !new java.io.File(s"$a/lists/_compact_tmp_1").exists(),
+        "the committed stage was not rolled forward")
+      // a later batch heals the pairs store the same way and the run
+      // stays bitwise equal to the never-crashed control
+      for (base <- Seq(a, b)) ingest(base, part($"vec_id" > c2), 2L)
+      assert(rows(Streams.crossLingualLists(spark, s"$a/lists"), lc)
+        == rows(Streams.crossLingualLists(spark, s"$b/lists"), lc))
+      val pa = rows(Streams.crossLingualPairs(spark, s"$a/pairs"), pc)
+      assert(pa.nonEmpty &&
+        pa == rows(Streams.crossLingualPairs(spark, s"$b/pairs"), pc))
+      assert(!junk.exists(), "uncommitted stage must be discarded")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
+  test("streamed lists -> listInvalidation -> certificate list layer: at " +
+      "nprobe >= nlist the streamed artifact's per-request certificate " +
+      "columns equal the exact dual k-NN supplier's bitwise (the swap " +
+      "q277's guard names)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cut = e.agg(max($"vec_id")).first().getLong(0) / 2
+    def half(p: org.apache.spark.sql.Column) =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_xling_cert_").toString
+    try {
+      for ((bdf, n) <- Seq(half($"vec_id" <= cut) -> 0L,
+          half($"vec_id" > cut) -> 1L))
+        Streams.ingestCrossLingualAnnBatch(bdf, n, "vec_id", "embedding",
+          s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+          4, 1.05, 4, 4, 256)
+      val streamed = Streams.crossLingualLists(spark, s"$base/lists")
+      val ea = e.filter($"vec_id" % 2 === 0)
+      val eb = e.filter($"vec_id" % 2 =!= 0)
+      val exact = graft.operators.Similarity.bruteForceTopK(
+          eb, "vec_id", "embedding", ea, "vec_id", "embedding", k = 4)
+        .unionByName(graft.operators.Similarity.bruteForceTopK(
+          ea, "vec_id", "embedding", eb, "vec_id", "embedding", k = 4))
+      // q277's request: % 97 plus the planted unknown id
+      val tomb = e.select($"vec_id").filter($"vec_id" % 97 === 0)
+        .unionByName(spark.range(1).select(lit(999999L).as("vec_id")))
+      // q277's list-layer certificate columns, verbatim shape
+      def cert(lists: org.apache.spark.sql.DataFrame) = {
+        val lo = lists.select(col("query_id").as("_lqid")).distinct()
+        val rb = lists.filter(col("query_id") % 97 =!= 0)
+          .groupBy(col("nn_id").as("_lnn"))
+          .agg(count(lit(1)).as("_nrescore"))
+        tomb.as("t")
+          .join(lo, col("t.vec_id") === col("_lqid"), "left")
+          .join(rb, col("t.vec_id") === col("_lnn"), "left")
+          .select(col("t.vec_id"),
+            when(col("_lqid").isNotNull, 1L).otherwise(0L)
+              .as("n_lists_dropped"),
+            coalesce(col("_nrescore"), lit(0L))
+              .as("n_lists_needing_rescore"))
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+      }
+      val got = cert(streamed)
+      assert(got.nonEmpty && got.exists(_._3 > 0L))
+      assert(got == cert(exact),
+        "streamed certificate list layer diverged from the exact " +
+          "supplier's")
+      // and the full listInvalidation work order agrees row-for-row
+      def inv(lists: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.listInvalidation(lists, tomb, "vec_id")
+          .select("query_id", "own_deleted", "k_before", "n_lost",
+            "k_after", "needs_rescore")
+          .as[(Long, Long, Long, Long, Long, Long)]
+          .collect().sorted.toSeq
+      assert(inv(streamed) == inv(exact),
+        "streamed listInvalidation diverged from the exact supplier's")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(base))
