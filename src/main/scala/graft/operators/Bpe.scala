@@ -25,8 +25,10 @@ import graft.functions.TextFunctions
   * suffixes — a caller-side `word || "</w>"` preprocessing choice
   * this operator deliberately leaves out of the kernel.
   *
-  * Reference analog: the chained wordcount job family
-  * (Imagine_MapReduce WordCount*, README §chained jobs) — BPE
+  * Reference analog: the wordcount job chained with itself — the
+  * default (line, 1) map (`Imagine_MapReduce/Mapper.h:268-270`) into
+  * sum-by-key (`MapReduceUtil.cpp:114-135`), resubmitted per round
+  * (`MapReduceMaster.cpp:36-58`) — BPE
   * training IS a chain of weighted pair-wordcounts.
   */
 object Bpe {

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * is full-batch gradient descent: one aggregate job per iteration,
   * weights live on the driver as a handful of scalars, the corpus is
   * never collected. The reference engine could express one gradient
-  * step as a map+reduce pass (`Imagine_MapReduce/MapTask.h` +
-  * `ReduceTask.h`); the iteration loop is exactly the job-chaining
-  * its users hand-roll — here it is the operator.
+  * step as a map+reduce pass (`Imagine_MapReduce/Mapper.h:268-270` +
+  * `MapReduceUtil.cpp:114-135`); the iteration loop is exactly the
+  * job-chaining its users hand-roll over successive
+  * `MapReduceMaster::MapReduce` submissions
+  * (`MapReduceMaster.cpp:36-58`) — here it is the operator.
   *
   * DETERMINISM (the whole design): a float gradient SUM over a
   * shuffled corpus is order-nondeterministic, so naive distributed

@@ -226,7 +226,8 @@ object Curation {
     * remaining) happens on the single result row as plain column
     * expressions — no window, no driver loop. Reference analog: the
     * ref's map phase can drop records but reports only a global
-    * counter (`Imagine_MapReduce/MapTask.h`); per-rule attribution
+    * counter (`Imagine_MapReduce/Mapper.h:268-270` is the whole
+    * per-record surface); per-rule attribution
     * is what this adds. */
   def filterAttrition(
       df: DataFrame,

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * "unknown" never passes a contract. Spell "null is fine" into the
   * predicate (`c.isNull || pred`) when that's the intent.
   *
-  * Reference analog: `Imagine_MapReduce/ReduceTask.h` sum-by-key —
+  * Reference analog: sum-by-key
+  * (`Imagine_MapReduce/MapReduceUtil.cpp:114-135`) —
   * every counter here is a conditional sum; the contract surface on
   * top is what the reference leaves to its caller. */
 object Expectations {

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * ordering either way — simultaneous events do not advance a
   * funnel (deterministic, and the conservative reading of "then").
   *
-  * Reference analog: chained filter+aggregate jobs
-  * (Imagine_MapReduce README §chained jobs). */
+  * Reference analog: chained filter+aggregate jobs — successive
+  * `MapReduceMaster::MapReduce` submissions
+  * (`Imagine_MapReduce/MapReduceMaster.cpp:36-58`). */
 object Funnel {
 
   /** Per-user entry times, one column per reached step:
@@ -170,7 +171,7 @@ object Funnel {
     *
     * Reference analog: none — position-sensitive per-row state over
     * a sorted stream is exactly what sum-by-key cannot express
-    * (`Imagine_MapReduce/ReduceTask.h`). */
+    * (`Imagine_MapReduce/MapReduceUtil.cpp:114-135`). */
   def lastTouchAttribution(
       events: DataFrame,
       userCol: String,

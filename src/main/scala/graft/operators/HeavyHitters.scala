@@ -46,8 +46,9 @@ import graft.functions.TextFunctions
   * Nothing anywhere holds more than k counters.
   *
   * Reference analog: the word-frequency Top-N job family the
-  * reference runs as chained MapReduce (Imagine_MapReduce
-  * WordCountMapper/Reducer, README §usage); this is its bounded-
+  * reference runs as chained MapReduce (the default (line, 1) map,
+  * `Imagine_MapReduce/Mapper.h:268-270`, into the sum-by-key reduce,
+  * `MapReduceUtil.cpp:114-135`); this is its bounded-
   * memory, single-digit-shuffle spelling.
   */
 object HeavyHitters {

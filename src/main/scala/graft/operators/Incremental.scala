@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * a lakehouse: a per-key aggregate TABLE kept current by merging
   * each arriving batch's partial state instead of rescanning the
   * corpus. The reference engine recomputes every reduce from scratch
-  * per job (`Imagine_MapReduce/ReduceTask.h` has no state between
+  * per job (`Imagine_MapReduce/MapReduceUtil.cpp:114-135` folds into
+  * a per-invocation kv_map — no state survives between
   * jobs); the merge step is what turns its sum-by-key into a
   * maintainable view.
   *

@@ -357,8 +357,9 @@ object Sampling {
     * the repeat factor loudly — a 3-doc source with a 10% weight
     * would otherwise explode the output silently.
     *
-    * Reference analog: the chained-job composition pattern
-    * (Imagine_MapReduce README §chained jobs) — counts feed a second
+    * Reference analog: the chained-job composition pattern —
+    * successive `MapReduceMaster::MapReduce` submissions
+    * (`Imagine_MapReduce/MapReduceMaster.cpp:36-58`) — counts feed a second
     * pass that rewrites the dataset; here phases 1/2 are the counts,
     * phase 3 the rewrite. */
   /** EXACTLY-k deterministic global sample: the top-k rows by

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * crawl's URL cardinality drift" — is answered by UNIONING kilobyte
   * sketches, never by re-scanning raw rows. The reference engine has
   * no sketch story at all (its reduce is sum-by-key,
-  * `Imagine_MapReduce/ReduceTask.h`); this is the operation its
+  * `Imagine_MapReduce/MapReduceUtil.cpp:114-135`); this is the operation its
   * users outgrow first when counts stop fitting a recount budget.
   *
   * Built on Spark's native Datasketches HLL functions

@@ -84,8 +84,9 @@ object TfIdf {
     * global sort — and the row_number window runs on the already-
     * k-row result. One corpus scan end to end.
     *
-    * Reference analog: the grep/wordcount query family
-    * (Imagine_MapReduce WordCount*, README §usage) upgraded to
+    * Reference analog: the wordcount query family (the default
+    * (line, 1) map, `Imagine_MapReduce/Mapper.h:268-270`, into the
+    * sum-by-key reduce, `MapReduceUtil.cpp:114-135`) upgraded to
     * ranked retrieval. */
   def bm25TopK(
       df: DataFrame,
@@ -284,7 +285,8 @@ object TfIdf {
     * k-cutoff — are total and deterministic.
     *
     * Reference analog: word-count composed with itself
-    * (`Imagine_MapReduce/MapTask.h` map → sum-by-key) — presence,
+    * (`Imagine_MapReduce/Mapper.h:268-270` map →
+    * `MapReduceUtil.cpp:114-135` sum-by-key) — presence,
     * df, and pair counts are each that same sum-by-key shape; the
     * reference has no join to compose them. */
   def cooccurTopPairs(

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * empty intervals PRESENT (count 0) and gauge values carried
   * forward from the last observation. The reference engine's
   * aggregation stops at sum-by-key over observed keys
-  * (`Imagine_MapReduce/ReduceTask.h`); materializing the holes is
+  * (`Imagine_MapReduce/MapReduceUtil.cpp:114-135`); materializing the holes is
   * what resampling adds.
   *
   * Scale shape: one (key, bucket) partial-aggregated shuffle over
@@ -127,9 +127,9 @@ object TimeSeries {
     * and could not be pinned cross-engine; callers convert currency
     * to cents first (`floor(x*100+0.5)`, bitwise on both engines).
     *
-    * Reference analog: `Imagine_MapReduce/ReduceTask.h` sums whole
-    * key groups only; a trailing window over event time has no
-    * spelling there at all. */
+    * Reference analog: the reduce sums whole key groups only
+    * (`Imagine_MapReduce/MapReduceUtil.cpp:114-135`); a trailing
+    * window over event time has no spelling there at all. */
   def trailingWindow(
       df: DataFrame,
       keyCols: Seq[String],
@@ -468,8 +468,9 @@ object TimeSeries {
     * = (Σy − slope·Σx) / n, and `r2` = num² / (den·(n·Σy² − Σy²)) —
     * NULL when x (or y, for r²) is constant in the group.
     *
-    * Reference analog: `Imagine_MapReduce/ReduceTask.h` sum-by-key —
-    * the moment sums ARE sum-by-key; the line fit is three scalar
+    * Reference analog: sum-by-key
+    * (`Imagine_MapReduce/MapReduceUtil.cpp:114-135`) — the moment
+    * sums ARE sum-by-key; the line fit is three scalar
     * expressions on top. */
   def groupTrend(
       df: DataFrame,
