@@ -875,9 +875,28 @@ private[graft] object ExtDedup {
       // true ≥0.4 pairs all sit at J >= 0.8 where a 32×4 LSH miss is
       // p <= 5e-8 per pair and the hashing is deterministic
       // (DedupSpec pins LSH == exact at minJ=0.4 on the fixture).
-      val drops = Dedup.minHashLshPairs(
+      val lsh = Dedup.minHashLshPairs(
           docs, "doc_id", "text", n = 3, bands = 32, rowsPerBand = 4,
           minJ = 0.4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // COUNTED band-safety guard (r12 ADVICE): the bitwise-oracle
+      // claim above was a fixture PROPERTY pinned only in DedupSpec;
+      // this makes it a run-time precondition. An emitted pair below
+      // J = 0.7 means the corpus left the regime where the miss bound
+      // holds (a 32-band × 4-row LSH misses a true pair at p ≈ 2.6e-4
+      // at J = 0.7, ~13% at 0.5, ~44% at 0.4) — the pairs LSH DID
+      // emit stay exact either way, but pairs it may have MISSED
+      // would silently diverge from the exact-Jaccard DuckDB oracle.
+      // Fail loud with the fix instead.
+      val nRisk = lsh.filter(col("jaccard") < 0.7).count()
+      require(nRisk == 0L,
+        s"q270's LSH supplier emitted $nRisk pairs with jaccard in " +
+          "[0.4, 0.7) — this corpus has true near-threshold pairs, " +
+          "where a 32x4 LSH can miss (p up to ~0.44 at J = 0.4) and " +
+          "the exact-Jaccard oracle may silently diverge. Raise the " +
+          "band count (bands x rows) for this corpus, or swap the " +
+          "supplier to the exact q36 path and re-pin the knee probe.")
+      val drops = lsh
         .select(col("id_b").as("did"),
           least(floor(col("jaccard") * 10).cast("long"), lit(9L))
             .as("pb"))
@@ -938,15 +957,22 @@ private[graft] object ExtDedup {
           n: org.apache.spark.sql.Column) =
         round(aggregate(over, lit(0.0),
           (acc, x) => acc + x.getField(field)) / n.cast("double"), 6)
-      m.join(nd, "band")
-        .select(col("band"),
-          (col("band").cast("double") / 10.0).as("threshold"),
-          col("n_docs"),
-          meanOf("p_at_k", col("_ss"), col("_nq")).as("mean_p_at_k"),
-          meanOf("mrr", col("_ss"), col("_nq")).as("mean_mrr"),
-          when(size(nn) >= 1,
-            meanOf("ndcg", nn, size(nn))).as("mean_ndcg"))
-        .orderBy("band")
+      // 7-row result: collect to a local relation so the guard's
+      // persisted supplier can be dropped before the query returns
+      // (the lazy spelling would recompute the LSH pass at the
+      // caller's materialization)
+      val out = collectToLocal(
+        m.join(nd, "band")
+          .select(col("band"),
+            (col("band").cast("double") / 10.0).as("threshold"),
+            col("n_docs"),
+            meanOf("p_at_k", col("_ss"), col("_nq")).as("mean_p_at_k"),
+            meanOf("mrr", col("_ss"), col("_nq")).as("mean_mrr"),
+            when(size(nn) >= 1,
+              meanOf("ndcg", nn, size(nn))).as("mean_ndcg")),
+        "q270 per-band sweep")
+      lsh.unpersist(blocking = false)
+      out.orderBy("band")
     }
   }
 
