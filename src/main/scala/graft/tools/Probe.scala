@@ -29,11 +29,17 @@ import graft.operators.{Dedup, Similarity}
   *   dedup-knee [runs] [qidBound]  q270 past the derivedSampleMod cap
   *                             knee: corpus grows, eval population
   *                             pinned — decomposes supplier vs scorer
-  *   stream-tail [runs] [batchRows]  fixed-size micro-batch against a
+  *   stream-tail [runs] [batchRows] [priorDeltas] [compactEvery]
+  *                             fixed-size micro-batch against a
   *                             growing ingested corpus — times the
   *                             touched-only cross-lingual tail's
-  *                             second batch (nlist scales with the
-  *                             corpus, the production knob)
+  *                             final batch (nlist scales with the
+  *                             corpus, the production knob); the
+  *                             prior corpus can arrive as priorDeltas
+  *                             micro-batches with the in-stream
+  *                             compaction cadence applied — timed
+  *                             wall vs delta-dir count is the r13
+  *                             compaction-bounded-lookup measurement
   *   repair-stages [runs]      q278's pipeline decomposed: the exact
   *                             dual-kNN SUPPLIER alone vs the
   *                             invalidation radius vs the repair
@@ -176,7 +182,15 @@ object Probe {
     * a flat batch-1 time across a ScaleUp ×3 fixture attributes the
     * whole per-batch cost to |batch|, not corpus. Per-phase stderr
     * prints (tail/merge, tail/mine) decompose the tail further.
-    * usage: stream-tail [runs] [batchRows] */
+    * With `priorDeltas` > 1 the prior corpus arrives as that many
+    * micro-batches instead of one, so the store holds priorDeltas
+    * delta directories when the timed batch runs — and `compactEvery`
+    * applies the in-stream compaction cadence while they load. That
+    * pair is the r13 SCALING measurement: timed-batch wall vs
+    * delta-directory count, with compaction bounding the count to
+    * O(compactEvery) — the number behind the "O(compactEvery) dirs"
+    * lookup-cost claim.
+    * usage: stream-tail [runs] [batchRows] [priorDeltas] [compactEvery] */
   private def streamTail(
       spark: SparkSession, sfDir: String, rest: Seq[String]): Unit = {
     def med(ts: Seq[Double]): Double =
@@ -185,38 +199,63 @@ object Probe {
     val runs = rest.headOption.flatMap(_.toIntOption).getOrElse(3)
     val batchRows = rest.drop(1).headOption.flatMap(_.toIntOption)
       .getOrElse(256)
+    val priorDeltas = rest.drop(2).headOption.flatMap(_.toIntOption)
+      .getOrElse(1)
+    val compactEvery = rest.drop(3).headOption.flatMap(_.toIntOption)
+      .getOrElse(0)
+    require(priorDeltas >= 1, s"priorDeltas must be >= 1")
     val e = emb(spark, sfDir).select(col("vec_id"), col("embedding"))
     val n = e.count()
     require(n > 2L * batchRows,
       s"corpus $n too small for a $batchRows-row probe batch")
-    // count-based cut: the batchRows highest ids form batch 1, so the
-    // batch stays fixed-size on ScaleUp fixtures where ids grow
+    // count-based cut: the batchRows highest ids form the timed
+    // batch, so it stays fixed-size on ScaleUp fixtures where ids grow
     val cut = e.select(col("vec_id")).orderBy(col("vec_id").desc)
       .limit(batchRows).agg(min(col("vec_id"))).first().getLong(0)
     val nlist = math.max(16, (n / 128).toInt)
-    println(s"corpus $n rows; batch0 ${n - batchRows} rows, " +
-      s"batch1 $batchRows rows, nlist $nlist, nprobe 4")
+    // prior corpus split into priorDeltas contiguous id ranges
+    val loMax = cut - 1
+    println(s"corpus $n rows; prior ${n - batchRows} rows over " +
+      s"$priorDeltas deltas (compactEvery=$compactEvery), timed batch " +
+      s"$batchRows rows, nlist $nlist, nprobe 4")
     val ts = (1 to runs).map { _ =>
       spark.catalog.clearCache()
       val base = java.nio.file.Files
         .createTempDirectory("graft_tailprobe_").toString
       try {
-        graft.streaming.Streams.ingestCrossLingualAnnBatch(
-          e.filter(col("vec_id") < cut), 0L, "vec_id", "embedding",
-          s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
-          4, 1.05, nlist, 4, 256)
+        for (i <- 0 until priorDeltas) {
+          val lo = loMax * i.toLong / priorDeltas
+          val hi =
+            if (i == priorDeltas - 1) cut
+            else loMax * (i + 1).toLong / priorDeltas
+          graft.streaming.Streams.ingestCrossLingualAnnBatch(
+            e.filter(col("vec_id") >= lo && col("vec_id") < hi),
+            i.toLong, "vec_id", "embedding",
+            s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+            4, 1.05, nlist, 4, 256)
+          // the in-stream cadence (maybeCompact's committed-only rule)
+          if (compactEvery > 0 && i > 0 && i % compactEvery == 0)
+            graft.streaming.Streams.compactCrossLingualState(
+              spark, s"$base/lists", s"$base/pairs", i - 1L)
+        }
+        val dirCount = new java.io.File(s"$base/lists").listFiles()
+          .count(_.getName.startsWith("delta="))
         val t0 = System.nanoTime()
         graft.streaming.Streams.ingestCrossLingualAnnBatch(
-          e.filter(col("vec_id") >= cut), 1L, "vec_id", "embedding",
+          e.filter(col("vec_id") >= cut), priorDeltas.toLong,
+          "vec_id", "embedding",
           s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
           4, 1.05, nlist, 4, 256)
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[graft] timed batch over $dirCount list " +
+          f"delta dirs: $dt%.3f s")
+        dt
       } finally {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(base))
       }
     }.sorted
-    println(f"stream-tail batch1          median ${med(ts)}%7.3f s  " +
+    println(f"stream-tail timed batch     median ${med(ts)}%7.3f s  " +
       ts.map(x => f"$x%.3f").mkString("[", ", ", "]"))
   }
 
