@@ -883,7 +883,7 @@ private[graft] object ExtDedup {
       // claim above was a fixture PROPERTY pinned only in DedupSpec;
       // this makes it a run-time precondition. An emitted pair below
       // J = 0.7 means the corpus left the regime where the miss bound
-      // holds (a 32-band × 4-row LSH misses a true pair at p ≈ 2.6e-4
+      // holds (a 32-band × 4-row LSH misses a true pair at p ≈ 1.5e-4
       // at J = 0.7, ~13% at 0.5, ~44% at 0.4) — the pairs LSH DID
       // emit stay exact either way, but pairs it may have MISSED
       // would silently diverge from the exact-Jaccard DuckDB oracle.

@@ -922,10 +922,23 @@ object Streams {
     // goes first, under the marker
     deleteDeltasBelow(fs, root, upTo)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst)) renameOrDie(fs, dst, old)
+    renameOrDie(fs, tmp, dst)
     fs.delete(old, true)
   }
+
+  /** Hadoop's FileSystem.rename reports failure as a silent boolean;
+    * in a swap protocol a swallowed false IS corruption — fail loud
+    * (the committed stage survives, so recovery completes the swap
+    * on the next entry). */
+  private def renameOrDie(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst),
+      s"compaction swap rename failed: $src -> $dst (committed " +
+        "staging survives; re-run the compaction or the next batch " +
+        "to recover)")
 
   private def deleteDeltasBelow(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -966,8 +979,8 @@ object Streams {
           val old = new org.apache.hadoop.fs.Path(root,
             s"_compact_old_${u.get}")
           if (fs.exists(old)) fs.delete(old, true)
-          if (fs.exists(dst)) fs.rename(dst, old)
-          fs.rename(st.getPath, dst)
+          if (fs.exists(dst)) renameOrDie(fs, dst, old)
+          renameOrDie(fs, st.getPath, dst)
           fs.delete(old, true)
         }
       }
@@ -1245,6 +1258,15 @@ object Streams {
           vecsDir, listsDir, pairsDir, k, minMargin, maxBatchRows)
         maybeCompact(batch.sparkSession, listsDir, pairsDir,
           batchId, compactEvery)
+        // the VECTOR delta store is state too (every batch scores
+        // against it) — bound it with the same cadence. Plain union
+        // fold: bitwise read-equivalent always (the family's prior
+        // reads are row unions, never a fold), so compaction here can
+        // never change a score; LWW/tombstone maintenance stays the
+        // deliberate out-of-band ivfCompact job
+        if (compactDue(batchId, compactEvery))
+          compactFamilyStore(batch.sparkSession, vecsDir, batchId - 1,
+            ds => ds.reduce(_ unionByName _))
       }
       .start()
   }
@@ -1324,6 +1346,10 @@ object Streams {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
+    // heal any vecs-store compaction swap a crash left mid-flight
+    // (the lists/postings/pairs sweep runs inside mergeListsAndMine,
+    // but the vector deltas are read before that)
+    recoverStores(spark, vecsDir)
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1448,6 +1474,11 @@ object Streams {
           nlist, nprobe, sampleSize)
         maybeCompact(batch.sparkSession, listsDir, pairsDir,
           batchId, compactEvery)
+        // assignment-store cadence — plain union fold, bitwise
+        // read-equivalent (see the exact wrapper's note)
+        if (compactDue(batchId, compactEvery))
+          compactFamilyStore(batch.sparkSession, vecsDir, batchId - 1,
+            ds => ds.reduce(_ unionByName _))
       }
       .start()
   }
@@ -1475,6 +1506,9 @@ object Streams {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
+    // heal any vecs-store compaction swap a crash left mid-flight
+    // (read before mergeListsAndMine's own sweep)
+    recoverStores(spark, vecsDir)
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

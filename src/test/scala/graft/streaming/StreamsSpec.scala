@@ -855,10 +855,14 @@ class StreamsSpec extends AnyFunSuite {
         query.processAllAvailable()
         mem.addData(part($"vec_id" > c2)); query.processAllAvailable()
       } finally query.stop()
-      // batch 2 compacted upTo=1: delta=0 gone, history bounded
+      // batch 2 compacted upTo=1: delta=0 gone, history bounded —
+      // in ALL THREE state stores (lists, pairs, and r13: the vector
+      // deltas every batch scores against)
       assert(!new java.io.File(s"$a/lists/delta=0").exists())
       assert(!new java.io.File(s"$a/pairs/delta=0").exists())
+      assert(!new java.io.File(s"$a/vecs/delta=0").exists())
       assert(new java.io.File(s"$a/lists/delta=1").exists())
+      assert(new java.io.File(s"$a/vecs/delta=1").exists())
       // uncompacted control via direct batch calls, same parameters
       for ((p, n) <- Seq(($"vec_id" <= c1, 0L),
           ($"vec_id" > c1 && $"vec_id" <= c2, 1L), ($"vec_id" > c2, 2L)))
@@ -877,6 +881,14 @@ class StreamsSpec extends AnyFunSuite {
       val pa = rows(Streams.crossLingualPairs(spark, s"$a/pairs"), pc)
       assert(pa == rows(Streams.crossLingualPairs(spark, s"$b/pairs"), pc),
         "auto-compacted pairs fold diverged from the control run")
+      // the vecs store's union fold is bitwise read-equivalent: the
+      // compacted run's vector rows equal the uncompacted control's
+      def vecRows(base: String) = spark.read.parquet(s"$base/vecs")
+        .select(col("id"), col("v").cast("string"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+      assert(vecRows(a).nonEmpty && vecRows(a) == vecRows(b),
+        "auto-compacted vecs store diverged from the control run")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
