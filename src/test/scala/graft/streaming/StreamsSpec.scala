@@ -1467,6 +1467,59 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed store lookups prune at the LISTING level: a literal " +
+      "qb/nb filter reaches the scan's partition filters and drops " +
+      "bucket directories from the selected file set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cut = e.agg(max($"vec_id")).first().getLong(0) / 2
+    def half(p: org.apache.spark.sql.Column) =
+      e.filter(p).as[(Long, Seq[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_xling_prune_").toString
+    try {
+      for ((bdf, n) <- Seq(half($"vec_id" <= cut) -> 0L,
+          half($"vec_id" > cut) -> 1L))
+        Streams.ingestCrossLingualAnnBatch(bdf, n, "vec_id", "embedding",
+          s"$base/vecs", s"$base/cents", s"$base/lists", s"$base/pairs",
+          4, 1.05, 4, 4, 256)
+      // the exact read shape the tail's lookups build: delta bound +
+      // literal bucket isin — assert it prunes the FILE LISTING, not
+      // just post-scan rows (the whole point of the layout)
+      def pin(dir: String, bucketCol: String): Unit = {
+        val v = spark.read.parquet(dir)
+          .select(bucketCol).distinct().as[Int].head()
+        val pruned = spark.read.parquet(dir)
+          .filter(col("delta") <= 1L && col(bucketCol).isin(v))
+        val scan = pruned.queryExecution.executedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.getOrElse(fail(s"$dir: expected a FileSourceScanExec"))
+        assert(scan.partitionFilters.exists(
+          _.references.exists(_.name == bucketCol)),
+          s"$dir: the $bucketCol literal filter did not reach the " +
+            "scan's PARTITION filters")
+        val all = spark.read.parquet(dir).inputFiles.length
+        val selected = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters)
+          .flatMap(_.files)
+        assert(selected.nonEmpty &&
+          selected.forall(_.getPath.toString.contains(s"/$bucketCol=$v/")),
+          s"$dir: selected files leaked outside the filtered bucket")
+        assert(selected.length < all,
+          s"$dir: listing not pruned — ${selected.length} of $all " +
+            "files selected")
+      }
+      pin(s"$base/lists", "qb")
+      pin(s"$base/lists_postings", "nb")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(base))
+    }
+  }
+
   test("expectationsBatch: ledger accumulates per batch; replay is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
