@@ -652,7 +652,7 @@ object Streams {
     * FORMAT property (writers and readers must agree), so changing
     * it on a live store requires a [[compactCrossLingualState]]
     * rewrite, which re-buckets everything. */
-  private[streaming] val StoreBuckets = 64
+  private[streaming] val StoreBuckets = 32
 
   /** The bucket a store row routes to at write time — ONE function
     * shared by writers and readers; pruning correctness is exactly
